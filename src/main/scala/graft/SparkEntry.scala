@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Q, Tables}
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full declared operator surface (SURVEY §2B): every entry
+  * is a (SparkSession, sfDir) => DataFrame; entries with a DuckDB twin in
+  * `oracleSql` are hash-checked by the driver, the rest get rows-only checks
+  * (approximate / Spark-specific ops, with their own ScalaTest properties).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    AggQueries.queries("q_agg_q1")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, Q] =
+    RelationalQueries.queries ++
+    JoinQueries.queries ++
+    AggQueries.queries ++
+    WindowQueries.queries ++
+    FunctionQueries.queries ++
+    LlmQueries.queries ++
+    StreamingQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++
+    JoinQueries.oracle ++
+    AggQueries.oracle ++
+    WindowQueries.oracle ++
+    FunctionQueries.oracle ++
+    LlmQueries.oracle ++
+    StreamingQueries.oracle
 }

@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md / FIXTURES.md §A).
+  *
+  * Every query in the catalog receives `(spark, sfDir)` and reads only through
+  * these loaders, so partition/pushdown behavior is uniform: one parquet file
+  * per table, schema inferred from parquet footers, filters and column pruning
+  * pushed into the scan by Catalyst.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
+    * TimestampType; sessions set spark.sql.legacy.parquet.nanosAsLong=true so
+    * the scan yields BIGINT nanos, converted here to a µs timestamp. The
+    * source data is µs-granular (verified), so `div 1000` is lossless.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    nanosToTs(load(s, d, "events"))
+
+  def nanosToTs(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register all tables as temp views (for spark.sql-flavored entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

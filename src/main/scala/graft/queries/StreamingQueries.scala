@@ -1,0 +1,146 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface (SURVEY §2B streaming): the events table is
+  * replayed through a file-source stream, transformed, and drained into a
+  * memory sink; the returned DataFrame is the sink table. Each op's oracle is
+  * its batch twin (same window arithmetic written portably in DuckDB SQL) —
+  * equality proves stream/batch semantic parity on identical input.
+  *
+  * Windows are epoch-aligned (Spark's window() default), so the oracle
+  * reconstructs them from floor(epoch_s / slide) arithmetic.
+  *
+  * Watermark/late-data, checkpoint-recovery, and stateful
+  * flatMapGroupsWithState semantics are driven by multi-batch golden tests in
+  * StreamingSpec (no batch oracle can observe trigger boundaries).
+  */
+object StreamingQueries {
+
+  private val ctr = new AtomicInteger(0)
+
+  /** Replay events as a file-source stream, apply `build`, drain to a memory
+    * sink, return the sink contents.
+    *
+    * The file source requires a directory, so the table is staged into a
+    * temp dir as 4 range-partitioned files and consumed one file per
+    * micro-batch — a genuine multi-batch replay, not a single-batch alias of
+    * the batch plan.
+    */
+  private def runStream(s: SparkSession, d: String, mode: String)
+                       (build: DataFrame => DataFrame): DataFrame = {
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    val ev = Tables.events(s, d).repartitionByRange(4, col("ts"))
+    ev.write.mode("overwrite").parquet(staged)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val q = build(stream).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  private def fmtWin(c: String): org.apache.spark.sql.Column =
+    date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Map[String, Q] = Map(
+    // tumbling 10-minute window, count + sum per event_type
+    "q_stream_tumbling" -> ((s, d) =>
+      runStream(s, d, "complete") { ev =>
+        ev.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(fmtWin("window.start").as("wstart"), col("event_type"),
+                  col("n"), col("sum_value"))
+      }.orderBy(col("wstart"), col("event_type"))),
+
+    // sliding window: 10-minute length, 5-minute slide
+    "q_stream_sliding" -> ((s, d) =>
+      runStream(s, d, "complete") { ev =>
+        ev.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(fmtWin("window.start").as("wstart"), col("n"))
+      }.orderBy(col("wstart"))),
+
+    // session window, 30-minute gap, per user (streaming twin of
+    // q_win_session; Spark closes a session when gap >= 30 min)
+    "q_stream_session" -> ((s, d) =>
+      runStream(s, d, "complete") { ev =>
+        ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+                  fmtWin("session_window.start").as("wstart"),
+                  col("n_events"))
+      }.orderBy(col("user_id"), col("wstart"))),
+
+    // streaming dedup on a composite key
+    "q_stream_dedup" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        ev.dropDuplicates(Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+      }.orderBy(col("user_id"), col("event_type"))),
+
+    // stream ⋈ static broadcast (R4's demux shape: stream keyed by a small
+    // dimension): per-user-bucket counts joined to a static mapping
+    "q_stream_static_join" -> ((s, d) =>
+      runStream(s, d, "complete") { ev =>
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        ev.join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+      }.orderBy(col("c_mktsegment")))
+  )
+
+  // epoch seconds with floor semantics (ts > 0), as plain TIMESTAMP math
+  private val ep = "datediff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP))"
+  private def bucket(off: Int): String =
+    s"TIMESTAMP '1970-01-01 00:00:00' + ((($ep - $off) // 600) * 600 + $off) * INTERVAL '1 second'"
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT strftime(${bucket(0)}, '%Y-%m-%d %H:%M:%S') AS wstart,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(SUM(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    // each event belongs to exactly two slide-300 grids (offsets 0 and 300)
+    "q_stream_sliding" ->
+      s"""SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' +
+                   ((($ep - off) // 600) * 600 + off) * INTERVAL '1 second',
+                   '%Y-%m-%d %H:%M:%S') AS wstart,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events CROSS JOIN (VALUES (0), (300)) offs(off)
+          GROUP BY 1 ORDER BY wstart""",
+    "q_stream_session" ->
+      s"""WITH g AS (
+            SELECT user_id, event_id, ts,
+                   $ep - LAG($ep, 1) OVER w AS gap
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END AS new_s
+            FROM g),
+          sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged)
+          SELECT user_id,
+                 strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS wstart,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sess GROUP BY user_id, sid ORDER BY user_id, wstart""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY §2B): ranking, analytic (lag/lead),
+  * row/range frames, top-k per group, batch sessionization (the batch twin
+  * of the streaming session window).
+  *
+  * events.ts is µs-granular in the source parquet (verified — no sub-µs
+  * component), so Spark's ns→µs truncation is lossless and ts can be used
+  * directly in ORDER BY / range frames on both engines.
+  *
+  * Scale: every window here partitions by a key (custkey/user_id) — no
+  * global unpartitioned window, which would single-task at 100 TB.
+  */
+object WindowQueries {
+
+  private val byUserTs = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q_win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                row_number().over(w).as("rn"),
+                rank().over(w).as("rnk"),
+                dense_rank().over(w).as("drnk"),
+                ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_win_lag" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                lag(col("event_type"), 1).over(byUserTs).as("prev_type"),
+                (col("ts").cast("long") -
+                 lag(col("ts"), 1).over(byUserTs).cast("long")).as("gap_s"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                coalesce(col("prev_type"), lit("NONE")).as("prev_type"),
+                coalesce(col("gap_s"), lit(-1L)).as("gap_s"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // running sum, rows unbounded-preceding → current
+    "q_win_frame_rows" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                round(sum(col("value"))
+                  .over(byUserTs.rowsBetween(Window.unboundedPreceding, 0)), 2)
+                  .as("running"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // range frame: events in the preceding hour (inclusive), per user.
+    // Range frame over epoch-seconds so both engines use identical numeric
+    // range semantics.
+    "q_win_frame_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("epoch_s", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"),
+                count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q_win_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // batch sessionization: 30-min-gap rule via lag + cumulative sum of
+    // session-start flags (batch twin of streaming session_window)
+    "q_win_session" -> ((s, d) => {
+      val gap = col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUserTs).cast("long")
+      val newSession = when(gap.isNull || gap > 1800, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("sess",
+          sum(newSession).over(byUserTs.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+               .as("len_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             round(avg(col("len_s")), 2).as("avg_len_s"),
+             sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  // epoch seconds, floor semantics on both engines: Spark ts.cast(long) vs
+  // DuckDB datediff from epoch (boundary-crossing count == floor for ts>0)
+  private val ep = "datediff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP))"
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+                CAST(RANK() OVER w AS INT) AS rnk,
+                CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+                CAST(NTILE(4) OVER w AS INT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_win_lag" ->
+      s"""SELECT user_id, event_id, event_type,
+                 COALESCE(LAG(event_type, 1) OVER w, 'NONE') AS prev_type,
+                 COALESCE($ep - LAG($ep, 1) OVER w, -1) AS gap_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ORDER BY user_id, event_id""",
+    "q_win_frame_rows" ->
+      """SELECT user_id, event_id,
+                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         FROM events ORDER BY user_id, event_id""",
+    "q_win_frame_range" ->
+      s"""SELECT user_id, event_id,
+                 CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY $ep
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+          FROM events ORDER BY user_id, event_id""",
+    "q_win_topk" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, price FROM (
+           SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_win_session" ->
+      s"""WITH g AS (
+            SELECT user_id, event_id, ts, $ep - LAG($ep, 1) OVER w AS gap
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM g),
+          sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged),
+          per_sess AS (
+            SELECT user_id, sess, COUNT(*) AS n_events,
+                   MAX($ep) - MIN($ep) AS len_s
+            FROM sess GROUP BY user_id, sess)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 ROUND(AVG(len_s), 2) AS avg_len_s,
+                 CAST(SUM(n_events) AS BIGINT) AS n_events
+          FROM per_sess GROUP BY user_id ORDER BY user_id"""
+  )
+}
