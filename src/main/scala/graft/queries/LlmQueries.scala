@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -99,6 +100,70 @@ object LlmQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // language-ID: n-gram/marker-token heuristic, scored per language with a
+    // fixed priority tiebreak (en > es > de > fr), 'und' when no marker hits.
+    // Same closed-form logic on both engines → exact oracle.
+    "q_llm_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("s_en", expr(
+          "size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to')))"))
+        .withColumn("s_es", expr(
+          "size(filter(split(text, ' '), t -> t IN ('el','la','de','que','y')))"))
+        .withColumn("s_de", expr(
+          "size(filter(split(text, ' '), t -> t IN ('der','die','das','und','ist')))"))
+        .withColumn("s_fr", expr(
+          "size(filter(split(text, ' '), t -> t IN ('le','les','et','des','un')))"))
+        .withColumn("pred", expr(
+          """CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'und' END"""))
+        .select(col("doc_id"), col("pred"))
+        .orderBy(col("doc_id"))),
+
+    // token counting with a BPE-ish regex (words / digit runs / single
+    // punctuation), vs whitespace tokens — per doc
+    "q_llm_token_bpe" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+            .as("n_bpe"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))").as("n_ws"))
+        .orderBy(col("doc_id"))),
+
+    // document fingerprint: winnowing-style — the lexicographic min of md5
+    // digests over all 8-char sliding windows (content-defined, shift-robust)
+    "q_llm_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+                    i -> md5(substring(text, i, 8))))""").as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash+LSH near-dup candidates (rows-only driver check; the
+    // recall/precision property vs exact Jaccard is asserted in DedupSpec)
+    "q_llm_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLsh(
+          Tables.documents(s, d).where(col("doc_id") < 500),
+          w = 3, k = 64, bands = 16, threshold = 0.35)
+        .orderBy(col("d1"), col("d2"))),
+
+    // SimHash near-dup pairs (rows-only; property check in DedupSpec)
+    "q_llm_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+          Tables.documents(s, d).where(col("doc_id") < 500), maxDist = 8)
+        .orderBy(col("d1"), col("d2"))),
+
+    // approximate nearest neighbors via random-hyperplane LSH (rows-only;
+    // recall vs brute force asserted in SimilaritySpec)
+    "q_llm_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          emb.where(col("vec_id") < 10), emb, k = 5, dim = 64)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // brute-force cosine top-5 for query vectors 0..9 (Q-LLM-2).
     // Dot/norms accumulated in double, ranked on the ROUNDED cosine with
     // vec_id tiebreak so both engines rank identically.
@@ -173,6 +238,30 @@ object LlmQueries {
          JOIN cnt n2 ON d2 = n2.doc_id
          WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.3
          ORDER BY d1, d2""",
+    "q_llm_langid" ->
+      """SELECT doc_id,
+                CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                     WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                     WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und' END AS pred
+         FROM (SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','que','y'))) AS s_es,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('le','les','et','des','un'))) AS s_fr
+               FROM documents)
+         ORDER BY doc_id""",
+    "q_llm_token_bpe" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS INT) AS n_bpe,
+                CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_ws
+         FROM documents ORDER BY doc_id""",
+    "q_llm_fingerprint" ->
+      """SELECT doc_id,
+                list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+                  i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
+         FROM documents ORDER BY doc_id""",
     "q_llm_sim_topk" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS vid,
