@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *  - `lshTopK`: approximate scale path. Random-hyperplane LSH buckets both
   *    sides; only same-bucket pairs are scored. At 100 TB this turns O(n·q)
   *    into O(Σ bucket²) with uniform bucket keys (hyperplanes are random, so
-  *    buckets are balanced unless the data genuinely clusters).
+  *    buckets are balanced unless the data genuinely clusters). Defaults
+  *    (4 planes × 8 tables) target recall ≈0.8 at cos≈0.5 — per-table hit
+  *    prob (1-θ/π)^planes, union over tables; raise planes (and tables) as
+  *    the corpus grows to keep buckets small.
   *
   * All dot products / norms accumulate in double (float inputs upcast) so
   * results are deterministic and engine-comparable at 4 decimals.
@@ -71,7 +74,7 @@ object Similarity {
     * within buckets, per-query top-k. `tables` independent hash tables are
     * unioned before scoring (multi-table raises recall). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              dim: Int = 64, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+              dim: Int = 64, nPlanes: Int = 4, tables: Int = 8): DataFrame = {
     val pairs = (0 until tables).map { t =>
       def sig(df: DataFrame, idc: String, vc: String) = df.select(
         col("vec_id").as(idc), col("embedding").as(vc),

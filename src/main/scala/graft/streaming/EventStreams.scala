@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row used by the streaming surface (events table shape). */
+case class Event(event_id: Long, user_id: Long, event_type: String,
+                 ts: Timestamp, value: Double)
+
+/** Closed session emitted by `sessionize`. */
+case class SessionOut(user_id: Long, n_events: Int,
+                      start: Timestamp, end: Timestamp)
+
+private case class SessionState(start: Long, end: Long, n: Int)
+
+/** Poll-style job status event (R11's `_wait` loop generalized —
+  * `workflow.py:435-475`: poll every 2 s, react to terminal states). */
+case class JobEvent(job_id: String, status: String, ts: Timestamp)
+
+/** Emitted once per job when it reaches a terminal state. */
+case class JobResult(job_id: String, final_status: String,
+                     n_polls: Int, secs: Double)
+
+private case class JobState(firstTs: Long, nPolls: Int)
+
+/** Structured-Streaming operators (SURVEY §2B streaming). Window/watermark
+  * ops are thin declarative wrappers — state lives in Spark's own stores and
+  * scales horizontally (state is partitioned by group key; at 100 TB the
+  * RocksDB state store + event-time timeouts keep memory bounded).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts with watermark: append mode emits a window only
+    * once the watermark passes its end; rows later than `delay` are dropped —
+    * the standard late-data contract.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "10 minutes",
+                     delay: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Watermarked streaming dedup on event_id: state for an id is dropped once
+    * the watermark passes, so state size is bounded by delay × rate. */
+  def dedupByEventId(events: DataFrame, delay: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates(Seq("event_id"))
+
+  /** Stream-stream interval join (Flink intervalJoin analogue, Q-JOIN-7's
+    * streaming twin): purchase events joined to the same user's preceding
+    * signup within `horizon`. Both sides watermarked so join state expires. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String = "10 minutes",
+                   delay: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+              col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", delay)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+              col("ts").as("r_ts"))
+    l.join(r, expr(
+      s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $horizon AND l_ts"))
+  }
+
+  /** Arbitrary-state sessionization via flatMapGroupsWithState with
+    * event-time timeout: a session closes when a gap > `gapMinutes` appears
+    * in-stream, or when the watermark passes the session end + gap (timeout).
+    * This is the hand-rolled analogue of session_window, and the pattern for
+    * any custom per-key state machine.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 delay: String = "15 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n,
+              new Timestamp(s.start), new Timestamp(s.end)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1)
+              else if (t - cur.end > gapMs) {
+                closed += SessionOut(uid, cur.n,
+                  new Timestamp(cur.start), new Timestamp(cur.end))
+                cur = SessionState(t, t, 1)
+              } else cur = SessionState(cur.start, math.max(cur.end, t), cur.n + 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** R11's monitored join as a streaming state machine: one JobResult per
+    * job when its status stream reaches a terminal state; per-job state is
+    * (first-poll ts, polls so far) and is dropped on completion. */
+  def monitorJobs(polls: Dataset[JobEvent],
+                  terminal: Set[String] = Set("SUCCEEDED", "FAILED", "KILLED"))
+      : Dataset[JobResult] = {
+    import polls.sparkSession.implicits._
+    polls.groupByKey(_.job_id)
+      .flatMapGroupsWithState[JobState, JobResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (jid: String, it: Iterator[JobEvent], state: GroupState[JobState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(
+            JobState(sorted.headOption.map(_.ts.getTime).getOrElse(0L), 0))
+          val out = Seq.newBuilder[JobResult]
+          var done = false
+          for (e <- sorted if !done) {
+            st = JobState(st.firstTs, st.nPolls + 1)
+            if (terminal(e.status)) {
+              out += JobResult(jid, e.status, st.nPolls,
+                (e.ts.getTime - st.firstTs) / 1000.0)
+              done = true
+            }
+          }
+          if (done) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+}

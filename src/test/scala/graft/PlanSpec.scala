@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (SURVEY §4.2): the properties that matter at
+  * 100 TB must be visible in the plan, not assumed — filter/column pushdown
+  * into the parquet scan, broadcast of dimension tables, partial+final
+  * aggregation, TakeOrderedAndProject for global top-k, whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and column pruning reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf0001)
+      .where(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: ["), s"no pushed filters in:\n$scan")
+    assert(scan.contains("GreaterThan(l_quantity"), s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning missing:\n$scan")
+  }
+
+  test("dimension joins broadcast (q_join_bcast has no shuffle of customer)") {
+    val plan = physical(SparkEntry.queries("q_join_bcast")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a total sort") {
+    val plan = physical(SparkEntry.queries("q_sort_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val plan = physical(SparkEntry.queries("q_agg_q1")(spark, sf0001))
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final HashAggregate, got $n:\n$plan")
+  }
+
+  test("flagship query runs inside whole-stage codegen") {
+    // AQE materializes the final plan only on execution; unwrap the adaptive
+    // root to see the codegen stage boundaries
+    val df = SparkEntry.queries("q_agg_q1")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+    }.getOrElse(df.queryExecution.executedPlan.toString)
+    // "*(n)" is WholeStageCodegenExec's simpleString marker; the scan→filter→
+    // partial-agg span must share one codegen stage
+    assert(plan.contains("*(1) HashAggregate"), plan)
+    assert(plan.contains("*(1) Filter"), plan)
+  }
+
+  test("fact-fact join shuffles on the join key (exchange present, AQE ok)") {
+    val df = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+    val plan = physical(df)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+}

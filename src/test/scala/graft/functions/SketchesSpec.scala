@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Property checks for the sketch aggregators (SURVEY §2B ≈ checks). */
+class SketchesSpec extends SparkSpec {
+
+  test("HLL estimate within 5% of exact count-distinct on events.user_id") {
+    val s = spark
+    val ev = Tables.events(s, sf0001)
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val est = ev.select(Sketches.hll(xxhash64(col("user_id"))).as("e"))
+      .head().getLong(0)
+    val err = math.abs(est - exact).toDouble / exact
+    assert(err <= 0.05, s"HLL est=$est exact=$exact err=$err")
+  }
+
+  test("HLL merge is order-independent (partial+final equals single-pass)") {
+    val s = spark
+    val ev = Tables.events(s, sf0001)
+    val a = ev.repartition(1)
+      .select(Sketches.hll(xxhash64(col("user_id")))).head().getLong(0)
+    val b = ev.repartition(13)
+      .select(Sketches.hll(xxhash64(col("user_id")))).head().getLong(0)
+    assert(a == b, s"repartitioning changed the HLL estimate: $a vs $b")
+  }
+
+  test("MinHash signature equality estimates Jaccard within 0.15") {
+    // two sets with known overlap: |A∩B|=60, |A∪B|=140 → J≈0.4286
+    val a = (0 until 100).map(_.toLong)
+    val b = (40 until 180).map(_.toLong)
+    val jTrue = 60.0 / 180.0
+    val s = spark
+    import s.implicits._
+    val sigA = a.toDF("v").agg(Sketches.minhash(col("v"), 128).as("sig"))
+      .head().getSeq[Long](0)
+    val sigB = b.toDF("v").agg(Sketches.minhash(col("v"), 128).as("sig"))
+      .head().getSeq[Long](0)
+    val est = Sketches.estimateJaccard(sigA, sigB)
+    assert(math.abs(est - jTrue) <= 0.15, s"est=$est true=$jTrue")
+  }
+
+  test("MinHash merge is order-independent") {
+    val s = spark
+    import s.implicits._
+    val vals = (0 until 500).map(i => Sketches.mix64(i.toLong))
+    val one = vals.toDF("v").repartition(1)
+      .agg(Sketches.minhash(col("v"), 64)).head().getSeq[Long](0)
+    val many = vals.toDF("v").repartition(7)
+      .agg(Sketches.minhash(col("v"), 64)).head().getSeq[Long](0)
+    assert(one == many)
+  }
+}

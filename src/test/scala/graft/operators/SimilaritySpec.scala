@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine of a vector with itself is 1.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val c = df.select(Similarity.cosine(col("embedding"), col("embedding")))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k is ordered and respects k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Similarity
+      .bruteForceTopK(emb.where(col("vec_id") < 5), emb, k = 3)
+      .collect()
+    assert(rows.length == 5 * 3)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.sameElements(cs.sorted.reverse), "cos not descending within query")
+    }
+  }
+
+  test("LSH ANN recall@5 >= 0.5 vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, emb, k = 5))
+    val approx = pairs(Similarity.lshTopK(q, emb, k = 5, dim = 64))
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (|exact|=${exact.size})")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming golden tests (SURVEY §5.2 #5): watermark late-data drop,
+  * streaming dedup, stateful sessionization / job-monitor state machines,
+  * stream-stream interval join, exactly-once file sink with checkpoint
+  * recovery. MemoryStream gives batch-boundary control — the watermark only
+  * advances between micro-batches, which these contracts depend on.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // base offset keeps test event times strictly above the initial watermark
+  // (epoch 0) — rows at ts <= watermark are dropped by stateful operators
+  private val base = 24L * 3600000L
+  private def ts(min: Int): Timestamp = new Timestamp(base + min * 60000L)
+
+  private def ev(id: Long, user: Long, typ: String, min: Int): Event =
+    Event(id, user, typ, ts(min), 1.0)
+
+  private var n = 0
+  private def sink(): String = { n += 1; s"graft_ss_$n" }
+
+  test("watermark drops late rows in append-mode windowed agg") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.tumblingCounts(in.toDF(), "10 minutes", "15 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "a", 5), ev(2, 1, "a", 7))   // window [0,10)
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "a", 40))                     // wm -> 40-15=25: closes [0,10)
+      q.processAllAvailable()
+      in.addData(ev(4, 1, "a", 8))                      // LATE: 8 < wm 25 → dropped
+      in.addData(ev(5, 1, "a", 80))                     // wm -> 65: closes [40,50)
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => ((r.getTimestamp(0).getTime - base) / 60000, r.getLong(2))).toMap
+      assert(rows(0L) == 2, s"late row must not join window [0,10): $rows")
+      assert(rows(40L) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each event_id once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.dedupByEventId(in.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "a", 1), ev(1, 1, "a", 1), ev(2, 1, "a", 2))
+      q.processAllAvailable()
+      in.addData(ev(2, 1, "a", 2), ev(3, 1, "a", 3))
+      q.processAllAvailable()
+      val ids = s.table(name).select("event_id").as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30, delay = "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // user 1: events at 0,10 (one session), then 100 (gap>30 → closes first)
+      in.addData(ev(1, 1, "a", 0), ev(2, 1, "a", 10))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "a", 100))
+      q.processAllAvailable()
+      val afterGap = s.table(name).as[SessionOut].collect()
+      assert(afterGap.length == 1)
+      assert(afterGap.head.n_events == 2 &&
+             afterGap.head.start == ts(0) && afterGap.head.end == ts(10))
+      // advance watermark far past 100+30 → times out the open session
+      in.addData(ev(4, 2, "a", 200))
+      q.processAllAvailable()
+      in.addData(ev(5, 2, "a", 201))
+      q.processAllAvailable()
+      val all = s.table(name).as[SessionOut].collect()
+      assert(all.exists(o => o.user_id == 1 && o.n_events == 1 && o.start == ts(100)),
+        s"open session must close by timeout: ${all.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("job monitor emits one terminal result per job (R11 semantics)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[JobEvent]
+    val name = sink()
+    val q = EventStreams.monitorJobs(in.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(JobEvent("j1", "RUNNING", ts(0)), JobEvent("j2", "RUNNING", ts(0)))
+      q.processAllAvailable()
+      in.addData(JobEvent("j1", "RUNNING", ts(1)), JobEvent("j1", "SUCCEEDED", ts(2)),
+                 JobEvent("j2", "FAILED", ts(1)))
+      q.processAllAvailable()
+      val res = s.table(name).as[JobResult].collect().map(r => r.job_id -> r).toMap
+      assert(res("j1").final_status == "SUCCEEDED" && res("j1").n_polls == 3)
+      assert(res("j1").secs == 120.0)
+      assert(res("j2").final_status == "FAILED")
+      // post-terminal polls must not re-emit
+      in.addData(JobEvent("j1", "SUCCEEDED", ts(3)))
+      q.processAllAvailable()
+      assert(s.table(name).count() == 3, "terminal state re-emitted")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches signup preceding purchase") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams
+      .intervalJoin(purchases.toDF(), signups.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      signups.addData(ev(10, 1, "signup", 0), ev(11, 2, "signup", 0))
+      purchases.addData(ev(20, 1, "purchase", 5))   // within 10 min → match
+      purchases.addData(ev(21, 2, "purchase", 30))  // 30 min later → no match
+      q.processAllAvailable()
+      val rows = s.table(name).select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == Set((20L, 10L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("exactly-once file sink: checkpointed restart does not duplicate") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    new java.io.File(src).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    def write(part: Int, vals: Seq[Long]): Unit =
+      vals.toDF("v").coalesce(1).write.mode("overwrite").parquet(s"$src/p$part")
+    def run(): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/p*")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+    }
+    write(1, Seq(1L, 2L)); write(2, Seq(3L))
+    run()
+    write(3, Seq(4L, 5L))
+    run() // restart from checkpoint; p1/p2 must not be reprocessed
+    val got = s.read.parquet(out).as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 2L, 3L, 4L, 5L)), got.mkString(","))
+  }
+}
