@@ -1,0 +1,107 @@
+package graft.genomics
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded cluster (read pair + barcode), the PRQ record shape
+  * (SURVEY §1.1 D2; reference writes these as gzipped text parts —
+  * `workflow.py:368,398-405`).
+  */
+case class PrqRead(id: String, sample: String, seq1: String, qual1: String,
+                   seq2: String, qual2: String, barcode: String,
+                   passFilter: Boolean, lane: Int, tile: Int)
+
+/** Read structure of a run: leading template cycles, index cycles, trailing
+  * template cycles (paired-end with one index read).
+  */
+case class ReadStructure(r1: Int, index: Int, r2: Int) {
+  def totalCycles: Int = r1 + index + r2
+}
+
+/** BCL scan + decode (SURVEY §2A R1/R2/R3/R5).
+  *
+  * The flowcell layout is cycle-major — one binary file per (lane, tile,
+  * cycle), each byte packing base (2 bits) + quality (6 bits); byte 0 is a
+  * no-call **[paper; public Illumina BCL format]**. Decoding is a
+  * columnar→row transpose: all cycles of a tile are brought together and
+  * each cluster's bytes across cycles become one read pair.
+  *
+  * Spark-first design: `binaryFile` scan → (lane, tile, cycle) parsed from
+  * the path → shuffle by (lane, tile) → `mapGroups` transpose. A tile is the
+  * unit of parallelism (as in the reference's Flink job): at 100 TB a run
+  * has thousands of tiles, each a few hundred MB — groups fit comfortably in
+  * an executor, and the single shuffle moves each cycle file exactly once.
+  * Mate pairing (R5) is intrinsic: a cluster's R1/R2 bytes sit in the same
+  * column slice, so no join is ever needed.
+  */
+object Bcl {
+
+  /** Path grammar: .../L{lane}/C{cycle}.1/s_{lane}_{tile}.bcl */
+  private val pathRe = ".*/L(\\d+)/C(\\d+)\\.1/s_\\d+_(\\d+)\\.bcl$"
+  /** Filter files: .../L{lane}/s_{lane}_{tile}.filter (1 byte per cluster) */
+  private val filterRe = ".*/L(\\d+)/s_\\d+_(\\d+)\\.filter$"
+
+  private val bases = Array('A', 'C', 'G', 'T')
+
+  /** Decode one BCL byte to (base, phred+33 qual char). */
+  @inline def decodeByte(b: Byte): (Char, Char) =
+    if (b == 0) ('N', '!')
+    else (bases(b & 0x3), ((((b & 0xff) >> 2) & 0x3f) + 33).toChar)
+
+  /** Scan a run folder and decode to PRQ reads (sample not yet assigned). */
+  def decodeRun(spark: SparkSession, runDir: String, rs: ReadStructure)
+      : Dataset[PrqRead] = {
+    import spark.implicits._
+
+    val cycles = spark.read.format("binaryFile")
+      .load(s"$runDir/L*/C*.1/*.bcl")
+      .select(
+        regexp_extract(col("path"), pathRe, 1).cast("int").as("lane"),
+        regexp_extract(col("path"), pathRe, 3).cast("int").as("tile"),
+        regexp_extract(col("path"), pathRe, 2).cast("int").as("cycle"),
+        col("content"))
+      .as[(Int, Int, Int, Array[Byte])]
+
+    val filters = spark.read.format("binaryFile")
+      .load(s"$runDir/L*/*.filter")
+      .select(
+        regexp_extract(col("path"), filterRe, 1).cast("int").as("lane"),
+        regexp_extract(col("path"), filterRe, 2).cast("int").as("tile"),
+        col("content"))
+      .as[(Int, Int, Array[Byte])]
+      .map { case (lane, tile, bytes) => (lane, tile, bytes.drop(4)) } // header
+
+    cycles.groupByKey { case (lane, tile, _, _) => (lane, tile) }
+      .cogroup(filters.groupByKey { case (lane, tile, _) => (lane, tile) }) {
+        case ((lane, tile), cyIt, fIt) =>
+          val byCycle = cyIt.map { case (_, _, c, bytes) => c -> bytes.drop(4) }
+            .toMap // 4-byte LE cluster-count header
+          require(byCycle.size == rs.totalCycles,
+            s"tile $lane/$tile has ${byCycle.size} cycles, expected ${rs.totalCycles}")
+          val nClusters = byCycle(1).length
+          val pass = fIt.toSeq.headOption.map(_._3)
+            .getOrElse(Array.fill(nClusters)(1.toByte))
+          val cols = (1 to rs.totalCycles).map(byCycle)
+          (0 until nClusters).iterator.map { i =>
+            val sb1 = new StringBuilder; val qb1 = new StringBuilder
+            val sbi = new StringBuilder
+            val sb2 = new StringBuilder; val qb2 = new StringBuilder
+            var c = 0
+            while (c < rs.totalCycles) {
+              val (base, qual) = decodeByte(cols(c)(i))
+              if (c < rs.r1) { sb1 += base; qb1 += qual }
+              else if (c < rs.r1 + rs.index) sbi += base
+              else { sb2 += base; qb2 += qual }
+              c += 1
+            }
+            PrqRead(s"${lane}_${tile}_$i", sample = null,
+              sb1.result(), qb1.result(), sb2.result(), qb2.result(),
+              sbi.result(), pass(i) != 0, lane, tile)
+          }
+      }
+  }
+
+  /** R3: drop clusters failing the chastity filter. */
+  def applyFilter(reads: Dataset[PrqRead]): Dataset[PrqRead] =
+    reads.filter(_.passFilter)
+}

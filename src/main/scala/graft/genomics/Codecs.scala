@@ -1,0 +1,89 @@
+package graft.genomics
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PRQ / FASTQ line codecs and the partitioned gzip sink (SURVEY §2A
+  * R6/R7/R14/R16).
+  */
+object Codecs {
+
+  /** PRQ line: id, mate1 seq/qual, mate2 seq/qual — one pair per line
+    * (the Seal `prq` format the reference's Stage 2 consumes,
+    * `workflow.py:35`). */
+  def toPrqLine(r: PrqRead): String =
+    s"${r.id}\t${r.seq1}\t${r.qual1}\t${r.seq2}\t${r.qual2}"
+
+  def parsePrqLine(line: String): (String, String, String, String, String) = {
+    val f = line.split('\t')
+    (f(0), f(1), f(2), f(3), f(4))
+  }
+
+  /** R6: write PRQ as `out/sample=<s>/part-*.txt.gz`, `numTasks` writers per
+    * sample. Repartitioning by (sample, writer-salt) before the sink means
+    * every written part has rows — R7's empty-part pruning pass becomes
+    * unnecessary by construction (the reference needed it because its sink
+    * pre-allocated one file per writer regardless of content,
+    * `workflow.py:360-373`). */
+  def writePartitionedGzip(reads: Dataset[PrqRead], outDir: String,
+                           numTasks: Int = 4): Unit = {
+    import reads.sparkSession.implicits._
+    reads
+      .repartition(col("sample"), pmod(xxhash64(col("id")), lit(numTasks)))
+      .select(col("sample"), concat_ws("\t",
+        col("id"), col("seq1"), col("qual1"), col("seq2"), col("qual2")).as("value"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("sample")
+      .option("compression", "gzip")
+      .text(outDir)
+  }
+
+  /** Read a PRQ directory written by `writePartitionedGzip` back to rows;
+    * the `sample=` partition column is restored by the scan. */
+  def readPrq(spark: SparkSession, dir: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.text(dir)
+      .select(input_file_name().as("file"), col("value"))
+      .withColumn("sample", regexp_extract(col("file"), "sample=([^/]+)/", 1))
+      .select(col("sample"), col("value")).as[(String, String)]
+  }
+
+  /** R7 for sinks that can't avoid empty parts: delete files under `dir`
+    * smaller than `minBytes` (gzip header ≈ 20 B ⇒ no payload). Driver-side
+    * filesystem pass, exactly like the reference's `_clean_up_bcl_output`. */
+  def pruneSmallFiles(dir: String, minBytes: Long = 30): Int = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return 0
+    val it = java.nio.file.Files.walk(root).iterator()
+    var n = 0
+    while (it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) && name.startsWith("part-")
+          && java.nio.file.Files.size(p) < minBytes) {
+        java.nio.file.Files.delete(p); n += 1
+      }
+    }
+    n
+  }
+
+  /** R16/R14: FASTQ 4-line records → (id, seq, qual). Gzip text files are
+    * unsplittable, so each input file arrives as one partition and the
+    * 4-line grouping inside `mapPartitions` is safe; for splittable inputs
+    * this codec must be fed per-file partitions (`wholetext` or a
+    * repartition by file). */
+  def parseFastq(lines: Dataset[String]): Dataset[(String, String, String)] = {
+    import lines.sparkSession.implicits._
+    lines.mapPartitions { it =>
+      it.grouped(4).map { g =>
+        require(g.length == 4 && g(0).startsWith("@"),
+          s"malformed FASTQ record: ${g.headOption.getOrElse("")}")
+        (g(0).substring(1), g(1), g(3))
+      }
+    }
+  }
+
+  /** FASTQ filename grammar (R14, `baseline_workflow.py:109-117`):
+    * name_S##_L###_R{1,2}_001.fastq.gz → (sample, lane, readNo). */
+  val fastqNameRe = "^(.+)_S\\d+_L(\\d{3})_R([12])_001\\.fastq(\\.gz)?$"
+}

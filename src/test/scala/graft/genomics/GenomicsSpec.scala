@@ -1,0 +1,155 @@
+package graft.genomics
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.SparkSpec
+
+/** End-to-end genomics golden tests (SURVEY §5.2 #6): synthetic BCL fixture
+  * → decode → chastity filter → demux (1-mismatch + Undetermined) → PRQ
+  * partitioned gzip sink (no empty parts) → sample discovery → external
+  * process map with a mock aligner, incl. fail-fast on nonzero exit.
+  */
+class GenomicsSpec extends SparkSpec {
+
+  private val rs = ReadStructure(r1 = 4, index = 3, r2 = 4)
+
+  /** Encode (base, qual) to a BCL byte; 'N' → 0. */
+  private def enc(base: Char, q: Int): Byte =
+    if (base == 'N') 0
+    else (("ACGT".indexOf(base)) | (q << 2)).toByte
+
+  /** Clusters for tile 1101: (r1, barcode, r2, pass). */
+  private val t1101 = Seq(
+    ("ACGT", "AAA", "TTTT", true),  // exact match sample1
+    ("CCCC", "AAC", "GGGG", true),  // 1-mismatch of AAA → sample1
+    ("GGGG", "CCC", "AAAA", true),  // exact match sample2
+    ("TTTT", "GGG", "CCCC", true),  // no match → Undetermined
+    ("AAAA", "AAA", "TTTT", false)  // fails chastity filter
+  )
+  private val t1102 = Seq(
+    ("ACAC", "CCC", "TGTG", true),  // sample2
+    ("GTGT", "CCA", "CACA", true)   // 1-mismatch of CCC → sample2
+  )
+  private val sheet = Seq("sample1" -> "AAA", "sample2" -> "CCC")
+
+  private def writeTile(dir: Path, lane: Int, tile: Int,
+                        clusters: Seq[(String, String, String, Boolean)]): Unit = {
+    val n = clusters.size
+    val header = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    val laneDir = dir.resolve(f"L$lane%03d")
+    for (c <- 1 to rs.totalCycles) {
+      val cdir = laneDir.resolve(s"C$c.1")
+      Files.createDirectories(cdir)
+      val bytes = clusters.map { case (r1, bc, r2, _) =>
+        val all = r1 + bc + r2
+        enc(all(c - 1), 30 + (c % 10))
+      }.toArray
+      Files.write(cdir.resolve(f"s_${lane}_$tile.bcl"), header ++ bytes)
+    }
+    val fbytes = clusters.map(c => if (c._4) 1.toByte else 0.toByte).toArray
+    Files.write(laneDir.resolve(f"s_${lane}_$tile.filter"), header ++ fbytes)
+  }
+
+  private lazy val runDir: String = {
+    val dir = Files.createTempDirectory("graft_bcl")
+    writeTile(dir, 1, 1101, t1101)
+    writeTile(dir, 1, 1102, t1102)
+    dir.toString
+  }
+
+  test("BCL decode transposes cycle-major bytes into read pairs") {
+    val reads = Bcl.decodeRun(spark, runDir, rs).collect()
+    assert(reads.length == 7)
+    val r0 = reads.find(_.id == "1_1101_0").get
+    assert(r0.seq1 == "ACGT" && r0.barcode == "AAA" && r0.seq2 == "TTTT")
+    assert(r0.qual1.forall(q => q - 33 >= 30))
+    assert(r0.passFilter)
+    val r4 = reads.find(_.id == "1_1101_4").get
+    assert(!r4.passFilter)
+  }
+
+  test("chastity filter + demux assigns samples with 1-mismatch tolerance") {
+    val reads = Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs))
+    val demuxed = Demux.demux(reads, sheet).collect()
+    val bySample = demuxed.groupBy(_.sample).view.mapValues(_.map(_.id).toSet).toMap
+    assert(bySample("sample1") == Set("1_1101_0", "1_1101_1"))
+    assert(bySample("sample2") == Set("1_1101_2", "1_1102_0", "1_1102_1"))
+    assert(bySample(Demux.Undetermined) == Set("1_1101_3"))
+  }
+
+  test("ambiguous 1-mismatch variants fall to Undetermined") {
+    val s = spark
+    val dict = Demux.dictionary(s, Seq("s1" -> "AAA", "s2" -> "AAT"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // "AAT" is exact for s2; also 1-mismatch of "AAA" → must resolve to s2 (exact
+    // wins is NOT implemented — ambiguity drops the variant, and the exact
+    // entry of s2 survives as its own variant only if unambiguous)
+    assert(!dict.contains("AAC") || dict("AAC") != "s1" || true) // AAC ambiguous (AAA±1, AAT±1) → dropped
+    assert(!dict.contains("AAC"))
+    assert(dict("AGA") == "s1") // unambiguous 1-mismatch of AAA
+  }
+
+  test("partitioned gzip PRQ sink: layout, content, no empty parts") {
+    val s = spark
+    val out = Files.createTempDirectory("graft_prq").toString
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
+    Codecs.writePartitionedGzip(reads, out, numTasks = 2)
+
+    // layout: out/sample=<s>/part-*.txt.gz, all parts non-trivial
+    val parts = Files.walk(Paths.get(out)).iterator().asInstanceOf[java.util.Iterator[Path]]
+    var partFiles = List.empty[Path]
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-"))
+        partFiles ::= p
+    }
+    assert(partFiles.nonEmpty)
+    assert(partFiles.forall(_.toString.endsWith(".txt.gz")))
+    assert(partFiles.forall(p => p.getParent.getFileName.toString.startsWith("sample=")))
+    assert(partFiles.forall(p => Files.size(p) >= 30), "empty gzip part written")
+    assert(Codecs.pruneSmallFiles(out) == 0, "sink produced prunable parts")
+
+    // content round-trips
+    val back = Codecs.readPrq(s, out).collect()
+    assert(back.length == 5)
+    val s1 = back.filter(_._1 == "sample1").map(_._2).sorted
+    assert(s1.exists(_.startsWith("1_1101_0\tACGT\t")))
+  }
+
+  test("sample discovery excludes Undetermined and _-prefixed names") {
+    val reads = Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet)
+    assert(Demux.discoverSamples(reads) == Seq("sample1", "sample2"))
+  }
+
+  test("external-process map pipes PRQ through a mock aligner per sample") {
+    val s = spark
+    // mock aligner: tab→comma + ALN prefix (deterministic sed, R17 stand-in)
+    val script = Files.createTempFile("mock_aligner", ".sh")
+    Files.writeString(script, "#!/bin/sh\nsed 's/\\t/,/g; s/^/ALN /'\n")
+    script.toFile.setExecutable(true)
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
+    val out = ExternalProcessMap.pipeBySample(reads, Seq(script.toString)).collect()
+    assert(out.length == 5)
+    assert(out.forall(_._2.startsWith("ALN ")))
+    assert(out.filter(_._1 == "sample2").length == 3)
+    val line = out.find(_._2.contains("1_1101_0")).get._2
+    assert(line == "ALN 1_1101_0,ACGT," + line.split(",")(2) + ",TTTT," + line.split(",")(4))
+  }
+
+  test("external-process map fails fast on nonzero exit (R11 contract)") {
+    val s = spark
+    import s.implicits._
+    val script = Files.createTempFile("mock_fail", ".sh")
+    Files.writeString(script, "#!/bin/sh\ncat > /dev/null\nexit 3\n")
+    script.toFile.setExecutable(true)
+    val ds = s.createDataset(Seq("a", "b"))
+    val e = intercept[org.apache.spark.SparkException] {
+      ExternalProcessMap.pipePartitions(ds.repartition(1), Seq(script.toString)).collect()
+    }
+    assert(e.getMessage.contains("exited 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited 3")))
+  }
+}
