@@ -35,6 +35,8 @@ object Dedup {
     * transform over a token-index sequence keeps everything in codegen. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame =
     docs
+      // hashing w-shingles is the CPU-bound stage; spread single-file scans
+      .repartition(col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh",
         when(size(col("toks")) >= w,

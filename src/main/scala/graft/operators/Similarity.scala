@@ -40,7 +40,10 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       l2Norm(col("embedding")).as("qn"))
-    val c = candidates.select(col("vec_id").as("vid"), col("embedding").as("cv"),
+    // candidate side repartitioned: the dot-product scan is the CPU-bound
+    // stage and single-file inputs otherwise pin it to one core
+    val c = candidates.repartition(col("vec_id"))
+      .select(col("vec_id").as("vid"), col("embedding").as("cv"),
       l2Norm(col("embedding")).as("cn"))
     val scored = broadcast(q).crossJoin(c)
       .where(col("qid") =!= col("vid"))
@@ -75,12 +78,13 @@ object Similarity {
     * unioned before scoring (multi-table raises recall). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int = 64, nPlanes: Int = 4, tables: Int = 8): DataFrame = {
+    val cand = candidates.repartition(col("vec_id")) // parallelize sig scan
     val pairs = (0 until tables).map { t =>
       def sig(df: DataFrame, idc: String, vc: String) = df.select(
         col("vec_id").as(idc), col("embedding").as(vc),
         hyperplaneSig(col("embedding"), dim, nPlanes, t * nPlanes).as("bucket"))
       broadcast(sig(queries, "qid", "qv"))
-        .join(sig(candidates, "vid", "cv"), Seq("bucket"))
+        .join(sig(cand, "vid", "cv"), Seq("bucket"))
         .where(col("qid") =!= col("vid"))
         .select(col("qid"), col("vid"), col("qv"), col("cv"))
     }.reduce(_ union _).distinct()

@@ -23,6 +23,11 @@ object StreamingQueries {
 
   private val ctr = new AtomicInteger(0)
 
+  /** The 4-file range-partitioned staging of `events` is identical for every
+    * streaming query — build it once per sfDir per JVM. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Replay events as a file-source stream, apply `build`, drain to a memory
     * sink, return the sink contents.
     *
@@ -33,10 +38,14 @@ object StreamingQueries {
     */
   private def runStream(s: SparkSession, d: String, mode: String)
                        (build: DataFrame => DataFrame): DataFrame = {
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_stream_src").toString
-    val ev = Tables.events(s, d).repartitionByRange(4, col("ts"))
-    ev.write.mode("overwrite").parquet(staged)
+    val staged = stagedDirs.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_src").toString
+      Tables.events(s, d).repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val ev = Tables.events(s, d)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
     val name = s"graft_stream_${ctr.incrementAndGet()}"
