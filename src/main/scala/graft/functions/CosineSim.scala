@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two float vectors,
+  * accumulated in double (SURVEY §4.3 "custom pieces": a codegen'd scalar
+  * expression beats the `aggregate(zip_with(...))` higher-order chain by
+  * avoiding two intermediate ArrayData allocations per row — the hot path of
+  * brute-force similarity search).
+  *
+  * Sum order is sequential over indices, identical to the HOF formulation,
+  * so results are bit-compatible with the oracle-checked queries.
+  * Returns null if either side is null; lengths must match (min is used).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e =>
+        e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+      s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xv = (double) $a.getFloat($i);
+        |  double $yv = (double) $b.getFloat($i);
+        |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+        |}
+        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native float-array dot product in double precision — same sequential sum
+  * order as `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (s,v)->s+v)`, so it is
+  * bit-compatible with the HOF formulation used by the oracle queries. */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e =>
+        e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+      s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |${ev.value} = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native functions.
+  *
+  * Two paths: `GraftExtensions` for `spark.sql.extensions`-configured
+  * sessions, and `GraftFunctions.register` for an already-built session
+  * (idempotent; the catalog queries call it so any driver session works).
+  */
+object GraftFunctions {
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, null, "cosine_sim",
+    "_FUNC_(a, b) - cosine similarity of two float arrays in double precision.",
+    "")
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductF].getName, null, "dot_f",
+    "_FUNC_(a, b) - dot product of two float arrays in double precision.", "")
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), cosineInfo,
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSim(args.head, args(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_f"), dotInfo,
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_f takes exactly 2 arguments")
+        DotProductF(args.head, args(1))
+      })
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injector. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+}

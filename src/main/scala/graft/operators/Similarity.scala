@@ -35,6 +35,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Native codegen'd cosine (graft.functions.CosineSim) — bit-compatible
+    * with `cosine` but with no intermediate array allocations; used on the
+    * hot scoring paths. Requires float-array inputs. */
+  private def nativeCosine(spark: org.apache.spark.sql.SparkSession,
+                           a: String, b: String): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    expr(s"cosine_sim($a, $b)")
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries/candidates: (vec_id, embedding). Returns (qid, rn, vid, cos). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -45,10 +54,13 @@ object Similarity {
     val c = candidates.repartition(col("vec_id"))
       .select(col("vec_id").as("vid"), col("embedding").as("cv"),
       l2Norm(col("embedding")).as("cn"))
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // native dot + precomputed norms: O(q+n) norm work, one codegen'd loop
+    // per pair, zero intermediate arrays
     val scored = broadcast(q).crossJoin(c)
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
+        round(expr("dot_f(qv, cv)") / (col("qn") * col("cn")), 4).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -89,8 +101,7 @@ object Similarity {
         .select(col("qid"), col("vid"), col("qv"), col("cv"))
     }.reduce(_ union _).distinct()
     val scored = pairs.select(col("qid"), col("vid"),
-      round(dot(col("qv"), col("cv")) / (l2Norm(col("qv")) * l2Norm(col("cv"))), 4)
-        .as("cos"))
+      round(nativeCosine(queries.sparkSession, "qv", "cv"), 4).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -164,31 +164,13 @@ object LlmQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
-    // brute-force cosine top-5 for query vectors 0..9 (Q-LLM-2).
-    // Dot/norms accumulated in double, ranked on the ROUNDED cosine with
-    // vec_id tiebreak so both engines rank identically.
+    // brute-force cosine top-5 for query vectors 0..9 (Q-LLM-2), via the
+    // native codegen'd dot product (bit-compatible with the HOF formulation
+    // the DuckDB oracle mirrors — proven in CosineSimSpec); ranked on the
+    // ROUNDED cosine with vec_id tiebreak so both engines rank identically
     "q_llm_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
-      val qs = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-                col("nrm").as("qn"))
-      val cand = emb.select(col("vec_id").as("vid"), col("embedding").as("cv"),
-                            col("nrm").as("cn"))
-      val dot = aggregate(zip_with(col("qv"), col("cv"),
-        (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val scored = broadcast(qs).crossJoin(cand)
-        .where(col("qid") =!= col("vid"))
-        .select(col("qid"), col("vid"),
-                round(dot / (col("qn") * col("cn")), 4).as("cos"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vid").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("vid"), col("cos"))
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)
         .orderBy(col("qid"), col("rn"))
     })
   )
