@@ -1,0 +1,53 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** experiment.py-parity tests: retries, fail-fast, CSV schema/append,
+  * stage-time regex extraction. No SparkSession needed. */
+class ExperimentSpec extends AnyFunSuite {
+
+  test("stage times parse with the reference's regexes") {
+    val log = """...noise...
+      |Seconds for bcl conversion: 123.45
+      |more noise
+      |Seconds for alignment: 67.80
+      |""".stripMargin
+    assert(Experiment.parseStageTimes(log) == (Some(123.45), Some(67.8)))
+    assert(Experiment.parseStageTimes("nothing here") == (None, None))
+  }
+
+  test("retries then success; every attempt recorded") {
+    var calls = 0
+    val res = Experiment.run(rep => {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("flaky")
+      StageTimes(1.0, 2.0)
+    }, repeats = 2, maxRetries = 3)
+    assert(res.length == 3) // fail, success, success
+    assert(res.map(a => (a.repeatNum, a.attemptNum, a.retcode)) ==
+      Seq((1, 1, 1), (1, 2, 0), (2, 1, 0)))
+  }
+
+  test("fail-fast abort after max retries") {
+    val e = intercept[RuntimeException] {
+      Experiment.run(_ => throw new RuntimeException("always"),
+        repeats = 3, maxRetries = 2)
+    }
+    assert(e.getMessage.contains("aborting"))
+  }
+
+  test("CSV has header once and appends across runs") {
+    val csv = Files.createTempFile("graft_exp", ".csv").toString
+    Files.delete(Paths.get(csv))
+    Experiment.run(_ => StageTimes(1.0, 2.0), repeats = 2, maxRetries = 1,
+      csvPath = Some(csv))
+    Experiment.run(_ => StageTimes(3.0, 4.0), repeats = 1, maxRetries = 1,
+      csvPath = Some(csv))
+    val lines = Files.readAllLines(Paths.get(csv))
+    assert(lines.get(0) == Experiment.CsvHeader)
+    assert(lines.size == 4)
+    assert(lines.get(3).split(",")(5) == "3.0")
+  }
+}
