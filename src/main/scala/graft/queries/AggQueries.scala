@@ -99,6 +99,16 @@ object AggQueries {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))),
+
+    // custom typed-Aggregator HLL (graft.functions.Sketches) — the
+    // TypedImperativeAggregate-style path with partial+final merge; rows-only
+    // driver check, 5%-accuracy property in SketchesSpec
+    "q_agg_hll_custom" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Sketches.hll(xxhash64(col("user_id")))
+          .as("hll_users"))
         .orderBy(col("event_type")))
   )
 
