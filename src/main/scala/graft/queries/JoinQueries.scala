@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
+import graft.operators.AsOf
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +133,19 @@ object JoinQueries {
         .orderBy(col("id_p"), col("id_s"))
     }),
 
+    // as-of via carry-forward (the 100 TB formulation: union + one sort +
+    // windowed last(), no pair blowup — see graft.operators.AsOf); LEFT
+    // semantics, unmatched purchases keep a NULL signup
+    "q_join_asof_cf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sg = ev.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.viaCarryForward(p, sg, "user_id", "ts", "event_id", "event_id")
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     // R15's positional zip join: per-lang sorted even/odd doc_id arrays,
     // mates paired by position via posexplode + equi-join on (lang, pos)
     "q_join_pos" -> ((s, d) => {
@@ -208,6 +222,15 @@ object JoinQueries {
            JOIN (SELECT * FROM events WHERE event_type = 'signup') s
              ON p.user_id = s.user_id AND s.ts <= p.ts)
          WHERE rn = 1 ORDER BY id_p, id_s""",
+    "q_join_asof_cf" ->
+      """SELECT lid, rid FROM (
+           SELECT p.event_id AS lid, s.event_id AS rid,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY s.ts DESC, s.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             ON p.user_id = s.user_id AND s.ts <= p.ts)
+         WHERE rn = 1 ORDER BY lid, rid""",
     "q_join_pos" ->
       """SELECT a.lang, a.rn, a.doc_id AS id1, b.doc_id AS id2
          FROM (SELECT lang, doc_id, ROW_NUMBER() OVER
