@@ -133,6 +133,27 @@ object Dedup {
       .select(col("d1"), col("d2"), col("dist"))
   }
 
+  /** Embedding-cosine near-dup: hyperplane-LSH buckets both copies of the
+    * corpus, exact cosine re-scoring inside buckets only, pairs >= threshold
+    * (the vector-space analogue of minhashLsh — same O(Σ bucket²) scale
+    * shape). Expects (vec_id, embedding array<float>). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
+                       dim: Int = 64, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val pairs = (0 until tables).map { t =>
+      val sig = Similarity.hyperplaneBucket(embeddings, dim, nPlanes, t * nPlanes)
+      sig.as("a").join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+                col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+    }.reduce(_ union _).distinct()
+    pairs
+      .withColumn("cos", round(expr("cosine_sim(e1, e2)"), 4))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
   /** Exact token-set Jaccard via inverted-index join with a document
     * frequency cap (tokens in more than dfCap docs carry no dedup signal
     * and would otherwise create O(df²) pair blowup). */

@@ -68,6 +68,13 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vid"), col("cos"))
   }
 
+  /** (vec_id, embedding, bucket) for one LSH table — shared by lshTopK and
+    * Dedup.embeddingNearDup. */
+  private[operators] def hyperplaneBucket(df: DataFrame, dim: Int, nPlanes: Int,
+                                          planeOffset: Int): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      hyperplaneSig(col("embedding"), dim, nPlanes, planeOffset).as("bucket"))
+
   /** Deterministic random hyperplane signature: plane p of table t has
     * components mix64((planeOffset+p)·dim + j) scaled to [-1, 1); the sign
     * bits pack into one int bucket id. */

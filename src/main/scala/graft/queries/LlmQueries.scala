@@ -155,6 +155,12 @@ object LlmQueries {
           Tables.documents(s, d).where(col("doc_id") < 500), maxDist = 8)
         .orderBy(col("d1"), col("d2"))),
 
+    // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only;
+    // vector-space dedup variant of minhashLsh)
+    "q_llm_embdup" -> ((s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.9)
+        .orderBy(col("d1"), col("d2"))),
+
     // approximate nearest neighbors via random-hyperplane LSH (rows-only;
     // recall vs brute force asserted in SimilaritySpec)
     "q_llm_ann_lsh" -> ((s, d) => {

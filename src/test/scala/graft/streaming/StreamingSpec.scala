@@ -141,6 +141,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode re-emits only changed groups per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = in.toDF().groupBy($"event_type").count()
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      in.addData(ev(1, 1, "a", 1), ev(2, 1, "b", 2))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "a", 3)) // only 'a' changes in batch 2
+      q.processAllAvailable()
+      // memory sink in update mode appends each batch's emitted rows:
+      // batch1: (a,1),(b,1); batch2: (a,2) — b NOT re-emitted
+      val rows = s.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toList
+      assert(rows.sorted == List(("a", 1L), ("a", 2L), ("b", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("exactly-once file sink: checkpointed restart does not duplicate") {
     val s = spark
     import s.implicits._
