@@ -140,15 +140,20 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        dim: Int = 64, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // ids-first: the cross-table dedup (distinct) shuffles only (d1, d2)
+    // id pairs; the embeddings are re-attached afterwards — at bucket sizes
+    // worth having, shuffling vectors through the distinct dominates cost
     val pairs = (0 until tables).map { t =>
       val sig = Similarity.hyperplaneBucket(embeddings, dim, nPlanes, t * nPlanes)
+        .select(col("vec_id"), col("bucket"))
       sig.as("a").join(sig.as("b"),
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-                col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
     }.reduce(_ union _).distinct()
     pairs
+      .join(embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
       .withColumn("cos", round(expr("cosine_sim(e1, e2)"), 4))
       .where(col("cos") >= threshold)
       .select(col("d1"), col("d2"), col("cos"))

@@ -71,22 +71,24 @@ object Similarity {
   /** (vec_id, embedding, bucket) for one LSH table — shared by lshTopK and
     * Dedup.embeddingNearDup. */
   private[operators] def hyperplaneBucket(df: DataFrame, dim: Int, nPlanes: Int,
-                                          planeOffset: Int): DataFrame =
+                                          planeOffset: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id"), col("embedding"),
       hyperplaneSig(col("embedding"), dim, nPlanes, planeOffset).as("bucket"))
+  }
 
   /** Deterministic random hyperplane signature: plane p of table t has
     * components mix64((planeOffset+p)·dim + j) scaled to [-1, 1); the sign
-    * bits pack into one int bucket id. */
+    * bits pack into one int bucket id. Projections run through the native
+    * dot_f expression (caller must have registered GraftFunctions) — one
+    * codegen'd loop per plane instead of a zip_with/aggregate HOF chain. */
   private def hyperplaneSig(v: Column, dim: Int, nPlanes: Int,
                             planeOffset: Int): Column = {
     val comps: Seq[Column] = (0 until nPlanes).map { p =>
       val weights = typedLit((0 until dim).map(j =>
-        graft.functions.Sketches.mix64((planeOffset + p).toLong * dim + j)
-          .toDouble / Long.MaxValue))
-      val proj = aggregate(
-        zip_with(v, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+        (graft.functions.Sketches.mix64((planeOffset + p).toLong * dim + j)
+          .toDouble / Long.MaxValue).toFloat).toArray)
+      val proj = call_function("dot_f", v, weights)
       when(proj >= 0, lit(1)).otherwise(lit(0))
     }
     comps.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
@@ -97,18 +99,24 @@ object Similarity {
     * unioned before scoring (multi-table raises recall). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int = 64, nPlanes: Int = 4, tables: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val cand = candidates.repartition(col("vec_id")) // parallelize sig scan
+    // ids-first (see Dedup.embeddingNearDup): the multi-table union/distinct
+    // carries only (qid, vid); vectors are re-attached for scoring
     val pairs = (0 until tables).map { t =>
-      def sig(df: DataFrame, idc: String, vc: String) = df.select(
-        col("vec_id").as(idc), col("embedding").as(vc),
+      def sig(df: DataFrame, idc: String) = df.select(
+        col("vec_id").as(idc),
         hyperplaneSig(col("embedding"), dim, nPlanes, t * nPlanes).as("bucket"))
-      broadcast(sig(queries, "qid", "qv"))
-        .join(sig(cand, "vid", "cv"), Seq("bucket"))
+      broadcast(sig(queries, "qid"))
+        .join(sig(cand, "vid"), Seq("bucket"))
         .where(col("qid") =!= col("vid"))
-        .select(col("qid"), col("vid"), col("qv"), col("cv"))
+        .select(col("qid"), col("vid"))
     }.reduce(_ union _).distinct()
-    val scored = pairs.select(col("qid"), col("vid"),
-      round(nativeCosine(queries.sparkSession, "qv", "cv"), 4).as("cos"))
+    val scored = pairs
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .join(cand.select(col("vec_id").as("vid"), col("embedding").as("cv")), "vid")
+      .select(col("qid"), col("vid"),
+        round(nativeCosine(queries.sparkSession, "qv", "cv"), 4).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rn", row_number().over(w))
