@@ -77,6 +77,12 @@ object Dedup {
       .where(col("bsz").between(2, maxBucket))
     val pruned = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
 
+    // cross-band dedup via dropDuplicates(d1, d2): unlike a full-row
+    // distinct, the partial aggregate dedupes pairs map-side on the id pair
+    // and carries one signature copy per surviving pair into the shuffle.
+    // The estimate is computed BEFORE the dedup shuffle only for pairs that
+    // pass the threshold — dropping sub-threshold pairs early shrinks the
+    // shuffle further (a pair's estimate is identical in every band).
     val estJac = udf((a: Seq[Long], b: Seq[Long]) => Sketches.estimateJaccard(a, b))
     pruned.as("a")
       .join(pruned.as("b"),
@@ -84,10 +90,9 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-              col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
-      .withColumn("est_jaccard", estJac(col("sig1"), col("sig2")))
+        estJac(col("a.sig"), col("b.sig")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .dropDuplicates(Seq("d1", "d2"))
       .select(col("d1"), col("d2"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
