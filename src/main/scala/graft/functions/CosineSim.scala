@@ -152,11 +152,18 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` injector. */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injector:
+  * functions + optimizer rules. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, null, "dot_f"),
+      (args: Seq[Expression]) => DotProductF(args.head, args(1))))
+    ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
+  }
 }

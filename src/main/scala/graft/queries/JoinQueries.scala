@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: dimension joins (nation/region) broadcast explicitly; the
   * fact-fact join (lineitem⋈orders) shuffles on the join key and relies on
-  * AQE for skew; the as-of join is a range join + rank-1, which at 100 TB
-  * would be re-planned as a sort-merge per-key — see graft.plans.
+  * AQE for skew; the as-of join appears twice — the range-join+rank-1 shape
+  * and the carry-forward shape that holds at 100 TB (graft.operators.AsOf).
   */
 object JoinQueries {
 
