@@ -87,6 +87,23 @@ object Multimodal {
     }
   }
 
+  /** Resize: adjusts typed metadata to the target box preserving aspect
+    * ratio. Payload re-encode is a STUB (passthrough; real: decode → scale →
+    * re-encode) — the metadata math and row plumbing are real. */
+  def resize(media: Dataset[MediaFile], maxW: Int, maxH: Int): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.meta.width <= 0 || m.meta.height <= 0) m
+      else {
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / m.meta.width, maxH.toDouble / m.meta.height))
+        m.copy(meta = m.meta.copy(
+          width = math.max(1, (m.meta.width * scale).toInt),
+          height = math.max(1, (m.meta.height * scale).toInt)))
+      }
+    }
+  }
+
   /** Feature extraction over frames, batched per partition (the real-world
     * shape: load a model once per partition, run batched inference).
     * STUB embedding: splitmix-style hash of the bytes → 16 deterministic

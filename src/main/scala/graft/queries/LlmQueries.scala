@@ -100,6 +100,29 @@ object LlmQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // character n-gram (trigram) Jaccard near-dup — the shingle-level twin
+    // of the token-set q_llm_jaccard, same inverted-index shape
+    "q_llm_ngram_jaccard" -> ((s, d) => {
+      val tri = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+          .as("g"))
+        .distinct()
+      val cnt = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      tri.as("a")
+        .join(tri.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jac", col("c").cast("double") /
+                           (col("n1") + col("n2") - col("c")))
+        .where(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // language-ID: n-gram/marker-token heuristic, scored per language with a
     // fixed priority tiebreak (en > es > de > fr), 'und' when no marker hits.
     // Same closed-form logic on both engines → exact oracle.
@@ -225,6 +248,21 @@ object LlmQueries {
          JOIN cnt n1 ON d1 = n1.doc_id
          JOIN cnt n2 ON d2 = n2.doc_id
          WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.3
+         ORDER BY d1, d2""",
+    "q_llm_ngram_jaccard" ->
+      """WITH tri AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                    i -> substr(text, CAST(i AS INT), 3))) AS g
+           FROM documents WHERE doc_id < 300),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 4) AS jac
+         FROM pairs JOIN cnt n1 ON d1 = n1.doc_id JOIN cnt n2 ON d2 = n2.doc_id
+         WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
          ORDER BY d1, d2""",
     "q_llm_langid" ->
       """SELECT doc_id,

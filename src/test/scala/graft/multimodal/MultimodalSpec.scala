@@ -47,6 +47,20 @@ class MultimodalSpec extends SparkSpec {
     assert(m1 == m2, "stub decode must be deterministic")
   }
 
+  test("resize bounds dimensions preserving aspect ratio") {
+    val resized = Multimodal.resize(Multimodal.scan(spark, dir), 100, 100)
+      .collect()
+    for (m <- resized if m.kind == "image" || m.kind == "video") {
+      assert(m.meta.width <= 100 && m.meta.height <= 100)
+      val orig = Multimodal.probe(m.path,
+        m.content) // stub probe is deterministic on bytes
+      val r1 = m.meta.width.toDouble / orig.meta.width
+      val r2 = m.meta.height.toDouble / orig.meta.height
+      assert(math.abs(r1 - r2) < 0.05, s"aspect drift: $r1 vs $r2")
+    }
+    assert(resized.find(_.kind == "audio").get.meta.width == 0)
+  }
+
   test("metadata projection has the declared schema") {
     val t = Multimodal.metaTable(Multimodal.scan(spark, dir))
     assert(t.columns.toSeq ==

@@ -162,6 +162,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming partitioned gzip text sink (R6's layout, streaming twin)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft_sgz").toString
+    val q = in.toDF()
+      .select($"event_type".as("sample"),
+        concat_ws("\t", $"event_id", $"user_id").as("value"))
+      .writeStream.format("text")
+      .option("path", s"$dir/out").option("compression", "gzip")
+      .option("checkpointLocation", s"$dir/ck")
+      .partitionBy("sample")
+      .start()
+    try {
+      in.addData(ev(1, 10, "a", 1), ev(2, 20, "b", 2), ev(3, 30, "a", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = s.read.text(s"$dir/out")
+      .select(input_file_name().as("f"), $"value").collect()
+    assert(back.length == 3)
+    assert(back.forall(_.getString(0).contains("sample=")))
+    assert(back.forall(_.getString(0).endsWith(".txt.gz")))
+    assert(back.count(_.getString(0).contains("sample=a")) == 2)
+  }
+
   test("exactly-once file sink: checkpointed restart does not duplicate") {
     val s = spark
     import s.implicits._
