@@ -115,14 +115,16 @@ object FunctionQueries {
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(aggregate(
+        // floor(x*1e4+0.5)/1e4 rounding: identical IEEE ops on both engines
+        // (plain round() diverges on halfway cases — see q_proj_expr)
+        (floor(element_at(col("embedding"), 1).cast("double") * 10000 + 0.5) / 10000).as("e1"),
+        (floor(aggregate(
           transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("sum8"),
+          lit(0.0), (acc, x) => acc + x) * 10000 + 0.5) / 10000).as("sum8"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-        round(aggregate(
+        (floor(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("sumsq"))
+          lit(0.0), (acc, x) => acc + x) * 10000 + 0.5) / 10000).as("sumsq"))
         .orderBy(col("vec_id"))),
 
     // R12's key-value parse: str_to_map on a synthesized kv string
@@ -235,10 +237,10 @@ object FunctionQueries {
     "q_fn_array" ->
       """SELECT vec_id,
                 CAST(len(embedding) AS INT) AS dim,
-                ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-                ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS sum8,
+                floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS e1,
+                floor(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 AS sum8,
                 CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-                ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sumsq
+                floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 AS sumsq
          FROM embeddings ORDER BY vec_id""",
     "q_fn_map" ->
       """SELECT event_id,

@@ -78,7 +78,10 @@ object StreamingQueries {
       }.orderBy(col("wstart"))),
 
     // session window, 30-minute gap, per user (streaming twin of
-    // q_win_session; Spark closes a session when gap >= 30 min)
+    // q_win_session). Boundary semantics: an event at EXACTLY lastEvent+gap
+    // still merges (sessions overlap when nextStart <= curEnd), so a session
+    // splits only on gap > 30 min — mirrored in the oracle (found by the
+    // sf0.1 differential: one exact-1800s gap exists there)
     "q_stream_session" -> ((s, d) =>
       runStream(s, d, "complete") { ev =>
         ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -133,7 +136,7 @@ object StreamingQueries {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
           flagged AS (
             SELECT user_id, event_id, ts,
-                   CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END AS new_s
+                   CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
             FROM g),
           sess AS (
             SELECT user_id, ts,
