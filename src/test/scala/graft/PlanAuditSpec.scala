@@ -1,0 +1,50 @@
+package graft
+
+/** Catalog-wide physical-plan audit: every query's plan is built and scanned
+  * for scale red flags. Queries that intentionally use a pattern are
+  * allowlisted — additions to the allowlists need a scale justification.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // brute-force scoring is a deliberate broadcast-cross (query side tiny)
+  private val allowedCartesian = Set("q_llm_sim_topk", "q_join_cross_theta")
+  // streaming queries build via a memory sink; skip plan construction
+  private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot(_._1.startsWith("q_stream_"))
+    .filterNot(_._1.startsWith("q_scan_csv")) // writes a tmp csv on build
+    .filterNot(_._1.startsWith("q_scan_json"))
+
+  test("no unintended cartesian products across the catalog") {
+    val offenders = planned.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      if ((plan.contains("CartesianProduct") ||
+           plan.contains("BroadcastNestedLoopJoin")) &&
+          !allowedCartesian(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian/nested-loop in: $offenders")
+  }
+
+  test("every parquet scan prunes columns (no SELECT * scans)") {
+    // every table has >5 columns; a pruned scan should read fewer unless the
+    // query genuinely touches them all
+    val fullScanOk = Set("q_scan_parquet") // count(*) reads minimal schema anyway
+    val offenders = planned.flatMap { case (name, fn) =>
+      val scans = fn(spark, sf0001).queryExecution.executedPlan
+        .collectLeaves().map(_.toString).filter(_.contains("FileScan parquet"))
+      val wide = scans.exists { s =>
+        val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s)
+        m.exists(_.group(1).split(",").length > 8)
+      }
+      if (wide && !fullScanOk(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries scanning >8 columns (add justification or prune): $offenders")
+  }
+
+  test("every catalog query plans without error on sf0.001") {
+    planned.foreach { case (name, fn) =>
+      val qe = fn(spark, sf0001).queryExecution
+      assert(qe.executedPlan != null, name)
+    }
+  }
+}
