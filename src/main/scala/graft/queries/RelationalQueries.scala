@@ -112,6 +112,29 @@ object RelationalQueries {
       c.except(o).orderBy(col("k"))
     }),
 
+    // ---- SQL surface: correlated subqueries (Catalyst decorrelates both
+    // to joins — RewriteCorrelatedScalarSubquery / RewritePredicateSubquery;
+    // the SQL text is dialect-shared with the oracle verbatim) -----------
+    "q_sql_exists" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+          |                        WHERE o_orderstatus = 'F' AND o_totalprice < 2000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_sql_scalar_subq" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, c_nationkey FROM customer c
+          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- sort / limit / top-k ------------------------------------------
     "q_sort_limit" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -165,6 +188,18 @@ object RelationalQueries {
       "SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k",
     "q_set_except" ->
       "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderstatus = 'F' AND o_totalprice < 2000)
+         ORDER BY c_custkey""",
+    "q_sql_scalar_subq" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+         WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
     "q_sort_limit" ->
       "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem ORDER BY ship, l_orderkey, l_linenumber LIMIT 100",
     "q_sort_topk" ->

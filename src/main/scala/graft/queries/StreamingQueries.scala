@@ -46,8 +46,11 @@ object StreamingQueries {
       dir
     })
     val ev = Tables.events(s, d)
+    // 2 files per trigger over 4 staged files = 2 micro-batches: still a
+    // genuine multi-batch replay (state merge across batches exercised) at
+    // half the per-batch planning cost
     val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .option("maxFilesPerTrigger", "2").parquet(staged)
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val q = build(stream).writeStream
       .format("memory").queryName(name).outputMode(mode).start()
