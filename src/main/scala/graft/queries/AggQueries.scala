@@ -101,6 +101,18 @@ object AggQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type"))),
 
+    // median / interpolated percentiles (both engines use the linear
+    // rank = p*(n-1) definition; floor-rounding per the engine-identical
+    // discipline)
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          (floor(expr("median(o_totalprice)") * 100 + 0.5) / 100).as("med"),
+          (floor(expr("percentile(o_totalprice, 0.9)") * 100 + 0.5) / 100).as("p90"),
+          (floor(expr("percentile(o_totalprice, 0.99)") * 100 + 0.5) / 100).as("p99"))
+        .orderBy(col("o_orderstatus"))),
+
     // custom typed-Aggregator HLL (graft.functions.Sketches) — the
     // TypedImperativeAggregate-style path with partial+final merge; rows-only
     // driver check, 5%-accuracy property in SketchesSpec
@@ -153,6 +165,12 @@ object AggQueries {
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY g_st, g_pr, st, pr""",
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+                floor(median(o_totalprice) * 100 + 0.5) / 100 AS med,
+                floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90,
+                floor(quantile_cont(o_totalprice, 0.99) * 100 + 0.5) / 100 AS p99
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_agg_pivot" ->
       """SELECT user_id,
                 CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
