@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY §7.4 #3 — the demux `Undetermined` hot key at
+  * 100 TB): two-phase salted aggregation and salted broadcast join.
+  *
+  * `saltedAgg` splits each hot group across `salts` sub-groups in phase 1
+  * (map-side + a shuffle over (key, salt) — at most `salts`× more groups,
+  * each bounded at 1/salts of the hot key), then combines sub-aggregates in
+  * a cheap phase 2 whose input is tiny (groups × salts rows). Correct for
+  * any algebraic aggregate expressed as (phase1, phase2) pairs — helpers
+  * below cover count/sum/min/max.
+  */
+object Skew {
+
+  /** Aggregate spec: phase-1 expression over rows, phase-2 combiner over
+    * phase-1 results, output name. */
+  final case class TwoPhase(phase1: Column, phase2: Column => Column, out: String)
+
+  def count2(out: String): TwoPhase =
+    TwoPhase(count(lit(1)), sum(_), out)
+  def sum2(c: Column, out: String): TwoPhase =
+    TwoPhase(sum(c), sum(_), out)
+  def min2(c: Column, out: String): TwoPhase =
+    TwoPhase(min(c), min(_), out)
+  def max2(c: Column, out: String): TwoPhase =
+    TwoPhase(max(c), max(_), out)
+
+  /** groupBy(key).agg(...) with `salts`-way key salting. */
+  def saltedAgg(df: DataFrame, key: String, salts: Int, aggs: TwoPhase*): DataFrame = {
+    require(salts > 0)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val phase1 = salted.groupBy(col(key), col("__salt"))
+      .agg(aggs.head.phase1.as(s"__p0"),
+        aggs.tail.zipWithIndex.map { case (a, i) => a.phase1.as(s"__p${i + 1}") }: _*)
+    phase1.groupBy(col(key))
+      .agg(aggs.head.phase2(col("__p0")).as(aggs.head.out),
+        aggs.tail.zipWithIndex.map { case (a, i) =>
+          a.phase2(col(s"__p${i + 1}")).as(a.out) }: _*)
+  }
+}
