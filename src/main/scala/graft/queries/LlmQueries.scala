@@ -71,11 +71,11 @@ object LlmQueries {
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
-        round(
-          size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
-            .cast("double") / size(toks), 4).as("stop_ratio"),
+        (floor(size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
+            .cast("double") / size(toks) * 10000 + 0.5) / 10000).as("stop_ratio"),
         (col("n_chars") / size(toks)).cast("double").as("avg_tok_len"))
-        .withColumn("avg_tok_len", round(col("avg_tok_len"), 4))
+        .withColumn("avg_tok_len",
+          floor(col("avg_tok_len") * 10000 + 0.5) / 10000)
         .orderBy(col("doc_id"))
     }),
 
@@ -96,7 +96,8 @@ object LlmQueries {
         .withColumn("jac", col("c").cast("double") /
                            (col("n1") + col("n2") - col("c")))
         .where(col("jac") >= 0.3)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .select(col("d1"), col("d2"),
+          (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -119,7 +120,8 @@ object LlmQueries {
         .withColumn("jac", col("c").cast("double") /
                            (col("n1") + col("n2") - col("c")))
         .where(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .select(col("d1"), col("d2"),
+          (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -226,10 +228,10 @@ object LlmQueries {
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                 CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
-                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                floor(CAST(len(list_filter(string_split(text, ' '),
                     t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
-                  / len(string_split(text, ' ')), 4) AS stop_ratio,
-                ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len
+                  / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stop_ratio,
+                floor(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_tok_len
          FROM documents ORDER BY doc_id""",
     "q_llm_jaccard" ->
       """WITH tok AS (
@@ -243,7 +245,7 @@ object LlmQueries {
              ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT d1, d2,
-                ROUND(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 4) AS jac
+                floor(CAST(c AS DOUBLE) / (n1.n + n2.n - c) * 10000 + 0.5) / 10000 AS jac
          FROM pairs
          JOIN cnt n1 ON d1 = n1.doc_id
          JOIN cnt n2 ON d2 = n2.doc_id
@@ -260,7 +262,7 @@ object LlmQueries {
            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
            FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
-         SELECT d1, d2, ROUND(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 4) AS jac
+         SELECT d1, d2, floor(CAST(c AS DOUBLE) / (n1.n + n2.n - c) * 10000 + 0.5) / 10000 AS jac
          FROM pairs JOIN cnt n1 ON d1 = n1.doc_id JOIN cnt n2 ON d2 = n2.doc_id
          WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5
          ORDER BY d1, d2""",
