@@ -139,6 +139,34 @@ class GenomicsSpec extends SparkSpec {
     assert(line == "ALN 1_1101_0,ACGT," + line.split(",")(2) + ",TTTT," + line.split(",")(4))
   }
 
+  test("pipeline orchestration: stage1 -> concurrent per-sample align -> eager cleanup") {
+    val s = spark
+    val prq = Files.createTempDirectory("graft_pipe").toString
+    val script = Files.createTempFile("mock_aln2", ".sh")
+    Files.writeString(script, "#!/bin/sh\nsed 's/^/ALN /'\n")
+    script.toFile.setExecutable(true)
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val res = Pipeline.run(s, runDir, rs, sheet, prq, Seq(script.toString),
+      onSampleDone = done.add(_))
+    assert(res.failed.isEmpty, res.failed.toString)
+    assert(res.samples == Seq("sample1", "sample2"))
+    assert(res.alignedCounts == Map("sample1" -> 2L, "sample2" -> 3L))
+    assert(done.size == 2, "eager cleanup hook must fire per sample")
+  }
+
+  test("pipeline orchestration fails fast when one sample's aligner dies") {
+    val s = spark
+    val prq = Files.createTempDirectory("graft_pipe_f").toString
+    val script = Files.createTempFile("mock_aln3", ".sh")
+    // sample1's reads contain id prefix 1_1101_0 — die on that sample only
+    Files.writeString(script,
+      "#!/bin/sh\nwhile read l; do case \"$l\" in 1_1101_0*) exit 7;; *) echo \"ALN $l\";; esac; done\n")
+    script.toFile.setExecutable(true)
+    val res = Pipeline.run(s, runDir, rs, sheet, prq, Seq(script.toString))
+    assert(res.failed.isDefined, "failure must propagate")
+    assert(res.alignedCounts.size < 2, "failed sample must not report success")
+  }
+
   test("external-process map fails fast on nonzero exit (R11 contract)") {
     val s = spark
     import s.implicits._
