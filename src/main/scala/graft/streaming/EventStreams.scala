@@ -107,9 +107,67 @@ object EventStreams {
       }
   }
 
+  /** transformWithState (state API v2, RocksDB-backed) version of the job
+    * monitor — the modern replacement for flatMapGroupsWithState: typed
+    * named state, per-key timers, TTL. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class JobMonitorProcessor(terminal: Set[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, JobEvent, JobResult] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[JobState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[JobState]("job",
+        Encoders.product[JobState], TTLConfig.NONE)
+
+    override def handleInputRows(jid: String, rows: Iterator[JobEvent],
+                                 tv: TimerValues): Iterator[JobResult] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (st.exists()) st.get()
+        else JobState(sorted.headOption.map(_.ts.getTime).getOrElse(0L), 0)
+      val out = Seq.newBuilder[JobResult]
+      var done = false
+      for (e <- sorted if !done) {
+        cur = JobState(cur.firstTs, cur.nPolls + 1)
+        if (terminal(e.status)) {
+          out += JobResult(jid, e.status, cur.nPolls,
+            (e.ts.getTime - cur.firstTs) / 1000.0)
+          done = true
+        }
+      }
+      if (done) st.clear() else st.update(cur)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(jid: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[JobResult] =
+      Iterator.empty
+  }
+
+  /** monitorJobs via transformWithState; semantics identical to
+    * `monitorJobs` (asserted in StreamingSpec). */
+  def monitorJobsTws(polls: Dataset[JobEvent],
+                     terminal: Set[String] = Set("SUCCEEDED", "FAILED", "KILLED"))
+      : Dataset[JobResult] = {
+    import polls.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    polls.groupByKey(_.job_id)
+      .transformWithState(new JobMonitorProcessor(terminal),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** R11's monitored join as a streaming state machine: one JobResult per
     * job when its status stream reaches a terminal state; per-job state is
-    * (first-poll ts, polls so far) and is dropped on completion. */
+    * (first-poll ts, polls so far) and is dropped on completion.
+    *
+    * Contract (matches the reference, which removes a finished job from its
+    * poll list): emission is at-least-once per completion — a duplicate
+    * terminal event arriving AFTER state was dropped re-registers the job
+    * and re-emits. Producers that can replay terminal states should dedup
+    * downstream (`dropDuplicates("job_id")`). Same for `monitorJobsTws`. */
   def monitorJobs(polls: Dataset[JobEvent],
                   terminal: Set[String] = Set("SUCCEEDED", "FAILED", "KILLED"))
       : Dataset[JobResult] = {

