@@ -48,8 +48,10 @@ object WindowQueries {
     "q_win_frame_rows" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
-                round(sum(col("value"))
-                  .over(byUserTs.rowsBetween(Window.unboundedPreceding, 0)), 2)
+                // floor-rounding: engine-identical on halfway cases (the
+                // frame sum itself is bit-identical — same sequential order)
+                (floor(sum(col("value"))
+                  .over(byUserTs.rowsBetween(Window.unboundedPreceding, 0)) * 100 + 0.5) / 100)
                   .as("running"))
         .orderBy(col("user_id"), col("event_id"))),
 
@@ -93,7 +95,7 @@ object WindowQueries {
                .as("len_s"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
-             round(avg(col("len_s")), 2).as("avg_len_s"),
+             (floor(avg(col("len_s")) * 100 + 0.5) / 100).as("avg_len_s"),
              sum(col("n_events")).as("n_events"))
         .orderBy(col("user_id"))
     })
@@ -123,8 +125,8 @@ object WindowQueries {
           ORDER BY user_id, event_id""",
     "q_win_frame_rows" ->
       """SELECT user_id, event_id,
-                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+                floor(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running
          FROM events ORDER BY user_id, event_id""",
     "q_win_frame_range" ->
       s"""SELECT user_id, event_id,
@@ -156,7 +158,7 @@ object WindowQueries {
                    MAX($ep) - MIN($ep) AS len_s
             FROM sess GROUP BY user_id, sess)
           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-                 ROUND(AVG(len_s), 2) AS avg_len_s,
+                 floor(AVG(len_s) * 100 + 0.5) / 100 AS avg_len_s,
                  CAST(SUM(n_events) AS BIGINT) AS n_events
           FROM per_sess GROUP BY user_id ORDER BY user_id"""
   )
