@@ -48,6 +48,34 @@ object Codecs {
       .select(col("sample"), col("value")).as[(String, String)]
   }
 
+  /** Partition-value escaping, matching what the `partitionBy("sample")`
+    * sink writes into directory names (Hive-style path escaping). */
+  def escapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** R9 as the reference does it (`workflow.py:398-405`): a driver-side
+    * listing of the sink's `sample=<s>/` partition directories — no data
+    * scan — with the same name filter as `Demux.discoverSamples` (no
+    * `_`-prefix, no unknown/undetermined). */
+  def listSamplePartitions(prqDir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(prqDir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val it = java.nio.file.Files.list(root).iterator()
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      if (java.nio.file.Files.isDirectory(p) && name.startsWith("sample=")) {
+        val s = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(name.stripPrefix("sample="))
+        val l = s.toLowerCase
+        if (!s.startsWith("_") && !l.contains("unknown") && !l.contains("undetermined"))
+          out += s
+      }
+    }
+    out.result().sorted
+  }
+
   /** R7 for sinks that can't avoid empty parts: delete files under `dir`
     * smaller than `minBytes` (gzip header ≈ 20 B ⇒ no payload). Driver-side
     * filesystem pass, exactly like the reference's `_clean_up_bcl_output`. */

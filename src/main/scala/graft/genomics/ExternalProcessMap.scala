@@ -1,5 +1,8 @@
 package graft.genomics
 
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.util.concurrent.atomic.AtomicReference
+
 import org.apache.spark.sql.Dataset
 
 /** External-process map (SURVEY §2A R10/R17): stream a partition's lines
@@ -13,71 +16,138 @@ import org.apache.spark.sql.Dataset
   * Spark's own task scheduling and fail-fast retry.
   *
   * Failure contract (R11, `workflow.py:464-471`): a nonzero exit code throws
-  * in the task → Spark retries the task, then fails the job, cancelling the
-  * other partitions — the kill-all semantics of the reference's `_wait`.
-  * Writer runs on a separate thread to avoid pipe-buffer deadlock; reader
-  * pulls stdout lazily.
+  * in the task (with the tail of the process's stderr in the message) →
+  * Spark retries the task, then fails the job, cancelling the other
+  * partitions — the kill-all semantics of the reference's `_wait`.
+  *
+  * Pipe hygiene (the three classic subprocess deadlocks/losses):
+  *  - stdin is fed from a separate writer thread (no write/read deadlock);
+  *  - stderr is drained concurrently into a bounded tail buffer — a chatty
+  *    aligner can emit unbounded diagnostics without ever filling the ~64 KB
+  *    pipe and wedging the task;
+  *  - writer-thread IO errors are propagated into the task. A broken pipe is
+  *    *expected* when the process fails (it died mid-input; the exit-code
+  *    check reports the real cause), but a process that exits 0 after
+  *    reading only part of its stdin would silently truncate output — that
+  *    case surfaces as an error instead.
+  *
+  * Output is consumed lazily in both operators: stdout rows flow straight
+  * into the downstream iterator without materializing a partition's (or a
+  * sample's — tens of GB for a real aligner) output in memory.
   */
 object ExternalProcessMap {
 
-  def pipePartitions(lines: Dataset[String], cmd: Seq[String]): Dataset[String] = {
-    import lines.sparkSession.implicits._
-    lines.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(false)
-        val proc = pb.start()
-        val writer = new Thread(() => {
-          val w = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
-          try it.foreach { l => w.write(l); w.newLine() }
-          finally w.close()
-        })
-        writer.setDaemon(true)
-        writer.start()
-        val r = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
-        new Iterator[String] {
-          private var nextLine = r.readLine()
-          def hasNext: Boolean = {
-            if (nextLine == null) {
-              val code = proc.waitFor()
-              if (code != 0)
-                throw new RuntimeException(s"external process $cmd exited $code")
-            }
-            nextLine != null
+  /** Bytes of trailing stderr kept for error messages. */
+  private val StderrTailBytes = 8192
+
+  /** Start `cmd`, feed it `input` from a writer thread, and return a lazy
+    * iterator over its stdout lines. On stdout EOF: joins the writer, checks
+    * the exit code (nonzero → exception carrying the stderr tail), and
+    * re-throws any unexpected writer-side IO error.
+    */
+  private[genomics] def pipe(input: Iterator[String], cmd: Seq[String],
+                             ctx: String): Iterator[String] = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    // job cancellation (Pipeline's kill-all) must also kill the aligner —
+    // the reference's `_wait` kills child processes, not just the driver loop
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => proc.destroyForcibly()))
+
+    // stderr drain: consume everything, keep only the tail for diagnostics
+    val errTail = new java.lang.StringBuilder
+    val drainer = new Thread(() => {
+      val r = new BufferedReader(
+        new InputStreamReader(proc.getErrorStream, "UTF-8"))
+      try {
+        val buf = new Array[Char](4096)
+        var n = r.read(buf)
+        while (n >= 0) {
+          errTail.synchronized {
+            errTail.append(buf, 0, n)
+            if (errTail.length > StderrTailBytes)
+              errTail.delete(0, errTail.length - StderrTailBytes)
           }
-          def next(): String = {
-            val l = nextLine; nextLine = r.readLine(); l
-          }
+          n = r.read(buf)
         }
+      } catch { case _: java.io.IOException => () } // stream closed on kill
+      finally r.close()
+    }, s"graft-pipe-stderr")
+    drainer.setDaemon(true)
+    drainer.start()
+
+    val writerError = new AtomicReference[Throwable](null)
+    val writer = new Thread(() => {
+      val w = new BufferedWriter(
+        new OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+      try {
+        input.foreach { l => w.write(l); w.newLine() }
+        w.close()
+      } catch {
+        case e: Throwable =>
+          // IOException is expected iff the process died (the exit-code
+          // check reports that); recorded so an exit-0-after-partial-stdin
+          // run — or an upstream iterator failure — still fails the task
+          writerError.set(e)
+          try w.close() catch { case _: java.io.IOException => () }
+      }
+    }, s"graft-pipe-stdin")
+    writer.setDaemon(true)
+    writer.start()
+
+    def stderrMsg: String = errTail.synchronized {
+      val s = errTail.toString.trim
+      if (s.isEmpty) "" else s"; stderr tail: $s"
+    }
+
+    val r = new BufferedReader(
+      new InputStreamReader(proc.getInputStream, "UTF-8"))
+    new Iterator[String] {
+      private var nextLine = r.readLine()
+      private var finished = false
+      def hasNext: Boolean = {
+        if (nextLine == null && !finished) {
+          finished = true
+          writer.join()
+          drainer.join(10000)
+          val code = proc.waitFor()
+          if (code != 0)
+            throw new RuntimeException(
+              s"external process $ctx $cmd exited $code$stderrMsg")
+          val we = writerError.get()
+          if (we != null)
+            throw new RuntimeException(
+              s"external process $ctx $cmd exited 0 but failed reading its " +
+                s"stdin (output may be truncated)$stderrMsg", we)
+        }
+        nextLine != null
+      }
+      def next(): String = {
+        val l = nextLine; nextLine = r.readLine(); l
       }
     }
   }
 
-  /** Per-sample isolated pipe (R10): one process group per sample key. */
+  def pipePartitions(lines: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+    import lines.sparkSession.implicits._
+    lines.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else pipe(it, cmd, "partition")
+    }
+  }
+
+  /** Per-sample isolated pipe (R10): one process per sample key; output rows
+    * stream lazily from the process (a sample's SAM never sits in memory).
+    * Contract: one sample = one task — re-shard upstream by (sample, salt)
+    * and use `pipePartitions` when a single sample's reads exceed what one
+    * task should own.
+    */
   def pipeBySample(reads: Dataset[PrqRead], cmd: Seq[String]): Dataset[(String, String)] = {
     import reads.sparkSession.implicits._
     reads.map(r => (r.sample, Codecs.toPrqLine(r)))
       .groupByKey(_._1)
       .flatMapGroups { (sample: String, rows: Iterator[(String, String)]) =>
-        val pb = new ProcessBuilder(cmd: _*)
-        val proc = pb.start()
-        val writer = new Thread(() => {
-          val w = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
-          try rows.foreach { case (_, l) => w.write(l); w.newLine() }
-          finally w.close()
-        })
-        writer.setDaemon(true)
-        writer.start()
-        val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-          .getLines().toVector
-        val code = proc.waitFor()
-        if (code != 0)
-          throw new RuntimeException(s"aligner for $sample exited $code")
-        out.iterator.map(sample -> _)
+        pipe(rows.map(_._2), cmd, s"sample=$sample").map(sample -> _)
       }
   }
 }

@@ -167,6 +167,85 @@ class GenomicsSpec extends SparkSpec {
     assert(res.alignedCounts.size < 2, "failed sample must not report success")
   }
 
+  test("stage-2 per-sample read scans exactly one sample partition") {
+    val s = spark
+    val prq = Files.createTempDirectory("graft_prq_prune").toString
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
+    Codecs.writePartitionedGzip(reads, prq)
+    assert(Codecs.listSamplePartitions(prq) == Seq("sample1", "sample2"))
+    val one = Pipeline.readSamplePrq(s, prq, "sample1")
+    val files = one.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("sample=sample1")),
+      s"per-sample scan must touch only its own partition dir: ${files.toSeq}")
+    assert(one.count() == 2)
+  }
+
+  test("sample partition listing filters undetermined/_-prefixed and unescapes") {
+    val dir = Files.createTempDirectory("graft_list")
+    for (n <- Seq("sample=s1", "sample=Undetermined", "sample=_tmp",
+                  "sample=a%20b", "_spark_metadata"))
+      Files.createDirectories(dir.resolve(n))
+    assert(Codecs.listSamplePartitions(dir.toString) == Seq("a b", "s1"))
+    assert(Codecs.escapePartitionValue("a:b") == "a%3Ab")
+  }
+
+  test("pipeBySample streams a large sample lazily through the process") {
+    val s = spark
+    import s.implicits._
+    // 10^6 lines ≈ 40 MB of PRQ through `cat` — with eager materialization
+    // removed, rows flow straight to the downstream count
+    val n = 1000000
+    val reads = s.range(n).map(i => PrqRead(s"id_$i", "big", "ACGT", "IIII",
+      "TGCA", "IIII", "AAA", passFilter = true, 1, 1101))
+    val out = ExternalProcessMap.pipeBySample(reads, Seq("cat"))
+    assert(out.filter(_._1 == "big").count() == n)
+  }
+
+  test("chatty stderr neither deadlocks the pipe nor is lost on failure") {
+    val s = spark
+    import s.implicits._
+    // 200 KB of stderr (>> the ~64 KB pipe buffer) then clean echo: without
+    // a drain thread this wedges forever on the full stderr pipe
+    val chatty = Files.createTempFile("mock_chatty", ".sh")
+    Files.writeString(chatty,
+      "#!/bin/sh\ni=0; while [ $i -lt 3200 ]; do echo " +
+        "0123456789012345678901234567890123456789012345678901234567890123" +
+        " >&2; i=$((i+1)); done\nsed 's/^/OK /'\n")
+    chatty.toFile.setExecutable(true)
+    val ds = s.createDataset(Seq("x", "y")).repartition(1)
+    val ok = ExternalProcessMap.pipePartitions(ds, Seq(chatty.toString)).collect()
+    assert(ok.toSet == Set("OK x", "OK y"))
+
+    // failing command: its stderr tail must reach the task error message
+    val loud = Files.createTempFile("mock_loud", ".sh")
+    Files.writeString(loud,
+      "#!/bin/sh\ncat > /dev/null\necho 'reference panic: bad index' >&2\nexit 9\n")
+    loud.toFile.setExecutable(true)
+    val e = intercept[org.apache.spark.SparkException] {
+      ExternalProcessMap.pipePartitions(ds, Seq(loud.toString)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("exited 9") && msg.contains("reference panic"),
+      s"stderr tail missing from: $msg")
+  }
+
+  test("process exiting 0 after partial stdin is an error, not silent truncation") {
+    val s = spark
+    import s.implicits._
+    val headLike = Files.createTempFile("mock_head", ".sh")
+    Files.writeString(headLike, "#!/bin/sh\nhead -n 1\n")
+    headLike.toFile.setExecutable(true)
+    // enough lines that the writer is still writing when head exits
+    val ds = s.createDataset((1 to 200000).map(i => s"line_$i")).repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      ExternalProcessMap.pipePartitions(ds, Seq(headLike.toString)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated"), s"expected truncation error, got: $msg")
+  }
+
   test("external-process map fails fast on nonzero exit (R11 contract)") {
     val s = spark
     import s.implicits._
