@@ -116,14 +116,24 @@ object Dedup {
     docs.select(col("doc_id"), sim(split(col("text"), " ")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance <= maxDist, blocked by 4
-    * 16-bit chunks (a pair within distance<=3 must share >=1 chunk). */
+  /** SimHash near-dup pairs: hamming distance <= maxDist, blocked by
+    * (maxDist+1) bit-range chunks. Pigeonhole: a pair differing in at most
+    * maxDist bits leaves at least one of the maxDist+1 chunks untouched, so
+    * the blocking is candidate-complete for the declared bound (candidates
+    * are then exactly re-scored with a popcount; completeness is asserted
+    * against brute-force hamming in DedupSpec). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0,63], got $maxDist")
     val sh = simhash(docs)
+    val k = maxDist + 1
+    val bounds = (0 to k).map(i => i * 64 / k) // chunk i = bits [b(i), b(i+1))
+    val chunks = (0 until k).map { i =>
+      val w = bounds(i + 1) - bounds(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("simhash"), bounds(i)).bitwiseAND(lit(mask))
+    }
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16) % 65536): _*))
-        .as(Seq("chunk_no", "chunk")))
+      posexplode(array(chunks: _*)).as(Seq("chunk_no", "chunk")))
     val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
     chunked.as("a")
       .join(chunked.as("b"),
@@ -164,22 +174,28 @@ object Dedup {
       .select(col("d1"), col("d2"), col("cos"))
   }
 
-  /** Exact token-set Jaccard via inverted-index join with a document
-    * frequency cap (tokens in more than dfCap docs carry no dedup signal
-    * and would otherwise create O(df²) pair blowup). */
-  def tokenJaccard(docs: DataFrame, threshold: Double = 0.3,
-                   dfCap: Int = 10000): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .where(col("token") =!= "").distinct()
-    val capped = tok.join(
-      tok.groupBy("token").agg(count(lit(1)).as("df"))
+  /** Exact set-Jaccard pairs from pre-exploded distinct (doc_id, item[,
+    * extra keys]) rows, via an inverted-index self-join with a document-
+    * frequency cap: items appearing in more than dfCap docs carry no dedup
+    * signal and would otherwise create O(df²) pair blowup — the one hot-key
+    * hazard of the inverted-index shape at corpus scale. `joinKeys` are the
+    * equi-join columns (the item, plus any blocking keys like language);
+    * the df cap is applied per joinKeys group (the actual blowup key).
+    * Set sizes come from the UNCAPPED item sets, so with dfCap above the
+    * corpus max df the result is exactly brute-force Jaccard. Threshold is
+    * applied to the unrounded value; output is floor-rounded to 4dp (the
+    * halfway-stable rounding both engines agree on). */
+  def jaccardFromItems(items: DataFrame, threshold: Double, dfCap: Int,
+                       joinKeys: Seq[String]): DataFrame = {
+    val capped = items.join(
+      items.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("df"))
         .where(col("df") <= dfCap),
-      Seq("token"), "left_semi")
-    val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      joinKeys, "left_semi")
+    val cnt = items.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     capped.as("a")
       .join(capped.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
@@ -187,6 +203,15 @@ object Dedup {
       .withColumn("jac",
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .where(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+      .select(col("d1"), col("d2"),
+        (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
   }
+
+  /** Exact token-set Jaccard via the df-capped inverted-index join. */
+  def tokenJaccard(docs: DataFrame, threshold: Double = 0.3,
+                   dfCap: Int = 10000): DataFrame =
+    jaccardFromItems(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "").distinct(),
+      threshold, dfCap, Seq("token"))
 }

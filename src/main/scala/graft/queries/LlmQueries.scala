@@ -79,51 +79,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // token-set Jaccard near-dup, via inverted-index self-join (not doc×doc)
-    "q_llm_jaccard" -> ((s, d) => {
-      val tok = distinctTokens(Tables.documents(s, d).where(col("doc_id") < 500))
-      val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = tok.as("a")
-        .join(tok.as("b"),
-              col("a.token") === col("b.token") &&
-              col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("c"))
-      pairs
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac", col("c").cast("double") /
-                           (col("n1") + col("n2") - col("c")))
-        .where(col("jac") >= 0.3)
-        .select(col("d1"), col("d2"),
-          (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+    // token-set Jaccard near-dup via the shared df-capped inverted-index
+    // operator (lang as an extra blocking key). The cap only drops tokens
+    // whose document frequency exceeds it — far above this corpus's max df,
+    // so results are exactly brute-force Jaccard here, while the same plan
+    // survives hot-token blowup at 100 TB.
+    "q_llm_jaccard" -> ((s, d) =>
+      Dedup.jaccardFromItems(
+          distinctTokens(Tables.documents(s, d).where(col("doc_id") < 500)),
+          threshold = 0.3, dfCap = 100000, joinKeys = Seq("token", "lang"))
+        .orderBy(col("d1"), col("d2"))),
 
     // character n-gram (trigram) Jaccard near-dup — the shingle-level twin
-    // of the token-set q_llm_jaccard, same inverted-index shape
-    "q_llm_ngram_jaccard" -> ((s, d) => {
-      val tri = Tables.documents(s, d).where(col("doc_id") < 300)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-          .as("g"))
-        .distinct()
-      val cnt = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      tri.as("a")
-        .join(tri.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac", col("c").cast("double") /
-                           (col("n1") + col("n2") - col("c")))
-        .where(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"),
-          (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+    // of the token-set q_llm_jaccard, same df-capped inverted-index operator
+    "q_llm_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardFromItems(
+          Tables.documents(s, d).where(col("doc_id") < 300)
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+              .as("g"))
+            .distinct(),
+          threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"))
+        .orderBy(col("d1"), col("d2"))),
 
     // language-ID: n-gram/marker-token heuristic, scored per language with a
     // fixed priority tiebreak (en > es > de > fr), 'und' when no marker hits.
@@ -174,7 +151,9 @@ object LlmQueries {
           w = 3, k = 64, bands = 16, threshold = 0.35)
         .orderBy(col("d1"), col("d2"))),
 
-    // SimHash near-dup pairs (rows-only; property check in DedupSpec)
+    // SimHash near-dup pairs (rows-only; DedupSpec asserts the 9-chunk
+    // blocking finds EVERY pair within hamming distance 8 — candidate-
+    // complete by pigeonhole, unlike the old 4×16-bit blocking)
     "q_llm_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
           Tables.documents(s, d).where(col("doc_id") < 500), maxDist = 8)

@@ -62,6 +62,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getInt(2) == 0)
   }
 
+  test("simhash blocking is candidate-complete vs brute-force hamming") {
+    val s = spark
+    val maxDist = 8
+    // brute force over all simhash pairs of the sf0.001 corpus
+    val hashes = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      i <- hashes.indices.iterator; j <- (i + 1) until hashes.length
+      (id1, h1) = hashes(i); (id2, h2) = hashes(j)
+      if java.lang.Long.bitCount(h1 ^ h2) <= maxDist
+    } yield if (id1 < id2) (id1, id2) else (id2, id1)).toSet
+    val found = Dedup.simhashPairs(docs, maxDist = maxDist)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"blocking must find exactly the ${truth.size} true pairs " +
+        s"(missed ${(truth -- found).size}, extra ${(found -- truth).size})")
+    assert(truth.nonEmpty, "fixture must exercise at least one near pair")
+  }
+
   test("token Jaccard inverted-index equals brute-force on a small sample") {
     val s = spark
     import s.implicits._
