@@ -116,13 +116,10 @@ object Dedup {
     docs.select(col("doc_id"), sim(split(col("text"), " ")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance <= maxDist, blocked by
-    * (maxDist+1) bit-range chunks. Pigeonhole: a pair differing in at most
-    * maxDist bits leaves at least one of the maxDist+1 chunks untouched, so
-    * the blocking is candidate-complete for the declared bound (candidates
-    * are then exactly re-scored with a popcount; completeness is asserted
-    * against brute-force hamming in DedupSpec). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  /** Blocking rows (doc_id, simhash, chunk_no, chunk) for `simhashPairs`:
+    * the 64-bit hash split into (maxDist+1) bit-range chunks. Exposed so the
+    * bucket-fan-out property (DedupSpec) can bound candidate volume. */
+  private[operators] def simhashChunks(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0,63], got $maxDist")
     val sh = simhash(docs)
     val k = maxDist + 1
@@ -132,8 +129,28 @@ object Dedup {
       val mask = if (w == 64) -1L else (1L << w) - 1L
       shiftrightunsigned(col("simhash"), bounds(i)).bitwiseAND(lit(mask))
     }
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    sh.select(col("doc_id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("chunk_no", "chunk")))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist, blocked by
+    * (maxDist+1) bit-range chunks. Pigeonhole: a pair differing in at most
+    * maxDist bits leaves at least one of the maxDist+1 chunks untouched, so
+    * the blocking is candidate-complete for the declared bound (candidates
+    * are then exactly re-scored with a popcount; completeness is asserted
+    * against brute-force hamming in DedupSpec).
+    *
+    * Scale: candidate volume is Σ bucket² over (chunk_no, chunk) join keys,
+    * and each chunk is 64/(maxDist+1) bits wide — the key space shrinks
+    * EXPONENTIALLY as the bound grows. maxDist=3 (4×16-bit chunks, ~65k keys
+    * per chunk_no — the standard Manku/Charikar operating point) is the
+    * corpus-scale configuration and what the catalog ships; maxDist=8 would
+    * block on 7-bit chunks (~128 keys per chunk_no ⇒ ≈n²/28 candidate pairs
+    * — brute force in disguise) and is only sane on small or pre-blocked
+    * inputs. For bounds >3 at scale, tighten per-block first (e.g. dedup
+    * exact-duplicate hashes) or raise the hash width instead. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunked = simhashChunks(docs, maxDist)
     val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
     chunked.as("a")
       .join(chunked.as("b"),

@@ -151,12 +151,15 @@ object LlmQueries {
           w = 3, k = 64, bands = 16, threshold = 0.35)
         .orderBy(col("d1"), col("d2"))),
 
-    // SimHash near-dup pairs (rows-only; DedupSpec asserts the 9-chunk
-    // blocking finds EVERY pair within hamming distance 8 — candidate-
-    // complete by pigeonhole, unlike the old 4×16-bit blocking)
+    // SimHash near-dup pairs at the corpus-scale operating point: maxDist=3
+    // ⇒ 4×16-bit chunks ⇒ ~65k join keys per chunk_no, so buckets stay
+    // near-singleton at any n (rows-only; DedupSpec asserts the blocking is
+    // candidate-COMPLETE by pigeonhole for the shipped bound and bounds the
+    // bucket fan-out — wider bounds shrink the key space exponentially and
+    // degenerate to brute force, see Dedup.simhashPairs)
     "q_llm_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
-          Tables.documents(s, d).where(col("doc_id") < 500), maxDist = 8)
+          Tables.documents(s, d).where(col("doc_id") < 500), maxDist = 3)
         .orderBy(col("d1"), col("d2"))),
 
     // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only;

@@ -62,23 +62,137 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getInt(2) == 0)
   }
 
-  test("simhash blocking is candidate-complete vs brute-force hamming") {
+  /** Corpus + planted near-duplicates: exact copies (hamming 0 by
+    * construction) and one-token edits of the first few documents, so the
+    * shipped maxDist=3 bound always has true pairs to find. */
+  private def docsWithPlantedDups = {
     val s = spark
-    val maxDist = 8
-    // brute force over all simhash pairs of the sf0.001 corpus
-    val hashes = Dedup.simhash(docs).collect()
+    import s.implicits._
+    val planted = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        Seq((id + 100000L, text),                    // exact copy: dist 0
+            (id + 200000L, text + " zzyzx"))         // 1-token edit: dist small
+      }
+    docs.select(col("doc_id"), col("text"))
+      .union(planted.toSeq.toDF("doc_id", "text"))
+  }
+
+  private def bruteForcePairs(d: org.apache.spark.sql.DataFrame,
+                              maxDist: Int): Set[(Long, Long)] = {
+    val hashes = Dedup.simhash(d).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val truth = (for {
+    (for {
       i <- hashes.indices.iterator; j <- (i + 1) until hashes.length
       (id1, h1) = hashes(i); (id2, h2) = hashes(j)
       if java.lang.Long.bitCount(h1 ^ h2) <= maxDist
     } yield if (id1 < id2) (id1, id2) else (id2, id1)).toSet
-    val found = Dedup.simhashPairs(docs, maxDist = maxDist)
+  }
+
+  test("simhash blocking is candidate-complete at the shipped bound (maxDist=3)") {
+    val d = docsWithPlantedDups
+    val truth = bruteForcePairs(d, maxDist = 3)
+    val found = Dedup.simhashPairs(d, maxDist = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "planted duplicates must yield near pairs")
+    assert(found == truth,
+      s"blocking must find exactly the ${truth.size} true pairs " +
+        s"(missed ${(truth -- found).size}, extra ${(found -- truth).size})")
+  }
+
+  test("simhash blocking is candidate-complete vs brute-force hamming (maxDist=8)") {
+    val truth = bruteForcePairs(docs, maxDist = 8)
+    val found = Dedup.simhashPairs(docs, maxDist = 8)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found == truth,
       s"blocking must find exactly the ${truth.size} true pairs " +
         s"(missed ${(truth -- found).size}, extra ${(found -- truth).size})")
     assert(truth.nonEmpty, "fixture must exercise at least one near pair")
+  }
+
+  test("simhash shipped bound keeps candidate fan-out sub-quadratic") {
+    val d = docsWithPlantedDups
+    val n = d.count()
+    def bucketSizes(maxDist: Int): Array[Long] =
+      Dedup.simhashChunks(d, maxDist)
+        .groupBy(col("chunk_no"), col("chunk")).agg(count(lit(1)).as("sz"))
+        .select("sz").collect().map(_.getLong(0))
+    // the cost of the blocked self-join is the candidate-pair volume
+    // Σ sz·(sz-1)/2 over (chunk_no, chunk) buckets
+    def candidates(sizes: Array[Long]): Long = sizes.map(s => s * (s - 1) / 2).sum
+
+    val shipped = bucketSizes(maxDist = 3)
+    // 4×16-bit chunks: the key count scales WITH the corpus (4 keys/doc) and
+    // the candidate volume stays O(n) even though this template-generated
+    // corpus genuinely clusters (buckets up to ~26 docs are real near-dups)
+    assert(shipped.length >= 2 * n,
+      s"distinct join keys ${shipped.length} must scale with n=$n")
+    assert(candidates(shipped) <= 8 * n,
+      s"shipped-bound candidates ${candidates(shipped)} must be O(n), n=$n")
+    // contrast: a maxDist=8 call blocks on 7-bit chunks (≤ 9×2^7 = 1152
+    // possible keys) and its candidate volume degenerates toward n²/28 —
+    // the scale-killer the shipped bound avoids
+    val wide = bucketSizes(maxDist = 8)
+    assert(wide.length <= 9 * 128, s"7-bit chunking cannot exceed 1152 keys")
+    assert(candidates(wide) >= 20 * candidates(shipped),
+      s"wide-bound candidates ${candidates(wide)} should dwarf shipped " +
+        s"${candidates(shipped)} — if not, the fixture stopped demonstrating the trade")
+  }
+
+  test("embedding near-dup finds planted near-duplicate vectors (recall + precision)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Sketches.mix64
+    val dim = 64
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(j => mix64(seed * 997 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // 200 random unit vectors (pairwise cos ~ N(0, 1/64) — far below 0.9),
+    // plus 30 planted near-duplicates v' = normalize(v + 0.15·w): cos ≈ 0.989
+    val base = (0 until 200).map(i => i.toLong -> unit(i))
+    val planted = (0 until 30).map { i =>
+      val (id, v) = base(i)
+      val w = unit(10000 + i)
+      val mixed = v.zip(w).map { case (a, b) => a + 0.15 * b }
+      (id + 1000L) -> mixed
+    }
+    val all = (base ++ planted).map { case (id, v) => (id, v.map(_.toFloat)) }
+    val df = all.toDF("vec_id", "embedding")
+
+    // brute-force ground truth with the operator's own arithmetic (double
+    // accumulation over float components, round-half-up to 4dp, >= 0.9)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth = (for {
+      i <- all.indices.iterator; j <- (i + 1) until all.length
+      if r4(cos(all(i)._2, all(j)._2)) >= 0.9
+    } yield {
+      val (x, y) = (all(i)._1, all(j)._1)
+      if (x < y) (x, y) else (y, x)
+    }).toSet
+    assert(truth.size >= 25, s"fixture must plant near-dup pairs, got ${truth.size}")
+
+    val found = Dedup.embeddingNearDup(df, threshold = 0.9, dim = dim,
+        nPlanes = 8, tables = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact re-scoring inside buckets ⇒ every reported pair is a true pair
+    assert(found.subsetOf(truth),
+      s"precision must be 1.0 — extra pairs: ${found -- truth}")
+    // analytic per-pair recall at cos≈0.989 with 8 planes × 4 tables:
+    // p = (1-θ/π)^8 ≈ 0.68 per table ⇒ 1-(1-p)^4 ≈ 0.99; assert with slack
+    val recall = truth.count(found).toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall over ${truth.size} planted pairs")
   }
 
   test("token Jaccard inverted-index equals brute-force on a small sample") {
