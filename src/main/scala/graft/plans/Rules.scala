@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.{CosineSim, DotProductF}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, If, LessThan, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -11,11 +11,17 @@ import org.apache.spark.sql.types.DoubleType
   * the `Rule[LogicalPlan]` surface; injected via GraftExtensions or
   * `Rules.register(spark)`).
   *
-  * `SimplifySelfSimilarity`: `cosine_sim(x, x)` is identically 1.0 for any
-  * non-null, non-zero vector — fold it to a literal so the whole per-row
-  * loop disappears from the generated code. Null propagation is preserved:
-  * the rewrite only fires when the child is deterministic and non-nullable
-  * (a nullable child must keep the expression to return null on null input).
+  * `SimplifySelfSimilarity`: `cosine_sim(x, x)` evaluates d/(√d·√d) with
+  * d = Σx² — that is 1.0 (the expression's self-similarity contract) for any
+  * finite non-zero vector, and NaN exactly when d is 0 (zero-norm or empty
+  * vector), NaN, or +Inf. The rewrite therefore folds to a guarded
+  * `IF(0 < dot_f(x,x) < +Inf, 1.0, NaN)`: one single-accumulator array pass
+  * instead of three accumulators plus two sqrts, while zero-norm/empty/
+  * non-finite inputs keep returning NaN exactly like the unoptimized
+  * expression (an optimizer rule must never change results — RulesSpec pins
+  * the NaN cases). Null propagation is preserved: the rewrite only fires
+  * when the child is deterministic and non-nullable (a nullable child must
+  * keep the expression to return null on null input).
   * `dot_f(x, x)` is left alone (it's a real norm computation).
   */
 object SimplifySelfSimilarity extends Rule[LogicalPlan] {
@@ -23,7 +29,12 @@ object SimplifySelfSimilarity extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case CosineSim(a, b)
           if a == b && a.deterministic && !a.nullable =>
-        Literal(1.0, DoubleType)
+        val d = DotProductF(a, a)
+        If(
+          And(GreaterThan(d, Literal(0.0, DoubleType)),
+              LessThan(d, Literal(Double.PositiveInfinity, DoubleType))),
+          Literal(1.0, DoubleType),
+          Literal(Double.NaN, DoubleType))
     }
 }
 

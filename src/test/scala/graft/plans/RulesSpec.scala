@@ -30,6 +30,36 @@ class RulesSpec extends SparkSpec {
     assert(opt.contains("cosine_sim"), s"nullable self-cosine wrongly folded:\n$opt")
   }
 
+  test("zero-norm and empty vectors still return NaN after the fold") {
+    val s = spark
+    GraftFunctions.register(s)
+    Rules.register(s)
+    // parquet-backed input (a local Seq would be constant-folded by
+    // ConvertToLocalRelation before the rule could ever fire); zero and
+    // empty vectors derived from the non-nullable embedding column
+    def shaped(vcol: org.apache.spark.sql.Column) =
+      Tables.embeddings(s, sf0001).limit(3)
+        .select(vcol.as("e"))
+        .select(expr("transform(e, x -> float(0.0))").as("z"),
+                expr("slice(e, 1, 0)").as("emp"), col("e"))
+        .select(expr("cosine_sim(z, z)").as("zero"),
+                expr("cosine_sim(emp, emp)").as("empty"),
+                expr("cosine_sim(e, e)").as("self"))
+    val folded = shaped(coalesce(col("embedding"), array(lit(1.0f))))
+    val opt = folded.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("cosine_sim"), s"self-cosine not folded:\n$opt")
+    // reference: nullable child keeps the raw (unfolded) expression
+    val ref = shaped(col("embedding"))
+    assert(ref.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+    val (g, r) = (folded.head(), ref.head())
+    assert(r.getDouble(0).isNaN && r.getDouble(1).isNaN,
+      "unoptimized 0/0 must be NaN")
+    assert(g.getDouble(0).isNaN && g.getDouble(1).isNaN,
+      s"folded zero-norm/empty results changed: $g")
+    // non-zero vector: fold yields the declared self-similarity contract 1.0
+    assert(g.getDouble(2) == 1.0 && math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("distinct vectors are untouched by the rule") {
     val s = spark
     import s.implicits._
