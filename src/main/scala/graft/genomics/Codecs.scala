@@ -56,40 +56,37 @@ object Codecs {
   /** R9 as the reference does it (`workflow.py:398-405`): a driver-side
     * listing of the sink's `sample=<s>/` partition directories — no data
     * scan — with the same name filter as `Demux.discoverSamples` (no
-    * `_`-prefix, no unknown/undetermined). */
-  def listSamplePartitions(prqDir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(prqDir)
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val it = java.nio.file.Files.list(root).iterator()
-    val out = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val p = it.next()
-      val name = p.getFileName.toString
-      if (java.nio.file.Files.isDirectory(p) && name.startsWith("sample=")) {
-        val s = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(name.stripPrefix("sample="))
-        val l = s.toLowerCase
-        if (!s.startsWith("_") && !l.contains("unknown") && !l.contains("undetermined"))
-          out += s
-      }
-    }
-    out.result().sorted
+    * `_`-prefix, no unknown/undetermined). Listed through the Hadoop
+    * FileSystem API so any scheme the sink can write (hdfs://, s3a://,
+    * file://) lists the same way — the reference's `phdfs.lsl`. */
+  def listSamplePartitions(spark: SparkSession, prqDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(prqDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("sample=") =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(st.getPath.getName.stripPrefix("sample="))
+    }.filter { s =>
+      val l = s.toLowerCase
+      !s.startsWith("_") && !l.contains("unknown") && !l.contains("undetermined")
+    }.sorted
   }
 
   /** R7 for sinks that can't avoid empty parts: delete files under `dir`
     * smaller than `minBytes` (gzip header ≈ 20 B ⇒ no payload). Driver-side
-    * filesystem pass, exactly like the reference's `_clean_up_bcl_output`. */
-  def pruneSmallFiles(dir: String, minBytes: Long = 30): Int = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) return 0
-    val it = java.nio.file.Files.walk(root).iterator()
+    * filesystem pass, exactly like the reference's `_clean_up_bcl_output`;
+    * FS-agnostic via the Hadoop FileSystem API. */
+  def pruneSmallFiles(spark: SparkSession, dir: String, minBytes: Long = 30): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val it = fs.listFiles(root, true)
     var n = 0
     while (it.hasNext) {
-      val p = it.next()
-      val name = p.getFileName.toString
-      if (java.nio.file.Files.isRegularFile(p) && name.startsWith("part-")
-          && java.nio.file.Files.size(p) < minBytes) {
-        java.nio.file.Files.delete(p); n += 1
+      val st = it.next()
+      if (st.getPath.getName.startsWith("part-") && st.getLen < minBytes) {
+        fs.delete(st.getPath, false); n += 1
       }
     }
     n

@@ -40,13 +40,22 @@ object ExternalProcessMap {
   /** Bytes of trailing stderr kept for error messages. */
   private val StderrTailBytes = 8192
 
+  /** How long to wait for the stdin writer after the process closes stdout.
+    * A child that closes stdout but stops READING stdin without exiting
+    * leaves the writer blocked on a full pipe forever — bounded join +
+    * forcible kill turns that hang into a task failure with a diagnostic. */
+  private[genomics] val DefaultWriterJoinTimeoutMs = 600000L
+
   /** Start `cmd`, feed it `input` from a writer thread, and return a lazy
-    * iterator over its stdout lines. On stdout EOF: joins the writer, checks
-    * the exit code (nonzero → exception carrying the stderr tail), and
-    * re-throws any unexpected writer-side IO error.
+    * iterator over its stdout lines. On stdout EOF: joins the writer
+    * (bounded — see `DefaultWriterJoinTimeoutMs`), checks the exit code
+    * (nonzero → exception carrying the stderr tail), and re-throws any
+    * unexpected writer-side IO error.
     */
   private[genomics] def pipe(input: Iterator[String], cmd: Seq[String],
-                             ctx: String): Iterator[String] = {
+                             ctx: String,
+                             writerJoinTimeoutMs: Long = DefaultWriterJoinTimeoutMs)
+      : Iterator[String] = {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -109,7 +118,18 @@ object ExternalProcessMap {
       def hasNext: Boolean = {
         if (nextLine == null && !finished) {
           finished = true
-          writer.join()
+          writer.join(writerJoinTimeoutMs)
+          if (writer.isAlive) {
+            // stdout is closed but the child is still holding stdin open
+            // without reading it — kill it and fail loudly instead of
+            // hanging the task until the scheduler gives up
+            proc.destroyForcibly()
+            writer.join(10000)
+            throw new RuntimeException(
+              s"external process $ctx $cmd closed stdout but stopped " +
+                s"reading stdin (writer still blocked after " +
+                s"$writerJoinTimeoutMs ms; process killed)$stderrMsg")
+          }
           drainer.join(10000)
           val code = proc.waitFor()
           if (code != 0)

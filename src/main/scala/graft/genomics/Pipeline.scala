@@ -61,7 +61,7 @@ object Pipeline {
 
     // R9: sample discovery from the sink's partition directories — a
     // driver-side listing (same as `workflow.py:398-405`), no data scan
-    val samples = Codecs.listSamplePartitions(prqDir)
+    val samples = Codecs.listSamplePartitions(spark, prqDir)
 
     // Stage 2 (R10/R11): concurrent per-sample alignment, fail-fast
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -77,11 +77,18 @@ object Pipeline {
         abortIfFailed() // a queued sibling of a failed sample never starts
         spark.sparkContext.setJobGroup(jobGroup, s"align $sample",
           interruptOnCancel = true)
-        val lines = readSamplePrq(spark, prqDir, sample)
-        abortIfFailed() // last gate before the job is submitted
-        val n = ExternalProcessMap.pipePartitions(lines, alignCmd).count()
-        counts.add(sample -> n)
-        onSampleDone(sample) // eager remove_output slot
+        try {
+          val lines = readSamplePrq(spark, prqDir, sample)
+          abortIfFailed() // last gate before the job is submitted
+          val n = ExternalProcessMap.pipePartitions(lines, alignCmd).count()
+          counts.add(sample -> n)
+          onSampleDone(sample) // eager remove_output slot
+        } finally {
+          // the pool thread is recycled: left tagged with a cancelled group,
+          // a later unrelated action submitted from it would be killed by
+          // cancelJobGroupAndFutureJobs's persistent future-jobs cancel
+          spark.sparkContext.clearJobGroup()
+        }
       }.andThen {
         case Failure(_: AbortedException) => () // not the root cause
         case Failure(e) =>

@@ -109,7 +109,7 @@ class GenomicsSpec extends SparkSpec {
     assert(partFiles.forall(_.toString.endsWith(".txt.gz")))
     assert(partFiles.forall(p => p.getParent.getFileName.toString.startsWith("sample=")))
     assert(partFiles.forall(p => Files.size(p) >= 30), "empty gzip part written")
-    assert(Codecs.pruneSmallFiles(out) == 0, "sink produced prunable parts")
+    assert(Codecs.pruneSmallFiles(s, out) == 0, "sink produced prunable parts")
 
     // content round-trips
     val back = Codecs.readPrq(s, out).collect()
@@ -173,7 +173,7 @@ class GenomicsSpec extends SparkSpec {
     val reads = Demux.dropUndetermined(
       Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
     Codecs.writePartitionedGzip(reads, prq)
-    assert(Codecs.listSamplePartitions(prq) == Seq("sample1", "sample2"))
+    assert(Codecs.listSamplePartitions(s, prq) == Seq("sample1", "sample2"))
     val one = Pipeline.readSamplePrq(s, prq, "sample1")
     val files = one.inputFiles
     assert(files.nonEmpty)
@@ -187,8 +187,26 @@ class GenomicsSpec extends SparkSpec {
     for (n <- Seq("sample=s1", "sample=Undetermined", "sample=_tmp",
                   "sample=a%20b", "_spark_metadata"))
       Files.createDirectories(dir.resolve(n))
-    assert(Codecs.listSamplePartitions(dir.toString) == Seq("a b", "s1"))
+    assert(Codecs.listSamplePartitions(spark, dir.toString) == Seq("a b", "s1"))
+    // FS-agnostic: an explicit file:// URI must list identically (the Hadoop
+    // FileSystem path — a java.nio listing would only ever see local paths)
+    assert(Codecs.listSamplePartitions(spark, s"file://$dir") == Seq("a b", "s1"))
+    assert(Codecs.listSamplePartitions(spark, dir.resolve("absent").toString).isEmpty)
     assert(Codecs.escapePartitionValue("a:b") == "a%3Ab")
+  }
+
+  test("child that closes stdout but stops reading stdin fails, not hangs") {
+    val script = Files.createTempFile("mock_wedge", ".sh")
+    // closes stdout immediately, then sleeps holding stdin open UNREAD: the
+    // writer blocks on the full pipe; the bounded join must kill + diagnose
+    Files.writeString(script, "#!/bin/sh\nexec >&-\nsleep 30\n")
+    script.toFile.setExecutable(true)
+    val big = (1 to 200000).iterator.map(i => s"line_$i") // >> 64 KB pipe
+    val e = intercept[RuntimeException] {
+      ExternalProcessMap.pipe(big, Seq(script.toString), "test",
+        writerJoinTimeoutMs = 500L).toList
+    }
+    assert(e.getMessage.contains("stopped reading stdin"), e.getMessage)
   }
 
   test("pipeBySample streams a large sample lazily through the process") {
