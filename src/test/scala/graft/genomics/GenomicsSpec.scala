@@ -195,6 +195,68 @@ class GenomicsSpec extends SparkSpec {
     assert(Codecs.escapePartitionValue("a:b") == "a%3Ab")
   }
 
+  private def writeFastqGz(dir: Path, name: String,
+                           records: Seq[(String, String, String)], mate: Int): Unit = {
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve(name)))
+    val sb = new StringBuilder
+    records.foreach { case (id, seq, qual) =>
+      sb.append('@').append(id).append('/').append(mate).append('\n')
+        .append(seq).append("\n+\n").append(qual).append('\n')
+    }
+    out.write(sb.toString.getBytes("UTF-8")); out.close()
+  }
+
+  test("FASTQ baseline arm round-trips to the same PRQ as the BCL arm") {
+    val s = spark
+    // ground truth: the BCL arm's post-demux PRQ rows
+    val bclReads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(s, runDir, rs)), sheet)).collect()
+    // bcl2fastq-style mate files: sample1 in one L001 couple; sample2 SPLIT
+    // across L001/L002 couples (exercises multi-file sorted positional
+    // pairing, `baseline_workflow.py:137-138`), plus decoys discovery skips
+    val dir = Files.createTempDirectory("graft_fastq")
+    def writeSample(sample: String, lane: Int, rows: Seq[PrqRead]): Unit = {
+      writeFastqGz(dir, f"${sample}_S1_L$lane%03d_R1_001.fastq.gz",
+        rows.map(r => (r.id, r.seq1, r.qual1)), 1)
+      writeFastqGz(dir, f"${sample}_S1_L$lane%03d_R2_001.fastq.gz",
+        rows.map(r => (r.id, r.seq2, r.qual2)), 2)
+    }
+    val bySample = bclReads.groupBy(_.sample)
+    writeSample("sample1", 1, bySample("sample1").toSeq.sortBy(_.id))
+    val s2 = bySample("sample2").toSeq.sortBy(_.id)
+    writeSample("sample2", 1, s2.take(1))
+    writeSample("sample2", 2, s2.drop(1))
+    writeFastqGz(dir, "Undetermined_S0_L001_R1_001.fastq.gz", Seq(("x", "A", "I")), 1)
+    writeFastqGz(dir, "Undetermined_S0_L001_R2_001.fastq.gz", Seq(("x", "T", "I")), 2)
+    Files.writeString(dir.resolve("notes.txt"), "not a fastq")
+
+    val pairs = FastqBaseline.discoverMatePairs(s, dir.toString)
+    assert(pairs.map(p => (p.sample, p.lane)) ==
+      Seq(("sample1", 1), ("sample2", 1), ("sample2", 2)))
+
+    val got = FastqBaseline.toPrq(s, dir.toString).collect()
+    def key(r: PrqRead) = (r.sample, r.id, r.seq1, r.qual1, r.seq2, r.qual2)
+    assert(got.map(key).toSet == bclReads.map(key).toSet,
+      "baseline arm must reproduce the BCL arm's PRQ exactly")
+    assert(got.forall(r => r.passFilter && r.barcode.isEmpty))
+  }
+
+  test("FASTQ mate pairing fails loudly on mate-id mismatch") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_fastq_bad")
+    writeFastqGz(dir, "sx_S1_L001_R1_001.fastq.gz",
+      Seq(("a", "ACGT", "IIII"), ("b", "ACGT", "IIII")), 1)
+    // R2 in swapped order: positional pairing must detect the id mismatch
+    writeFastqGz(dir, "sx_S1_L001_R2_001.fastq.gz",
+      Seq(("b", "TTTT", "IIII"), ("a", "TTTT", "IIII")), 2)
+    val e = intercept[org.apache.spark.SparkException] {
+      FastqBaseline.toPrq(s, dir.toString).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("mate id mismatch"), msg)
+  }
+
   test("child that closes stdout but stops reading stdin fails, not hangs") {
     val script = Files.createTempFile("mock_wedge", ".sh")
     // closes stdout immediately, then sleeps holding stdin open UNREAD: the
