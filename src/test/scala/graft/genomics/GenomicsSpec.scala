@@ -257,6 +257,57 @@ class GenomicsSpec extends SparkSpec {
     assert(msg.contains("mate id mismatch"), msg)
   }
 
+  test("SAM dataset shape: schema, aligner round-trip, partitioned sink") {
+    val s = spark
+    import s.implicits._
+    // mock aligner emitting minimal valid SAM from PRQ lines: a header line,
+    // then one record per mate (flags 99/147, CIGAR 4M, NM tag)
+    val script = Files.createTempFile("mock_sam", ".sh")
+    Files.writeString(script,
+      "#!/bin/sh\nprintf '@HD\\tVN:1.6\\tSO:unsorted\\n'\n" +
+        "awk -F'\\t' '{ printf \"%s\\t99\\tchr1\\t%d\\t60\\t4M\\t=\\t%d\\t8\\t%s\\t%s\\tNM:i:0\\n\", " +
+        "$1, NR*10, NR*10+4, $2, $3; " +
+        "printf \"%s\\t147\\tchr1\\t%d\\t60\\t4M\\t=\\t%d\\t-8\\t%s\\t%s\\tNM:i:0\\n\", " +
+        "$1, NR*10+4, NR*10, $4, $5 }'\n")
+    script.toFile.setExecutable(true)
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(s, runDir, rs)), sheet))
+    val sam = Sam.fromAligned(ExternalProcessMap.pipeBySample(reads, Seq(script.toString)))
+
+    // SURVEY §1.4 D4 schema: 11 mandatory SAM fields (+ sample, tags)
+    import org.apache.spark.sql.types._
+    val expected = Seq("sample" -> StringType, "qname" -> StringType,
+      "flag" -> IntegerType, "rname" -> StringType, "pos" -> LongType,
+      "mapq" -> IntegerType, "cigar" -> StringType, "rnext" -> StringType,
+      "pnext" -> LongType, "tlen" -> LongType, "seq" -> StringType,
+      "qual" -> StringType, "tags" -> StringType)
+    assert(sam.schema.fields.map(f => f.name -> f.dataType).toSeq == expected)
+
+    val rows = sam.collect()
+    assert(rows.length == 10, "2 mates x 5 demuxed reads") // header dropped
+    assert(rows.forall(_.getAs[String]("cigar") == "4M"))
+    assert(rows.forall(_.getAs[String]("tags") == "NM:i:0"))
+    assert(rows.count(_.getAs[Int]("flag") == 99) == 5)
+    val r0 = rows.find(r => r.getAs[String]("qname") == "1_1101_0" &&
+      r.getAs[Int]("flag") == 99).get
+    assert(r0.getAs[String]("seq") == "ACGT" && r0.getAs[Long]("pos") > 0)
+
+    // parse/serialize round-trip is exact (tags preserved verbatim)
+    val line = "q1\t99\tchr1\t100\t60\t4M\t=\t104\t8\tACGT\tIIII\tNM:i:0\tAS:i:4"
+    assert(Sam.toLine(Sam.parseLine(line)) == line)
+    val bare = "q1\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII"
+    assert(Sam.toLine(Sam.parseLine(bare)) == bare)
+
+    // partitioned text sink round-trips through the same typed shape
+    val out = Files.createTempDirectory("graft_sam").toString
+    Sam.writePartitioned(sam, out)
+    val back = Sam.readPartitioned(s, out)
+    assert(back.schema == sam.schema)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    assert(back.collect().map(key).toSet == rows.map(key).toSet)
+    assert(Codecs.listSamplePartitions(s, out) == Seq("sample1", "sample2"))
+  }
+
   test("child that closes stdout but stops reading stdin fails, not hangs") {
     val script = Files.createTempFile("mock_wedge", ".sh")
     // closes stdout immediately, then sleeps holding stdin open UNREAD: the
