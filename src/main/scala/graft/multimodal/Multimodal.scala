@@ -20,10 +20,12 @@ case class MediaFeature(path: String, kind: String, frameNo: Int,
 
 /** Multimodal column operators. The Spark-side plumbing — binaryFile scan,
   * schema, partition-preserving `mapPartitions` with per-batch processing,
-  * array<float> feature columns — is real and tested; the actual
-  * image/audio/video DECODE is a clearly-marked deterministic STUB (the
-  * codec libraries are not in this container). Swapping the stub for a real
-  * decoder changes only the function body marked below, not the dataflow.
+  * array<float> feature columns — is real and tested. Header PROBES are
+  * real pure-JDK byte parses for PNG (IHDR width/height) and WAV (fmt/data
+  * chunks → duration); JPEG/MP3/MP4 probing and all payload DECODE remain
+  * clearly-marked deterministic STUBS (the codec libraries are not in this
+  * container). Swapping a stub for a real decoder changes only the function
+  * body marked below, not the dataflow.
   *
   * Scale: decode is embarrassingly parallel; `mapPartitions` keeps it one
   * process-wide pass per partition with no shuffle. Frame sampling explodes
@@ -49,11 +51,67 @@ object Multimodal {
       .map { case (path, bytes) => probe(path, bytes) }
   }
 
-  /** STUB decode probe — deterministic fake header parse.
-    * REAL IMPLEMENTATION WOULD: parse the container header (PNG IHDR / WAV
-    * fmt / MP4 moov) for true dimensions and duration. */
+  /** REAL PNG header parse: signature + IHDR chunk → (width, height).
+    * None for anything malformed (caller falls back to the stub). */
+  private[multimodal] def probePngHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    if (b.length >= 24 && b.take(8).sameElements(sig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val (w, h) = (be32(16), be32(20))
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+  }
+
+  /** REAL WAV header parse: walk RIFF chunks, read the fmt chunk's byte
+    * rate and the data chunk's size → duration in ms. None when malformed. */
+  private[multimodal] def probeWavHeader(b: Array[Byte]): Option[Long] = {
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var byteRate = 0L
+    var dataLen = -1L
+    while (off + 8 <= b.length && (byteRate == 0 || dataLen < 0)) {
+      val sz = le32(off + 4).toLong & 0xffffffffL
+      tag(off) match {
+        // fmt payload: format(2) channels(2) sampleRate(4) byteRate(4) …
+        case "fmt " if off + 20 <= b.length =>
+          byteRate = le32(off + 16).toLong & 0xffffffffL
+        case "data" => dataLen = sz
+        case _ => ()
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+  }
+
+  /** Header probe: REAL for PNG and WAV (pure-JDK byte parses above); a
+    * deterministic STUB for JPEG/MP3/video and for malformed headers, which
+    * keeps the dataflow total on arbitrary bytes. */
   def probe(path: String, bytes: Array[Byte]): MediaFile = {
     val kind = kindOf(path)
+    val real: Option[MediaMeta] = kind match {
+      case "image" if path.toLowerCase.endsWith(".png") =>
+        probePngHeader(bytes).map { case (w, h) =>
+          MediaMeta("image/png", bytes.length, w, h, 0L) }
+      case "audio" if path.toLowerCase.endsWith(".wav") =>
+        probeWavHeader(bytes).map(d =>
+          MediaMeta("audio/wav", bytes.length, 0, 0, d))
+      case _ => None
+    }
+    real match {
+      case Some(meta) => MediaFile(path, kind, bytes, meta)
+      case None => stubProbe(path, kind, bytes)
+    }
+  }
+
+  /** STUB probe — deterministic fake header parse for formats whose codecs
+    * aren't in this container (JPEG SOF, MP3 frames, MP4 moov) and for
+    * malformed inputs. */
+  private def stubProbe(path: String, kind: String, bytes: Array[Byte]): MediaFile = {
     val h = bytes.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
     val meta = MediaMeta(
       mime = kind match {

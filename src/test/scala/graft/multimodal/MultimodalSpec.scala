@@ -61,6 +61,49 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.find(_.kind == "audio").get.meta.width == 0)
   }
 
+  test("real PNG and WAV headers probe true dimensions and duration") {
+    // a REAL 37x21 PNG via javax.imageio
+    val img = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", pngOut))
+    val png = pngOut.toByteArray
+
+    // a REAL 500 ms WAV via javax.sound.sampled: 8 kHz × 16-bit mono
+    // ⇒ byte rate 16000; 8000 data bytes = 4000 frames = 500 ms
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](8000)), fmt, 4000)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+
+    val d = Files.createTempDirectory("graft_media_real")
+    Files.write(d.resolve("real.png"), png)
+    Files.write(d.resolve("real.wav"), wav)
+    val media = Multimodal.scan(spark, d.toString).collect()
+      .map(m => m.path.split('/').last -> m).toMap
+
+    val p = media("real.png").meta
+    assert(p.mime == "image/png" && p.width == 37 && p.height == 21,
+      s"PNG IHDR misparsed: $p")
+    val w = media("real.wav").meta
+    assert(w.mime == "audio/wav" && w.durationMs == 500L,
+      s"WAV fmt/data misparsed: $w")
+
+    // resize flows through the REAL dimensions
+    val r = Multimodal.resize(Multimodal.scan(spark, d.toString), 10, 10)
+      .collect().find(_.kind == "image").get.meta
+    assert(r.width == 10 && r.height == 5, s"resize from real dims: $r")
+
+    // malformed headers fall back to the stub probe, not an exception
+    val junk = Multimodal.probe("x.png", Array.tabulate(64)(_.toByte))
+    assert(junk.meta.width > 0 && junk.meta.height > 0)
+    assert(Multimodal.probePngHeader(Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Multimodal.probeWavHeader(Array.tabulate(64)(_.toByte)).isEmpty)
+  }
+
   test("metadata projection has the declared schema") {
     val t = Multimodal.metaTable(Multimodal.scan(spark, dir))
     assert(t.columns.toSeq ==
