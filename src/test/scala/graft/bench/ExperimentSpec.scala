@@ -38,6 +38,38 @@ class ExperimentSpec extends AnyFunSuite {
     assert(e.getMessage.contains("aborting"))
   }
 
+  test("preRun cache-drop barrier precedes every attempt, retries included") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    var calls = 0
+    Experiment.run(rep => {
+      calls += 1
+      events += s"run_$calls"
+      if (calls == 2) throw new RuntimeException("flaky") // rep2 attempt1
+      StageTimes(1.0, 2.0)
+    }, repeats = 2, maxRetries = 2,
+      preRun = () => events += s"pre_${calls + 1}")
+    // the barrier fires immediately before EACH attempt — including the
+    // retry of the failed attempt (experiment.py clears caches per run)
+    assert(events.toSeq ==
+      Seq("pre_1", "run_1", "pre_2", "run_2", "pre_3", "run_3"))
+  }
+
+  test("CacheDrop barrier clears Spark's block cache and never throws") {
+    val spark = graft.SparkSpec.spark
+    val df = spark.range(100).toDF("x").cache()
+    assert(df.count() == 100)
+    assert(!spark.sparkContext.getPersistentRDDs.isEmpty, "cache must be live")
+    CacheDrop.barrier(spark)()                 // driver-side drop
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearCache must drop every cached block")
+    val df2 = spark.range(10).toDF("x").cache()
+    df2.count()
+    CacheDrop.barrier(spark, executorSlots = 4)() // cluster-shaped fan-out
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // OS drop is best-effort: unprivileged containers report false
+    val _ = CacheDrop.dropOsCaches()
+  }
+
   test("CSV has header once and appends across runs") {
     val csv = Files.createTempFile("graft_exp", ".csv").toString
     Files.delete(Paths.get(csv))
