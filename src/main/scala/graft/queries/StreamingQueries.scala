@@ -41,21 +41,35 @@ object StreamingQueries {
     val staged = stagedDirs.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_src").toString
-      Tables.events(s, d).repartitionByRange(4, col("ts"))
+      // `props` (a fat JSON varchar) is untouched by every stream query —
+      // pruning it at staging time is the column pruning the file source
+      // cannot do retroactively, and halves both the stage write and every
+      // replay scan
+      Tables.events(s, d).drop("props").repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
-    val ev = Tables.events(s, d)
+    val ev = Tables.events(s, d).drop("props")
     // 2 files per trigger over 4 staged files = 2 micro-batches: still a
     // genuine multi-batch replay (state merge across batches exercised) at
     // half the per-batch planning cost
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "2").parquet(staged)
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val q = build(stream).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+    // a stateful query creates (and commits) one state-store instance per
+    // shuffle partition PER MICRO-BATCH; a replay batch holds a few MB, so
+    // the session's scan-sized partition count is pure fixed cost here.
+    // 8 state partitions cut that 4× with identical results — the count is
+    // baked into the query's checkpoint, so a production stream sizes it to
+    // its cluster at first start the same way.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(stream).writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
