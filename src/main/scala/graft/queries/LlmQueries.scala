@@ -163,10 +163,21 @@ object LlmQueries {
         .orderBy(col("d1"), col("d2"))),
 
     // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only;
-    // vector-space dedup variant of minhashLsh)
-    "q_llm_embdup" -> ((s, d) =>
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.9)
-        .orderBy(col("d1"), col("d2"))),
+    // vector-space dedup variant of minhashLsh). The fixture corpus has no
+    // true near-dups (max pairwise cosine ≈0.6), which would make a 0-row
+    // check vacuous — so the query plants exact copies of vec_id<5 under
+    // shifted ids: identical vectors hash to the same bucket in EVERY
+    // table, so the 5 (i, i+1000000) pairs at cos 1.0 are a deterministic
+    // self-check that detection actually happens. (Recall/precision against
+    // brute force is property-tested in DedupSpec with planted cos≈0.99
+    // pairs.)
+    "q_llm_embdup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(planted), threshold = 0.9)
+        .orderBy(col("d1"), col("d2"))
+    }),
 
     // approximate nearest neighbors via random-hyperplane LSH (rows-only;
     // recall vs brute force asserted in SimilaritySpec)
