@@ -104,4 +104,25 @@ object FastqBaseline {
     require(pairs.nonEmpty, s"no paired fastq.gz mates found under $fastqDir")
     pairs.map(readMatePair(spark, _)).reduce(_ union _)
   }
+
+  /** R19: the baseline's stage 2 — samples aligned ONE AT A TIME in sorted
+    * order (`baseline_workflow.py:150-167`; the deliberate contrast to
+    * `Pipeline.run`'s concurrent fan-out), each sample's aligned output
+    * consumed and released before the next sample starts (`os.remove` at
+    * `baseline_workflow.py:167` — here `onSampleDone`, the eager-cleanup
+    * slot). Returns per-sample aligned line counts. */
+  def runSequential(spark: SparkSession, fastqDir: String,
+                    alignCmd: Seq[String],
+                    onSampleDone: String => Unit = _ => ())
+      : Map[String, Long] = {
+    import spark.implicits._
+    discoverMatePairs(spark, fastqDir).groupBy(_.sample).toSeq.sortBy(_._1)
+      .map { case (sample, mps) =>
+        val reads = mps.map(readMatePair(spark, _)).reduce(_ union _)
+        val n = ExternalProcessMap.pipePartitions(
+          reads.map(Codecs.toPrqLine), alignCmd).count()
+        onSampleDone(sample)
+        sample -> n
+      }.toMap
+  }
 }

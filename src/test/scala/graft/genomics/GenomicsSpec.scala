@@ -242,6 +242,30 @@ class GenomicsSpec extends SparkSpec {
     assert(got.forall(r => r.passFilter && r.barcode.isEmpty))
   }
 
+  test("baseline sequential align loop: sorted order, eager per-sample release") {
+    val s = spark
+    // reuse the round-trip fixture layout: sample1 (2 reads), sample2 (3)
+    val dir = Files.createTempDirectory("graft_fastq_seq")
+    val bclReads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(s, runDir, rs)), sheet))
+      .collect().groupBy(_.sample)
+    for ((sample, rows) <- bclReads) {
+      writeFastqGz(dir, s"${sample}_S1_L001_R1_001.fastq.gz",
+        rows.toSeq.sortBy(_.id).map(r => (r.id, r.seq1, r.qual1)), 1)
+      writeFastqGz(dir, s"${sample}_S1_L001_R2_001.fastq.gz",
+        rows.toSeq.sortBy(_.id).map(r => (r.id, r.seq2, r.qual2)), 2)
+    }
+    val script = Files.createTempFile("mock_aln_seq", ".sh")
+    Files.writeString(script, "#!/bin/sh\nsed 's/^/ALN /'\n")
+    script.toFile.setExecutable(true)
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    val counts = FastqBaseline.runSequential(s, dir.toString,
+      Seq(script.toString), onSampleDone = done += _)
+    assert(counts == Map("sample1" -> 2L, "sample2" -> 3L))
+    // strictly sequential in sorted sample order, cleanup hook per sample
+    assert(done.toSeq == Seq("sample1", "sample2"))
+  }
+
   test("FASTQ mate pairing fails loudly on mate-id mismatch") {
     val s = spark
     val dir = Files.createTempDirectory("graft_fastq_bad")
