@@ -21,11 +21,14 @@ case class MediaFeature(path: String, kind: String, frameNo: Int,
 /** Multimodal column operators. The Spark-side plumbing — binaryFile scan,
   * schema, partition-preserving `mapPartitions` with per-batch processing,
   * array<float> feature columns — is real and tested. Header PROBES are
-  * real pure-JDK byte parses for PNG (IHDR width/height) and WAV (fmt/data
-  * chunks → duration); JPEG/MP3/MP4 probing and all payload DECODE remain
-  * clearly-marked deterministic STUBS (the codec libraries are not in this
-  * container). Swapping a stub for a real decoder changes only the function
-  * body marked below, not the dataflow.
+  * real pure-JDK byte parses for PNG (IHDR), JPEG (SOF marker), GIF (logical
+  * screen descriptor), WAV (fmt/data chunks), MP3 (MPEG frame header, CBR
+  * duration estimate) and MP4 (ISO-BMFF box walk: mvhd duration, tkhd
+  * dimensions). Image payload RESIZE is real too (ImageIO decode → scale →
+  * re-encode). What remains a clearly-marked deterministic STUB: video/audio
+  * frame-payload decode and the feature-extraction embedding (no codec / ML
+  * libraries in this container) — swapping those changes only the function
+  * bodies marked below, not the dataflow.
   *
   * Scale: decode is embarrassingly parallel; `mapPartitions` keeps it one
   * process-wide pass per partition with no shuffle. Frame sampling explodes
@@ -36,7 +39,8 @@ object Multimodal {
 
   private def kindOf(path: String): String = {
     val p = path.toLowerCase
-    if (p.endsWith(".png") || p.endsWith(".jpg") || p.endsWith(".jpeg")) "image"
+    if (p.endsWith(".png") || p.endsWith(".jpg") || p.endsWith(".jpeg") ||
+        p.endsWith(".gif")) "image"
     else if (p.endsWith(".wav") || p.endsWith(".mp3")) "audio"
     else if (p.endsWith(".mp4") || p.endsWith(".mkv")) "video"
     else "binary"
@@ -88,29 +92,148 @@ object Multimodal {
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
   }
 
-  /** Header probe: REAL for PNG and WAV (pure-JDK byte parses above); a
-    * deterministic STUB for JPEG/MP3/video and for malformed headers, which
-    * keeps the dataflow total on arbitrary bytes. */
-  def probe(path: String, bytes: Array[Byte]): MediaFile = {
-    val kind = kindOf(path)
-    val real: Option[MediaMeta] = kind match {
-      case "image" if path.toLowerCase.endsWith(".png") =>
-        probePngHeader(bytes).map { case (w, h) =>
-          MediaMeta("image/png", bytes.length, w, h, 0L) }
-      case "audio" if path.toLowerCase.endsWith(".wav") =>
-        probeWavHeader(bytes).map(d =>
-          MediaMeta("audio/wav", bytes.length, 0, 0, d))
-      case _ => None
+  /** REAL JPEG header parse: walk marker segments from SOI to the first
+    * start-of-frame (SOF0/1/2/3/5..7/9..11/13..15) → (width, height). */
+  private[multimodal] def probeJpegHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xff) { off += 1 }                   // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) off += 2
+      else {
+        val len = be16(off + 2)
+        if (len < 2 || off + 2 + len > b.length) return None
+        // SOF markers carry precision(1) height(2) width(2); C4/C8/CC are
+        // DHT/JPG/DAC, not frames
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (len < 7) return None
+          val (h, w) = (be16(off + 5), be16(off + 7))
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        off += 2 + len
+      }
     }
+    None
+  }
+
+  /** REAL GIF header parse: GIF87a/89a signature + logical screen
+    * descriptor → (width, height), little-endian 16-bit. */
+  private[multimodal] def probeGifHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 10) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** REAL MP4 (ISO-BMFF) header parse: top-level box walk to moov, then
+    * mvhd (timescale/duration → ms) and trak/tkhd (16.16 fixed-point
+    * width/height). Handles version 0 and 1 boxes and 64-bit largesize. */
+  private[multimodal] def probeMp4Header(b: Array[Byte])
+      : Option[(Long, Int, Int)] = {
+    def be32(o: Int) = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def be64(o: Int) = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int) = new String(b, o + 4, 4, "US-ASCII")
+    // walk children of [from, until); invoke f(type, payloadStart, payloadEnd)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val sz0 = be32(off)
+        val (sz, hdr) =
+          if (sz0 == 1 && off + 16 <= until) (be64(off + 8), 16L) else (sz0, 8L)
+        if (sz < hdr || off + sz > until) return
+        f(tag(off), off + hdr.toInt, off + sz.toInt)
+        off += sz.toInt
+      }
+    }
+    var durMs = -1L; var w = 0; var h = 0
+    walk(0, b.length) { (t, s, e) =>
+      if (t == "moov") walk(s, e) { (t2, s2, e2) =>
+        if (t2 == "mvhd" && e2 - s2 >= 24) {
+          val v = b(s2) & 0xff
+          val (ts, dur) = if (v == 1 && e2 - s2 >= 32)
+            (be32(s2 + 20), be64(s2 + 24)) else (be32(s2 + 12), be32(s2 + 16))
+          if (ts > 0) durMs = dur * 1000L / ts
+        } else if (t2 == "trak") walk(s2, e2) { (t3, s3, e3) =>
+          if (t3 == "tkhd") {
+            val v = b(s3) & 0xff
+            val base = if (v == 1) s3 + 36 + 52 else s3 + 24 + 52
+            if (base + 8 <= e3) {
+              w = (be32(base) >> 16).toInt        // 16.16 fixed point
+              h = (be32(base + 4) >> 16).toInt
+            }
+          }
+        }
+      }
+    }
+    if (durMs >= 0) Some((durMs, w, h)) else None
+  }
+
+  /** REAL MP3 header parse: skip an ID3v2 tag if present, find the first
+    * MPEG audio frame sync, decode version/layer/bitrate/samplerate, and
+    * estimate duration from the stream size at that constant bitrate (the
+    * standard CBR estimate; VBR files need a Xing table — out of scope). */
+  private[multimodal] def probeMp3Header(b: Array[Byte]): Option[Long] = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val tagSz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)            // syncsafe int
+      off = 10 + tagSz
+    }
+    // bitrate (kbps) tables for Layer III; index 0/15 are free/bad
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) == 0xff && (b(off + 1) & 0xe0) == 0xe0) {
+        val version = (b(off + 1) >> 3) & 3              // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layer = (b(off + 1) >> 1) & 3                // 1=Layer III
+        val brIdx = (b(off + 2) >> 4) & 0xf
+        if (version != 1 && layer == 1 && brIdx != 0 && brIdx != 15) {
+          val kbps = if (version == 3) brV1(brIdx) else brV2(brIdx)
+          val audioBytes = (b.length - off).toLong
+          return Some(audioBytes * 8L / kbps)            // = bytes·8·1000 / (kbps·1000)
+        }
+        off += 1                                         // false sync; keep scanning
+      } else off += 1
+    }
+    None
+  }
+
+  /** Header probe: REAL for PNG/JPEG/GIF/WAV/MP3/MP4 (pure-JDK byte parses
+    * above); a deterministic STUB for other containers (mkv) and for
+    * malformed headers, which keeps the dataflow total on arbitrary bytes. */
+  def probe(path: String, bytes: Array[Byte]): MediaFile = {
+    val p = path.toLowerCase
+    val kind = kindOf(path)
+    val n = bytes.length.toLong
+    val real: Option[MediaMeta] =
+      if (p.endsWith(".png"))
+        probePngHeader(bytes).map { case (w, h) => MediaMeta("image/png", n, w, h, 0L) }
+      else if (p.endsWith(".jpg") || p.endsWith(".jpeg"))
+        probeJpegHeader(bytes).map { case (w, h) => MediaMeta("image/jpeg", n, w, h, 0L) }
+      else if (p.endsWith(".gif"))
+        probeGifHeader(bytes).map { case (w, h) => MediaMeta("image/gif", n, w, h, 0L) }
+      else if (p.endsWith(".wav"))
+        probeWavHeader(bytes).map(d => MediaMeta("audio/wav", n, 0, 0, d))
+      else if (p.endsWith(".mp3"))
+        probeMp3Header(bytes).map(d => MediaMeta("audio/mpeg", n, 0, 0, d))
+      else if (p.endsWith(".mp4"))
+        probeMp4Header(bytes).map { case (d, w, h) => MediaMeta("video/mp4", n, w, h, d) }
+      else None
     real match {
       case Some(meta) => MediaFile(path, kind, bytes, meta)
       case None => stubProbe(path, kind, bytes)
     }
   }
 
-  /** STUB probe — deterministic fake header parse for formats whose codecs
-    * aren't in this container (JPEG SOF, MP3 frames, MP4 moov) and for
-    * malformed inputs. */
+  /** STUB probe — deterministic fake header parse for containers with no
+    * pure-JDK parse here (mkv) and for malformed inputs. */
   private def stubProbe(path: String, kind: String, bytes: Array[Byte]): MediaFile = {
     val h = bytes.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
     val meta = MediaMeta(
@@ -145,9 +268,12 @@ object Multimodal {
     }
   }
 
-  /** Resize: adjusts typed metadata to the target box preserving aspect
-    * ratio. Payload re-encode is a STUB (passthrough; real: decode → scale →
-    * re-encode) — the metadata math and row plumbing are real. */
+  /** Resize into a bounding box preserving aspect ratio. For image payloads
+    * ImageIO can decode (PNG/JPEG/GIF — REAL pure-JDK path) the payload is
+    * decoded, bilinearly scaled, and re-encoded in its original format, and
+    * the metadata reflects the actual output raster. Payloads ImageIO cannot
+    * decode (stub fixtures, video containers) keep their bytes and get the
+    * metadata-only adjustment — the dataflow stays total on arbitrary bytes. */
   def resize(media: Dataset[MediaFile], maxW: Int, maxH: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.map { m =>
@@ -155,11 +281,41 @@ object Multimodal {
       else {
         val scale = math.min(1.0,
           math.min(maxW.toDouble / m.meta.width, maxH.toDouble / m.meta.height))
-        m.copy(meta = m.meta.copy(
-          width = math.max(1, (m.meta.width * scale).toInt),
-          height = math.max(1, (m.meta.height * scale).toInt)))
+        val (tw, th) = (math.max(1, (m.meta.width * scale).toInt),
+                        math.max(1, (m.meta.height * scale).toInt))
+        val rescaled: Option[MediaFile] =
+          if (m.kind != "image" || scale >= 1.0) None
+          else reencodeScaled(m, tw, th)
+        rescaled.getOrElse(
+          m.copy(meta = m.meta.copy(width = tw, height = th)))
       }
     }
+  }
+
+  /** REAL image payload rescale: ImageIO decode → bilinear Graphics2D scale
+    * → re-encode in the original format. None when the payload isn't
+    * decodable or the format has no JDK writer. */
+  private def reencodeScaled(m: MediaFile, tw: Int, th: Int): Option[MediaFile] = {
+    val fmt = m.meta.mime match {
+      case "image/png" => "png"; case "image/jpeg" => "jpg"
+      case "image/gif" => "gif"; case _ => return None
+    }
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+    if (src == null) return None
+    val imgType = if (fmt == "jpg") java.awt.image.BufferedImage.TYPE_INT_RGB
+                  else java.awt.image.BufferedImage.TYPE_INT_ARGB
+    val dst = new java.awt.image.BufferedImage(tw, th, imgType)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, tw, th, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(dst, fmt, out)) return None
+    val bytes = out.toByteArray
+    Some(m.copy(content = bytes,
+      meta = m.meta.copy(sizeBytes = bytes.length, width = tw, height = th)))
   }
 
   /** Feature extraction over frames, batched per partition (the real-world

@@ -104,6 +104,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeWavHeader(Array.tabulate(64)(_.toByte)).isEmpty)
   }
 
+  test("real JPEG and GIF headers probe true dimensions") {
+    val img = new java.awt.image.BufferedImage(53, 29,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jOut))
+    assert(Multimodal.probeJpegHeader(jOut.toByteArray).contains((53, 29)))
+
+    val gOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", gOut))
+    assert(Multimodal.probeGifHeader(gOut.toByteArray).contains((53, 29)))
+
+    assert(Multimodal.probeJpegHeader(Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Multimodal.probeGifHeader("GIF89a".getBytes ++ Array[Byte](0, 0, 0, 0)).isEmpty)
+  }
+
+  test("real MP4 box walk probes mvhd duration and tkhd dimensions") {
+    // hand-built minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    val bb = java.nio.ByteBuffer.allocate(4096)
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100)   // v0 payload
+    mvhd.putInt(0)                                 // version+flags
+    mvhd.putInt(0).putInt(0)                       // creation, modification
+    mvhd.putInt(600)                               // timescale
+    mvhd.putInt(3000)                              // duration → 5000 ms
+    val tkhd = java.nio.ByteBuffer.allocate(84)    // v0 payload
+    tkhd.position(76)
+    tkhd.putInt(320 << 16).putInt(240 << 16)       // width, height (16.16)
+    val moov = box("moov", box("mvhd", mvhd.array()) ++
+      box("trak", box("tkhd", tkhd.array())))
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0))
+    val mp4 = ftyp ++ moov
+    assert(Multimodal.probeMp4Header(mp4).contains((5000L, 320, 240)))
+    assert(Multimodal.probeMp4Header(Array.tabulate(64)(_.toByte)).isEmpty)
+
+    val d = Files.createTempDirectory("graft_media_mp4")
+    Files.write(d.resolve("clip.mp4"), mp4)
+    val m = Multimodal.scan(spark, d.toString).collect().head.meta
+    assert(m.mime == "video/mp4" && m.durationMs == 5000L &&
+      m.width == 320 && m.height == 240, s"mp4 probe through scan: $m")
+  }
+
+  test("real MP3 frame header probes CBR duration, skipping ID3v2") {
+    // MPEG1 Layer III, 128 kbps, 44.1 kHz: FF FB 90 00
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)
+    val mp3 = frame ++ new Array[Byte](16000)      // 16004 B @128kbps ≈ 1000 ms
+    assert(Multimodal.probeMp3Header(mp3).contains(1000L))
+    // ID3v2 tag of 100 bytes in front — syncsafe size, then the same stream
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 100) ++ new Array[Byte](100)
+    assert(Multimodal.probeMp3Header(id3 ++ mp3).contains(1000L))
+    assert(Multimodal.probeMp3Header(new Array[Byte](64)).isEmpty)
+  }
+
+  test("resize really rescales decodable image payloads") {
+    val img = new java.awt.image.BufferedImage(40, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.getGraphics.fillRect(0, 0, 40, 20)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val d = Files.createTempDirectory("graft_media_resize")
+    Files.write(d.resolve("wide.png"), out.toByteArray)
+
+    val r = Multimodal.resize(Multimodal.scan(spark, d.toString), 10, 10)
+      .collect().head
+    assert(r.meta.width == 10 && r.meta.height == 5)
+    // the PAYLOAD itself was re-encoded at the new dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    assert(back != null && back.getWidth == 10 && back.getHeight == 5,
+      "payload must decode to the resized raster")
+    assert(r.meta.sizeBytes == r.content.length)
+  }
+
   test("metadata projection has the declared schema") {
     val t = Multimodal.metaTable(Multimodal.scan(spark, dir))
     assert(t.columns.toSeq ==
