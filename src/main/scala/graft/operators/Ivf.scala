@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor search — the classic
+  * coarse-quantizer scale path for embedding similarity, complementing the
+  * hyperplane-LSH path in [[Similarity.lshTopK]] (SURVEY §2B similarity
+  * search; the reference has no ANN, this is north-star surface).
+  *
+  * Shape: a small coarse quantizer (nCentroids unit-norm centroids, trained
+  * with a few Lloyd iterations on a deterministic sample) partitions the
+  * corpus into inverted lists by nearest centroid; each query probes only
+  * its `nProbe` closest lists. All centroid scoring runs through the native
+  * codegen'd `dot_f` expression against literal centroid arrays — a map-only
+  * pass, no shuffle, no UDF.
+  *
+  * Scale notes (100 TB):
+  *  - centroids are O(nCentroids·dim) — driver-side and broadcast-sized by
+  *    construction; training touches only a hash-sample (`sampleMod`), the
+  *    standard IVF practice.
+  *  - list assignment is embarrassingly parallel; queries are broadcast so
+  *    candidates are scanned exactly once with no candidate-side shuffle.
+  *    The scan cost drops to ~nProbe/nCentroids of the corpus per query
+  *    batch once the assigned table is written `partitionBy("cid")` (or
+  *    bucketed on cid) — then Catalyst partition-prunes unprobed lists.
+  *  - raise nCentroids ∝ √n to keep lists balanced; recall is tuned by
+  *    nProbe independently of the stored layout.
+  */
+object Ivf {
+
+  private def registered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
+  /** Unit-normalize each centroid so argmax dot ≡ argmax cosine. */
+  private def normalize(cs: Array[Array[Float]]): Array[Array[Float]] =
+    cs.map { c =>
+      val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (n > 0) c.map(x => (x / n).toFloat) else c
+    }
+
+  /** array<struct<s:double, cid:int>> of (dot, id) per centroid; struct
+    * ordering compares `s` first, so array_max/array_sort rank by score
+    * with the cid as a deterministic tiebreak. */
+  private def scoredCentroids(v: Column, cents: Array[Array[Float]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(call_function("dot_f", v, typedLit(c)).as("s"), lit(i).as("cid"))
+    }: _*)
+
+  /** Nearest-centroid id for a vector (codegen'd dots, no UDF). */
+  def nearestCentroid(v: Column, cents: Array[Array[Float]]): Column =
+    array_max(scoredCentroids(v, cents)).getField("cid")
+
+  /** The nProbe closest centroid ids, best first. */
+  private def probeCentroids(v: Column, cents: Array[Array[Float]],
+                             nProbe: Int): Column =
+    transform(slice(reverse(array_sort(scoredCentroids(v, cents))), 1, nProbe),
+      s => s.getField("cid"))
+
+  /** Train the coarse quantizer: deterministic init (lowest vec_ids), then
+    * `iters` Lloyd steps (assign → per-dimension mean). The per-step shuffle
+    * is (sample·dim) rows keyed by (cid, pos) — bounded by the sample, not
+    * the corpus; the collected means are nCentroids·dim doubles. Empty
+    * clusters keep their previous centroid. */
+  def trainCentroids(candidates: DataFrame, nCentroids: Int, iters: Int = 2,
+                     sampleMod: Int = 1): Array[Array[Float]] = {
+    registered(candidates)
+    val sample = (if (sampleMod > 1)
+        candidates.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      else candidates)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      var cents = normalize(
+        sample.orderBy(col("vec_id")).limit(nCentroids)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray))
+      require(cents.nonEmpty, "no vectors to train on")
+      for (_ <- 0 until iters) {
+        val means = sample
+          .select(nearestCentroid(col("embedding"), cents).as("cid"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+          .collect()
+        val byCid = means.groupBy(_.getInt(0))
+        cents = normalize(cents.indices.map { c =>
+          byCid.get(c) match {
+            case Some(rows) =>
+              val dim = rows.map(_.getInt(1)).max + 1
+              val arr = new Array[Float](dim)
+              rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+              arr
+            case None => cents(c)
+          }
+        }.toArray)
+      }
+      cents
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Inverted-list assignment: (cid, vid, cv) — the stored IVF layout. At
+    * scale this is the table to persist `partitionBy("cid")`. */
+  def assign(candidates: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    registered(candidates)
+    candidates.repartition(col("vec_id"))   // parallelize single-file scans
+      .select(nearestCentroid(col("embedding"), cents).as("cid"),
+        col("vec_id").as("vid"), col("embedding").as("cv"))
+  }
+
+  /** Approximate top-k: probe the nProbe nearest inverted lists per query,
+    * exact-rescore with the native cosine, per-query top-k. Same output
+    * schema as [[Similarity.lshTopK]]: (qid, rn, vid, cos). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              sampleMod: Int = 1): DataFrame = {
+    registered(queries)
+    val cents = trainCentroids(candidates, nCentroids, iters, sampleMod)
+    val cand = assign(candidates, cents)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
+    // each candidate lives in exactly one list and probe cids are distinct,
+    // so (qid, vid) pairs are already unique — no dedup shuffle needed
+    val scored = broadcast(q).join(cand, Seq("cid"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(call_function("cosine_sim", col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("cos"))
+  }
+}

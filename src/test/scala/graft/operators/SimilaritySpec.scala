@@ -27,6 +27,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment is a partition: every candidate in exactly one list") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.trainCentroids(emb, nCentroids = 16, iters = 2)
+    assert(cents.length == 16)
+    // all unit-norm (argmax dot == argmax cosine depends on this)
+    cents.foreach { c =>
+      val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      assert(math.abs(n - 1.0) < 1e-5, s"centroid norm $n")
+    }
+    val assigned = Ivf.assign(emb, cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vid").distinct().count() == emb.count())
+    // no single list degenerates into "most of the corpus"
+    val maxList = assigned.groupBy("cid").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxList < emb.count() / 2, s"degenerate list of $maxList")
+  }
+
+  test("IVF ANN recall@5 >= 0.6 vs brute force with nProbe=8 of 16") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, emb, k = 5))
+    val approx = pairs(Ivf.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 8))
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall (|exact|=${exact.size})")
+    // full probe (nProbe = nCentroids) must be exact — every list is scanned
+    val full = pairs(Ivf.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 16))
+    assert(full == exact, "probing all lists must equal brute force")
+  }
+
   test("LSH ANN recall@5 >= 0.5 vs brute force on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.where(col("vec_id") < 20)
