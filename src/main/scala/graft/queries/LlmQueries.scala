@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -143,6 +143,63 @@ object LlmQueries {
                     i -> md5(substring(text, i, 8))))""").as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition quality metrics per document: duplicate-token
+    // fraction, top-token fraction, duplicate-bigram fraction (the standard
+    // repetition family for LLM corpus filtering). All distributed shapes:
+    // explode → count → per-doc aggregate; no per-doc quadratic work.
+    "q_llm_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("sp", split(col("text"), " "))
+      val tokStats = docs
+        .select(col("doc_id"), explode(col("sp")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tok"), max(col("c")).as("top_tok"),
+          count(lit(1)).as("n_dist"))
+      val bgStats = docs
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(sp) >= 2
+               THEN transform(sequence(1, size(sp) - 1),
+                      i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1)))
+               ELSE array() END""")).as("bg"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_bg"), count_distinct(col("bg")).as("bg_dist"))
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          (floor((lit(1.0) - col("n_dist").cast("double") / col("n_tok")) * 10000 + 0.5) / 10000)
+            .as("dup_tok_frac"),
+          (floor(col("top_tok").cast("double") / col("n_tok") * 10000 + 0.5) / 10000)
+            .as("top_tok_frac"),
+          when(col("n_bg") > 0,
+            floor((lit(1.0) - col("bg_dist").cast("double") / col("n_bg")) * 10000 + 0.5) / 10000)
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII detection + redaction: email/phone regex families. The corpus has
+    // no PII (verified: zero digits or '@'), so the query deterministically
+    // PLANTS a synthetic email+phone into every 20th document in BOTH
+    // engines — the check is non-vacuous by construction (25 docs hit, 475
+    // prove no false positives). Patterns avoid backslash escapes so the
+    // same literal parses identically in Spark SQL and DuckDB/RE2.
+    "q_llm_pii" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("t2", concat(col("text"),
+          when(col("doc_id") % 20 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call 555-"),
+              lpad((col("doc_id") % 100).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(t2, '$emailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(t2, '$phoneRe', 0)")).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t2"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup candidates (rows-only driver check; the
     // recall/precision property vs exact Jaccard is asserted in DedupSpec)
     "q_llm_minhash_pairs" -> ((s, d) =>
@@ -185,6 +242,17 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
           emb.where(col("vec_id") < 10), emb, k = 5, dim = 64)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // approximate nearest neighbors via IVF coarse quantization (rows-only;
+    // recall + exactness-at-full-probe asserted in SimilaritySpec). The
+    // second ANN family next to LSH: stored inverted lists partition the
+    // corpus, queries probe nProbe/nCentroids of it.
+    "q_llm_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ivf.ivfTopK(emb.where(col("vec_id") < 10), emb,
+          k = 5, nCentroids = 16, nProbe = 8)
         .orderBy(col("qid"), col("rn"))
     }),
 
@@ -283,6 +351,50 @@ object LlmQueries {
                 list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
                   i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_llm_repetition" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         tc AS (
+           SELECT doc_id, tok, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(s) AS tok FROM sp)
+           WHERE tok <> '' GROUP BY doc_id, tok),
+         ts AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                  CAST(MAX(c) AS BIGINT) AS top_tok,
+                  CAST(COUNT(*) AS BIGINT) AS n_dist
+           FROM tc GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+                    range(1, greatest(len(s) - 1, 0) + 1),
+                    i -> s[i] || ' ' || s[i + 1])) AS bg
+           FROM sp),
+         bc AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+                  CAST(COUNT(DISTINCT bg) AS BIGINT) AS bg_dist
+           FROM bg GROUP BY doc_id)
+         SELECT ts.doc_id, n_tok,
+                floor((1 - CAST(n_dist AS DOUBLE) / n_tok) * 10000 + 0.5) / 10000 AS dup_tok_frac,
+                floor(CAST(top_tok AS DOUBLE) / n_tok * 10000 + 0.5) / 10000 AS top_tok_frac,
+                CASE WHEN n_bg > 0
+                     THEN floor((1 - CAST(bg_dist AS DOUBLE) / n_bg) * 10000 + 0.5) / 10000
+                     ELSE 0.0 END AS dup_bigram_frac
+         FROM ts LEFT JOIN bc ON ts.doc_id = bc.doc_id
+         ORDER BY ts.doc_id""",
+    "q_llm_pii" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 20 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or call 555-'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+                    ELSE '' END AS t2
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+                md5(regexp_replace(regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM aug ORDER BY doc_id""",
     "q_llm_sim_topk" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS vid,
