@@ -42,11 +42,20 @@ object Ivf {
 
   /** array<struct<s:double, cid:int>> of (dot, id) per centroid; struct
     * ordering compares `s` first, so array_max/array_sort rank by score
-    * with the cid as a deterministic tiebreak. */
-  private def scoredCentroids(v: Column, cents: Array[Array[Float]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct(call_function("dot_f", v, typedLit(c)).as("s"), lit(i).as("cid"))
-    }: _*)
+    * with the cid as a deterministic tiebreak. The centroid matrix is ONE
+    * array-of-arrays literal indexed inside a `transform` loop — generated
+    * code stays a single small loop with a single dot_f call no matter how
+    * many centroids there are (inlining one call per centroid would bloat
+    * codegen and recompile cost linearly in nCentroids). */
+  private def scoredCentroids(v: Column, cents: Array[Array[Float]]): Column = {
+    val mat = typedLit(cents.map(_.toSeq).toSeq)
+    // named_struct, not struct(...as...): aliases inside lambda bodies are
+    // stripped (fields would resolve as col1/col2)
+    transform(sequence(lit(0), lit(cents.length - 1)),
+      i => call_function("named_struct",
+        lit("s"), call_function("dot_f", v, element_at(mat, i + 1)),
+        lit("cid"), i.cast("int")))
+  }
 
   /** Nearest-centroid id for a vector (codegen'd dots, no UDF). */
   def nearestCentroid(v: Column, cents: Array[Array[Float]]): Column =

@@ -249,10 +249,14 @@ object LlmQueries {
     // recall + exactness-at-full-probe asserted in SimilaritySpec). The
     // second ANN family next to LSH: stored inverted lists partition the
     // corpus, queries probe nProbe/nCentroids of it.
+    // (iters=1 here: each extra Lloyd step is a full driver-side job + a
+    // fresh codegen compile of the centroid-literal scorer — fixed cost that
+    // dwarfs this corpus; SimilaritySpec exercises iters=2 and shows recall
+    // is already met at one step)
     "q_llm_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ivf.ivfTopK(emb.where(col("vec_id") < 10), emb,
-          k = 5, nCentroids = 16, nProbe = 8)
+          k = 5, nCentroids = 16, nProbe = 8, iters = 1)
         .orderBy(col("qid"), col("rn"))
     }),
 

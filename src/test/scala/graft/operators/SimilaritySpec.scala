@@ -57,6 +57,11 @@ class SimilaritySpec extends SparkSpec {
     // full probe (nProbe = nCentroids) must be exact — every list is scanned
     val full = pairs(Ivf.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 16))
     assert(full == exact, "probing all lists must equal brute force")
+    // the catalog configuration (one Lloyd step) meets the same recall bar
+    val oneStep = pairs(Ivf.ivfTopK(q, emb, k = 5, nCentroids = 16,
+      nProbe = 8, iters = 1))
+    val recall1 = exact.count(oneStep).toDouble / exact.size
+    assert(recall1 >= 0.6, s"iters=1 recall=$recall1")
   }
 
   test("LSH ANN recall@5 >= 0.5 vs brute force on sf0.001 embeddings") {
