@@ -224,6 +224,64 @@ object Dedup {
         (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
   }
 
+  /** Connected components over an undirected pair list (d1, d2) — the step
+    * after candidate generation in every dedup pipeline: LSH/Jaccard emit
+    * PAIRS, retention decisions need CLUSTERS. Pregel-style min-label
+    * propagation: each node starts labeled with itself; every iteration each
+    * node takes the min of its own and its neighbors' labels. Converges in
+    * O(component diameter) iterations — near-dup clusters are dense, so
+    * diameters are tiny in practice.
+    *
+    * Scale: one shuffle join per iteration keyed by node id (uniform);
+    * `localCheckpoint` truncates the growing lineage each step so plans
+    * don't deepen; the label sum is a convergence certificate (labels only
+    * ever decrease, so an unchanged sum means a fixpoint) costing one tiny
+    * aggregate per iteration instead of a change-count join.
+    *
+    * Returns (id, comp) with comp = min node id of the component; nodes
+    * absent from `pairs` are absent here (callers re-attach singletons). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+        .groupBy(col("a")).agg(min(col("nc")).as("min_n"))
+      val next = labels
+        .join(neighborMin.select(col("a").as("id"), col("min_n")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("min_n"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters from a pair list: (doc_id, cluster_id,
+    * is_canonical) for every doc in `ids` — docs in no pair are their own
+    * singleton cluster; the canonical doc is the cluster's min id (the
+    * keep-first rule exact dedup uses). */
+  def dedupClusters(ids: DataFrame, pairs: DataFrame,
+                    maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    ids.select(col("doc_id"))
+      .join(comps.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Exact token-set Jaccard via the df-capped inverted-index join. */
   def tokenJaccard(docs: DataFrame, threshold: Double = 0.3,
                    dfCap: Int = 10000): DataFrame =

@@ -143,6 +143,24 @@ object LlmQueries {
                     i -> md5(substring(text, i, 8))))""").as("fp"))
         .orderBy(col("doc_id"))),
 
+    // duplicate-CLUSTER formation — the step after pair generation in every
+    // dedup pipeline: trigram-Jaccard pairs (same operator+params as
+    // q_llm_ngram_jaccard) → connected components (Pregel-style min-label
+    // propagation) → canonical keep-first doc per cluster. Oracle-checked:
+    // DuckDB computes the same components via a recursive-CTE transitive
+    // closure over the identical pair list.
+    "q_llm_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      val pairs = Dedup.jaccardFromItems(
+        docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+          .as("g"))
+          .distinct(),
+        threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"))
+      Dedup.dedupClusters(docs.select(col("doc_id")), pairs.select(col("d1"), col("d2")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition quality metrics per document: duplicate-token
     // fraction, top-token fraction, duplicate-bigram fraction (the standard
     // repetition family for LLM corpus filtering). All distributed shapes:
@@ -355,6 +373,33 @@ object LlmQueries {
                 list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
                   i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_llm_dedup_clusters" ->
+      """WITH RECURSIVE tri AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                    i -> substr(text, CAST(i AS INT), 3))) AS g
+           FROM documents WHERE doc_id < 300),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+         p0 AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2 FROM p0
+           JOIN cnt n1 ON d1 = n1.doc_id JOIN cnt n2 ON d2 = n2.doc_id
+           WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+         SELECT d.doc_id, COALESCE(c2.comp, d.doc_id) AS cluster_id,
+                (d.doc_id = COALESCE(c2.comp, d.doc_id)) AS is_canonical
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         LEFT JOIN comp c2 ON d.doc_id = c2.id
+         ORDER BY d.doc_id""",
     "q_llm_repetition" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          tc AS (

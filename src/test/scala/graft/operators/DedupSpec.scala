@@ -195,6 +195,47 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${truth.size} planted pairs")
   }
 
+  test("connected components equal a union-find ground truth") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // union-find with attach-larger-root-to-smaller ⇒ root IS the min id
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Dedup.connectedComponents(pairs.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(got.keySet == inPairs.toSet, "every paired node gets a label")
+    inPairs.foreach { id =>
+      assert(got(id) == find(id.toInt).toLong, s"component of $id")
+    }
+  }
+
+  test("connected components converge on a worst-case path graph") {
+    val s = spark
+    import s.implicits._
+    // a 16-node path: min-label needs ~diameter iterations to flood
+    val path = (0L until 15L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(path.toDF("d1", "d2")).collect()
+    assert(got.length == 16 && got.forall(_.getLong(1) == 0L),
+      "all path nodes must collapse to component 0")
+    // dedupClusters re-attaches singletons as their own canonical cluster
+    val ids = (0L until 20L).toDF("doc_id")
+    val cl = Dedup.dedupClusters(ids, path.toDF("d1", "d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(cl.count(_._3) == 5, "one canonical for the path + 4 singletons")
+    assert(cl.filter(_._1 >= 16).forall(c => c._2 == c._1 && c._3))
+  }
+
   test("token Jaccard inverted-index equals brute-force on a small sample") {
     val s = spark
     import s.implicits._
