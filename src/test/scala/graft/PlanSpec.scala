@@ -57,6 +57,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    val s = spark
+    // a selective dim-side filter should inject a bloom filter on the fact
+    // side of the shuffle join — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~matching rows
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(s, sf0001)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(s, sf0001)
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("partition pruning: filter on a partition column prunes the scan") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

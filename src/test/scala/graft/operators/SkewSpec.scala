@@ -31,6 +31,51 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    // one hot key carrying ~90% of bytes — the Undetermined-demux shape at
+    // 100 TB; thresholds forced down so the toy fixture trips the same
+    // OptimizeSkewedJoin path a real cluster run would. Parquet-backed:
+    // AQE skips pure local-relation plans (same trap as optimizer-rule
+    // tests), and the skew split is only legal when no parent requires the
+    // join's hash partitioning — hence the global aggregate on top.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skewj").toString
+    ((1 to 40000).map(i => ("hot", s"payload_payload_payload_$i")) ++
+     (1 to 4000).map(i => (s"k${i % 100}", s"p$i")))
+      .toDF("k", "v").write.mode("overwrite").parquet(s"$dir/left")
+    ((1 to 50).map(i => ("hot", i)) ++
+     (1 to 100).map(i => (s"k${i % 100}", i)))
+      .toDF("k", "w").write.mode("overwrite").parquet(s"$dir/right")
+    val left = s.read.parquet(s"$dir/left")
+    val right = s.read.parquet(s"$dir/right")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // aggregate over v so column pruning can't drop the payload (the
+      // shuffled bytes ARE the skew being tested)
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("v"))).as("b"))
+      assert(j.collect().head.getLong(0) == 40000L * 50 + 4000)
+      val finalPlan = j.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+      }.getOrElse(j.queryExecution.executedPlan.toString)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s = spark
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
