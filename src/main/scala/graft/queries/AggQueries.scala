@@ -113,6 +113,21 @@ object AggQueries {
           (floor(expr("percentile(o_totalprice, 0.99)") * 100 + 0.5) / 100).as("p99"))
         .orderBy(col("o_orderstatus"))),
 
+    // approx percentile sketch (GK summaries — the distributed-mergeable
+    // twin of q_agg_percentile's exact path; at 100 TB exact percentile
+    // means a full sort per group, the sketch is one pass + tiny merges).
+    // Rows-only driver check; the rank-error property vs the exact
+    // percentile is asserted in SketchesSpec.
+    "q_agg_approxpctl" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          (floor(expr("approx_percentile(o_totalprice, 0.5, 10000)") * 100 + 0.5) / 100)
+            .as("p50_approx"),
+          (floor(expr("approx_percentile(o_totalprice, 0.9, 10000)") * 100 + 0.5) / 100)
+            .as("p90_approx"))
+        .orderBy(col("o_orderstatus"))),
+
     // custom typed-Aggregator HLL (graft.functions.Sketches) — the
     // TypedImperativeAggregate-style path with partial+final merge; rows-only
     // driver check, 5%-accuracy property in SketchesSpec

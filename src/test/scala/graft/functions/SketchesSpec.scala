@@ -17,6 +17,27 @@ class SketchesSpec extends SparkSpec {
     assert(err <= 0.05, s"HLL est=$est exact=$exact err=$err")
   }
 
+  test("approx_percentile lands within GK rank-error of the exact percentile") {
+    val s = spark
+    val o = Tables.orders(s, sf0001)
+    // accuracy 10000 on n rows bounds rank error by n/10000; convert the
+    // rank bound to a value bound by reading the sorted values at the
+    // allowed rank window
+    val vals = o.select(col("o_totalprice")).orderBy(col("o_totalprice"))
+      .collect().map(_.getDouble(0))
+    val n = vals.length
+    val eps = math.max(1, n / 10000)
+    for (p <- Seq(0.5, 0.9)) {
+      val approx = o.agg(expr(s"approx_percentile(o_totalprice, $p, 10000)"))
+        .head().getDouble(0)
+      val rank = (p * (n - 1)).toInt
+      val (lo, hi) = (vals(math.max(0, rank - eps - 1)),
+                      vals(math.min(n - 1, rank + eps + 1)))
+      assert(approx >= lo && approx <= hi,
+        s"p=$p approx=$approx outside rank window [$lo, $hi]")
+    }
+  }
+
   test("HLL merge is order-independent (partial+final equals single-pass)") {
     val s = spark
     val ev = Tables.events(s, sf0001)
