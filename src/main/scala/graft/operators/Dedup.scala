@@ -241,22 +241,31 @@ object Dedup {
     * Returns (id, comp) with comp = min node id of the component; nodes
     * absent from `pairs` are absent here (callers re-attach singletons). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // no distinct: pairs satisfy d1 < d2, so the two directions are
+    // disjoint and per-direction duplicates only came from duplicate input
+    // pairs (harmless to min-aggregation)
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .cache()
+    // round 0 fused into init: comp = min(self, direct neighbors) — one
+    // aggregate, no labels join; dense near-dup clusters often hit the
+    // fixpoint here and the loop only confirms it
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
+      .select(col("a").as("id"), col("comp")).localCheckpoint()
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val neighborMin = edges
+      // min over self ∪ neighbor labels in ONE join + ONE aggregate: every
+      // labeled node came from edges, so unioning the self-labels into the
+      // neighbor stream replaces the left-join-back (2 shuffles/iter, not 3)
+      val next = edges
         .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
-        .groupBy(col("a")).agg(min(col("nc")).as("min_n"))
-      val next = labels
-        .join(neighborMin.select(col("a").as("id"), col("min_n")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("min_n"), col("comp"))).as("comp"))
+        .select(col("a"), col("nc"))
+        .union(labels.select(col("id").as("a"), col("comp").as("nc")))
+        .groupBy(col("a")).agg(min(col("nc")).as("comp"))
+        .select(col("a").as("id"), col("comp"))
         .localCheckpoint()
       val s = next.agg(sum(col("comp"))).head().getLong(0)
       labels = next
