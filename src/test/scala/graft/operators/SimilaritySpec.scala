@@ -64,6 +64,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall1 >= 0.6, s"iters=1 recall=$recall1")
   }
 
+  test("IVF probe join broadcasts queries — candidates never shuffle on cid") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = Ivf.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+      nCentroids = 16, nProbe = 8, iters = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query side:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(cid"),
+      s"candidate side must not shuffle on cid:\n$plan")
+  }
+
   test("LSH ANN recall@5 >= 0.5 vs brute force on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.where(col("vec_id") < 20)
