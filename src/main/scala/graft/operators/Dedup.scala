@@ -274,6 +274,10 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+      "a component has diameter > maxIter (raise maxIter; for adversarial " +
+      "diameters switch to pointer-jumping, which converges in O(log d))")
     labels
   }
 

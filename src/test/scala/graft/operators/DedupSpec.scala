@@ -234,6 +234,11 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
     assert(cl.count(_._3) == 5, "one canonical for the path + 4 singletons")
     assert(cl.filter(_._1 >= 16).forall(c => c._2 == c._1 && c._3))
+    // a diameter beyond maxIter must fail loudly, not return partial labels
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path.toDF("d1", "d2"), maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("token Jaccard inverted-index equals brute-force on a small sample") {
