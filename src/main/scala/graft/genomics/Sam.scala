@@ -74,14 +74,25 @@ object Sam {
       .text(outDir)
   }
 
-  /** Read a partitioned SAM sink back to the typed shape. */
+  /** Read a partitioned SAM sink back to the typed shape. The directory name
+    * carries TWO encoding layers: `input_file_name()` returns a URI (so the
+    * Hive-escaped `sample=100%25 cov` arrives as `sample=100%2525%20cov`),
+    * and under it the Hive-style path escaping `partitionBy` applied (space,
+    * ':', '%', …). Strip the URI layer first, then unescape like
+    * `Codecs.listSamplePartitions` so sample names round-trip the sink. */
   def readPartitioned(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.text(dir)
       .select(input_file_name().as("file"), col("value"))
-      .withColumn("sample", regexp_extract(col("file"), "sample=([^/]+)/", 1))
-      .select(col("sample"), col("value")).as[(String, String)]
+      .as[(String, String)]
+      .map { case (file, line) =>
+        val path = new java.net.URI(file).getPath // decode the URI layer
+        val esc = "sample=([^/]+)/".r.findFirstMatchIn(path)
+          .map(_.group(1)).getOrElse("")
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(esc), line)
+      }
     fromAligned(lines)
   }
 }

@@ -69,25 +69,29 @@ object Multimodal {
   }
 
   /** REAL WAV header parse: walk RIFF chunks, read the fmt chunk's byte
-    * rate and the data chunk's size → duration in ms. None when malformed. */
+    * rate and the data chunk's size → duration in ms. None when malformed.
+    * The walk advances in Long arithmetic — a corrupt 32-bit chunk size must
+    * never stall (Int overflow to a 0/negative delta) or send the offset
+    * negative: every step moves strictly forward or the parse gives up. */
   private[multimodal] def probeWavHeader(b: Array[Byte]): Option[Long] = {
     def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     def tag(o: Int) = new String(b, o, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    var off = 12L
     var byteRate = 0L
     var dataLen = -1L
     while (off + 8 <= b.length && (byteRate == 0 || dataLen < 0)) {
-      val sz = le32(off + 4).toLong & 0xffffffffL
-      tag(off) match {
+      val o = off.toInt
+      val sz = le32(o + 4).toLong & 0xffffffffL
+      tag(o) match {
         // fmt payload: format(2) channels(2) sampleRate(4) byteRate(4) …
-        case "fmt " if off + 20 <= b.length =>
-          byteRate = le32(off + 16).toLong & 0xffffffffL
+        case "fmt " if o + 20 <= b.length =>
+          byteRate = le32(o + 16).toLong & 0xffffffffL
         case "data" => dataLen = sz
         case _ => ()
       }
-      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+      off += 8L + sz + (sz & 1L) // chunks are 2-byte aligned; sz >= 0 ⇒ off grows
     }
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
   }
@@ -165,8 +169,11 @@ object Multimodal {
             val v = b(s3) & 0xff
             val base = if (v == 1) s3 + 36 + 52 else s3 + 24 + 52
             if (base + 8 <= e3) {
-              w = (be32(base) >> 16).toInt        // 16.16 fixed point
-              h = (be32(base + 4) >> 16).toInt
+              val nw = (be32(base) >> 16).toInt   // 16.16 fixed point
+              val nh = (be32(base + 4) >> 16).toInt
+              // keep the FIRST trak with nonzero dimensions: audio traks
+              // carry 0×0 and must not clobber a video trak parsed earlier
+              if (nw > 0 && nh > 0 && (w == 0 || h == 0)) { w = nw; h = nh }
             }
           }
         }
@@ -207,24 +214,29 @@ object Multimodal {
 
   /** Header probe: REAL for PNG/JPEG/GIF/WAV/MP3/MP4 (pure-JDK byte parses
     * above); a deterministic STUB for other containers (mkv) and for
-    * malformed headers, which keeps the dataflow total on arbitrary bytes. */
+    * malformed headers, which keeps the dataflow total on arbitrary bytes.
+    * Each real parse runs inside a catch-all: corrupt media are routine in
+    * binaryFile corpora, and an out-of-bounds read on adversarial bytes must
+    * degrade to the stub, never fail the executor task. */
   def probe(path: String, bytes: Array[Byte]): MediaFile = {
+    def attempt[T](parse: => Option[T]): Option[T] =
+      try parse catch { case scala.util.control.NonFatal(_) => None }
     val p = path.toLowerCase
     val kind = kindOf(path)
     val n = bytes.length.toLong
     val real: Option[MediaMeta] =
       if (p.endsWith(".png"))
-        probePngHeader(bytes).map { case (w, h) => MediaMeta("image/png", n, w, h, 0L) }
+        attempt(probePngHeader(bytes)).map { case (w, h) => MediaMeta("image/png", n, w, h, 0L) }
       else if (p.endsWith(".jpg") || p.endsWith(".jpeg"))
-        probeJpegHeader(bytes).map { case (w, h) => MediaMeta("image/jpeg", n, w, h, 0L) }
+        attempt(probeJpegHeader(bytes)).map { case (w, h) => MediaMeta("image/jpeg", n, w, h, 0L) }
       else if (p.endsWith(".gif"))
-        probeGifHeader(bytes).map { case (w, h) => MediaMeta("image/gif", n, w, h, 0L) }
+        attempt(probeGifHeader(bytes)).map { case (w, h) => MediaMeta("image/gif", n, w, h, 0L) }
       else if (p.endsWith(".wav"))
-        probeWavHeader(bytes).map(d => MediaMeta("audio/wav", n, 0, 0, d))
+        attempt(probeWavHeader(bytes)).map(d => MediaMeta("audio/wav", n, 0, 0, d))
       else if (p.endsWith(".mp3"))
-        probeMp3Header(bytes).map(d => MediaMeta("audio/mpeg", n, 0, 0, d))
+        attempt(probeMp3Header(bytes)).map(d => MediaMeta("audio/mpeg", n, 0, 0, d))
       else if (p.endsWith(".mp4"))
-        probeMp4Header(bytes).map { case (d, w, h) => MediaMeta("video/mp4", n, w, h, d) }
+        attempt(probeMp4Header(bytes)).map { case (d, w, h) => MediaMeta("video/mp4", n, w, h, d) }
       else None
     real match {
       case Some(meta) => MediaFile(path, kind, bytes, meta)

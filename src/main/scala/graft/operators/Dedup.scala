@@ -253,7 +253,11 @@ object Dedup {
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("comp"))
       .select(col("a").as("id"), col("comp")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // an empty pair list means no labeled nodes at all: sum() is NULL, and
+    // the empty frame IS the fixpoint (callers re-attach singletons)
+    val initSum = Option(labels.agg(sum(col("comp"))).head().get(0))
+    if (initSum.isEmpty) { edges.unpersist(); return labels }
+    var prevSum = initSum.get.asInstanceOf[Number].longValue
     var it = 0
     var done = false
     while (!done && it < maxIter) {

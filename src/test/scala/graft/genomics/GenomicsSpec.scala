@@ -332,6 +332,21 @@ class GenomicsSpec extends SparkSpec {
     assert(Codecs.listSamplePartitions(s, out) == Seq("sample1", "sample2"))
   }
 
+  test("SAM sink round-trips sample names Spark escapes in partition paths") {
+    val s = spark
+    import s.implicits._
+    // ':' and '%' are Hive-escaped in partition directory names (sample=a%3A1)
+    // — readPartitioned must unescape what writePartitioned's partitionBy wrote
+    val names = Seq("sample:1", "100% cov", "plain")
+    val line = "q1\t99\tchr1\t100\t60\t4M\t=\t104\t8\tACGT\tIIII\tNM:i:0"
+    val sam = Sam.fromAligned(names.map(n => (n, line)).toDS())
+    val out = Files.createTempDirectory("graft_sam_esc").toString
+    Sam.writePartitioned(sam, out)
+    val back = Sam.readPartitioned(s, out)
+    assert(back.select("sample").as[String].collect().toSet == names.toSet,
+      "escaped partition directories must unescape back to the sample name")
+  }
+
   test("child that closes stdout but stops reading stdin fails, not hangs") {
     val script = Files.createTempFile("mock_wedge", ".sh")
     // closes stdout immediately, then sleeps holding stdin open UNREAD: the

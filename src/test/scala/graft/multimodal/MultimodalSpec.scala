@@ -149,6 +149,52 @@ class MultimodalSpec extends SparkSpec {
       m.width == 320 && m.height == 240, s"mp4 probe through scan: $m")
   }
 
+  test("malformed WAV chunk sizes terminate the walk and degrade to the stub") {
+    // RIFF/WAVE container with one chunk whose 32-bit size is adversarial
+    def wavWith(chunkSize: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(chunkSize)
+      bb.array()
+    }
+    // 0xFFFFFFF8: as Int this is -8, so the pre-fix walk advanced by ZERO
+    // bytes per step — an infinite loop inside an executor task
+    assert(Multimodal.probeWavHeader(wavWith(0xFFFFFFF8)).isEmpty)
+    // 0x80000000: Int overflow sent the offset negative → AIOOBE pre-fix
+    assert(Multimodal.probeWavHeader(wavWith(0x80000000)).isEmpty)
+    // and probe() stays total: malformed real-extension bytes → stub meta
+    val m = Multimodal.probe("corrupt.wav", wavWith(0xFFFFFFF8))
+    assert(m.meta.mime == "audio/wav" && m.meta.durationMs == 64 * 10L,
+      s"corrupt WAV must fall back to the stub probe: ${m.meta}")
+  }
+
+  test("audio trak dimensions never clobber the video trak in MP4 probe") {
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(24)
+    mvhd.putInt(0).putInt(0).putInt(0).putInt(600).putInt(3000) // ts 600, dur 3000
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val t = java.nio.ByteBuffer.allocate(84)
+      t.position(76)
+      t.putInt(w << 16).putInt(h << 16)
+      box("trak", box("tkhd", t.array()))
+    }
+    // typical layout: video trak FIRST, audio trak (0×0 tkhd) second —
+    // pre-fix the last trak won and valid videos reported 0×0
+    val videoFirst = box("moov",
+      box("mvhd", mvhd.array()) ++ tkhd(320, 240) ++ tkhd(0, 0))
+    assert(Multimodal.probeMp4Header(videoFirst).contains((5000L, 320, 240)))
+    // audio-first still picks up the later video trak's dimensions
+    val audioFirst = box("moov",
+      box("mvhd", mvhd.array()) ++ tkhd(0, 0) ++ tkhd(320, 240))
+    assert(Multimodal.probeMp4Header(audioFirst).contains((5000L, 320, 240)))
+  }
+
   test("real MP3 frame header probes CBR duration, skipping ID3v2") {
     // MPEG1 Layer III, 128 kbps, 44.1 kHz: FF FB 90 00
     val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)

@@ -241,6 +241,18 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("zero near-dup pairs yield all-singleton clusters, not a crash") {
+    val s = spark
+    import s.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    // connectedComponents on an empty edge list is the empty labeling
+    assert(Dedup.connectedComponents(none).count() == 0)
+    // and dedupClusters degrades to every doc canonical in its own cluster
+    val cl = Dedup.dedupClusters((0L until 5L).toDF("doc_id"), none).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(cl.length == 5 && cl.forall(c => c._1 == c._2 && c._3))
+  }
+
   test("token Jaccard inverted-index equals brute-force on a small sample") {
     val s = spark
     import s.implicits._
