@@ -230,58 +230,92 @@ object Dedup {
     * propagation: each node starts labeled with itself; every iteration each
     * node takes the min of its own and its neighbors' labels. Converges in
     * O(component diameter) iterations — near-dup clusters are dense, so
-    * diameters are tiny in practice.
+    * diameters are tiny in practice. If a component's diameter exceeds
+    * `maxIter` (long chains of boilerplate near-dups), the loop switches to
+    * a pointer-jumping phase — hook (min over neighbor labels) + shortcut
+    * (comp := comp's own comp) per round, so the distance each label has
+    * travelled at least doubles per round and ANY diameter converges in
+    * O(log d) ≤ 64 further rounds.
     *
     * Scale: one shuffle join per iteration keyed by node id (uniform);
     * `localCheckpoint` truncates the growing lineage each step so plans
-    * don't deepen; the label sum is a convergence certificate (labels only
-    * ever decrease, so an unchanged sum means a fixpoint) costing one tiny
-    * aggregate per iteration instead of a change-count join.
+    * don't deepen. Each iteration is exactly ONE Spark action: the count of
+    * changed labels rides the checkpoint job in an accumulator (the self-
+    * label row carried through the aggregate supplies the old label). The
+    * certificate is robust to task retries — a retried partition can only
+    * ADD to the count, so an observed zero means a genuine fixpoint; an
+    * inflated count merely buys one extra confirming iteration.
     *
     * Returns (id, comp) with comp = min node id of the component; nodes
     * absent from `pairs` are absent here (callers re-attach singletons). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // no distinct: pairs satisfy d1 < d2, so the two directions are
     // disjoint and per-direction duplicates only came from duplicate input
     // pairs (harmless to min-aggregation)
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val edges = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .union(pairs
+        .select(col("d2").cast("long").as("a"), col("d1").cast("long").as("b")))
       .cache()
+    // one labeling step: comp' = min(old, neighbors' labels), old label
+    // riding the self row of the union; the changed-label count accumulates
+    // during the eager checkpoint — no separate convergence action
+    def step(labels: DataFrame, acc: org.apache.spark.util.LongAccumulator,
+             shortcut: Boolean): DataFrame = {
+      val hooked = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+        .select(col("a"), col("nc"), lit(null).cast("long").as("old"))
+        .union(labels.select(col("id"), col("comp"), col("comp")))
+        .groupBy(col("a"))
+        .agg(min(col("nc")).as("comp"), min(col("old")).as("old"))
+      // pointer jump: replace comp with comp's own post-hook label; every
+      // comp value is a labeled node id, so the left join always hits
+      val jumped =
+        if (!shortcut) hooked
+        else hooked
+          .join(hooked.select(col("a").as("comp"), col("comp").as("cc")),
+            Seq("comp"), "left")
+          .select(col("a"), coalesce(col("cc"), col("comp")).as("comp"),
+            col("old"))
+      jumped.select(col("a").as("id"), col("comp"), col("old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, comp, old) =>
+            if (comp != old) acc.add(1)
+            (id, comp)
+          }
+        }
+        .toDF("id", "comp").localCheckpoint()
+    }
     // round 0 fused into init: comp = min(self, direct neighbors) — one
     // aggregate, no labels join; dense near-dup clusters often hit the
     // fixpoint here and the loop only confirms it
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("comp"))
       .select(col("a").as("id"), col("comp")).localCheckpoint()
-    // an empty pair list means no labeled nodes at all: sum() is NULL, and
-    // the empty frame IS the fixpoint (callers re-attach singletons)
-    val initSum = Option(labels.agg(sum(col("comp"))).head().get(0))
-    if (initSum.isEmpty) { edges.unpersist(); return labels }
-    var prevSum = initSum.get.asInstanceOf[Number].longValue
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      // min over self ∪ neighbor labels in ONE join + ONE aggregate: every
-      // labeled node came from edges, so unioning the self-labels into the
-      // neighbor stream replaces the left-join-back (2 shuffles/iter, not 3)
-      val next = edges
-        .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
-        .select(col("a"), col("nc"))
-        .union(labels.select(col("id").as("a"), col("comp").as("nc")))
-        .groupBy(col("a")).agg(min(col("nc")).as("comp"))
-        .select(col("a").as("id"), col("comp"))
-        .localCheckpoint()
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
-      labels = next
-      done = s == prevSum
-      prevSum = s
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      labels = step(labels, acc, shortcut = false)
+      done = acc.value == 0L
       it += 1
+    }
+    // adversarial diameter: finish with hook+shortcut rounds — O(log d)
+    var jumps = 0
+    while (!done && jumps < 64) {
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      labels = step(labels, acc, shortcut = true)
+      done = acc.value == 0L
+      jumps += 1
     }
     edges.unpersist()
     if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations — " +
-      "a component has diameter > maxIter (raise maxIter; for adversarial " +
-      "diameters switch to pointer-jumping, which converges in O(log d))")
+      s"connectedComponents did not converge after $maxIter min-label " +
+      s"iterations + $jumps pointer-jumping rounds — not reachable for any " +
+      "graph with < 2^64 nodes; indicates non-deterministic input")
     labels
   }
 

@@ -234,11 +234,22 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
     assert(cl.count(_._3) == 5, "one canonical for the path + 4 singletons")
     assert(cl.filter(_._1 >= 16).forall(c => c._2 == c._1 && c._3))
-    // a diameter beyond maxIter must fail loudly, not return partial labels
-    val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path.toDF("d1", "d2"), maxIter = 3).collect()
-    }
-    assert(e.getMessage.contains("did not converge"))
+    // a diameter beyond maxIter switches to the pointer-jumping phase and
+    // still converges to the same labels as union-find, never throwing —
+    // chains of boilerplate near-dups are real in web corpora
+    val deep = Dedup.connectedComponents(path.toDF("d1", "d2"), maxIter = 3)
+      .collect()
+    assert(deep.length == 16 && deep.forall(_.getLong(1) == 0L),
+      "pointer jumping must finish the flood past maxIter")
+    // pure pointer-jumping (maxIter=0 min-label rounds) alone is complete:
+    // hook+shortcut rounds double the travelled distance, so even a LONG
+    // path converges in O(log d) rounds — this would time out if the
+    // fallback were O(d)
+    val long = (0L until 400L).map(i => (i, i + 1))
+    val jumped = Dedup.connectedComponents(long.toDF("d1", "d2"), maxIter = 0)
+      .collect()
+    assert(jumped.length == 401 && jumped.forall(_.getLong(1) == 0L),
+      "hook+shortcut must label a 400-edge path all-0 in O(log d) rounds")
   }
 
   test("zero near-dup pairs yield all-singleton clusters, not a crash") {
