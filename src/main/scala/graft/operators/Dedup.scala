@@ -83,7 +83,11 @@ object Dedup {
     // The estimate is computed BEFORE the dedup shuffle only for pairs that
     // pass the threshold — dropping sub-threshold pairs early shrinks the
     // shuffle further (a pair's estimate is identical in every band).
-    val estJac = udf((a: Seq[Long], b: Seq[Long]) => Sketches.estimateJaccard(a, b))
+    // matched-positions/k as a codegen'd HOF chain (Sketches.estimateJaccard
+    // semantics) — a Scala UDF here would sit on the band-join hot path
+    val estJac = (a: Column, b: Column) =>
+      size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") /
+        size(a)
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") &&
@@ -151,7 +155,6 @@ object Dedup {
     * exact-duplicate hashes) or raise the hash width instead. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunked = simhashChunks(docs, maxDist)
-    val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_no") === col("b.chunk_no") &&
@@ -160,7 +163,7 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
               col("a.simhash").as("h1"), col("b.simhash").as("h2"))
       .distinct()
-      .withColumn("dist", popcnt(col("h1").bitwiseXOR(col("h2"))))
+      .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .where(col("dist") <= maxDist)
       .select(col("d1"), col("d2"), col("dist"))
   }
@@ -174,15 +177,19 @@ object Dedup {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // ids-first: the cross-table dedup (distinct) shuffles only (d1, d2)
     // id pairs; the embeddings are re-attached afterwards — at bucket sizes
-    // worth having, shuffling vectors through the distinct dominates cost
-    val pairs = (0 until tables).map { t =>
-      val sig = Similarity.hyperplaneBucket(embeddings, dim, nPlanes, t * nPlanes)
-        .select(col("vec_id"), col("bucket"))
-      sig.as("a").join(sig.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-    }.reduce(_ union _).distinct()
+    // worth having, shuffling vectors through the distinct dominates cost.
+    // ALL tables' buckets come from one pass over the embeddings (posexplode
+    // of the per-table signature array); the self-join on (table, bucket)
+    // then shuffles once, shared between both sides by exchange reuse —
+    // vs `tables` separate scans + joins
+    val sig = Similarity.hyperplaneBuckets(embeddings, dim, nPlanes, tables)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
     pairs
       .join(embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
       .join(embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")

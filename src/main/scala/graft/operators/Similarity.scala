@@ -68,13 +68,18 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vid"), col("cos"))
   }
 
-  /** (vec_id, embedding, bucket) for one LSH table — shared by lshTopK and
-    * Dedup.embeddingNearDup. */
-  private[operators] def hyperplaneBucket(df: DataFrame, dim: Int, nPlanes: Int,
-                                          planeOffset: Int): DataFrame = {
+  /** (vec_id, table, bucket) for ALL tables in ONE pass over the vectors:
+    * every table's signature is a column of one projection, exploded to
+    * rows. One scan of a 100 TB embedding table instead of `tables` scans —
+    * and a self-join on (table, bucket) shuffles once, with Spark's
+    * exchange reuse sharing that shuffle between the two sides. */
+  private[operators] def hyperplaneBuckets(df: DataFrame, dim: Int,
+                                           nPlanes: Int, tables: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col("vec_id"), col("embedding"),
-      hyperplaneSig(col("embedding"), dim, nPlanes, planeOffset).as("bucket"))
+    df.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSig(col("embedding"), dim, nPlanes, t * nPlanes)): _*))
+        .as(Seq("table", "bucket")))
   }
 
   /** Deterministic random hyperplane signature: plane p of table t has
@@ -101,17 +106,20 @@ object Similarity {
               dim: Int = 64, nPlanes: Int = 4, tables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val cand = candidates.repartition(col("vec_id")) // parallelize sig scan
-    // ids-first (see Dedup.embeddingNearDup): the multi-table union/distinct
-    // carries only (qid, vid); vectors are re-attached for scoring
-    val pairs = (0 until tables).map { t =>
-      def sig(df: DataFrame, idc: String) = df.select(
-        col("vec_id").as(idc),
-        hyperplaneSig(col("embedding"), dim, nPlanes, t * nPlanes).as("bucket"))
-      broadcast(sig(queries, "qid"))
-        .join(sig(cand, "vid"), Seq("bucket"))
-        .where(col("qid") =!= col("vid"))
-        .select(col("qid"), col("vid"))
-    }.reduce(_ union _).distinct()
+    // ids-first (see Dedup.embeddingNearDup): the cross-table distinct
+    // carries only (qid, vid); vectors are re-attached for scoring. All
+    // tables' buckets come from ONE pass over each side (posexplode of the
+    // per-table signature array), so the candidate corpus is scanned once
+    // instead of `tables` times
+    val qsig = hyperplaneBuckets(queries, dim, nPlanes, tables)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val csig = hyperplaneBuckets(cand, dim, nPlanes, tables)
+      .select(col("vec_id").as("vid"), col("table"), col("bucket"))
+    val pairs = broadcast(qsig)
+      .join(csig, Seq("table", "bucket"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+      .distinct()
     val scored = pairs
       .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
       .join(cand.select(col("vec_id").as("vid"), col("embedding").as("cv")), "vid")

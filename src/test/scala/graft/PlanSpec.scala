@@ -57,6 +57,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan)
   }
 
+  test("LSH band-join stages carry no Scala UDF (hot paths stay codegen'd)") {
+    val s = spark
+    import s.implicits._
+    // plan STRINGS truncate long expression lists, so grep-style assertions
+    // are vacuous here — walk the plan tree and collect ScalaUDF nodes
+    def scalaUdfs(df: DataFrame) = {
+      // AdaptiveSparkPlanExec is childless — unwrap to the real plan
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      root.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        })
+      }.flatten
+    }
+    // parquet-backed input: over a local Seq, ConvertToLocalRelation folds
+    // scan-side projections (UDFs included) into the relation and the
+    // assertion goes vacuous
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    // the minhash estimate (estJac) sat on the band-join hot path as a UDF;
+    // now a zip_with/filter HOF chain — the whole pipeline is UDF-free
+    val mh = scalaUdfs(graft.operators.Dedup.minhashLsh(docs))
+    assert(mh.isEmpty, s"UDFs in minhashLsh plan: $mh")
+    // simhashPairs keeps exactly one UDF — the long-returning signature
+    // builder below the join; the int-returning popcount above the join is
+    // now the bit_count builtin
+    val sh = scalaUdfs(graft.operators.Dedup.simhashPairs(docs))
+    assert(sh.nonEmpty && sh.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      s"only the simhash signature UDF may remain: $sh")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     val s = spark
     // a selective dim-side filter should inject a bloom filter on the fact
