@@ -115,6 +115,50 @@ object Sketches {
     org.apache.spark.sql.functions.udaf(new MinHashAggregator(k, seed),
       Encoders.scalaLong).apply(col)
 
+  // --------------------------------------------------------- vector sum ---
+
+  /** (element-wise sum, count) of float vectors. */
+  case class VectorSum(sum: Seq[Double], n: Long)
+
+  /** Element-wise sum + count of float vectors — the partial-aggregable core
+    * of a distributed mean (the Lloyd step of IVF training). Associative +
+    * commutative merge means Spark runs it partial+final: the shuffle
+    * carries ONE (dim+1)-double buffer per group per map partition instead
+    * of sample·dim exploded (cid, pos, x) rows. */
+  final class VectorSumAggregator(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], VectorSum] {
+    // buffer: dim running sums, count in the last slot
+    override def zero: Array[Double] = new Array[Double](dim + 1)
+
+    override def reduce(buf: Array[Double], v: Seq[Float]): Array[Double] = {
+      var i = 0
+      while (i < dim) { buf(i) += v(i); i += 1 }
+      buf(dim) += 1
+      buf
+    }
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i <= dim) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Double]): VectorSum =
+      VectorSum(buf.take(dim).toSeq, buf(dim).toLong)
+
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[VectorSum] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[VectorSum]()
+  }
+
+  /** Column form: struct<sum: array<double>, n: bigint> of a float-vector
+    * column. */
+  def vectorSum(col: Column, dim: Int): Column =
+    org.apache.spark.sql.functions.udaf(new VectorSumAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      .apply(col)
+
   /** Jaccard estimate from two MinHash signatures. */
   def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
     require(a.length == b.length)

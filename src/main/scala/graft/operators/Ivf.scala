@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB):
   *  - centroids are O(nCentroids·dim) — driver-side and broadcast-sized by
-  *    construction; training touches only a hash-sample (`sampleMod`), the
-  *    standard IVF practice.
+  *    construction; training touches only a hash-sample bounded to
+  *    `maxTrainRows` BY DEFAULT (the modulus is derived from the corpus
+  *    count), the standard IVF practice.
   *  - list assignment is embarrassingly parallel; queries are broadcast so
   *    candidates are scanned exactly once with no candidate-side shuffle.
-  *    The scan cost drops to ~nProbe/nCentroids of the corpus per query
-  *    batch once the assigned table is written `partitionBy("cid")` (or
-  *    bucketed on cid) — then Catalyst partition-prunes unprobed lists.
+  *  - [[writeLists]] persists the assignment `partitionBy("cid")` and
+  *    [[ivfTopKStored]] pushes the query batch's probe-cid set as a static
+  *    partition filter — Catalyst prunes unprobed list directories, so the
+  *    scan reads ~nProbe/nCentroids of the corpus (pruning is asserted in
+  *    SimilaritySpec).
   *  - raise nCentroids ∝ √n to keep lists balanced; recall is tuned by
   *    nProbe independently of the stored layout.
   */
@@ -62,44 +65,60 @@ object Ivf {
     array_max(scoredCentroids(v, cents)).getField("cid")
 
   /** The nProbe closest centroid ids, best first. */
-  private def probeCentroids(v: Column, cents: Array[Array[Float]],
-                             nProbe: Int): Column =
+  private[operators] def probeCentroids(v: Column, cents: Array[Array[Float]],
+                                        nProbe: Int): Column =
     transform(slice(reverse(array_sort(scoredCentroids(v, cents))), 1, nProbe),
       s => s.getField("cid"))
 
+  /** Deterministic hash-sample bounded to ~`maxTrainRows` rows: the modulus
+    * is derived from the corpus count (parquet metadata — no data scan), so
+    * the DEFAULT training path touches a bounded sample no matter how large
+    * the corpus is. Callers never pick a modulus by hand. */
+  private[operators] def trainingSample(candidates: DataFrame,
+                                        maxTrainRows: Long): DataFrame = {
+    val n = candidates.count()
+    val mod = math.max(1L, (n + maxTrainRows - 1) / maxTrainRows)
+    (if (mod > 1)
+       candidates.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+     else candidates)
+      .select(col("vec_id"), col("embedding"))
+  }
+
   /** Train the coarse quantizer: deterministic init (lowest vec_ids), then
-    * `iters` Lloyd steps (assign → per-dimension mean). The per-step shuffle
-    * is (sample·dim) rows keyed by (cid, pos) — bounded by the sample, not
-    * the corpus; the collected means are nCentroids·dim doubles. Empty
-    * clusters keep their previous centroid. */
+    * `iters` Lloyd steps (assign → per-centroid vector mean). Training
+    * touches only a hash-sample bounded to `maxTrainRows` BY DEFAULT — at
+    * 100 TB the modulus derivation keeps the sample constant-sized. Each
+    * Lloyd step aggregates with a typed vector-sum Aggregator (partial+
+    * final), so the shuffle is one (dim+1)-double buffer per centroid per
+    * map partition — nCentroids·dim, NOT sample·dim exploded rows. The
+    * collected means are nCentroids·dim doubles. Empty clusters keep their
+    * previous centroid. */
   def trainCentroids(candidates: DataFrame, nCentroids: Int, iters: Int = 2,
-                     sampleMod: Int = 1): Array[Array[Float]] = {
+                     maxTrainRows: Long = 1L << 16): Array[Array[Float]] = {
     registered(candidates)
-    val sample = (if (sampleMod > 1)
-        candidates.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-      else candidates)
-      .select(col("vec_id"), col("embedding")).cache()
+    require(maxTrainRows >= nCentroids,
+      s"maxTrainRows=$maxTrainRows < nCentroids=$nCentroids")
+    val sample = trainingSample(candidates, maxTrainRows).cache()
     try {
       var cents = normalize(
         sample.orderBy(col("vec_id")).limit(nCentroids)
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toArray))
       require(cents.nonEmpty, "no vectors to train on")
+      val dim = cents(0).length
       for (_ <- 0 until iters) {
-        val means = sample
-          .select(nearestCentroid(col("embedding"), cents).as("cid"),
-            posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        val sums = sample
+          .groupBy(nearestCentroid(col("embedding"), cents).as("cid"))
+          .agg(graft.functions.Sketches.vectorSum(col("embedding"), dim).as("vs"))
+          .select(col("cid"), col("vs.sum").as("sum"), col("vs.n").as("n"))
           .collect()
-        val byCid = means.groupBy(_.getInt(0))
+        val byCid = sums.map(r =>
+          r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
         cents = normalize(cents.indices.map { c =>
           byCid.get(c) match {
-            case Some(rows) =>
-              val dim = rows.map(_.getInt(1)).max + 1
-              val arr = new Array[Float](dim)
-              rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
-              arr
-            case None => cents(c)
+            case Some((s, n)) if n > 0 =>
+              s.map(x => (x / n).toFloat).toArray
+            case _ => cents(c)
           }
         }.toArray)
       }
@@ -116,20 +135,17 @@ object Ivf {
         col("vec_id").as("vid"), col("embedding").as("cv"))
   }
 
-  /** Approximate top-k: probe the nProbe nearest inverted lists per query,
-    * exact-rescore with the native cosine, per-query top-k. Same output
-    * schema as [[Similarity.lshTopK]]: (qid, rn, vid, cos). */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
-              sampleMod: Int = 1): DataFrame = {
+  /** Probe/score/top-k against an already-assigned (cid, vid, cv) table —
+    * the shared tail of the in-memory and stored paths. */
+  private def probeTopK(queries: DataFrame, assigned: DataFrame,
+                        cents: Array[Array[Float]], k: Int,
+                        nProbe: Int): DataFrame = {
     registered(queries)
-    val cents = trainCentroids(candidates, nCentroids, iters, sampleMod)
-    val cand = assign(candidates, cents)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       explode(probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
     // each candidate lives in exactly one list and probe cids are distinct,
     // so (qid, vid) pairs are already unique — no dedup shuffle needed
-    val scored = broadcast(q).join(cand, Seq("cid"))
+    val scored = broadcast(q).join(assigned, Seq("cid"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
         round(call_function("cosine_sim", col("qv"), col("cv")), 4).as("cos"))
@@ -138,5 +154,44 @@ object Ivf {
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vid"), col("cos"))
+  }
+
+  /** Approximate top-k: probe the nProbe nearest inverted lists per query,
+    * exact-rescore with the native cosine, per-query top-k. Same output
+    * schema as [[Similarity.lshTopK]]: (qid, rn, vid, cos). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              maxTrainRows: Long = 1L << 16): DataFrame = {
+    val cents = trainCentroids(candidates, nCentroids, iters, maxTrainRows)
+    probeTopK(queries, assign(candidates, cents), cents, k, nProbe)
+  }
+
+  /** Persist the inverted lists `partitionBy("cid")` — the stored IVF
+    * layout: each list is its own partition directory, so a probe that
+    * filters on cid reads ~nProbe/nCentroids of the corpus from disk. */
+  def writeLists(candidates: DataFrame, cents: Array[Array[Float]],
+                 path: String): Unit =
+    assign(candidates, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cid").parquet(path)
+
+  /** Approximate top-k against stored inverted lists: the query batch's
+    * probe-cid set (≤ |queries|·nProbe ints, driver-bounded by construction)
+    * is pushed as a STATIC partition filter, so Catalyst prunes unprobed
+    * list directories at plan time — the scan reads only the probed
+    * ~nProbe/nCentroids of a 100 TB corpus, which is the entire point of
+    * the stored layout. */
+  def ivfTopKStored(queries: DataFrame, listsPath: String,
+                    cents: Array[Array[Float]], k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    registered(queries)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probeCids = queries
+      .select(explode(probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
+      .distinct().as[Int].collect().sorted
+    val assigned = spark.read.parquet(listsPath)
+      .where(col("cid").isin(probeCids.map(Int.box): _*))
+    probeTopK(queries, assigned, cents, k, nProbe)
   }
 }

@@ -75,6 +75,72 @@ class SimilaritySpec extends SparkSpec {
       s"candidate side must not shuffle on cid:\n$plan")
   }
 
+  test("IVF training sample is bounded by maxTrainRows by default") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    // a cap far below the corpus: the derived modulus must shrink the
+    // sample to ~cap (hash-mod sampling is approximate — allow 3x slack)
+    val cap = 64L
+    val sampled = Ivf.trainingSample(emb, cap).count()
+    assert(sampled < n, s"sample $sampled must be smaller than corpus $n")
+    assert(sampled <= 3 * cap, s"sample $sampled far above cap $cap")
+    assert(sampled > 0, "sample must be non-empty")
+    // a cap above the corpus keeps every row (mod = 1, no filter)
+    assert(Ivf.trainingSample(emb, n + 1).count() == n)
+    // and training on the bounded sample still yields usable centroids
+    val cents = Ivf.trainCentroids(emb, nCentroids = 8, iters = 1,
+      maxTrainRows = cap)
+    assert(cents.length == 8 && cents.forall(_.nonEmpty))
+  }
+
+  test("stored IVF lists partition-prune: probes read only probed cids") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.trainCentroids(emb, nCentroids = 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lists")
+      .toString
+    Ivf.writeLists(emb, cents, dir)
+    val q = emb.where(col("vec_id") < 5)
+    val stored = Ivf.ivfTopKStored(q, dir, cents, k = 5, nProbe = 4)
+    // golden equality with the in-memory path on the same centroids
+    val mem = Ivf.ivfTopK(q, emb, k = 5, nCentroids = 16, nProbe = 4, iters = 1)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(key(stored) == key(mem),
+      "stored-lists probe must equal the in-memory probe")
+    // the scan must touch ONLY probed list directories — this is the
+    // 100 TB claim: unprobed inverted lists are pruned at plan time.
+    // (inputFiles lists the UNPRUNED file index, so assert on the executed
+    // scan node: its partition filter and its partitions-read metric)
+    val s = spark
+    import s.implicits._
+    val probed = q.select(explode(Ivf.probeCentroids(col("embedding"), cents, 4))
+      .as("cid")).distinct().as[Int].collect().toSet
+    assert(probed.size < 16, "fixture must not probe every list")
+    stored.collect()
+    // AQE wraps materialized stages in childless QueryStageExec nodes —
+    // descend through them explicitly or the scan is unreachable
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(stored.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cid"))
+      .head
+    assert(scan.metadata("PartitionFilters").contains("cid"),
+      s"probe cids not pushed as partition filters: ${scan.metadata}")
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead == probed.size,
+      s"scan read $partsRead list partitions, probed only ${probed.size}")
+  }
+
   test("LSH ANN recall@5 >= 0.5 vs brute force on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.where(col("vec_id") < 20)
