@@ -330,10 +330,52 @@ object Multimodal {
       meta = m.meta.copy(sizeBytes = bytes.length, width = tw, height = th)))
   }
 
+  /** REAL image feature: decode via ImageIO and average-pool the raster
+    * over a g×g grid (g = ⌈√(dim/3)⌉, so 3g² ≥ dim), emitting per-cell
+    * R,G,B means in [0,1], row-major, truncated to `dim`. Exact block
+    * pooling (not an interpolated rescale) makes the feature deterministic
+    * and stable under resizing: a bilinearly downscaled copy of the same
+    * image pools to near-identical cell means. None when the payload isn't
+    * a decodable image — callers fall back to the stub. */
+  private[multimodal] def imageRasterFeature(bytes: Array[Byte],
+                                             dim: Int): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val g = math.max(1, math.ceil(math.sqrt(dim / 3.0)).toInt)
+      val sums = new Array[Double](g * g * 3)
+      val cnts = new Array[Long](g * g)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val cy = y * g / h
+        var x = 0
+        while (x < w) {
+          val c = cy * g + x * g / w
+          val rgb = img.getRGB(x, y)
+          sums(c * 3) += (rgb >> 16) & 0xff
+          sums(c * 3 + 1) += (rgb >> 8) & 0xff
+          sums(c * 3 + 2) += rgb & 0xff
+          cnts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(dim) { i =>
+        val c = i / 3
+        if (cnts(c) == 0) 0f else (sums(i) / cnts(c) / 255.0).toFloat
+      })
+    }
+  }
+
   /** Feature extraction over frames, batched per partition (the real-world
     * shape: load a model once per partition, run batched inference).
-    * STUB embedding: splitmix-style hash of the bytes → 16 deterministic
-    * floats in [-1, 1). */
+    * Image frames ImageIO can decode get the REAL pooled-raster feature
+    * ([[imageRasterFeature]]); video/audio frames keep the documented STUB
+    * (splitmix-style hash of the bytes → deterministic floats in [-1, 1)) —
+    * their codecs have no pure-JDK decoder in this container. */
   def extractFeatures(frames: Dataset[(String, String, Int, Array[Byte])],
                       dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeature] = {
     import frames.sparkSession.implicits._
@@ -341,9 +383,13 @@ object Multimodal {
       // per-partition init happens HERE once (model load in a real impl)
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { case (path, kind, frameNo, bytes) =>
-          val seed = bytes.foldLeft(frameNo.toLong)((a, b) => a * 31 + (b & 0xff))
-          val emb = Array.tabulate(dim) { j =>
-            (graft.functions.Sketches.mix64(seed + j).toDouble / Long.MaxValue).toFloat
+          val real =
+            if (kind == "image") imageRasterFeature(bytes, dim) else None
+          val emb = real.getOrElse {
+            val seed = bytes.foldLeft(frameNo.toLong)((a, b) => a * 31 + (b & 0xff))
+            Array.tabulate(dim) { j =>
+              (graft.functions.Sketches.mix64(seed + j).toDouble / Long.MaxValue).toFloat
+            }
           }
           MediaFeature(path, kind, frameNo, emb)
         }

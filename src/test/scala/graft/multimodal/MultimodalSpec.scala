@@ -47,6 +47,41 @@ class MultimodalSpec extends SparkSpec {
     assert(m1 == m2, "stub decode must be deterministic")
   }
 
+  test("decodable images embed via the real pooled raster; a/v keep the stub") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val imgA = png(64, 48)((x, _) => (x * 255 / 63) << 16) // horizontal red ramp
+    val imgB = png(64, 48)((_, y) => y * 255 / 47)         // vertical blue ramp
+    val fa = Multimodal.imageRasterFeature(imgA, 48).get
+    val fb = Multimodal.imageRasterFeature(imgB, 48).get
+    assert(fa.zip(fb).map { case (a, b) => math.abs(a - b) }.max > 0.2,
+      "distinct images must embed differently")
+    // a bilinearly resized copy of the same image pools to near-identical
+    // cell means — the property that makes the feature usable for dedup
+    val one = Seq(Multimodal.probe("a.png", imgA)).toDS()
+    val halfBytes = Multimodal.resize(one, 32, 32).collect().head.content
+    val fr = Multimodal.imageRasterFeature(halfBytes, 48).get
+    val drift = fa.zip(fr).map { case (a, b) => math.abs(a - b) }.max
+    assert(drift < 0.06, s"resized-copy embedding drift $drift")
+    // end-to-end: extractFeatures routes decodable image frames to the
+    // raster path, while a/v frames keep the documented hash stub (raster
+    // values live in [0,1]; the stub spans [-1,1))
+    val frames = Seq(("a.png", "image", 0, imgA), ("b.wav", "audio", 0, imgA))
+      .toDS()
+    val feats = Multimodal.extractFeatures(frames, dim = 48).collect()
+      .map(f => f.kind -> f.embedding).toMap
+    assert(feats("image").sameElements(fa))
+    assert(!feats("audio").sameElements(fa) && feats("audio").exists(_ < 0f))
+  }
+
   test("resize bounds dimensions preserving aspect ratio") {
     val resized = Multimodal.resize(Multimodal.scan(spark, dir), 100, 100)
       .collect()
