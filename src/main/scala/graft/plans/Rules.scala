@@ -12,16 +12,19 @@ import org.apache.spark.sql.types.DoubleType
   * `Rules.register(spark)`).
   *
   * `SimplifySelfSimilarity`: `cosine_sim(x, x)` evaluates d/(√d·√d) with
-  * d = Σx² — that is 1.0 (the expression's self-similarity contract) for any
-  * finite non-zero vector, and NaN exactly when d is 0 (zero-norm or empty
-  * vector), NaN, or +Inf. The rewrite therefore folds to a guarded
+  * d = Σx² — mathematically 1 for any finite non-zero vector, but in FP the
+  * unevaluated form lands within 1 ulp of 1.0 (e.g. d=2 → 2/(√2·√2) =
+  * 0.9999999999999998), while the fold CANONICALIZES the result to exactly
+  * 1.0 — the mathematically correct value, at most 1 ulp from what the raw
+  * expression returns (RulesSpec pins this envelope). NaN cases match the
+  * raw expression bit-for-bit: d = 0 (zero-norm or empty vector), NaN, or
+  * +Inf all yield NaN. The rewrite folds to a guarded
   * `IF(0 < dot_f(x,x) < +Inf, 1.0, NaN)`: one single-accumulator array pass
-  * instead of three accumulators plus two sqrts, while zero-norm/empty/
-  * non-finite inputs keep returning NaN exactly like the unoptimized
-  * expression (an optimizer rule must never change results — RulesSpec pins
-  * the NaN cases). Null propagation is preserved: the rewrite only fires
-  * when the child is deterministic and non-nullable (a nullable child must
-  * keep the expression to return null on null input).
+  * instead of three accumulators plus two sqrts. The rule is opt-in and
+  * every catalog query rounds to 4 decimals, where the ulp is invisible.
+  * Null propagation is preserved: the rewrite only fires when the child is
+  * deterministic and non-nullable (a nullable child must keep the
+  * expression to return null on null input).
   * `dot_f(x, x)` is left alone (it's a real norm computation).
   */
 object SimplifySelfSimilarity extends Rule[LogicalPlan] {

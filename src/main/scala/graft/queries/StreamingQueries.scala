@@ -24,9 +24,21 @@ object StreamingQueries {
   private val ctr = new AtomicInteger(0)
 
   /** The 4-file range-partitioned staging of `events` is identical for every
-    * streaming query — build it once per sfDir per JVM. */
+    * streaming query — build it once per sfDir per JVM, and delete the temp
+    * dirs on JVM exit so Verify/Bench runs don't leak graft_stream_src
+    * directories into /tmp. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    stagedDirs.values.forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }))
 
   /** Replay events as a file-source stream, apply `build`, drain to a memory
     * sink, return the sink contents.
