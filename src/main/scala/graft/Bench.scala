@@ -34,6 +34,12 @@ object Bench {
     // a query that THROWS must not silently contribute a fast "time" (a
     // broken query would make the bench look better) — record it and fail
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle barrier: collect the previous query's garbage OUTSIDE the
+      // next measurement, so a heavy neighbor (e.g. the ~30-job dedup-
+      // clusters loop) doesn't tax the query that happens to sort after it
+      // — measured effect: q_llm_dedup_exact read 3x its isolated time in
+      // round 3 purely from adjacency
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
