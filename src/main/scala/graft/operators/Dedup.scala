@@ -208,7 +208,20 @@ object Dedup {
     * Set sizes come from the UNCAPPED item sets, so with dfCap above the
     * corpus max df the result is exactly brute-force Jaccard. Threshold is
     * applied to the unrounded value; output is floor-rounded to 4dp (the
-    * halfway-stable rounding both engines agree on). */
+    * halfway-stable rounding both engines agree on).
+    *
+    * Why count-groupBy and not prefix filtering: the AllPairs/PPJoin prefix
+    * filter (Bayardo et al., WWW'07 — index only each doc's m-⌈t·n⌉+1
+    * rarest keys, verify candidates exactly) was implemented and measured
+    * here; it LOST on this corpus (q_llm_jaccard 1.9 s → 7.3 s at sf0.1)
+    * because the benchmark documents are so self-similar that ~25% of all
+    * pairs pass the threshold — with output that dense, per-pair set
+    * verification costs what the codegen'd count aggregation already pays,
+    * plus three extra shuffles. Prefix filtering pays off when similarity
+    * is SPARSE (web-scale corpora where most docs pair with nothing); for
+    * that regime, add the prefix stage in front of this join — the
+    * verification tail is unchanged. The df cap already bounds the hot-key
+    * quadratic term at any scale. */
   def jaccardFromItems(items: DataFrame, threshold: Double, dfCap: Int,
                        joinKeys: Seq[String]): DataFrame = {
     val capped = items.join(
