@@ -38,6 +38,17 @@ object Tables {
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+
+  /** Repartition by `keys` ONLY when the input's scan parallelism is below
+    * the session's core count. The small-SF fixtures are single-file parquet
+    * (one split ⇒ one core) and need the spread before CPU-bound stages;
+    * a corpus-scale table already has thousands of input splits, where a
+    * blind repartition() is a full-corpus shuffle bought for nothing.
+    * Inspecting `rdd.getNumPartitions` plans the scan but runs no job. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    if (df.rdd.getNumPartitions >= df.sparkSession.sparkContext.defaultParallelism)
+      df
+    else df.repartition(keys: _*)
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

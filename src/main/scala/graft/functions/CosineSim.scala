@@ -136,7 +136,17 @@ object GraftFunctions {
     classOf[DotProductF].getName, null, "dot_f",
     "_FUNC_(a, b) - dot product of two float arrays in double precision.", "")
 
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, null, "simhash64",
+    "_FUNC_(tokens) - 64-bit SimHash of a string array.", "")
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"), simhashInfo,
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(args.head)
+      })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo,
       (args: Seq[Expression]) => {
@@ -164,6 +174,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, null, "dot_f"),
       (args: Seq[Expression]) => DotProductF(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

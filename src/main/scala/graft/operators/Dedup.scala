@@ -34,9 +34,9 @@ object Dedup {
   /** (doc_id, shingle_hash) pairs: hashed w-token shingles of `text`.
     * transform over a token-index sequence keeps everything in codegen. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame =
-    docs
-      // hashing w-shingles is the CPU-bound stage; spread single-file scans
-      .repartition(col("doc_id"))
+    // hashing w-shingles is the CPU-bound stage; spread single-file scans
+    // (no-op when the scan already has the splits — corpus scale)
+    graft.core.Tables.spread(docs, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh",
         when(size(col("toks")) >= w,
@@ -100,24 +100,14 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over token hashes (sign of per-bit weighted sums). */
+  /** 64-bit SimHash over token hashes (sign of per-bit weighted sums) —
+    * the native codegen'd [[graft.functions.SimHash64]] expression, reading
+    * the token UTF8Strings in place (the former Scala UDF paid a
+    * CatalystTypeConverters round-trip per document). */
   def simhash(docs: DataFrame): DataFrame = {
-    val sim = udf { toks: Seq[String] =>
-      val acc = new Array[Int](64)
-      toks.foreach { t =>
-        val h = Sketches.mix64(t.hashCode.toLong)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          i += 1
-        }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-    docs.select(col("doc_id"), sim(split(col("text"), " ")).as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("simhash64", split(col("text"), " ")).as("simhash"))
   }
 
   /** Blocking rows (doc_id, simhash, chunk_no, chunk) for `simhashPairs`:

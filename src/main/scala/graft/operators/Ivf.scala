@@ -130,7 +130,9 @@ object Ivf {
     * scale this is the table to persist `partitionBy("cid")`. */
   def assign(candidates: DataFrame, cents: Array[Array[Float]]): DataFrame = {
     registered(candidates)
-    candidates.repartition(col("vec_id"))   // parallelize single-file scans
+    // spread only when scan parallelism is deficient (single-file fixtures);
+    // a corpus-scale scan already has the splits and must NOT be shuffled
+    graft.core.Tables.spread(candidates, col("vec_id"))
       .select(nearestCentroid(col("embedding"), cents).as("cid"),
         col("vec_id").as("vid"), col("embedding").as("cv"))
   }

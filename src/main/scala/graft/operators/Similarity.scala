@@ -49,9 +49,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       l2Norm(col("embedding")).as("qn"))
-    // candidate side repartitioned: the dot-product scan is the CPU-bound
-    // stage and single-file inputs otherwise pin it to one core
-    val c = candidates.repartition(col("vec_id"))
+    // candidate side spread only when scan parallelism is deficient: the
+    // dot-product scan is the CPU-bound stage and single-file inputs pin it
+    // to one core, but at corpus scale the scan has thousands of splits and
+    // a blind repartition would shuffle the whole corpus for nothing
+    val c = graft.core.Tables.spread(candidates, col("vec_id"))
       .select(col("vec_id").as("vid"), col("embedding").as("cv"),
       l2Norm(col("embedding")).as("cn"))
     graft.functions.GraftFunctions.register(queries.sparkSession)
@@ -105,7 +107,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int = 64, nPlanes: Int = 4, tables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val cand = candidates.repartition(col("vec_id")) // parallelize sig scan
+    // spread only when scan parallelism is deficient (no-op at corpus scale)
+    val cand = graft.core.Tables.spread(candidates, col("vec_id"))
     // ids-first (see Dedup.embeddingNearDup): the cross-table distinct
     // carries only (qid, vid); vectors are re-attached for scoring. All
     // tables' buckets come from ONE pass over each side (posexplode of the

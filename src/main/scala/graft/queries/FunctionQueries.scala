@@ -35,13 +35,12 @@ object FunctionQueries {
     // the reference's own regexes applied to synthesized log/filename columns.
     // repartition() before the regex block: the test tables are single-row-
     // group parquet (scan parallelism 1), and 6 regex ops/row are CPU-bound —
-    // a cheap round-robin shuffle of 2 int columns buys full-core parallelism
-    // (at 100 TB the scan itself has thousands of splits and this is a no-op
-    // cost-wise relative to the regex work)
+    // spread a deficient single-file scan before the CPU-bound regex work
+    // (Tables.spread is a no-op at 100 TB where the scan has its own splits)
     "q_fn_regex" -> ((s, d) =>
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .repartition(col("o_orderkey"))
+      Tables.spread(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey"))
         .withColumn("log_line",
           concat(lit("submitted application_"), col("o_orderkey"),
                  lit("_"), col("o_custkey"), lit(" to queue")))

@@ -84,13 +84,26 @@ class PlanSpec extends SparkSpec {
     // now a zip_with/filter HOF chain — the whole pipeline is UDF-free
     val mh = scalaUdfs(graft.operators.Dedup.minhashLsh(docs))
     assert(mh.isEmpty, s"UDFs in minhashLsh plan: $mh")
-    // simhashPairs keeps exactly one UDF — the long-returning signature
-    // builder below the join; the int-returning popcount above the join is
-    // now the bit_count builtin
+    // simhashPairs is UDF-free too: the signature builder is the native
+    // SimHash64 expression and the popcount is the bit_count builtin
     val sh = scalaUdfs(graft.operators.Dedup.simhashPairs(docs))
-    assert(sh.nonEmpty && sh.forall(
-      _.dataType == org.apache.spark.sql.types.LongType),
-      s"only the simhash signature UDF may remain: $sh")
+    assert(sh.isEmpty, s"UDFs in simhashPairs plan: $sh")
+  }
+
+  test("Tables.spread shuffles deficient scans only") {
+    val single = Tables.documents(spark, sf0001) // single-file: 1 split
+    assert(single.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism)
+    // deficient scan → a repartition is inserted (AQE may later coalesce
+    // the tiny test shuffle, so assert the plan, not physical counts)
+    val s = Tables.spread(single, col("doc_id"))
+    assert(s ne single)
+    assert(s.queryExecution.logical.toString.contains("RepartitionByExpression"),
+      s.queryExecution.logical.toString)
+    // an input that already has the splits is returned AS IS — at corpus
+    // scale the blind repartition this replaces was a full-table shuffle
+    val parallel = single.repartition(8, col("doc_id"))
+    assert(Tables.spread(parallel, col("doc_id")) eq parallel)
   }
 
   test("runtime bloom filter prunes the probe side of a selective join") {

@@ -89,6 +89,35 @@ class DedupSpec extends SparkSpec {
     } yield if (id1 < id2) (id1, id2) else (id2, id1)).toSet
   }
 
+  test("native simhash64 matches the reference computation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    // independent reimplementation of the declared semantics: per-token
+    // mix64(String.hashCode) votes ±1 per bit, sign bits pack the hash —
+    // pins the native expression to what the historical UDF computed
+    def ref(text: String): Long = {
+      val acc = new Array[Int](64)
+      text.split(" ").foreach { t =>
+        val h = graft.functions.Sketches.mix64(t.hashCode.toLong)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((o, i) => if (acc(i) > 0) o | (1L << i) else o)
+    }
+    val texts = Seq("the quick brown fox", "a", "", "the the the",
+      "päö ü 漢字 mixed-unicode x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"simhash mismatch for '$t'")
+    }
+  }
+
   test("simhash blocking is candidate-complete at the shipped bound (maxDist=3)") {
     val d = docsWithPlantedDups
     val truth = bruteForcePairs(d, maxDist = 3)
