@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.operators.{Dedup, Ivf, Similarity}
+import graft.operators.{CorpusOps, Dedup, Ivf, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,6 +165,29 @@ object LlmQueries {
     // fraction, top-token fraction, duplicate-bigram fraction (the standard
     // repetition family for LLM corpus filtering). All distributed shapes:
     // explode → count → per-doc aggregate; no per-doc quadratic work.
+    // exact-span (substring) duplicate pairs — the C4/Gopher-style "shared
+    // long span" signal exact where near-dup metrics are fuzzy. Inverted-
+    // index join on 30-char spans with a df cap; never doc×doc.
+    "q_llm_span_dedup" -> ((s, d) =>
+      CorpusOps.spanPairs(Tables.documents(s, d).where(col("doc_id") < 300),
+          len = 30, dfCap = 1000)
+        .orderBy(col("d1"), col("d2"))),
+
+    // benchmark decontamination: corpus docs sharing any 5-token gram with
+    // the (small, broadcast) eval set — the standard pre-training hygiene
+    // step; the corpus side never shuffles.
+    "q_llm_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.contamination(docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split from a digest of the normalized
+    // text: exact duplicates land in one split by construction.
+    "q_llm_split" -> ((s, d) =>
+      CorpusOps.splitAssign(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     "q_llm_repetition" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("sp", split(col("text"), " "))
       val tokStats = docs
@@ -400,6 +423,41 @@ object LlmQueries {
          FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
          LEFT JOIN comp c2 ON d.doc_id = c2.id
          ORDER BY d.doc_id""",
+    "q_llm_span_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         sp AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(text) - 28),
+                    i -> substr(text, CAST(i AS INT), 30))) AS span
+           FROM d WHERE len(text) >= 30),
+         keep AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) <= 1000),
+         cap AS (SELECT sp.doc_id, sp.span FROM sp JOIN keep USING (span))
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_spans
+         FROM cap a JOIN cap b ON a.span = b.span AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY d1, d2""",
+    "q_llm_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+         tg AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(
+                      list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)),
+                      ' '))) AS g
+           FROM tok WHERE len(toks) >= 5),
+         ev AS (SELECT DISTINCT g FROM tg WHERE doc_id < 20)
+         SELECT c.doc_id, COUNT(*) AS n_hits
+         FROM (SELECT doc_id, g FROM tg WHERE doc_id >= 20) c
+         JOIN ev USING (g)
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_llm_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(lower(trim(text))), 1, 1) IN ('c','d')
+                  THEN 'val'
+                WHEN substr(md5(lower(trim(text))), 1, 1) IN ('e','f')
+                  THEN 'test'
+                ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
     "q_llm_repetition" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          tc AS (

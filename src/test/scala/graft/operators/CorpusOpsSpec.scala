@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("span pairs equal a brute-force substring comparison") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "xx the quick brown fox jumps over the lazy dog at dawn"),
+      (2L, "completely unrelated text that shares nothing with the rest!!"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.spanPairs(docs, len = 20, dfCap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: distinct shared 20-char substrings per pair
+    val texts = Seq(0L -> "the quick brown fox jumps over the lazy dog tonight",
+      1L -> "xx the quick brown fox jumps over the lazy dog at dawn",
+      2L -> "completely unrelated text that shares nothing with the rest!!",
+      3L -> "the quick brown fox jumps over the lazy dog tonight")
+    def spans(t: String) = (0 to t.length - 20).map(i => t.substring(i, i + 20)).toSet
+    val want = (for {
+      (i, ti) <- texts; (j, tj) <- texts if i < j
+      n = (spans(ti) & spans(tj)).size if n > 0
+    } yield (i, j) -> n.toLong).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("span df cap drops boilerplate spans from the index") {
+    val s = spark
+    import s.implicits._
+    // one 30-char boilerplate line in every doc: with dfCap below the doc
+    // count the boilerplate contributes no pairs
+    val boiler = "COPYRIGHT NOTICE APPLIES HERE!"
+    require(boiler.length == 30)
+    val docs = (0L until 6L).map(i => (i, s"$boiler unique tail $i")).toDF("doc_id", "text")
+    assert(CorpusOps.spanPairs(docs, len = 30, dfCap = 5).count() == 0,
+      "capped boilerplate must produce no pairs")
+    assert(CorpusOps.spanPairs(docs, len = 30, dfCap = 6).count() == 15,
+      "uncapped boilerplate pairs all docs")
+  }
+
+  test("contamination flags a planted eval copy and broadcasts the eval side") {
+    val s = spark
+    import s.implicits._
+    val evalSet = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "prefix words then alpha beta gamma delta epsilon copied run"),
+      (101L, "totally different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val df = CorpusOps.contamination(corpus, evalSet, n = 5)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // "alpha beta gamma delta epsilon" is the single shared 5-gram
+    assert(got == Map(100L -> 1L), s"got $got")
+    // the eval gram index must broadcast — the corpus side never shuffles
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+  }
+
+  test("split assignment is a deterministic partition with dup-stability") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = CorpusOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CorpusOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must be deterministic")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // every doc in exactly one split, train the large one (12/16 expected)
+    assert(a.size == docs.count())
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.5 && frac < 0.95, s"train fraction $frac")
+    // identical text ⇒ identical split (digest-of-text, not of id)
+    val s = spark
+    import s.implicits._
+    val twins = Seq((1L, "same text here"), (2L, "same text here"))
+      .toDF("doc_id", "text")
+    val tw = CorpusOps.splitAssign(twins).collect().map(_.getString(1)).toSet
+    assert(tw.size == 1, "exact duplicates must share a split")
+  }
+}
