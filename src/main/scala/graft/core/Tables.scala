@@ -35,9 +35,18 @@ object Tables {
     nanosToTs(load(s, d, "events"))
 
   def nanosToTs(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // µs-precision writers (e.g. the tools/scaleup.py probe data, or any
+        // engine that emits TIMESTAMP without tz adjustment) surface as NTZ;
+        // normalize to TimestampType in the session zone (UTC) so downstream
+        // casts/arithmetic behave identically to the nanos-long path
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Repartition by `keys` ONLY when the input's scan parallelism is below
     * the session's core count. The small-SF fixtures are single-file parquet
