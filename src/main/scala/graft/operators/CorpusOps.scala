@@ -38,8 +38,18 @@ object CorpusOps {
     * shared spans. Spans in more than `dfCap` docs (boilerplate) are
     * dropped from the index — the df cap bounds the join's Σdf² blowup
     * exactly like the token-Jaccard cap. */
-  def spanPairs(docs: DataFrame, len: Int = 30, dfCap: Int = 1000): DataFrame = {
-    val sp = spans(docs, len)
+  def spanPairs(docs: DataFrame, len: Int = 30, dfCap: Int = 1000): DataFrame =
+    pairsFromSpans(spans(docs, len), dfCap)
+
+  /** [[spanPairs]] over the winnowed selection: same join shape on a
+    * ~window/2× smaller index. n_spans counts shared SELECTED spans (a
+    * lower bound on shared spans); detection of clones of length
+    * ≥ len + window - 1 is complete by the winnowing guarantee. */
+  def spanPairsWinnowed(docs: DataFrame, len: Int = 30, window: Int = 8,
+                        dfCap: Int = 1000): DataFrame =
+    pairsFromSpans(winnowedSpans(docs, len, window), dfCap)
+
+  private def pairsFromSpans(sp: DataFrame, dfCap: Int): DataFrame = {
     val capped = sp.join(
       sp.groupBy(col("span")).agg(count(lit(1)).as("df"))
         .where(col("df") <= dfCap),
@@ -50,6 +60,38 @@ object CorpusOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_spans"))
   }
+
+  /** Winnowed span selection (Schleimer et al., SIGMOD'03 — the MOSS
+    * fingerprinting scheme): keep only spans whose hash is a minimum of
+    * some `window`-long run of consecutive span positions. Expected
+    * selection density is ~2/(window+1) of all spans — the index shrinks
+    * ~w/2-fold — while the winnowing guarantee holds: any shared substring
+    * of length ≥ len + window - 1 still produces at least one shared
+    * selected span, so [[spanPairs]]-style joins on the winnowed set
+    * detect every sufficiently long clone. This is the documented scale
+    * path for span dedup at 100 TB: selection is a per-doc map (HOF chain,
+    * no shuffle), and the inverted index downstream is ~w/2× smaller.
+    *
+    * Ties select every position carrying the minimal hash value of a
+    * window (a superset of classic rightmost-tie winnowing) — the
+    * guarantee only strengthens. */
+  def winnowedSpans(docs: DataFrame, len: Int, window: Int): DataFrame =
+    docs
+      .where(length(col("text")) >= len)
+      .withColumn("sp", expr(
+        s"transform(sequence(1, length(text) - ${len - 1}), " +
+        s"i -> substring(text, i, $len))"))
+      .withColumn("h", expr("transform(sp, s -> xxhash64(s))"))
+      // per-window minima over positions; guard docs shorter than one window
+      .withColumn("wins", expr(
+        s"CASE WHEN size(h) >= $window THEN " +
+        s"  transform(sequence(1, size(h) - ${window - 1}), " +
+        s"    i -> array_min(slice(h, i, $window))) " +
+        s"ELSE array(array_min(h)) END"))
+      .select(col("doc_id"), explode(expr(
+        "filter(sp, (s, p) -> array_contains(wins, element_at(h, p + 1)))"))
+        .as("span"))
+      .distinct()
 
   /** (doc_id, g): distinct `n`-token grams per document (tokens split on
     * single spaces, grams re-joined with one space). */

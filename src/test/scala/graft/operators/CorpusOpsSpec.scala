@@ -44,6 +44,36 @@ class CorpusOpsSpec extends SparkSpec {
       "uncapped boilerplate pairs all docs")
   }
 
+  test("winnowed spans: subset, compressed, and clone-detection complete") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int) =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // a shared clone of length len + window - 1 = 20 + 8 - 1 = 27 chars,
+    // embedded in otherwise-random documents
+    val clone = "THE-SHARED-CLONE-RUN-27CHARS"
+    require(clone.length >= 27)
+    val docs = Seq(
+      (0L, randText(150) + clone + randText(150)),
+      (1L, randText(160) + clone + randText(140)),
+      (2L, randText(300))
+    ).toDF("doc_id", "text")
+    val all = CorpusOps.spans(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val win = CorpusOps.winnowedSpans(docs, 20, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(win.subsetOf(all), "winnowed selection must be a span subset")
+    // expected density ~2/(w+1) ≈ 0.22; allow generous slack both ways
+    val density = win.size.toDouble / all.size
+    assert(density < 0.5 && density > 0.05, s"winnow density $density")
+    // the winnowing guarantee: docs sharing a run >= len+window-1 still
+    // collide on at least one SELECTED span — and only the clone pair does
+    val pairs = CorpusOps.spanPairsWinnowed(docs, len = 20, window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"winnowed pairs: $pairs")
+  }
+
   test("contamination flags a planted eval copy and broadcasts the eval side") {
     val s = spark
     import s.implicits._
