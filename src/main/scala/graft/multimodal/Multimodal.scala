@@ -260,22 +260,61 @@ object Multimodal {
     MediaFile(path, kind, bytes, meta)
   }
 
+  /** REAL multi-frame decode for animated GIFs: ImageIO reads every frame
+    * raster and re-encodes each as PNG. None for static/undecodable inputs
+    * (callers fall back to the single-frame / stub path). Frames are the
+    * raw per-frame rasters — GIF disposal-method composition is NOT
+    * applied (each row is what the container stores at that index). */
+  private[multimodal] def gifFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 1) None
+      else Some((0 until n).map { i =>
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(reader.read(i), "png", out)
+        out.toByteArray
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
+  }
+
   /** Frame sampling: one row per sampled frame every `everyMs` (videos);
-    * images yield frame 0; audio yields one frame per window. The payload
-    * slice is a STUB (real: demux+decode the GOP at that timestamp). */
+    * audio yields one frame per window. Animated GIFs decode to their REAL
+    * frames (PNG-encoded rasters, pure-JDK path); other images yield frame
+    * 0 with the whole payload (which IS the frame). Video/audio payload
+    * slices remain a STUB (real: demux+decode the GOP at that timestamp —
+    * no codec libs in this container). */
   def sampleFrames(media: Dataset[MediaFile], everyMs: Long = 1000L)
       : Dataset[(String, String, Int, Array[Byte])] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val n = m.kind match {
-        case "video" | "audio" => math.max(1, (m.meta.durationMs / everyMs).toInt)
-        case _ => 1
-      }
-      val chunk = math.max(1, m.content.length / n)
-      (0 until n).iterator.map { i =>
-        val from = math.min(i * chunk, m.content.length)
-        val until = math.min(from + chunk, m.content.length)
-        (m.path, m.kind, i, m.content.slice(from, until)) // STUB frame bytes
+      val real: Option[Seq[Array[Byte]]] =
+        if (m.kind == "image") gifFrames(m.content) else None
+      real match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.map { case (f, i) => (m.path, m.kind, i, f) }
+        case None =>
+          val n = m.kind match {
+            case "video" | "audio" => math.max(1, (m.meta.durationMs / everyMs).toInt)
+            case _ => 1
+          }
+          val chunk = math.max(1, m.content.length / n)
+          (0 until n).iterator.map { i =>
+            val from = math.min(i * chunk, m.content.length)
+            val until = math.min(from + chunk, m.content.length)
+            (m.path, m.kind, i, m.content.slice(from, until)) // STUB frame bytes
+          }
       }
     }
   }

@@ -82,6 +82,57 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats("audio").sameElements(fa) && feats("audio").exists(_ < 0f))
   }
 
+  test("animated GIF samples its real frames as decodable PNG payloads") {
+    val s = spark
+    import s.implicits._
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      img
+    }
+    // build a 3-frame animated GIF with the pure-JDK writer sequence API
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (img <- Seq(frame(0xff0000), frame(0x00ff00), frame(0x0000ff))) {
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    val gif = out.toByteArray
+    // real frame explode: 3 rows, each a decodable PNG of the frame raster
+    val media = Seq(Multimodal.probe("anim.gif", gif)).toDS()
+    val frames = Multimodal.sampleFrames(media).collect().sortBy(_._3)
+    assert(frames.length == 3, s"expected 3 real frames, got ${frames.length}")
+    val colors = frames.map { case (_, _, _, png) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+      img.getRGB(8, 8) & 0xffffff
+    }
+    assert(colors.toSeq == Seq(0xff0000, 0x00ff00, 0x0000ff),
+      s"frame colors ${colors.toSeq.map(_.toHexString)}")
+    // and the raster feature path sees three DIFFERENT frame embeddings
+    val feats = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(media), dim = 12).collect()
+      .sortBy(_.frameNo).map(_.embedding.toSeq)
+    assert(feats.distinct.length == 3, "frame embeddings must differ")
+  }
+
   test("resize bounds dimensions preserving aspect ratio") {
     val resized = Multimodal.resize(Multimodal.scan(spark, dir), 100, 100)
       .collect()
