@@ -73,8 +73,10 @@ object CorpusOps {
     * no shuffle), and the inverted index downstream is ~w/2× smaller.
     *
     * Ties select every position carrying the minimal hash value of a
-    * window (a superset of classic rightmost-tie winnowing) — the
-    * guarantee only strengthens. */
+    * covering window (a superset of classic rightmost-tie winnowing) — the
+    * guarantee only strengthens. Selection work is O(spans · window) per
+    * document: each position checks only the ≤ window window-minima that
+    * cover it, never the whole document. */
   def winnowedSpans(docs: DataFrame, len: Int, window: Int): DataFrame =
     docs
       .where(length(col("text")) >= len)
@@ -88,8 +90,12 @@ object CorpusOps {
         s"  transform(sequence(1, size(h) - ${window - 1}), " +
         s"    i -> array_min(slice(h, i, $window))) " +
         s"ELSE array(array_min(h)) END"))
+      // 1-based position P = p+1 is covered by windows P-window+1 .. P;
+      // slicing `wins` to that range keeps selection O(window) per position
       .select(col("doc_id"), explode(expr(
-        "filter(sp, (s, p) -> array_contains(wins, element_at(h, p + 1)))"))
+        s"filter(sp, (s, p) -> array_contains(" +
+        s"slice(wins, greatest(p + 2 - $window, 1), $window), " +
+        s"element_at(h, p + 1)))"))
         .as("span"))
       .distinct()
 
