@@ -31,26 +31,54 @@ object Bench {
         Thread.sleep(100)
       wq.stop()
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to the named queries —
+    // the isolated fresh-JVM mode used to adjudicate per-query regressions
+    // without full-catalog adjacency noise. SPARK_GRAFT_REPEAT=n (default 1)
+    // measures each selected query n times; all repeats are reported as
+    // name#i so best-of-n is computable downstream.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { o =>
+      val missing = o -- selected.map(_._1).toSet
+      require(missing.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${missing.mkString(",")}")
+    }
     // a query that THROWS must not silently contribute a fast "time" (a
     // broken query would make the bench look better) — record it and fail
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // settle barrier: collect the previous query's garbage OUTSIDE the
-      // next measurement, so a heavy neighbor (e.g. the ~30-job dedup-
-      // clusters loop) doesn't tax the query that happens to sort after it
-      // — measured effect: q_llm_dedup_exact read 3x its isolated time in
-      // round 3 purely from adjacency
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    val results = selected.flatMap { case (name, fn) =>
+      (1 to repeat).map { i =>
+        // settle barrier: collect the previous query's garbage OUTSIDE the
+        // next measurement, so a heavy neighbor (e.g. the ~30-job dedup-
+        // clusters loop) doesn't tax the query that happens to sort after it
+        // — measured effect: q_llm_dedup_exact read 3x its isolated time in
+        // round 3 purely from adjacency
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val label = if (repeat == 1) name else s"$name#$i"
+        (label, (System.nanoTime() - t0) / 1e9, ok)
+      }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms): full double repr tripled the JSON line length and
+    // overflowed the driver's byte-limited tail capture two rounds running
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // stdout is tail-captured by the driver and can truncate; also persist
+    // the full line to a file so every per-query number survives
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
