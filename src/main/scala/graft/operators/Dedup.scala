@@ -219,8 +219,17 @@ object Dedup {
         .where(col("df") <= dfCap),
       joinKeys, "left_semi")
     val cnt = items.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    capped.as("a")
-      .join(capped.as("b"),
+    // The self-join's OUTPUT is quadratic in df while its INPUT is one row
+    // per (doc, key) — AQE's input-size-based coalescing sees a few MB and
+    // collapses the probe side to one task, serializing the Σdf² candidate
+    // stream onto a single core (measured: 1 task carrying the whole pair
+    // explosion). An explicit-count repartition on the join keys is exempt
+    // from AQE coalescing and pins the explosion stage at the session's
+    // configured parallelism.
+    val parts = items.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = capped.repartition(parts, joinKeys.map(col): _*)
+    spread.as("a")
+      .join(spread.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
           .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -236,97 +245,132 @@ object Dedup {
 
   /** Connected components over an undirected pair list (d1, d2) — the step
     * after candidate generation in every dedup pipeline: LSH/Jaccard emit
-    * PAIRS, retention decisions need CLUSTERS. Pregel-style min-label
-    * propagation: each node starts labeled with itself; every iteration each
-    * node takes the min of its own and its neighbors' labels. Converges in
-    * O(component diameter) iterations — near-dup clusters are dense, so
-    * diameters are tiny in practice. If a component's diameter exceeds
-    * `maxIter` (long chains of boilerplate near-dups), the loop switches to
-    * a pointer-jumping phase — hook (min over neighbor labels) + shortcut
-    * (comp := comp's own comp) per round, so the distance each label has
-    * travelled at least doubles per round and ANY diameter converges in
-    * O(log d) ≤ 64 further rounds.
+    * PAIRS, retention decisions need CLUSTERS. Hook+shortcut label
+    * propagation: each node starts labeled min(self, neighbors); every
+    * round each node hooks to the min of its own and its neighbors' labels
+    * and then pointer-jumps (label := label's label), so the distance a
+    * label has travelled at least doubles per round and ANY component
+    * diameter converges in O(log d) rounds — `maxIter` + 64 doubling
+    * rounds bound every graph under 2^64 nodes, and dense near-dup
+    * clusters typically finish in 1–2 rounds past the fused init.
     *
-    * Scale: one shuffle join per iteration keyed by node id (uniform);
-    * `localCheckpoint` truncates the growing lineage each step so plans
-    * don't deepen. Each iteration is exactly ONE Spark action: the count of
-    * changed labels rides the checkpoint job in an accumulator (the self-
-    * label row carried through the aggregate supplies the old label). The
-    * certificate is robust to task retries — a retried partition can only
-    * ADD to the count, so an observed zero means a genuine fixpoint; an
-    * inflated count merely buys one extra confirming iteration.
+    * Scale: the doubled edge list is cached pre-partitioned on the loop's
+    * join key, so the |E|-sized side never re-enters an exchange — each
+    * round shuffles only the |V|-row label table; `localCheckpoint`
+    * truncates the growing lineage each round so plans don't deepen. Each
+    * round is exactly ONE Spark action: the count of changed labels rides
+    * the checkpoint job as an observed metric (the self-label row carried
+    * through the aggregate supplies the old label). The certificate is
+    * robust to task retries — a retried partition can only ADD to the
+    * count, so an observed zero means a genuine fixpoint; an inflated
+    * count merely buys one extra confirming round.
     *
     * Returns (id, comp) with comp = min node id of the component; nodes
     * absent from `pairs` are absent here (callers re-attach singletons). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
-    import spark.implicits._
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     // no distinct: pairs satisfy d1 < d2, so the two directions are
     // disjoint and per-direction duplicates only came from duplicate input
-    // pairs (harmless to min-aggregation)
-    val edges = pairs
+    // pairs (harmless to min-aggregation). The doubled edge list is cached
+    // PRE-PARTITIONED on the loop's join key: InMemoryRelation preserves
+    // the HashPartitioning, so the |E|-sized side enters no exchange inside
+    // the loop — each round shuffles only the |V|-row label table. At
+    // corpus scale |E| >> |V|; re-shuffling edges every round was the
+    // dominant per-iteration cost of the previous formulation.
+    val edges0 = pairs
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
       .union(pairs
         .select(col("d2").cast("long").as("a"), col("d1").cast("long").as("b")))
       .cache()
-    // one labeling step: comp' = min(old, neighbors' labels), old label
-    // riding the self row of the union; the changed-label count accumulates
-    // during the eager checkpoint — no separate convergence action
-    def step(labels: DataFrame, acc: org.apache.spark.util.LongAccumulator,
-             shortcut: Boolean): DataFrame = {
+    // Size the loop's shuffles from the MEASURED edge count (the count also
+    // materializes the cache): every stage of every round otherwise runs
+    // conf-many mostly-empty tasks, and per-round cost on small candidate
+    // graphs — the common case: near-dup pairs are sparse relative to the
+    // corpus — is pure task-scheduling overhead. ~2M edges (32 MB of id
+    // pairs) per partition; a 100 TB-scale pair list lands back on the
+    // session's configured parallelism.
+    val edgeCount = edges0.count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(confParts.toLong,
+      (edgeCount + 2000000L - 1) / 2000000L)).toInt
+    val edges = edges0.repartition(loopParts, col("b")).cache()
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+    // round 0 fused into init: comp = min(self, direct neighbors). The edge
+    // union is symmetric (every edge present in both orientations), so
+    // aggregating by b is equivalent to aggregating by a — and b is the
+    // cached partitioning key, making init exchange-free on the edge list;
+    // dense near-dup clusters often hit the fixpoint here
+    var labels = edges.groupBy(col("b"))
+      .agg(least(col("b"), min(col("a"))).as("comp"))
+      .select(col("b").as("id"), col("comp")).localCheckpoint()
+    if (verbose) println(f"GRAFT_CC init done t=${System.nanoTime() / 1e9}%.2f")
+    // Every round is hook (comp' = min over self+neighbor labels) PLUS
+    // shortcut (comp'' = comp'-of-comp', a pointer jump): the distance a
+    // label has travelled at least doubles per round, so ANY diameter
+    // converges in O(log d) rounds where min-label alone needs O(d);
+    // 64 doubling rounds past maxIter close any residual diameter for
+    // graphs under 2^64 nodes. The changed-label count rides the
+    // checkpoint job as an observed metric — one Spark action per round.
+    // Task retries can only inflate the metric, so an observed 0 is a true
+    // fixpoint; inflation merely buys one extra confirming round. (At a
+    // hook fixpoint labels are equal across every edge — both endpoints'
+    // labels are mutual minima — hence constant per component, and mins of
+    // node ids are preserved from init, so the constant is the component
+    // min.)
+    // one hook+shortcut round: (id, comp) -> (id, comp, old) where old is
+    // the incoming label (carried through the aggregate by the self row)
+    def round(l: DataFrame): DataFrame = {
       val hooked = edges
-        .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+        .join(l.select(col("id").as("b"), col("comp").as("nc")), "b")
         .select(col("a"), col("nc"), lit(null).cast("long").as("old"))
-        .union(labels.select(col("id"), col("comp"), col("comp")))
+        .union(l.select(col("id"), col("comp"), col("comp")))
         .groupBy(col("a"))
         .agg(min(col("nc")).as("comp"), min(col("old")).as("old"))
       // pointer jump: replace comp with comp's own post-hook label; every
-      // comp value is a labeled node id, so the left join always hits
-      val jumped =
-        if (!shortcut) hooked
-        else hooked
-          .join(hooked.select(col("a").as("comp"), col("comp").as("cc")),
-            Seq("comp"), "left")
-          .select(col("a"), coalesce(col("cc"), col("comp")).as("comp"),
-            col("old"))
-      jumped.select(col("a").as("id"), col("comp"), col("old"))
-        .as[(Long, Long, Long)]
-        .mapPartitions { it =>
-          it.map { case (id, comp, old) =>
-            if (comp != old) acc.add(1)
-            (id, comp)
-          }
-        }
-        .toDF("id", "comp").localCheckpoint()
+      // comp value is a labeled node id, so the left join always hits.
+      // (hooked appears on both sides — its aggregate exchange is reused,
+      // the subtree below it computes once per round.)
+      hooked
+        .join(hooked.select(col("a").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("a").as("id"),
+          coalesce(col("cc"), col("comp")).as("comp"), col("old"))
     }
-    // round 0 fused into init: comp = min(self, direct neighbors) — one
-    // aggregate, no labels join; dense near-dup clusters often hit the
-    // fixpoint here and the loop only confirms it
-    var labels = edges.groupBy(col("a"))
-      .agg(least(col("a"), min(col("b"))).as("comp"))
-      .select(col("a").as("id"), col("comp")).localCheckpoint()
-    var it = 0
+    // One round rides each checkpoint action. (Batching two rounds per
+    // action was measured SLOWER here — the doubled plan quadruples the
+    // stage count AQE walks through, outweighing the saved action.)
+    var round2 = 0
     var done = false
-    while (!done && it < maxIter) {
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      labels = step(labels, acc, shortcut = false)
-      done = acc.value == 0L
-      it += 1
+    val bound = maxIter.toLong + 64
+    while (!done && round2 < bound) {
+      val obs = org.apache.spark.sql.Observation()
+      labels = round(labels)
+        .observe(obs, sum(when(col("comp") =!= col("old"), 1L).otherwise(0L))
+          .as("changed"))
+        .select(col("id"), col("comp"))
+        .localCheckpoint()
+      // sum over an empty label table is null — empty graph is converged
+      done = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      round2 += 1
+      if (verbose)
+        println(f"GRAFT_CC round=$round2 changed=${obs.get("changed")} t=${System.nanoTime() / 1e9}%.2f")
     }
-    // adversarial diameter: finish with hook+shortcut rounds — O(log d)
-    var jumps = 0
-    while (!done && jumps < 64) {
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      labels = step(labels, acc, shortcut = true)
-      done = acc.value == 0L
-      jumps += 1
-    }
-    edges.unpersist()
     if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge after $maxIter min-label " +
-      s"iterations + $jumps pointer-jumping rounds — not reachable for any " +
-      "graph with < 2^64 nodes; indicates non-deterministic input")
+      s"connectedComponents did not converge after $round2 hook+shortcut " +
+      "rounds — not reachable for any graph with < 2^64 nodes; indicates " +
+      "non-deterministic input")
     labels
+    } finally {
+      // the loop's shuffle-partition override is session-scoped — restore
+      // before returning (the final labels are checkpointed, nothing
+      // downstream depends on the loop conf)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      edges.unpersist()
+      edges0.unpersist()
+    }
   }
 
   /** Duplicate clusters from a pair list: (doc_id, cluster_id,
