@@ -213,21 +213,29 @@ object Dedup {
     * verification tail is unchanged. The df cap already bounds the hot-key
     * quadratic term at any scale. */
   def jaccardFromItems(items: DataFrame, threshold: Double, dfCap: Int,
-                       joinKeys: Seq[String]): DataFrame = {
+                       joinKeys: Seq[String], spreadExplosion: Boolean = false): DataFrame = {
     val capped = items.join(
       items.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("df"))
         .where(col("df") <= dfCap),
       joinKeys, "left_semi")
     val cnt = items.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // The self-join's OUTPUT is quadratic in df while its INPUT is one row
-    // per (doc, key) — AQE's input-size-based coalescing sees a few MB and
-    // collapses the probe side to one task, serializing the Σdf² candidate
-    // stream onto a single core (measured: 1 task carrying the whole pair
-    // explosion). An explicit-count repartition on the join keys is exempt
-    // from AQE coalescing and pins the explosion stage at the session's
-    // configured parallelism.
-    val parts = items.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = capped.repartition(parts, joinKeys.map(col): _*)
+    // per (doc, key), so AQE's input-size-based coalescing can collapse the
+    // probe side to one task and serialize the Σdf² candidate stream onto a
+    // single core (measured on the dense trigram corpus: 1 task carrying a
+    // 4.1M-pair explosion for 1.1 s; spread over 32 tasks it takes 0.35 s).
+    // `spreadExplosion` pins the explosion stage at the session's configured
+    // parallelism with an explicit-count repartition, which AQE's coalescer
+    // is exempt from touching. It is OPT-IN because the repartition is an
+    // extra exchange: worth it when per-key df is known-dense (short
+    // character n-grams, boilerplate-heavy corpora), measured overhead when
+    // the key space is diverse and Σdf² stays near |items| (token-level
+    // indexes) — pick per call site like dfCap.
+    val spread =
+      if (!spreadExplosion) capped
+      else capped.repartition(
+        items.sparkSession.sessionState.conf.numShufflePartitions,
+        joinKeys.map(col): _*)
     spread.as("a")
       .join(spread.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))

@@ -83,7 +83,9 @@ object LlmQueries {
     // operator (lang as an extra blocking key). The cap only drops tokens
     // whose document frequency exceeds it — far above this corpus's max df,
     // so results are exactly brute-force Jaccard here, while the same plan
-    // survives hot-token blowup at 100 TB.
+    // survives hot-token blowup at 100 TB. Token keys are sparse (Σdf² ≈
+    // 567K, 7× below the trigram sites) so this site does NOT opt into
+    // spreadExplosion — the extra exchange was measured as pure overhead.
     "q_llm_jaccard" -> ((s, d) =>
       Dedup.jaccardFromItems(
           distinctTokens(Tables.documents(s, d).where(col("doc_id") < 500)),
@@ -91,7 +93,9 @@ object LlmQueries {
         .orderBy(col("d1"), col("d2"))),
 
     // character n-gram (trigram) Jaccard near-dup — the shingle-level twin
-    // of the token-set q_llm_jaccard, same df-capped inverted-index operator
+    // of the token-set q_llm_jaccard, same df-capped inverted-index operator.
+    // Trigrams over natural text are DENSE (measured Σdf² ≈ 4.1M candidate
+    // pairs for 300 docs) so this site opts into spreading the explosion.
     "q_llm_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardFromItems(
           Tables.documents(s, d).where(col("doc_id") < 300)
@@ -99,7 +103,8 @@ object LlmQueries {
               "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
               .as("g"))
             .distinct(),
-          threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"))
+          threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
+          spreadExplosion = true)
         .orderBy(col("d1"), col("d2"))),
 
     // language-ID: n-gram/marker-token heuristic, scored per language with a
@@ -156,7 +161,8 @@ object LlmQueries {
           "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
           .as("g"))
           .distinct(),
-        threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"))
+        threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
+        spreadExplosion = true)
       Dedup.dedupClusters(docs.select(col("doc_id")), pairs.select(col("d1"), col("d2")))
         .orderBy(col("doc_id"))
     }),

@@ -27,7 +27,8 @@ object Probe {
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
         .as("g"))
         .distinct(),
-      threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"))
+      threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
+      spreadExplosion = true)
     // candidate volume of the inverted-index join: sum df*(df-1)/2 over keys
     val items = docs.select(col("doc_id"), explode(expr(
       "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
