@@ -179,6 +179,30 @@ object LlmQueries {
           len = 30, dfCap = 1000)
         .orderBy(col("d1"), col("d2"))),
 
+    // the winnowed (MOSS) span-dedup scale path, exercised end-to-end with
+    // a planted-clone completeness witness: every eligible doc gets a clone
+    // (id + 100000) sharing EXACTLY a 37-char-or-longer span — the
+    // len + window - 1 winnowing-guarantee threshold — wrapped in per-doc
+    // unique junk. The query returns the planted pairs the winnowed index
+    // detects; the guarantee makes that one row per eligible doc, so the
+    // row count IS the completeness check (rows-only: selection hashes with
+    // engine-pinned xxhash64). Same Σdf² join envelope as q_llm_span_dedup
+    // on a ~window/2× smaller index — the 100 TB story, now driver-visible.
+    "q_llm_span_winnowed" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .where(col("doc_id") < 250 && length(col("text")) >= 47)
+        .select(col("doc_id"), col("text"))
+      val clones = base.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(lit("CLONE<"), col("doc_id").cast("string"), lit(">"),
+          expr("substring(text, 11, 60)"),
+          lit("<"), col("doc_id").cast("string"), lit(">END")).as("text"))
+      CorpusOps.spanPairsWinnowed(base.unionByName(clones),
+          len = 30, window = 8, dfCap = 1000)
+        .where(col("d2") === col("d1") + 100000)
+        .orderBy(col("d1"))
+    }),
+
     // benchmark decontamination: corpus docs sharing any 5-token gram with
     // the (small, broadcast) eval set — the standard pre-training hygiene
     // step; the corpus side never shuffles.
