@@ -140,25 +140,34 @@ object GraftFunctions {
     classOf[SimHash64].getName, null, "simhash64",
     "_FUNC_(tokens) - 64-bit SimHash of a string array.", "")
 
+  // ONE builder per function, arity-checked, shared by BOTH registration
+  // paths — register() and the spark.sql.extensions injector — so a wrong
+  // arity fails analysis identically however the session was configured
+  private[functions] val cosineBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSim(args.head, args(1))
+    }
+
+  private[functions] val dotBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "dot_f takes exactly 2 arguments")
+      DotProductF(args.head, args(1))
+    }
+
+  private[functions] val simhashBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 1, "simhash64 takes exactly 1 argument")
+      SimHash64(args.head)
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("simhash64"), simhashInfo,
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash64 takes exactly 1 argument")
-        SimHash64(args.head)
-      })
+      FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"), cosineInfo,
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
-        CosineSim(args.head, args(1))
-      })
+      FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_f"), dotInfo,
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "dot_f takes exactly 2 arguments")
-        DotProductF(args.head, args(1))
-      })
+      FunctionIdentifier("dot_f"), dotInfo, dotBuilder)
   }
 }
 
@@ -166,18 +175,22 @@ object GraftFunctions {
   * functions + optimizer rules. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // the arity-checked builders are shared with GraftFunctions.register —
+    // without the checks a call like simhash64(a, b) resolved via the
+    // extension would silently drop the extra argument instead of failing
+    // analysis
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+      GraftFunctions.cosineBuilder))
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, null, "dot_f"),
-      (args: Seq[Expression]) => DotProductF(args.head, args(1))))
+      GraftFunctions.dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      GraftFunctions.simhashBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

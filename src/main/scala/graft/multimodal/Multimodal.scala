@@ -260,12 +260,25 @@ object Multimodal {
     MediaFile(path, kind, bytes, meta)
   }
 
-  /** REAL multi-frame decode for animated GIFs: ImageIO reads every frame
-    * raster and re-encodes each as PNG. None for static/undecodable inputs
-    * (callers fall back to the single-frame / stub path). Frames are the
-    * raw per-frame rasters — GIF disposal-method composition is NOT
+  /** GIF87a/GIF89a magic — the only container [[gifFrames]] can hold
+    * multiple frames for, checked BEFORE paying an ImageIO decode. */
+  private[multimodal] def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a'
+
+  /** REAL multi-frame decode for animated GIFs: ImageIO reads frame
+    * rasters and re-encodes each as PNG. None for non-GIF (magic-gated —
+    * no decode attempted), static, or undecodable inputs (callers fall
+    * back to the single-frame / stub path). At most `maxFrames` frames are
+    * decoded — the cap bounds the per-record memory a pathological
+    * many-frame animation can pin inside one flatMap record. Frames are
+    * the raw per-frame rasters — GIF disposal-method composition is NOT
     * applied (each row is what the container stores at that index). */
-  private[multimodal] def gifFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+  private[multimodal] def gifFrames(bytes: Array[Byte],
+                                    maxFrames: Int = 64): Option[Seq[Array[Byte]]] = {
+    if (!isGif(bytes)) return None
     var iis: javax.imageio.stream.ImageInputStream = null
     var reader: javax.imageio.ImageReader = null
     try {
@@ -277,7 +290,7 @@ object Multimodal {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n <= 1) None
-      else Some((0 until n).map { i =>
+      else Some((0 until math.min(n, maxFrames)).map { i =>
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(reader.read(i), "png", out)
         out.toByteArray
@@ -291,10 +304,11 @@ object Multimodal {
 
   /** Frame sampling: one row per sampled frame every `everyMs` (videos);
     * audio yields one frame per window. Animated GIFs decode to their REAL
-    * frames (PNG-encoded rasters, pure-JDK path); other images yield frame
-    * 0 with the whole payload (which IS the frame). Video/audio payload
-    * slices remain a STUB (real: demux+decode the GOP at that timestamp —
-    * no codec libs in this container). */
+    * frames (PNG-encoded rasters, pure-JDK path, magic-gated so non-GIF
+    * images never pay a decode, frame count capped); other images yield
+    * frame 0 with the whole payload (which IS the frame). Video/audio
+    * payload slices remain a STUB (real: demux+decode the GOP at that
+    * timestamp — no codec libs in this container). */
   def sampleFrames(media: Dataset[MediaFile], everyMs: Long = 1000L)
       : Dataset[(String, String, Int, Array[Byte])] = {
     import media.sparkSession.implicits._

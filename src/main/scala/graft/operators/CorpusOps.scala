@@ -114,11 +114,31 @@ object CorpusOps {
     * gram with any eval document, with the count of distinct matching
     * grams — (doc_id, n_hits). The eval side is small by definition, so
     * its gram index is broadcast and the corpus never shuffles: this is a
-    * map-side semi-join over 100 TB. */
-  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame = {
+    * map-side semi-join over 100 TB.
+    *
+    * The broadcast hint forces a broadcast REGARDLESS of size, so an
+    * oversized eval suite would not "silently flip to a shuffle" — it would
+    * OOM the driver. To keep the 100 TB claim from degrading either way,
+    * the eval gram index is counted first (one job over the SMALL side
+    * only): up to `maxBroadcastGrams` distinct grams it broadcasts as
+    * before; above that the join explicitly falls back to a shuffle-hash
+    * semi-join (the corpus-side gram shuffle is then a deliberate, logged
+    * cost — never an accident) rather than attempting a multi-GB broadcast. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+                    maxBroadcastGrams: Long = 10L * 1000 * 1000): DataFrame = {
     val evalGrams = tokenNgrams(evalSet, n).select(col("g")).distinct()
+    val nGrams = evalGrams.count()
+    val keyed =
+      if (nGrams <= maxBroadcastGrams) broadcast(evalGrams)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"contamination: eval gram index has $nGrams distinct grams " +
+          s"(> $maxBroadcastGrams) — falling back to a shuffle-hash join; " +
+          "the corpus side will shuffle on gram")
+        evalGrams.hint("shuffle_hash")
+      }
     tokenNgrams(corpus, n)
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(keyed, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -71,12 +71,17 @@ object Ivf {
       s => s.getField("cid"))
 
   /** Deterministic hash-sample bounded to ~`maxTrainRows` rows: the modulus
-    * is derived from the corpus count (parquet metadata — no data scan), so
-    * the DEFAULT training path touches a bounded sample no matter how large
-    * the corpus is. Callers never pick a modulus by hand. */
+    * is derived from the corpus count, so the DEFAULT training path touches
+    * a bounded sample no matter how large the corpus is — callers never
+    * pick a modulus by hand. The count() is metadata-served ONLY for a bare
+    * unfiltered parquet relation; a filtered/projected input pays one
+    * count-only scan (columnless — no vector data moves). Callers that
+    * already know the corpus size pass it via `knownCount` and skip even
+    * that (the modulus only needs the right order of magnitude). */
   private[operators] def trainingSample(candidates: DataFrame,
-                                        maxTrainRows: Long): DataFrame = {
-    val n = candidates.count()
+                                        maxTrainRows: Long,
+                                        knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(candidates.count())
     val mod = math.max(1L, (n + maxTrainRows - 1) / maxTrainRows)
     (if (mod > 1)
        candidates.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
@@ -94,11 +99,12 @@ object Ivf {
     * collected means are nCentroids·dim doubles. Empty clusters keep their
     * previous centroid. */
   def trainCentroids(candidates: DataFrame, nCentroids: Int, iters: Int = 2,
-                     maxTrainRows: Long = 1L << 16): Array[Array[Float]] = {
+                     maxTrainRows: Long = 1L << 16,
+                     knownCount: Option[Long] = None): Array[Array[Float]] = {
     registered(candidates)
     require(maxTrainRows >= nCentroids,
       s"maxTrainRows=$maxTrainRows < nCentroids=$nCentroids")
-    val sample = trainingSample(candidates, maxTrainRows).cache()
+    val sample = trainingSample(candidates, maxTrainRows, knownCount).cache()
     try {
       var cents = normalize(
         sample.orderBy(col("vec_id")).limit(nCentroids)
@@ -163,8 +169,10 @@ object Ivf {
     * schema as [[Similarity.lshTopK]]: (qid, rn, vid, cos). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
-              maxTrainRows: Long = 1L << 16): DataFrame = {
-    val cents = trainCentroids(candidates, nCentroids, iters, maxTrainRows)
+              maxTrainRows: Long = 1L << 16,
+              knownCount: Option[Long] = None): DataFrame = {
+    val cents = trainCentroids(candidates, nCentroids, iters, maxTrainRows,
+      knownCount)
     probeTopK(queries, assign(candidates, cents), cents, k, nProbe)
   }
 

@@ -64,4 +64,22 @@ class CosineSimSpec extends SparkSpec {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(exts) // must not throw; function injection is exercised above
   }
+
+  test("function builders reject wrong arity on both registration paths") {
+    // the SAME builders back register() and the extensions injector, so
+    // pinning them here covers simhash64(a, b) resolved either way
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val one = Seq[org.apache.spark.sql.catalyst.expressions.Expression](
+      Literal(1))
+    val two = one ++ one
+    intercept[IllegalArgumentException](GraftFunctions.simhashBuilder(two))
+    intercept[IllegalArgumentException](GraftFunctions.cosineBuilder(one))
+    intercept[IllegalArgumentException](GraftFunctions.dotBuilder(one ++ two))
+    // and a registry-resolved wrong-arity call fails analysis loudly
+    GraftFunctions.register(spark)
+    val err = intercept[Exception](
+      spark.sql("SELECT simhash64(array('a'), array('b'))").collect())
+    assert(err.getMessage.contains("simhash64 takes exactly 1 argument"),
+      s"unexpected analysis error: ${err.getMessage}")
+  }
 }

@@ -82,22 +82,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats("audio").sameElements(fa) && feats("audio").exists(_ < 0f))
   }
 
-  test("animated GIF samples its real frames as decodable PNG payloads") {
-    val s = spark
-    import s.implicits._
+  /** Build an animated GIF (one solid-color 16×16 frame per rgb) with the
+    * pure-JDK writer sequence API. */
+  private def animatedGif(rgbs: Int*): Array[Byte] = {
     def frame(rgb: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
       for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
       img
     }
-    // build a 3-frame animated GIF with the pure-JDK writer sequence API
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    for (img <- Seq(frame(0xff0000), frame(0x00ff00), frame(0x0000ff))) {
+    for (img <- rgbs.map(frame)) {
       val meta = writer.getDefaultImageMetadata(
         new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
       val fmt = meta.getNativeMetadataFormatName
@@ -114,7 +113,13 @@ class MultimodalSpec extends SparkSpec {
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
     }
     writer.endWriteSequence(); ios.close()
-    val gif = out.toByteArray
+    out.toByteArray
+  }
+
+  test("animated GIF samples its real frames as decodable PNG payloads") {
+    val s = spark
+    import s.implicits._
+    val gif = animatedGif(0xff0000, 0x00ff00, 0x0000ff)
     // real frame explode: 3 rows, each a decodable PNG of the frame raster
     val media = Seq(Multimodal.probe("anim.gif", gif)).toDS()
     val frames = Multimodal.sampleFrames(media).collect().sortBy(_._3)
@@ -131,6 +136,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.sampleFrames(media), dim = 12).collect()
       .sortBy(_.frameNo).map(_.embedding.toSeq)
     assert(feats.distinct.length == 3, "frame embeddings must differ")
+  }
+
+  test("gifFrames is magic-gated and caps decoded frames") {
+    // non-GIF image bytes: the magic gate answers None with no decode
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    assert(!Multimodal.isGif(png))
+    assert(Multimodal.gifFrames(png).isEmpty)
+    assert(!Multimodal.isGif(Array[Byte](1, 2, 3)))
+    val gif = animatedGif(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff)
+    assert(Multimodal.isGif(gif))
+    // the cap bounds how many frames one record can materialize
+    assert(Multimodal.gifFrames(gif, maxFrames = 3).get.length == 3)
+    assert(Multimodal.gifFrames(gif).get.length == 5)
+  }
+
+  test("two different animations yield different per-frame embeddings") {
+    val s = spark
+    import s.implicits._
+    // end-to-end real path: GIF container → real frame rasters → pooled-
+    // raster embedding per frame; two animations with disjoint frame colors
+    // must land in different embedding points frame-by-frame
+    val media = Seq(
+      Multimodal.probe("warm.gif", animatedGif(0xff0000, 0xdd8800, 0xbb4400)),
+      Multimodal.probe("cool.gif", animatedGif(0x0000ff, 0x0088dd, 0x00bbaa))
+    ).toDS()
+    val feats = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(media), dim = 12).collect()
+    assert(feats.length == 6, s"expected 2×3 frame embeddings, got ${feats.length}")
+    val byDoc = feats.groupBy(_.path).view
+      .mapValues(_.sortBy(_.frameNo).map(_.embedding.toSeq)).toMap
+    // frames differ within each animation…
+    assert(byDoc("warm.gif").distinct.length == 3)
+    assert(byDoc("cool.gif").distinct.length == 3)
+    // …and across animations at every frame index
+    (0 until 3).foreach { i =>
+      assert(byDoc("warm.gif")(i) != byDoc("cool.gif")(i),
+        s"frame $i embeddings must differ across animations")
+    }
   }
 
   test("resize bounds dimensions preserving aspect ratio") {

@@ -89,6 +89,18 @@ class CorpusOpsSpec extends SparkSpec {
     // the eval gram index must broadcast — the corpus side never shuffles
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+    // an eval suite whose gram index exceeds the broadcast bound must NOT
+    // attempt the broadcast: the guard falls back to an explicit
+    // shuffle-hash join and the results are identical
+    val fb = CorpusOps.contamination(corpus, evalSet, n = 5,
+      maxBroadcastGrams = 1)
+    val gotFb = fb.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotFb == got, s"fallback results differ: $gotFb vs $got")
+    val fbPlan = fb.queryExecution.executedPlan.toString
+    assert(!fbPlan.contains("BroadcastHashJoin"),
+      s"oversized eval side must not broadcast:\n$fbPlan")
+    assert(fbPlan.contains("ShuffledHashJoin"),
+      s"fallback must be a shuffle-hash join:\n$fbPlan")
   }
 
   test("split assignment is a deterministic partition with dup-stability") {

@@ -87,6 +87,13 @@ class SimilaritySpec extends SparkSpec {
     assert(sampled > 0, "sample must be non-empty")
     // a cap above the corpus keeps every row (mod = 1, no filter)
     assert(Ivf.trainingSample(emb, n + 1).count() == n)
+    // a caller-supplied knownCount skips the count() and selects the SAME
+    // deterministic sample (filtered inputs use this to avoid a scan)
+    val viaKnown = Ivf.trainingSample(emb, cap, knownCount = Some(n))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaCount = Ivf.trainingSample(emb, cap)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaKnown == viaCount, "knownCount must reproduce the counted sample")
     // and training on the bounded sample still yields usable centroids
     val cents = Ivf.trainCentroids(emb, nCentroids = 8, iters = 1,
       maxTrainRows = cap)
