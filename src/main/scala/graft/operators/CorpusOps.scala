@@ -143,6 +143,91 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Deterministic stratified mixture sampling — the "2 epochs of wiki,
+    * 0.3 of crawl" corpus-mixing step. Every document gets
+    * `floor(rate) + Bernoulli(frac(rate))` copies, emitted as
+    * (doc_id, copy) rows with copy in 1..n; rate 0 drops the stratum,
+    * rates above 1 upsample (replicate). The Bernoulli draw compares an
+    * 8-hex-char md5 prefix of the salted NORMALIZED text against a
+    * per-stratum threshold string — a pure lexicographic compare, no
+    * floating point anywhere, so any engine with md5 reproduces the exact
+    * sample. Content-keyed like [[splitColumn]]: exact duplicates draw the
+    * same copy count. A pure per-row map + bounded explode —
+    * embarrassingly parallel at any scale. */
+  def mixtureSample(docs: DataFrame, stratum: String,
+                    rates: Map[String, Double], defaultRate: Double = 1.0,
+                    salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 64),
+      "rates must be in [0, 64]")
+    def base(r: Double): Int = math.floor(r).toInt
+    // threshold = frac(rate) scaled to the 16^8 space of the hex prefix;
+    // u8 < threshold happens with probability exactly frac(rate)
+    def thHex(r: Double): String =
+      f"${math.floor((r - math.floor(r)) * 4294967296.0).toLong}%08x"
+    val sc = col(stratum)
+    val baseCol = rates.foldLeft(lit(base(defaultRate))) {
+      case (acc, (k, r)) => when(sc === k, lit(base(r))).otherwise(acc)
+    }
+    val thCol = rates.foldLeft(lit(thHex(defaultRate))) {
+      case (acc, (k, r)) => when(sc === k, lit(thHex(r))).otherwise(acc)
+    }
+    docs
+      .withColumn("__u8",
+        substring(md5(concat(lit(salt), lower(trim(col("text"))))), 1, 8))
+      .withColumn("__n",
+        baseCol + when(col("__u8") < thCol, 1).otherwise(0))
+      // Spark's sequence(1, 0) yields [1, 0] DESCENDING — the n >= 1 guard
+      // is load-bearing, not an optimization
+      .where(col("__n") >= 1)
+      .select(col("doc_id"), explode(expr("sequence(1, __n)")).as("copy"))
+      .select(col("doc_id"), col("copy").cast("long").as("copy"))
+  }
+
+  /** Deterministic dyadic model-weight fixture for [[hashedLinearScore]]:
+    * each weight is k/2^21 with |k| <= 2^19, so weights are EXACT in both
+    * binary doubles and finite decimal strings, and any sum of up to ~2^19
+    * of them is exactly representable — summation order cannot change the
+    * result, which makes the classifier score engine-independently exact
+    * up to the final exp(). */
+  def fixtureWeights(d: Int = 256): Array[Double] =
+    Array.tabulate(d)(i =>
+      (((i * 2654435761L) % 1048576L) - 524288L) / 2097152.0)
+
+  /** The exact finite-decimal rendering of a dyadic fixture weight (for
+    * embedding in oracle SQL — parses back to the identical double). */
+  def exactDecimal(w: Double): String =
+    new java.math.BigDecimal(w).toPlainString
+
+  /** fastText-style hashed linear classifier inference — the standard
+    * learned quality filter between raw crawl and training shards. Tokens
+    * hash into 256 buckets via the first two md5 hex digits (cross-engine
+    * reproducible, no engine-pinned hash), the model is a 256-double
+    * weight array embedded in the plan (tasks receive it with the closure;
+    * a production-sized 2M-bucket model would broadcast-join a weights
+    * table instead — same map-side shape), and the score is
+    * sigmoid(avg(token weights) + bias) rounded to 4dp. One explode, one
+    * per-doc aggregate — no quadratic work, no shuffle beyond the groupBy. */
+  def hashedLinearScore(docs: DataFrame, weights: Array[Double],
+                        bias: Double): DataFrame = {
+    require(weights.length == 256,
+      "bucketing uses two hex digits: exactly 256 weights")
+    val wlit = array(weights.map(lit): _*)
+    def digit(i: Int): Column = {
+      val a = ascii(substring(col("h"), i, 1))
+      a - when(a >= 97, 87).otherwise(48) // 0-9 / a-f hex digit value
+    }
+    docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .withColumn("h", md5(col("token")))
+      .withColumn("w", element_at(wlit, digit(1) * 16 + digit(2) + 1))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("w")).as("m"))
+      .select(col("doc_id"),
+        expr(s"floor(1.0 / (1.0 + exp(-(m + $bias))) * 10000 + 0.5) / 10000")
+          .as("q_score"))
+  }
+
   /** Deterministic train/val/test assignment from the first hex digit of
     * md5(normalized text): 0-b → train (12/16), c-d → val (2/16),
     * e-f → test (2/16). Digest-of-text (not doc id) keeps exact duplicates

@@ -218,6 +218,23 @@ object LlmQueries {
     "q_llm_split" -> ((s, d) =>
       CorpusOps.splitAssign(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // stratified mixture sampling — per-language epoch rates (en 1.5×,
+    // de 0.25×, fr 2×, zh dropped, rest 1×). Bernoulli draws are hex-prefix
+    // string compares, so the oracle reproduces the exact sample.
+    "q_llm_mixture" -> ((s, d) =>
+      CorpusOps.mixtureSample(Tables.documents(s, d), "lang",
+          Map("en" -> 1.5, "de" -> 0.25, "fr" -> 2.0, "zh" -> 0.0),
+          defaultRate = 1.0, salt = "mix1")
+        .orderBy(col("doc_id"), col("copy"))),
+
+    // hashed linear quality-classifier inference (fastText-shaped): md5
+    // two-hex-digit feature buckets, dyadic fixture weights exact in both
+    // engines, sigmoid score rounded to 4dp.
+    "q_llm_classifier" -> ((s, d) =>
+      CorpusOps.hashedLinearScore(Tables.documents(s, d),
+          CorpusOps.fixtureWeights(), bias = 0.125)
+        .orderBy(col("doc_id"))),
+
     "q_llm_repetition" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("sp", split(col("text"), " "))
       val tokStats = docs
@@ -488,6 +505,54 @@ object LlmQueries {
                   THEN 'test'
                 ELSE 'train' END AS split
          FROM documents ORDER BY doc_id""",
+    // rates: en 1.5 (base 1, frac .5 -> 0x80000000), de 0.25 (base 0,
+    // frac .25 -> 0x40000000), fr 2.0 (base 2), zh 0.0 (base 0), else 1.0
+    "q_llm_mixture" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  substr(md5('mix1' || lower(trim(text))), 1, 8) AS u8
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 0
+                             WHEN 'fr' THEN 2 WHEN 'zh' THEN 0 ELSE 1 END)
+                + (CASE WHEN u8 < (CASE lang WHEN 'en' THEN '80000000'
+                                             WHEN 'de' THEN '40000000'
+                                             ELSE '00000000' END)
+                        THEN 1 ELSE 0 END) AS n
+           FROM d)
+         SELECT * FROM (
+           SELECT doc_id,
+                  CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+           FROM c WHERE n >= 1)
+         ORDER BY doc_id, copy""",
+    "q_llm_classifier" -> {
+      val values = graft.operators.CorpusOps.fixtureWeights().zipWithIndex
+        .map { case (w, i) =>
+          s"($i, ${graft.operators.CorpusOps.exactDecimal(w)}e0)" }
+        .mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) t(b, wt)),
+         tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         hx AS (SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''),
+         bk AS (
+           SELECT doc_id,
+                  (ascii(substr(h, 1, 1))
+                     - CASE WHEN ascii(substr(h, 1, 1)) >= 97
+                            THEN 87 ELSE 48 END) * 16
+                + (ascii(substr(h, 2, 1))
+                     - CASE WHEN ascii(substr(h, 2, 1)) >= 97
+                            THEN 87 ELSE 48 END) AS b
+           FROM hx),
+         m AS (
+           SELECT bk.doc_id, avg(w.wt) AS m
+           FROM bk JOIN w ON bk.b = w.b GROUP BY bk.doc_id)
+         SELECT doc_id,
+                floor(1.0 / (1.0 + exp(-(m + 0.125e0))) * 10000 + 0.5) / 10000
+                  AS q_score
+         FROM m ORDER BY doc_id"""
+    },
     "q_llm_repetition" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          tc AS (

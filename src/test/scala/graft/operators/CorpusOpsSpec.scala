@@ -123,4 +123,88 @@ class CorpusOpsSpec extends SparkSpec {
     val tw = CorpusOps.splitAssign(twins).collect().map(_.getString(1)).toSet
     assert(tw.size == 1, "exact duplicates must share a split")
   }
+
+  test("mixture sampling: exact integer rates, bounded fractional rates") {
+    val docs = Tables.documents(spark, sf0001)
+    val rates = Map("en" -> 1.5, "de" -> 0.25, "fr" -> 2.0, "zh" -> 0.0)
+    def run() = CorpusOps.mixtureSample(docs, "lang", rates, 1.0, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = run()
+    assert(a.toSeq.sorted == run().toSeq.sorted, "must be deterministic")
+    val copiesPerDoc = a.groupBy(_._1).view.mapValues(_.length).toMap
+    val langOf = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nByLang = langOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    // copy indexes are dense 1..n per doc
+    a.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).map(_.toLong),
+        s"doc $id copies not dense")
+    }
+    langOf.foreach { case (id, lang) =>
+      val n = copiesPerDoc.getOrElse(id, 0)
+      lang match {
+        case "zh" => assert(n == 0, s"zh doc $id must be dropped")
+        case "fr" => assert(n == 2, s"fr doc $id must appear exactly twice")
+        case "en" => assert(n == 1 || n == 2, s"en doc $id copies $n")
+        case "de" => assert(n == 0 || n == 1, s"de doc $id copies $n")
+        case _    => assert(n == 1, s"$lang doc $id must appear exactly once")
+      }
+    }
+    // empirical fractional rates track the Bernoulli probability
+    val enRate = langOf.collect { case (id, "en") =>
+      copiesPerDoc.getOrElse(id, 0) }.sum.toDouble / nByLang("en")
+    assert(enRate > 1.2 && enRate < 1.8, s"en empirical rate $enRate")
+    // identical text ⇒ identical copy count (content-keyed like splits)
+    val s = spark
+    import s.implicits._
+    val twins = Seq((1L, "en", "twin text"), (2L, "en", "twin text"))
+      .toDF("doc_id", "lang", "text")
+    val tn = CorpusOps.mixtureSample(twins, "lang", Map("en" -> 1.5), 1.0, "t")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(tn.getOrElse(1L, 0) == tn.getOrElse(2L, 0),
+      "exact duplicates must draw the same copy count")
+  }
+
+  test("hashed linear score matches an independent local recomputation") {
+    val s = spark
+    import s.implicits._
+    val weights = CorpusOps.fixtureWeights()
+    val docs = Seq(
+      (0L, "hello world hello again"),
+      (1L, "a completely different document with many more tokens in it"),
+      (2L, ""), // no tokens: must drop out
+      (3L, "hello world hello again")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.hashedLinearScore(docs, weights, bias = 0.125)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent scalar recomputation (MessageDigest, no Spark)
+    def score(text: String): Option[Double] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val ws = toks.map { t =>
+          val hex = md.digest(t.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          def dv(c: Char) = if (c >= 'a') c - 'a' + 10 else c - '0'
+          weights(dv(hex(0)) * 16 + dv(hex(1)))
+        }
+        val m = ws.sum / ws.length
+        Some(math.floor(1.0 / (1.0 + math.exp(-(m + 0.125))) * 10000 + 0.5) / 10000)
+      }
+    }
+    assert(!got.contains(2L), "token-less doc must not be scored")
+    Seq(0L, 1L, 3L).foreach { id =>
+      val text = if (id == 1L)
+        "a completely different document with many more tokens in it"
+      else "hello world hello again"
+      assert(got(id) == score(text).get, s"doc $id: ${got(id)} vs ${score(text)}")
+    }
+    assert(got(0L) == got(3L), "identical text must score identically")
+    assert(got(0L) != got(1L), "different text should score differently")
+    assert(got.values.forall(v => v > 0.0 && v < 1.0), s"scores out of (0,1): $got")
+    // dyadic fixture weights are exactly representable and bounded
+    assert(weights.forall(w => w >= -0.25 && w < 0.25))
+    assert(weights.distinct.length > 200, "weights should be spread out")
+  }
 }
