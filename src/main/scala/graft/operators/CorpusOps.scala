@@ -143,6 +143,45 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** (doc_id, pos, seg): consecutive `k`-token chunks per document
+    * (1-based chunk index; the last chunk may be shorter). The fixed-size
+    * chunker is the segmentation fixture — a real pipeline plugs a
+    * sentence/paragraph splitter here and [[segmentDedup]] is unchanged. */
+  def tokenChunks(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      // named_struct, not struct-with-alias: aliases inside HOF lambdas are
+      // stripped by the analyzer (fields would come back as col1/col2)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, cast(ceil(size(toks) / $k.0) as int)), " +
+        s"i -> named_struct('pos', i, " +
+        s"'seg', array_join(slice(toks, (i - 1) * $k + 1, $k), ' ')))"))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.seg").as("seg"))
+
+  /** Global segment-level dedup, C4/CCNet-style: every occurrence of a
+    * repeated segment EXCEPT the first (first = lowest (doc_id, pos)
+    * corpus-wide) is removed, and each document's surviving segments are
+    * reassembled in order; documents whose every segment was seen earlier
+    * disappear. Input is (doc_id, pos, seg) from any segmenter
+    * ([[tokenChunks]] is the fixture). Scale shape: one shuffle keyed on
+    * the segment digest for the keep-first decision (the window carries
+    * (digest, doc_id, pos, seg) rows — corpus-sized, unavoidable for an
+    * op that rewrites the corpus), one shuffle on doc_id to reassemble;
+    * per-doc state is bounded by document length. */
+  def segmentDedup(segments: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id"), col("pos"))
+    segments
+      .withColumn("__h", md5(col("seg")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("text"))
+  }
+
   /** Deterministic stratified mixture sampling — the "2 epochs of wiki,
     * 0.3 of crawl" corpus-mixing step. Every document gets
     * `floor(rate) + Bernoulli(frac(rate))` copies, emitted as
@@ -226,6 +265,74 @@ object CorpusOps {
       .select(col("doc_id"),
         expr(s"floor(1.0 / (1.0 + exp(-(m + $bias))) * 10000 + 0.5) / 10000")
           .as("q_score"))
+  }
+
+  /** BPE tokenizer training (Sennrich et al., ACL'16 — word-level byte-pair
+    * encoding): learn `nMerges` merge rules from corpus word frequencies.
+    * Returns the merge table (rank, left, right, freq), rank 1 first.
+    *
+    * Scale shape: the ONLY corpus-sized operation is the initial word-count
+    * shuffle; every merge iteration runs on the vocabulary-sized
+    * word-frequency table (distinct words — millions of rows at 100 TB, not
+    * corpus-sized). Per iteration: one pair-count aggregate + a driver
+    * argmax of a single row (the learned rule IS driver-sized, like IVF
+    * centroids), then a map-side greedy merge of the symbol arrays via an
+    * `aggregate` HOF fold (codegen'd, no UDF). Lineage is truncated with a
+    * localCheckpoint every few merges. Ties break deterministically:
+    * highest count, then lexicographic (left, right). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // symbols = characters + the word-end marker
+      .select(expr("concat(split(word, ''), array('</w>'))").as("syms"),
+        col("freq"))
+      .localCheckpoint(true)
+    // size the iterated table's partitioning from its measured row count
+    // (~256k words/partition): a toy vocabulary iterates on a few tasks
+    // instead of scheduling full-width stages 2×nMerges times; a 100 TB
+    // vocabulary (hundreds of millions of distinct words) stays wide
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (words.count() / 262144L).toInt + 1))
+    words = words.repartition(nParts).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = words
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+          "i -> named_struct('l', element_at(syms, i), " +
+          "'r', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        // greedy non-overlapping left-to-right replacement: fold symbols,
+        // merging when the accumulator tail is `l` and the next symbol `r`
+        // (the merged l+r differs from l, so a fresh merge can't cascade)
+        words = words.withColumn("syms", aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+                 x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+        if (rank % 4 == 0) words = words.localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "freq")
   }
 
   /** Deterministic train/val/test assignment from the first hex digit of

@@ -227,6 +227,23 @@ object LlmQueries {
           defaultRate = 1.0, salt = "mix1")
         .orderBy(col("doc_id"), col("copy"))),
 
+    // C4-style global segment dedup: every repeat of a 10-token chunk
+    // beyond its first corpus-wide occurrence is removed and documents are
+    // reassembled from the survivors (151 duplicate occurrences in this
+    // corpus at sf0.01 — the op does real work here).
+    "q_llm_segdedup" -> ((s, d) =>
+      CorpusOps.segmentDedup(
+          CorpusOps.tokenChunks(Tables.documents(s, d), k = 10))
+        .orderBy(col("doc_id"))),
+
+    // BPE tokenizer training: 16 merge rules learned from corpus word
+    // frequencies. Only the word count touches the corpus; merge iterations
+    // run on the vocabulary-sized table. Deterministic tiebreak; rows-only
+    // (iterative — no SQL oracle; CorpusOpsSpec pins it against an
+    // independent reference implementation).
+    "q_llm_bpe" -> ((s, d) =>
+      CorpusOps.bpeTrain(Tables.documents(s, d), nMerges = 16)),
+
     // hashed linear quality-classifier inference (fastText-shaped): md5
     // two-hex-digit feature buckets, dyadic fixture weights exact in both
     // engines, sigmoid score rounded to 4dp.
@@ -526,6 +543,22 @@ object LlmQueries {
                   CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
            FROM c WHERE n >= 1)
          ORDER BY doc_id, copy""",
+    "q_llm_segdedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         seg AS (
+           SELECT doc_id, gs AS pos,
+                  array_to_string(list_slice(l, (gs-1)*10 + 1, gs*10), ' ') AS s
+           FROM toks,
+                unnest(generate_series(1,
+                  CAST(ceil(len(l) / 10.0) AS BIGINT))) AS t(gs)),
+         k AS (
+           SELECT doc_id, pos, s,
+                  row_number() OVER (PARTITION BY md5(s)
+                                     ORDER BY doc_id, pos) AS rn
+           FROM seg)
+         SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_classifier" -> {
       val values = graft.operators.CorpusOps.fixtureWeights().zipWithIndex
         .map { case (w, i) =>

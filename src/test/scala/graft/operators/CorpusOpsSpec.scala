@@ -124,6 +124,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tw.size == 1, "exact duplicates must share a split")
   }
 
+  test("segment dedup keeps only first corpus-wide occurrences") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),            // chunks (k=3): "a b c", "d e f"
+      (1L, "a b c x y z"),            // "a b c" repeats doc 0 pos 1 → drop
+      (2L, "d e f a b c"),            // both chunks repeats → doc vanishes
+      (3L, "x y z q"),                // "x y z" repeats doc 1 → keep "q"
+      (4L, "a b c a b c a")           // self-repeat: 2nd "a b c" dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.segmentDedup(CorpusOps.tokenChunks(docs, k = 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // local reference: global keep-first over (doc_id, pos)
+    val want = {
+      val seen = scala.collection.mutable.Set[String]()
+      (for ((id, text) <- Seq(0L -> "a b c d e f", 1L -> "a b c x y z",
+                              2L -> "d e f a b c", 3L -> "x y z q",
+                              4L -> "a b c a b c a")) yield {
+        val kept = text.split(" ").grouped(3).map(_.mkString(" "))
+          .filter(seen.add).toSeq
+        id -> kept.mkString(" ")
+      }).filter(_._2.nonEmpty).toMap
+    }
+    assert(got == want, s"got $got\nwant $want")
+    assert(!got.contains(2L), "fully-duplicated doc must disappear")
+    // doc 4's two "a b c" chunks both repeat doc 0's; only the tail "a"
+    // survives — repeats are global, not per-doc
+    assert(got(4L) == "a", "globally-repeated chunks must be dropped")
+  }
+
   test("mixture sampling: exact integer rates, bounded fractional rates") {
     val docs = Tables.documents(spark, sf0001)
     val rates = Map("en" -> 1.5, "de" -> 0.25, "fr" -> 2.0, "zh" -> 0.0)
@@ -163,6 +193,47 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(tn.getOrElse(1L, 0) == tn.getOrElse(2L, 0),
       "exact duplicates must draw the same copy count")
+  }
+
+  test("BPE training matches a local reference implementation") {
+    val s = spark
+    import s.implicits._
+    // word freqs: low 3, lower 2, newest 2, wider 1  (shared "lo", "er",
+    // "we"/"w e" patterns force real merge interactions and ties)
+    val docs = Seq(
+      (0L, "low low lower newest"),
+      (1L, "low lower newest wider")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.bpeTrain(docs, nMerges = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // independent reference BPE (Sennrich-style), same tiebreak
+    def mergeGreedy(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val wordFreqs = Seq("low" -> 3L, "lower" -> 2L, "newest" -> 2L,
+      "wider" -> 1L)
+    var vocab = wordFreqs.map { case (w, f) =>
+      (w.map(_.toString).toVector :+ "</w>") -> f }
+    val want = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (rank <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        want += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, f) => mergeGreedy(syms, l, r) -> f }
+      }
+    }
+    assert(got == want.toSeq, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+    // merges must be usable: applying them re-derives multi-char tokens
+    assert(got.map(m => m._2 + m._3).exists(_.length >= 3),
+      "some merged symbol should span 3+ chars after 8 merges")
   }
 
   test("hashed linear score matches an independent local recomputation") {
