@@ -267,6 +267,92 @@ object CorpusOps {
           .as("q_score"))
   }
 
+  /** CCNet-style language-model quality scoring: per-document perplexity
+    * under an add-k-smoothed unigram LM trained on `lmDocs` —
+    * (doc_id, n_tokens, ppl), ppl = exp(mean -ln p(token)) at 4dp. Docs
+    * whose every token is unseen score near the uniform-smoothing ceiling;
+    * in-domain docs score low — the standard "does this look like the
+    * reference corpus" filter between crawl and training shards.
+    *
+    * Scale shape: the LM is a vocabulary-sized count table; totals are two
+    * driver scalars. Scoring is one token join — broadcast while the vocab
+    * fits (the plan for any curated reference corpus), explicit logged
+    * shuffle-hash above `maxBroadcastVocab` (same guard contract as
+    * [[contamination]]) — plus one per-doc aggregate. */
+  def lmPerplexity(corpus: DataFrame, lmDocs: DataFrame, k: Double = 0.5,
+                   maxBroadcastVocab: Long = 10L * 1000 * 1000): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+    val counts = toks(lmDocs).groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val row = counts.agg(sum(col("c")), count(lit(1))).collect()(0)
+    val (total, vocab) =
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+    val denom = total + k * (vocab + 1)
+    val lm =
+      if (vocab <= maxBroadcastVocab) broadcast(counts)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lmPerplexity: vocabulary has $vocab entries " +
+          s"(> $maxBroadcastVocab) — falling back to a shuffle-hash join")
+        counts.hint("shuffle_hash")
+      }
+    toks(corpus)
+      .join(lm, Seq("token"), "left")
+      .select(col("doc_id"),
+        (-log((coalesce(col("c"), lit(0L)) + k) / denom)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("nll")).as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("floor(exp(m) * 10000 + 0.5) / 10000").as("ppl"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * shards by their START offset in the deterministic doc_id order —
+    * (doc_id, n_tokens, shard, offset) with offset the doc's position
+    * inside its shard. A shard overflows by at most one document (the
+    * standard packing contract; splitting straddlers is a tokenizer-side
+    * concern).
+    *
+    * The global running token sum is computed as a PARALLEL prefix sum,
+    * never a single-partition window: docs bucket by doc_id range,
+    * per-bucket token sums (`nBuckets` rows) come to the driver, prefix
+    * offsets broadcast back, and each bucket runs its own bounded window —
+    * at 100 TB every stage stays wide except a `nBuckets`-row aggregate. */
+  def packShards(docs: DataFrame, budgetTokens: Long,
+                 nBuckets: Int = 32): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      coalesce(expr("size(filter(split(text, ' '), t -> t <> ''))"), lit(0))
+        .cast("long").as("n_tokens"))
+    val bounds = toks.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    if (bounds.isNullAt(0))
+      return toks.withColumn("shard", lit(0L)).withColumn("offset", lit(0L))
+        .where(lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    val maxB = ((hi - lo) / width).toInt
+    val bucketed = toks.withColumn("__b",
+      expr(s"cast((doc_id - $lo) div $width as int)"))
+    // per-bucket totals → exclusive prefix offsets (nBuckets rows, driver)
+    val sums = bucketed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to maxB).scanLeft(0L) { (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }
+    val offCol = (0 to maxB).foldLeft(lit(0L)) { (acc, b) =>
+      when(col("__b") === b, lit(offsets(b))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens")
+        + offCol)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__start div $budgetTokens").as("shard"),
+        expr(s"__start % $budgetTokens").as("offset"))
+  }
+
   /** BPE tokenizer training (Sennrich et al., ACL'16 — word-level byte-pair
     * encoding): learn `nMerges` merge rules from corpus word frequencies.
     * Returns the merge table (rank, left, right, freq), rank 1 first.

@@ -236,6 +236,24 @@ object LlmQueries {
           CorpusOps.tokenChunks(Tables.documents(s, d), k = 10))
         .orderBy(col("doc_id"))),
 
+    // LM perplexity quality scoring: unigram add-0.5 LM trained on docs
+    // < 100, scoring the rest — the CCNet wiki-LM filter shape. Broadcast
+    // LM join + one per-doc aggregate.
+    "q_llm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.lmPerplexity(docs.where(col("doc_id") >= 100),
+          docs.where(col("doc_id") < 100), k = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence packing into 2048-token training shards: start-offset
+    // assignment over a parallel prefix sum (per-bucket windows + broadcast
+    // bucket offsets — never a single-partition global window). The oracle
+    // verifies with the equivalent single global window.
+    "q_llm_pack" -> ((s, d) =>
+      CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
+        .orderBy(col("doc_id"))),
+
     // BPE tokenizer training: 16 merge rules learned from corpus word
     // frequencies. Only the word count touches the corpus; merge iterations
     // run on the vocabulary-sized table. Deterministic tiebreak; rows-only
@@ -543,6 +561,43 @@ object LlmQueries {
                   CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
            FROM c WHERE n >= 1)
          ORDER BY doc_id, copy""",
+    // NOTE: DuckDB ln() is natural log (its log() is log10); all literals
+    // carry e0 so the arithmetic stays in IEEE doubles, matching Spark
+    "q_llm_perplexity" ->
+      """WITH lt AS (
+           SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id < 100),
+         cnt AS (
+           SELECT token, COUNT(*) AS c FROM lt WHERE token <> ''
+           GROUP BY token),
+         tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt),
+         ct AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id >= 100),
+         sc AS (
+           SELECT doc_id,
+                  -ln((COALESCE(cnt.c, 0) + 0.5e0)
+                      / (tot.t + 0.5e0 * (tot.v + 1))) AS nll
+           FROM (SELECT * FROM ct WHERE token <> '') ct2
+           LEFT JOIN cnt USING (token) CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                floor(exp(avg(nll)) * 10000 + 0.5) / 10000 AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+           FROM t)
+         SELECT doc_id, n_tokens,
+                CAST(strt // 2048 AS BIGINT) AS shard,
+                CAST(strt % 2048 AS BIGINT) AS offset
+         FROM c ORDER BY doc_id""",
     "q_llm_segdedup" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -195,6 +195,67 @@ class CorpusOpsSpec extends SparkSpec {
       "exact duplicates must draw the same copy count")
   }
 
+  test("LM perplexity separates in-domain from out-of-domain documents") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq((0L, "the cat sat on the mat"), (1L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the cat sat on the rug"),       // fully in-domain
+      (11L, "quantum flux capacitors hum")   // fully out-of-domain
+    ).toDF("doc_id", "text")
+    val df = CorpusOps.lmPerplexity(corpus, lm, k = 0.5)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == 6L && got(11L)._1 == 4L)
+    assert(got(10L)._2 < got(11L)._2,
+      s"in-domain must score lower perplexity: $got")
+    // independent local recomputation for the in-domain doc
+    val counts = "the cat sat on the mat the dog sat on the rug".split(" ")
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val denom = total + 0.5 * (counts.size + 1)
+    val nll = "the cat sat on the rug".split(" ")
+      .map(t => -math.log((counts.getOrElse(t, 0L) + 0.5) / denom))
+    val want = math.floor(math.exp(nll.sum / nll.length) * 10000 + 0.5) / 10000
+    assert(got(10L)._2 == want, s"${got(10L)._2} vs $want")
+    // out-of-domain tokens are all unseen: ppl equals the smoothing ceiling
+    val ceil = math.floor(math.exp(-math.log(0.5 / denom)) * 10000 + 0.5) / 10000
+    assert(got(11L)._2 == ceil, s"${got(11L)._2} vs $ceil")
+    // the LM side must broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"LM not broadcast:\n$plan")
+  }
+
+  test("shard packing: parallel prefix sum equals the sequential packing") {
+    val s = spark
+    import s.implicits._
+    // sparse, shuffled doc_ids; token counts sized so shards straddle docs
+    val docs = Seq(7L, 100L, 3L, 42L, 999L, 500L, 8L, 77L).zipWithIndex.map {
+      case (id, i) => (id, Seq.fill((i % 4) * 3 + 2)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (nBuckets <- Seq(1, 3, 32)) {
+      val got = CorpusOps.packShards(docs, budgetTokens = 7L, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      // sequential reference: running start offset in doc_id order
+      var cum = 0L
+      val want = docs.collect().map(r => r.getLong(0) ->
+          r.getString(1).split(" ").count(_.nonEmpty).toLong)
+        .sortBy(_._1).map { case (id, n) =>
+          val start = cum; cum += n
+          (id, n, start / 7L, start % 7L)
+        }.toSeq
+      assert(got == want, s"nBuckets=$nBuckets:\ngot  $got\nwant $want")
+    }
+    // a doc with null text packs as 0 tokens
+    val withNull = docs.unionByName(Seq((1000L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val z = CorpusOps.packShards(withNull, 7L).collect()
+      .find(_.getLong(0) == 1000L).get
+    assert(z.getLong(1) == 0L, "null text must count 0 tokens")
+  }
+
   test("BPE training matches a local reference implementation") {
     val s = spark
     import s.implicits._
