@@ -159,6 +159,53 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
       .apply(col)
 
+  // -------------------------------------------------------- gram matrix ---
+
+  /** Second-moment sums of float vectors for one-pass covariance: packed
+    * upper-triangle Σ xᵢxⱼ, the element sums Σ xᵢ, and the count. The
+    * buffer is dim(dim+1)/2 + dim + 1 doubles (2145 for dim=64) PER MAP
+    * PARTITION — the covariance of a 100 TB embedding table shuffles a few
+    * KB per task and never materializes a centered copy of the data. */
+  final class GramAggregator(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    private val tri = dim * (dim + 1) / 2
+    override def zero: Array[Double] = new Array[Double](tri + dim + 1)
+
+    override def reduce(buf: Array[Double], v: Seq[Float]): Array[Double] = {
+      var k = 0
+      var i = 0
+      while (i < dim) {
+        val xi = v(i).toDouble
+        var j = i
+        while (j < dim) { buf(k) += xi * v(j); j += 1; k += 1 }
+        buf(tri + i) += xi
+        i += 1
+      }
+      buf(tri + dim) += 1
+      buf
+    }
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Column form: packed [upper-tri Σxᵢxⱼ | Σxᵢ | n] of a float-vector
+    * column (input to the driver-side covariance eigensolve in PCA). */
+  def gramMatrix(col: Column, dim: Int): Column =
+    org.apache.spark.sql.functions.udaf(new GramAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      .apply(col)
+
   /** Jaccard estimate from two MinHash signatures. */
   def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
     require(a.length == b.length)

@@ -421,6 +421,151 @@ object CorpusOps {
     merges.result().toDF("rank", "left", "right", "freq")
   }
 
+  /** TF-IDF keyword extraction: the `topK` highest-scoring terms per
+    * document, score = tf · ln((N+1)/(df+1)) rounded to 4dp BEFORE ranking
+    * (so the rank order is identical in any engine that rounds the same
+    * way). Ties break on the term string ascending. Returns
+    * (doc_id, token, score).
+    *
+    * Scale shape: tf is one corpus-sized shuffle on (doc_id, token); df
+    * derives from tf by a vocabulary-sized aggregate; N is one count
+    * scalar (metadata-served for a bare parquet scan, passable via
+    * `knownCount` otherwise — the [[Ivf.trainingSample]] contract). The
+    * df join broadcasts while the vocabulary fits and falls back to an
+    * explicit logged shuffle-hash above `maxBroadcastVocab` (both sides
+    * are already keyed by token — same guard as [[lmPerplexity]]). The
+    * final top-k is a per-doc window — key cardinality = documents, no
+    * skew beyond a doc's own vocabulary. */
+  def tfIdf(docs: DataFrame, topK: Int = 5,
+            knownCount: Option[Long] = None,
+            maxBroadcastVocab: Long = 10L * 1000 * 1000): DataFrame = {
+    val n = knownCount.getOrElse(docs.count())
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfSide =
+      if (n <= maxBroadcastVocab) broadcast(df)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"tfIdf: corpus has $n docs (vocabulary may exceed " +
+          s"$maxBroadcastVocab) — falling back to a shuffle-hash df join")
+        df.hint("shuffle_hash")
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfSide, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        expr(s"floor(tf * ln(($n + 1.0) / (df + 1.0)) * 10000 + 0.5) / 10000")
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("doc_id"), col("rn"), col("token"), col("score"))
+  }
+
+  /** Incremental ingest dedup — the continuous-crawl shape: a NEW batch is
+    * deduped against the digest set of the corpus already ingested, then
+    * within itself (keep-first by doc_id). Returns the surviving
+    * (doc_id, h) rows of the batch. The existing side carries ONLY digests
+    * (16-byte keys, not documents): at 100 TB the accumulated digest table
+    * is ~corpus-row-count × 16 bytes, joined by an anti-join that shuffles
+    * on the uniform digest — no skew, no document payload movement. */
+  def incrementalDedup(batch: DataFrame, existingDigests: DataFrame): DataFrame = {
+    val hashed = batch.select(col("doc_id"), Dedup.normDigest(col("text")).as("h"))
+    hashed
+      .join(existingDigests.select(col("h")), Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Per-document hashed-bag-of-words feature rows for
+    * [[trainHashedClassifier]]: (doc_id, y, n, bs) where `bs` is the
+    * doc's (bucket, count) list over the same 256 md5-hex-digit buckets
+    * [[hashedLinearScore]] scores with, `n` the token count, `y` the
+    * 0/1 label. One corpus-sized shuffle builds it; training then never
+    * touches the corpus text again. */
+  def hashedFeatures(docs: DataFrame, label: Column): DataFrame = {
+    def digit(i: Int): Column = {
+      val a = ascii(substring(col("h"), i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    docs
+      .select(col("doc_id"), label.cast("double").as("y"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .withColumn("h", md5(col("token")))
+      .groupBy(col("doc_id"), col("y"),
+        (digit(1) * 16 + digit(2)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("bs"),
+        sum(col("cnt")).as("n"))
+  }
+
+  /** Train the [[hashedLinearScore]] model — full-batch logistic-regression
+    * gradient descent on mean-pooled hashed token features. Returns
+    * (weights(256), bias, log-loss per step: loss BEFORE each update, so a
+    * decreasing sequence certifies learning).
+    *
+    * Scale shape (the fastText recipe at 100 TB): the corpus is tokenized
+    * ONCE into [[hashedFeatures]] (cached — one row per doc, each holding a
+    * ≤256-entry bucket-count list). Every GD step is then ONE job: margins
+    * and per-doc errors are a codegen'd `aggregate` HOF over the in-row
+    * list against the weight literal (no join — a production 2M-bucket
+    * model would broadcast-join a weights table, same map-side shape), and
+    * the gradient is an explode → 257-key groupBy (256 buckets + a
+    * sentinel row carrying the bias gradient and the loss term). The
+    * shuffle per step is ≤257 doubles per map partition; model state is
+    * 257 driver doubles — exactly the IVF-centroid contract. */
+  def trainHashedClassifier(docs: DataFrame, label: Column, steps: Int = 8,
+                            lr: Double = 4.0)
+      : (Array[Double], Double, Array[Double]) = {
+    val feats = hashedFeatures(docs, label).cache()
+    try {
+      val nDocs = feats.count().toDouble
+      require(nDocs > 0, "no documents to train on")
+      val w = new Array[Double](256)
+      var bias = 0.0
+      val losses = Array.newBuilder[Double]
+      for (_ <- 0 until steps) {
+        val wlit = array(w.map(lit): _*)
+        val rows = feats
+          .withColumn("m0", aggregate(col("bs"), lit(0.0),
+            (acc, x) => acc + x.getField("cnt") *
+              element_at(wlit, x.getField("b") + 1)))
+          .select(col("y"), col("n"), col("bs"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("m0") / col("n") + bias))))
+              .as("p"))
+          .select(col("bs"), col("n"), (col("p") - col("y")).as("err"),
+            (-col("y") * log(col("p"))
+              - (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))).as("ll"))
+          // sentinel bucket -1: cnt=n ⇒ err·cnt/n = err (bias gradient);
+          // it also carries the doc's loss term so ONE shuffle serves all
+          .select(explode(concat(col("bs"),
+              array(struct(lit(-1).as("b"), col("n").as("cnt"))))).as("x"),
+            col("n"), col("err"), col("ll"))
+          .groupBy(col("x.b").as("b"))
+          .agg(sum(col("err") * col("x.cnt") / col("n")).as("g"),
+            sum(when(col("x.b") === -1, col("ll")).otherwise(0.0)).as("l"))
+          .collect()
+        var gBias = 0.0
+        var loss = 0.0
+        val grads = new Array[Double](256)
+        rows.foreach { r =>
+          val b = r.getInt(0)
+          if (b == -1) { gBias = r.getDouble(1) / nDocs; loss = r.getDouble(2) / nDocs }
+          else grads(b) = r.getDouble(1) / nDocs
+        }
+        losses += loss
+        var i = 0
+        while (i < 256) { w(i) -= lr * grads(i); i += 1 }
+        bias -= lr * gBias
+      }
+      (w, bias, losses.result())
+    } finally { feats.unpersist(); () }
+  }
+
   /** Deterministic train/val/test assignment from the first hex digit of
     * md5(normalized text): 0-b → train (12/16), c-d → val (2/16),
     * e-f → test (2/16). Digest-of-text (not doc id) keeps exact duplicates

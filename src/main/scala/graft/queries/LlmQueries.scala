@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.operators.{CorpusOps, Dedup, Ivf, Similarity}
+import graft.operators.{CorpusOps, Dedup, Ivf, Pca, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -391,6 +391,59 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // TF-IDF keyword extraction: top-5 terms per doc, score rounded to 4dp
+    // BEFORE ranking so both engines rank identically; term-ascending
+    // tiebreak. df join broadcasts (vocabulary-sized table).
+    "q_llm_tfidf" -> ((s, d) =>
+      CorpusOps.tfIdf(Tables.documents(s, d), topK = 5)
+        .orderBy(col("doc_id"), col("rn"))),
+
+    // incremental ingest dedup — the continuous-crawl shape: docs >= 250
+    // arrive as a new batch and dedup against the digest set of the already
+    // ingested corpus (docs < 250), then within-batch keep-first.
+    "q_llm_incr_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.where(col("doc_id") < 250)
+        .select(Dedup.normDigest(col("text")).as("h")).distinct()
+      CorpusOps.incrementalDedup(docs.where(col("doc_id") >= 250), existing)
+        .orderBy(col("doc_id"))
+    }),
+
+    // hashed-classifier TRAINING (full-batch logistic GD, 4 steps): the
+    // learned 256-bucket weight table, rounded to 6dp. Rows-only (iterative
+    // float accumulation — no SQL oracle); CorpusOpsSpec pins loss descent,
+    // label separation, and exact-shape parity with a local reference GD.
+    "q_llm_clf_train" -> ((s, d) => {
+      import s.implicits._
+      val (w, _, _) = CorpusOps.trainHashedClassifier(
+        Tables.documents(s, d), col("lang") === "en", steps = 4, lr = 4.0)
+      w.toSeq.zipWithIndex
+        .map { case (wt, b) => (b, math.floor(wt * 1e6 + 0.5) / 1e6) }
+        .toDF("b", "weight").orderBy(col("b"))
+    }),
+
+    // k-means clustering over the embedding table (Lloyd via the bounded
+    // training sample + typed vector-sum aggregator — the IVF coarse
+    // quantizer exposed as a clustering op): cluster id → member count.
+    // Rows-only; SimilaritySpec asserts assignment ≡ local nearest-centroid.
+    "q_llm_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ivf.trainCentroids(emb, nCentroids = 8, iters = 2)
+      Ivf.assign(emb, cents)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cid"))
+    }),
+
+    // PCA: fit 8 components on the 64-dim embeddings (one-pass distributed
+    // gram aggregate + driver Jacobi eigensolve), project every vector.
+    // Rows-only; PcaSpec pins orthonormality, variance ordering, and parity
+    // with a local eigensolve.
+    "q_llm_pca" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pca.fit(emb, k = 8, dim = 64)
+      Pca.project(emb, model).orderBy(col("vec_id"))
     })
   )
 
@@ -701,6 +754,41 @@ object LlmQueries {
              (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
            FROM scored)
          SELECT qid, CAST(rn AS INT) AS rn, vid, cos
-         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // score rounded to 4dp BEFORE ranking in BOTH engines, term-ascending
+    // tiebreak ⇒ identical rank order; all literals carry e0 (IEEE doubles)
+    "q_llm_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (
+           SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> ''
+           GROUP BY doc_id, token),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (
+           SELECT doc_id, token,
+                  floor(tf * ln((n.n + 1.0e0) / (df.df + 1.0e0)) * 10000
+                        + 0.5) / 10000 AS score
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token ASC) AS rn
+           FROM s)
+         SELECT doc_id, CAST(rn AS INT) AS rn, token, score
+         FROM r WHERE rn <= 5 ORDER BY doc_id, rn""",
+    "q_llm_incr_dedup" ->
+      """WITH ex AS (
+           SELECT DISTINCT md5(lower(trim(text))) AS h
+           FROM documents WHERE doc_id < 250),
+         nb AS (
+           SELECT doc_id, md5(lower(trim(text))) AS h
+           FROM documents WHERE doc_id >= 250),
+         nov AS (
+           SELECT nb.doc_id, nb.h FROM nb
+           LEFT JOIN ex ON nb.h = ex.h WHERE ex.h IS NULL)
+         SELECT MIN(doc_id) AS doc_id, h
+         FROM nov GROUP BY h ORDER BY doc_id"""
   )
 }

@@ -339,4 +339,94 @@ class CorpusOpsSpec extends SparkSpec {
     assert(weights.forall(w => w >= -0.25 && w < 0.25))
     assert(weights.distinct.length > 200, "weights should be spread out")
   }
+
+  test("classifier training: loss descends, labels separate, local parity") {
+    val s = spark
+    import s.implicits._
+    // two disjoint vocabularies — a linearly separable toy problem
+    val pos = Seq("alpha beta gamma", "alpha gamma", "beta gamma alpha beta")
+    val neg = Seq("omega psi chi", "psi chi", "chi omega psi omega")
+    val docs = (pos.map((_, 1.0)) ++ neg.map((_, 0.0))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }.toDF("doc_id", "text", "y")
+    val (w, bias, losses) =
+      CorpusOps.trainHashedClassifier(docs, col("y"), steps = 6, lr = 4.0)
+    // 1) full-batch GD on a convex loss with a sane lr: strictly decreasing
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"loss must descend: ${losses.mkString(", ")}")
+    }
+    // 2) the learned model separates the classes
+    val scored = CorpusOps.hashedLinearScore(docs, w, bias)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (posAvg, negAvg) = ((0 to 2).map(i => scored(i.toLong)).sum / 3,
+      (3 to 5).map(i => scored(i.toLong)).sum / 3)
+    assert(posAvg > negAvg + 0.1,
+      s"trained model must separate: pos=$posAvg neg=$negAvg")
+    // 3) parity with an independent local full-batch GD (same arithmetic
+    // up to distributed double-summation order)
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def dv(c: Char) = if (c >= 'a') c - 'a' + 10 else c - '0'
+      dv(hex(0)) * 16 + dv(hex(1))
+    }
+    val feats = (pos.map((_, 1.0)) ++ neg.map((_, 0.0))).map { case (t, y) =>
+      val bs = t.split(" ").filter(_.nonEmpty).map(bucket)
+      (y, bs.groupBy(identity).view.mapValues(_.length).toMap, bs.length)
+    }
+    val lw = new Array[Double](256)
+    var lb = 0.0
+    for (_ <- 0 until 6) {
+      val g = new Array[Double](256)
+      var gb = 0.0
+      feats.foreach { case (y, bs, n) =>
+        val m = bs.map { case (b, c) => lw(b) * c }.sum / n + lb
+        val err = 1.0 / (1.0 + math.exp(-m)) - y
+        bs.foreach { case (b, c) => g(b) += err * c / n }
+        gb += err
+      }
+      for (i <- 0 until 256) lw(i) -= 4.0 * g(i) / feats.length
+      lb -= 4.0 * gb / feats.length
+    }
+    assert(math.abs(bias - lb) < 1e-9, s"bias $bias vs local $lb")
+    (0 until 256).foreach(i =>
+      assert(math.abs(w(i) - lw(i)) < 1e-9, s"w($i): ${w(i)} vs ${lw(i)}"))
+  }
+
+  test("tf-idf ranks a doc-specific term above corpus-wide boilerplate") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "common common common zebra zebra zebra zebra"),
+      (1L, "common unicorn"),
+      (2L, "common something else entirely"),
+      (3L, "common more filler text here")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.tfIdf(docs, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // "common" appears in every doc → idf ln(5/5)=0 → score 0; the rare
+    // term must win rank 1 in its doc
+    assert(got((0L, 1)) == "zebra")
+    assert(got((1L, 1)) == "unicorn")
+    // zero-score terms still rank (by term asc) but behind positive scores
+    val d0 = CorpusOps.tfIdf(docs, topK = 2).where(col("doc_id") === 0)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(d0.find(_._1 == 1).get._3 > d0.find(_._1 == 2).get._3)
+  }
+
+  test("incremental dedup: batch vs existing digests, keep-first in batch") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq("seen before", "also seen").toDF("text")
+      .select(Dedup.normDigest(col("text")).as("h"))
+    val batch = Seq(
+      (10L, "Seen Before"),     // dup of existing (normalization!) → dropped
+      (11L, "fresh content"),   // novel → kept
+      (12L, "fresh content"),   // in-batch dup → dropped (keep-first)
+      (13L, "also seen"),       // dup of existing → dropped
+      (14L, "another novel doc") // novel → kept
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.incrementalDedup(batch, existing)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 14L), s"got ${got.toSeq}")
+  }
 }
