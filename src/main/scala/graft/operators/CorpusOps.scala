@@ -306,6 +306,74 @@ object CorpusOps {
         expr("floor(exp(m) * 10000 + 0.5) / 10000").as("ppl"))
   }
 
+  /** Bigram LM perplexity with Jelinek-Mercer interpolation — the
+    * next-order refinement of [[lmPerplexity]]:
+    * p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·p_addk(w), scored as
+    * exp(mean −ln p) over a doc's bigram transitions (docs with < 2
+    * tokens have no transitions and drop out, like token-less docs do in
+    * the unigram op). The interpolation keeps every transition's
+    * probability positive (the unigram add-k floor), so unseen bigrams
+    * cost finite nll instead of −∞ — the standard back-off-free smoothing
+    * used when the reference corpus is big enough to trust its bigrams.
+    *
+    * Scale shape: identical to the unigram op one order up — the LM is
+    * now a BIGRAM-vocabulary-sized count table (still model-sized, not
+    * corpus-sized: high-count bigrams concentrate fast); totals are two
+    * driver scalars; scoring is one broadcast (or guarded shuffle-hash)
+    * join on the (prev, token) pair + a per-doc aggregate. Bigrams
+    * derive from the token array by a codegen'd transform over index
+    * pairs — no self-join of the token table against its own lag. */
+  def bigramPerplexity(corpus: DataFrame, lmDocs: DataFrame,
+                       lambda: Double = 0.7, k: Double = 0.5,
+                       maxBroadcastVocab: Long = 10L * 1000 * 1000)
+      : DataFrame = {
+    require(lambda >= 0.0 && lambda < 1.0, s"lambda=$lambda out of [0,1)")
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+    def bigrams(df: DataFrame) = toks(df)
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+        "i -> named_struct('prev', element_at(ts, i), " +
+        "'token', element_at(ts, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"),
+        col("bg.token").as("token"))
+    // unigram counts + totals (the add-k floor), from the SAME tokenization
+    val uni = toks(lmDocs)
+      .select(explode(col("ts")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("uc"))
+    val row = uni.agg(sum(col("uc")), count(lit(1))).collect()(0)
+    val (total, vocab) =
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+    val denom = total + k * (vocab + 1)
+    // bigram counts + per-prev context totals
+    val bi = bigrams(lmDocs)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("bc"))
+    val ctx = bi.groupBy(col("prev")).agg(sum(col("bc")).as("cc"))
+    def guarded(df: DataFrame, what: String) =
+      if (vocab <= maxBroadcastVocab) broadcast(df)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bigramPerplexity: $what exceeds the broadcast guard " +
+          s"(unigram vocab $vocab > $maxBroadcastVocab) — shuffle-hash join")
+        df.hint("shuffle_hash")
+      }
+    bigrams(corpus)
+      .join(guarded(bi, "bigram table"), Seq("prev", "token"), "left")
+      .join(guarded(ctx, "context table"), Seq("prev"), "left")
+      .join(guarded(uni, "unigram table"), Seq("token"), "left")
+      .select(col("doc_id"),
+        (-log(
+          lit(lambda) * when(col("cc").isNotNull,
+              coalesce(col("bc"), lit(0L)) / col("cc")).otherwise(lit(0.0))
+          + lit(1.0 - lambda) *
+            ((coalesce(col("uc"), lit(0L)) + k) / denom))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("floor(exp(m) * 10000 + 0.5) / 10000").as("ppl"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards by their START offset in the deterministic doc_id order —
     * (doc_id, n_tokens, shard, offset) with offset the doc's position

@@ -246,6 +246,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram LM perplexity with Jelinek-Mercer interpolation (λ=0.7 bigram
+    // MLE + 0.3 add-k unigram floor): the next-order CCNet-style filter.
+    // Same broadcast-LM scoring shape as the unigram op, one order up.
+    "q_llm_bigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.bigramPerplexity(docs.where(col("doc_id") >= 100),
+          docs.where(col("doc_id") < 100), lambda = 0.7, k = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // sequence packing into 2048-token training shards: start-offset
     // assignment over a parallel prefix sum (per-bucket windows + broadcast
     // bucket offsets — never a single-partition global window). The oracle
@@ -634,6 +644,47 @@ object LlmQueries {
            FROM (SELECT * FROM ct WHERE token <> '') ct2
            LEFT JOIN cnt USING (token) CROSS JOIN tot)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                floor(exp(avg(nll)) * 10000 + 0.5) / 10000 AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // (1.0e0 - 0.7e0) folds to the same IEEE double Spark's lit(1.0 - 0.7)
+    // carries; integer '/' is true division in both engines
+    "q_llm_bigram_ppl" ->
+      """WITH lt AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                    AS ts
+           FROM documents WHERE doc_id < 100),
+         u AS (
+           SELECT token, COUNT(*) AS uc
+           FROM (SELECT unnest(ts) AS token FROM lt) GROUP BY token),
+         tot AS (SELECT SUM(uc) AS t, COUNT(*) AS v FROM u),
+         lb AS (
+           SELECT ts[i] AS prev, ts[i + 1] AS token
+           FROM lt, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+           WHERE len(ts) >= 2),
+         b AS (SELECT prev, token, COUNT(*) AS bc FROM lb GROUP BY 1, 2),
+         c AS (SELECT prev, SUM(bc) AS cc FROM b GROUP BY prev),
+         ct AS (
+           SELECT doc_id, ts[i] AS prev, ts[i + 1] AS token
+           FROM (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '')
+                          AS ts
+                 FROM documents WHERE doc_id >= 100) s,
+                unnest(generate_series(1, len(ts) - 1)) AS g(i)
+           WHERE len(ts) >= 2),
+         sc AS (
+           SELECT ct.doc_id,
+                  -ln(0.7e0 * (CASE WHEN c.cc IS NOT NULL
+                                    THEN COALESCE(b.bc, 0) / c.cc
+                                    ELSE 0.0e0 END)
+                      + (1.0e0 - 0.7e0)
+                        * ((COALESCE(u.uc, 0) + 0.5e0)
+                           / (tot.t + 0.5e0 * (tot.v + 1)))) AS nll
+           FROM ct
+           LEFT JOIN b ON ct.prev = b.prev AND ct.token = b.token
+           LEFT JOIN c ON ct.prev = c.prev
+           LEFT JOIN u ON ct.token = u.token
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                 floor(exp(avg(nll)) * 10000 + 0.5) / 10000 AS ppl
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_pack" ->

@@ -413,6 +413,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(d0.find(_._1 == 1).get._3 > d0.find(_._1 == 2).get._3)
   }
 
+  test("bigram perplexity is word-order sensitive; short docs drop out") {
+    val s = spark
+    import s.implicits._
+    // reference corpus with a strong, consistent word order
+    val lm = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick brown fox jumps"),   // in-order: seen bigrams
+      (101L, "fox the jumps quick brown"),   // same unigrams, scrambled order
+      (102L, "onetoken")                     // < 2 tokens: no transitions
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.bigramPerplexity(probe, lm, lambda = 0.7, k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(102L), "single-token doc has no bigrams to score")
+    assert(got(100L) < got(101L),
+      s"in-order text must score lower ppl than scrambled: $got")
+    // a unigram LM CANNOT make this distinction (same token multiset)
+    val uni = CorpusOps.lmPerplexity(probe.where(col("doc_id") < 102), lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(100L) == uni(101L),
+      s"unigram ppl must tie on a permuted token multiset: $uni")
+    // local recompute of the in-order doc's ppl (exact formula parity)
+    val toks = "the quick brown fox jumps over the lazy dog".split(" ")
+    val ref = toks.zip(toks.tail)
+    val bc = ref.groupBy(identity).view.mapValues(_.length * 20L).toMap
+    val cc = ref.map(_._1).groupBy(identity).view.mapValues(_.length * 20L).toMap
+    val uc = toks.groupBy(identity).view.mapValues(_.length * 20L).toMap
+    val total = 9.0 * 20; val vocab = uc.size
+    val denom = total + 0.5 * (vocab + 1)
+    val probeToks = "the quick brown fox jumps".split(" ")
+    val nll = probeToks.zip(probeToks.tail).map { case (p, t) =>
+      val big = if (cc.contains(p))
+        bc.getOrElse((p, t), 0L).toDouble / cc(p) else 0.0
+      -math.log(0.7 * big + (1.0 - 0.7) * ((uc.getOrElse(t, 0L) + 0.5) / denom))
+    }
+    val want = math.floor(
+      math.exp(nll.sum / nll.length) * 10000 + 0.5) / 10000
+    assert(math.abs(got(100L) - want) < 1e-9, s"${got(100L)} vs local $want")
+  }
+
   test("incremental dedup: batch vs existing digests, keep-first in batch") {
     val s = spark
     import s.implicits._
