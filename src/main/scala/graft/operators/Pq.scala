@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.Sketches
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI'11) — the memory side of the
+  * 100 TB ANN story next to [[Ivf]]'s IO side: each vector is encoded as
+  * `m` sub-codebook indices (one byte each at ksub ≤ 256), so a 64-dim
+  * float vector (256 bytes) compresses to m bytes (32× at m=8) and the
+  * whole candidate set fits in a fraction of the memory the raw vectors
+  * need. Queries score candidates WITHOUT decoding — asymmetric distance
+  * computation (ADC): the query's exact subvector dotted with each
+  * candidate's reconstructed sub-centroid, summed over subspaces.
+  *
+  * Scale design:
+  *  - codebook training runs on the SAME bounded hash-sample contract as
+  *    [[Ivf.trainCentroids]]; all m subspaces train in one job per Lloyd
+  *    iteration (explode by subspace over the bounded sample only — never
+  *    over the corpus), shuffling (m·ksub) sub-centroid sums.
+  *  - encoding is one corpus pass, pure codegen: per subspace an argmin-L2
+  *    over ksub sub-centroids via the adjusted-dot identity
+  *    argmin‖x−c‖² = argmax(x·c − ‖c‖²/2) on the dot_f expression.
+  *  - ADC scoring broadcasts the (small) query set; the codes table is
+  *    scanned once; per (query, candidate) the score is m dot_f calls
+  *    against codebook literals — no shuffle until the final per-query
+  *    top-k window.
+  *  - composition with IVF: store codes `partitionBy("cid")` and ADC-score
+  *    only the probed lists — the two operators multiply (IO pruning ×
+  *    memory compression), which is exactly the FAISS IVFPQ layout.
+  */
+object Pq {
+
+  private def registered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
+  /** Per-subspace codebooks: `codebooks(j)(k)` is the k-th sub-centroid of
+    * subspace j (each of length dim/m). */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /** All m sub-codes of a vector in ONE nested-loop expression:
+    * codes[j] = argmax over k of (x_j · c_jk − ‖c_jk‖²/2) — the L2-nearest
+    * sub-centroid per subspace (argmin‖x−c‖² = argmax(x·c − ‖c‖²/2)).
+    * The codebooks ride as a single 3-level literal indexed inside the
+    * nested transform, so the generated code is two small loops and one
+    * dot_f call site no matter how many subspaces/centroids there are
+    * (per-subspace expression trees would bloat codegen ∝ m·ksub). */
+  private def codesColumn(v: Column,
+                          books: Array[Array[Array[Float]]]): Column = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val mat = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val half = typedLit(books.map(_.map(c =>
+      c.foldLeft(0.0)((a, x) => a + x.toDouble * x) / 2.0).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      array_max(transform(sequence(lit(0), lit(ksub - 1)), k =>
+        call_function("named_struct",
+          lit("s"), call_function("dot_f",
+            slice(v, j * dsub + 1, lit(dsub)),
+            element_at(element_at(mat, j + 1), k + 1))
+            - element_at(element_at(half, j + 1), k + 1),
+          lit("k"), k.cast("int")))).getField("k"))
+  }
+
+  /** Train m sub-codebooks of ksub centroids each: deterministic init
+    * (lowest vec_ids' subvectors), then `iters` Lloyd steps over ALL
+    * subspaces in one job per step (subspace-exploded bounded sample,
+    * vector-sum aggregator per (subspace, code)). */
+  def train(candidates: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+            iters: Int = 2, maxTrainRows: Long = 1L << 16,
+            knownCount: Option[Long] = None): PqModel = {
+    registered(candidates)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    // spread: the bounded sample off a single-file scan would otherwise
+    // run the CPU-bound assignment on one core; ≤ maxTrainRows rows make
+    // the repartition trivially cheap at any corpus size
+    val sample = graft.core.Tables.spread(
+      Ivf.trainingSample(candidates, maxTrainRows, knownCount),
+      col("vec_id")).cache()
+    try {
+      val init = sample.orderBy(col("vec_id")).limit(ksub)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(init.length == ksub,
+        s"need >= $ksub training vectors, got ${init.length}")
+      var books = Array.tabulate(m)(j =>
+        init.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 0 until iters) {
+        // one job: the encode-shaped nested-loop code projection, then
+        // explode to (subspace, code, subvector) and sum per cell
+        val sums = sample
+          .select(col("embedding"), codesColumn(col("embedding"), books).as("cs"))
+          .select(explode(expr(
+            s"transform(sequence(0, ${m - 1}), j -> named_struct(" +
+            s"'j', j, 'k', element_at(cs, j + 1), " +
+            s"'sub', slice(embedding, j * $dsub + 1, $dsub)))")).as("e"))
+          .select(col("e.j").as("j"), col("e.k").as("k"),
+            col("e.sub").as("sub"))
+          .groupBy(col("j"), col("k"))
+          .agg(Sketches.vectorSum(col("sub"), dsub).as("vs"))
+          .select(col("j"), col("k"), col("vs.sum").as("sum"),
+            col("vs.n").as("n"))
+          .collect()
+        val byKey = sums.map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getSeq[Double](2), r.getLong(3))).toMap
+        books = Array.tabulate(m)(j => Array.tabulate(ksub)(k =>
+          byKey.get((j, k)) match {
+            case Some((s, n)) if n > 0 => s.map(x => (x / n).toFloat).toArray
+            case _ => books(j)(k) // empty cell keeps its previous centroid
+          }))
+      }
+      PqModel(books)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Encode every vector to its m sub-codes: (vec_id, codes array<int>).
+    * One corpus pass, pure codegen — this is the table that replaces the
+    * raw vectors at rest (m bytes/vector at ksub ≤ 256). */
+  def encode(vecs: DataFrame, model: PqModel): DataFrame = {
+    registered(vecs)
+    graft.core.Tables.spread(vecs, col("vec_id"))
+      .select(col("vec_id"),
+        codesColumn(col("embedding"), model.codebooks).as("codes"))
+  }
+
+  /** ADC top-k: exact query subvectors vs reconstructed candidate
+    * sub-centroids, k best per query (score desc, vid asc — the
+    * [[Similarity]] output contract: (qid, rn, vid, adc)). Queries
+    * broadcast; candidates stream through one codegen'd projection. */
+  def adcTopK(queries: DataFrame, codes: DataFrame, model: PqModel,
+              k: Int): DataFrame = {
+    registered(queries)
+    val dsub = model.dsub
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val mat = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // one fold over subspaces: acc + q_j · c_{j, codes[j]} — a single
+    // compact loop in codegen, like codesColumn
+    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, j) => acc + call_function("dot_f",
+        slice(col("qv"), j * dsub + 1, lit(dsub)),
+        element_at(element_at(mat, j + 1),
+          element_at(col("codes"), j + 1) + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("vid").asc)
+    broadcast(q)
+      .crossJoin(codes.select(col("vec_id").as("vid"), col("codes")))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), round(adc, 4).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("adc"))
+  }
+}

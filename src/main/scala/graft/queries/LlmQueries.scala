@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.operators.{CorpusOps, Dedup, Ivf, Pca, Similarity}
+import graft.operators.{CorpusOps, Dedup, Ivf, Pca, Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -390,6 +390,21 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Ivf.ivfTopK(emb.where(col("vec_id") < 10), emb,
           k = 5, nCentroids = 16, nProbe = 8, iters = 1)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // product-quantization ANN: 32 sub-codebooks of 16 centroids train on
+    // the bounded sample, vectors encode to 32 nibble codes (16 bytes —
+    // 16× compression vs raw floats), queries ADC-score the codes table
+    // without decoding. Full-entropy synthetic vectors are PQ's worst
+    // case, hence many narrow subspaces; real embeddings (low intrinsic
+    // dim) compress harder. Rows-only; PqSpec pins recall ≥ 0.5 vs brute
+    // force, local argmin-L2 encode parity, and quantization-error bounds.
+    "q_llm_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pq.train(emb, dim = 64, m = 32, ksub = 16, iters = 2)
+      val codes = Pq.encode(emb, model)
+      Pq.adcTopK(emb.where(col("vec_id") < 10), codes, model, k = 5)
         .orderBy(col("qid"), col("rn"))
     }),
 

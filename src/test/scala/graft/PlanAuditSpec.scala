@@ -6,8 +6,10 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  // brute-force scoring is a deliberate broadcast-cross (query side tiny)
-  private val allowedCartesian = Set("q_llm_sim_topk", "q_join_cross_theta")
+  // brute-force and PQ-ADC scoring are deliberate broadcast-crosses (query
+  // side tiny; the candidate side streams through one codegen'd projection)
+  private val allowedCartesian =
+    Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))
