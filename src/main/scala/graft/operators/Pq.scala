@@ -129,6 +129,57 @@ object Pq {
         codesColumn(col("embedding"), model.codebooks).as("codes"))
   }
 
+  /** IVF+PQ — the FAISS IVFPQ composition, IO pruning × memory
+    * compression: candidates are coarse-assigned to inverted lists (IVF)
+    * AND encoded to PQ codes in the SAME one-pass projection, queries
+    * probe only their nProbe nearest lists (an equi-join on cid — no
+    * cross join) and ADC-score the compressed codes inside those lists.
+    * At rest the (cid, vid, codes) table is the thing to persist
+    * `partitionBy("cid")` exactly like [[Ivf.writeLists]] — the scan then
+    * reads ~nProbe/nCentroids of a corpus that is ALSO 16× smaller than
+    * raw vectors. Training shares one corpus count between the two
+    * bounded samplers.
+    *
+    * This variant quantizes raw vectors, not per-list residuals — the
+    * classic refinement (encode x − centroid, sharper codes at the same
+    * budget) changes only the two projection expressions, not the plan
+    * shape. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                dim: Int, nCentroids: Int = 16, nProbe: Int = 8,
+                m: Int = 32, ksub: Int = 16, iters: Int = 2,
+                maxTrainRows: Long = 1L << 16,
+                knownCount: Option[Long] = None): DataFrame = {
+    registered(queries)
+    val n = Some(knownCount.getOrElse(candidates.count()))
+    val cents = Ivf.trainCentroids(candidates, nCentroids, iters,
+      maxTrainRows, n)
+    val model = train(candidates, dim, m, ksub, iters, maxTrainRows, n)
+    val dsub = model.dsub
+    val codes = graft.core.Tables.spread(candidates, col("vec_id"))
+      .select(Ivf.nearestCentroid(col("embedding"), cents).as("cid"),
+        col("vec_id").as("vid"),
+        codesColumn(col("embedding"), model.codebooks).as("codes"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"),
+      explode(Ivf.probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
+    val mat = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, j) => acc + call_function("dot_f",
+        slice(col("qv"), j * dsub + 1, lit(dsub)),
+        element_at(element_at(mat, j + 1),
+          element_at(col("codes"), j + 1) + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("vid").asc)
+    // each candidate lives in exactly one list and probe cids are distinct,
+    // so (qid, vid) pairs are already unique — the Ivf.probeTopK contract
+    broadcast(q).join(codes, Seq("cid"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), round(adc, 4).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("adc"))
+  }
+
   /** ADC top-k: exact query subvectors vs reconstructed candidate
     * sub-centroids, k best per query (score desc, vid asc — the
     * [[Similarity]] output contract: (qid, rn, vid, adc)). Queries

@@ -408,6 +408,48 @@ object LlmQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // END-TO-END pre-training pipeline — the whole corpus-prep flow as ONE
+    // composed query, every stage an operator that is individually
+    // oracle-exact, so the composition stays hash-exact: quality filter →
+    // exact dedup (keep-first) → benchmark decontamination (5-gram vs the
+    // eval slice) → split assignment (keep train) → pack into 2048-token
+    // shards. Output: the final training-shard layout (doc_id, n_tokens,
+    // shard, offset).
+    "q_llm_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val eval = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      val quality = corpus.where(col("n_chars").between(50, 5000))
+      val w = Window.partitionBy(Dedup.normDigest(col("text")))
+        .orderBy(col("doc_id"))
+      val deduped = quality.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val flagged = CorpusOps.contamination(deduped, eval, n = 5)
+        .select(col("doc_id"))
+      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      // packShards drives 3 actions (bounds, bucket sums, result); eagerly
+      // materialize the survivors once so the filter→dedup→decontaminate
+      // chain doesn't recompute per action — the same stage checkpoint a
+      // production pipeline would persist between phases anyway
+      val train = clean
+        .where(CorpusOps.splitColumn(col("text")) === "train")
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      CorpusOps.packShards(train, 2048L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // IVF+PQ composition (the FAISS IVFPQ shape): coarse-assign + encode
+    // in one pass, probe 8/16 lists per query, ADC-score the compressed
+    // codes inside probed lists only. Equi-join on cid — no cross join.
+    // Rows-only; PqSpec pins recall + full-probe ≡ plain-ADC equivalence.
+    "q_llm_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.ivfPqTopK(emb.where(col("vec_id") < 10), emb, k = 5, dim = 64,
+          nCentroids = 16, nProbe = 8, m = 32, ksub = 16, iters = 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // brute-force cosine top-5 for query vectors 0..9 (Q-LLM-2), via the
     // native codegen'd dot product (bit-compatible with the HOF formulation
     // the DuckDB oracle mirrors — proven in CosineSimSpec); ranked on the
@@ -661,6 +703,53 @@ object LlmQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                 floor(exp(avg(nll)) * 10000 + 0.5) / 10000 AS ppl
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // the composed pipeline: each CTE mirrors one already-oracle-exact
+    // stage, so the end-to-end result is hash-exact too
+    "q_llm_pipeline" ->
+      """WITH corpus AS (
+           SELECT * FROM documents WHERE doc_id >= 20),
+         quality AS (
+           SELECT * FROM corpus WHERE n_chars BETWEEN 50 AND 5000),
+         dd AS (
+           SELECT * FROM (
+             SELECT q.*, row_number() OVER (
+                 PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+             FROM quality q) WHERE rn = 1),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+         tg AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(
+                      list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)),
+                      ' '))) AS g
+           FROM tok WHERE len(toks) >= 5),
+         ev AS (SELECT DISTINCT g FROM tg WHERE doc_id < 20),
+         flagged AS (
+           SELECT DISTINCT c.doc_id
+           FROM (SELECT t.doc_id, t.g FROM tg t JOIN dd ON t.doc_id = dd.doc_id) c
+           JOIN ev USING (g)),
+         clean AS (
+           SELECT dd.* FROM dd LEFT JOIN flagged USING (doc_id)
+           WHERE flagged.doc_id IS NULL),
+         train AS (
+           SELECT * FROM clean
+           WHERE substr(md5(lower(trim(text))), 1, 1)
+                 NOT IN ('c', 'd', 'e', 'f')),
+         t AS (
+           SELECT doc_id,
+                  COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS n_tokens
+           FROM train),
+         c AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+           FROM t)
+         SELECT doc_id, n_tokens,
+                CAST(strt // 2048 AS BIGINT) AS shard,
+                CAST(strt % 2048 AS BIGINT) AS offset
+         FROM c ORDER BY doc_id""",
     // (1.0e0 - 0.7e0) folds to the same IEEE double Spark's lit(1.0 - 0.7)
     // carries; integer '/' is true division in both engines
     "q_llm_bigram_ppl" ->

@@ -68,6 +68,26 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.5, s"ADC recall@5 = $recall < 0.5")
   }
 
+  test("IVFPQ: useful recall at nProbe=8, and full probe loses nothing") {
+    val queries = emb.where(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val got = topSets(Pq.ivfPqTopK(queries, emb, k = 5, dim = 64,
+      nCentroids = 16, nProbe = 8, m = 32, ksub = 16, iters = 2))
+    assert(got.keySet == truth.keySet)
+    val recall = truth.keys.toSeq
+      .map(q => (got(q) & truth(q)).size / 5.0).sum / truth.size
+    assert(recall >= 0.5, s"IVFPQ recall@5 = $recall < 0.5")
+    // probing ALL lists must reduce exactly to plain ADC over everything:
+    // the coarse quantizer prunes IO, never changes scores
+    val full = topSets(Pq.ivfPqTopK(queries, emb, k = 5, dim = 64,
+      nCentroids = 16, nProbe = 16, m = 32, ksub = 16, iters = 2))
+    val adc = topSets(Pq.adcTopK(queries, Pq.encode(emb, model), model, 5))
+    assert(full == adc, "full-probe IVFPQ must equal plain ADC top-k")
+  }
+
   test("ADC approximates the true dot within the quantization error") {
     // per-vector: |dot(q, x) − adc(q, codes(x))| should be far below the
     // score's dynamic range, and self-ADC should be near the self-dot
