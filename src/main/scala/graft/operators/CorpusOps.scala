@@ -634,6 +634,34 @@ object CorpusOps {
     } finally { feats.unpersist(); () }
   }
 
+  /** Apply trained BPE merge rules to a corpus — the other half of
+    * [[bpeTrain]]: (doc_id, toks) with `toks` the document's BPE token
+    * sequence (word symbols merged greedily in rank order, `</w>`-suffixed
+    * word ends, flattened across words in order).
+    *
+    * Scale shape: a pure per-document map — each merge rule is one greedy
+    * left-to-right fold over each word's symbol array (the same
+    * `aggregate` HOF the trainer iterates with), chained in rank order
+    * inside a single projection. No shuffle, no join: the merge table
+    * rides in the plan (a production 50k-merge vocabulary would instead
+    * tokenize in a mapPartitions with a trie — same embarrassing
+    * parallelism, different inner loop). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val init: Column = expr(
+      "transform(filter(split(text, ' '), t -> t <> ''), " +
+      "w -> concat(split(w, ''), array('</w>')))")
+    val merged = merges.foldLeft(init) { case (wordsCol, (l, r)) =>
+      transform(wordsCol, syms => aggregate(syms,
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+               x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    docs.select(col("doc_id"), flatten(merged).as("toks"))
+  }
+
   /** Deterministic train/val/test assignment from the first hex digit of
     * md5(normalized text): 0-b → train (12/16), c-d → val (2/16),
     * e-f → test (2/16). Digest-of-text (not doc id) keeps exact duplicates

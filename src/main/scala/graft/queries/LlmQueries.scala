@@ -272,6 +272,21 @@ object LlmQueries {
     "q_llm_bpe" -> ((s, d) =>
       CorpusOps.bpeTrain(Tables.documents(s, d), nMerges = 16)),
 
+    // BPE tokenizer APPLICATION: train 16 merges, then tokenize the corpus
+    // with them — (doc_id, token count, sequence fingerprint). Rows-only
+    // (the merge fold has no SQL twin); CorpusOpsSpec pins the encoded
+    // sequences against the same reference implementation that pins
+    // training.
+    "q_llm_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = CorpusOps.bpeTrain(docs, nMerges = 16).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.bpeEncode(docs, merges)
+        .select(col("doc_id"), size(col("toks")).as("n_bpe_toks"),
+          md5(concat_ws(" ", col("toks"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed linear quality-classifier inference (fastText-shaped): md5
     // two-hex-digit feature buckets, dyadic fixture weights exact in both
     // engines, sigmoid score rounded to 4dp.

@@ -297,6 +297,40 @@ class CorpusOpsSpec extends SparkSpec {
       "some merged symbol should span 3+ chars after 8 merges")
   }
 
+  test("BPE encoding applies trained merges exactly as the reference") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "low low lower newest"),
+      (1L, "low lower newest wider"),
+      (2L, "unseen words tokenize too")
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrain(docs.where(col("doc_id") < 2), 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = CorpusOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // reference apply: same greedy fold, rank order, per word
+    def mergeGreedy(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def encode(text: String): Seq[String] =
+      text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+          case (syms, (l, r)) => mergeGreedy(syms, l, r)
+        }
+      }
+    Seq(0L -> "low low lower newest", 1L -> "low lower newest wider",
+        2L -> "unseen words tokenize too").foreach { case (id, text) =>
+      assert(got(id) == encode(text), s"doc $id: ${got(id)} vs ${encode(text)}")
+    }
+    // trained merges must actually compress the training docs
+    assert(got(0L).length <
+      "low low lower newest".count(_ != ' ') + 4,
+      "BPE tokens must be fewer than raw characters")
+  }
+
   test("hashed linear score matches an independent local recomputation") {
     val s = spark
     import s.implicits._
