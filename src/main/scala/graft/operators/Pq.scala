@@ -140,30 +140,58 @@ object Pq {
     * raw vectors. Training shares one corpus count between the two
     * bounded samplers.
     *
-    * This variant quantizes raw vectors, not per-list residuals — the
-    * classic refinement (encode x − centroid, sharper codes at the same
-    * budget) changes only the two projection expressions, not the plan
-    * shape. */
+    * With `residual = true` (the full FAISS recipe) codes quantize the
+    * per-list residual x − centroid instead of x, and the ADC score
+    * regains the centroid term exactly — dot(q, c_cid) + Σⱼ dot(qⱼ, rⱼ) —
+    * via one extra dot_f against the centroid literal. Only the three
+    * projection expressions change; the plan shape (one corpus pass, cid
+    * equi-join, top-k window) does not.
+    *
+    * MEASURED (sf0.001 synthetic embeddings, m=32 ksub=16 nProbe=8):
+    * recall@5 = 0.56 raw vs 0.44 residual — residual coding LOSES here,
+    * so the default is raw. The recipe pays off when the coarse
+    * quantizer explains real variance (clustered production embeddings);
+    * on full-entropy synthetic vectors the cosine-normalized centroids
+    * capture almost none, so the residual is as hard to quantize as the
+    * vector while its subspaces align worse with the query split. Same
+    * measure-don't-guess call as the PPJoin-vs-count decision in
+    * [[Dedup]]. */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                 dim: Int, nCentroids: Int = 16, nProbe: Int = 8,
                 m: Int = 32, ksub: Int = 16, iters: Int = 2,
+                residual: Boolean = false,
                 maxTrainRows: Long = 1L << 16,
                 knownCount: Option[Long] = None): DataFrame = {
     registered(queries)
     val n = Some(knownCount.getOrElse(candidates.count()))
     val cents = Ivf.trainCentroids(candidates, nCentroids, iters,
       maxTrainRows, n)
-    val model = train(candidates, dim, m, ksub, iters, maxTrainRows, n)
+    val centMat = typedLit(cents.map(_.toSeq).toSeq)
+    def residOf(v: Column): Column =
+      zip_with(v, element_at(centMat, Ivf.nearestCentroid(v, cents) + 1),
+        (a, b) => a - b)
+    val model =
+      if (residual)
+        train(candidates.select(col("vec_id"),
+          residOf(col("embedding")).as("embedding")), dim, m, ksub, iters,
+          maxTrainRows, n)
+      else train(candidates, dim, m, ksub, iters, maxTrainRows, n)
     val dsub = model.dsub
+    val toCode =
+      if (residual) residOf(col("embedding")) else col("embedding")
     val codes = graft.core.Tables.spread(candidates, col("vec_id"))
       .select(Ivf.nearestCentroid(col("embedding"), cents).as("cid"),
         col("vec_id").as("vid"),
-        codesColumn(col("embedding"), model.codebooks).as("codes"))
+        codesColumn(toCode, model.codebooks).as("codes"))
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qv"),
       explode(Ivf.probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
     val mat = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+    val base =
+      if (residual)
+        call_function("dot_f", col("qv"), element_at(centMat, col("cid") + 1))
+      else lit(0.0)
+    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), base,
       (acc, j) => acc + call_function("dot_f",
         slice(col("qv"), j * dsub + 1, lit(dsub)),
         element_at(element_at(mat, j + 1),

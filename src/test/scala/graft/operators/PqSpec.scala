@@ -86,6 +86,19 @@ class PqSpec extends SparkSpec {
       nCentroids = 16, nProbe = 16, m = 32, ksub = 16, iters = 2))
     val adc = topSets(Pq.adcTopK(queries, Pq.encode(emb, model), model, 5))
     assert(full == adc, "full-probe IVFPQ must equal plain ADC top-k")
+    // the residual-coding variant stays a valid ANN (complete result sets,
+    // useful recall) — it measures BELOW raw coding on this full-entropy
+    // corpus (0.44 vs 0.56, which is why raw is the default; see the
+    // ivfPqTopK scaladoc), and that measurement is pinned here
+    val res = topSets(Pq.ivfPqTopK(queries, emb, k = 5, dim = 64,
+      nCentroids = 16, nProbe = 8, m = 32, ksub = 16, iters = 2,
+      residual = true))
+    assert(res.keySet == truth.keySet)
+    res.foreach { case (_, vids) => assert(vids.size == 5) }
+    val resRecall = truth.keys.toSeq
+      .map(q => (res(q) & truth(q)).size / 5.0).sum / truth.size
+    assert(resRecall >= 0.35 && resRecall <= recall,
+      s"residual recall $resRecall should be useful but ≤ raw $recall here")
   }
 
   test("ADC approximates the true dot within the quantization error") {
