@@ -548,6 +548,32 @@ object CorpusOps {
       .select(col("doc_id"), col("h"))
   }
 
+  /** Pure-COLUMN form of [[hashedLinearScore]] — the same sigmoid(avg
+    * bucket-weight + bias) as one map-side expression (aggregate HOF over
+    * the token array, no explode/groupBy). Numerically identical on the
+    * same doc; being shuffle-free it also scores UNBOUNDED STREAMS (a
+    * streaming groupBy would need watermark semantics documents don't
+    * have) and fuses into any projection. NULL for token-less docs, like
+    * the aggregating form's dropout. */
+  def hashedLinearScoreColumn(text: Column, weights: Array[Double],
+                              bias: Double): Column = {
+    require(weights.length == 256,
+      "bucketing uses two hex digits: exactly 256 weights")
+    val wlit = array(weights.map(lit): _*)
+    val toks = filter(split(text, " "), t => t =!= "")
+    def digit(h: Column, i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val sum = aggregate(toks, lit(0.0), (acc, t) => {
+      val h = md5(t)
+      acc + element_at(wlit, digit(h, 1) * 16 + digit(h, 2) + 1)
+    })
+    when(size(toks) > 0,
+      floor(lit(1.0) / (lit(1.0) + exp(-(sum / size(toks) + bias)))
+        * 10000 + 0.5) / 10000)
+  }
+
   /** Per-document hashed-bag-of-words feature rows for
     * [[trainHashedClassifier]]: (doc_id, y, n, bs) where `bs` is the
     * doc's (bucket, count) list over the same 256 md5-hex-digit buckets

@@ -487,6 +487,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(got(100L) - want) < 1e-9, s"${got(100L)} vs local $want")
   }
 
+  test("tf-idf broadcasts the df table, with the guarded fallback") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a x y z")).toDF("doc_id", "text")
+    val df = CorpusOps.tfIdf(docs, topK = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df side not broadcast:\n$plan")
+    val fb = CorpusOps.tfIdf(docs, topK = 2, maxBroadcastVocab = 1)
+    assert(!fb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "oversized vocabulary must not broadcast")
+    // guarded fallback returns identical rows
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))
+    assert(df.collect().map(key).toSet == fb.collect().map(key).toSet)
+  }
+
   test("incremental dedup: batch vs existing digests, keep-first in batch") {
     val s = spark
     import s.implicits._

@@ -225,6 +225,53 @@ class StreamingSpec extends SparkSpec {
     assert(back.count(_.getString(0).contains("sample=a")) == 2)
   }
 
+  test("streaming corpus ingest: cross-batch digest dedup + quality score") {
+    // the continuous-crawl shape end-to-end: document batches arrive as
+    // files, exact dedup runs STATEFULLY across batches (dropDuplicates on
+    // the normalized digest — the streaming twin of incrementalDedup), and
+    // the quality score rides as a pure map column (no streaming groupBy)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def write(part: Int, docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/p$part")
+    write(1, Seq(10L -> "fresh content here", 11L -> "Seen Before"))
+    write(2, Seq(12L -> "fresh content here", // cross-batch dup of 10
+                 13L -> "seen before",        // dup of 11 after normalize
+                 14L -> "brand new material"))
+    val weights = graft.operators.CorpusOps.fixtureWeights()
+    val sinkName = sink()
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/p*")
+      .withColumn("h", graft.operators.Dedup.normDigest(col("text")))
+      .dropDuplicates("h")
+      .withColumn("q_score", graft.operators.CorpusOps
+        .hashedLinearScoreColumn(col("text"), weights, bias = 0.125))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table(sinkName).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(10L, 11L, 14L),
+      s"cross-batch dups must drop, got ${got.keySet}")
+    // the map-column score is numerically identical to the aggregating
+    // batch operator (dyadic fixture weights make sums order-exact)
+    val want = graft.operators.CorpusOps.hashedLinearScore(
+        Seq(10L -> "fresh content here", 11L -> "Seen Before",
+            14L -> "brand new material").toDF("doc_id", "text"),
+        weights, bias = 0.125)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"streaming scores $got vs batch $want")
+  }
+
   test("exactly-once file sink: checkpointed restart does not duplicate") {
     val s = spark
     import s.implicits._
