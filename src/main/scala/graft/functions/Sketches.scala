@@ -159,6 +159,67 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
       .apply(col)
 
+  // ----------------------------------------------------------- count-min ---
+
+  /** The collected Count-Min sketch: `table` is depth rows of `width`
+    * counters (row-major), `n` the total items. Point estimate = min over
+    * rows — always ≥ the true count, over by at most ≈ e·n/width with
+    * probability 1 − e^−depth (Cormode & Muthukrishnan, J.Alg'05). */
+  final case class Cms(depth: Int, width: Int, table: Seq[Long], n: Long) {
+    def estimate(item: String): Long =
+      (0 until depth).map(d => table(d * width + Cms.idx(d, width, item))).min
+  }
+
+  object Cms {
+    /** Row-d counter index: splitmix the item's bytes-hash XOR a per-row
+      * seed. All hashing stays on the Scala side (build AND estimate), so
+      * no cross-engine hash pinning is needed. */
+    private[graft] def idx(d: Int, width: Int, item: String): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(item, 42)
+      java.lang.Math.floorMod(mix64(h.toLong ^ (d * 0x9e3779b97f4a7c15L)),
+        width.toLong).toInt
+    }
+  }
+
+  /** Count-Min over a String column: buffer = depth·width longs per map
+    * partition (32 KiB at 4×1024), associative+commutative merge ⇒
+    * partial+final — frequency estimates for a 100 TB token stream with a
+    * fixed-size shuffle payload and NO per-key shuffle at all (the groupBy
+    * this sketch replaces shuffles the whole key space). */
+  final class CountMinAggregator(depth: Int = 4, width: Int = 1024)
+      extends Aggregator[String, Array[Long], Cms] {
+    override def zero: Array[Long] = new Array[Long](depth * width + 1)
+
+    override def reduce(buf: Array[Long], item: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        buf(d * width + Cms.idx(d, width, item)) += 1
+        d += 1
+      }
+      buf(depth * width) += 1 // total item count rides in the last slot
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Cms =
+      Cms(depth, width, buf.take(depth * width).toSeq, buf(depth * width))
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Cms] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Cms]()
+  }
+
+  /** Column form: struct<depth, width, table, n> of a String column. */
+  def countMin(col: Column, depth: Int = 4, width: Int = 1024): Column =
+    org.apache.spark.sql.functions.udaf(new CountMinAggregator(depth, width),
+      Encoders.STRING).apply(col)
+
   // -------------------------------------------------------- gram matrix ---
 
   /** Second-moment sums of float vectors for one-pass covariance: packed

@@ -272,6 +272,30 @@ object LlmQueries {
     "q_llm_bpe" -> ((s, d) =>
       CorpusOps.bpeTrain(Tables.documents(s, d), nMerges = 16)),
 
+    // Count-Min heavy hitters: frequency estimates for the exact top-10
+    // tokens from a 4×1024 CMS built in ONE partial+final aggregate (32 KiB
+    // buffer per partition, no per-key shuffle — the sketch that replaces a
+    // full-vocabulary groupBy at 100 TB; the exact groupBy here is the
+    // ground truth it's judged against). Rows-only; SketchesSpec pins the
+    // ≥-exact guarantee, the ε·n error bound, and merge invariance.
+    "q_llm_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as("token"))
+      val row = toks
+        .select(graft.functions.Sketches.countMin(col("token")).as("c"))
+        .select(col("c.depth"), col("c.width"), col("c.table"), col("c.n"))
+        .collect()(0)
+      val sk = graft.functions.Sketches.Cms(row.getInt(0), row.getInt(1),
+        row.getSeq[Long](2), row.getLong(3))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token").asc).limit(10).collect()
+      exact.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getString(0), r.getLong(1), sk.estimate(r.getString(0)))
+      }.toSeq.toDF("rn", "token", "n_exact", "n_cms")
+    }),
+
     // BPE tokenizer APPLICATION: train 16 merges, then tokenize the corpus
     // with them — (doc_id, token count, sequence fingerprint). Rows-only
     // (the merge fold has no SQL twin); CorpusOpsSpec pins the encoded

@@ -73,4 +73,52 @@ class SketchesSpec extends SparkSpec {
       .agg(Sketches.minhash(col("v"), 64)).head().getSeq[Long](0)
     assert(one == many)
   }
+
+  private def collectCms(df: org.apache.spark.sql.DataFrame,
+                         depth: Int = 4, width: Int = 1024): Sketches.Cms = {
+    val r = df.select(Sketches.countMin(col("token"), depth, width).as("c"))
+      .select(col("c.depth"), col("c.width"), col("c.table"), col("c.n"))
+      .head()
+    Sketches.Cms(r.getInt(0), r.getInt(1), r.getSeq[Long](2), r.getLong(3))
+  }
+
+  test("Count-Min never undercounts and stays within the ε·n bound") {
+    val s = spark
+    import s.implicits._
+    val toks = Tables.documents(s, sf0001)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("token"))
+    val cms = collectCms(toks)
+    val exact = toks.groupBy(col("token")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(cms.n == n, s"sketch total ${cms.n} != $n")
+    // guarantee half: estimate >= true for EVERY token
+    exact.foreach { case (t, c) =>
+      assert(cms.estimate(t) >= c, s"undercount for '$t': ${cms.estimate(t)} < $c")
+    }
+    // error half: e·n/width bound holds for the vast majority (it is a
+    // probabilistic bound per query; depth 4 makes a violation rare)
+    val bound = math.ceil(math.E * n / cms.width).toLong
+    val violations = exact.count { case (t, c) => cms.estimate(t) - c > bound }
+    assert(violations <= math.max(1, exact.size / 100),
+      s"$violations of ${exact.size} tokens exceed the ε·n bound $bound")
+  }
+
+  test("Count-Min merge is order-independent and additive") {
+    val s = spark
+    import s.implicits._
+    val toks = Tables.documents(s, sf0001)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("token"))
+    val one = collectCms(toks.repartition(1))
+    val many = collectCms(toks.repartition(11))
+    assert(one == many, "repartitioning changed the CMS")
+    // additivity: sketch(A ⊎ B) = sketch(A) + sketch(B) cell-wise
+    val a = collectCms(toks.where(expr("length(token) <= 4")))
+    val b = collectCms(toks.where(expr("length(token) > 4")))
+    val sum = a.table.zip(b.table).map { case (x, y) => x + y }
+    assert(sum == one.table && a.n + b.n == one.n,
+      "partition sketches must sum to the full sketch")
+  }
 }
