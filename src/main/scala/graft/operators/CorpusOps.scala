@@ -421,6 +421,46 @@ object CorpusOps {
         expr(s"__start % $budgetTokens").as("offset"))
   }
 
+  /** Epoch-shuffled sequence packing — [[packShards]] in the order
+    * trainers actually consume: a deterministic pseudorandom permutation
+    * keyed by md5(salt:doc_id) (new salt ⇒ new epoch order,
+    * reproducible). Same parallel prefix-sum shape, but buckets come from
+    * the key's first two hex digits (256 uniform buckets) instead of
+    * doc_id ranges: bucket-major + in-bucket (key, doc_id) order IS the
+    * global lexicographic key order, so per-bucket windows + broadcast
+    * prefix offsets reproduce the global running sum exactly — no
+    * single-partition window at any scale. */
+  def shuffledPack(docs: DataFrame, budgetTokens: Long,
+                   salt: String = "epoch0"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      coalesce(expr("size(filter(split(text, ' '), t -> t <> ''))"), lit(0))
+        .cast("long").as("n_tokens"),
+      md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))).as("k"))
+    def digit(i: Int): Column = {
+      val a = ascii(substring(col("k"), i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val bucketed = toks.withColumn("__b", digit(1) * 16 + digit(2))
+    val sums = bucketed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 256).scanLeft(0L) { (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }
+    // one array-literal lookup, not a 256-deep when-chain (the PQ codegen
+    // lesson: per-branch expression trees bloat compile time linearly)
+    val offCol = element_at(typedLit(offsets.take(256)), col("__b") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens")
+        + offCol)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__start div $budgetTokens").as("shard"),
+        expr(s"__start % $budgetTokens").as("offset"))
+  }
+
   /** BPE tokenizer training (Sennrich et al., ACL'16 — word-level byte-pair
     * encoding): learn `nMerges` merge rules from corpus word frequencies.
     * Returns the merge table (rank, left, right, freq), rank 1 first.

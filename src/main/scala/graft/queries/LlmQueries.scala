@@ -264,6 +264,16 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // epoch-shuffled packing: the training-consumption order — a
+    // deterministic md5(salt:doc_id) permutation packed into 2048-token
+    // shards by hash-prefix buckets + broadcast prefix offsets. The oracle
+    // verifies against the equivalent single global window over the same
+    // key order.
+    "q_llm_shuffle_pack" -> ((s, d) =>
+      CorpusOps.shuffledPack(Tables.documents(s, d), budgetTokens = 2048L,
+          salt = "epoch0")
+        .orderBy(col("doc_id"))),
+
     // BPE tokenizer training: 16 merge rules learned from corpus word
     // frequencies. Only the word count touches the corpus; merge iterations
     // run on the vocabulary-sized table. Deterministic tiebreak; rows-only
@@ -839,6 +849,22 @@ object LlmQueries {
          c AS (
            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                   SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+           FROM t)
+         SELECT doc_id, n_tokens,
+                CAST(strt // 2048 AS BIGINT) AS shard,
+                CAST(strt % 2048 AS BIGINT) AS offset
+         FROM c ORDER BY doc_id""",
+    "q_llm_shuffle_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS n_tokens,
+                  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY k, doc_id
                     ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
            FROM t)
          SELECT doc_id, n_tokens,

@@ -256,6 +256,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(z.getLong(1) == 0L, "null text must count 0 tokens")
   }
 
+  test("shuffled packing: bucketed prefix sum equals the global window; salts permute") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.shuffledPack(docs, budgetTokens = 8L, salt = "e1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // local reference: one global (key, doc_id)-ordered running sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"e1:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (0L until 40L).map(i => (key(i), i, i % 7 + 1))
+      .sortBy { case (k, i, _) => (k, i) }
+    var run = 0L
+    ordered.foreach { case (_, i, n) =>
+      assert(got(i) == ((n, run / 8, run % 8)),
+        s"doc $i: ${got(i)} vs (${n}, ${run / 8}, ${run % 8})")
+      run += n
+    }
+    // a different salt yields a genuinely different epoch order
+    val e2 = CorpusOps.shuffledPack(docs, budgetTokens = 8L, salt = "e2")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((0L until 40L).exists(i => e2(i) != got(i)._3),
+      "salt change must permute the packing order")
+  }
+
   test("BPE training matches a local reference implementation") {
     val s = spark
     import s.implicits._
