@@ -45,6 +45,21 @@ object RelationalQueries {
              round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // ORC round-trip — the second columnar format next to parquet (ORC
+    // support is built into spark-sql): write, read back, aggregate;
+    // oracle equality against the original parquet table proves the
+    // sink/scan pair lossless for the same four type classes as the CSV
+    // round-trip.
+    "q_scan_orc" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      li.write.mode("overwrite").orc(tmp)
+      s.read.schema(li.schema).orc(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // ---- projection --------------------------------------------------
     // 2dp rounding via floor(x*100+0.5)/100 on BOTH engines: every step is
     // the same IEEE-754 op, so Spark and DuckDB agree bit-for-bit (plain
@@ -172,6 +187,8 @@ object RelationalQueries {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem",
     "q_scan_json" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(value), 2) AS sum_value FROM events",
+    "q_scan_orc" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem",
     "q_proj_expr" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filt_in_between" ->

@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpec {
     .filterNot(_._1.startsWith("q_stream_"))
     .filterNot(_._1.startsWith("q_scan_csv")) // writes a tmp csv on build
     .filterNot(_._1.startsWith("q_scan_json"))
+    .filterNot(_._1.startsWith("q_scan_orc")) // writes a tmp orc on build
 
   test("no unintended cartesian products across the catalog") {
     val offenders = planned.flatMap { case (name, fn) =>
