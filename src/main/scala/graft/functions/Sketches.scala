@@ -171,11 +171,16 @@ object Sketches {
   }
 
   object Cms {
-    /** Row-d counter index: splitmix the item's bytes-hash XOR a per-row
-      * seed. All hashing stays on the Scala side (build AND estimate), so
-      * no cross-engine hash pinning is needed. */
+    /** Row-d counter index: splitmix a PER-ROW-SEEDED string hash. The
+      * string must be re-hashed with a row-specific seed (not one shared
+      * 32-bit hash mixed per row): two items colliding in a single shared
+      * hash would collide in EVERY row and min-over-rows could never
+      * separate them, voiding the 1 − e^−depth guarantee. With independent
+      * per-row hashes, a row collision is a fresh 2^-32 event per row.
+      * All hashing stays on the Scala side (build AND estimate), so no
+      * cross-engine hash pinning is needed. */
     private[graft] def idx(d: Int, width: Int, item: String): Int = {
-      val h = scala.util.hashing.MurmurHash3.stringHash(item, 42)
+      val h = scala.util.hashing.MurmurHash3.stringHash(item, 42 + d * 0x3C6EF372)
       java.lang.Math.floorMod(mix64(h.toLong ^ (d * 0x9e3779b97f4a7c15L)),
         width.toLong).toInt
     }

@@ -350,18 +350,24 @@ object CorpusOps {
     val bi = bigrams(lmDocs)
       .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("bc"))
     val ctx = bi.groupBy(col("prev")).agg(sum(col("bc")).as("cc"))
-    def guarded(df: DataFrame, what: String) =
-      if (vocab <= maxBroadcastVocab) broadcast(df)
+    // Each join guards on a bound for ITS broadcast side's cardinality:
+    // uni/ctx are vocab-sized, but the bigram table can be up to vocab² —
+    // bound it by the total transition count (≤ total unigram tokens,
+    // already in hand), so a small-vocab/huge-bigram corpus never
+    // broadcasts an oversized table.
+    def guarded(df: DataFrame, bound: Long, what: String) =
+      if (bound <= maxBroadcastVocab) broadcast(df)
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"bigramPerplexity: $what exceeds the broadcast guard " +
-          s"(unigram vocab $vocab > $maxBroadcastVocab) — shuffle-hash join")
+          s"(cardinality bound $bound > $maxBroadcastVocab) — " +
+          "shuffle-hash join")
         df.hint("shuffle_hash")
       }
     bigrams(corpus)
-      .join(guarded(bi, "bigram table"), Seq("prev", "token"), "left")
-      .join(guarded(ctx, "context table"), Seq("prev"), "left")
-      .join(guarded(uni, "unigram table"), Seq("token"), "left")
+      .join(guarded(bi, total, "bigram table"), Seq("prev", "token"), "left")
+      .join(guarded(ctx, vocab, "context table"), Seq("prev"), "left")
+      .join(guarded(uni, vocab, "unigram table"), Seq("token"), "left")
       .select(col("doc_id"),
         (-log(
           lit(lambda) * when(col("cc").isNotNull,
@@ -406,9 +412,9 @@ object CorpusOps {
     val offsets = (0 to maxB).scanLeft(0L) { (acc, b) =>
       acc + sums.getOrElse(b, 0L)
     }
-    val offCol = (0 to maxB).foldLeft(lit(0L)) { (acc, b) =>
-      when(col("__b") === b, lit(offsets(b))).otherwise(acc)
-    }
+    // one array-literal lookup, not a when-chain per bucket (the PQ codegen
+    // lesson, same as shuffledPack below)
+    val offCol = element_at(typedLit(offsets.take(maxB + 1)), col("__b") + 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -539,13 +545,18 @@ object CorpusOps {
     * derives from tf by a vocabulary-sized aggregate; N is one count
     * scalar (metadata-served for a bare parquet scan, passable via
     * `knownCount` otherwise — the [[Ivf.trainingSample]] contract). The
-    * df join broadcasts while the vocabulary fits and falls back to an
-    * explicit logged shuffle-hash above `maxBroadcastVocab` (both sides
-    * are already keyed by token — same guard as [[lmPerplexity]]). The
-    * final top-k is a per-doc window — key cardinality = documents, no
-    * skew beyond a doc's own vocabulary. */
+    * df join broadcasts when the VOCABULARY is known to fit
+    * (`knownVocab` ≤ `maxBroadcastVocab` — the broadcast side is the
+    * vocabulary-sized df table, NOT bounded by the document count: few
+    * huge documents can carry an enormous vocabulary). With no vocab
+    * figure the join is left unhinted so AQE sizes the df table at
+    * runtime and picks broadcast only when it actually fits — an exact
+    * driver-side count would cost a second corpus pass. The final top-k
+    * is a per-doc window — key cardinality = documents, no skew beyond a
+    * doc's own vocabulary. */
   def tfIdf(docs: DataFrame, topK: Int = 5,
             knownCount: Option[Long] = None,
+            knownVocab: Option[Long] = None,
             maxBroadcastVocab: Long = 10L * 1000 * 1000): DataFrame = {
     val n = knownCount.getOrElse(docs.count())
     val tf = docs
@@ -553,14 +564,15 @@ object CorpusOps {
         explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dfSide =
-      if (n <= maxBroadcastVocab) broadcast(df)
-      else {
+    val dfSide = knownVocab match {
+      case Some(v) if v <= maxBroadcastVocab => broadcast(df)
+      case Some(v) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"tfIdf: corpus has $n docs (vocabulary may exceed " +
-          s"$maxBroadcastVocab) — falling back to a shuffle-hash df join")
+          s"tfIdf: known vocabulary $v > $maxBroadcastVocab — " +
+          "shuffle-hash df join")
         df.hint("shuffle_hash")
-      }
+      case None => df // AQE decides from the df table's runtime size
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token").asc)

@@ -57,14 +57,20 @@ object Pq {
     val mat = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val half = typedLit(books.map(_.map(c =>
       c.foldLeft(0.0)((a, x) => a + x.toDouble * x) / 2.0).toSeq).toSeq)
+    // score ties resolve to the LOWEST code index (the usual argmin-L2
+    // convention, and what a local maxBy recompute picks): the struct
+    // orders by (s, -k) so array_max prefers the smaller k, negated back
+    // on extraction. Matters when Lloyd leaves duplicate sub-centroids
+    // (empty cells keep their previous centroid).
     transform(sequence(lit(0), lit(m - 1)), j =>
-      array_max(transform(sequence(lit(0), lit(ksub - 1)), k =>
+      (lit(0) - array_max(transform(sequence(lit(0), lit(ksub - 1)), k =>
         call_function("named_struct",
           lit("s"), call_function("dot_f",
             slice(v, j * dsub + 1, lit(dsub)),
             element_at(element_at(mat, j + 1), k + 1))
             - element_at(element_at(half, j + 1), k + 1),
-          lit("k"), k.cast("int")))).getField("k"))
+          lit("nk"), (lit(0) - k).cast("int")))).getField("nk"))
+        .cast("int"))
   }
 
   /** Train m sub-codebooks of ksub centroids each: deterministic init

@@ -555,11 +555,16 @@ object LlmQueries {
     // PCA: fit 8 components on the 64-dim embeddings (one-pass distributed
     // gram aggregate + driver Jacobi eigensolve), project every vector.
     // Rows-only; PcaSpec pins orthonormality, variance ordering, and parity
-    // with a local eigensolve.
+    // with a local eigensolve. Output is FLATTENED to scalar columns
+    // pc1..pc8 — the driver's rows-only canonicalizer sorts with pandas,
+    // which cannot factorize array cells (round-5 red row).
     "q_llm_pca" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Pca.fit(emb, k = 8, dim = 64)
-      Pca.project(emb, model).orderBy(col("vec_id"))
+      val flat = (0 until 8).map(i => col("pc").getItem(i).as(s"pc${i + 1}"))
+      Pca.project(emb, model)
+        .select(col("vec_id") +: flat: _*)
+        .orderBy(col("vec_id"))
     })
   )
 

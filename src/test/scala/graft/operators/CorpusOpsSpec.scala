@@ -518,10 +518,11 @@ class CorpusOpsSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a x y z")).toDF("doc_id", "text")
-    val df = CorpusOps.tfIdf(docs, topK = 2)
+    val df = CorpusOps.tfIdf(docs, topK = 2, knownVocab = Some(6L))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"df side not broadcast:\n$plan")
-    val fb = CorpusOps.tfIdf(docs, topK = 2, maxBroadcastVocab = 1)
+    val fb = CorpusOps.tfIdf(docs, topK = 2, knownVocab = Some(6L),
+      maxBroadcastVocab = 1)
     assert(!fb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "oversized vocabulary must not broadcast")
     // guarded fallback returns identical rows
