@@ -46,8 +46,9 @@ object CorpusOps {
     * lower bound on shared spans); detection of clones of length
     * ≥ len + window - 1 is complete by the winnowing guarantee. */
   def spanPairsWinnowed(docs: DataFrame, len: Int = 30, window: Int = 8,
-                        dfCap: Int = 1000): DataFrame =
-    pairsFromSpans(winnowedSpans(docs, len, window), dfCap)
+                        dfCap: Int = 1000,
+                        hashFn: String = "xxhash64"): DataFrame =
+    pairsFromSpans(winnowedSpans(docs, len, window, hashFn), dfCap)
 
   private def pairsFromSpans(sp: DataFrame, dfCap: Int): DataFrame = {
     val capped = sp.join(
@@ -76,14 +77,21 @@ object CorpusOps {
     * covering window (a superset of classic rightmost-tie winnowing) — the
     * guarantee only strengthens. Selection work is O(spans · window) per
     * document: each position checks only the ≤ window window-minima that
-    * cover it, never the whole document. */
-  def winnowedSpans(docs: DataFrame, len: Int, window: Int): DataFrame =
+    * cover it, never the whole document.
+    *
+    * `hashFn` names the SQL hash applied to each span (a trusted internal
+    * knob, not user input): xxhash64 is the cheap scale default; md5 gives
+    * the same selection in any engine that has it (the catalog query uses
+    * md5 so a DuckDB oracle reproduces the selection hash-exactly —
+    * winnowing only needs a deterministic total order on hashes). */
+  def winnowedSpans(docs: DataFrame, len: Int, window: Int,
+                    hashFn: String = "xxhash64"): DataFrame =
     docs
       .where(length(col("text")) >= len)
       .withColumn("sp", expr(
         s"transform(sequence(1, length(text) - ${len - 1}), " +
         s"i -> substring(text, i, $len))"))
-      .withColumn("h", expr("transform(sp, s -> xxhash64(s))"))
+      .withColumn("h", expr(s"transform(sp, s -> $hashFn(s))"))
       // per-window minima over positions; guard docs shorter than one window
       .withColumn("wins", expr(
         s"CASE WHEN size(h) >= $window THEN " +

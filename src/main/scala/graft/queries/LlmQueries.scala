@@ -184,10 +184,12 @@ object LlmQueries {
     // (id + 100000) sharing EXACTLY a 37-char-or-longer span — the
     // len + window - 1 winnowing-guarantee threshold — wrapped in per-doc
     // unique junk. The query returns the planted pairs the winnowed index
-    // detects; the guarantee makes that one row per eligible doc, so the
-    // row count IS the completeness check (rows-only: selection hashes with
-    // engine-pinned xxhash64). Same Σdf² join envelope as q_llm_span_dedup
-    // on a ~window/2× smaller index — the 100 TB story, now driver-visible.
+    // detects; the guarantee makes that one row per eligible doc. Hash-
+    // exact: the winnow selection keys on md5 (identical in DuckDB — the
+    // oracle replays the whole selection with a window function), so the
+    // shared-selected-span COUNTS match too, not just the pair set. Same
+    // Σdf² join envelope as q_llm_span_dedup on a ~window/2× smaller
+    // index — the 100 TB story, driver-visible and oracle-checked.
     "q_llm_span_winnowed" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .where(col("doc_id") < 250 && length(col("text")) >= 47)
@@ -198,7 +200,7 @@ object LlmQueries {
           expr("substring(text, 11, 60)"),
           lit("<"), col("doc_id").cast("string"), lit(">END")).as("text"))
       CorpusOps.spanPairsWinnowed(base.unionByName(clones),
-          len = 30, window = 8, dfCap = 1000)
+          len = 30, window = 8, dfCap = 1000, hashFn = "md5")
         .where(col("d2") === col("d1") + 100000)
         .orderBy(col("d1"))
     }),
@@ -691,6 +693,48 @@ object LlmQueries {
          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_spans
          FROM cap a JOIN cap b ON a.span = b.span AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY d1, d2""",
+    // replays the winnowed selection exactly: per-window md5 minima via a
+    // ROWS window frame, position P keeps its span iff its hash equals the
+    // minimum of one of the up-to-`window` window-minima the engine slices
+    // for it (starts max(P-7,1) .. min(max(P-7,1)+7, np-7); whole-doc min
+    // when the doc has fewer than 8 spans)
+    "q_llm_span_winnowed" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 250 AND len(text) >= 47),
+         uni AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  'CLONE<' || CAST(doc_id AS VARCHAR) || '>' ||
+                  substr(text, 11, 60) ||
+                  '<' || CAST(doc_id AS VARCHAR) || '>END' AS text
+           FROM base),
+         sp AS (
+           SELECT doc_id, CAST(i AS INT) AS i,
+                  substr(text, CAST(i AS INT), 30) AS span
+           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
+                 FROM uni WHERE len(text) >= 30)),
+         h AS (SELECT doc_id, i, span, md5(span) AS hv FROM sp),
+         n AS (SELECT doc_id, COUNT(*) AS np FROM h GROUP BY doc_id),
+         wmin AS (
+           SELECT doc_id, i AS w,
+                  MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+           FROM h),
+         sel AS (
+           SELECT DISTINCT s.doc_id, s.span
+           FROM h s
+           JOIN n ON n.doc_id = s.doc_id
+           JOIN wmin w ON w.doc_id = s.doc_id AND w.m = s.hv AND (
+             (n.np >= 8 AND w.w BETWEEN GREATEST(s.i - 7, 1)
+                AND LEAST(GREATEST(s.i - 7, 1) + 7, n.np - 7))
+             OR (n.np < 8 AND w.w = 1))),
+         keep AS (SELECT span FROM sel GROUP BY span HAVING COUNT(*) <= 1000),
+         cap AS (SELECT sel.doc_id, sel.span FROM sel JOIN keep USING (span))
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_spans
+         FROM cap a JOIN cap b ON a.span = b.span AND a.doc_id < b.doc_id
+         WHERE b.doc_id = a.doc_id + 100000
+         GROUP BY 1, 2 ORDER BY d1""",
     "q_llm_contamination" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
                       FROM documents),
