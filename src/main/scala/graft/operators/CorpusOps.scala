@@ -748,6 +748,95 @@ object CorpusOps {
     docs.select(col("doc_id"), flatten(merged).as("toks"))
   }
 
+  /** [[bpeEncode]] at PRODUCTION vocabulary size: the HOF path chains one
+    * fold per merge rule inside a single projection, which at 50k merges
+    * would compile a 50k-deep expression (the Janino-bloat failure mode) —
+    * this variant tokenizes in `mapPartitions` with a two-level trie
+    * (left-symbol → right-symbol → rank) and the standard lowest-rank-
+    * first loop (Sennrich's apply_bpe / GPT-2 encoder shape): per word,
+    * repeatedly merge all occurrences of the lowest-ranked adjacent pair
+    * present, left-to-right, until no pair is in the table. O(len²) per
+    * word with model-sized state; the merge table ships ONCE per executor
+    * as a broadcast, not per task in the closure.
+    *
+    * Same embarrassing parallelism as the HOF path (pure per-document
+    * map, no shuffle), same output — rank-ordered full passes and
+    * lowest-rank-first converge to the same sequence because a pair
+    * occurrence merged by the earlier-rank rule can never be stolen by a
+    * later rule first (CorpusOpsSpec pins parity on trained merges). */
+  def bpeEncodeTrie(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcMerges = spark.sparkContext.broadcast(merges.toArray)
+    val out = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bcMerges.value
+        // left → (right → rank): one hash probe narrows to the left-symbol
+        // branch, the second resolves the pair — a 2-level trie over pairs
+        val trie =
+          new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+        var i = 0
+        while (i < ms.length) {
+          trie.computeIfAbsent(ms(i)._1,
+              _ => new java.util.HashMap[String, Integer]())
+            .putIfAbsent(ms(i)._2, Integer.valueOf(i))
+          i += 1
+        }
+        def rankOf(l: String, r: String): Int = {
+          val m = trie.get(l)
+          if (m == null) Int.MaxValue
+          else {
+            val v = m.get(r)
+            if (v == null) Int.MaxValue else v.intValue
+          }
+        }
+        it.map { case (id, text) =>
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          var start = 0
+          val n = text.length
+          while (start < n) {
+            while (start < n && text.charAt(start) == ' ') start += 1
+            var end = start
+            while (end < n && text.charAt(end) != ' ') end += 1
+            if (end > start) {
+              val w = text.substring(start, end)
+              var syms = new Array[String](w.length + 1)
+              var j = 0
+              while (j < w.length) { syms(j) = String.valueOf(w.charAt(j)); j += 1 }
+              syms(w.length) = "</w>"
+              var done = syms.length < 2
+              while (!done) {
+                var best = Int.MaxValue
+                var k = 0
+                while (k < syms.length - 1) {
+                  val r = rankOf(syms(k), syms(k + 1))
+                  if (r < best) best = r
+                  k += 1
+                }
+                if (best == Int.MaxValue) done = true
+                else {
+                  val (l, r) = ms(best)
+                  val nxt = scala.collection.mutable.ArrayBuffer.empty[String]
+                  var p = 0
+                  while (p < syms.length) {
+                    if (p < syms.length - 1 && syms(p) == l && syms(p + 1) == r) {
+                      nxt += (l + r); p += 2
+                    } else { nxt += syms(p); p += 1 }
+                  }
+                  syms = nxt.toArray
+                  if (syms.length < 2) done = true
+                }
+              }
+              toks ++= syms
+            }
+            start = end
+          }
+          (id, toks.toSeq)
+        }
+      }
+    out.toDF("doc_id", "toks")
+  }
+
   /** Deterministic train/val/test assignment from the first hex digit of
     * md5(normalized text): 0-b → train (12/16), c-d → val (2/16),
     * e-f → test (2/16). Digest-of-text (not doc id) keeps exact duplicates

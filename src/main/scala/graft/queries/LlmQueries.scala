@@ -323,6 +323,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the production-vocab BPE apply path: mapPartitions + pair trie +
+    // lowest-rank-first loop instead of a per-merge chained HOF fold (a
+    // 50k-merge vocabulary would compile a 50k-deep expression). Same
+    // output shape as q_llm_bpe_encode; CorpusOpsSpec pins token-sequence
+    // parity between the two paths and a shuffle-free plan.
+    "q_llm_bpe_trie" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = CorpusOps.bpeTrain(docs, nMerges = 16).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.bpeEncodeTrie(docs, merges)
+        .select(col("doc_id"), size(col("toks")).as("n_bpe_toks"),
+          md5(concat_ws(" ", col("toks"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed linear quality-classifier inference (fastText-shaped): md5
     // two-hex-digit feature buckets, dyadic fixture weights exact in both
     // engines, sigmoid score rounded to 4dp.

@@ -358,6 +358,33 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("BPE trie encoder matches the HOF path on trained merges") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "low low lower newest"),
+      (1L, "low lower newest wider"),
+      (2L, "unseen words tokenize too"),
+      (3L, ""),                      // empty doc → empty token sequence
+      (4L, "  spaced   out  "),      // repeated separators
+      (5L, "l lo low lowe lower")    // prefixes stressing merge cascades
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrain(docs.where(col("doc_id") < 2), 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val hof = CorpusOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val trie = CorpusOps.bpeEncodeTrie(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(trie.keySet == hof.keySet)
+    hof.foreach { case (id, toks) =>
+      assert(trie(id) == toks, s"doc $id: trie ${trie(id)} vs hof $toks")
+    }
+    // the trie path must not shuffle: a single map stage over the scan
+    val plan = CorpusOps.bpeEncodeTrie(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"trie encode must be shuffle-free:\n$plan")
+  }
+
   test("hashed linear score matches an independent local recomputation") {
     val s = spark
     import s.implicits._
