@@ -25,10 +25,12 @@ case class MediaFeature(path: String, kind: String, frameNo: Int,
   * screen descriptor), WAV (fmt/data chunks), MP3 (MPEG frame header, CBR
   * duration estimate) and MP4 (ISO-BMFF box walk: mvhd duration, tkhd
   * dimensions). Image payload RESIZE is real too (ImageIO decode → scale →
-  * re-encode). What remains a clearly-marked deterministic STUB: video/audio
-  * frame-payload decode and the feature-extraction embedding (no codec / ML
-  * libraries in this container) — swapping those changes only the function
-  * bodies marked below, not the dataflow.
+  * re-encode), as are image pooled-raster features and WAV PCM sample
+  * decode + waveform features (PCM is uncompressed — pure JDK). What
+  * remains a clearly-marked deterministic STUB: COMPRESSED video/audio
+  * frame-payload decode and their features (no codec / ML libraries in
+  * this container) — swapping those changes only the function bodies
+  * marked below, not the dataflow.
   *
   * Scale: decode is embarrassingly parallel; `mapPartitions` keeps it one
   * process-wide pass per partition with no shuffle. Frame sampling explodes
@@ -95,6 +97,109 @@ object Multimodal {
     }
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
   }
+
+  /** REAL WAV PCM sample decode (pure JDK — PCM is uncompressed, no codec
+    * needed): RIFF chunk walk to fmt + data, then per-sample decode — 8-bit
+    * unsigned, 16/24/32-bit signed little-endian, and 32-bit IEEE float
+    * (format code 3) — channel-averaged to mono in [-1, 1]. The data
+    * length is clamped to the bytes actually present, so a truncated
+    * payload (e.g. a sampled frame slice) decodes its prefix instead of
+    * failing. None for malformed or compressed (non-PCM) audio — callers
+    * fall back to the stub. Returns (sampleRate, mono samples). */
+  private[multimodal] def decodeWavPcm(b: Array[Byte])
+      : Option[(Int, Array[Float])] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var fmtCode = 0; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val sz = le32(o + 4).toLong & 0xffffffffL
+      tag(o) match {
+        case "fmt " if o + 24 <= b.length =>
+          fmtCode = le16(o + 8); channels = le16(o + 10)
+          sampleRate = le32(o + 12); bits = le16(o + 22)
+        case "data" if dataOff < 0 =>
+          dataOff = o + 8
+          dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
+        case _ => ()
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    val pcmOk = fmtCode == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+    val floatOk = fmtCode == 3 && bits == 32
+    if (channels < 1 || sampleRate <= 0 || dataOff < 0 || !(pcmOk || floatOk))
+      return None
+    val bps = bits / 8
+    val frameSize = channels * bps
+    val nFrames = dataLen / frameSize
+    val mono = new Array[Float](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var sum = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + f * frameSize + c * bps
+        sum += (bits match {
+          case 8 => ((b(o) & 0xff) - 128) / 128.0
+          case 16 => le16(o).toShort / 32768.0
+          case 24 => ((le16(o) | ((b(o + 2) & 0xff) << 16)) << 8 >> 8) / 8388608.0
+          case 32 if fmtCode == 3 => java.lang.Float.intBitsToFloat(le32(o)).toDouble
+          case _ => le32(o) / 2147483648.0
+        })
+        c += 1
+      }
+      mono(f) = (sum / channels).toFloat
+      f += 1
+    }
+    Some((sampleRate, mono))
+  }
+
+  /** REAL audio waveform feature for WAV PCM payloads: the mono signal
+    * splits into dim/4 equal windows, each contributing
+    * [rms, zero-crossing rate, high-pass rms, low-pass rms] — the energy
+    * envelope plus a coarse two-band split from two-tap filters
+    * (first-difference high-pass, two-tap-mean low-pass). Frequency-
+    * discriminative without an FFT: for a pure tone, hp-rms/rms =
+    * 2·sin(π·f/sr) and zcr = 2f/sr. Deterministic, model-free, pure JDK.
+    * None when the payload isn't decodable PCM (compressed audio keeps
+    * the stub). */
+  private[multimodal] def audioWaveformFeature(bytes: Array[Byte],
+                                               dim: Int): Option[Array[Float]] =
+    decodeWavPcm(bytes).flatMap { case (_, s) =>
+      if (s.length < 2) None
+      else {
+        val g = math.max(1, dim / 4)
+        val feats = new Array[Float](g * 4)
+        var w = 0
+        while (w < g) {
+          val from = (w.toLong * s.length / g).toInt
+          val until = ((w + 1).toLong * s.length / g).toInt
+          var e = 0.0; var hp = 0.0; var lp = 0.0; var zc = 0
+          var i = from
+          while (i < until) {
+            e += s(i).toDouble * s(i)
+            if (i > from) {
+              val d = s(i).toDouble - s(i - 1); hp += d * d
+              val m = (s(i).toDouble + s(i - 1)) * 0.5; lp += m * m
+              if (s(i) * s(i - 1) < 0) zc += 1
+            }
+            i += 1
+          }
+          val n = math.max(1, until - from)
+          feats(w * 4) = math.sqrt(e / n).toFloat
+          feats(w * 4 + 1) = zc.toFloat / math.max(1, n - 1)
+          feats(w * 4 + 2) = math.sqrt(hp / math.max(1, n - 1)).toFloat
+          feats(w * 4 + 3) = math.sqrt(lp / math.max(1, n - 1)).toFloat
+          w += 1
+        }
+        Some(Array.tabulate(dim)(i => feats(i % (g * 4))))
+      }
+    }
 
   /** REAL JPEG header parse: walk marker segments from SOI to the first
     * start-of-frame (SOF0/1/2/3/5..7/9..11/13..15) → (width, height). */
@@ -426,9 +531,11 @@ object Multimodal {
   /** Feature extraction over frames, batched per partition (the real-world
     * shape: load a model once per partition, run batched inference).
     * Image frames ImageIO can decode get the REAL pooled-raster feature
-    * ([[imageRasterFeature]]); video/audio frames keep the documented STUB
-    * (splitmix-style hash of the bytes → deterministic floats in [-1, 1)) —
-    * their codecs have no pure-JDK decoder in this container. */
+    * ([[imageRasterFeature]]); WAV PCM audio gets the REAL waveform
+    * feature ([[audioWaveformFeature]] — PCM needs no codec). Video and
+    * compressed-audio frames keep the documented STUB (splitmix-style hash
+    * of the bytes → deterministic floats in [-1, 1)) — their codecs have
+    * no pure-JDK decoder in this container. */
   def extractFeatures(frames: Dataset[(String, String, Int, Array[Byte])],
                       dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeature] = {
     import frames.sparkSession.implicits._
@@ -437,7 +544,9 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { case (path, kind, frameNo, bytes) =>
           val real =
-            if (kind == "image") imageRasterFeature(bytes, dim) else None
+            if (kind == "image") imageRasterFeature(bytes, dim)
+            else if (kind == "audio") audioWaveformFeature(bytes, dim)
+            else None
           val emb = real.getOrElse {
             val seed = bytes.foldLeft(frameNo.toLong)((a, b) => a * 31 + (b & 0xff))
             Array.tabulate(dim) { j =>

@@ -196,6 +196,57 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.find(_.kind == "audio").get.meta.width == 0)
   }
 
+  test("WAV PCM decode powers a real, frequency-discriminative audio feature") {
+    def sineWav(freq: Double, sr: Int = 8000, ms: Int = 500): Array[Byte] = {
+      val n = sr * ms / 1000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (math.sin(2 * math.Pi * freq * i / sr) * 12000).toInt
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val low = sineWav(440); val high = sineWav(1760)
+    val (sr, samples) = Multimodal.decodeWavPcm(low).get
+    assert(sr == 8000 && samples.length == 4000, s"$sr Hz, ${samples.length} samples")
+    // a 12000/32768-amplitude sine has rms = a/sqrt(2)
+    val rms = math.sqrt(samples.map(x => x.toDouble * x).sum / samples.length)
+    assert(math.abs(rms - 12000.0 / 32768 / math.sqrt(2)) < 0.005, s"rms $rms")
+    val fLow = Multimodal.audioWaveformFeature(low, 16).get
+    val fHigh = Multimodal.audioWaveformFeature(high, 16).get
+    assert(fLow.length == 16 && fHigh.length == 16)
+    // two different synthetic WAVs → different embeddings (the golden gate)
+    assert(!fLow.sameElements(fHigh))
+    // the band features are physical, not hash noise: zcr = 2f/sr and the
+    // first-difference hp-rms grows with frequency (2·sin(pi·f/sr)·rms)
+    // tolerance 0.05: a tone whose period divides the sample rate lands
+    // exact zero samples, and the strict sign-product test skips those
+    assert(math.abs(fLow(1) - 2.0 * 440 / 8000) < 0.05, s"zcr ${fLow(1)}")
+    assert(math.abs(fHigh(1) - 2.0 * 1760 / 8000) < 0.05, s"zcr ${fHigh(1)}")
+    assert(fHigh(2) > fLow(2) * 2, s"hp ${fHigh(2)} vs ${fLow(2)}")
+    // junk bytes: no decode, no exception
+    assert(Multimodal.decodeWavPcm(Array.tabulate(64)(_.toByte)).isEmpty)
+    // end-to-end scan → sampleFrames → extractFeatures takes the REAL path
+    // and reproduces the direct decode exactly
+    val d = Files.createTempDirectory("graft_audio_real")
+    Files.write(d.resolve("low.wav"), low)
+    Files.write(d.resolve("high.wav"), high)
+    val feats = Multimodal.extractFeatures(
+        Multimodal.sampleFrames(Multimodal.scan(spark, d.toString), everyMs = 1000),
+        dim = 16)
+      .collect().map(f => f.path.split('/').last -> f.embedding).toMap
+    assert(!feats("low.wav").sameElements(feats("high.wav")))
+    assert(feats("low.wav").sameElements(fLow),
+      "pipeline feature must equal the direct decode")
+  }
+
   test("real PNG and WAV headers probe true dimensions and duration") {
     // a REAL 37x21 PNG via javax.imageio
     val img = new java.awt.image.BufferedImage(37, 21,
