@@ -188,6 +188,38 @@ object Dedup {
       .select(col("d1"), col("d2"), col("cos"))
   }
 
+  /** SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540):
+    * k-means-cluster the embeddings, then exact cosine WITHIN clusters
+    * only, dropping every vector with a ≥-threshold neighbour of lower
+    * vec_id (deterministic keep-first; the paper keeps the member farthest
+    * from the centroid — same dedup power, different survivor choice, and
+    * keep-first makes the result reproducible under any row order).
+    * Returns the full roster (vec_id, cid, kept).
+    *
+    * The scale contract mirrors the paper's reason for clustering at all:
+    * the pairwise term drops from n² to Σ cluster² — on 100 TB, size
+    * `nClusters` ∝ corpus/target-cluster-size so each cluster's pair block
+    * is bounded, the pair join is a cid equi-join (one shuffle, never a
+    * cross join), centroid training is on the bounded [[Ivf]] sample, and
+    * the drop set shuffles ids only. Complements [[embeddingNearDup]]:
+    * LSH buckets find near-IDENTICAL pairs cheaply; SemDeDup's clusters
+    * give every vector a dedup decision (cluster-complete coverage). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.95,
+                    nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = Ivf.trainCentroids(embeddings, nClusters, iters)
+    val assigned = Ivf.assign(embeddings, cents) // (cid, vid, cv)
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .where(round(expr("cosine_sim(a.cv, b.cv)"), 4) >= threshold)
+      .select(col("b.vid").as("vid"))
+      .distinct()
+    assigned
+      .join(drops.withColumn("dropped", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"),
+        col("dropped").isNull.as("kept"))
+  }
+
   /** Exact set-Jaccard pairs from pre-exploded distinct (doc_id, item[,
     * extra keys]) rows, via an inverted-index self-join with a document-
     * frequency cap: items appearing in more than dfCap docs carry no dedup

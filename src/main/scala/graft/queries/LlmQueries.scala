@@ -435,6 +435,21 @@ object LlmQueries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // SemDeDup semantic dedup (Abbas et al.'23): k-means clusters bound the
+    // pairwise cosine to Σ cluster², keep-first within duplicate pairs.
+    // Same planted exact copies as q_llm_embdup so drops deterministically
+    // occur (identical vectors share a cluster at cos 1.0); full roster
+    // (vec_id, cid, kept) output. Rows-only: centroids are engine-trained;
+    // DedupSpec pins drop-set parity with a local recompute.
+    "q_llm_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.semanticDedup(emb.unionByName(planted), threshold = 0.95,
+          nClusters = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // approximate nearest neighbors via random-hyperplane LSH (rows-only;
     // recall vs brute force asserted in SimilaritySpec)
     "q_llm_ann_lsh" -> ((s, d) => {

@@ -224,6 +224,60 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${truth.size} planted pairs")
   }
 
+  test("SemDeDup drops exactly the within-cluster near-duplicates") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Sketches.mix64
+    val dim = 64
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(j => mix64(seed * 997 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until 200).map(i => i.toLong -> unit(i))
+    val planted = (0 until 30).map { i =>
+      val (id, v) = base(i)
+      val w = unit(10000 + i)
+      val mixed = v.zip(w).map { case (a, b) => a + 0.15 * b }
+      (id + 1000L) -> mixed
+    }
+    val all = (base ++ planted).map { case (id, v) => (id, v.map(_.toFloat)) }
+    val byId = all.toMap
+    val df = all.toDF("vec_id", "embedding")
+
+    val got = Dedup.semanticDedup(df, threshold = 0.9, nClusters = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // cluster-complete roster: every vector gets a decision
+    assert(got.length == all.length)
+    // non-vacuous: the planted near-dups drop, the base corpus survives
+    val dropped = got.filter(!_._3).map(_._1).toSet
+    assert(dropped.nonEmpty && dropped.size < 60,
+      s"${dropped.size} drops from 30 planted pairs")
+
+    // local parity, conditioned on the reported assignment (assignment ≡
+    // local nearest-centroid is pinned separately in PcaSpec): within each
+    // reported cluster, a vector drops iff SOME lower-id member has
+    // round4(cos) >= threshold — the operator's own arithmetic
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantDropped = got.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      ids.filter(v => ids.exists(u =>
+        u < v && r4(cos(byId(u), byId(v))) >= 0.9))
+    }.toSet
+    assert(dropped == wantDropped,
+      s"extra: ${dropped -- wantDropped}; missing: ${wantDropped -- dropped}")
+  }
+
   test("connected components equal a union-find ground truth") {
     val s = spark
     import s.implicits._
