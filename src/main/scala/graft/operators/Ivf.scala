@@ -43,13 +43,17 @@ object Ivf {
       if (n > 0) c.map(x => (x / n).toFloat) else c
     }
 
-  /** array<struct<s:double, cid:int>> of (dot, id) per centroid; struct
-    * ordering compares `s` first, so array_max/array_sort rank by score
-    * with the cid as a deterministic tiebreak. The centroid matrix is ONE
-    * array-of-arrays literal indexed inside a `transform` loop — generated
-    * code stays a single small loop with a single dot_f call no matter how
-    * many centroids there are (inlining one call per centroid would bloat
-    * codegen and recompile cost linearly in nCentroids). */
+  /** array<struct<s:double, nc:int>> of (dot, NEGATED id) per centroid;
+    * struct ordering compares `s` first, and the negated id makes score
+    * ties resolve to the LOWEST cid under array_max / descending sort —
+    * the argmin-L2 convention and what a local maxBy recompute picks
+    * (matters when Lloyd leaves duplicate centroids: empty cells keep
+    * their previous centroid; same fix as the PQ sub-code tie-break).
+    * The centroid matrix is ONE array-of-arrays literal indexed inside a
+    * `transform` loop — generated code stays a single small loop with a
+    * single dot_f call no matter how many centroids there are (inlining
+    * one call per centroid would bloat codegen and recompile cost
+    * linearly in nCentroids). */
   private def scoredCentroids(v: Column, cents: Array[Array[Float]]): Column = {
     val mat = typedLit(cents.map(_.toSeq).toSeq)
     // named_struct, not struct(...as...): aliases inside lambda bodies are
@@ -57,18 +61,20 @@ object Ivf {
     transform(sequence(lit(0), lit(cents.length - 1)),
       i => call_function("named_struct",
         lit("s"), call_function("dot_f", v, element_at(mat, i + 1)),
-        lit("cid"), i.cast("int")))
+        lit("nc"), (lit(0) - i).cast("int")))
   }
 
-  /** Nearest-centroid id for a vector (codegen'd dots, no UDF). */
+  /** Nearest-centroid id for a vector (codegen'd dots, no UDF; ties →
+    * lowest cid). */
   def nearestCentroid(v: Column, cents: Array[Array[Float]]): Column =
-    array_max(scoredCentroids(v, cents)).getField("cid")
+    (lit(0) - array_max(scoredCentroids(v, cents)).getField("nc")).cast("int")
 
-  /** The nProbe closest centroid ids, best first. */
+  /** The nProbe closest centroid ids, best first (ties → lower cid
+    * first). */
   private[operators] def probeCentroids(v: Column, cents: Array[Array[Float]],
                                         nProbe: Int): Column =
     transform(slice(reverse(array_sort(scoredCentroids(v, cents))), 1, nProbe),
-      s => s.getField("cid"))
+      s => (lit(0) - s.getField("nc")).cast("int"))
 
   /** Deterministic hash-sample bounded to ~`maxTrainRows` rows: the modulus
     * is derived from the corpus count, so the DEFAULT training path touches
