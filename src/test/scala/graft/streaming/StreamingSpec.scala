@@ -272,6 +272,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"streaming scores $got vs batch $want")
   }
 
+  test("streaming vector ingest: IVF assignment is a pure map over the stream") {
+    // the vector-index ingestion shape: embedding batches arrive as files
+    // and each vector is routed to its IVF list by nearestCentroid — a
+    // codegen'd COLUMN, no shuffle, no state — so index ingestion runs on
+    // an unbounded stream; the stored (cid, vid, cv) table then serves
+    // probes exactly as the batch path does
+    val s = spark
+    import s.implicits._
+    import graft.functions.Sketches.mix64
+    val dim = 16
+    def vec(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(j => mix64(seed * 131 + j).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val all = (0L until 60L).map(i => i -> vec(i))
+    val batchDf = all.toDF("vec_id", "embedding")
+    val cents = graft.operators.Ivf.trainCentroids(batchDf, nCentroids = 4, iters = 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    all.grouped(20).zipWithIndex.foreach { case (part, i) =>
+      part.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/p$i")
+    }
+    val schema = batchDf.schema
+    val sinkName = sink()
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/p*")
+      .withColumn("cid", graft.operators.Ivf.nearestCentroid(col("embedding"), cents))
+      .select(col("vec_id"), col("cid"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table(sinkName).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = graft.operators.Ivf.assign(batchDf, cents)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    assert(got.size == 60 && got == want,
+      s"streaming assignment must equal the batch path")
+  }
+
   test("exactly-once file sink: checkpointed restart does not duplicate") {
     val s = spark
     import s.implicits._
