@@ -435,6 +435,59 @@ object CorpusOps {
         expr(s"__start % $budgetTokens").as("offset"))
   }
 
+  /** Token-stream packing WITH straddler splitting — the GPT-style
+    * contract the whole-doc [[packShards]] deliberately avoids: documents
+    * concatenate into one global token stream (doc_id order) that is cut
+    * into exact `budgetTokens`-sized shards, and a document crossing a cut
+    * is SPLIT — it emits one row per shard it touches with its local token
+    * interval. Returns (doc_id, shard, tok_from, tok_to): token indices
+    * are doc-local, 0-based, end-exclusive, so Σ(tok_to − tok_from) per
+    * doc = its token count and every shard except the last holds exactly
+    * `budgetTokens` tokens.
+    *
+    * Scale shape: the global start offset is the same parallel prefix sum
+    * as [[packShards]] (doc_id-range buckets, driver-sized offset table,
+    * per-bucket windows — no global window); the split itself is a
+    * bounded explode (a doc spans ⌊n/budget⌋+1 shards, so blowup is
+    * corpus-tokens/budget rows — the output's intrinsic size). */
+  def packTokenStream(docs: DataFrame, budgetTokens: Long,
+                      nBuckets: Int = 32): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      coalesce(expr("size(filter(split(text, ' '), t -> t <> ''))"), lit(0))
+        .cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 1)
+    val bounds = toks.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    if (bounds.isNullAt(0))
+      return toks.select(col("doc_id"), lit(0L).as("shard"),
+        lit(0L).as("tok_from"), lit(0L).as("tok_to")).where(lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    val maxB = ((hi - lo) / width).toInt
+    val bucketed = toks.withColumn("__b",
+      expr(s"cast((doc_id - $lo) div $width as int)"))
+    val sums = bucketed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to maxB).scanLeft(0L) { (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }
+    val offCol = element_at(typedLit(offsets.take(maxB + 1)), col("__b") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens")
+        + offCol)
+      .select(col("doc_id"), col("n_tokens"), col("__start"),
+        explode(expr(s"sequence(__start div $budgetTokens, " +
+          s"(__start + n_tokens - 1) div $budgetTokens)")).as("shard"))
+      .select(col("doc_id"), col("shard"),
+        (greatest(col("shard") * budgetTokens, col("__start")) - col("__start"))
+          .as("tok_from"),
+        (least((col("shard") + 1) * budgetTokens,
+          col("__start") + col("n_tokens")) - col("__start")).as("tok_to"))
+  }
+
   /** Epoch-shuffled sequence packing — [[packShards]] in the order
     * trainers actually consume: a deterministic pseudorandom permutation
     * keyed by md5(salt:doc_id) (new salt ⇒ new epoch order,

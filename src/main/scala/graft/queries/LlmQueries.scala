@@ -266,6 +266,15 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // token-stream packing WITH straddler splitting (the GPT-style cut:
+    // every shard except the last holds exactly 2048 tokens, documents
+    // crossing a cut emit one row per touched shard with their doc-local
+    // token interval). Hash-exact: the same prefix sum + interval
+    // arithmetic replays in DuckDB with a window + generate_series.
+    "q_llm_pack_split" -> ((s, d) =>
+      CorpusOps.packTokenStream(Tables.documents(s, d), budgetTokens = 2048L)
+        .orderBy(col("doc_id"), col("shard"))),
+
     // epoch-shuffled packing: the training-consumption order — a
     // deterministic md5(salt:doc_id) permutation packed into 2048-token
     // shards by hash-prefix buckets + broadcast prefix offsets. The oracle
@@ -934,6 +943,24 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_pack_split" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+           FROM t WHERE n_tokens >= 1)
+         SELECT doc_id, CAST(sh AS BIGINT) AS shard,
+                CAST(GREATEST(sh * 2048, strt) - strt AS BIGINT) AS tok_from,
+                CAST(LEAST((sh + 1) * 2048, strt + n_tokens) - strt AS BIGINT)
+                  AS tok_to
+         FROM c, unnest(generate_series(CAST(strt // 2048 AS BIGINT),
+                  CAST((strt + n_tokens - 1) // 2048 AS BIGINT))) AS g(sh)
+         ORDER BY doc_id, shard""",
     "q_llm_shuffle_pack" ->
       """WITH t AS (
            SELECT doc_id,

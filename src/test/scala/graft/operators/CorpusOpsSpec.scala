@@ -358,6 +358,45 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("token-stream packing splits straddlers into exact-budget shards") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c"),            // 3 tokens, start 0
+      (1L, ""),                 // 0 tokens — excluded
+      (2L, "d e f g"),          // 4 tokens, start 3 → straddles shard 0/1
+      (3L, "h"),                // 1 token, start 7
+      (5L, "i j k l m n")       // 6 tokens, start 8 → spans shards 2..3
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.packTokenStream(docs, budgetTokens = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // local sequential recompute of the same contract
+    val lens = Seq(0L -> 3L, 2L -> 4L, 3L -> 1L, 5L -> 6L)
+    var start = 0L
+    val want = lens.flatMap { case (id, n) =>
+      val rows = (start / 4 to (start + n - 1) / 4).map { sh =>
+        (id, sh,
+          math.max(sh * 4, start) - start,
+          math.min((sh + 1) * 4, start + n) - start)
+      }
+      start += n
+      rows
+    }.toSet
+    assert(got == want, s"got $got\nwant $want")
+    // every shard except the last carries exactly the budget
+    val perShard = got.groupBy(_._2).view
+      .mapValues(_.toSeq.map(r => r._4 - r._3).sum).toMap
+    val last = perShard.keys.max
+    perShard.foreach { case (sh, tot) =>
+      if (sh < last) assert(tot == 4L, s"shard $sh holds $tot tokens")
+    }
+    // per-doc intervals tile [0, n): sum of lengths = token count
+    lens.foreach { case (id, n) =>
+      assert(got.filter(_._1 == id).toSeq.map(r => r._4 - r._3).sum == n)
+    }
+  }
+
   test("BPE trie encoder matches the HOF path on trained merges") {
     val s = spark
     import s.implicits._
