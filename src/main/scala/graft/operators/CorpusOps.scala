@@ -488,6 +488,53 @@ object CorpusOps {
           col("__start") + col("n_tokens")) - col("__start")).as("tok_to"))
   }
 
+  /** Length-bucketed inference batching (dynamic batching): documents
+    * sort by (token count, doc_id) and group into fixed-size batches of
+    * neighbours, so each batch pads to its own max length instead of the
+    * corpus max — the standard padding-waste reducer in front of batched
+    * model inference. Returns per-batch stats
+    * (batch, n_docs, max_len, padding): `padding` = Σ(max_len − n_tokens)
+    * is the wasted-token count a corpus-max pad would multiply ~n-fold.
+    *
+    * Scale shape: the global (n_tokens, doc_id) rank uses the same
+    * parallel machinery as [[packShards]], with buckets on TOKEN-COUNT
+    * ranges (bucket-major order IS the global sort order): per-bucket
+    * counts to the driver, broadcast prefix offsets, per-bucket
+    * row_number windows — never a single-partition global window; the
+    * stats aggregate shuffles on the batch id. */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32,
+                    nBuckets: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val toks = docs.select(col("doc_id"),
+      coalesce(expr("size(filter(split(text, ' '), t -> t <> ''))"), lit(0))
+        .cast("long").as("n_tokens"))
+    val bounds = toks.agg(min(col("n_tokens")), max(col("n_tokens"))).collect()(0)
+    if (bounds.isNullAt(0))
+      return toks.select(lit(0L).as("batch"), lit(0L).as("n_docs"),
+        lit(0L).as("max_len"), lit(0L).as("padding")).where(lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    val maxB = ((hi - lo) / width).toInt
+    val bucketed = toks.withColumn("__b",
+      expr(s"cast((n_tokens - $lo) div $width as int)"))
+    val sums = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to maxB).scanLeft(0L) { (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }
+    val offCol = element_at(typedLit(offsets.take(maxB + 1)), col("__b") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("n_tokens"), col("doc_id"))
+    bucketed
+      .withColumn("__rank", row_number().over(w) - 1 + offCol)
+      .withColumn("batch", expr(s"__rank div $batchSize"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("__tot"))
+      .select(col("batch"), col("n_docs"), col("max_len"),
+        (col("n_docs") * col("max_len") - col("__tot")).as("padding"))
+  }
+
   /** Epoch-shuffled sequence packing — [[packShards]] in the order
     * trainers actually consume: a deterministic pseudorandom permutation
     * keyed by md5(salt:doc_id) (new salt ⇒ new epoch order,

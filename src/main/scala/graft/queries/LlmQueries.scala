@@ -266,6 +266,14 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // length-bucketed inference batching: sort by token count, batch 32
+    // neighbours, report per-batch padding waste — the dynamic-batching
+    // step in front of batched model inference. Hash-exact: rank + batch
+    // arithmetic replays as one DuckDB window.
+    "q_llm_length_batches" -> ((s, d) =>
+      CorpusOps.lengthBatches(Tables.documents(s, d), batchSize = 32)
+        .orderBy(col("batch"))),
+
     // token-stream packing WITH straddler splitting (the GPT-style cut:
     // every shard except the last holds exactly 2048 tokens, documents
     // crossing a cut emit one row per touched shard with their doc-local
@@ -943,6 +951,21 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_length_batches" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS n
+           FROM documents),
+         r AS (
+           SELECT doc_id, CAST(n AS BIGINT) AS n,
+                  row_number() OVER (ORDER BY n, doc_id) - 1 AS rk
+           FROM t)
+         SELECT CAST(rk // 32 AS BIGINT) AS batch,
+                COUNT(*) AS n_docs,
+                MAX(n) AS max_len,
+                CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding
+         FROM r GROUP BY 1 ORDER BY batch""",
     "q_llm_pack_split" ->
       """WITH t AS (
            SELECT doc_id,

@@ -358,6 +358,28 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("length batching matches a sequential rank and counts padding") {
+    val s = spark
+    import s.implicits._
+    // lengths with ties and an empty doc; batchSize 3 over 7 docs
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "x"), (2L, ""), (3L, "p q"),
+      (4L, "r s"), (5L, "t u v w y z"), (6L, "k")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.lengthBatches(docs, batchSize = 3, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // sequential recompute: rank by (n, doc_id), batch = rank div 3
+    val lens = Seq(0L -> 4L, 1L -> 1L, 2L -> 0L, 3L -> 2L,
+      4L -> 2L, 5L -> 6L, 6L -> 1L)
+    val ranked = lens.sortBy { case (id, n) => (n, id) }.zipWithIndex
+    val want = ranked.groupBy(_._2 / 3).map { case (b, ds) =>
+      val ns = ds.map(_._1._2)
+      (b.toLong, ns.size.toLong, ns.max, ns.size * ns.max - ns.sum)
+    }.toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("token-stream packing splits straddlers into exact-budget shards") {
     val s = spark
     import s.implicits._
