@@ -937,6 +937,34 @@ object CorpusOps {
     out.toDF("doc_id", "toks")
   }
 
+  /** Corpus "data card" statistics — the per-(source, language) release
+    * summary every published corpus ships: document and token counts,
+    * token-length percentiles, and the exact-duplicate rate (1 −
+    * distinct-normalized-digests / docs). Returns (source, lang, n_docs,
+    * n_tokens, p50_tokens, p95_tokens, dup_rate), percentiles 2dp and
+    * dup_rate 4dp floor-rounded (the cross-engine-stable rounding).
+    *
+    * Scale shape: ONE shuffle on the (source, lang) group key; the
+    * count-distinct is exact (per-group digest sets — at 100 TB swap in
+    * the HLL sketch ([[graft.functions.Sketches]]) and the GK
+    * approx-percentile twin the same way q_agg_approxd/q_agg_approxpctl
+    * twin their exact versions; the exact percentile is a per-group sort
+    * and is the one corpus-sized cost here). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("text"),
+        coalesce(expr("size(filter(split(text, ' '), t -> t <> ''))"), lit(0))
+          .cast("long").as("n"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        (floor(expr("percentile(n, 0.5)") * 100 + 0.5) / 100).as("p50_tokens"),
+        (floor(expr("percentile(n, 0.95)") * 100 + 0.5) / 100).as("p95_tokens"),
+        countDistinct(Dedup.normDigest(col("text"))).as("__uniq"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("p50_tokens"), col("p95_tokens"),
+        (floor((col("n_docs") - col("__uniq")) * lit(10000.0) / col("n_docs")
+          + 0.5) / 10000).as("dup_rate"))
+
   /** Deterministic train/val/test assignment from the first hex digit of
     * md5(normalized text): 0-b → train (12/16), c-d → val (2/16),
     * e-f → test (2/16). Digest-of-text (not doc id) keeps exact duplicates

@@ -266,6 +266,13 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // corpus data card: per-(source, lang) release stats — doc/token
+    // counts, token-length percentiles, exact-duplicate rate. One group
+    // shuffle; hash-exact (percentile ≡ quantile_cont, digests ≡ md5).
+    "q_llm_datacard" -> ((s, d) =>
+      CorpusOps.corpusStats(Tables.documents(s, d))
+        .orderBy(col("source"), col("lang"))),
+
     // length-bucketed inference batching: sort by token count, batch 32
     // neighbours, report per-batch padding waste — the dynamic-batching
     // step in front of batched model inference. Hash-exact: rank + batch
@@ -951,6 +958,19 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_datacard" ->
+      """WITH t AS (
+           SELECT source, lang, text,
+                  COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS n
+           FROM documents)
+         SELECT source, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS n_tokens,
+                floor(quantile_cont(n, 0.5) * 100 + 0.5) / 100 AS p50_tokens,
+                floor(quantile_cont(n, 0.95) * 100 + 0.5) / 100 AS p95_tokens,
+                floor((COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))))
+                  * 10000.0 / COUNT(*) + 0.5) / 10000 AS dup_rate
+         FROM t GROUP BY 1, 2 ORDER BY source, lang""",
     "q_llm_length_batches" ->
       """WITH t AS (
            SELECT doc_id,
