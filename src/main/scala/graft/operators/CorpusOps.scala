@@ -230,6 +230,38 @@ object CorpusOps {
       .select(col("doc_id"), col("copy").cast("long").as("copy"))
   }
 
+  /** Temperature-based (α) stratum re-sampling — the mT5/XLM-R
+    * multilingual recipe: language l is drawn with probability ∝ n_l^α
+    * (α < 1 flattens the distribution toward low-resource languages),
+    * realized as per-stratum acceptance/replication rates
+    * r_l = min(maxRate, targetFraction · N · n_l^α / Σn^α / n_l) rounded
+    * to 4dp (absorbing pow's 1-ulp engine differences), then drawn by the
+    * content-keyed hex-threshold machinery of [[mixtureSample]] — no
+    * floating point in the draw itself, so the exact sample reproduces in
+    * any engine with md5. Rates above 1 REPLICATE low-resource docs
+    * (copy in 1..n), the up-sampling half of temperature sampling.
+    *
+    * Scale: the count is one stratum-sized aggregate (a driver map of a
+    * few languages); everything else is the mixtureSample per-row map +
+    * bounded explode. */
+  def temperatureMixture(docs: DataFrame, stratum: String = "lang",
+                         alpha: Double = 0.3, targetFraction: Double = 0.5,
+                         maxRate: Double = 4.0,
+                         salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val total = counts.values.sum.toDouble
+    val wsum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val rates = counts.map { case (l, n) =>
+      l -> r4(math.min(maxRate,
+        targetFraction * total * math.pow(n.toDouble, alpha) / wsum / n))
+    }
+    mixtureSample(docs, stratum, rates, defaultRate = 0.0, salt = salt)
+  }
+
   /** Deterministic dyadic model-weight fixture for [[hashedLinearScore]]:
     * each weight is k/2^21 with |k| <= 2^19, so weights are EXACT in both
     * binary doubles and finite decimal strings, and any sum of up to ~2^19

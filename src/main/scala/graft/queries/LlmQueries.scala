@@ -266,6 +266,16 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // temperature (α=0.3) language re-sampling to a 50% target — the
+    // mT5/XLM-R multilingual recipe: rates ∝ n_l^α/n_l, 4dp-rounded (pow
+    // ulp differences die in the rounding), drawn by the same hex-compare
+    // machinery as q_llm_mixture so the oracle reproduces the exact
+    // sample including replicated low-resource copies.
+    "q_llm_temp_mixture" -> ((s, d) =>
+      CorpusOps.temperatureMixture(Tables.documents(s, d), stratum = "lang",
+          alpha = 0.3, targetFraction = 0.5, maxRate = 4.0)
+        .orderBy(col("doc_id"), col("copy"))),
+
     // corpus data card: per-(source, lang) release stats — doc/token
     // counts, token-length percentiles, exact-duplicate rate. One group
     // shuffle; hash-exact (percentile ≡ quantile_cont, digests ≡ md5).
@@ -958,6 +968,29 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_temp_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t,
+                        SUM(pow(CAST(n AS DOUBLE), 0.3e0)) AS ws FROM c),
+         r AS (SELECT lang,
+                 floor(LEAST(4.0e0,
+                   0.5e0 * t * pow(CAST(n AS DOUBLE), 0.3e0) / ws / n)
+                   * 10000 + 0.5) / 10000 AS rate
+               FROM c, tot),
+         d AS (SELECT doc_id, lang,
+                 substr(md5('temp' || lower(trim(text))), 1, 8) AS u8
+               FROM documents),
+         x AS (SELECT doc_id,
+                 CAST(floor(rate) AS INT)
+                 + (CASE WHEN u8 < printf('%08x',
+                     CAST(floor((rate - floor(rate)) * 4294967296.0e0)
+                       AS BIGINT)) THEN 1 ELSE 0 END) AS n
+               FROM d JOIN r USING (lang))
+         SELECT * FROM (
+           SELECT doc_id,
+                  CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+           FROM x WHERE n >= 1)
+         ORDER BY doc_id, copy""",
     "q_llm_datacard" ->
       """WITH t AS (
            SELECT source, lang, text,

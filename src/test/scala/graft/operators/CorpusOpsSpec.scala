@@ -358,6 +358,29 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("temperature mixture boosts low-resource strata") {
+    val s = spark
+    import s.implicits._
+    // 180 en docs vs 20 is docs; α=0.3 flattens hard toward `is`
+    val docs = ((0 until 180).map(i => (i.toLong, s"en doc number $i", "en")) ++
+      (0 until 20).map(i => (1000L + i, s"islenska skjal numer $i", "is")))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusOps.temperatureMixture(docs, stratum = "lang",
+      alpha = 0.3, targetFraction = 1.0, maxRate = 8.0)
+    val perLang = got.join(docs, "doc_id").groupBy(col("lang"))
+      .agg(count(lit(1)).as("copies")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized up-sampling factor must invert the skew: `is` replicated
+    // above 1x, `en` sampled below 1x
+    assert(perLang("is").toDouble / 20 > 1.5, s"is factor ${perLang("is") / 20.0}")
+    assert(perLang("en").toDouble / 180 < 1.0, s"en factor ${perLang("en") / 180.0}")
+    // deterministic: same salt, same sample
+    val again = CorpusOps.temperatureMixture(docs, stratum = "lang",
+      alpha = 0.3, targetFraction = 1.0, maxRate = 8.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("length batching matches a sequential rank and counts padding") {
     val s = spark
     import s.implicits._
