@@ -83,6 +83,24 @@ object JoinQueries {
         .select(col("c_custkey"))
         .orderBy(col("c_custkey"))),
 
+    // TPC-H Q5-style snowflake: fact ⋈ three broadcast-sized dims
+    // (lineitem → supplier → nation → region) with a region filter that
+    // prunes through the dim chain — revenue per supplier nation. The
+    // only shuffle is the final per-nation aggregate; every dim join is
+    // broadcast at any corpus size (dims are fixed-cardinality).
+    "q_join_snowflake" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))),
+
     // cross + theta predicate (Catalyst rewrites to equi-join on regionkey)
     "q_join_cross_theta" -> ((s, d) => {
       val n1 = Tables.nation(s, d)
@@ -192,6 +210,16 @@ object JoinQueries {
          FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
          ON o_custkey = c_custkey
          GROUP BY 1, 2 ORDER BY k, side, n""",
+    "q_join_snowflake" ->
+      """SELECT n_name,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name IN ('ASIA', 'EUROPE')
+         GROUP BY n_name ORDER BY n_name""",
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -31,6 +31,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
   }
 
+  test("snowflake dim chain broadcasts all three dims (q_join_snowflake)") {
+    val plan = physical(SparkEntry.queries("q_join_snowflake")(spark, sf0001))
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n == 3, s"expected 3 broadcast dim joins, got $n:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a total sort") {
     val plan = physical(SparkEntry.queries("q_sort_topk")(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan)
