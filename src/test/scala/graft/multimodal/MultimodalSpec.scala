@@ -247,6 +247,43 @@ class MultimodalSpec extends SparkSpec {
       "pipeline feature must equal the direct decode")
   }
 
+  test("WAV PCM decode handles 8-bit, stereo mixdown, and float32") {
+    // hand-built RIFF containers so every branch is pinned byte-exactly
+    def wav(fmtCode: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("RIFF".getBytes); w32(36 + data.length); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16)
+      w16(fmtCode); w16(channels); w32(8000)
+      w32(8000 * channels * bits / 8); w16(channels * bits / 8); w16(bits)
+      out.write("data".getBytes); w32(data.length); out.write(data, 0, data.length)
+      out.toByteArray
+    }
+    // 8-bit unsigned: 128 = 0.0, 255 ≈ +1, 0 = −1
+    val b8 = Multimodal.decodeWavPcm(wav(1, 1, 8,
+      Array(128, 255, 0, 192).map(_.toByte))).get._2
+    assert(math.abs(b8(0)) < 1e-6 && math.abs(b8(1) - 127f / 128) < 1e-6 &&
+      math.abs(b8(2) + 1f) < 1e-6 && math.abs(b8(3) - 0.5f) < 1e-6, b8.toSeq.toString)
+    // stereo 16-bit: channels average — L=+16384, R=−16384 → 0; L=R=8192 → 0.25
+    val st = new java.io.ByteArrayOutputStream()
+    def s16(v: Int): Unit = { st.write(v & 0xff); st.write((v >> 8) & 0xff) }
+    s16(16384); s16(-16384); s16(8192); s16(8192)
+    val b2 = Multimodal.decodeWavPcm(wav(1, 2, 16, st.toByteArray)).get._2
+    assert(b2.length == 2 && math.abs(b2(0)) < 1e-6 &&
+      math.abs(b2(1) - 0.25f) < 1e-6, b2.toSeq.toString)
+    // float32 (format code 3): raw IEEE bits pass through
+    val fl = new java.io.ByteArrayOutputStream()
+    for (v <- Seq(0.5f, -0.25f)) {
+      val b = java.lang.Float.floatToIntBits(v)
+      (0 until 4).foreach(i => fl.write((b >> (8 * i)) & 0xff))
+    }
+    val b3 = Multimodal.decodeWavPcm(wav(3, 1, 32, fl.toByteArray)).get._2
+    assert(b3.toSeq == Seq(0.5f, -0.25f), b3.toSeq.toString)
+    // compressed format codes refuse to decode
+    assert(Multimodal.decodeWavPcm(wav(85, 1, 16, new Array[Byte](8))).isEmpty)
+  }
+
   test("real PNG and WAV headers probe true dimensions and duration") {
     // a REAL 37x21 PNG via javax.imageio
     val img = new java.awt.image.BufferedImage(37, 21,
