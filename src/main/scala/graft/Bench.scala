@@ -132,8 +132,10 @@ object Bench {
     // The driver's headline artifact is a 2000-char TAIL of stdout; the
     // full line above has exceeded it every round (parsed=null r1-r5), so
     // ALSO print a compact form as the FINAL line, sized to fit the window
-    // complete: family-grouped keys (q_agg_q1 -> queries.agg.q1), 2-decimal
-    // seconds, basename sf — ~1.75 KB for the 103-query catalog.
+    // complete: family-grouped keys (q_agg_q1 -> q.agg.q1) and INTEGER
+    // CENTISECOND values ("unit":"cs" declares it) — ~1.7 KB for a
+    // 110-query catalog, leaving room for catalog growth. Full-precision
+    // seconds stay in the first line / BENCH_FULL.json.
     def split(label: String): (String, String) = {
       val s = label.stripPrefix("q_")
       val i = s.indexOf('_')
@@ -142,12 +144,12 @@ object Bench {
     val gq = results.groupBy { case (l, _, _) => split(l)._1 }.toSeq.sortBy(_._1)
       .map { case (fam, rs) =>
         val inner = rs.sortBy(_._1).map { case (l, v, _) =>
-          "\"" + split(l)._2 + "\":" + fmt(v, 2)
+          "\"" + split(l)._2 + "\":" + math.round(v * 100)
         }.mkString(",")
         "\"" + fam + "\":{" + inner + "}"
       }.mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
-    val compact = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfShort","errors":$errs,"queries_grouped":$gq}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfShort","errors":$errs,"unit_q":"cs","q":$gq}"""
     // hard safety: if catalog growth ever pushes the compact line past the
     // tail window (2000 chars minus the runner's trailer), emit a
     // summary-only line instead — a parseable artifact beats a full one
