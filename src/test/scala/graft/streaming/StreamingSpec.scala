@@ -315,6 +315,41 @@ class StreamingSpec extends SparkSpec {
       s"streaming assignment must equal the batch path")
   }
 
+  test("streaming Count-Min sketch equals the batch sketch across micro-batches") {
+    // streaming frequency monitoring: the CMS aggregator's partial+final
+    // merge contract is exactly what a streaming global aggregate needs —
+    // per-micro-batch partials merge into state, so the final sketch must
+    // be bit-identical to one batch pass over the same rows (the
+    // order-invariance SketchesSpec pins, here exercised across real
+    // micro-batch boundaries)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val items = (0 until 300).map(i => s"tok${i % 17}")
+    items.grouped(100).zipWithIndex.foreach { case (part, i) =>
+      part.toDF("item").coalesce(1).write.mode("overwrite").parquet(s"$src/p$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType)))
+    val sinkName = sink()
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/p*")
+      .agg(graft.functions.Sketches.countMin(col("item")).as("cms"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table(sinkName).collect()(0).getStruct(0)
+    val want = items.toDF("item")
+      .agg(graft.functions.Sketches.countMin(col("item")).as("cms"))
+      .collect()(0).getStruct(0)
+    assert(got.getLong(3) == 300L, "stream must count every item")
+    assert(got.getSeq[Long](2) == want.getSeq[Long](2),
+      "streaming sketch table must be bit-identical to the batch sketch")
+  }
+
   test("exactly-once file sink: checkpointed restart does not duplicate") {
     val s = spark
     import s.implicits._
