@@ -230,6 +230,57 @@ object CorpusOps {
       .select(col("doc_id"), col("copy").cast("long").as("copy"))
   }
 
+  /** Balanced EXACT-SIZE sampling: the md5(salt:doc_id)-smallest `k`
+    * documents per stratum — eval-set carving with reproducible,
+    * content-independent membership and a deterministic rank column.
+    * Returns (doc_id, <stratum>, rank), rank 1..min(k, n_stratum).
+    *
+    * Scale path: a naive per-stratum row_number would SORT the whole
+    * corpus. Instead a hash-PREFIX CUT runs first: keep rows whose 8-hex
+    * prefix ≤ a per-stratum threshold sized for ~`oversample`·k
+    * survivors (a stratum-sized driver map), and rank only those. The
+    * cut is a downward-closed prefix of the full hash order, so ranking
+    * the survivors is EXACTLY ranking the corpus whenever every stratum
+    * retains ≥ min(k, n) rows — verified at runtime with one
+    * survivor-count aggregate; a short stratum (vanishingly unlikely at
+    * 4× oversampling) falls back to the full rank, trading speed for the
+    * same answer, never a wrong one. */
+  def balancedSample(docs: DataFrame, stratum: String = "lang", k: Int = 10,
+                     oversample: Double = 4.0,
+                     salt: String = "samp"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "g" sorts above every hex character: rate >= 1 keeps the stratum whole
+    def thHex(r: Double): String =
+      if (r >= 1.0) "g"
+      else f"${math.floor(r * 4294967296.0).toLong}%08x"
+    val sc = col(stratum)
+    val thCol = counts.foldLeft(lit("g")) { case (acc, (l, n)) =>
+      when(sc === l, lit(thHex(math.min(1.0, oversample * k / n)))).otherwise(acc)
+    }
+    val hashed = docs.select(col("doc_id"), sc,
+      md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))).as("__r"))
+    val kept = hashed.where(substring(col("__r"), 1, 8) <= thCol)
+    val keptCounts = kept.groupBy(sc).agg(count(lit(1)).as("kn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val short = counts.keys.filter(l =>
+      keptCounts.getOrElse(l, 0L) < math.min(k.toLong, counts(l)))
+    val base =
+      if (short.isEmpty) kept
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"balancedSample: prefix cut left ${short.mkString(",")} short of " +
+          s"k=$k — ranking the full corpus instead (correct, unpruned)")
+        hashed
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sc).orderBy(col("__r"), col("doc_id"))
+    base.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), sc, col("rank"))
+  }
+
   /** Temperature-based (α) stratum re-sampling — the mT5/XLM-R
     * multilingual recipe: language l is drawn with probability ∝ n_l^α
     * (α < 1 flattens the distribution toward low-resource languages),

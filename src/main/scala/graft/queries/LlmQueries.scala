@@ -266,6 +266,16 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // balanced exact-size eval carving: the md5-smallest 10 docs per
+    // language with a deterministic rank — hash-prefix cut + exact rank
+    // (falls back to full rank only if a stratum comes up short).
+    // Hash-exact: the oracle ranks the full corpus, which the cut
+    // provably reproduces.
+    "q_llm_sample_balanced" -> ((s, d) =>
+      CorpusOps.balancedSample(Tables.documents(s, d), stratum = "lang",
+          k = 10)
+        .orderBy(col("lang"), col("rank"))),
+
     // temperature (α=0.3) language re-sampling to a 50% target — the
     // mT5/XLM-R multilingual recipe: rates ∝ n_l^α/n_l, 4dp-rounded (pow
     // ulp differences die in the rounding), drawn by the same hex-compare
@@ -968,6 +978,14 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_sample_balanced" ->
+      """SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rank
+           FROM documents)
+         WHERE rank <= 10 ORDER BY lang, rank""",
     "q_llm_temp_mixture" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t,

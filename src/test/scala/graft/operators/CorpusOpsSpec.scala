@@ -358,6 +358,33 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("balanced sample: prefix cut equals the full rank, fallback included") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0 until 120).map(i => (i.toLong, s"en $i", "en")) ++
+      (0 until 3).map(i => (500L + i, s"is $i", "is")))  // stratum below k
+      .toDF("doc_id", "text", "lang")
+    def fullRank(k: Int): Set[(Long, String, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val got = CorpusOps.balancedSample(docs, "lang", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == fullRank(7), "cut path must equal the full rank")
+    assert(got.count(_._2 == "is") == 3, "short stratum keeps all its docs")
+    assert(got.count(_._2 == "en") == 7)
+    // starved cut (oversample ~0) must take the fallback and STILL be exact
+    val fb = CorpusOps.balancedSample(docs, "lang", k = 7, oversample = 1e-9)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fb == got, "fallback path must produce the identical sample")
+  }
+
   test("temperature mixture boosts low-resource strata") {
     val s = spark
     import s.implicits._
