@@ -1020,6 +1020,55 @@ object CorpusOps {
     out.toDF("doc_id", "toks")
   }
 
+  /** Per-document character-level Shannon entropy (bits/char is the
+    * nats variant ÷ ln 2; this emits NATS, 4dp): the gibberish/boilerplate
+    * quality signal — random byte soup scores high, repeated templates
+    * score low. Pure relational shape: explode characters → per-(doc,
+    * char) count → per-doc Σ −(c/n)·ln(c/n); two shuffles keyed by doc
+    * (+char), no UDF, no per-doc quadratic work. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log(col("c"))).as("__clogc"))
+      // −Σ (c/n)ln(c/n) = ln n − (Σ c·ln c)/n  — one stable form, same
+      // algebra on the oracle side so rounding sees identical arithmetic
+      .select(col("doc_id"), col("n"),
+        expr("floor((ln(n) - __clogc / n) * 10000 + 0.5) / 10000")
+          .as("entropy"))
+
+  /** Per-document deflate compression ratio (raw bytes ÷ deflated bytes,
+    * 4dp): the repetition/boilerplate signal compression-based quality
+    * filters use — templated or repeated text compresses far better than
+    * organic prose. java.util.zip.Deflater level 6 in a mapPartitions
+    * (one Deflater per partition, reset per doc — the model-per-partition
+    * shape); embarrassingly parallel, no shuffle. Engine-pinned output
+    * (no SQL oracle can deflate) — rows-only with property coverage. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset()
+          d.setInput(raw)
+          d.finish()
+          var compressed = 0L
+          while (!d.finished()) compressed += d.deflate(buf)
+          val ratio =
+            if (compressed == 0) 0.0
+            else math.floor(raw.length.toDouble / compressed * 10000 + 0.5) / 10000
+          (id, raw.length.toLong, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "ratio")
+  }
+
   /** Corpus "data card" statistics — the per-(source, language) release
     * summary every published corpus ships: document and token counts,
     * token-length percentiles, and the exact-duplicate rate (1 −

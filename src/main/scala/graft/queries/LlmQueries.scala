@@ -266,6 +266,20 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // character-entropy quality signal (gibberish high / templates low),
+    // computed as ln n − Σc·ln c / n with identical algebra in the oracle.
+    "q_llm_entropy" -> ((s, d) =>
+      CorpusOps.charEntropy(Tables.documents(s, d).where(col("doc_id") < 500))
+        .orderBy(col("doc_id"))),
+
+    // deflate compression-ratio quality signal (repetition/boilerplate
+    // detector). Engine-pinned (no SQL deflate) — rows-only; monotonicity
+    // on repetitive vs organic text pinned in CorpusOpsSpec.
+    "q_llm_compress_ratio" -> ((s, d) =>
+      CorpusOps.compressionRatio(
+          Tables.documents(s, d).where(col("doc_id") < 500))
+        .orderBy(col("doc_id"))),
+
     // balanced exact-size eval carving: the md5-smallest 10 docs per
     // language with a deterministic rank — hash-prefix cut + exact rank
     // (falls back to full rank only if a stratum comes up short).
@@ -978,6 +992,18 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+           FROM documents WHERE doc_id < 500),
+         cnt AS (
+           SELECT doc_id, ch, COUNT(*) AS c FROM ch
+           WHERE ch <> '' GROUP BY doc_id, ch)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                floor((ln(CAST(SUM(c) AS DOUBLE))
+                  - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)) * 10000 + 0.5)
+                  / 10000 AS entropy
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_sample_balanced" ->
       """SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM (
            SELECT doc_id, lang,

@@ -358,6 +358,25 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("compression ratio separates repetitive from organic text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(40)("spam").mkString(" ")),
+      (1L, "the quick brown fox jumps over a lazy dog while cold rain falls"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L)._2 > 2 * got(1L)._2,
+      s"repetitive ${got(0L)._2} must compress far better than organic ${got(1L)._2}")
+    assert(got(1L)._2 > 0.5 && got(1L)._2 < 3.0, s"organic ratio ${got(1L)._2}")
+    assert(got(2L) == (0L, 0.0), "empty doc: zero bytes, zero ratio")
+    // deterministic across runs (fresh Deflater state per doc)
+    val again = CorpusOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("balanced sample: prefix cut equals the full rank, fallback included") {
     val s = spark
     import s.implicits._
