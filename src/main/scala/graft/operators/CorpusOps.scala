@@ -1020,6 +1020,38 @@ object CorpusOps {
     out.toDF("doc_id", "toks")
   }
 
+  /** Fill-in-the-middle (FIM, Bavarian et al., arXiv:2207.14255) document
+    * splitting: each document (≥ 2 chars) deterministically splits into
+    * (prefix, middle, suffix) with prefix ++ middle ++ suffix = text —
+    * the data transform behind infilling-capable code/text models (the
+    * PSM/SPM token reorder is the trainer's side; the engine's job is the
+    * reproducible span choice). Span bounds derive from md5(salt:doc_id)
+    * hex digits with INTEGER arithmetic only (digit-pair × range div
+    * 256), so any engine with md5 reproduces the exact split: middle
+    * start a ∈ [1, n−1], middle length ∈ [1, n−a] — middle and suffix
+    * never empty, prefix may be. A pure per-row map — embarrassingly
+    * parallel, no shuffle. */
+  def fimSplit(docs: DataFrame, salt: String = "fim"): DataFrame = {
+    def digit(c: Column, i: Int): Column = {
+      val a = ascii(substring(c, i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val h = md5(concat(lit(salt + ":"), col("doc_id").cast("string")))
+    docs.where(length(col("text")) >= 2)
+      .withColumn("__h", h)
+      .withColumn("__n", length(col("text")))
+      .withColumn("__a", lit(1) +
+        ((digit(col("__h"), 1) * 16 + digit(col("__h"), 2)) *
+          (col("__n") - 1) / 256).cast("int"))
+      .withColumn("__m", lit(1) +
+        ((digit(col("__h"), 3) * 16 + digit(col("__h"), 4)) *
+          (col("__n") - col("__a")) / 256).cast("int"))
+      .select(col("doc_id"),
+        expr("substring(text, 1, __a - 1)").as("prefix"),
+        expr("substring(text, __a, __m)").as("middle"),
+        expr("substring(text, __a + __m)").as("suffix"))
+  }
+
   /** Per-document character-level Shannon entropy (bits/char is the
     * nats variant ÷ ln 2; this emits NATS, 4dp): the gibberish/boilerplate
     * quality signal — random byte soup scores high, repeated templates

@@ -266,6 +266,16 @@ object LlmQueries {
       CorpusOps.packShards(Tables.documents(s, d), budgetTokens = 2048L)
         .orderBy(col("doc_id"))),
 
+    // fill-in-the-middle splits (hash-exact: integer hex-digit span
+    // arithmetic reproduces in DuckDB; fingerprints keep rows small).
+    "q_llm_fim" -> ((s, d) =>
+      CorpusOps.fimSplit(Tables.documents(s, d).where(col("doc_id") < 500))
+        .select(col("doc_id"), length(col("prefix")).as("n_prefix"),
+          length(col("middle")).as("n_middle"),
+          length(col("suffix")).as("n_suffix"),
+          md5(col("middle")).as("mid_fp"))
+        .orderBy(col("doc_id"))),
+
     // character-entropy quality signal (gibberish high / templates low),
     // computed as ln n − Σc·ln c / n with identical algebra in the oracle.
     "q_llm_entropy" -> ((s, d) =>
@@ -992,6 +1002,36 @@ object LlmQueries {
                 CAST(strt // 2048 AS BIGINT) AS shard,
                 CAST(strt % 2048 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
+    "q_llm_fim" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  md5('fim:' || CAST(doc_id AS VARCHAR)) AS h,
+                  len(text) AS n
+           FROM documents WHERE doc_id < 500 AND len(text) >= 2),
+         d AS (
+           SELECT doc_id, text, n,
+                  (ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1))
+                     >= 97 THEN 87 ELSE 48 END) * 16
+                  + (ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1))
+                     >= 97 THEN 87 ELSE 48 END) AS d12,
+                  (ascii(substr(h, 3, 1)) - CASE WHEN ascii(substr(h, 3, 1))
+                     >= 97 THEN 87 ELSE 48 END) * 16
+                  + (ascii(substr(h, 4, 1)) - CASE WHEN ascii(substr(h, 4, 1))
+                     >= 97 THEN 87 ELSE 48 END) AS d34
+           FROM t),
+         s AS (
+           SELECT doc_id, text, n,
+                  1 + (d12 * (n - 1)) // 256 AS a,
+                  d34 FROM d),
+         s2 AS (
+           SELECT doc_id, text, n, a,
+                  1 + (d34 * (n - a)) // 256 AS m FROM s)
+         SELECT doc_id,
+                CAST(a - 1 AS INT) AS n_prefix,
+                CAST(m AS INT) AS n_middle,
+                CAST(n - a - m + 1 AS INT) AS n_suffix,
+                md5(substr(text, CAST(a AS INT), CAST(m AS INT))) AS mid_fp
+         FROM s2 ORDER BY doc_id""",
     "q_llm_entropy" ->
       """WITH ch AS (
            SELECT doc_id, unnest(string_split_regex(text, '')) AS ch

@@ -358,6 +358,37 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("FIM split reassembles exactly with non-empty middle and suffix") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "ab"),                           // minimum eligible length
+      (1L, "x"),                            // too short — excluded
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "aa bb cc dd ee ff gg hh")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.fimSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == Set(0L, 2L, 3L))
+    val texts = Map(0L -> "ab",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "aa bb cc dd ee ff gg hh")
+    got.foreach { case (id, (p, m, sfx)) =>
+      assert(p + m + sfx == texts(id), s"doc $id must reassemble")
+      assert(m.nonEmpty && sfx.nonEmpty, s"doc $id middle/suffix empty")
+    }
+    // deterministic; salt changes the split
+    val again = CorpusOps.fimSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(again == got)
+    val other = CorpusOps.fimSplit(docs, salt = "fim2").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(other(2L) != got(2L), "a different salt must move the span")
+  }
+
   test("compression ratio separates repetitive from organic text") {
     val s = spark
     import s.implicits._
