@@ -60,6 +60,26 @@ object RelationalQueries {
              round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // WebDataset tar-shard round-trip: pack the first 20 documents into a
+    // ustar shard (TarShards.build, driver-side — model-sized), scan it
+    // back through the binaryFile + ustar-parse path, emit
+    // (name, n_bytes, fp). The oracle derives the same rows from the
+    // documents table directly — equality proves the shard writer/parser
+    // pair is byte-lossless.
+    "q_scan_tar" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect()
+      val entries = docs.map(r =>
+        (f"doc_${r.getLong(0)}%05d.txt", r.getString(1).getBytes("UTF-8"))).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tar_q")
+      java.nio.file.Files.write(tmp.resolve("shard-000.tar"),
+        graft.multimodal.TarShards.build(entries))
+      graft.multimodal.TarShards.entries(s, tmp.toString).toDF()
+        .select(col("name"), length(col("content")).as("n_bytes"),
+          md5(col("content")).as("fp"))
+        .orderBy(col("name"))
+    }),
+
     // ---- projection --------------------------------------------------
     // 2dp rounding via floor(x*100+0.5)/100 on BOTH engines: every step is
     // the same IEEE-754 op, so Spark and DuckDB agree bit-for-bit (plain
@@ -189,6 +209,11 @@ object RelationalQueries {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(value), 2) AS sum_value FROM events",
     "q_scan_orc" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem",
+    "q_scan_tar" ->
+      """SELECT printf('doc_%05d.txt', doc_id) AS name,
+                CAST(strlen(text) AS INT) AS n_bytes,
+                md5(text) AS fp
+         FROM documents WHERE doc_id < 20 ORDER BY name""",
     "q_proj_expr" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filt_in_between" ->

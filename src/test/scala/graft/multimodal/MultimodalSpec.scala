@@ -247,6 +247,40 @@ class MultimodalSpec extends SparkSpec {
       "pipeline feature must equal the direct decode")
   }
 
+  test("tar shards parse into entries and group into WebDataset samples") {
+    def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] =
+      TarShards.build(entries)
+    val s1 = Seq(
+      "00001.txt" -> "a caption".getBytes("UTF-8"),
+      "00001.jpg" -> Array.tabulate(700)(_.toByte),
+      "00002.txt" -> "second".getBytes("UTF-8"))
+    val s2 = Seq("00003.json" -> """{"k":1}""".getBytes("UTF-8"))
+    // direct parse: order, names, exact payloads
+    val parsed = TarShards.parseTar(tarOf(s1))
+    assert(parsed.map(_._1) == s1.map(_._1))
+    parsed.zip(s1).foreach { case ((_, got), (_, want)) =>
+      assert(got.sameElements(want))
+    }
+    // truncated shard: keeps complete leading entries, never throws
+    val whole = tarOf(s1)
+    val cut = TarShards.parseTar(java.util.Arrays.copyOf(whole, 512 + 16))
+    assert(cut.map(_._1) == Seq("00001.txt"))
+    // end-to-end: scan a dir of shards (non-tar files ignored by the glob)
+    val d = Files.createTempDirectory("graft_tar")
+    Files.write(d.resolve("shard-000.tar"), whole)
+    Files.write(d.resolve("shard-001.tar"), tarOf(s2))
+    Files.write(d.resolve("readme.md"), "not a shard".getBytes)
+    val es = TarShards.entries(spark, d.toString)
+    val names = es.collect().map(e => e.name).sorted.toSeq
+    assert(names == Seq("00001.jpg", "00001.txt", "00002.txt", "00003.json"))
+    // sample grouping: basename keys, extension map
+    val samp = TarShards.samples(es).collect()
+      .map(r => r.getString(1) -> r.getMap[String, Array[Byte]](2)).toMap
+    assert(samp.keySet == Set("00001", "00002", "00003"))
+    assert(samp("00001").keySet == Set("txt", "jpg"))
+    assert(new String(samp("00001")("txt"), "UTF-8") == "a caption")
+  }
+
   test("WAV PCM decode handles 8-bit, stereo mixdown, and float32") {
     // hand-built RIFF containers so every branch is pinned byte-exactly
     def wav(fmtCode: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
