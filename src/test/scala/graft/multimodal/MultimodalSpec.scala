@@ -281,6 +281,37 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(samp("00001")("txt"), "UTF-8") == "a caption")
   }
 
+  test("WebDataset ingest end-to-end: tar samples feed the real image path") {
+    val s = spark
+    import s.implicits._
+    // the composed multimodal ingest: shard → samples → probe/feature —
+    // a 31x17 PNG rides next to its caption, and the REAL header parse
+    // and pooled-raster feature run on the payload extracted from the tar
+    val img = new java.awt.image.BufferedImage(31, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.getGraphics.fillRect(0, 0, 31, 17)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", pngOut))
+    val shard = TarShards.build(Seq(
+      "s1.png" -> pngOut.toByteArray,
+      "s1.txt" -> "a white rectangle".getBytes("UTF-8")))
+    val d = Files.createTempDirectory("graft_wds")
+    Files.write(d.resolve("shard.tar"), shard)
+    val samp = TarShards.samples(TarShards.entries(spark, d.toString))
+      .collect()
+    assert(samp.length == 1)
+    val parts = samp(0).getMap[String, Array[Byte]](2)
+    val meta = Multimodal.probe("s1.png", parts("png")).meta
+    assert(meta.width == 31 && meta.height == 17, s"real probe through tar: $meta")
+    // the decoded caption and a real feature from the tar-extracted bytes
+    assert(new String(parts("txt"), "UTF-8") == "a white rectangle")
+    val feat = Multimodal.extractFeatures(
+      Seq(("s1.png", "image", 0, parts("png"))).toDS(), dim = 12)
+      .collect()(0).embedding
+    assert(feat.length == 12 && feat.forall(v => v >= 0f && v <= 1f),
+      "pooled raster feature must come from a real decode")
+  }
+
   test("WAV PCM decode handles 8-bit, stereo mixdown, and float32") {
     // hand-built RIFF containers so every branch is pinned byte-exactly
     def wav(fmtCode: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
