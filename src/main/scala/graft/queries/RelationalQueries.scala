@@ -80,6 +80,38 @@ object RelationalQueries {
         .orderBy(col("name"))
     }),
 
+    // Schema-evolution read (crawl batches drift): batch 1 writes
+    // (doc_id, text), batch 2 adds a lang column; mergeSchema unifies,
+    // old rows read NULL lang. The oracle reproduces the union from the
+    // documents table — proves columns appear/merge without rewriting
+    // old batches (the 100 TB schema-drift story: never a full rewrite).
+    "q_scan_evolve" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val docs = Tables.documents(s, d)
+      docs.where(col("doc_id") < 100).select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(coalesce(col("lang"), lit("__pre_evolution")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Hive-style partitioned layout round-trip: write partitionBy(lang),
+    // read back ONE partition — the at-rest layout that makes a 100 TB
+    // table prunable (PlanSpec asserts the scan touches only the selected
+    // partition's files).
+    "q_scan_partitioned" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_partby").toString
+      Tables.documents(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp).where(col("lang") === "en")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- projection --------------------------------------------------
     // 2dp rounding via floor(x*100+0.5)/100 on BOTH engines: every step is
     // the same IEEE-754 op, so Spark and DuckDB agree bit-for-bit (plain
@@ -214,6 +246,17 @@ object RelationalQueries {
                 CAST(strlen(text) AS INT) AS n_bytes,
                 md5(text) AS fp
          FROM documents WHERE doc_id < 20 ORDER BY name""",
+    "q_scan_evolve" ->
+      """SELECT CASE WHEN doc_id < 100 THEN '__pre_evolution' ELSE lang END
+                  AS lang,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 200
+         GROUP BY 1 ORDER BY lang""",
+    "q_scan_partitioned" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 500 AND lang = 'en'""",
     "q_proj_expr" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filt_in_between" ->

@@ -38,6 +38,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
   }
 
+  test("hive-partitioned read prunes to the selected partition") {
+    val plan = physical(SparkEntry.queries("q_scan_partitioned")(spark, sf0001))
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(plan.contains("lang"), s"lang filter not in partition filters:\n$plan")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a total sort") {
     val plan = physical(SparkEntry.queries("q_sort_topk")(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan)
