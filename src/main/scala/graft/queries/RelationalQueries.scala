@@ -112,6 +112,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Small-file compaction round-trip: fragment 500 docs into 64 tiny
+    // parquet parts, compact to measured-size outputs, read back — the
+    // ingest-hygiene maintenance op (per-file open costs dominate scans
+    // of fragmented directories at scale). Oracle equality against the
+    // source table proves the rewrite is lossless; the file-count drop
+    // is asserted in CorpusOpsSpec.
+    "q_scan_compact" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      Tables.documents(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$tmp/frag")
+      graft.operators.Maintenance.compactParquet(s, s"$tmp/frag", s"$tmp/out")
+      s.read.parquet(s"$tmp/out")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- projection --------------------------------------------------
     // 2dp rounding via floor(x*100+0.5)/100 on BOTH engines: every step is
     // the same IEEE-754 op, so Spark and DuckDB agree bit-for-bit (plain
@@ -257,6 +274,10 @@ object RelationalQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id < 500 AND lang = 'en'""",
+    "q_scan_compact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 500""",
     "q_proj_expr" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filt_in_between" ->

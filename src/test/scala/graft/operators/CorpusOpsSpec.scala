@@ -358,6 +358,24 @@ class CorpusOpsSpec extends SparkSpec {
       "BPE tokens must be fewer than raw characters")
   }
 
+  test("compaction collapses small files losslessly") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val rows = (0 until 1000).map(i => (i.toLong, s"row $i"))
+    rows.toDF("id", "v").repartition(40)
+      .write.mode("overwrite").parquet(s"$tmp/frag")
+    val (before, after) = graft.operators.Maintenance.compactParquet(
+      s, s"$tmp/frag", s"$tmp/out", targetBytes = 1L << 30)
+    assert(before == 40 && after == 1, s"$before files -> $after")
+    val back = s.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == rows.toMap, "compaction must be lossless")
+    val outFiles = new java.io.File(s"$tmp/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 1, s"expected 1 output file, got $outFiles")
+  }
+
   test("FIM split reassembles exactly with non-empty middle and suffix") {
     val s = spark
     import s.implicits._
