@@ -294,7 +294,9 @@ object CorpusOps {
     *
     * Scale: the count is one stratum-sized aggregate (a driver map of a
     * few languages); everything else is the mixtureSample per-row map +
-    * bounded explode. */
+    * bounded explode. Docs with a NULL stratum match no rate and fall to
+    * the 0.0 default — dropped, the conservative choice for unlabeled
+    * data in a language-balancing step. */
   def temperatureMixture(docs: DataFrame, stratum: String = "lang",
                          alpha: Double = 0.3, targetFraction: Double = 0.5,
                          maxRate: Double = 4.0,
@@ -1040,11 +1042,14 @@ object CorpusOps {
     docs.where(length(col("text")) >= 2)
       .withColumn("__h", h)
       .withColumn("__n", length(col("text")))
+      // the digit-pair × range product goes through LONG: at int width,
+      // 255 · (n−1) overflows for documents past ~8.4M chars — exactly
+      // the long-document tail a 100 TB corpus has
       .withColumn("__a", lit(1) +
-        ((digit(col("__h"), 1) * 16 + digit(col("__h"), 2)) *
+        ((digit(col("__h"), 1) * 16 + digit(col("__h"), 2)).cast("long") *
           (col("__n") - 1) / 256).cast("int"))
       .withColumn("__m", lit(1) +
-        ((digit(col("__h"), 3) * 16 + digit(col("__h"), 4)) *
+        ((digit(col("__h"), 3) * 16 + digit(col("__h"), 4)).cast("long") *
           (col("__n") - col("__a")) / 256).cast("int"))
       .select(col("doc_id"),
         expr("substring(text, 1, __a - 1)").as("prefix"),
@@ -1085,7 +1090,8 @@ object CorpusOps {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](8192)
-        it.map { case (id, text) =>
+        it.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0 // null-text docs score 0
           val raw = text.getBytes("UTF-8")
           d.reset()
           d.setInput(raw)

@@ -28,8 +28,16 @@ object Maintenance {
     require(targetBytes >= 1, s"targetBytes=$targetBytes")
     val path = new org.apache.hadoop.fs.Path(src)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // recursive listing: a partitionBy layout nests its files in
+    // partition directories — a top-level listStatus would size the
+    // rewrite from zero bytes and silently collapse it to one partition
+    val files = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) files += st
+    }
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src)

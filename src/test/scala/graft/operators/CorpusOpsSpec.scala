@@ -374,6 +374,15 @@ class CorpusOpsSpec extends SparkSpec {
     val outFiles = new java.io.File(s"$tmp/out").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(outFiles == 1, s"expected 1 output file, got $outFiles")
+    // a partitionBy layout nests files — the recursive listing must still
+    // see them (a top-level listing would size the rewrite at zero bytes)
+    rows.map { case (id, v) => (id, v, if (id % 2 == 0) "a" else "b") }
+      .toDF("id", "v", "p").repartition(10)
+      .write.mode("overwrite").partitionBy("p").parquet(s"$tmp/pfrag")
+    val (pBefore, _) = graft.operators.Maintenance.compactParquet(
+      s, s"$tmp/pfrag", s"$tmp/pout", targetBytes = 1L << 30)
+    assert(pBefore >= 10, s"nested partition files not listed: $pBefore")
+    assert(s.read.parquet(s"$tmp/pout").count() == 1000)
   }
 
   test("FIM split reassembles exactly with non-empty middle and suffix") {
