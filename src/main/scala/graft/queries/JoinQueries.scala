@@ -164,6 +164,21 @@ object JoinQueries {
         .orderBy(col("lid"), col("rid"))
     }),
 
+    // as-of with TOLERANCE (pandas merge_asof semantics): signups older
+    // than 24 h at purchase time no longer match — stale rows surface as
+    // NULL, same as no match. Carry-forward path; the tolerance check is
+    // one projected comparison on the carried timestamp.
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sg = ev.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.viaCarryForward(p, sg, "user_id", "ts", "event_id", "event_id",
+          tolerance = Some(expr("INTERVAL 24 HOURS")))
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     // R15's positional zip join: per-lang sorted even/odd doc_id arrays,
     // mates paired by position via posexplode + equi-join on (lang, pos)
     "q_join_pos" -> ((s, d) => {
@@ -258,6 +273,19 @@ object JoinQueries {
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
              ON p.user_id = s.user_id AND s.ts <= p.ts)
+         WHERE rn = 1 ORDER BY lid, rid""",
+    // latest-match-then-tolerance ≡ rank-1 of in-tolerance candidates:
+    // the latest right row minimizes left.ts − right.ts, so if IT is
+    // stale every older candidate is staler — both formulations agree
+    "q_join_asof_tol" ->
+      """SELECT lid, rid FROM (
+           SELECT p.event_id AS lid, s.event_id AS rid,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY s.ts DESC, s.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             ON p.user_id = s.user_id AND s.ts <= p.ts
+                AND p.ts - s.ts <= INTERVAL 24 HOURS)
          WHERE rn = 1 ORDER BY lid, rid""",
     "q_join_pos" ->
       """SELECT a.lang, a.rn, a.doc_id AS id1, b.doc_id AS id2

@@ -40,6 +40,31 @@ class AsOfSpec extends SparkSpec {
     assert(cf == rj)
   }
 
+  test("tolerance bounds the lookback identically in both formulations") {
+    val s = spark
+    import s.implicits._
+    // key 1: left at t=100 — latest right at t=40 is stale under tol=30
+    //        but in range under tol=90; right at t=95 within both
+    val left = Seq((1L, 1L, 100L), (2L, 2L, 100L)).toDF("event_id", "user_id", "tsl")
+      .select(col("event_id"), col("user_id"), timestamp_seconds(col("tsl")).as("ts"))
+    val right = Seq((90L, 1L, 95L), (91L, 1L, 40L), (200L, 2L, 40L))
+      .toDF("event_id", "user_id", "tsr")
+      .select(col("event_id"), col("user_id"), timestamp_seconds(col("tsr")).as("ts"))
+    def run(tol: Long): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val t = Some(expr(s"INTERVAL $tol SECONDS"))
+      (collectPairs(AsOf.viaCarryForward(left, right, "user_id", "ts",
+          "event_id", "event_id", t)),
+       collectPairs(AsOf.viaRangeJoin(left, right, "user_id", "ts",
+          "event_id", "event_id", t)))
+    }
+    val (cf30, rj30) = run(30)
+    assert(cf30 == Set((1L, 90L), (2L, -1L)), s"tol=30: $cf30") // 200 stale
+    assert(cf30 == rj30)
+    val (cf90, rj90) = run(90)
+    assert(cf90 == Set((1L, 90L), (2L, 200L)), s"tol=90: $cf90")
+    assert(cf90 == rj90)
+  }
+
   test("carry-forward plans one shuffle, no join") {
     val ev = Tables.events(spark, sf0001)
     val p = ev.where(col("event_type") === "purchase")
