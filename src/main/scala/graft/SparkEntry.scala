@@ -24,6 +24,7 @@ object SparkEntry {
     WindowQueries.queries ++
     FunctionQueries.queries ++
     LlmQueries.queries ++
+    CurationQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
     WindowQueries.oracle ++
     FunctionQueries.oracle ++
     LlmQueries.oracle ++
+    CurationQueries.oracle ++
     StreamingQueries.oracle
 }

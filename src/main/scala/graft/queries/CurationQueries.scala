@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation catalog entries (SURVEY §2B north-star extension,
+  * round-6 additions): boilerplate stripping, RAG chunking, systematic
+  * PPS sampling, snapshot diffing, vocabulary-coverage analysis, Bloom
+  * ingest dedup. All but the Bloom entry are integer/digest-deterministic
+  * and carry exact DuckDB oracles; the Bloom filter is xxhash64-pinned
+  * (engine-specific) and is covered rows-only here with its no-false-
+  * negative / FP-bound / merge-invariance properties in CurationOpsSpec. */
+object CurationQueries {
+
+  val queries: Map[String, Q] = Map(
+    // CCNet-style boilerplate removal: 8-token segments appearing in >=2
+    // distinct docs of the same source are dropped, survivors reassembled.
+    // minFrac=0.05 over the fixture's 25-doc sources floors at the minDocs=2
+    // threshold — the df>=2 segments measured in the fixture are the witness.
+    "q_llm_boilerplate" -> ((s, d) =>
+      CurationOps.boilerplateRemove(Tables.documents(s, d),
+          k = 8, minFrac = 0.05, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
+    // retrieval chunking: 32-token windows, stride 24 (8-token overlap)
+    "q_llm_chunk" -> ((s, d) =>
+      CurationOps.chunkDocs(Tables.documents(s, d).where(col("doc_id") < 200),
+          size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk"))),
+
+    // systematic PPS sample: every doc whose n_chars interval on the
+    // doc_id-ordered weight axis contains a multiple of 5000
+    "q_llm_syssample" -> ((s, d) =>
+      CurationOps.systematicSample(Tables.documents(s, d), grid = 5000)
+        .orderBy(col("doc_id"))),
+
+    // snapshot diff: old drops doc_id%11=3, new drops doc_id%11=7 and
+    // revises every doc_id%5=0 — all four statuses appear
+    "q_llm_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.where(col("doc_id") % 11 =!= 3)
+      val nw = docs.where(col("doc_id") % 11 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      CurationOps.datasetDiff(old, nw).orderBy(col("doc_id"))
+    }),
+
+    // vocabulary coverage: OOV rate against the top-200 corpus vocabulary
+    "q_llm_oov" -> ((s, d) =>
+      CurationOps.oovRate(Tables.documents(s, d), vocabSize = 200)
+        .orderBy(col("doc_id"))),
+
+    // Bloom ingest dedup: filter built on docs < 300; the batch is docs
+    // >= 300 PLUS re-keyed copies of 20 corpus docs (doc_id + 10000) —
+    // planted true duplicates the filter must drop (Bloom has no false
+    // negatives), so the witness is non-vacuous even though the fixture
+    // has no natural cross-split dupes. xxhash64-pinned => rows-only;
+    // FP-bound / merge-invariance properties in CurationOpsSpec.
+    "q_llm_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") < 300)
+      val batch = docs.where(col("doc_id") >= 300)
+        .unionByName(corpus.where(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      CurationOps.bloomDedup(batch, corpus)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+         seg AS (
+           SELECT doc_id, source, gs AS pos,
+                  array_to_string(list_slice(l, (gs-1)*8 + 1, gs*8), ' ') AS s
+           FROM toks,
+                unnest(generate_series(1,
+                  CAST(ceil(len(l) / 8.0) AS BIGINT))) AS t(gs)),
+         nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         boiler AS (
+           SELECT seg.source, md5(s) AS h
+           FROM seg JOIN nd ON seg.source = nd.source
+           GROUP BY seg.source, md5(s), n_docs
+           HAVING count(DISTINCT doc_id) >=
+                  greatest(2, CAST(ceil(n_docs * 0.05) AS BIGINT)))
+         SELECT doc_id, count(*) AS n_seg,
+                count(h) AS n_boiler,
+                COALESCE(string_agg(CASE WHEN h IS NULL THEN s END,
+                                    ' ' ORDER BY pos), '') AS text
+         FROM seg LEFT JOIN boiler
+           ON seg.source = boiler.source AND md5(seg.s) = boiler.h
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 1)
+         SELECT doc_id, gs AS chunk,
+                CAST(least(32, len(l) - (gs-1)*24) AS BIGINT) AS n_toks,
+                array_to_string(
+                  list_slice(l, (gs-1)*24 + 1, (gs-1)*24 + 32), ' ')
+                  AS chunk_text
+         FROM toks,
+              unnest(generate_series(1,
+                CAST(ceil(greatest(len(l) - 32, 0) / 24.0) AS BIGINT) + 1))
+                AS t(gs)
+         ORDER BY doc_id, chunk""",
+    "q_llm_syssample" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                  SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents WHERE n_chars >= 1)
+         SELECT doc_id, weight,
+                CAST(cum // 5000 - (cum - weight) // 5000 AS BIGINT) AS picks
+         FROM c
+         WHERE cum // 5000 > (cum - weight) // 5000
+         ORDER BY doc_id""",
+    "q_llm_diff" ->
+      """WITH old AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+         nw AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                           ELSE text END) AS h
+           FROM documents WHERE doc_id % 11 <> 7)
+         SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+                CASE WHEN old.h IS NULL THEN 'added'
+                     WHEN nw.h IS NULL THEN 'removed'
+                     WHEN old.h = nw.h THEN 'same'
+                     ELSE 'changed' END AS status
+         FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+         ORDER BY doc_id""",
+    "q_llm_oov" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS n FROM t GROUP BY 1
+             ORDER BY n DESC, token ASC LIMIT 200)),
+         flag AS (
+           SELECT doc_id, t.token,
+                  CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END AS oov
+           FROM t LEFT JOIN vocab ON t.token = vocab.token)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                floor(sum(oov) * 10000.0 / count(*) + 0.5) / 10000 AS oov_rate
+         FROM flag GROUP BY doc_id ORDER BY doc_id""")
+}
