@@ -151,6 +151,35 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** N-gram novelty scoring: the fraction of a document's distinct
+    * `n`-token grams ABSENT from a reference corpus — the graded
+    * complement of [[contamination]]'s boolean hit test, used to rank
+    * fresh crawl content by how much it adds over the accumulated corpus.
+    * Returns (doc_id, n_grams, n_seen, novelty) with novelty rounded to
+    * 4dp; documents shorter than n tokens have no grams and drop out.
+    *
+    * Scale shape: unlike contamination's eval side, a novelty REFERENCE is
+    * itself corpus-sized, so no broadcast is ever assumed — both sides
+    * reduce to 16-byte gram digests and meet in a digest-keyed shuffle
+    * join (uniform keys, no skew); payloads never move. */
+  def noveltyScore(corpus: DataFrame, reference: DataFrame,
+                   n: Int = 3): DataFrame = {
+    val refGrams = tokenNgrams(reference, n)
+      .select(md5(col("g")).as("__h")).distinct()
+      .withColumn("__seen", lit(true))
+    tokenNgrams(corpus, n)
+      .select(col("doc_id"), md5(col("g")).as("__h"))
+      .join(refGrams, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__seen")).as("n_seen"))
+      // diff*10000.0/n (not (diff/n)*10000): the oracle computes in this
+      // order, and the two differ in the last ulp for some rationals —
+      // identical operation ORDER is what makes floor-rounding engine-proof
+      .withColumn("novelty",
+        floor((col("n_grams") - col("n_seen")) * lit(10000.0) / col("n_grams")
+          + 0.5) / 10000)
+  }
+
   /** (doc_id, pos, seg): consecutive `k`-token chunks per document
     * (1-based chunk index; the last chunk may be shorter). The fixed-size
     * chunker is the segmentation fixture — a real pipeline plugs a

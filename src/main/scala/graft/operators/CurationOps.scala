@@ -187,8 +187,10 @@ object CurationOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
            (count(lit(1)) - count(col("__in_vocab"))).as("n_oov"))
+      // n_oov*10000.0/n (not (n_oov/n)*10000): same operation ORDER as the
+      // DuckDB oracle so floor-rounding can't diverge in the last ulp
       .withColumn("oov_rate",
-        floor(col("n_oov") / col("n_tokens") * 10000 + 0.5) / 10000)
+        floor(col("n_oov") * lit(10000.0) / col("n_tokens") + 0.5) / 10000)
   }
 
   // ---------------------------------------------------------------- Bloom

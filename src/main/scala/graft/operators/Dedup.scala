@@ -61,15 +61,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, w: Int = 3, k: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sigs = minhashSignatures(docs, w, k)
-
-    val banded = sigs.select(
-        col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              x => x.cast("string")))))).as(Seq("band", "bucket")))
+    val banded = bandedSigs(docs, w, k, bands)
 
     // cap pathological buckets (boilerplate mega-clusters) — logged cost cap
     val bucketSizes = banded.groupBy(col("band"), col("bucket"))
@@ -83,11 +75,6 @@ object Dedup {
     // The estimate is computed BEFORE the dedup shuffle only for pairs that
     // pass the threshold — dropping sub-threshold pairs early shrinks the
     // shuffle further (a pair's estimate is identical in every band).
-    // matched-positions/k as a codegen'd HOF chain (Sketches.estimateJaccard
-    // semantics) — a Scala UDF here would sit on the band-join hot path
-    val estJac = (a: Column, b: Column) =>
-      size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") /
-        size(a)
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") &&
@@ -98,6 +85,59 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .dropDuplicates(Seq("d1", "d2"))
       .select(col("d1"), col("d2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** (doc_id, sig, band, bucket): the shared LSH banding — band b's bucket
+    * is a hash of the signature's b-th row slice. */
+  private def bandedSigs(docs: DataFrame, w: Int, k: Int,
+                         bands: Int): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(docs, w, k).select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            x => x.cast("string")))))).as(Seq("band", "bucket")))
+  }
+
+  /** matched-positions/k as a codegen'd HOF chain (Sketches.estimateJaccard
+    * semantics) — a Scala UDF here would sit on the band-join hot path. */
+  private val estJac = (a: Column, b: Column) =>
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") /
+      size(a)
+
+  /** Incremental near-dup: each BATCH document's MinHash-LSH matches in an
+    * existing CORPUS — the continuous-ingest twin of [[minhashLsh]], which
+    * pairs a corpus against itself. Returns (batch_id, corpus_id,
+    * est_jaccard >= threshold); a batch doc with no row is novel.
+    *
+    * Scale shape: both sides band identically, the join is an equi-join on
+    * (band, bucket) — batch×corpus pairs only ever materialize inside
+    * shared buckets, never corpus×corpus (the corpus side is semi-join
+    * pruned to capped buckets first, same mega-cluster cap as minhashLsh).
+    * In production the corpus's banded signature table is the thing you
+    * PERSIST (partitioned by band): each new batch then shuffles only
+    * itself — batch-sized work per ingest against a 100 TB accumulated
+    * corpus, the same asymmetry as [[CorpusOps.incrementalDedup]]. */
+  def minhashAgainst(batch: DataFrame, corpus: DataFrame, w: Int = 3,
+                     k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                     maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val cb = bandedSigs(corpus, w, k, bands)
+    val sizes = cb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+    val prunedCorpus = cb.join(sizes, Seq("band", "bucket"), "left_semi")
+    bandedSigs(batch, w, k, bands).as("a")
+      .join(prunedCorpus.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"),
+        estJac(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .dropDuplicates(Seq("batch_id", "corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** 64-bit SimHash over token hashes (sign of per-bit weighted sums) —

@@ -104,6 +104,24 @@ object AggQueries {
     // median / interpolated percentiles (both engines use the linear
     // rank = p*(n-1) definition; floor-rounding per the engine-identical
     // discipline)
+    // second-moment statistics: stddev / variance / correlation /
+    // covariance. All are single-pass partial+final aggregates (the same
+    // distributed-moments shape as avg), 4dp-rounded so engine summation
+    // order can't surface in the last ulp.
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (floor(stddev_samp(col("l_quantity")) * 10000 + 0.5) / 10000)
+            .as("sd_qty"),
+          (floor(var_pop(col("l_quantity")) * 10000 + 0.5) / 10000)
+            .as("var_qty"),
+          (floor(corr(col("l_quantity"), col("l_extendedprice")) * 10000
+            + 0.5) / 10000).as("corr_qp"),
+          (floor(covar_samp(col("l_discount"), col("l_tax")) * 1000000
+            + 0.5) / 1000000).as("cov_dt"))
+        .orderBy(col("l_returnflag"))),
+
     "q_agg_percentile" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -180,6 +198,15 @@ object AggQueries {
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY g_st, g_pr, st, pr""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+                floor(var_pop(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
+                floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+                  AS corr_qp,
+                floor(covar_samp(l_discount, l_tax) * 1000000 + 0.5) / 1000000
+                  AS cov_dt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_percentile" ->
       """SELECT o_orderstatus,
                 floor(median(o_totalprice) * 100 + 0.5) / 100 AS med,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.operators.CurationOps
+import graft.operators.{CorpusOps, CurationOps, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation catalog entries (SURVEY §2B north-star extension,
@@ -51,6 +51,33 @@ object CurationQueries {
     "q_llm_oov" -> ((s, d) =>
       CurationOps.oovRate(Tables.documents(s, d), vocabSize = 200)
         .orderBy(col("doc_id"))),
+
+    // n-gram novelty: fraction of each late doc's distinct trigrams unseen
+    // in the accumulated reference (docs < 250)
+    "q_llm_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.noveltyScore(
+          docs.where(col("doc_id") >= 250),
+          docs.where(col("doc_id") < 250), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental MinHash near-dup: batch docs >= 400 plus planted
+    // perturbed copies of corpus docs (two tokens appended, re-keyed
+    // +10000) matched against the corpus (< 400). The planted copies'
+    // shingle sets stay ~95% identical, far above the 0.5 threshold, so
+    // each must surface — the non-vacuous witness. xxhash64-pinned =>
+    // rows-only; recall/purity properties in DedupSpec.
+    "q_llm_minhash_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") < 400)
+      val batch = docs.where(col("doc_id") >= 400)
+        .unionByName(corpus.where(col("doc_id") < 15)
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .withColumn("text", concat(col("text"), lit(" zq1 zq2"))))
+      Dedup.minhashAgainst(batch, corpus, threshold = 0.5)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
 
     // Bloom ingest dedup: filter built on docs < 300; the batch is docs
     // >= 300 PLUS re-keyed copies of 20 corpus docs (doc_id + 10000) —
@@ -133,6 +160,23 @@ object CurationQueries {
                      ELSE 'changed' END AS status
          FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
          ORDER BY doc_id""",
+    "q_llm_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(l, gs, gs + 2), ' ') AS g
+           FROM toks, unnest(generate_series(1, len(l) - 2)) AS t(gs)
+           WHERE len(l) >= 3),
+         ref AS (
+           SELECT DISTINCT g FROM grams WHERE doc_id < 250)
+         SELECT doc_id, count(*) AS n_grams,
+                count(ref.g) AS n_seen,
+                floor((count(*) - count(ref.g)) * 10000.0 / count(*) + 0.5)
+                  / 10000 AS novelty
+         FROM (SELECT * FROM grams WHERE doc_id >= 250) c
+         LEFT JOIN ref ON c.g = ref.g
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_oov" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token

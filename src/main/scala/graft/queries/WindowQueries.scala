@@ -33,6 +33,25 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // distribution analytics: percent_rank / cume_dist / nth_value.
+    // Order keys are made unique (price, orderkey) so tie handling can't
+    // differ between engines; the nth_value frame is pinned to ROWS
+    // because the SQL-standard default (RANGE) peers tied rows.
+    "q_win_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+                (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("pr"),
+                (floor(cume_dist().over(w) * 10000 + 0.5) / 10000).as("cd"),
+                coalesce(
+                  floor(nth_value(col("o_totalprice"), 3).over(wRows) * 100
+                    + 0.5) / 100,
+                  lit(-1.0)).as("third_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
     "q_win_lag" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -116,6 +135,20 @@ object WindowQueries {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_totalprice DESC, o_orderkey ASC)
          ORDER BY o_custkey, o_orderkey""",
+    "q_win_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+                floor(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000 AS pr,
+                floor(CUME_DIST() OVER w * 10000 + 0.5) / 10000 AS cd,
+                COALESCE(floor(NTH_VALUE(o_totalprice, 3) OVER
+                  (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 + 0.5) / 100,
+                  -1.0) AS third_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)
+         ORDER BY o_orderstatus, o_orderkey""",
     "q_win_lag" ->
       s"""SELECT user_id, event_id, event_type,
                  COALESCE(LAG(event_type, 1) OVER w, 'NONE') AS prev_type,

@@ -347,6 +347,50 @@ class DedupSpec extends SparkSpec {
     assert(cl.length == 5 && cl.forall(c => c._1 == c._2 && c._3))
   }
 
+  test("minhashAgainst: planted perturbed copies recalled, output pure") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val corpus = docs.where(col("doc_id") < 400)
+    // identical copy (est 1.0) + lightly perturbed copy per corpus doc
+    val batch = corpus.where(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .unionByName(corpus.where(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" zq1 zq2"))))
+    val got = Dedup.minhashAgainst(batch, corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // purity: batch ids only on the left, corpus ids only on the right
+    assert(got.forall { case (b, c, _) => b >= 10000 && c < 400 })
+    val byBatch = got.groupBy(_._1)
+    // every identical copy matches its source at estimate 1.0
+    (0L until 10L).foreach { i =>
+      val hits = byBatch.getOrElse(i + 10000, Array.empty)
+      assert(hits.exists(h => h._2 == i && h._3 == 1.0),
+        s"identical copy of doc $i not recalled at est 1.0")
+    }
+    // every perturbed copy still recalls its source (shingle overlap ~95%)
+    (0L until 10L).foreach { i =>
+      val hits = byBatch.getOrElse(i + 20000, Array.empty)
+      assert(hits.exists(h => h._2 == i && h._3 >= 0.5),
+        s"perturbed copy of doc $i not recalled")
+    }
+  }
+
+  test("noveltyScore: duplicated text scores 0, fresh text scores 1") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),          // every trigram seen -> 0.0
+      (11L, "z1 z2 z3 z4 z5"),           // nothing seen -> 1.0
+      (12L, "a b c z1 z2"),              // 1 of 3 trigrams seen -> 0.6667
+      (13L, "x y")                        // < 3 tokens -> drops out
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps.noveltyScore(corpus, ref, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(10L -> 0.0, 11L -> 1.0, 12L -> 0.6667))
+  }
+
   test("token Jaccard inverted-index equals brute-force on a small sample") {
     val s = spark
     import s.implicits._
