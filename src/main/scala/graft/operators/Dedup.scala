@@ -123,11 +123,17 @@ object Dedup {
                      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
                      maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val cb = bandedSigs(corpus, w, k, bands)
-    val sizes = cb.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= maxBucket)
-    val prunedCorpus = cb.join(sizes, Seq("band", "bucket"), "left_semi")
+    // bucket cap via a window count, NOT minhashLsh's groupBy+semi-join:
+    // the semi-join's two branches each recompute the corpus signatures
+    // (the expensive stage), while one window = one shuffle over rows that
+    // are computed once. Singleton corpus buckets stay (no lower bound) —
+    // a batch doc may match the lone corpus doc in its bucket.
+    val wSz = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val prunedCorpus = bandedSigs(corpus, w, k, bands)
+      .withColumn("__bsz", count(lit(1)).over(wSz))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     bandedSigs(batch, w, k, bands).as("a")
       .join(prunedCorpus.as("b"),
         col("a.band") === col("b.band") &&
