@@ -25,6 +25,7 @@ object SparkEntry {
     FunctionQueries.queries ++
     LlmQueries.queries ++
     CurationQueries.queries ++
+    WebQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
     FunctionQueries.oracle ++
     LlmQueries.oracle ++
     CurationQueries.oracle ++
+    WebQueries.oracle ++
     StreamingQueries.oracle
 }

@@ -140,6 +140,10 @@ object GraftFunctions {
     classOf[SimHash64].getName, null, "simhash64",
     "_FUNC_(tokens) - 64-bit SimHash of a string array.", "")
 
+  private val normInfo = new ExpressionInfo(
+    classOf[NormalizeText].getName, null, "normalize_text",
+    "_FUNC_(s) - NFC-normalize, strip diacritics, lowercase.", "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -161,9 +165,17 @@ object GraftFunctions {
       SimHash64(args.head)
     }
 
+  private[functions] val normBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 1, "normalize_text takes exactly 1 argument")
+      NormalizeText(args.head)
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("normalize_text"), normInfo, normBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
@@ -191,6 +203,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64"),
       GraftFunctions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, null, "normalize_text"),
+      GraftFunctions.normBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

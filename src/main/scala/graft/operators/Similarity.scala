@@ -134,4 +134,31 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vid"), col("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization (the standard 4× embedding
+    * compression ahead of ANN serving): scale = max|x| / 127, code_i =
+    * sign(x_i) · floor(|x_i|/scale + 0.5), clamped to ±127 (the clamp only
+    * ever fires on the max element's own rounding). Map-only, whole-stage
+    * codegen; all arithmetic in double so codes are integer-exact and
+    * engine-comparable.
+    *
+    * round-half-AWAY-from-zero is written out as sign·floor(|x|+0.5)
+    * deliberately: `round()` half-even vs half-up differs between engines
+    * (the established halfway-case contract).
+    *
+    * Returns (vec_id, codes array<int>, scale). Zero vectors quantize to
+    * all-zero codes with scale 0. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    embeddings
+      .withColumn("scale", maxAbs / lit(127.0))
+      .withColumn("codes",
+        when(col("scale") === 0.0,
+          transform(xd, _ => lit(0)))
+        .otherwise(transform(xd, x =>
+          least(lit(127.0), floor(abs(x) / col("scale") + lit(0.5)))
+            .multiply(signum(x)).cast("int"))))
+      .select(col("vec_id"), col("codes"), col("scale"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-crawl curation operators (RefinedWeb/CCNet preprocessing family):
+  * text canonicalization, URL host/domain extraction, per-domain document
+  * caps, blocked fuzzy string matching, and snapshot upsert-merge.
+  *
+  * Scale doctrine: canonicalization and URL parsing are map-only codegen;
+  * the domain cap is the SALTED two-stage top-N (a crawl's domain
+  * distribution is the canonical power law — one window partitioned by
+  * domain alone would put a 100M-page domain in one task); fuzzy matching
+  * is blocked on (first char, length) so the candidate space is
+  * vocabulary-, not corpus-, squared; the merge is one full-outer shuffle
+  * on the key.
+  */
+object WebOps {
+
+  /** Canonicalize a text column: NFC + strip diacritics + lowercase
+    * (native [[graft.functions.NormalizeText]]) then collapse runs of
+    * whitespace and trim. Map-only, whole-stage codegen. */
+  def canonical(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    // call_function resolves through the registry so arity/type checks
+    // stay in one place (same route as the SQL surface)
+    trim(regexp_replace(call_function("normalize_text", c), "\\s+", " "))
+  }
+
+  /** Host of a URL column (`https://host/...` → `host`), empty string when
+    * the URL has no scheme-authority shape. Registrable-domain
+    * approximation: host minus a leading `www.`. */
+  def host(url: Column): Column = regexp_extract(url, "://([^/]+)", 1)
+
+  def domain(url: Column): Column =
+    regexp_replace(host(url), "^www\\.", "")
+
+  /** Keep the first `cap` documents (by `ord`) of every domain — the
+    * RefinedWeb per-domain quota. Two-stage salted top-N:
+    * stage 1 partitions the window by (domain, source partition id), so a
+    * hot domain is spread over as many tasks as it has input splits and
+    * each task keeps at most `cap`; stage 2 ranks the ≤ cap·P survivors
+    * per domain globally. Both stages are one shuffle each; no domain ever
+    * concentrates more than cap·P rows in a single task. */
+  def perDomainCap(df: DataFrame, domainCol: Column, ord: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val salted = df.withColumn("__salt", spark_partition_id())
+    val w1 = Window.partitionBy(domainCol, col("__salt")).orderBy(ord)
+    val survivors = salted
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= cap)
+      .drop("__r1", "__salt")
+    val w2 = Window.partitionBy(domainCol).orderBy(ord)
+    survivors
+      .withColumn("__rank", row_number().over(w2))
+      .where(col("__rank") <= cap)
+      .drop("__rank")
+  }
+
+  /** Blocked fuzzy match: for each left string, right strings within
+    * `maxDist` Levenshtein edits, candidates restricted to the same first
+    * character and |length difference| ≤ maxDist — the classic
+    * inverted-block join (candidate space is block-local, never the full
+    * cross product; at crawl scale blocks are vocabulary-sized). Inputs
+    * are one-column frames; returns (left, right, dist). */
+  def fuzzyMatch(left: DataFrame, right: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist")
+    val l = left.select(col(left.columns.head).as("left"))
+      .withColumn("__bl", substring(col("left"), 1, 1))
+    val r = right.select(col(right.columns.head).as("right"))
+      .withColumn("__br", substring(col("right"), 1, 1))
+    l.join(r,
+        col("__bl") === col("__br") &&
+        abs(length(col("left")) - length(col("right"))) <= maxDist &&
+        levenshtein(col("left"), col("right")) <= maxDist)
+      .select(col("left"), col("right"),
+        levenshtein(col("left"), col("right")).as("dist"))
+  }
+
+  /** SCD-1 snapshot merge (MERGE INTO semantics, no tombstones): rows
+    * present in `nw` win; rows only in `old` are carried forward. Returns
+    * the merged table plus a `status` column
+    * (`inserted` / `updated` / `unchanged` / `carried`) so downstream
+    * incremental consumers can subscribe to the change set. One full-outer
+    * shuffle on the key; text comparison is digest-based so the wide text
+    * column never joins twice. */
+  def snapshotMerge(old: DataFrame, nw: DataFrame, key: String): DataFrame = {
+    val o = old.select(col(key).as("__k"), md5(col("text")).as("__oh"))
+    val n = nw.select((col(key).as("__nk") +: nw.columns.filter(_ != key).map(col)) :+
+      md5(col("text")).as("__nh"): _*)
+    val merged = o.join(n, col("__k") === col("__nk"), "full_outer")
+      .withColumn("status",
+        when(col("__oh").isNull, lit("inserted"))
+          .when(col("__nh").isNull, lit("carried"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("updated")))
+      .withColumn(key, coalesce(col("__nk"), col("__k")))
+    // carried rows have no payload from `nw` — the caller re-joins `old`
+    // for them if it needs the full row; the digest is enough for the
+    // change-set contract here
+    merged.select(col(key), col("status"), coalesce(col("__nh"), col("__oh")).as("h"))
+  }
+}

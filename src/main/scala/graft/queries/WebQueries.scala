@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.operators.{GraphOps, Similarity, WebOps}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl curation catalog (SURVEY §2B extension, round 6): text
+  * canonicalization, URL/domain ops with the salted per-domain cap,
+  * domain-graph PageRank, blocked fuzzy matching, snapshot upsert-merge,
+  * and int8 embedding quantization. Every entry is deterministic and
+  * carries an exact DuckDB oracle — including PageRank, whose oracle is
+  * the same fixed-iteration recurrence unrolled as chained CTEs.
+  *
+  * The synthetic corpus has no URLs or diacritics, so fixtures derive them
+  * deterministically IN BOTH ENGINES (same concat/substr/modulo on the
+  * same columns): accent garnish prepended to every third doc, a URL built
+  * from (source, doc_id), typo strings dropped-last-char from the token
+  * vocabulary. The derivation is part of the query contract, so the
+  * Spark/DuckDB comparison still pins the operator math end to end. */
+object WebQueries {
+
+  /** Accent garnish (NFC + decomposable + non-decomposable cases) —
+    * prepended identically by query and oracle. Parity of the underlying
+    * normalizer over this exact set is pinned char-by-char in
+    * TextNormSpec. */
+  private val garnish = "Café ÉLAN ß Münster ﬁn łódź Ø NAÏVE "
+
+  val queries: Map[String, Q] = Map(
+    // CCNet canonicalization: NFC + strip accents + lowercase + whitespace
+    // collapse, via the native codegen normalize_text expression
+    "q_llm_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(lit(garnish), col("text")))
+            .otherwise(concat(lit("  "), col("text"), lit("   "))))
+      docs.select(col("doc_id"),
+          WebOps.canonical(s, col("text")).as("norm"))
+        .withColumn("n_chars_norm", length(col("norm")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain extraction from a derived URL + per-domain doc counts
+    "q_web_domain" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit("-"), col("doc_id") % 13, lit(".example.com/page/"),
+          col("doc_id"), lit("?ref=crawl")))
+      docs.select(WebOps.domain(col("url")).as("domain"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
+    // RefinedWeb per-domain quota: keep the first 3 docs of each domain.
+    // Salted two-stage top-N (skew-proof) must equal the plain
+    // row_number()-per-domain oracle exactly.
+    "q_web_domain_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("domain", concat(col("source"), lit("-"), col("doc_id") % 13))
+      WebOps.perDomainCap(docs, col("domain"), col("doc_id"), cap = 3)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain-graph PageRank, 10 fixed iterations, damping 0.85; edges
+    // derived (doc_id%50) → ((doc_id*31+n_chars)%50) with multiplicity
+    "q_graph_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 31 + col("n_chars")) % 50).as("dst"))
+      GraphOps.pageRank(edges, iters = 10, damping = 0.85)
+        .select(col("node"),
+          (floor(col("rank") * 1e4 + lit(0.5)) / 1e4).as("rank"))
+        .orderBy(col("node"))
+    }),
+
+    // blocked fuzzy match: dropped-last-char typos vs the token vocabulary
+    // at Levenshtein ≤ 1 (block = same first char, |Δlen| ≤ 1)
+    "q_join_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "").distinct()
+      val typos = vocab.where(length(col("token")) > 3)
+        .select(expr("substring(token, 1, length(token) - 1)").as("typo"))
+        .distinct()
+      WebOps.fuzzyMatch(typos.select(col("typo")), vocab.select(col("token")), maxDist = 1)
+        .orderBy(col("left"), col("right"))
+    }),
+
+    // SCD-1 snapshot merge: new snapshot wins, removed rows carried
+    "q_llm_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.where(col("doc_id") % 11 =!= 3)
+      val nw = docs.where(col("doc_id") % 11 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      WebOps.snapshotMerge(old, nw, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // symmetric int8 quantization digest: integer-exact code sums (arrays
+    // stay out of the result — the PCA harness lesson), scale at 4 dp
+    "q_llm_quant" -> ((s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          (floor(col("scale") * 1e4 + lit(0.5)) / 1e4).as("scale4"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + abs(x.cast("long"))).as("q_l1"),
+          aggregate(col("codes"), lit(0L),
+            (a, x) => a + when(abs(x) === 127, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy(col("vec_id"))
+    }))
+
+  /** PageRank oracle: the recurrence unrolled as chained CTEs (DuckDB's
+    * recursive CTEs disallow aggregation in the recursive term, so fixed
+    * iterations are spelled out — generated, not hand-copied). */
+  private def pageRankSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         SELECT n.node,
+                0.15 / c.n + 0.85 * COALESCE(sum(p.r * f.share), 0) AS r
+         FROM nodes n CROSS JOIN cnt c
+         LEFT JOIN flow f ON f.dst = n.node
+         LEFT JOIN $prev p ON p.node = f.src
+         GROUP BY n.node, c.n)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT doc_id % 50 AS src, (doc_id * 31 + n_chars) % 50 AS dst,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM documents GROUP BY 1, 2),
+       deg AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       flow AS (
+         SELECT e.src, e.dst, e.w / deg.outw AS share
+         FROM e JOIN deg ON e.src = deg.src),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+       cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS (SELECT node, 1.0 / c.n AS r FROM nodes CROSS JOIN cnt c),
+       $iterCtes
+       SELECT node, floor(r * 1e4 + 0.5) / 1e4 AS rank
+       FROM r$iters ORDER BY node"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_normalize" ->
+      s"""WITH g AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN '$garnish' || text
+                       ELSE '  ' || text || '   ' END AS text
+           FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(
+                  lower(strip_accents(nfc_normalize(text))),
+                  '\\s+', ' ', 'g')) AS norm,
+                CAST(len(trim(regexp_replace(
+                  lower(strip_accents(nfc_normalize(text))),
+                  '\\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+         FROM g ORDER BY doc_id""",
+    "q_web_domain" ->
+      """WITH u AS (
+           SELECT 'https://www.' || source || '-' || (doc_id % 13) ||
+                  '.example.com/page/' || doc_id || '?ref=crawl' AS url
+           FROM documents)
+         SELECT regexp_replace(regexp_extract(url, '://([^/]+)', 1),
+                               '^www\.', '') AS domain,
+                count(*) AS n_docs
+         FROM u GROUP BY 1 ORDER BY domain""",
+    "q_web_domain_cap" ->
+      """WITH d AS (
+           SELECT doc_id, source || '-' || (doc_id % 13) AS domain
+           FROM documents),
+         r AS (
+           SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+           FROM d)
+         SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
+    "q_graph_pagerank" -> pageRankSql(10),
+    "q_join_fuzzy" ->
+      """WITH vocab AS (
+           SELECT DISTINCT t AS token FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         typos AS (
+           SELECT DISTINCT substr(token, 1, len(token) - 1) AS typo
+           FROM vocab WHERE len(token) > 3)
+         SELECT typo AS "left", token AS "right",
+                CAST(levenshtein(typo, token) AS INT) AS dist
+         FROM typos JOIN vocab
+           ON substr(typo, 1, 1) = substr(token, 1, 1)
+          AND abs(len(typo) - len(token)) <= 1
+          AND levenshtein(typo, token) <= 1
+         ORDER BY "left", "right"""",
+    "q_llm_merge" ->
+      """WITH old AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+         nw AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                           ELSE text END) AS h
+           FROM documents WHERE doc_id % 11 <> 7)
+         SELECT COALESCE(nw.doc_id, old.doc_id) AS doc_id,
+                CASE WHEN old.h IS NULL THEN 'inserted'
+                     WHEN nw.h IS NULL THEN 'carried'
+                     WHEN old.h = nw.h THEN 'unchanged'
+                     ELSE 'updated' END AS status,
+                COALESCE(nw.h, old.h) AS h
+         FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+         ORDER BY doc_id""",
+    "q_llm_quant" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, scale,
+                  CASE WHEN scale = 0
+                       THEN list_transform(xd, x -> 0)
+                       ELSE list_transform(xd, x ->
+                         CAST(least(127.0, floor(abs(x) / scale + 0.5)) *
+                              sign(x) AS INT))
+                  END AS codes
+           FROM q)
+         SELECT vec_id,
+                floor(scale * 1e4 + 0.5) / 1e4 AS scale4,
+                CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT)))
+                     AS BIGINT) AS q_sum,
+                CAST(list_sum(list_transform(codes,
+                     x -> abs(CAST(x AS BIGINT)))) AS BIGINT) AS q_l1,
+                CAST(list_sum(list_transform(codes,
+                     x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END))
+                     AS BIGINT) AS n_sat
+         FROM c ORDER BY vec_id""")
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class WebOpsSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  test("perDomainCap equals the single-window reference (salted ≡ plain)") {
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("domain", concat(col("source"), lit("-"), col("doc_id") % 7))
+      // multiple input splits so the salt actually varies
+      .repartition(8)
+    val got = WebOps.perDomainCap(docs, col("domain"), col("doc_id"), cap = 4)
+      .select("doc_id").as[Long].collect().sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+    val want = docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("fuzzyMatch blocked join equals the unblocked brute force at maxDist=1") {
+    val left = Seq("tabl", "scna", "valu", "zzz", "spark").toDF("s")
+    val right = Seq("table", "scan", "value", "spark", "spork", "park").toDF("s")
+    val got = WebOps.fuzzyMatch(left, right, maxDist = 1)
+      .as[(String, String, Int)].collect().toSet
+    val want = (for {
+      l <- Seq("tabl", "scna", "valu", "zzz", "spark")
+      r <- Seq("table", "scan", "value", "spark", "spork", "park")
+      d = levenshteinLocal(l, r) if d <= 1
+      // the block (first char + length) must not LOSE any ≤1-edit pair:
+      // one edit changes length by ≤1 and can only change the first char
+      // via a substitution/deletion there — those pairs are asserted absent
+      if l.head == r.head
+    } yield (l, r, d)).toSet
+    assert(got == want && got.nonEmpty)
+    // completeness caveat made explicit: pairs differing in the first char
+    // are outside the block by design (document, don't silently miss)
+    assert(!got.contains(("park", "spark", 1)))
+  }
+
+  private def levenshteinLocal(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("snapshotMerge statuses partition the key space") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = WebOps.snapshotMerge(old, nw, "doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "carried", 2L -> "unchanged",
+      3L -> "updated", 4L -> "inserted"))
+  }
+
+  test("quantizeInt8 reconstruction error is bounded by scale/2 per element") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+    val rows = Similarity.quantizeInt8(emb)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("codes"), col("scale"), col("embedding"))
+      .collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val scale = r.getDouble(2)
+      val x = r.getSeq[Float](3)
+      assert(codes.length == x.length)
+      codes.zip(x).foreach { case (q, xv) =>
+        assert(math.abs(q) <= 127)
+        // clamp can bite only on |x| = max|x| (its own rounding), where the
+        // error is still ≤ scale/2
+        assert(math.abs(q * scale - xv.toDouble) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+}
