@@ -26,6 +26,8 @@ object SparkEntry {
     LlmQueries.queries ++
     CurationQueries.queries ++
     WebQueries.queries ++
+    RetrievalQueries.queries ++
+    AnalyticsQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -37,5 +39,7 @@ object SparkEntry {
     LlmQueries.oracle ++
     CurationQueries.oracle ++
     WebQueries.oracle ++
+    RetrievalQueries.oracle ++
+    AnalyticsQueries.oracle ++
     StreamingQueries.oracle
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels and cohort retention —
+  * the reference's event-sessionization family taken to its two standard
+  * OLAP endpoints.
+  *
+  * Scale shape: both operators are per-user aggregations — one shuffle on
+  * user_id each — and the funnel's per-step refinement joins the compact
+  * per-user step-time table (|users| rows) back to the events scan, never
+  * events-to-events. Timestamps compare as epoch seconds (the catalog's
+  * cross-engine numeric contract).
+  */
+object Analytics {
+
+  /** Ordered funnel: for each user, the earliest chain
+    * t₁ < t₂ < … < tₙ with tᵢ an event of `steps(i−1)` and the whole chain
+    * inside `withinSec` of t₁. GREEDY-EARLIEST chain (each tᵢ is the
+    * earliest qualifying event after tᵢ₋₁) — the standard product-funnel
+    * semantics. Returns one row per step:
+    * (step, event_type, n_users, conv_pct) with conversion relative to
+    * step 1.
+    *
+    * Each refinement round shuffles only the |users|-row frontier; the
+    * events table is probed `steps.size` times map-side (same scan,
+    * pushed filter on event_type). */
+  def funnel(events: DataFrame, steps: Seq[String], withinSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"),
+      col("ts").cast("long").as("t"))
+    // frontier: (user_id, t_prev, t_first)
+    var frontier = ev.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_prev"))
+      .withColumn("t_first", col("t_prev"))
+      .localCheckpoint()
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, frontier.count()))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      frontier = ev.where(col("event_type") === step)
+        .join(frontier, "user_id")
+        .where(col("t") > col("t_prev") &&
+          col("t") <= col("t_first") + withinSec)
+        .groupBy(col("user_id"), col("t_first"))
+        .agg(min(col("t")).as("t_prev"))
+        .localCheckpoint()
+      counts += ((i + 1, step, frontier.count()))
+    }
+    val rows = counts.result()
+    val base = math.max(1L, rows.head._3).toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("step", "event_type", "n_users")
+      .withColumn("conv_pct",
+        floor(col("n_users") / base * 1e4 + lit(0.5)) / 1e2)
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event; a cohort's week-w retention is the number of its users
+    * with any event in week (cohort + w). Weeks are epoch-days/7 (both
+    * engines integer-exact). Returns (cohort_week, week_offset, n_users).
+    *
+    * Two shuffles: first-event per user, then (cohort, offset) count over
+    * the distinct per-user activity weeks. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      (col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+      .select(col("user_id"), (col("d") / 7L).cast("long").as("w"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cw"), (col("w") - col("cw")).as("off"))
+      .distinct()
+      .groupBy(col("cw").as("cohort_week"), col("off").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

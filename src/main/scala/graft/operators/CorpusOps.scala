@@ -428,6 +428,54 @@ object CorpusOps {
         expr("floor(exp(m) * 10000 + 0.5) / 10000").as("ppl"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, simplified to
+    * unigram token features): each raw document is scored by the
+    * length-normalized log-likelihood ratio of an in-domain (`target`)
+    * add-k unigram LM against the raw-corpus LM —
+    * llr(d) = mean_w [ln p_t(w) − ln p_r(w)] — so llr > 0 reads "more
+    * target-like than raw-like" and the caller resamples proportionally
+    * (or takes the positive tail). Both LMs share the UNION vocabulary so
+    * the smoothing mass is comparable.
+    *
+    * Scale shape: two vocabulary-sized count aggregates, full-outer-merged
+    * into ONE per-token ratio table that is broadcast (guarded on its own
+    * row count — the [[tfIdf]] broadcast-guard lesson: key the guard on
+    * the broadcast side's cardinality, nothing else); the raw corpus is
+    * then probed map-side, one aggregation per doc. No corpus-sized
+    * shuffle beyond the tokenize-count. */
+  def importanceWeight(raw: DataFrame, target: DataFrame, k: Double = 0.5,
+                       maxBroadcastVocab: Long = 10L * 1000 * 1000): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+    val ct = toks(target).groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    val cr = toks(raw).groupBy(col("token")).agg(count(lit(1)).as("cr"))
+    val merged = ct.join(cr, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val row = merged.agg(sum(col("ct")), sum(col("cr")), count(lit(1))).collect()(0)
+    val (totT, totR, vocab) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (denT, denR) = (totT + k * (vocab + 1), totR + k * (vocab + 1))
+    val ratios = merged.select(col("token"),
+      (log((col("ct") + k) / denT) - log((col("cr") + k) / denR)).as("llr_tok"))
+    val lm =
+      if (vocab <= maxBroadcastVocab) broadcast(ratios)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"importanceWeight: union vocabulary has $vocab entries " +
+          s"(> $maxBroadcastVocab) — falling back to a shuffle-hash join")
+        ratios.hint("shuffle_hash")
+      }
+    toks(raw)
+      // inner join: every raw token is in the union vocabulary by
+      // construction, so nothing drops
+      .join(lm, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("llr_tok")).as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("floor(m * 10000 + 0.5) / 10000").as("llr"),
+        (col("m") > 0).as("target_like"))
+  }
+
   /** Bigram LM perplexity with Jelinek-Mercer interpolation — the
     * next-order refinement of [[lmPerplexity]]:
     * p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·p_addk(w), scored as

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval primitives over the document corpus: inverted-index
+  * construction and BM25 scoring — the lexical half of a RAG stack (the
+  * dense half is [[Similarity]]/[[Ivf]]/[[Pq]]).
+  *
+  * Scale shape: everything is one (token → postings) shuffle over the
+  * tokenized corpus; document-frequency and corpus statistics are
+  * vocabulary-sized aggregates. BM25 query terms are a broadcast list, so
+  * scoring is one semi-join-shaped probe of the token table — never a
+  * corpus self-join. Postings are doc_id-sorted per token; at 100 TB the
+  * posting list of a stop-word-frequency token is millions of entries, so
+  * the index op keeps postings as rows (token, doc_id, tf) — the grouped
+  * array form is a per-token reduction the caller opts into for digest /
+  * export, exactly like the reference's per-sample sink fan-out.
+  */
+object RetrievalOps {
+
+  /** Tokenized (doc_id, token, tf) + per-doc length `dl` — the shared
+    * scan for index build and scoring. */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Row-form inverted index: (token, df, cf, postings) with postings the
+    * doc_id-ascending list of (doc_id, tf) structs. df = document
+    * frequency, cf = collection frequency. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    termFreqs(docs)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+
+  /** Okapi BM25 (Lucene idf formulation: ln(1 + (N − df + 0.5)/(df + 0.5)))
+    * of every document against a bag of query terms. `terms` is a
+    * one-column frame of tokens (deduplicated here; term multiplicity in
+    * the query does not re-weight, matching Lucene). Returns
+    * (doc_id, n_hit, score) for documents matching ≥ 1 term.
+    *
+    * The idf/tf math runs in double with the sum ordered by token inside
+    * one aggregation — deterministic to ~1 ulp, rounded by callers at 4 dp
+    * (the established contract). */
+  def bm25(docs: DataFrame, terms: DataFrame, k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val tf = termFreqs(docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val q = terms.select(col(terms.columns.head).as("token")).distinct()
+    // vocabulary-sized side joined broadcast; the corpus-sized tf table is
+    // probed once
+    val qdf = broadcast(q.join(df, "token").crossJoin(stats)
+      .select(col("token"),
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"),
+        col("avgdl")))
+    tf.join(qdf, "token")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("token"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+          .as("part"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("part")).as("score"))
+  }
+}

@@ -36,6 +36,29 @@ object WebOps {
   def domain(url: Column): Column =
     regexp_replace(host(url), "^www\\.", "")
 
+  /** Canonical URL for crawl-level dedup: lowercase scheme+host, drop the
+    * fragment, drop default :80/:443 ports, drop tracking parameters
+    * (utm_*, fbclid, gclid, ref), sort surviving query parameters, strip a
+    * trailing slash from non-root paths and a dangling '?'. Two URLs that
+    * differ only in parameter order / case / tracking garbage map to the
+    * same string — the keep-first exact-dedup key for page-level dedup.
+    * Pure column expressions (split/filter/sort HOFs), map-only codegen. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val schemeHost = lower(regexp_extract(base, "^([^:]+://[^/]+)", 1))
+    val hostNoPort = regexp_replace(schemeHost, ":(80|443)$", "")
+    val path0 = regexp_extract(base, "^[^:]+://[^/]+(/.*)?$", 1)
+    val path = when(length(path0) > 1,
+      regexp_replace(path0, "/$", "")).otherwise(path0)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(hostNoPort, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** Keep the first `cap` documents (by `ord`) of every domain — the
     * RefinedWeb per-domain quota. Two-stage salted top-N:
     * stage 1 partitions the window by (domain, source partition id), so a

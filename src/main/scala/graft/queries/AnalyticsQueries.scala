@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics catalog: ordered funnel and weekly cohort
+  * retention over the events table. Timestamps compare as epoch seconds
+  * (the catalog's cross-engine numeric contract, `WindowQueries.ep`). */
+object AnalyticsQueries {
+
+  private val ep =
+    "datediff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP))"
+
+  val queries: Map[String, Q] = Map(
+    // view → click → purchase, greedy-earliest chain within 24 h of the
+    // first view
+    "q_evt_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d),
+          Seq("view", "click", "purchase"), withinSec = 86400L)
+        .orderBy(col("step"))),
+
+    // weekly cohorts (epoch-week of first event), distinct active users
+    // per (cohort, offset)
+    "q_evt_cohort" -> ((s, d) =>
+      Analytics.cohortRetention(Tables.events(s, d))
+        .orderBy(col("cohort_week"), col("week_offset"))))
+
+  val oracle: Map[String, String] = Map(
+    "q_evt_funnel" ->
+      s"""WITH e AS (
+            SELECT user_id, event_type, $ep AS t FROM events),
+          s1 AS (
+            SELECT user_id, min(t) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (
+            SELECT e.user_id, s1.t1, min(e.t) AS t2
+            FROM e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.t > s1.t1
+              AND e.t <= s1.t1 + 86400
+            GROUP BY 1, 2),
+          s3 AS (
+            SELECT e.user_id, s2.t1, min(e.t) AS t3
+            FROM e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.t > s2.t2
+              AND e.t <= s2.t1 + 86400
+            GROUP BY 1, 2),
+          base AS (SELECT greatest(count(*), 1) AS b FROM s1),
+          rows_ AS (
+            SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3))
+          SELECT step, event_type, n_users,
+                 floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
+                   AS conv_pct
+          FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_cohort" ->
+      s"""WITH w AS (
+            SELECT user_id, CAST(($ep // 86400) // 7 AS BIGINT) AS w
+            FROM events),
+          cohort AS (SELECT user_id, min(w) AS cw FROM w GROUP BY 1),
+          act AS (
+            SELECT DISTINCT w.user_id, cohort.cw, w.w - cohort.cw AS off
+            FROM w JOIN cohort ON w.user_id = cohort.user_id)
+          SELECT cw AS cohort_week, off AS week_offset,
+                 count(*) AS n_users
+          FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
+}

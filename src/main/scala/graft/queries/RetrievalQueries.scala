@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.operators.{CorpusOps, RetrievalOps}
+import org.apache.spark.sql.functions._
+
+/** Lexical-retrieval + data-selection catalog entries: inverted index,
+  * BM25 scoring, DSIR importance weighting. All hash-exact against DuckDB
+  * oracles (postings compare by an order-pinned digest — the array-free
+  * result-shape contract). */
+object RetrievalQueries {
+
+  /** Fixed bag-of-terms query shared by the Spark query and the oracle. */
+  private val bm25Terms = Seq("table", "key", "spark", "window", "merge")
+
+  val queries: Map[String, Q] = Map(
+    // inverted index: df, cf, and an order-pinned digest of the
+    // doc_id-ascending postings list
+    "q_llm_inverted" -> ((s, d) => {
+      RetrievalOps.invertedIndex(Tables.documents(s, d))
+        .select(col("token"), col("df"), col("cf"),
+          md5(array_join(transform(col("postings"),
+            p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
+            ",")).as("postings_md5"))
+        .orderBy(col("token"))
+    }),
+
+    // Okapi BM25 over a fixed 5-term query, Lucene idf
+    "q_llm_bm25" -> ((s, d) => {
+      val terms = {
+        import s.implicits._
+        bm25Terms.toDF("token")
+      }
+      RetrievalOps.bm25(Tables.documents(s, d), terms)
+        .select(col("doc_id"), col("n_hit"),
+          (floor(col("score") * 1e4 + lit(0.5)) / 1e4).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weighting: target LM = src0 docs, raw LM = corpus
+    "q_llm_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.importanceWeight(docs, docs.where(col("source") === "src0"))
+        .select(col("doc_id"), col("n_tokens"), col("llr"),
+          col("target_like").cast("int").as("target_like"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private val termsSqlList = bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_inverted" ->
+      """WITH tok AS (
+           SELECT doc_id, t AS token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+         SELECT token, count(*) AS df, sum(tf) AS cf,
+                md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+                  AS postings_md5
+         FROM tf GROUP BY token ORDER BY token""",
+    "q_llm_bm25" ->
+      s"""WITH tok AS (
+           SELECT doc_id, t AS token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         q AS (SELECT DISTINCT u.t AS token
+               FROM unnest($termsSqlList) AS u(t)),
+         dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         qdf AS (
+           SELECT q.token,
+                  ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) AS idf,
+                  st.avgdl AS avgdl
+           FROM q JOIN dfr ON q.token = dfr.token CROSS JOIN st)
+         SELECT tf.doc_id, count(*) AS n_hit,
+                floor(sum(idf * (tf * (1.2 + 1)) /
+                  (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) * 1e4 + 0.5)
+                  / 1e4 AS score
+         FROM tf JOIN qdf ON tf.token = qdf.token
+                 JOIN dl ON tf.doc_id = dl.doc_id
+         GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+    "q_llm_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id, source, t AS token FROM (
+             SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         ct AS (SELECT token, count(*) AS ct FROM tok
+                WHERE source = 'src0' GROUP BY 1),
+         cr AS (SELECT token, count(*) AS cr FROM tok GROUP BY 1),
+         merged AS (
+           SELECT COALESCE(cr.token, ct.token) AS token,
+                  COALESCE(ct.ct, 0) AS ct, COALESCE(cr.cr, 0) AS cr
+           FROM ct FULL OUTER JOIN cr ON ct.token = cr.token),
+         tot AS (
+           SELECT sum(ct) AS tot_t, sum(cr) AS tot_r, count(*) AS v
+           FROM merged),
+         ratios AS (
+           SELECT token,
+                  ln((ct + 0.5) / (tot_t + 0.5 * (v + 1))) -
+                  ln((cr + 0.5) / (tot_r + 0.5 * (v + 1))) AS llr_tok
+           FROM merged CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                floor(avg(llr_tok) * 1e4 + 0.5) / 1e4 AS llr,
+                CAST(avg(llr_tok) > 0 AS INT) AS target_like
+         FROM tok JOIN ratios ON tok.token = ratios.token
+         GROUP BY doc_id ORDER BY doc_id""")
+}

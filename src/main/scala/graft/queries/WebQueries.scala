@@ -87,6 +87,26 @@ object WebQueries {
         .orderBy(col("left"), col("right"))
     }),
 
+    // URL canonicalization: two messy variants per (host,path,param) key —
+    // different case, default port, tracking params, param order, trailing
+    // slash, fragment — must collapse to ONE canonical form (n = 2·k)
+    "q_web_canon_url" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("url",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("HTTPS://WWW.EXAMPLE"), col("doc_id") % 5,
+              lit(".COM:443/Path"), col("doc_id") % 3,
+              lit("/?b=2&a="), col("doc_id") % 7,
+              lit("&utm_source=feed&fbclid=xyz#frag")))
+          .otherwise(
+            concat(lit("https://www.example"), col("doc_id") % 5,
+              lit(".com/Path"), col("doc_id") % 3,
+              lit("?a="), col("doc_id") % 7, lit("&b=2&ref=tw"))))
+      docs.select(WebOps.canonicalUrl(col("url")).as("canon"))
+        .groupBy(col("canon")).agg(count(lit(1)).as("n"))
+        .orderBy(col("canon"))
+    }),
+
     // SCD-1 snapshot merge: new snapshot wins, removed rows carried
     "q_llm_merge" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -177,6 +197,41 @@ object WebQueries {
            FROM d)
          SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
     "q_graph_pagerank" -> pageRankSql(10),
+    "q_web_canon_url" ->
+      """WITH u AS (
+           SELECT CASE WHEN doc_id % 2 = 0 THEN
+                    'HTTPS://WWW.EXAMPLE' || (doc_id % 5) ||
+                    '.COM:443/Path' || (doc_id % 3) ||
+                    '/?b=2&a=' || (doc_id % 7) ||
+                    '&utm_source=feed&fbclid=xyz#frag'
+                  ELSE
+                    'https://www.example' || (doc_id % 5) ||
+                    '.com/Path' || (doc_id % 3) ||
+                    '?a=' || (doc_id % 7) || '&b=2&ref=tw'
+                  END AS url
+           FROM documents),
+         c AS (
+           SELECT regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+         p AS (
+           SELECT regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+                  regexp_extract(nofrag, '^[^?]*\?(.*)$', 1) AS query
+           FROM c),
+         parts AS (
+           SELECT regexp_replace(
+                    lower(regexp_extract(base, '^([^:]+://[^/]+)', 1)),
+                    ':(80|443)$', '') AS hostpart,
+                  regexp_extract(base, '^[^:]+://[^/]+(/.*)?$', 1) AS path0,
+                  array_to_string(list_sort(list_filter(
+                    string_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                      '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS sq
+           FROM p)
+         SELECT hostpart ||
+                (CASE WHEN len(path0) > 1
+                      THEN regexp_replace(path0, '/$', '') ELSE path0 END) ||
+                (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canon,
+                count(*) AS n
+         FROM parts GROUP BY 1 ORDER BY canon""",
     "q_join_fuzzy" ->
       """WITH vocab AS (
            SELECT DISTINCT t AS token FROM (

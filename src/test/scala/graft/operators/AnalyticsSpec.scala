@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("funnel: ordered-chain semantics, window bound, out-of-order excluded") {
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // u2: purchase BEFORE click → chain stops at click
+      (2L, "view", ts(0)), (2L, "purchase", ts(5)), (2L, "click", ts(10)),
+      // u3: click outside the window
+      (3L, "view", ts(0)), (3L, "click", ts(200)),
+      // u4: never views (click alone must not enter the funnel)
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)),
+      // u5: completes; also has an EARLIER view whose chain fails —
+      // greedy-earliest anchors at the first view
+      (5L, "view", ts(0)), (5L, "view", ts(50)),
+      (5L, "click", ts(60)), (5L, "purchase", ts(70))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(ev, Seq("view", "click", "purchase"),
+        withinSec = 100L * 60)
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    // step1: u1,u2,u3,u5; step2: u1,u2,u5 (u3 out of window); step3: u1,u5
+    // (u2's purchase precedes its click)
+    assert(got == Map(1 -> 4L, 2 -> 3L, 3 -> 2L))
+  }
+
+  test("funnel conversion percentages are relative to step 1") {
+    val ev = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(1)),
+      (2L, "a", ts(0))).toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(ev, Seq("a", "b"), withinSec = 3600)
+      .select("step", "conv_pct").as[(Int, Double)].collect().toMap
+    assert(got(1) == 100.0 && got(2) == 50.0)
+  }
+
+  test("cohortRetention: offsets count distinct users, week 0 covers everyone") {
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(7L * 1440)),                  // cohort w0, active w0+w1
+      (2L, ts(0)), (2L, ts(0)),                          // dup events, one w0 row
+      (3L, ts(7L * 1440)), (3L, ts(21L * 1440))          // cohort w1, active w1+w3
+    ).map { case (u, t) => (u, "e", t) }.toDF("user_id", "event_type", "ts")
+    val got = Analytics.cohortRetention(ev)
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("canonicalUrl goldens: case, port, tracking params, order, fragment") {
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/?b=2&a=1&utm_source=x#f" -> "https://www.ex.com/A?a=1&b=2",
+      "https://www.ex.com/A?a=1&b=2&ref=tw"              -> "https://www.ex.com/A?a=1&b=2",
+      "http://EX.com:80/"                                -> "http://ex.com/",
+      "http://ex.com:8080/p"                             -> "http://ex.com:8080/p",
+      "https://ex.com/p?utm_campaign=z"                  -> "https://ex.com/p",
+      "https://ex.com"                                   -> "https://ex.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(WebOps.canonicalUrl(col("url"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalOpsSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple apple apple durian"),
+    (4L, "elderberry")).toDF("doc_id", "text")
+
+  test("invertedIndex: postings are doc_id-sorted, df/cf consistent") {
+    val idx = RetrievalOps.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(idx.keySet == Set("apple", "banana", "cherry", "durian", "elderberry"))
+    val apple = idx("apple")
+    assert(apple.getLong(1) == 2 && apple.getLong(2) == 5)  // df, cf
+    val posts = apple.getSeq[org.apache.spark.sql.Row](3)
+    assert(posts.map(_.getLong(0)) == Seq(1L, 3L))           // sorted doc_ids
+    assert(posts.map(_.getLong(1)) == Seq(2L, 3L))           // tfs
+  }
+
+  test("bm25: more matched terms and rarer terms score higher") {
+    val terms = Seq("apple", "banana").toDF("token")
+    val scores = RetrievalOps.bm25(docs, terms)
+      .select("doc_id", "n_hit", "score")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // doc 4 matches nothing → absent
+    assert(!scores.contains(4L))
+    // doc 1 hits both terms; docs 2,3 hit one each
+    assert(scores(1L)._2 == 2 && scores(2L)._2 == 1 && scores(3L)._2 == 1)
+    assert(scores(1L)._3 > scores(2L)._3)
+    // all scores positive (Lucene idf is always > 0)
+    scores.values.foreach { case (_, _, sc) => assert(sc > 0) }
+  }
+
+  test("bm25 tf saturation: score grows sublinearly in tf") {
+    val terms = Seq("apple").toDF("token")
+    val scores = RetrievalOps.bm25(docs, terms)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // doc 3 (tf=3, dl=4) beats doc 1 (tf=2, dl=3) but by less than 3/2×
+    assert(scores(3L) > scores(1L))
+    assert(scores(3L) < scores(1L) * 1.5)
+  }
+
+  test("importanceWeight: target-vocabulary docs score positive, others negative") {
+    val target = Seq((100L, "alpha beta alpha"), (101L, "beta alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta"),         // pure target vocabulary
+      (2L, "gamma delta epsilon") // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val w = CorpusOps.importanceWeight(raw, target)
+      .select("doc_id", "llr").as[(Long, Double)].collect().toMap
+    assert(w(1L) > 0 && w(2L) < 0)
+  }
+
+  test("importanceWeight is ~0 when target equals raw") {
+    val d = docs
+    val w = CorpusOps.importanceWeight(d, d)
+      .select("llr").as[Double].collect()
+    // identical LMs ⇒ per-token llr exactly 0 ⇒ per-doc 0 (4 dp)
+    assert(w.forall(_ == 0.0))
+  }
+}
