@@ -144,6 +144,10 @@ object GraftFunctions {
     classOf[NormalizeText].getName, null, "normalize_text",
     "_FUNC_(s) - NFC-normalize, strip diacritics, lowercase.", "")
 
+  private val dotI8Info = new ExpressionInfo(
+    classOf[DotProductI8].getName, null, "dot_i8",
+    "_FUNC_(a, b) - integer dot product of two int arrays in long.", "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -171,6 +175,12 @@ object GraftFunctions {
       NormalizeText(args.head)
     }
 
+  private[functions] val dotI8Builder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "dot_i8 takes exactly 2 arguments")
+      DotProductI8(args.head, args(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -180,6 +190,8 @@ object GraftFunctions {
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_i8"), dotI8Info, dotI8Builder)
   }
 }
 
@@ -207,6 +219,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, null, "normalize_text"),
       GraftFunctions.normBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, null, "dot_i8"),
+      GraftFunctions.dotI8Builder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

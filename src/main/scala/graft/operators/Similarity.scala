@@ -161,4 +161,34 @@ object Similarity {
             .multiply(signum(x)).cast("int"))))
       .select(col("vec_id"), col("codes"), col("scale"))
   }
+
+  /** Exact top-k over int8-QUANTIZED vectors: both sides quantized by
+    * [[quantizeInt8]], scored with the native integer dot
+    * ([[graft.functions.DotProductI8]]) and de-scaled,
+    * score = (Σ qa·qb) · scale_a · scale_b ≈ ⟨a,b⟩. Same broadcast-query /
+    * scan-candidates shape as [[bruteForceTopK]] but moving 4× fewer bytes
+    * per vector — the bandwidth-bound regime a 100 TB embedding sweep
+    * lives in. The integer dot is exact, so the ranking is fully
+    * deterministic (only the two scale multiplications are floating
+    * point, pinned left-associative for engine parity).
+    *
+    * Returns (qid, rn, vid, score). Recall vs the float path is a
+    * property (SimilaritySpec), not a guarantee — quantization perturbs
+    * near-ties. */
+  def int8TopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = quantizeInt8(queries)
+      .select(col("vec_id").as("qid"), col("codes").as("qc"), col("scale").as("qs"))
+    val c = quantizeInt8(graft.core.Tables.spread(candidates, col("vec_id")))
+      .select(col("vec_id").as("vid"), col("codes").as("cc"), col("scale").as("cs"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (call_function("dot_i8", col("qc"), col("cc")).cast("double")
+          * col("qs") * col("cs")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("score"))
+  }
 }

@@ -37,6 +37,18 @@ object RetrievalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // int8-quantized exact top-k: integer dot (deterministic) de-scaled;
+    // ranking happens on bit-identical doubles so even the rank column is
+    // engine-exact
+    "q_llm_ann_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.int8TopK(
+          emb.where(col("vec_id") < 10), emb, k = 5)
+        .select(col("qid"), col("rn"), col("vid"),
+          (floor(col("score") * 1e4 + lit(0.5)) / 1e4).as("score"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // DSIR importance weighting: target LM = src0 docs, raw LM = corpus
     "q_llm_dsir" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -84,6 +96,34 @@ object RetrievalQueries {
          FROM tf JOIN qdf ON tf.token = qdf.token
                  JOIN dl ON tf.doc_id = dl.doc_id
          GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+    "q_llm_ann_int8" ->
+      """WITH q0 AS (
+           SELECT vec_id,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           FROM embeddings),
+         qt AS (
+           SELECT vec_id, scale,
+                  CASE WHEN scale = 0
+                       THEN list_transform(xd, x -> 0)
+                       ELSE list_transform(xd, x ->
+                         CAST(least(127.0, floor(abs(x) / scale + 0.5)) *
+                              sign(x) AS INT))
+                  END AS codes
+           FROM q0),
+         scored AS (
+           SELECT a.vec_id AS qid, b.vec_id AS vid,
+                  (CAST(list_dot_product(a.codes, b.codes) AS DOUBLE)
+                    * a.scale) * b.scale AS score
+           FROM qt a JOIN qt b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT qid, vid, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, vid ASC) AS INT) AS rn
+           FROM scored)
+         SELECT qid, rn, vid, floor(score * 1e4 + 0.5) / 1e4 AS score
+         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "q_llm_dsir" ->
       """WITH tok AS (
            SELECT doc_id, source, t AS token FROM (

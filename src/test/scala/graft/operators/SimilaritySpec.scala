@@ -158,4 +158,46 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.count(approx).toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall (|exact|=${exact.size})")
   }
+
+  test("int8 top-k recall@5 >= 0.9 vs float brute force (dot ranking)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") < 20)
+    // compare against the float DOT ranking (int8TopK approximates the
+    // dot, not the cosine): norms differ per candidate, so rank by
+    // descaled dot on both sides
+    graft.functions.GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vid").asc)
+    val exact = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("vid"), col("embedding").as("cv")))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        expr("dot_f(qv, cv)").as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.int8TopK(q, emb, k = 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("int8 top-k score approximates the true dot within the quantization bound") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") < 5)
+    graft.functions.GraftFunctions.register(spark)
+    val truth = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("vid"), col("embedding").as("cv")))
+      .select(col("qid"), col("vid"), expr("dot_f(qv, cv)").as("t"))
+    val rows = Similarity.int8TopK(q, emb, k = 5)
+      .join(truth, Seq("qid", "vid"))
+      .select("score", "t").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, t) = (r.getDouble(0), r.getDouble(1))
+      // per-element error ≤ scale/2 each side ⇒ dot error is O(d·s_a·s_b);
+      // with 64 dims and unit-ish synthetic vectors a 5% relative + small
+      // absolute envelope is conservative
+      assert(math.abs(s - t) <= math.abs(t) * 0.05 + 0.05, s"score=$s truth=$t")
+    }
+  }
 }
