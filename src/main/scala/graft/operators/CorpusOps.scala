@@ -206,6 +206,29 @@ object CorpusOps {
     * (digest, doc_id, pos, seg) rows — corpus-sized, unavoidable for an
     * op that rewrites the corpus), one shuffle on doc_id to reassemble;
     * per-doc state is bounded by document length. */
+  /** WITHIN-document repeated-segment removal — C4's "dedupe repeated
+    * lines in a page" rule, the intra-doc sibling of [[segmentDedup]]:
+    * a segment repeated inside ONE document keeps only its first
+    * occurrence; other documents are unaffected. Same (doc_id, pos, seg)
+    * input contract. One doc_id-keyed shuffle (the window partitions on
+    * (doc_id, digest) — finer than doc_id, so no skew concern beyond
+    * document length), one to reassemble. Returns (doc_id, n_seg,
+    * n_dropped, text). */
+  def intraDocDedup(segments: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("__h")).orderBy(col("pos"))
+    segments
+      .withColumn("__h", md5(col("seg")))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ").as("text"))
+  }
+
   def segmentDedup(segments: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("doc_id"), col("pos"))
@@ -1227,4 +1250,82 @@ object CorpusOps {
   /** (doc_id, split) for every document. */
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), splitColumn(col("text")).as("split"))
+
+  /** Curriculum / mixing order: rank documents by `ord` DESCENDING within
+    * each `stratum` (quality-first curriculum), then interleave strata
+    * round-robin — consumption position sorts by (per-stratum rank,
+    * stratum), so epoch position p cycles through strata at equal depth
+    * and a stratum that exhausts simply drops out of the rotation (the
+    * standard deterministic data-ordering recipe).
+    *
+    * BOTH ranks are computed with the bucketed parallel-prefix machinery
+    * ([[lengthBatches]]' shape) — never a per-stratum or global
+    * single-partition window, because at crawl scale a stratum is
+    * billions of rows and "one window per stratum" is one task per
+    * stratum:
+    *  1. per-stratum rank: bucket on the ord value range; counts per
+    *     (stratum, bucket) → driver offset map (strata × nBuckets,
+    *     model-sized); window inside each (stratum, bucket) only.
+    *  2. global position: the interleave key (rank, stratum-index) ranks
+    *     with the same machinery bucketed on rank ranges.
+    *
+    * Returns (position, doc_id, stratum, rank) — position 0-based, rank
+    * 1-based within stratum. Deterministic: ties on `ord` break by
+    * doc_id. */
+  def curriculumInterleave(docs: DataFrame, stratum: String = "source",
+                           ord: Column = col("n_chars"),
+                           nBuckets: Int = 32): DataFrame = {
+    val sc = col(stratum)
+    val base = docs.select(col("doc_id"), sc, ord.cast("long").as("__ord"))
+    val bounds = base.agg(min(col("__ord")), max(col("__ord"))).collect()(0)
+    if (bounds.isNullAt(0))
+      return base.select(lit(0L).as("position"), col("doc_id"), sc,
+        lit(0L).as("rank")).where(lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    // DESC rank ⇒ bucket index q descends with ord; rank order is
+    // (descending-q)-major. Offset lookups are ARRAY LITERALS indexed by
+    // a computed key, not when-chains (the packShards codegen lesson).
+    val bucketed = base.withColumn("__q",
+      expr(s"cast((__ord - $lo) div $width as int)"))
+    val counts = bucketed.groupBy(sc, col("__q")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val strata = counts.keys.map(_._1).toSeq.sorted
+    val maxQ = counts.keys.map(_._2).max
+    val sIdx = strata.zipWithIndex.toMap
+    // rank offset of (stratum, q) = docs of that stratum in HIGHER-ord
+    // buckets; flat array indexed si * (maxQ+1) + q
+    val offArr: Seq[Long] = strata.flatMap { s =>
+      val byQ = (0 to maxQ).map(q => counts.getOrElse((s, q), 0L))
+      (0 to maxQ).map(q => byQ.drop(q + 1).sum)
+    }
+    val sIdxCol = element_at(
+      typedLit(strata.map(s => s -> sIdx(s)).toMap), sc)
+    val offCol = element_at(typedLit(offArr),
+      sIdxCol * (maxQ + 1) + col("__q") + 1)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(sc, col("__q"))
+      .orderBy(col("__ord").desc, col("doc_id"))
+    val ranked = bucketed
+      .withColumn("rank", row_number().over(w1) + offCol)
+      .withColumn("__si", sIdxCol)
+    // stage 2: global position of (rank, stratum) — ranks are dense
+    // 1..|stratum|, so rank-range buckets are uniform by construction
+    val maxRank = strata.map(s =>
+      (0 to maxQ).map(q => counts.getOrElse((s, q), 0L)).sum).max
+    val w2width = math.max(1L, maxRank / nBuckets + 1)
+    val staged = ranked.withColumn("__rb",
+      expr(s"cast((rank - 1) div $w2width as int)"))
+    val counts2 = staged.groupBy(col("__rb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxRb = counts2.keys.max
+    val off2Arr: Seq[Long] = (0 to maxRb)
+      .scanLeft(0L)((acc, b) => acc + counts2.getOrElse(b, 0L)).init
+    val off2Col = element_at(typedLit(off2Arr), col("__rb") + 1)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rb")).orderBy(col("rank"), col("__si"))
+    staged
+      .withColumn("position", row_number().over(w2) - 1 + off2Col)
+      .select(col("position"), col("doc_id"), sc, col("rank"))
+  }
 }

@@ -473,6 +473,22 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Keep-BEST cluster representative selection — the quality-aware
+    * refinement of keep-first dedup: given cluster assignments
+    * (doc_id, cluster_id) and a per-doc quality frame (doc_id, q), each
+    * cluster's representative is its argmax-q doc (ties → lowest doc_id).
+    * One aggregation via `max_by` over a (q, −doc_id) struct — partial
+    * combine makes it SKEW-SAFE where a per-cluster window would put a
+    * 100M-copy viral document's cluster in one task. Returns
+    * (cluster_id, rep_doc_id, n_members, best_q). */
+  def clusterRepresentatives(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("rep_doc_id"),
+        count(lit(1)).as("n_members"),
+        max(col("q")).as("best_q"))
+
   /** Exact token-set Jaccard via the df-capped inverted-index join. */
   def tokenJaccard(docs: DataFrame, threshold: Double = 0.3,
                    dfCap: Int = 10000): DataFrame =

@@ -79,6 +79,40 @@ object CurationQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // C4 within-doc rule: repeated 2-token segments inside one document
+    // keep only their first occurrence (181 of the sf0.01 docs repeat at
+    // least one segment — natural witness, nothing planted)
+    "q_llm_intra_dedup" -> ((s, d) =>
+      CorpusOps.intraDocDedup(
+          CorpusOps.tokenChunks(Tables.documents(s, d), k = 2))
+        .orderBy(col("doc_id"))),
+
+    // curriculum interleave: quality-descending (n_chars) within source,
+    // sources rotated round-robin; both ranks via the bucketed
+    // parallel-prefix machinery — no global or per-source window
+    "q_llm_curriculum" -> ((s, d) =>
+      CorpusOps.curriculumInterleave(Tables.documents(s, d))
+        .orderBy(col("position"))),
+
+    // keep-best representative per near-dup cluster (trigram Jaccard
+    // ≥ 0.5 on docs < 150 → connected components → argmax n_chars,
+    // doc_id tiebreak) — the quality-aware upgrade of keep-first
+    "q_llm_cluster_reps" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 150)
+      val pairs = Dedup.jaccardFromItems(
+        docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+          .as("g"))
+          .distinct(),
+        threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
+        spreadExplosion = true)
+      val clusters = Dedup.dedupClusters(
+        docs.select(col("doc_id")), pairs.select(col("d1"), col("d2")))
+      Dedup.clusterRepresentatives(clusters,
+          docs.select(col("doc_id"), col("n_chars").as("q")))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Bloom ingest dedup: filter built on docs < 300; the batch is docs
     // >= 300 PLUS re-keyed copies of 20 corpus docs (doc_id + 10000) —
     // planted true duplicates the filter must drop (Bloom has no false
@@ -97,6 +131,76 @@ object CurationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_llm_intra_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         seg AS (
+           SELECT doc_id, gs AS pos,
+                  array_to_string(list_slice(l, (gs-1)*2 + 1, gs*2), ' ') AS s
+           FROM toks,
+                unnest(generate_series(1,
+                  CAST(ceil(len(l) / 2.0) AS BIGINT))) AS t(gs)),
+         r AS (
+           SELECT doc_id, pos, s,
+                  row_number() OVER (PARTITION BY doc_id, md5(s)
+                                     ORDER BY pos) AS rn
+           FROM seg)
+         SELECT doc_id, count(*) AS n_seg,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY pos)
+                  AS text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_curriculum" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+           FROM documents)
+         SELECT CAST(row_number() OVER (ORDER BY rank, source) - 1
+                     AS BIGINT) AS position,
+                doc_id, source, rank
+         FROM r ORDER BY position""",
+    "q_llm_cluster_reps" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 150),
+         tri AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                    i -> substr(text, CAST(i AS INT), 3))) AS g
+           FROM d),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+         p0 AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2 FROM p0
+           JOIN cnt n1 ON d1 = n1.doc_id JOIN cnt n2 ON d2 = n2.doc_id
+           WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+         assign AS (
+           SELECT d.doc_id, COALESCE(c2.comp, d.doc_id) AS cluster_id,
+                  d.n_chars AS q
+           FROM d LEFT JOIN comp c2 ON d.doc_id = c2.id),
+         picked AS (
+           SELECT cluster_id, doc_id, q,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY q DESC, doc_id ASC) AS rn
+           FROM assign)
+         SELECT a.cluster_id,
+                max(CASE WHEN p.rn = 1 THEN p.doc_id END) AS rep_doc_id,
+                count(*) AS n_members,
+                max(a.q) AS best_q
+         FROM assign a JOIN picked p
+           ON a.cluster_id = p.cluster_id AND a.doc_id = p.doc_id
+         GROUP BY a.cluster_id ORDER BY a.cluster_id""",
     "q_llm_boilerplate" ->
       """WITH toks AS (
            SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

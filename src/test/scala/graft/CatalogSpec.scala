@@ -13,6 +13,8 @@ class CatalogSpec extends SparkSpec {
       queries.RelationalQueries.queries, queries.JoinQueries.queries,
       queries.AggQueries.queries, queries.WindowQueries.queries,
       queries.FunctionQueries.queries, queries.LlmQueries.queries,
+      queries.CurationQueries.queries, queries.WebQueries.queries,
+      queries.RetrievalQueries.queries, queries.AnalyticsQueries.queries,
       queries.StreamingQueries.queries)
     val total = fams.map(_.size).sum
     assert(SparkEntry.queries.size == total,

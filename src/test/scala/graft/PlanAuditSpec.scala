@@ -7,9 +7,13 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   // brute-force and PQ-ADC scoring are deliberate broadcast-crosses (query
-  // side tiny; the candidate side streams through one codegen'd projection)
+  // side tiny; the candidate side streams through one codegen'd projection).
+  // q_llm_ann_int8 is the same brute-force shape (broadcast 10-query side,
+  // ≠-join); q_llm_bm25's "cartesian" is the 1-row corpus-stats table
+  // cross-joined onto the vocabulary-sized idf build — both O(candidates).
   private val allowedCartesian =
-    Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq")
+    Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
+      "q_llm_ann_int8", "q_llm_bm25")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))

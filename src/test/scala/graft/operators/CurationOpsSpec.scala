@@ -197,4 +197,54 @@ class CurationOpsSpec extends SparkSpec {
     // the 100 fresh docs minus (rare) false positives survive
     assert(kept.size >= 95)
   }
+
+  test("intraDocDedup drops repeats within a doc but never across docs") {
+    val s = spark
+    import s.implicits._
+    val segs = Seq(
+      // doc 1: "a b" repeats at pos 1 and 3 → pos 3 dropped
+      (1L, 1, "a b"), (1L, 2, "c d"), (1L, 3, "a b"),
+      // doc 2: same segment "a b" — unaffected by doc 1's occurrence
+      (2L, 1, "a b"), (2L, 2, "e f")
+    ).toDF("doc_id", "pos", "seg")
+    val got = CorpusOps.intraDocDedup(segs)
+      .select("doc_id", "n_seg", "n_dropped", "text")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 3L, 1L, "a b c d")))
+    assert(got(2L) == ((2L, 2L, 0L, "a b e f")))
+  }
+
+  test("curriculumInterleave equals the plain-window recompute at any bucket count") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    def key(df: DataFrame) = df.select("position", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val plain = {
+      // reference: single windows (test-only; the op never does this)
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank"), col("source"))
+      docs.withColumn("rank", row_number().over(w1).cast("long"))
+        .withColumn("position", row_number().over(w2).cast("long") - 1)
+    }
+    val want = key(plain)
+    Seq(1, 7, 32).foreach { nb =>
+      val got = key(CorpusOps.curriculumInterleave(docs, nBuckets = nb))
+      assert(got == want, s"nBuckets=$nb diverges from the window reference")
+    }
+  }
+
+  test("clusterRepresentatives: argmax quality, doc_id tiebreak, singletons self") {
+    val s = spark
+    import s.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "q")
+    val got = Dedup.clusterRepresentatives(clusters, quality)
+      .select("cluster_id", "rep_doc_id", "n_members", "best_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // q ties at 30 between docs 2 and 3 → lowest doc_id (2) wins
+    assert(got == Set((1L, 2L, 3L, 30L), (9L, 9L, 1L, 5L)))
+  }
 }
