@@ -56,6 +56,37 @@ object Analytics {
         floor(col("n_users") / base * 1e4 + lit(0.5)) / 1e2)
   }
 
+  /** Rolling z-score anomaly detection over each user's value stream: for
+    * every event with ≥ `lookback` predecessors, z = (v − μ)/σ of the
+    * PRECEDING `lookback` values (the event itself excluded — no
+    * self-masking). μ/σ are written as EXPLICIT sum / sum-of-squares
+    * algebra — var = (Σv² − n·μ²)/(n−1) — not `stddev_samp`, so any engine
+    * mirroring the formula agrees to sum-order ulps (the 4 dp contract);
+    * Welford-style built-ins differ in accumulation, explicit algebra
+    * doesn't. One user-keyed shuffle; per-user frames are the natural
+    * partitioning of a telemetry stream at any scale. Returns
+    * (user_id, event_id, v, z, is_anomaly). */
+  def rollingAnomaly(events: DataFrame, lookback: Int = 10,
+                     zThreshold: Double = 2.0): DataFrame = {
+    require(lookback >= 2, s"lookback=$lookback")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val n = lit(lookback.toDouble)
+    val s1 = sum(col("value")).over(w)
+    val cnt = count(col("value")).over(w)
+    val s2 = sum(col("value") * col("value")).over(w)
+    events
+      .withColumn("__n", cnt)
+      .withColumn("__m", s1 / n)
+      .withColumn("__sd", sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - lit(1.0))))
+      .where(col("__n") === lookback)
+      .select(col("user_id"), col("event_id"), col("value").as("v"),
+        ((col("value") - col("__m")) / col("__sd")).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * first event; a cohort's week-w retention is the number of its users
     * with any event in week (cohort + w). Weeks are epoch-days/7 (both

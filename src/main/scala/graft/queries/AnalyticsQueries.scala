@@ -24,7 +24,15 @@ object AnalyticsQueries {
     // per (cohort, offset)
     "q_evt_cohort" -> ((s, d) =>
       Analytics.cohortRetention(Tables.events(s, d))
-        .orderBy(col("cohort_week"), col("week_offset"))))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // rolling z-score anomalies: 10-event lookback per user, |z| > 2
+    "q_evt_anomaly" -> ((s, d) =>
+      Analytics.rollingAnomaly(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"),
+          (floor(col("z") * 1e4 + lit(0.5)) / 1e4).as("z"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+        .orderBy(col("user_id"), col("event_id"))))
 
   val oracle: Map[String, String] = Map(
     "q_evt_funnel" ->
@@ -57,6 +65,25 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_anomaly" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, value, $ep AS t FROM events),
+          s AS (
+            SELECT user_id, event_id, value,
+                   sum(value) OVER w AS s1,
+                   sum(value * value) OVER w AS s2,
+                   count(value) OVER w AS n
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+          SELECT user_id, event_id,
+                 floor((value - s1 / 10.0) /
+                   sqrt((s2 - 10.0 * (s1 / 10.0) * (s1 / 10.0)) / 9.0)
+                   * 1e4 + 0.5) / 1e4 AS z,
+                 CAST(abs((value - s1 / 10.0) /
+                   sqrt((s2 - 10.0 * (s1 / 10.0) * (s1 / 10.0)) / 9.0)) > 2.0
+                   AS INT) AS is_anomaly
+          FROM s WHERE n = 10 ORDER BY user_id, event_id""",
     "q_evt_cohort" ->
       s"""WITH w AS (
             SELECT user_id, CAST(($ep // 86400) // 7 AS BIGINT) AS w

@@ -54,7 +54,8 @@ object EventStreams {
     * signup within `horizon`. Both sides watermarked so join state expires. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    horizon: String = "10 minutes",
-                   delay: String = "15 minutes"): DataFrame = {
+                   delay: String = "15 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delay)
       .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
               col("ts").as("l_ts"))
@@ -62,8 +63,20 @@ object EventStreams {
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
               col("ts").as("r_ts"))
     l.join(r, expr(
-      s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $horizon AND l_ts"))
+      s"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL $horizon AND l_ts"),
+      joinType)
   }
+
+  /** Left-outer stream-stream interval join: purchases with NO preceding
+    * signup in the horizon still emit (with nulls) — but only once the
+    * watermark passes their join window, because until then a matching
+    * right row could still arrive. The state-expiry semantics the inner
+    * variant's watermarks give for free become OBSERVABLE here: an
+    * unmatched row's emission time is the watermark crossing. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        horizon: String = "10 minutes",
+                        delay: String = "15 minutes"): DataFrame =
+    intervalJoin(left, right, horizon, delay, "left_outer")
 
   /** Arbitrary-state sessionization via flatMapGroupsWithState with
     * event-time timeout: a session closes when a gap > `gapMinutes` appears

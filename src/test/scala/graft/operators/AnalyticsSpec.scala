@@ -55,6 +55,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("rollingAnomaly flags a planted spike and matches a local recompute") {
+    // user 1: 10 flat values then a spike; user 2: too short for a window
+    val ev = ((1 to 10).map(i => (1L, i.toLong, ts(i), 5.0 + (i % 3) * 0.1)) :+
+      (1L, 11L, ts(11), 50.0)) ++ Seq((2L, 20L, ts(1), 1.0))
+    val df = ev.map { case (u, id, t, v) => (u, id, "e", t, v) }
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.rollingAnomaly(df, lookback = 10, zThreshold = 2.0)
+      .select("event_id", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.map(_._1).toSeq == Seq(11L), "only the spike row has a full window")
+    val (_, z, anom) = got.head
+    val vals = (1 to 10).map(i => 5.0 + (i % 3) * 0.1)
+    val m = vals.sum / 10
+    val sd = math.sqrt((vals.map(v => v * v).sum - 10 * m * m) / 9)
+    assert(math.abs(z - (50.0 - m) / sd) < 1e-9)
+    assert(anom, "spike not flagged")
+  }
+
   test("canonicalUrl goldens: case, port, tracking params, order, fragment") {
     val cases = Seq(
       "HTTPS://WWW.Ex.COM:443/A/?b=2&a=1&utm_source=x#f" -> "https://www.ex.com/A?a=1&b=2",

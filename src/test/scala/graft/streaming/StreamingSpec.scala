@@ -178,6 +178,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows only after watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams
+      .intervalJoinOuter(purchases.toDF(), signups.toDF(), "10 minutes",
+        delay = "15 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      signups.addData(ev(10, 1, "signup", 0))
+      purchases.addData(ev(20, 1, "purchase", 5))   // matched
+      purchases.addData(ev(21, 2, "purchase", 6))   // no signup → unmatched
+      q.processAllAvailable()
+      val before = s.table(name).where($"r_id".isNull).count()
+      assert(before == 0, "unmatched row emitted before its window closed")
+      // push the watermark far past 6 + horizon + delay on BOTH streams
+      signups.addData(ev(90, 9, "signup", 120))
+      purchases.addData(ev(91, 9, "purchase", 120))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark evicts state
+      signups.addData(ev(92, 9, "signup", 121))
+      purchases.addData(ev(93, 9, "purchase", 121))
+      q.processAllAvailable()
+      val rows = s.table(name).select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((20L, 10L)), s"matched pair missing: $rows")
+      assert(rows.contains((21L, -1L)), s"unmatched purchase never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("update output mode re-emits only changed groups per batch") {
     val s = spark
     import s.implicits._
