@@ -39,9 +39,18 @@ object GraphOps {
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // (src, dst, share): fraction of src's rank that flows along this edge;
     // partitioned on src once, reused every round
+    // size the loop's shuffles from the MEASURED edge count (the
+    // connectedComponents loop lesson): per-round cost on small aggregated
+    // graphs is otherwise pure task-scheduling overhead across conf-many
+    // mostly-empty partitions; a crawl-scale edge table lands back on the
+    // session's configured parallelism (~2M edges per partition)
+    val eCount = e.cache().count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(confParts.toLong,
+      (eCount + 2000000L - 1) / 2000000L)).toInt
     val flow = e.join(deg, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("share"))
-      .repartition(col("src"))
+      .repartition(loopParts, col("src"))
       .cache()
     val nodes = flow.select(col("src").as("node"))
       .union(flow.select(col("dst").as("node")))
@@ -49,6 +58,7 @@ object GraphOps {
       .cache()
     val n = nodes.count().toDouble
     require(n > 0, "pageRank on an empty graph")
+    e.unpersist()
     val teleport = (1.0 - damping) / n
     // dangling = vertices with no out-edges; their mass is read each round
     // from the CHECKPOINTED |V|-row rank table (never re-touching |E|),
@@ -58,23 +68,32 @@ object GraphOps {
       .cache()
     val hasDangling = danglingNodes.count() > 0
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    var it = 0
-    while (it < iters) {
-      val dMass =
-        if (!hasDangling) 0.0
-        else danglingNodes.join(ranks, "node")
-          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
-      val contrib = flow.join(ranks, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("share") * col("rank")).as("in_mass"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + lit(damping) *
-            (coalesce(col("in_mass"), lit(0.0)) + lit(dMass / n))).as("rank"))
-        .localCheckpoint()
-      it += 1
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      var it = 0
+      while (it < iters) {
+        val dMass =
+          if (!hasDangling) 0.0
+          else danglingNodes.join(ranks, "node")
+            .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+        val contrib = flow.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("share") * col("rank")).as("in_mass"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(teleport) + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) + lit(dMass / n))).as("rank"))
+          .localCheckpoint()
+        it += 1
+      }
+      ranks
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      flow.unpersist()
+      nodes.unpersist()
+      danglingNodes.unpersist()
     }
-    ranks
   }
 }

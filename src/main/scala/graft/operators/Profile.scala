@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling + constraint-validation operators (the Deequ-shaped
+  * production hygiene layer): column profiles and declarative quality
+  * checks, both as single-pass aggregations.
+  *
+  * Scale shape: `columnProfile` is ONE aggregate job producing every
+  * metric for every requested column (Spark plans multi-distinct via
+  * expand — one shuffle, metric count independent of row count), then an
+  * in-plan unpivot; no per-column jobs, no collect. Checks are small
+  * aggregates (+ one anti-join for referential integrity) unioned into a
+  * single report frame.
+  */
+object Profile {
+
+  /** Per-column profile: (column, n, n_null, n_distinct, min_s, max_s).
+    * min/max are computed in the column's native ordering, then rendered
+    * as strings (cast AFTER the aggregate — "10" < "9" is exactly the bug
+    * a string-first cast would bake in). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = count(lit(1)).as("__n")
+    val wide = df.agg(total, aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n, __null_$c, __dist_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackArgs) " +
+      "as (col_name, n, n_null, n_distinct, min_s, max_s)"))
+  }
+
+  /** One row per declarative check: (check, violations, passed).
+    * Standard battery over a fact table and its dimension:
+    * key uniqueness, non-null, referential integrity (fact key ⊆ dim key),
+    * and a value-range predicate. */
+  def checks(fact: DataFrame, keyCol: String, notNullCol: String,
+             dim: DataFrame, factFk: String, dimKey: String,
+             rangePredicate: org.apache.spark.sql.Column,
+             rangeName: String): DataFrame = {
+    def report(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check"),
+        col("violations"),
+        (col("violations") === 0L).as("passed"))
+    val unique = report(s"unique($keyCol)",
+      fact.agg((count(lit(1)) - countDistinct(col(keyCol))).as("violations")))
+    val nonNull = report(s"not_null($notNullCol)",
+      fact.agg(coalesce(sum(when(col(notNullCol).isNull, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("violations")))
+    val referential = report(s"ref($factFk -> $dimKey)",
+      fact.select(col(factFk))
+        .join(dim.select(col(dimKey).as(factFk)), Seq(factFk), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val range = report(rangeName,
+      fact.agg(coalesce(sum(when(!rangePredicate, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("violations")))
+    unique.unionByName(nonNull).unionByName(referential).unionByName(range)
+  }
+}

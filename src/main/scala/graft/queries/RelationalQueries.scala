@@ -19,6 +19,31 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"),
         count(col("l_orderkey")).as("n_keys"))),
 
+    // Deequ-style column profile: ONE aggregate job for every metric of
+    // every column (multi-distinct via expand), in-plan unpivot. Doubles
+    // profile as exact integer cents — double→string rendering is the one
+    // thing the two engines format differently.
+    "q_profile_orders" -> ((s, d) =>
+      graft.operators.Profile.columnProfile(
+          Tables.orders(s, d).withColumn("o_totalprice_cents",
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice_cents"))
+        .orderBy(col("col_name"))),
+
+    // declarative data-quality checks: uniqueness, non-null, referential
+    // integrity against customer, value range
+    "q_profile_checks" -> ((s, d) =>
+      graft.operators.Profile.checks(
+          Tables.orders(s, d), keyCol = "o_orderkey",
+          notNullCol = "o_custkey",
+          dim = Tables.customer(s, d), factFk = "o_custkey",
+          dimKey = "c_custkey",
+          rangePredicate = col("o_totalprice") > 0,
+          rangeName = "range(o_totalprice > 0)")
+        .withColumn("passed", col("passed").cast("int"))
+        .orderBy(col("check"))),
+
     // CSV round-trip (R22 csv sink): write lineitem as csv, read back with
     // explicit schema, aggregate. Oracle sees the original table — equality
     // proves the sink/scan pair is lossless for count+sum. One column per
@@ -250,6 +275,52 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_totalprice_cents")
+      val per = cols.map { c =>
+        s"""SELECT '$c' AS col_name, (SELECT count(*) FROM o) AS n,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_s,
+              CAST(max($c) AS VARCHAR) AS max_s
+           FROM o"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH o AS (
+            SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+              AS o_totalprice_cents
+            FROM orders)
+          $per
+          ORDER BY col_name"""
+    },
+    "q_profile_checks" ->
+      """SELECT 'not_null(o_custkey)' AS "check",
+              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations,
+              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                AS INT) AS passed
+         FROM orders
+         UNION ALL
+         SELECT 'range(o_totalprice > 0)',
+              CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                AS BIGINT),
+              CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) = 0
+                AS INT)
+         FROM orders
+         UNION ALL
+         SELECT 'ref(o_custkey -> c_custkey)',
+              (SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+              CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+                AS INT)
+         UNION ALL
+         SELECT 'unique(o_orderkey)',
+              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+              CAST((SELECT count(*) - count(DISTINCT o_orderkey)
+                FROM orders) = 0 AS INT)
+         ORDER BY "check"""",
     "q_scan_parquet" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(l_orderkey) AS BIGINT) AS n_keys FROM lineitem",
     "q_scan_csv" ->

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  test("columnProfile counts nulls/distincts and renders native-order min/max") {
+    val df = Seq(
+      (1L, Some("b"), Some(10L)), (2L, Some("a"), Some(9L)),
+      (3L, None, Some(10L)), (4L, Some("a"), None)
+    ).toDF("id", "s", "v")
+    val got = Profile.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    // native numeric ordering: max is 10, not "9" (string order would say 9)
+    assert(got("v") == ((4L, 1L, 2L, "9", "10")))
+  }
+
+  test("checks detect planted violations of every kind") {
+    val fact = Seq(
+      (1L, Some(10L), 5.0), (1L, Some(10L), 3.0),   // duplicate key
+      (2L, None, 1.0),                              // null fk
+      (3L, Some(99L), -2.0)                         // dangling fk + bad range
+    ).toDF("k", "fk", "price")
+    val dim = Seq(10L).toDF("dk")
+    val got = Profile.checks(fact, "k", "fk", dim, "fk", "dk",
+        col("price") > 0, "range(price > 0)")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("unique(k)") == ((1L, false)))
+    assert(got("not_null(fk)") == ((1L, false)))
+    // null fk rows also fail the left_anti referential probe (no match)
+    assert(got("ref(fk -> dk)") == ((2L, false)))
+    assert(got("range(price > 0)") == ((1L, false)))
+  }
+
+  test("checks pass on clean data") {
+    val fact = Seq((1L, Some(10L), 5.0), (2L, Some(10L), 3.0))
+      .toDF("k", "fk", "price")
+    val dim = Seq(10L).toDF("dk")
+    val got = Profile.checks(fact, "k", "fk", dim, "fk", "dk",
+        col("price") > 0, "range(price > 0)")
+      .select("passed").as[Boolean].collect()
+    assert(got.length == 4 && got.forall(identity))
+  }
+}
