@@ -17,6 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws u ~ U(0,1] and the k largest u^(1/w) — equivalently
+    * the k largest ln(u)/w — are the sample, giving exact
+    * probability-proportional-to-size inclusion without replacement in
+    * ONE pass. The draw is the catalog's content-keyed recipe: u is a
+    * 52-bit dyadic from md5(salt:doc_id) (exact in both engines), so the
+    * sample is deterministic, dup-stable, and reproducible anywhere with
+    * md5 + ln. The key is rounded to 6 dp before ranking (round-before-
+    * rank: Math.log vs libm ln can differ in the last ulp), ties break by
+    * doc_id. Selection is top-k (TakeOrderedAndProject — no global sort
+    * materializes at any scale). Returns (rn, doc_id, weight, key). */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+                     salt: String = "aes"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val u = (conv(substring(md5(concat(lit(salt), lit(":"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") + 1.0) /
+      lit(4503599627370496.0) // 2^52
+    val keyed = docs.where(weight > 0)
+      .withColumn("weight", weight.cast("double"))
+      .withColumn("key",
+        floor(log(u) / col("weight") * 1e6 + lit(0.5)) / 1e6)
+    val picked = keyed
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").desc, col("doc_id"))
+    // the global window runs over k rows only — bounded by contract
+    picked.withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("doc_id"), col("weight"), col("key"))
+  }
+
   /** (doc_id, <extra...>, pos, seg): fixed-`k`-token segments, the same
     * segmenter contract as [[CorpusOps.tokenChunks]] but carrying
     * passthrough columns (e.g. `source`) so per-stratum frequency ops

@@ -79,6 +79,13 @@ object CurationQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // A-ES weighted sampling without replacement: 50 docs ∝ n_chars,
+    // md5-dyadic draw, round-before-rank ln keys
+    "q_llm_weighted_sample" -> ((s, d) =>
+      CurationOps.weightedSample(Tables.documents(s, d),
+          col("n_chars"), k = 50)
+        .orderBy(col("rn"))),
+
     // C4 within-doc rule: repeated 2-token segments inside one document
     // keep only their first occurrence (181 of the sf0.01 docs repeat at
     // least one segment — natural witness, nothing planted)
@@ -131,6 +138,19 @@ object CurationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_llm_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                  floor(ln((CAST('0x' || substr(
+                      md5('aes:' || doc_id), 1, 13) AS BIGINT) + 1.0)
+                    / 4503599627370496.0)
+                    / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) / 1e6 AS key
+           FROM documents WHERE n_chars > 0),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+           FROM keyed)
+         SELECT CAST(rn AS INT) AS rn, doc_id, weight, key
+         FROM ranked WHERE rn <= 50 ORDER BY rn""",
     "q_llm_intra_dedup" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -198,6 +198,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.size >= 95)
   }
 
+  test("weightedSample: heavy rows dominate, exact k, deterministic, salt-sensitive") {
+    val s = spark
+    import s.implicits._
+    // one row with 10000× the weight of 200 others
+    val docs = ((1L to 200L).map(i => (i, 10L)) :+ (999L, 100000L))
+      .toDF("doc_id", "n_chars")
+    def sample(salt: String) = CurationOps
+      .weightedSample(docs, col("n_chars"), k = 20, salt = salt)
+      .select("doc_id").as[Long].collect().toSet
+    val a = sample("aes")
+    assert(a.size == 20)
+    assert(a.contains(999L), "the 10000x-weight row missed a k=20 sample")
+    assert(sample("aes") == a, "not deterministic for a fixed salt")
+    assert(sample("other") != a, "salt does not permute the draw")
+    // inclusion frequency over many salts tracks weight: the heavy row is
+    // in essentially every sample, any fixed light row in few
+    val salts = (1 to 30).map(i => s"s$i")
+    val heavy = salts.count(s => sample(s).contains(999L))
+    val light = salts.count(s => sample(s).contains(7L))
+    assert(heavy >= 28 && light <= 10, s"heavy=$heavy light=$light")
+  }
+
   test("intraDocDedup drops repeats within a doc but never across docs") {
     val s = spark
     import s.implicits._
