@@ -473,6 +473,59 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Prefix-filtered exact set-similarity join (All-Pairs, Bayardo et al.
+    * WWW'07 — the candidate-generation half of PPJoin): tokens get a
+    * global rare-first total order (df asc, token asc — the order need
+    * only be total and df-correlated, so NO integer rank materializes and
+    * nothing vocabulary-wide ever sorts in one task); each doc's sorted
+    * set is probed only on its PREFIX of length n − ceil(t·n) + 1. Any
+    * pair with Jaccard ≥ t must share a prefix token on BOTH sides, so
+    * prefix⋈prefix is complete — while the candidate stream shrinks from
+    * Σdf(token)² to Σdf(prefix-token)², the rare end of the Zipf curve.
+    * A length filter (t·max ≤ min) prunes before verification; survivors
+    * verify with one codegen'd `array_intersect` against the full sorted
+    * sets. Same output contract as [[jaccardFromItems]]: (d1, d2, jac 4dp).
+    *
+    * The trade vs the df-capped inverted index: jaccardFromItems drops
+    * high-df tokens entirely (approximate under dfCap, exact above it);
+    * prefix filtering is EXACT at any df — stop-word-dense corpora keep
+    * their pairs. Per-doc state is one token array, bounded by document
+    * length. */
+  def prefixJaccard(items: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    val dfT = items.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sorted = items.join(dfT, "token")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), x => x.getField("token")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p",
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+    val prefix = sorted.select(col("doc_id"), col("n"),
+      explode(slice(col("toks"), lit(1), col("p"))).as("token"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // length filter: jac ≥ t needs t·max(na,nb) ≤ min(na,nb)
+        greatest(col("a.n"), col("b.n")) * threshold <=
+          least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sorted.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("n").as("n1")), "d1")
+      .join(sorted.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("n").as("n2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"),
+        (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
+  }
+
   /** Keep-BEST cluster representative selection — the quality-aware
     * refinement of keep-first dedup: given cluster assignments
     * (doc_id, cluster_id) and a per-doc quality frame (doc_id, q), each

@@ -79,6 +79,17 @@ object CurationQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // prefix-filtered EXACT Jaccard join (All-Pairs): same semantics as
+    // the inverted-index q_llm_jaccard but candidates only from rare-first
+    // prefixes — exact at any token df, no dfCap approximation
+    "q_llm_ppjoin" -> ((s, d) => {
+      val toks = Tables.documents(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "").distinct()
+      Dedup.prefixJaccard(toks, threshold = 0.3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // A-ES weighted sampling without replacement: 50 docs ∝ n_chars,
     // md5-dyadic draw, round-before-rank ln keys
     "q_llm_weighted_sample" -> ((s, d) =>
@@ -138,6 +149,25 @@ object CurationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_llm_ppjoin" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, t AS token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents WHERE doc_id < 500) WHERE t <> ''),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           FROM tok a JOIN tok b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1, d2,
+                floor(CAST(c AS DOUBLE) / (n1.n + n2.n - c) * 10000 + 0.5)
+                  / 10000 AS jac
+         FROM pairs
+         JOIN cnt n1 ON d1 = n1.doc_id
+         JOIN cnt n2 ON d2 = n2.doc_id
+         WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.3
+         ORDER BY d1, d2""",
     "q_llm_weighted_sample" ->
       """WITH keyed AS (
            SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,

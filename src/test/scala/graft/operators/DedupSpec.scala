@@ -9,6 +9,49 @@ import org.apache.spark.sql.functions._
   */
 class DedupSpec extends SparkSpec {
 
+  test("prefixJaccard equals the uncapped inverted-index join (completeness)") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .where(col("doc_id") < 300)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "").distinct()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = key(Dedup.jaccardFromItems(toks, threshold = 0.3,
+      dfCap = Int.MaxValue, joinKeys = Seq("token")))
+    val pp = key(Dedup.prefixJaccard(toks, threshold = 0.3))
+    assert(pp == full && pp.nonEmpty,
+      s"prefix filtering lost/invented pairs: |full|=${full.size} |pp|=${pp.size}")
+  }
+
+  test("prefixJaccard generates strictly fewer candidates than the full index") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .where(col("doc_id") < 300)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "").distinct()
+    // full index candidate volume: Σ df² over all tokens; prefix volume:
+    // recompute the operator's own prefix and measure its Σ df²
+    val s = spark
+    import s.implicits._
+    val full = toks.groupBy("token").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    val dfT = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val prefixToks = toks.join(dfT, "token")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("st"))
+      .select(col("doc_id"), transform(col("st"),
+        x => x.getField("token")).as("toks"))
+      .withColumn("p", (size(col("toks")) -
+        ceil(size(col("toks")) * 0.3) + 1).cast("int"))
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1), col("p")))
+        .as("token"))
+    val pref = prefixToks.groupBy("token").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    assert(pref < full, s"prefix candidates $pref not below full $full")
+  }
+
   private def docs = Tables.documents(spark, sf0001)
 
   test("exact dedup keeps one row per normalized text") {
