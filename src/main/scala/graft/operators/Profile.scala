@@ -54,6 +54,51 @@ object Profile {
         col("min_s"), col("max_s"))
   }
 
+  /** Population Stability Index between a baseline and a current sample
+    * of a numeric column — the standard distribution-drift monitor
+    * (PSI < 0.1 stable, > 0.25 drifted). Equal-width buckets over the
+    * BASELINE's [min, max] (current values outside clamp to the edge
+    * buckets); both histograms are add-half smoothed
+    * (c + 0.5)/(n + 0.5·B) so empty buckets contribute finite terms
+    * deterministically (no ε floor magic). Returns one row per bucket:
+    * (bucket, n_base, n_cur, contrib) with contrib = (q−p)·ln(q/p);
+    * PSI = Σ contrib. Two histogram aggregates + a B-row join — the
+    * column never moves, only bucket counts do. */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+               buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets")
+    val b = base.select(col(valueCol).cast("double").as("__v")).where(col("__v").isNotNull)
+    val c = current.select(col(valueCol).cast("double").as("__v")).where(col("__v").isNotNull)
+    val r = b.agg(min(col("__v")), max(col("__v"))).collect()(0)
+    require(!r.isNullAt(0), "psiDrift: empty baseline")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    def bucketed(df: DataFrame, cname: String) = df
+      .withColumn("bucket",
+        least(lit(buckets - 1), greatest(lit(0),
+          floor((col("__v") - lo) / width).cast("int"))))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cname))
+    val nB = b.count().toDouble
+    val nC = c.count().toDouble
+    val denomB = nB + 0.5 * buckets
+    val denomC = nC + 0.5 * buckets
+    val spark = base.sparkSession
+    import spark.implicits._
+    val allBuckets = (0 until buckets).toDF("bucket")
+    allBuckets
+      .join(bucketed(b, "n_base"), Seq("bucket"), "left")
+      .join(bucketed(c, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("__p", (col("n_base") + 0.5) / denomB)
+      .withColumn("__q", (col("n_cur") + 0.5) / denomC)
+      .withColumn("contrib",
+        floor((col("__q") - col("__p")) * log(col("__q") / col("__p"))
+          * 1e6 + lit(0.5)) / 1e6)
+      .select(col("bucket"), col("n_base"), col("n_cur"), col("contrib"))
+  }
+
   /** One row per declarative check: (check, violations, passed).
     * Standard battery over a fact table and its dimension:
     * key uniqueness, non-null, referential integrity (fact key ⊆ dim key),

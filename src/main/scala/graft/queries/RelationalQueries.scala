@@ -44,6 +44,19 @@ object RelationalQueries {
         .withColumn("passed", col("passed").cast("int"))
         .orderBy(col("check"))),
 
+    // PSI distribution drift: baseline = odd orderkeys at face value,
+    // current = even orderkeys with prices inflated 1.3× — a planted,
+    // deterministic drift the monitor must flag (Σcontrib > 0.25)
+    "q_profile_psi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      graft.operators.Profile.psiDrift(
+          o.where(col("o_orderkey") % 2 === 1),
+          o.where(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 1.3),
+          "o_totalprice", buckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
     // CSV round-trip (R22 csv sink): write lineitem as csv, read back with
     // explicit schema, aggregate. Oracle sees the original table — equality
     // proves the sink/scan pair is lossless for count+sum. One column per
@@ -275,6 +288,41 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_profile_psi" ->
+      """WITH b AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+         c AS (
+           SELECT CAST(o_totalprice * 1.3 AS DOUBLE) AS v FROM orders
+           WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+         bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+         w AS (SELECT lo, (hi - lo) / 10 AS width FROM bounds),
+         hb AS (
+           SELECT least(9, greatest(0,
+                    CAST(floor((v - lo) / width) AS INT))) AS bucket,
+                  count(*) AS n_base
+           FROM b CROSS JOIN w GROUP BY 1),
+         hc AS (
+           SELECT least(9, greatest(0,
+                    CAST(floor((v - lo) / width) AS INT))) AS bucket,
+                  count(*) AS n_cur
+           FROM c CROSS JOIN w GROUP BY 1),
+         tot AS (
+           SELECT (SELECT count(*) FROM b) + 0.5 * 10 AS db,
+                  (SELECT count(*) FROM c) + 0.5 * 10 AS dc),
+         g AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket)
+         SELECT g.bucket,
+                COALESCE(hb.n_base, 0) AS n_base,
+                COALESCE(hc.n_cur, 0) AS n_cur,
+                floor(((COALESCE(hc.n_cur, 0) + 0.5) / dc -
+                       (COALESCE(hb.n_base, 0) + 0.5) / db) *
+                      ln(((COALESCE(hc.n_cur, 0) + 0.5) / dc) /
+                         ((COALESCE(hb.n_base, 0) + 0.5) / db))
+                      * 1e6 + 0.5) / 1e6 AS contrib
+         FROM g LEFT JOIN hb ON g.bucket = hb.bucket
+                LEFT JOIN hc ON g.bucket = hc.bucket
+                CROSS JOIN tot
+         ORDER BY g.bucket""",
     "q_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority", "o_totalprice_cents")

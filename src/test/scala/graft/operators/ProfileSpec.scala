@@ -39,6 +39,21 @@ class ProfileSpec extends SparkSpec {
     assert(got("range(price > 0)") == ((1L, false)))
   }
 
+  test("psiDrift separates identical from shifted distributions") {
+    val base = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val same = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val shifted = (1 to 1000).map(i => i * 1.5).toDF("v")
+    def psi(cur: org.apache.spark.sql.DataFrame) =
+      Profile.psiDrift(base, cur, "v")
+        .agg(sum(col("contrib"))).as[Double].head()
+    val stable = psi(same)
+    val drifted = psi(shifted)
+    assert(stable < 0.01, s"identical distributions read PSI=$stable")
+    assert(drifted > 0.25, s"1.5x shift read PSI=$drifted (threshold 0.25)")
+    // every bucket row exists even when empty on one side
+    assert(Profile.psiDrift(base, shifted, "v").count() == 10)
+  }
+
   test("checks pass on clean data") {
     val fact = Seq((1L, Some(10L), 5.0), (2L, Some(10L), 3.0))
       .toDF("k", "fk", "price")
