@@ -56,6 +56,30 @@ object Analytics {
         floor(col("n_users") / base * 1e4 + lit(0.5)) / 1e2)
   }
 
+  /** SCD-2 validity-interval history from an event log: one row per RUN
+    * of equal `attr` values per key, (key, attr, valid_from, valid_to),
+    * half-open [from, to), the current run open-ended (valid_to null).
+    * Change detection is lag() per key; interval close is the next
+    * change's timestamp — two window passes over the same key ordering
+    * (one shuffle; Spark reuses the sort). The warehouse twin of
+    * [[WebOps.snapshotMerge]]: merge answers "what is", this answers
+    * "what was when". Timestamps surface as epoch seconds (the
+    * cross-engine contract). */
+  def scd2History(events: DataFrame, key: String, attr: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("t"), col("event_id"))
+    val changes = events
+      .select(col(key), col(attr), col("event_id"),
+        col("ts").cast("long").as("t"))
+      .withColumn("__prev", lag(col(attr), 1).over(ord))
+      .where(col("__prev").isNull || col("__prev") =!= col(attr))
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("t"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("t"), 1).over(seq))
+      .select(col(key), col(attr), col("t").as("valid_from"), col("valid_to"))
+  }
+
   /** Rolling z-score anomaly detection over each user's value stream: for
     * every event with ≥ `lookback` predecessors, z = (v − μ)/σ of the
     * PRECEDING `lookback` values (the event itself excluded — no

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operations. The one that matters at 100 TB is
   * small-file compaction: streaming ingest and fine-grained partitioned
@@ -44,5 +45,30 @@ object Maintenance {
       .repartition(nOut)
       .write.mode("overwrite").parquet(dst)
     (files.length, nOut)
+  }
+
+  /** Incremental aggregate maintenance (materialized-view upkeep): merge
+    * a saved additive aggregate table with the aggregate of a NEW batch —
+    * the history is never rescanned, which is the entire point at 100 TB
+    * (the state table is group-cardinality-sized, the batch is the only
+    * data-sized input). Supports the additive family (count/sum — and
+    * avg/stddev via keeping their sum/sumsq parts additive, the caller's
+    * schema choice). `state` and the batch aggregate must share
+    * (keys ++ sumCols) schemas; missing groups on either side merge as
+    * zero. One batch-sized aggregate + one state-sized outer join. */
+  def incrementalAgg(state: DataFrame, batch: DataFrame, keys: Seq[String],
+                     sumCols: Seq[String]): DataFrame = {
+    val delta = batch.groupBy(keys.map(col): _*)
+      .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+      .toDF(keys ++ sumCols: _*)
+    val merged = state.select(keys.map(col) ++
+        sumCols.map(c => col(c).as(s"__s_$c")): _*)
+      .join(delta.select(keys.map(col) ++
+        sumCols.map(c => col(c).as(s"__d_$c")): _*), keys, "full_outer")
+    // lit(0) coerces to each column's own numeric type, so long counts
+    // stay long and double sums stay double
+    merged.select(keys.map(col) ++ sumCols.map(c =>
+      (coalesce(col(s"__s_$c"), lit(0)) +
+        coalesce(col(s"__d_$c"), lit(0))).as(c)): _*)
   }
 }

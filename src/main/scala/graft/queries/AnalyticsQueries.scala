@@ -26,6 +26,30 @@ object AnalyticsQueries {
       Analytics.cohortRetention(Tables.events(s, d))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // SCD-2 history: per-user event_type runs as validity intervals
+    "q_evt_scd2" -> ((s, d) =>
+      Analytics.scd2History(Tables.events(s, d), "user_id", "event_type")
+        .orderBy(col("user_id"), col("valid_from"))),
+
+    // incremental aggregate maintenance: saved per-status aggregate of
+    // old orders + new batch ≡ full recompute (the oracle IS the full
+    // recompute — equality proves the merge path)
+    "q_evt_incr_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .withColumn("one", lit(1L))
+      val state = o.where(col("o_orderkey") % 3 =!= 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("one")).as("one"), sum(col("cents")).as("cents"))
+      graft.operators.Maintenance.incrementalAgg(
+          state, o.where(col("o_orderkey") % 3 === 0),
+          keys = Seq("o_orderstatus"), sumCols = Seq("one", "cents"))
+        .select(col("o_orderstatus"), col("one").as("n"),
+          col("cents").as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // rolling z-score anomalies: 10-event lookback per user, |z| > 2
     "q_evt_anomaly" -> ((s, d) =>
       Analytics.rollingAnomaly(Tables.events(s, d))
@@ -65,6 +89,27 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_scd2" ->
+      s"""WITH e AS (
+            SELECT user_id, event_type, event_id, $ep AS t FROM events),
+          ch AS (
+            SELECT user_id, event_type, event_id, t,
+                   lag(event_type, 1) OVER w AS prev
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          runs AS (
+            SELECT user_id, event_type, event_id, t FROM ch
+            WHERE prev IS NULL OR prev <> event_type)
+          SELECT user_id, event_type, t AS valid_from,
+                 lead(t, 1) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS valid_to
+          FROM runs ORDER BY user_id, valid_from""",
+    "q_evt_incr_agg" ->
+      """WITH o AS (
+            SELECT o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders)
+          SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_cents
+          FROM o GROUP BY 1 ORDER BY o_orderstatus""",
     "q_evt_anomaly" ->
       s"""WITH e AS (
             SELECT user_id, event_id, value, $ep AS t FROM events),

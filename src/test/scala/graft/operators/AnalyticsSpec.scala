@@ -55,6 +55,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("scd2History: runs become half-open intervals, current run open-ended") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "a", ts(10)),   // run of a
+      (1L, 3L, "b", ts(20)),                           // change to b
+      (1L, 4L, "a", ts(30)),                           // back to a (new run)
+      (2L, 5L, "x", ts(0))
+    ).map { case (u, id, a, t) => (u, id, a, t, 0.0) }
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.scd2History(ev, "user_id", "event_type")
+      .select("user_id", "event_type", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", 0L, 1200L), (1L, "b", 1200L, 1800L), (1L, "a", 1800L, -1L),
+      (2L, "x", 0L, -1L)))
+  }
+
+  test("incrementalAgg merge equals a full recompute, including new groups") {
+    val state = Seq(("A", 2L, 10.0), ("B", 1L, 5.0)).toDF("k", "n", "s")
+    val batch = Seq(("A", 3.0), ("C", 7.0), ("C", 1.0)).toDF("k", "v")
+      .withColumn("n", lit(1L)).withColumnRenamed("v", "s")
+      .select("k", "n", "s")
+    val got = graft.operators.Maintenance
+      .incrementalAgg(state, batch, Seq("k"), Seq("n", "s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("A", 3L, 13.0), ("B", 1L, 5.0), ("C", 2L, 8.0)))
+  }
+
   test("rollingAnomaly flags a planted spike and matches a local recompute") {
     // user 1: 10 flat values then a spike; user 2: too short for a window
     val ev = ((1 to 10).map(i => (1L, i.toLong, ts(i), 5.0 + (i % 3) * 0.1)) :+
