@@ -73,6 +73,47 @@ object Sketches {
     org.apache.spark.sql.functions.udaf(new HllAggregator(p), Encoders.scalaLong)
       .apply(col)
 
+  /** Sketch-emitting twin of [[HllAggregator]]: same registers, but
+    * `finish` returns the BUFFER — the persistable pre-aggregate. A
+    * sketch table (group, sketch) re-aggregates to any coarser grouping
+    * via [[HllMergeAggregator]] WITHOUT touching raw data: register-wise
+    * max is associative/commutative/idempotent, so the rolled-up buffer
+    * is bit-identical to a direct pass — pinned in SketchesSpec. This is
+    * the materialized-view pattern for distincts at 100 TB: daily
+    * sketches are KBs; the week/month/all-time roll-up reads only them
+    * (exact distincts can't do this — distinct is not additive). */
+  final class HllSketchAggregator(p: Int = 12)
+      extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    private val inner = new HllAggregator(p)
+    override def zero: Array[Byte] = inner.zero
+    override def reduce(b: Array[Byte], v: Long): Array[Byte] = inner.reduce(b, v)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge stored sketches (binary column) to an estimate. */
+  final class HllMergeAggregator(p: Int = 12)
+      extends Aggregator[Array[Byte], Array[Byte], Long] {
+    private val inner = new HllAggregator(p)
+    override def zero: Array[Byte] = inner.zero
+    override def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] =
+      inner.merge(b, v)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    override def finish(buf: Array[Byte]): Long = inner.finish(buf)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def hllSketch(col: Column, p: Int = 12): Column =
+    org.apache.spark.sql.functions.udaf(new HllSketchAggregator(p), Encoders.scalaLong)
+      .apply(col)
+
+  def hllMergeEstimate(col: Column, p: Int = 12): Column =
+    org.apache.spark.sql.functions.udaf(new HllMergeAggregator(p),
+      Encoders.BINARY).apply(col)
+
   // ------------------------------------------------------------ MinHash ---
 
   /** MinHash signature of a set of pre-hashed Long shingles: k permutations

@@ -154,7 +154,25 @@ object AggQueries {
         .groupBy(col("event_type"))
         .agg(graft.functions.Sketches.hll(xxhash64(col("user_id")))
           .as("hll_users"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // sketch ROLL-UP (materialized-view pattern): daily user sketches
+    // re-aggregate to weekly estimates without touching raw events —
+    // register-max is associative/idempotent so rollup ≡ direct pass
+    // bit-exactly (SketchesSpec). Engine-pinned hash ⇒ rows-only.
+    "q_agg_hll_rollup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", (col("ts").cast("long") / 86400L).cast("long"))
+        .groupBy(col("day"))
+        .agg(graft.functions.Sketches.hllSketch(xxhash64(col("user_id")))
+          .as("sketch"))
+      daily
+        .withColumn("week", (col("day") / 7L).cast("long"))
+        .groupBy(col("week"))
+        .agg(graft.functions.Sketches.hllMergeEstimate(col("sketch"))
+          .as("est_users"))
+        .orderBy(col("week"))
+    })
   )
 
   val oracle: Map[String, String] = Map(

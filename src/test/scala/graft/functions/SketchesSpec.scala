@@ -48,6 +48,32 @@ class SketchesSpec extends SparkSpec {
     assert(a == b, s"repartitioning changed the HLL estimate: $a vs $b")
   }
 
+  test("HLL sketch roll-up is BIT-exact vs a direct pass (materialized-view path)") {
+    val s = spark
+    val ev = Tables.events(s, sf0001)
+      .withColumn("day", (col("ts").cast("long") / 86400L).cast("long"))
+      .withColumn("week", (col("day") / 7L).cast("long"))
+    // rolled-up: daily sketches merged per week
+    val rolled = ev.groupBy(col("day"), col("week"))
+      .agg(Sketches.hllSketch(xxhash64(col("user_id"))).as("sk"))
+      .groupBy(col("week"))
+      .agg(Sketches.hllMergeEstimate(col("sk")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direct: one pass over raw events per week
+    val direct = ev.groupBy(col("week"))
+      .agg(Sketches.hll(xxhash64(col("user_id"))).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rolled == direct && rolled.nonEmpty,
+      "register-max roll-up diverged from the direct sketch")
+    // and the estimates are sane vs exact
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rolled.foreach { case (w, est) =>
+      assert(math.abs(est - exact(w)).toDouble / exact(w) <= 0.05, s"week $w")
+    }
+  }
+
   test("MinHash signature equality estimates Jaccard within 0.15") {
     // two sets with known overlap: |A∩B|=60, |A∪B|=140 → J≈0.4286
     val a = (0 until 100).map(_.toLong)

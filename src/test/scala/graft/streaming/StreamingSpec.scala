@@ -178,6 +178,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow backfills all existing files then terminates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    // two pre-existing batches — the backfill scenario
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/in/b1")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/in/b2")
+    val name = sink()
+    val q = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(s"$dir/in/*")
+      .groupBy(col("v")).count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow drains everything present at start, then STOPS on its
+    // own — the batch-backfill contract (a plain file stream would idle)
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val rows = s.table(name).as[(String, Long)].collect().toMap
+    assert(rows == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("left-outer interval join emits unmatched rows only after watermark passes") {
     val s = spark
     import s.implicits._
