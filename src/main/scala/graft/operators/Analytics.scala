@@ -56,6 +56,28 @@ object Analytics {
         floor(col("n_users") / base * 1e4 + lit(0.5)) / 1e2)
   }
 
+  /** First-order Markov transition matrix of the event stream: counts and
+    * row-normalized probabilities of (event_type → next event_type) per
+    * user-ordered sequence — the behavioral-model summary a funnel is a
+    * special case of. One lag window per user + one (from, to) count;
+    * probabilities at 4 dp (sum-order-safe: numerator and denominator are
+    * exact counts, one division per row). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .where(col("next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n") / col("tot") * 1e4 + lit(0.5)) / 1e4).as("p"))
+  }
+
   /** SCD-2 validity-interval history from an event log: one row per RUN
     * of equal `attr` values per key, (key, attr, valid_from, valid_to),
     * half-open [from, to), the current run open-ended (valid_to null).

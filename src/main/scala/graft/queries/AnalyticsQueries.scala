@@ -26,6 +26,12 @@ object AnalyticsQueries {
       Analytics.cohortRetention(Tables.events(s, d))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // first-order Markov transitions: (from, to) counts + row-normalized
+    // probabilities over user-ordered event sequences
+    "q_evt_transitions" -> ((s, d) =>
+      Analytics.transitionMatrix(Tables.events(s, d))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // SCD-2 history: per-user event_type runs as validity intervals
     "q_evt_scd2" -> ((s, d) =>
       Analytics.scd2History(Tables.events(s, d), "user_id", "event_type")
@@ -89,6 +95,22 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_transitions" ->
+      s"""WITH e AS (
+            SELECT user_id, event_type, event_id, $ep AS t FROM events),
+          p AS (
+            SELECT event_type AS from_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY t, event_id) AS to_type
+            FROM e),
+          cnt AS (
+            SELECT from_type, to_type, count(*) AS n FROM p
+            WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT from_type, sum(n) AS tot FROM cnt GROUP BY 1)
+          SELECT cnt.from_type, to_type, n,
+                 floor(CAST(n AS DOUBLE) / tot * 1e4 + 0.5) / 1e4 AS p
+          FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+          ORDER BY cnt.from_type, to_type""",
     "q_evt_scd2" ->
       s"""WITH e AS (
             SELECT user_id, event_type, event_id, $ep AS t FROM events),

@@ -55,6 +55,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("transitionMatrix counts ordered pairs per user; rows normalize to 1") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)), (1L, 3L, "a", ts(2)),
+      (2L, 4L, "a", ts(0)), (2L, 5L, "b", ts(1))
+    ).map { case (u, id, a, t) => (u, id, a, t, 0.0) }
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.transitionMatrix(ev)
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+    val counts = got.map(r => (r._1, r._2) -> r._3).toMap
+    // a→b twice (u1, u2), b→a once (u1)
+    assert(counts == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    got.groupBy(_._1).foreach { case (f, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-3, s"row $f not normalized")
+    }
+  }
+
   test("scd2History: runs become half-open intervals, current run open-ended") {
     val ev = Seq(
       (1L, 1L, "a", ts(0)), (1L, 2L, "a", ts(10)),   // run of a
