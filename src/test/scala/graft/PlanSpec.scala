@@ -188,4 +188,36 @@ class PlanSpec extends SparkSpec {
     val plan = physical(df)
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("bm25 probes the corpus tf table with a BROADCAST idf side") {
+    val plan = physical(SparkEntry.queries("q_llm_bm25")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"idf side not broadcast:\n$plan")
+    // the corpus-sized tf table must never sort-merge against the
+    // vocabulary-sized query side
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("SortMergeJoin") > plan.indexOf("BroadcastHashJoin"),
+      s"tf-side SMJ before the broadcast probe:\n$plan")
+  }
+
+  test("funnel step filters push down to the events scan") {
+    val df = graft.operators.Analytics.funnel(
+      Tables.events(spark, sf0001), Seq("view", "click"), 3600L)
+    // funnel runs eagerly; assert on the frontier-building scan instead
+    val scan = Tables.events(spark, sf0001)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(event_type"),
+      s"event_type filter not pushed:\n$scan")
+    assert(df.count() > 0)
+  }
+
+  test("scd2 history reuses ONE sort for both window passes (no double exchange)") {
+    val plan = physical(graft.operators.Analytics.scd2History(
+      Tables.events(spark, sf0001), "user_id", "event_type"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"expected a single user_id exchange shared by lag+lead, got $exchanges:\n$plan")
+  }
 }
