@@ -1251,6 +1251,60 @@ object CorpusOps {
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), splitColumn(col("text")).as("split"))
 
+  /** Dense 1-based global rank of every row by (`value` DESC, doc_id ASC)
+    * WITHOUT a global window: value-range buckets (descending bucket-major
+    * order IS the rank order), per-bucket counts to a driver offset array
+    * (nBuckets longs), rank = in-bucket row_number + offset. The shared
+    * primitive under [[lengthBatches]] / [[curriculumInterleave]] /
+    * [[rrfFusion]]. Input must carry (doc_id, `valueCol`); emits `rankCol`. */
+  private def bucketedGlobalRankDesc(df: DataFrame, valueCol: String,
+                                     rankCol: String, nBuckets: Int): DataFrame = {
+    val bounds = df.agg(min(col(valueCol)), max(col(valueCol))).collect()(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((hi - lo) / nBuckets, java.lang.Double.MIN_NORMAL)
+    val bucketed = df.withColumn("__rb",
+      least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col(valueCol) - lo) / width).cast("int"))))
+    val counts = bucketed.groupBy(col("__rb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offset of bucket b = rows in HIGHER-value buckets (desc rank order)
+    val offArr: Seq[Long] = (0 until nBuckets).map(b =>
+      (b + 1 until nBuckets).map(q => counts.getOrElse(q, 0L)).sum)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rb"))
+      .orderBy(col(valueCol).desc, col("doc_id"))
+    bucketed
+      .withColumn(rankCol,
+        row_number().over(w) + element_at(typedLit(offArr), col("__rb") + 1))
+      .drop("__rb")
+  }
+
+  /** Reciprocal-rank-fusion quality ensembling (Cormack et al. 2009): each
+    * signal ranks the corpus independently (higher = better), fused as
+    * score = Σᵢ 1/(k + rankᵢ) — the standard way to combine heterogeneous
+    * quality signals (length, entropy, perplexity, classifier score)
+    * without calibrating their scales. Every rank comes from
+    * [[bucketedGlobalRankDesc]] — no global window at any corpus size; the
+    * fusion itself is a map. Signals are ROUNDED to 4 dp before ranking
+    * (round-before-rank) and the fused sum adds terms in signal order, so
+    * the result is engine-deterministic. Returns
+    * (doc_id, rank_<name>..., rrf). */
+  def rrfFusion(docs: DataFrame, signals: Seq[(String, Column)],
+                k: Int = 60, nBuckets: Int = 32): DataFrame = {
+    require(signals.nonEmpty, "rrfFusion needs at least one signal")
+    val base = signals.foldLeft(
+      docs.select(col("doc_id") +: signals.map { case (n, c) =>
+        (floor(c.cast("double") * 1e4 + lit(0.5)) / 1e4).as(s"__v_$n")
+      }: _*)) { case (df, (n, _)) =>
+      bucketedGlobalRankDesc(df, s"__v_$n", s"rank_$n", nBuckets)
+    }
+    val rrf = signals.map { case (n, _) =>
+      lit(1.0) / (lit(k.toDouble) + col(s"rank_$n"))
+    }.reduce(_ + _)
+    base.select(col("doc_id") +: signals.map { case (n, _) => col(s"rank_$n") } :+
+      (floor(rrf * 1e6 + lit(0.5)) / 1e6).as("rrf"): _*)
+  }
+
   /** Curriculum / mixing order: rank documents by `ord` DESCENDING within
     * each `stratum` (quality-first curriculum), then interleave strata
     * round-robin — consumption position sorts by (per-stratum rank,

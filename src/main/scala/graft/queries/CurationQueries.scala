@@ -79,6 +79,19 @@ object CurationQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // reciprocal-rank fusion of three quality signals (length, token
+    // count, lexical diversity) — every rank bucketed, no global window
+    "q_llm_rrf" -> ((s, d) => {
+      val nToks = expr("size(filter(split(text, ' '), t -> t <> ''))")
+      CorpusOps.rrfFusion(Tables.documents(s, d), Seq(
+          "chars" -> col("n_chars").cast("double"),
+          "toks" -> nToks.cast("double"),
+          "lexdiv" -> (expr(
+            "size(array_distinct(filter(split(text, ' '), t -> t <> '')))")
+            .cast("double") / nToks.cast("double"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // prefix-filtered EXACT Jaccard join (All-Pairs): same semantics as
     // the inverted-index q_llm_jaccard but candidates only from rare-first
     // prefixes — exact at any token df, no dfCap approximation
@@ -149,6 +162,27 @@ object CurationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_llm_rrf" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  floor(CAST(n_chars AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v1,
+                  floor(CAST(len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v2,
+                  floor(CAST(len(list_distinct(list_filter(
+                      string_split(text, ' '), t -> t <> ''))) AS DOUBLE) /
+                    CAST(len(list_filter(string_split(text, ' '),
+                      t -> t <> '')) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v3
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY v1 DESC, doc_id) AS rank_chars,
+                  row_number() OVER (ORDER BY v2 DESC, doc_id) AS rank_toks,
+                  row_number() OVER (ORDER BY v3 DESC, doc_id) AS rank_lexdiv
+           FROM s)
+         SELECT doc_id, rank_chars, rank_toks, rank_lexdiv,
+                floor((1.0 / (60.0 + rank_chars) + 1.0 / (60.0 + rank_toks)
+                       + 1.0 / (60.0 + rank_lexdiv)) * 1e6 + 0.5) / 1e6 AS rrf
+         FROM r ORDER BY doc_id""",
     "q_llm_ppjoin" ->
       """WITH tok AS (
            SELECT DISTINCT doc_id, t AS token FROM (

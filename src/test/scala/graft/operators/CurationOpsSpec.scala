@@ -198,6 +198,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.size >= 95)
   }
 
+  test("rrfFusion: bucketed ranks are dense permutations matching a window recompute") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val got = CorpusOps.rrfFusion(docs, Seq(
+      "chars" -> col("n_chars").cast("double"),
+      "id" -> (-col("doc_id")).cast("double")))
+    val rows = got.select("doc_id", "rank_chars", "rank_id", "rrf").collect()
+    val n = rows.length
+    // dense permutations 1..n
+    assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to n).toSeq)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq)
+    // -doc_id desc == doc_id asc: rank_id must equal doc_id's asc position
+    val byId = rows.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+    assert(byId == (1L to n).toSeq)
+    // window recompute of the chars rank (rounded, tie by doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("doc_id"))
+    val want = docs.select(col("doc_id"),
+        (floor(col("n_chars").cast("double") * 1e4 + lit(0.5)) / 1e4).as("v"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select("doc_id", "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == want(r.getLong(0)),
+      s"doc ${r.getLong(0)} bucketed rank diverges from the window"))
+  }
+
   test("weightedSample: heavy rows dominate, exact k, deterministic, salt-sensitive") {
     val s = spark
     import s.implicits._
