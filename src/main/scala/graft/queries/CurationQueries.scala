@@ -79,6 +79,42 @@ object CurationQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // QUALITY-AWARE curation pipeline v2, five composed stages: RRF gate
+    // (≥0.012 keeps 217 of 500) → trigram-Jaccard pairs → connected
+    // components → keep-BEST representative per cluster → 512-token shard
+    // packing. Every stage is an individually-oracle-exact operator, so
+    // the composition stays hash-exact end to end.
+    "q_llm_pipeline2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nToks = expr("size(filter(split(text, ' '), t -> t <> ''))")
+      val gate = CorpusOps.rrfFusion(docs, Seq(
+          "chars" -> col("n_chars").cast("double"),
+          "toks" -> nToks.cast("double"),
+          "lexdiv" -> (expr(
+            "size(array_distinct(filter(split(text, ' '), t -> t <> '')))")
+            .cast("double") / nToks.cast("double"))))
+        .where(col("rrf") >= 0.012).select(col("doc_id"))
+      // inter-phase persist (the q_llm_pipeline lesson): the RRF gate is
+      // three ranking jobs — without this, the pair self-join, the CC id
+      // set, the quality join, and packShards' sizing collects each
+      // recompute it (measured 17.8 s -> ~5 s at sf0.1 with the persist)
+      val survivors = docs.join(gate, "doc_id").localCheckpoint()
+      val pairs = Dedup.jaccardFromItems(
+        survivors.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+          .as("g"))
+          .distinct(),
+        threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
+        spreadExplosion = true)
+      val clusters = Dedup.dedupClusters(
+        survivors.select(col("doc_id")), pairs.select(col("d1"), col("d2")))
+      val reps = Dedup.clusterRepresentatives(clusters,
+          survivors.select(col("doc_id"), col("n_chars").as("q")))
+        .select(col("rep_doc_id").as("doc_id"))
+      CorpusOps.packShards(docs.join(reps, "doc_id"), budgetTokens = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // reciprocal-rank fusion of three quality signals (length, token
     // count, lexical diversity) — every rank bucketed, no global window
     "q_llm_rrf" -> ((s, d) => {
@@ -162,6 +198,75 @@ object CurationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_llm_pipeline2" ->
+      """WITH RECURSIVE sig AS (
+           SELECT doc_id,
+                  floor(CAST(n_chars AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v1,
+                  floor(CAST(len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v2,
+                  floor(CAST(len(list_distinct(list_filter(
+                      string_split(text, ' '), t -> t <> ''))) AS DOUBLE) /
+                    CAST(len(list_filter(string_split(text, ' '),
+                      t -> t <> '')) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v3
+           FROM documents),
+         rr AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY v1 DESC, doc_id) AS r1,
+                  row_number() OVER (ORDER BY v2 DESC, doc_id) AS r2,
+                  row_number() OVER (ORDER BY v3 DESC, doc_id) AS r3
+           FROM sig),
+         gate AS (
+           SELECT doc_id FROM rr
+           WHERE floor((1.0 / (60.0 + r1) + 1.0 / (60.0 + r2)
+                        + 1.0 / (60.0 + r3)) * 1e6 + 0.5) / 1e6 >= 0.012),
+         d AS (
+           SELECT doc.doc_id, doc.text, doc.n_chars
+           FROM documents doc JOIN gate ON doc.doc_id = gate.doc_id),
+         tri AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                    i -> substr(text, CAST(i AS INT), 3))) AS g
+           FROM d),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+         p0 AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT d1, d2 FROM p0
+           JOIN cnt n1 ON d1 = n1.doc_id JOIN cnt n2 ON d2 = n2.doc_id
+           WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM prs
+                   UNION SELECT d2, d1 FROM prs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+         assign AS (
+           SELECT d.doc_id, COALESCE(c2.comp, d.doc_id) AS cluster_id,
+                  d.n_chars AS q
+           FROM d LEFT JOIN comp c2 ON d.doc_id = c2.id),
+         reps AS (
+           SELECT cluster_id, doc_id FROM (
+             SELECT cluster_id, doc_id,
+                    row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY q DESC, doc_id ASC) AS rn
+             FROM assign) WHERE rn = 1),
+         t AS (
+           SELECT d.doc_id,
+                  COALESCE(len(list_filter(string_split(d.text, ' '),
+                    x -> x <> '')), 0) AS n_tokens
+           FROM d JOIN reps ON d.doc_id = reps.doc_id),
+         c AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+           FROM t)
+         SELECT doc_id, n_tokens,
+                CAST(strt // 512 AS BIGINT) AS shard,
+                CAST(strt % 512 AS BIGINT) AS offset
+         FROM c ORDER BY doc_id""",
     "q_llm_rrf" ->
       """WITH s AS (
            SELECT doc_id,
