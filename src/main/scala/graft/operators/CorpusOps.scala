@@ -1256,7 +1256,11 @@ object CorpusOps {
     * order IS the rank order), per-bucket counts to a driver offset array
     * (nBuckets longs), rank = in-bucket row_number + offset. The shared
     * primitive under [[lengthBatches]] / [[curriculumInterleave]] /
-    * [[rrfFusion]]. Input must carry (doc_id, `valueCol`); emits `rankCol`. */
+    * [[rrfFusion]]. Input must carry (doc_id, `valueCol`); emits `rankCol`.
+    * Degenerate case: a CONSTANT value column collapses every row into
+    * bucket 0 and the in-bucket window becomes global — correct, but a
+    * signal with no spread shouldn't be ranked at scale in the first
+    * place (its rank is pure doc_id order). */
   private def bucketedGlobalRankDesc(df: DataFrame, valueCol: String,
                                      rankCol: String, nBuckets: Int): DataFrame = {
     val bounds = df.agg(min(col(valueCol)), max(col(valueCol))).collect()(0)
