@@ -73,6 +73,16 @@ object WebQueries {
         .orderBy(col("node"))
     }),
 
+    // per-node triangle counts + clustering coefficient on a 60-node
+    // derived graph (degree-ordered orientation; see GraphOps scaladoc)
+    "q_graph_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select((col("doc_id") % 60).as("a"),
+        ((col("doc_id") * 31 + col("n_chars")) % 60).as("b"))
+      GraphOps.triangleCounts(edges)
+        .orderBy(col("node"))
+    }),
+
     // blocked fuzzy match: dropped-last-char typos vs the token vocabulary
     // at Levenshtein ≤ 1 (block = same first char, |Δlen| ≤ 1)
     "q_join_fuzzy" -> ((s, d) => {
@@ -197,6 +207,34 @@ object WebQueries {
            FROM d)
          SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
     "q_graph_pagerank" -> pageRankSql(10),
+    "q_graph_triangles" ->
+      """WITH raw AS (
+           SELECT doc_id % 60 AS p, (doc_id * 31 + n_chars) % 60 AS q
+           FROM documents),
+         e AS (
+           SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
+           FROM raw WHERE p <> q),
+         deg AS (
+           SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           GROUP BY node),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         cnt AS (
+           SELECT node, count(*) AS t FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY node)
+         SELECT d.node, d.degree, COALESCE(c.t, 0) AS triangles,
+                floor(CASE WHEN d.degree > 1
+                        THEN COALESCE(c.t, 0) * 2.0 / (d.degree * (d.degree - 1))
+                        ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS clustering
+         FROM deg d LEFT JOIN cnt c ON c.node = d.node
+         ORDER BY d.node""",
     "q_web_canon_url" ->
       """WITH u AS (
            SELECT CASE WHEN doc_id % 2 = 0 THEN

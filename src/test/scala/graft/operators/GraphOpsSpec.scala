@@ -56,4 +56,63 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert((2L to 9L).forall(i => got(1L) > got(i)))
   }
+
+  /** Local reference triangle count: brute-force over canonical edges. */
+  private def localTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).toSeq.sorted
+    val tris = for {
+      (a, b) <- e.toSeq; c <- nodes
+      if c > b && e.contains((a, c)) && e.contains((b, c))
+    } yield (a, b, c)
+    val cnt = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    nodes.map(n => n -> cnt.getOrElse(n, 0L)).toMap
+  }
+
+  test("triangleCounts: K4 + pendant — exact counts, degrees, clustering") {
+    val k4 = Seq[(Long, Long)]((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val edges = k4 :+ (1L, 5L)
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every K4 node sits in C(3,2)=3 triangles; the pendant in none
+    assert(got(1L) == ((4L, 3L, 0.5)))   // 2*3/(4*3)
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == ((3L, 3L, 1.0)), s"node $n"))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: triangle-free path graph is all zero") {
+    val edges = (1L to 9L).map(i => (i, i + 1))
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 10)
+    assert(got.forall(_._3 == 0L))
+  }
+
+  test("triangleCounts: invariant to duplicates, self-loops, orientation") {
+    val base = Seq[(Long, Long)]((1, 2), (2, 3), (1, 3), (3, 4), (4, 1))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L), (3L, 1L))
+    val a = GraphOps.triangleCounts(base.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = GraphOps.triangleCounts(noisy.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("triangleCounts matches the brute-force local recompute on the doc fixture") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val raw = docs.select((col("doc_id") % 60).as("a"),
+        ((col("doc_id") * 31 + col("n_chars")) % 60).as("b"))
+    val edges = raw.as[(Long, Long)].collect().toSeq
+    val want = localTriangles(edges)
+    val got = GraphOps.triangleCounts(raw)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == want)
+    // the fixture must actually contain triangles — a vacuous all-zero
+    // graph would pass any wrong implementation
+    assert(want.values.sum > 0, "fixture graph is triangle-free")
+  }
 }
