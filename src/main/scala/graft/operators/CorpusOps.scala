@@ -878,6 +878,55 @@ object CorpusOps {
       .select(col("doc_id"), col("rn"), col("token"), col("score"))
   }
 
+  /** Pointwise-mutual-information association mining over document-level
+    * co-occurrence: for token pairs within the top-`topVocab` vocabulary,
+    * pmi = ln(n_12 · N / (n_1 · n_2)) where n_t are document frequencies
+    * and N the corpus size — the classic collocation / word-association
+    * signal (Church & Hanks 1990), also the co-occurrence statistic under
+    * PMI-factorization embeddings. Returns (t1, t2, n_12, pmi) for pairs
+    * seen in ≥ `minPairCount` docs, pmi rounded 4 dp (round-before-rank).
+    *
+    * Scale shape: the vocabulary is capped FIRST — a deterministic
+    * (df desc, token) top-V via global TakeOrderedAndProject, broadcast
+    * into a semi-join — so the pair explosion is bounded by
+    * Σ_doc C(|tokens∩V|, 2) ≤ docs · V²/2 with the typical doc
+    * contributing far fewer; uncapped pairing would square the full
+    * vocabulary. Three shuffles end to end: df aggregate, per-doc token
+    * collect, pair-keyed count; per-token df rides the pair structs
+    * (functionally dependent on the token), so no post-aggregation
+    * re-join touches the vocabulary. N is one count (pass `knownCount`
+    * when the caller already has it). */
+  def pmiPairs(docs: DataFrame, topVocab: Int = 150, minPairCount: Long = 5,
+               knownCount: Option[Long] = None): DataFrame = {
+    require(topVocab > 1 && minPairCount >= 1,
+      s"topVocab=$topVocab minPairCount=$minPairCount")
+    val n = knownCount.getOrElse(docs.count())
+    val docTok = docs.select(col("doc_id"), explode(expr(
+        "array_distinct(filter(split(text, ' '), t -> t <> ''))")).as("token"))
+    val df = docTok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    val top = df.orderBy(col("n_t").desc, col("token").asc).limit(topVocab)
+    // per-doc sorted array of (token, df) survivors, pairs enumerated by
+    // a higher-order expression — NOT a doc_id self-join, which would
+    // scan/explode the corpus twice and add a join shuffle. token is
+    // unique within the set, so (token asc) sort makes i<j enumeration
+    // deterministic and each unordered pair appears exactly once.
+    docTok.join(broadcast(top), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(struct(col("token"), col("n_t"))))
+        .as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+             transform(slice(ts, i + 2, size(ts) - i - 1), y -> struct(x, y))))"""))
+        .as("p"))
+      .groupBy(col("p.x.token").as("t1"), col("p.x.n_t").as("n_1"),
+        col("p.y.token").as("t2"), col("p.y.n_t").as("n_2"))
+      .agg(count(lit(1)).as("n_12"))
+      .where(col("n_12") >= minPairCount)
+      .select(col("t1"), col("t2"), col("n_12"),
+        expr(s"floor(ln(n_12 * $n.0 / (n_1 * n_2)) * 10000 + 0.5) / 10000")
+          .as("pmi"))
+  }
+
   /** Incremental ingest dedup — the continuous-crawl shape: a NEW batch is
     * deduped against the digest set of the corpus already ingested, then
     * within itself (keep-first by doc_id). Returns the surviving

@@ -616,6 +616,13 @@ object LlmQueries {
       CorpusOps.tfIdf(Tables.documents(s, d), topK = 5)
         .orderBy(col("doc_id"), col("rn"))),
 
+    // PMI association mining: co-occurrence of the top-150 vocabulary
+    // within documents, pairs in ≥5 docs
+    "q_llm_pmi" -> ((s, d) =>
+      CorpusOps.pmiPairs(Tables.documents(s, d), topVocab = 150,
+          minPairCount = 5)
+        .orderBy(col("t1"), col("t2"))),
+
     // incremental ingest dedup — the continuous-crawl shape: docs >= 250
     // arrive as a new batch and dedup against the digest set of the already
     // ingested corpus (docs < 250), then within-batch keep-first.
@@ -1264,6 +1271,29 @@ object LlmQueries {
            FROM s)
          SELECT doc_id, CAST(rn AS INT) AS rn, token, score
          FROM r WHERE rn <= 5 ORDER BY doc_id, rn""",
+    "q_llm_pmi" ->
+      """WITH dt AS (
+           SELECT DISTINCT doc_id, token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token <> ''),
+         df AS (SELECT token, COUNT(*) AS n_t FROM dt GROUP BY token),
+         top AS (
+           SELECT token, n_t FROM df
+           ORDER BY n_t DESC, token ASC LIMIT 150),
+         tv AS (SELECT dt.doc_id, dt.token, top.n_t
+                FROM dt JOIN top USING (token)),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         pairs AS (
+           SELECT a.token AS t1, a.n_t AS n_1, b.token AS t2, b.n_t AS n_2,
+                  COUNT(*) AS n_12
+           FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+           GROUP BY 1, 2, 3, 4
+           HAVING COUNT(*) >= 5)
+         SELECT t1, t2, n_12,
+                floor(ln(n_12 * n.n * 1.0e0 / (n_1 * n_2)) * 10000 + 0.5)
+                  / 10000 AS pmi
+         FROM pairs CROSS JOIN n ORDER BY t1, t2""",
     "q_llm_incr_dedup" ->
       """WITH ex AS (
            SELECT DISTINCT md5(lower(trim(text))) AS h

@@ -6,6 +6,53 @@ import org.apache.spark.sql.functions._
 
 class CorpusOpsSpec extends SparkSpec {
 
+  test("pmiPairs: attraction positive, independence ~zero, counts exact") {
+    val s = spark
+    import s.implicits._
+    // 40 docs: "a b" always together (perfect attraction), "x" in every
+    // doc (independent of everything), "y" in half — (x,y) independent
+    val docs = (1L to 40L).map { i =>
+      val y = if (i % 2 == 0) " y" else ""
+      (i, s"a b x$y")
+    }.toDF("doc_id", "text")
+    val got = CorpusOps.pmiPairs(docs, topVocab = 10, minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (a,b): n_1=n_2=n_12=40, pmi = ln(40*40/(40*40)) = 0... use exact
+    // counts instead: (a,b) co-occur always -> pmi = ln(N*n12/(n1*n2))
+    // = ln(40*40/1600) = 0; (x,y): ln(40*20/(40*20)) = 0 (independent);
+    // plant real attraction: a,b appear in only half the docs
+    assert(got(("a", "b"))._1 == 40L)
+    // full-co-occurrence of full-support tokens IS independence (pmi 0)
+    assert(got(("a", "b"))._2 == 0.0)
+    assert(got(("x", "y"))._2 == 0.0)
+    // attraction case: tokens confined to the same half of the corpus
+    val docs2 = (1L to 40L).map { i =>
+      (i, if (i <= 20) "p q filler" else "r s filler")
+    }.toDF("doc_id", "text")
+    val got2 = CorpusOps.pmiPairs(docs2, topVocab = 10, minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (p,q): ln(40*20/(20*20)) = ln 2; 4dp-rounded
+    val ln2 = math.floor(math.log(2.0) * 1e4 + 0.5) / 1e4
+    assert(got2(("p", "q")) == ((20L, ln2)))
+    assert(got2(("r", "s")) == ((20L, ln2)))
+    // disjoint pairs (p,r) never co-occur -> absent
+    assert(!got2.contains(("p", "r")))
+  }
+
+  test("pmiPairs: vocabulary cap drops pairs outside the top-V") {
+    val s = spark
+    import s.implicits._
+    // "rare" appears in 2 docs, everything else in ≥10 — topVocab=2
+    // keeps the two most frequent tokens only
+    val docs = (1L to 10L).map(i =>
+      (i, "common other" + (if (i <= 2) " rare" else ""))).toDF("doc_id", "text")
+    val got = CorpusOps.pmiPairs(docs, topVocab = 2, minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("common", "other")))
+  }
+
   test("span pairs equal a brute-force substring comparison") {
     val s = spark
     import s.implicits._
