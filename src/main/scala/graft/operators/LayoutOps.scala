@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering + file-level data skipping —
+  * the lakehouse `OPTIMIZE ZORDER` / Iceberg sort-order shape, the layout
+  * lever that matters most at 100 TB: partition pruning only cuts the
+  * partitioned dimension, and a linear sort only clusters its leading
+  * column. Z-ordering interleaves the bits of k rank-scaled columns so a
+  * range predicate on ANY of them touches a ~n^((k-1)/k) fraction of the
+  * files, and the per-file min/max manifest turns that locality into
+  * files actually not opened.
+  *
+  * The manifest here is materialized by a scan (one aggregate); a table
+  * format (Delta/Iceberg) keeps the identical table in its transaction
+  * log so skipping is metadata-only — this operator IS that table, built
+  * from the data when no log exists.
+  */
+object LayoutOps {
+
+  /** 16-bit Morton spread via the magic-mask doubling steps: places the
+    * 16 low bits of `c` at even bit positions (0,2,4,…,30). Pure integer
+    * arithmetic — codegen-friendly and exactly mirrorable in any engine
+    * with shifts. */
+  private def spread16(c: Column): Column = {
+    val a = c.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Scale an integer column to [0, 65535] by dataset bounds using pure
+    * LONG arithmetic — `(x − min) · 65535 div (max − min)` — so the
+    * result is deterministic and engine-portable (no float rounding).
+    * Constant columns (max == min) scale to 0. */
+  private def scale16(name: String, mn: Long, mx: Long): Column =
+    if (mx > mn) expr(s"CAST(((CAST(`$name` AS BIGINT) - ($mn)) * 65535) " +
+      s"DIV (${mx - mn}) AS BIGINT)")
+    else lit(0L)
+
+  /** Append a 32-bit Morton z-value column `zCol` interleaving two
+    * integer columns, each rank-scaled to 16 bits by its dataset min/max
+    * (computed here in one aggregate — pass `knownBounds` (xMin, xMax,
+    * yMin, yMax) to skip the pass when stats are already known, as a
+    * table format's log would). x takes even bits, y odd. */
+  def zvalue(df: DataFrame, xCol: String, yCol: String, zCol: String = "z",
+             knownBounds: Option[(Long, Long, Long, Long)] = None): DataFrame = {
+    val (xMin, xMax, yMin, yMax) = knownBounds.getOrElse {
+      val r = df.agg(
+        min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+        min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()(0)
+      require(!r.anyNull, s"zvalue: empty input or null bounds for $xCol/$yCol")
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    df.withColumn(zCol,
+      spread16(scale16(xCol, xMin, xMax))
+        .bitwiseOR(shiftleft(spread16(scale16(yCol, yMin, yMax)), 1)))
+  }
+
+  /** Write `df` z-ordered on (xCol, yCol) into `nFiles` parquet files:
+    * range-repartition on the z-value (contiguous z-ranges per file —
+    * the property the manifest exploits), sort within partitions, drop
+    * the helper column at write. One shuffle; the sort is per-partition,
+    * never global. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles=$nFiles")
+    zvalue(df, xCol, yCol, zCol = "__z")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max manifest of `cols` over a parquet directory:
+    * (file, <c>_min, <c>_max …), one row per physical file — the
+    * data-skipping index. Built by one scan+aggregate here; a table
+    * format maintains the same rows incrementally in its log. */
+  def skippingManifest(spark: SparkSession, path: String,
+                       cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data-skipping read: list the files whose [min, max] envelope
+    * overlaps every requested closed range, read ONLY those, then apply
+    * the exact predicate. Returns (pruned reader, files read, files
+    * total). The file list is manifest-sized (one row per file — driver
+    * metadata by contract, like a table format's log scan); correctness
+    * does not depend on the layout — a file wrongly absent from the
+    * manifest is impossible because the manifest enumerates the
+    * directory, and the envelope test can only FALSE-POSITIVE (read a
+    * file with no matching rows), never skip a matching one. */
+  def pruneRead(spark: SparkSession, path: String,
+                ranges: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    val man = skippingManifest(spark, path, ranges.map(_._1)).cache()
+    val total = man.count().toInt
+    val keep = ranges.foldLeft(man) { case (m, (c, lo, hi)) =>
+      m.where(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+    }
+    val files = keep.select(col("file")).collect().map(_.getString(0))
+    man.unpersist()
+    val exact = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    val df =
+      if (files.isEmpty)
+        spark.read.parquet(path).where(exact).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*).where(exact)
+    (df, files.length, total)
+  }
+}

@@ -167,6 +167,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Z-order (Morton) clustering key: integer rank-scale to 16 bits by
+    // measured bounds, magic-mask bit interleave — pure long arithmetic,
+    // so the DuckDB mirror is bit-exact. The write/prune halves of the
+    // operator (zorderWrite / skippingManifest / pruneRead) are golden in
+    // LayoutOpsSpec: a 10% box on the NON-leading dimension reads ≤1/3 of
+    // the files where a linear layout reads all of them.
+    "q_scan_zorder" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+      graft.operators.LayoutOps.zvalue(o, "ck", "day")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- projection --------------------------------------------------
     // 2dp rounding via floor(x*100+0.5)/100 on BOTH engines: every step is
     // the same IEEE-754 op, so Spark and DuckDB agree bit-for-bit (plain
@@ -397,6 +411,29 @@ object RelationalQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id < 500""",
+    "q_scan_zorder" ->
+      """WITH o AS (
+           SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           FROM orders),
+         b AS (SELECT min(ck) AS xmn, max(ck) AS xmx,
+                      min(day) AS ymn, max(day) AS ymx FROM o),
+         s AS (
+           SELECT o_orderkey, ck, day,
+                  ((ck - xmn) * 65535) // (xmx - xmn) AS xs,
+                  ((day - ymn) * 65535) // (ymx - ymn) AS ys
+           FROM o CROSS JOIN b),
+         p1 AS (SELECT *, (xs | (xs << 8)) & 16711935 AS xa,
+                          (ys | (ys << 8)) & 16711935 AS ya FROM s),
+         p2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+                          (ya | (ya << 4)) & 252645135 AS yb FROM p1),
+         p3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+                          (yb | (yb << 2)) & 858993459 AS yc FROM p2),
+         p4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+                          (yc | (yc << 1)) & 1431655765 AS yd FROM p3)
+         SELECT o_orderkey, ck, day, xd | (yd << 1) AS z
+         FROM p4 ORDER BY o_orderkey""",
     "q_proj_expr" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filt_in_between" ->
