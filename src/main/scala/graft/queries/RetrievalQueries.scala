@@ -49,6 +49,42 @@ object RetrievalQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // hybrid retrieval: BM25 lexical rank fused with dense cosine rank
+    // (query = embedding of vec 0, query-by-example) via RRF — the
+    // standard sparse+dense ensemble, composed from three already-exact
+    // operators so the fusion stays hash-exact end to end. Docs with no
+    // query-term hit enter the lexical ranking at score 0 (tie broken by
+    // doc_id, the rrfFusion contract).
+    "q_llm_hybrid" -> ((s, d) => {
+      val terms = {
+        import s.implicits._
+        bm25Terms.toDF("token")
+      }
+      val docs = Tables.documents(s, d)
+      val lex = RetrievalOps.bm25(docs, terms)
+        .select(col("doc_id"), col("score").as("lex"))
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val dense = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          graft.operators.Similarity.cosine(col("embedding"), col("q_emb"))
+            .as("dense"))
+      // inter-phase persist (the q_llm_pipeline2 lesson): each fused
+      // signal's rank needs a bounds agg + bucket counts, so rrfFusion
+      // drives ~5 actions over its input — without this every one of
+      // them recomputes the BM25 subtree (measured 6.0 -> 4.6 s cold,
+      // 3.7 -> 2.4 s warm at sf0.1)
+      val signals = docs.select(col("doc_id"))
+        .join(lex, Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("lex"))
+        .join(dense, Seq("doc_id"))
+        .localCheckpoint()
+      CorpusOps.rrfFusion(signals,
+          Seq("lex" -> col("lex"), "dense" -> col("dense")))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weighting: target LM = src0 docs, raw LM = corpus
     "q_llm_dsir" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -124,6 +160,57 @@ object RetrievalQueries {
            FROM scored)
          SELECT qid, rn, vid, floor(score * 1e4 + 0.5) / 1e4 AS score
          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_llm_hybrid" ->
+      s"""WITH tok AS (
+           SELECT doc_id, t AS token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         q AS (SELECT DISTINCT u.t AS token
+               FROM unnest($termsSqlList) AS u(t)),
+         dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         qdf AS (
+           SELECT q.token,
+                  ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) AS idf,
+                  st.avgdl AS avgdl
+           FROM q JOIN dfr ON q.token = dfr.token CROSS JOIN st),
+         bm AS (
+           SELECT tf.doc_id,
+                  sum(idf * (tf * (1.2 + 1)) /
+                    (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS lex
+           FROM tf JOIN qdf ON tf.token = qdf.token
+                   JOIN dl ON tf.doc_id = dl.doc_id
+           GROUP BY tf.doc_id),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         dense AS (
+           SELECT c.vec_id AS doc_id,
+                  list_sum(list_transform(list_zip(c.embedding, qv.qe),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(c.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(qv.qe,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                    AS dense
+           FROM embeddings c CROSS JOIN qv),
+         s AS (
+           SELECT d.doc_id,
+                  floor(COALESCE(bm.lex, 0.0e0) * 1e4 + 0.5) / 1e4 AS lv,
+                  floor(dense.dense * 1e4 + 0.5) / 1e4 AS dv
+           FROM documents d
+           LEFT JOIN bm ON bm.doc_id = d.doc_id
+           JOIN dense ON dense.doc_id = d.doc_id),
+         r AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY lv DESC, doc_id) AS rank_lex,
+                  row_number() OVER (ORDER BY dv DESC, doc_id) AS rank_dense
+           FROM s)
+         SELECT doc_id, rank_lex, rank_dense,
+                floor((1.0 / (60.0 + rank_lex) + 1.0 / (60.0 + rank_dense))
+                      * 1e6 + 0.5) / 1e6 AS rrf
+         FROM r ORDER BY doc_id""",
     "q_llm_dsir" ->
       """WITH tok AS (
            SELECT doc_id, source, t AS token FROM (

@@ -11,9 +11,11 @@ class PlanAuditSpec extends SparkSpec {
   // q_llm_ann_int8 is the same brute-force shape (broadcast 10-query side,
   // ≠-join); q_llm_bm25's "cartesian" is the 1-row corpus-stats table
   // cross-joined onto the vocabulary-sized idf build — both O(candidates).
+  // q_llm_hybrid inherits BOTH allowed shapes: bm25's 1-row stats cross
+  // join and the broadcast 1-row query-vector scoring pass.
   private val allowedCartesian =
     Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
-      "q_llm_ann_int8", "q_llm_bm25")
+      "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))
