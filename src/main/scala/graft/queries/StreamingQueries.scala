@@ -48,9 +48,8 @@ object StreamingQueries {
     * micro-batch — a genuine multi-batch replay, not a single-batch alias of
     * the batch plan.
     */
-  private def runStream(s: SparkSession, d: String, mode: String)
-                       (build: DataFrame => DataFrame): DataFrame = {
-    val staged = stagedDirs.computeIfAbsent(d, { _ =>
+  private def stagedEvents(s: SparkSession, d: String): String =
+    stagedDirs.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_src").toString
       // `props` (a fat JSON varchar) is untouched by every stream query —
@@ -61,6 +60,10 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(dir)
       dir
     })
+
+  private def runStream(s: SparkSession, d: String, mode: String)
+                       (build: DataFrame => DataFrame): DataFrame = {
+    val staged = stagedEvents(s, d)
     val ev = Tables.events(s, d).drop("props")
     // 2 files per trigger over 4 staged files = 2 micro-batches: still a
     // genuine multi-batch replay (state merge across batches exercised) at
@@ -136,7 +139,33 @@ object StreamingQueries {
         ev.join(broadcast(dim), Seq("user_id"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"))
-      }.orderBy(col("c_mktsegment")))
+      }.orderBy(col("c_mktsegment"))),
+
+    // streaming CDC apply: events replayed as a change feed (key=user,
+    // version=event-time µs — unique per user, verified both SFs;
+    // event_type 'error' = delete) through the foreachBatch max-version
+    // merge; result = the final live snapshot. The oracle is the batch
+    // argmax — equality proves the multi-batch generational merge ≡ one
+    // global latest-version pass.
+    "q_stream_cdc" -> ((s, d) => {
+      val staged = stagedEvents(s, d)
+      val ev = Tables.events(s, d).drop("props")
+      val changes = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(staged)
+        .select(col("user_id").as("key"),
+          col("event_type"), col("value"),
+          unix_micros(col("ts")).as("version"),
+          when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+            .as("op"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cdc_state").toString
+      val q = graft.streaming.CdcApply.cdcApply(
+        changes, s"$dir/state", s"$dir/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.CdcApply.currentSnapshot(s, s"$dir/state").get
+        .orderBy(col("key"))
+    })
   )
 
   // epoch seconds with floor semantics (ts > 0), as plain TIMESTAMP math
@@ -182,6 +211,19 @@ object StreamingQueries {
     "q_stream_static_join" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_stream_cdc" ->
+      """WITH ch AS (
+           SELECT user_id AS key, event_type, value,
+                  datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                           CAST(ts AS TIMESTAMP)) AS version,
+                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+           FROM events),
+         w AS (
+           SELECT *, row_number() OVER (PARTITION BY key
+                                        ORDER BY version DESC) AS rn
+           FROM ch)
+         SELECT key, event_type, value, version
+         FROM w WHERE rn = 1 AND op <> 'd' ORDER BY key"""
   )
 }

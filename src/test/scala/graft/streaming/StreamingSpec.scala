@@ -411,6 +411,53 @@ class StreamingSpec extends SparkSpec {
       "streaming sketch table must be bit-identical to the batch sketch")
   }
 
+  test("streaming CDC apply: upserts, deletes, carry-forward, idempotent replay") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val state = s"$dir/state"
+    val in = MemoryStream[(Long, String, Long, String)] // key, payload, version, op
+    val q = CdcApply.cdcApply(
+      in.toDF().toDF("key", "payload", "version", "op"),
+      state, checkpoint = s"$dir/ckpt")
+    try {
+      // batch 0: inserts, with an intra-batch overwrite of key 1 (v2 wins)
+      in.addData((1L, "a", 1L, "u"), (1L, "a2", 2L, "u"), (2L, "b", 1L, "u"))
+      q.processAllAvailable()
+      val s0 = CdcApply.currentSnapshot(s, state).get
+        .select("key", "payload").as[(Long, String)].collect().toMap
+      assert(s0 == Map(1L -> "a2", 2L -> "b"))
+      // batch 1: update 2, delete 1, insert 3 — key 2's old row replaced,
+      // key 1 gone, untouched keys carried
+      in.addData((2L, "b2", 3L, "u"), (1L, "", 4L, "d"), (3L, "c", 5L, "u"))
+      q.processAllAvailable()
+      val s1 = CdcApply.currentSnapshot(s, state).get
+        .select("key", "payload").as[(Long, String)].collect().toMap
+      assert(s1 == Map(2L -> "b2", 3L -> "c"))
+    } finally q.stop()
+    // idempotent replay: re-applying the LAST batch (same batchId, same
+    // data) over the existing generations changes nothing — the replayed
+    // batch reads only generations below its own id
+    val replay = Seq((2L, "b2", 3L, "u"), (1L, "", 4L, "d"), (3L, "c", 5L, "u"))
+      .toDF("key", "payload", "version", "op")
+    CdcApply.applyBatch(replay, state, batchId = 1L)
+    val s2 = CdcApply.currentSnapshot(s, state).get
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    assert(s2 == Map(2L -> "b2", 3L -> "c"), "replay must be a no-op")
+    // out-of-order protection: a LATE batch carrying versions below the
+    // current state (an upsert under key 1's tombstone v4, an upsert
+    // under key 2's live v3) must change nothing — max-version merge +
+    // persisted tombstones, not batch-wins
+    val late = Seq((1L, "zombie", 3L, "u"), (2L, "stale", 2L, "u"))
+      .toDF("key", "payload", "version", "op")
+    CdcApply.applyBatch(late, state, batchId = 2L)
+    val s3 = CdcApply.currentSnapshot(s, state).get
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    assert(s3 == Map(2L -> "b2", 3L -> "c"),
+      s"late low-version changes must lose: $s3")
+  }
+
   test("exactly-once file sink: checkpointed restart does not duplicate") {
     val s = spark
     import s.implicits._
