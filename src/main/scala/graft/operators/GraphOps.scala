@@ -97,6 +97,71 @@ object GraphOps {
     }
   }
 
+  /** Single-source unweighted shortest-path levels (BFS) over an
+    * undirected simple graph: returns (node, dist) for every node
+    * reachable from `src` (src itself at dist 0; unreachable nodes are
+    * absent — callers outer-join if they want ∞ rows). Deterministic:
+    * hop distance is unique regardless of traversal order.
+    *
+    * Scale shape — the [[Dedup.connectedComponents]] loop machinery:
+    * the symmetric edge list is cached pre-partitioned on the join key
+    * with loop shuffle-partitions sized from the MEASURED edge count, so
+    * each round shuffles only the frontier (|F| rows, ≤ one BFS level);
+    * the frontier count rides the round's `localCheckpoint` action as an
+    * observed metric — ONE data job per level plus one cheap block-union
+    * job to fold the level into the visited set. Rounds = eccentricity
+    * of `src`, the inherent BFS depth; level-synchronous frontier
+    * expansion is the textbook distributed BFS (Pregel's traversal
+    * shape). */
+  def bfsLevels(edges: DataFrame, src: Long, maxDepth: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("p", "q")
+      .where(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("a"),
+        greatest(col("p"), col("q")).as("b"))
+      .distinct()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).cache()
+    val edgeCount = sym.count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(confParts.toLong,
+      (edgeCount + 2000000L - 1) / 2000000L)).toInt
+    val edgesP = sym.repartition(loopParts, col("a")).cache()
+    edgesP.count()
+    sym.unpersist()
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var visited = Seq((src, 0L)).toDF("node", "dist").localCheckpoint()
+      var frontier = visited
+      var depth = 0L
+      var done = false
+      while (!done && depth < maxDepth) {
+        val obs = org.apache.spark.sql.Observation()
+        val next = edgesP
+          .join(frontier.select(col("node").as("a")), "a")
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(depth + 1L))
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        done = Option(obs.get("n")).forall(_.asInstanceOf[Long] == 0L)
+        if (!done) {
+          visited = visited.unionByName(next).localCheckpoint()
+          frontier = next
+          depth += 1
+        }
+      }
+      if (!done) throw new IllegalStateException(
+        s"bfsLevels still expanding at depth $maxDepth — raise maxDepth " +
+        "for graphs with eccentricity beyond it")
+      visited
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      edgesP.unpersist()
+    }
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected simple graph. `edges` is (a, b) in any orientation with
     * possible duplicates/self-loops — canonicalized here. Returns

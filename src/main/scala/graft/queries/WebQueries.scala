@@ -83,6 +83,16 @@ object WebQueries {
         .orderBy(col("node"))
     }),
 
+    // single-source BFS levels from node 0 on the same 60-node graph —
+    // level-synchronous frontier expansion (Pregel's traversal shape)
+    "q_graph_bfs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select((col("doc_id") % 60).as("a"),
+        ((col("doc_id") * 31 + col("n_chars")) % 60).as("b"))
+      GraphOps.bfsLevels(edges, src = 0L)
+        .orderBy(col("node"))
+    }),
+
     // blocked fuzzy match: dropped-last-char typos vs the token vocabulary
     // at Levenshtein ≤ 1 (block = same first char, |Δlen| ≤ 1)
     "q_join_fuzzy" -> ((s, d) => {
@@ -235,6 +245,21 @@ object WebQueries {
                         ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS clustering
          FROM deg d LEFT JOIN cnt c ON c.node = d.node
          ORDER BY d.node""",
+    "q_graph_bfs" ->
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id % 60 AS p, (doc_id * 31 + n_chars) % 60 AS q
+           FROM documents),
+         e AS (
+           SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
+           FROM raw WHERE p <> q),
+         sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         r(node, d) AS (
+           SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+           UNION
+           SELECT sym.b AS node, r.d + 1 AS d
+           FROM r JOIN sym ON sym.a = r.node
+           WHERE r.d < 64)
+         SELECT node, min(d) AS dist FROM r GROUP BY node ORDER BY node""",
     "q_web_canon_url" ->
       """WITH u AS (
            SELECT CASE WHEN doc_id % 2 = 0 THEN

@@ -57,6 +57,53 @@ class GraphOpsSpec extends SparkSpec {
     assert((2L to 9L).forall(i => got(1L) > got(i)))
   }
 
+  /** Local reference BFS: plain Scala level expansion. */
+  private def localBfs(edges: Seq[(Long, Long)], src: Long): Map[Long, Long] = {
+    val adj = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      next.foreach(n => dist += n -> d)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsLevels: path graph distances are exact, unreachable absent") {
+    // path 1-2-3-4-5 plus disconnected 8-9
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4), (4, 5), (8, 9))
+    val got = GraphOps.bfsLevels(edges.toDF("a", "b"), src = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsLevels: shortest path wins over longer alternatives") {
+    // 1-2-3-4 chain plus shortcut 1-4; also orientation/dup noise
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4), (1, 4), (4, 1), (2, 1))
+    val got = GraphOps.bfsLevels(edges.toDF("a", "b"), src = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("bfsLevels matches the local recompute on the doc fixture graph") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val raw = docs.select((col("doc_id") % 60).as("a"),
+        ((col("doc_id") * 31 + col("n_chars")) % 60).as("b"))
+    val edges = raw.as[(Long, Long)].collect().toSeq
+    val want = localBfs(edges, src = 0L)
+    val got = GraphOps.bfsLevels(raw, src = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(want.size > 10, "fixture graph too disconnected to be a witness")
+    assert(want.values.max >= 2, "trivial diameter — not a real BFS witness")
+  }
+
   /** Local reference triangle count: brute-force over canonical edges. */
   private def localTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val e = edges.filter(p => p._1 != p._2)
