@@ -69,4 +69,47 @@ object RetrievalOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(col("part")).as("score"))
   }
+
+  /** Contrastive training-pair construction for embedding-model /
+    * reranker fine-tuning: for every query vector, `kPos` positives from
+    * exact top-k cosine ([[Similarity.bruteForceTopK]] — swap in the
+    * IVF/PQ probe at corpus scale) and `kNeg` deterministic uniform
+    * random negatives drawn by the md5-dyadic scheme (the
+    * [[CurationOps.weightedSample]] uniform: 52-bit dyadic in [0,1),
+    * scaled to the id space). Returns (qid, role 'pos'|'neg', rn, vid,
+    * cos) — cos NULL on negatives.
+    *
+    * Negative draws are a PURE MAP (no shuffle, no corpus touch): the
+    * corpus must carry dense ids 0..n−1 (the epoch-shuffle permutation
+    * [[CorpusOps.shuffledPack]] materializes exactly that when ids are
+    * sparse). Draws colliding with the query itself or its positive set
+    * are dropped, not re-drawn — the in-batch-negatives convention:
+    * determinism is the contract, exact k is not (collision loss is
+    * ≤ (kPos+1)/n per draw, negligible at corpus scale and surfaced in
+    * the row count, never silently patched). */
+  def contrastivePairs(queries: DataFrame, corpus: DataFrame,
+                       kPos: Int = 2, kNeg: Int = 4,
+                       salt: String = "neg",
+                       knownCount: Option[Long] = None): DataFrame = {
+    require(kPos >= 1 && kNeg >= 1, s"kPos=$kPos kNeg=$kNeg")
+    val n = knownCount.getOrElse(corpus.count())
+    val pos = Similarity.bruteForceTopK(queries, corpus, kPos)
+    val draws = queries.select(col("vec_id").as("qid"))
+      .select(col("qid"), explode(expr(s"sequence(1, $kNeg)")).as("rn"))
+      // u ∈ [0,1) — no +1 here (unlike the log-dyadic in weightedSample):
+      // floor(u·n) must stay in [0, n)
+      .withColumn("vid", floor(
+        conv(substring(md5(concat(lit(salt), lit(":"),
+            col("qid").cast("string"), lit(":"), col("rn").cast("string"))),
+          1, 13), 16, 10).cast("double") /
+        lit(4503599627370496.0) * n).cast("long"))
+    val neg = draws
+      .where(col("vid") =!= col("qid"))
+      .join(pos.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
+      .select(col("qid"), lit("neg").as("role"), col("rn"), col("vid"),
+        lit(null).cast("double").as("cos"))
+    pos.select(col("qid"), lit("pos").as("role"), col("rn"), col("vid"),
+        col("cos"))
+      .unionByName(neg)
+  }
 }

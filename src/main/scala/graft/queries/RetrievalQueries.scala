@@ -85,6 +85,16 @@ object RetrievalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // contrastive training pairs: 2 exact-cosine positives + 4 md5-dyadic
+    // uniform negatives per query (self/positive collisions dropped, not
+    // re-drawn) — the embedding-model fine-tuning dataset constructor
+    "q_llm_contrastive" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      RetrievalOps.contrastivePairs(emb.where(col("vec_id") < 10), emb,
+          kPos = 2, kNeg = 4)
+        .orderBy(col("qid"), col("role"), col("rn"))
+    }),
+
     // DSIR importance weighting: target LM = src0 docs, raw LM = corpus
     "q_llm_dsir" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -160,6 +170,43 @@ object RetrievalQueries {
            FROM scored)
          SELECT qid, rn, vid, floor(score * 1e4 + 0.5) / 1e4 AS score
          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_llm_contrastive" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS vid,
+                  ROUND(
+                    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(q.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(c.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                  4) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         pos AS (
+           SELECT qid, vid, cos, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+           FROM scored QUALIFY rn <= 2),
+         n AS (SELECT COUNT(*) AS n FROM embeddings),
+         draws AS (
+           SELECT q.vec_id AS qid, u.rn,
+                  CAST(floor(
+                    CAST('0x' || substr(md5('neg:' || q.vec_id || ':' || u.rn),
+                         1, 13) AS BIGINT)
+                    / 4503599627370496.0 * n.n) AS BIGINT) AS vid
+           FROM embeddings q CROSS JOIN n
+                CROSS JOIN (SELECT unnest(range(1, 5)) AS rn) u
+           WHERE q.vec_id < 10),
+         neg AS (
+           SELECT d.qid, d.rn, d.vid FROM draws d
+           WHERE d.vid <> d.qid
+             AND NOT EXISTS (SELECT 1 FROM pos p
+                             WHERE p.qid = d.qid AND p.vid = d.vid))
+         SELECT qid, role, CAST(rn AS INT) AS rn, vid, cos FROM (
+           SELECT qid, 'pos' AS role, rn, vid, cos FROM pos
+           UNION ALL
+           SELECT qid, 'neg' AS role, rn, vid, NULL AS cos FROM neg)
+         ORDER BY qid, role, rn""",
     "q_llm_hybrid" ->
       s"""WITH tok AS (
            SELECT doc_id, t AS token FROM (

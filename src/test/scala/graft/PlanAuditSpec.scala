@@ -13,9 +13,11 @@ class PlanAuditSpec extends SparkSpec {
   // cross-joined onto the vocabulary-sized idf build — both O(candidates).
   // q_llm_hybrid inherits BOTH allowed shapes: bm25's 1-row stats cross
   // join and the broadcast 1-row query-vector scoring pass.
+  // q_llm_contrastive's positives are the q_llm_sim_topk broadcast
+  // brute-force shape.
   private val allowedCartesian =
     Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
-      "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid")
+      "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid", "q_llm_contrastive")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))

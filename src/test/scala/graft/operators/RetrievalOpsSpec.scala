@@ -65,4 +65,40 @@ class RetrievalOpsSpec extends SparkSpec {
     // identical LMs ⇒ per-token llr exactly 0 ⇒ per-doc 0 (4 dp)
     assert(w.forall(_ == 0.0))
   }
+
+  test("contrastivePairs: positives exact, negatives deterministic and clean") {
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val q = emb.where(col("vec_id") < 5)
+    val got = RetrievalOps.contrastivePairs(q, emb, kPos = 2, kNeg = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    val pos = got.filter(_._2 == "pos")
+    val neg = got.filter(_._2 == "neg")
+    // positives ARE the exact top-k
+    val wantPos = Similarity.bruteForceTopK(q, emb, 2)
+      .collect().map(r => (r.getLong(0), "pos", r.getInt(1), r.getLong(2)))
+      .toSeq
+    assert(pos.toSet == wantPos.toSet)
+    // per query: ≥1 negative survives, none collide with self or positives,
+    // all vids in [0, 500)
+    val posSet = pos.map(p => (p._1, p._4)).toSet
+    (0L until 5L).foreach { qid =>
+      val nq = neg.filter(_._1 == qid)
+      assert(nq.nonEmpty && nq.size <= 4, s"q$qid: ${nq.size} negatives")
+      nq.foreach { case (_, _, _, vid) =>
+        assert(vid != qid && !posSet((qid, vid)) && vid >= 0 && vid < 500)
+      }
+    }
+    // deterministic for a fixed salt; a different salt permutes the draw
+    val again = RetrievalOps.contrastivePairs(q, emb, kPos = 2, kNeg = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    assert(again.toSet == got.toSet)
+    val salted = RetrievalOps.contrastivePairs(q, emb, kPos = 2, kNeg = 4,
+        salt = "other")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    assert(salted.filter(_._2 == "neg").toSet != neg.toSet,
+      "salt must permute the negative draw")
+  }
 }
