@@ -31,7 +31,22 @@ object GraphOps {
     * Determinism: per-node rank is a sum of double contributions — stable
     * to ~1 ulp under re-ordering, so catalog results round to 4 dp
     * (established round-before-rank contract). */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame =
+    prLoop(edges, iters, damping, None)
+
+  /** Personalized PageRank: teleport (and dangling) mass returns to the
+    * uniform distribution over `sources` instead of all nodes — the
+    * seed-set relevance / recommendation variant (random walk with
+    * restart). Same loop, same scale shape as [[pageRank]]; nodes
+    * unreachable from the seed set get rank exactly 0. `sources` is one
+    * column of node ids; ids absent from the graph are ignored. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iters: Int = 10, damping: Double = 0.85): DataFrame =
+    prLoop(edges, iters, damping,
+      Some(sources.toDF("node").select(col("node")).distinct()))
+
+  private def prLoop(edges: DataFrame, iters: Int, damping: Double,
+                     sources: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1, s"iters=$iters damping=$damping")
     val spark = edges.sparkSession
     val e = edges.toDF("src", "dst")
@@ -59,7 +74,24 @@ object GraphOps {
     val n = nodes.count().toDouble
     require(n > 0, "pageRank on an empty graph")
     e.unpersist()
-    val teleport = (1.0 - damping) / n
+    // teleport distribution tp(v): uniform over all nodes, or — in the
+    // personalized variant — uniform over the seed set (0 elsewhere);
+    // carried as a column of the cached |V|-row node table
+    // cached so the seed count and the tp projection share one join pass;
+    // released as soon as nodesTp is materialized
+    val marked = sources.map(s =>
+      nodes.join(s.withColumn("__s", lit(1)), Seq("node"), "left").cache())
+    val nodesTp = (marked match {
+      case None => nodes.withColumn("tp", lit(1.0 / n))
+      case Some(mk) =>
+        val m = mk.where(col("__s").isNotNull).count().toDouble
+        require(m > 0, "personalizedPageRank: no source is in the graph")
+        mk.select(col("node"),
+          when(col("__s").isNotNull, lit(1.0 / m)).otherwise(lit(0.0))
+            .as("tp"))
+    }).cache()
+    nodesTp.count()
+    marked.foreach(_.unpersist())
     // dangling = vertices with no out-edges; their mass is read each round
     // from the CHECKPOINTED |V|-row rank table (never re-touching |E|),
     // and the read is skipped entirely when the graph has none
@@ -70,8 +102,15 @@ object GraphOps {
 
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // bit-parity note: the uniform variant keeps `(1−d)/n` and `dMass/n`
+    // as single driver-side divisions (not `(1−d)·tp` with tp = 1/n) —
+    // the same IEEE ops the unrolled-CTE oracle performs
+    val uniform = sources.isEmpty
     try {
-      var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      var ranks = (
+        if (uniform) nodesTp.select(col("node"), lit(1.0 / n).as("rank"))
+        else nodesTp.select(col("node"), col("tp").as("rank"))
+      ).localCheckpoint()
       var it = 0
       while (it < iters) {
         val dMass =
@@ -81,10 +120,15 @@ object GraphOps {
         val contrib = flow.join(ranks, col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("share") * col("rank")).as("in_mass"))
-        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        val teleTerm =
+          if (uniform) lit((1.0 - damping) / n)
+          else lit(1.0 - damping) * col("tp")
+        val dangTerm =
+          if (uniform) lit(dMass / n) else lit(dMass) * col("tp")
+        ranks = nodesTp.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
-            (lit(teleport) + lit(damping) *
-              (coalesce(col("in_mass"), lit(0.0)) + lit(dMass / n))).as("rank"))
+            (teleTerm + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) + dangTerm)).as("rank"))
           .localCheckpoint()
         it += 1
       }
@@ -93,6 +137,7 @@ object GraphOps {
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       flow.unpersist()
       nodes.unpersist()
+      nodesTp.unpersist()
       danglingNodes.unpersist()
     }
   }

@@ -83,6 +83,21 @@ object WebQueries {
         .orderBy(col("node"))
     }),
 
+    // personalized PageRank: teleport to the node%7==0 seed set on the
+    // 50-node graph — random-walk-with-restart relevance to the seeds
+    "q_graph_ppr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 31 + col("n_chars")) % 50).as("dst"))
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .where(col("node") % 7 === 0)
+      GraphOps.personalizedPageRank(edges, seeds, iters = 10, damping = 0.85)
+        .select(col("node"),
+          (floor(col("rank") * 1e4 + lit(0.5)) / 1e4).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // single-source BFS levels from node 0 on the same 60-node graph —
     // level-synchronous frontier expansion (Pregel's traversal shape)
     "q_graph_bfs" -> ((s, d) => {
@@ -152,6 +167,44 @@ object WebQueries {
         .orderBy(col("vec_id"))
     }))
 
+  /** Personalized-PageRank oracle: same unrolled-CTE scheme as
+    * [[pageRankSql]] with the teleport distribution over the seed set;
+    * `(1 - 0.85) * tp` is spelled exactly as the Spark side computes it
+    * (bit parity of the IEEE op sequence). The 50-node derived graph has
+    * no dangling nodes (every id 0..49 occurs as a src), so the oracle
+    * carries no dangling term — asserted by the operator's own spec. */
+  private def pprSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         SELECT n.node,
+                (1 - 0.85) * t.tp + 0.85 * COALESCE(sum(p.r * f.share), 0) AS r
+         FROM nodes n JOIN tp t ON t.node = n.node
+         LEFT JOIN flow f ON f.dst = n.node
+         LEFT JOIN $prev p ON p.node = f.src
+         GROUP BY n.node, t.tp)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT doc_id % 50 AS src, (doc_id * 31 + n_chars) % 50 AS dst,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM documents GROUP BY 1, 2),
+       deg AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       flow AS (
+         SELECT e.src, e.dst, e.w / deg.outw AS share
+         FROM e JOIN deg ON e.src = deg.src),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+       sm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nodes
+              WHERE node % 7 = 0),
+       tp AS (SELECT node,
+                     CASE WHEN node % 7 = 0 THEN 1.0 / sm.m ELSE 0.0 END AS tp
+              FROM nodes CROSS JOIN sm),
+       r0 AS (SELECT node, tp AS r FROM tp),
+       $iterCtes
+       SELECT node, floor(r * 1e4 + 0.5) / 1e4 AS rank
+       FROM r$iters ORDER BY node"""
+  }
+
   /** PageRank oracle: the recurrence unrolled as chained CTEs (DuckDB's
     * recursive CTEs disallow aggregation in the recursive term, so fixed
     * iterations are spelled out — generated, not hand-copied). */
@@ -217,6 +270,7 @@ object WebQueries {
            FROM d)
          SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
     "q_graph_pagerank" -> pageRankSql(10),
+    "q_graph_ppr" -> pprSql(10),
     "q_graph_triangles" ->
       """WITH raw AS (
            SELECT doc_id % 60 AS p, (doc_id * 31 + n_chars) % 60 AS q

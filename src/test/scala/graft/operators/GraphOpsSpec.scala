@@ -50,6 +50,49 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(9) > 0.15 / 7)
   }
 
+  /** Local reference PPR: teleport/dangling mass to the seed set. */
+  private def localPpr(edges: Seq[(Long, Long)], iters: Int,
+                       damping: Double, seeds: Set[Long]): Map[Long, Double] = {
+    val w = edges.groupBy(identity).map { case (e, es) => e -> es.size.toDouble }
+    val outw = w.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val m = nodes.count(seeds)
+    val tp = nodes.map(v => v -> (if (seeds(v)) 1.0 / m else 0.0)).toMap
+    var rank = tp
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outw.contains).map(rank).sum
+      val in = w.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((s, _), wt) => rank(s) * wt / outw(s) }.sum
+      }
+      rank = nodes.map(v => v ->
+        ((1 - damping) * tp(v) +
+          damping * (in.getOrElse(v, 0.0) + dangling * tp(v)))).toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank: local parity, Σ=1, unreachable stays exactly 0") {
+    val s = spark
+    // community A (1-2-3 triangle-ish), weak bridge to B (4-5), plus an
+    // isolated pair 20-21 unreachable from the seeds
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4), (4, 5), (5, 4),
+      (20, 21), (21, 20))
+    val seeds = Set(1L, 2L)
+    val got = GraphOps.personalizedPageRank(
+        edges.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), iters = 12)
+      .as[(Long, Double)].collect().toMap
+    val want = localPpr(edges, 12, 0.85, seeds)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // no walk from {1,2} reaches the isolated pair — identically zero
+    assert(got(20L) == 0.0 && got(21L) == 0.0)
+    // seed community holds more mass than the bridge community
+    assert(got(1L) + got(2L) + got(3L) > got(4L) + got(5L))
+  }
+
   test("higher-degree hubs outrank leaves on a star") {
     val edges = (2L to 9L).flatMap(i => Seq((i, 1L), (1L, i)))
     val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 10)
