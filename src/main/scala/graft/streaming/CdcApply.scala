@@ -78,6 +78,30 @@ object CdcApply {
     merged.write.mode("overwrite").parquet(s"$stateDir/gen_$batchId")
   }
 
+  /** Snapshot retention (VACUUM): delete every generation older than the
+    * newest `keepLast`. Driver-metadata listing + recursive dir deletes —
+    * no data read; the newest generation is never deleted, so readers
+    * resolving via [[currentSnapshot]] are unaffected (readers pinned to
+    * an EXPIRED generation lose time travel, the standard retention
+    * trade). Returns the deleted generation ids. */
+  def expireGenerations(spark: SparkSession, stateDir: String,
+                        keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast=$keepLast")
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val gens = fs.listStatus(path).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen_") => n.drop(4).toLong }
+        .sorted.reverse
+      val drop = gens.drop(keepLast)
+      drop.foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen_$g"), true))
+      drop
+    }
+  }
+
   /** Attach the apply loop to a change stream. `changes` must carry
     * (`key`, `versionCol`, `opCol`, payload…). */
   def cdcApply(changes: DataFrame, stateDir: String, checkpoint: String,

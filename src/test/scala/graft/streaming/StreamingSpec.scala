@@ -456,6 +456,15 @@ class StreamingSpec extends SparkSpec {
       .select("key", "payload").as[(Long, String)].collect().toMap
     assert(s3 == Map(2L -> "b2", 3L -> "c"),
       s"late low-version changes must lose: $s3")
+    // retention: three generations exist (0, 1, 2); expiring to keepLast=1
+    // deletes the two oldest, the live snapshot is unchanged
+    val deleted = CdcApply.expireGenerations(s, state, keepLast = 1)
+    assert(deleted.sorted == Seq(0L, 1L), s"deleted $deleted")
+    val s4 = CdcApply.currentSnapshot(s, state).get
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    assert(s4 == Map(2L -> "b2", 3L -> "c"))
+    assert(CdcApply.expireGenerations(s, state, keepLast = 1).isEmpty,
+      "second expire must be a no-op")
   }
 
   test("exactly-once file sink: checkpointed restart does not duplicate") {
