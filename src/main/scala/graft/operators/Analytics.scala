@@ -151,4 +151,59 @@ object Analytics {
       .groupBy(col("cw").as("cohort_week"), col("off").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Pairwise association rules (market-basket): for item pairs co-present
+    * in ≥ `minSupport` baskets, both directed rules a→b with
+    * confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b) (Agrawal–Srikant
+    * support/confidence framing, lift as the independence-normalized
+    * strength — the PMI exponential). `baskets` is (basket_id, item);
+    * duplicates within a basket collapse. Returns (antecedent, consequent,
+    * n_pair, n_ante, confidence, lift) with conf ≥ `minConf`, both rounded
+    * 4 dp (round-before-rank).
+    *
+    * Scale shape — the a-priori downward-closure prefilter: an item in
+    * fewer than `minSupport` baskets cannot be in a frequent pair, so the
+    * item-frequency table is filtered FIRST and semi-joined (broadcast,
+    * frequency-table-sized) before any pair is formed; pair expansion is
+    * then the [[CorpusOps.pmiPairs]] per-basket higher-order enumeration
+    * over the surviving sorted item array — never a basket self-join —
+    * followed by ONE pair-keyed count shuffle. Item frequencies ride the
+    * pair structs, so rules need no join back to the item table. */
+  def associationRules(baskets: DataFrame, minSupport: Long = 3,
+                       minConf: Double = 0.0,
+                       knownCount: Option[Long] = None): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport")
+    val b = baskets.toDF("basket_id", "item")
+    val n = knownCount.getOrElse(
+      b.select(col("basket_id")).distinct().count())
+    val bi = b.distinct()
+    val freq = bi.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      .where(col("n_i") >= minSupport)
+    val pairs = bi.join(broadcast(freq), Seq("item"))
+      .groupBy(col("basket_id"))
+      .agg(sort_array(collect_set(struct(col("item"), col("n_i"))))
+        .as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+             transform(slice(ts, i + 2, size(ts) - i - 1), y -> struct(x, y))))"""))
+        .as("p"))
+      .groupBy(col("p.x.item").as("a"), col("p.x.n_i").as("n_a"),
+        col("p.y.item").as("b"), col("p.y.n_i").as("n_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minSupport)
+    val fwd = pairs.select(col("a").as("antecedent"),
+      col("b").as("consequent"), col("n_pair"), col("n_a").as("n_ante"),
+      col("n_b").as("n_cons"))
+    val rev = pairs.select(col("b").as("antecedent"),
+      col("a").as("consequent"), col("n_pair"), col("n_b").as("n_ante"),
+      col("n_a").as("n_cons"))
+    fwd.unionByName(rev)
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"),
+        expr("floor(n_pair / CAST(n_ante AS DOUBLE) * 1e4 + 0.5) / 1e4")
+          .as("confidence"),
+        expr(s"floor(n_pair * $n.0 / (n_ante * n_cons) * 1e4 + 0.5) / 1e4")
+          .as("lift"))
+      .where(col("confidence") >= minConf)
+  }
 }

@@ -32,6 +32,14 @@ object AnalyticsQueries {
       Analytics.transitionMatrix(Tables.events(s, d))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // market-basket association rules over order→part baskets: pairs
+    // co-ordered ≥3 times, both rule directions with confidence + lift
+    "q_mb_rules" -> ((s, d) =>
+      Analytics.associationRules(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          minSupport = 3)
+        .orderBy(col("antecedent"), col("consequent"))),
+
     // SCD-2 history: per-user event_type runs as validity intervals
     "q_evt_scd2" -> ((s, d) =>
       Analytics.scd2History(Tables.events(s, d), "user_id", "event_type")
@@ -95,6 +103,34 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_mb_rules" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item
+           FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT basket_id) AS n FROM bi),
+         freq AS (
+           SELECT item, COUNT(*) AS n_i FROM bi GROUP BY item
+           HAVING COUNT(*) >= 3),
+         pairs AS (
+           SELECT a.item AS pa, fa.n_i AS na, b.item AS pb, fb.n_i AS nb,
+                  COUNT(*) AS n_pair
+           FROM bi a JOIN bi b ON a.basket_id = b.basket_id
+                                  AND a.item < b.item
+                JOIN freq fa ON fa.item = a.item
+                JOIN freq fb ON fb.item = b.item
+           GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3),
+         rules AS (
+           SELECT pa AS antecedent, pb AS consequent, n_pair,
+                  na AS n_ante, nb AS n_cons FROM pairs
+           UNION ALL
+           SELECT pb, pa, n_pair, nb, na FROM pairs)
+         SELECT antecedent, consequent, n_pair, n_ante,
+                floor(n_pair / CAST(n_ante AS DOUBLE) * 1e4 + 0.5) / 1e4
+                  AS confidence,
+                floor(n_pair * n.n * 1.0e0 / (n_ante * n_cons) * 1e4 + 0.5)
+                  / 1e4 AS lift
+         FROM rules CROSS JOIN n
+         ORDER BY antecedent, consequent""",
     "q_evt_transitions" ->
       s"""WITH e AS (
             SELECT user_id, event_type, event_id, $ep AS t FROM events),

@@ -130,4 +130,33 @@ class AnalyticsSpec extends SparkSpec {
       .select(WebOps.canonicalUrl(col("url"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("associationRules: exact support/confidence/lift on a planted corpus") {
+    // {milk, bread} in 4 baskets, milk alone in 2, bread alone in 1,
+    // {milk, eggs} once (below minSupport=2), N = 8 baskets
+    val rows = Seq(
+      (1L, "milk"), (1L, "bread"),
+      (2L, "milk"), (2L, "bread"),
+      (3L, "milk"), (3L, "bread"),
+      (4L, "milk"), (4L, "bread"), (4L, "bread"), // dup in basket collapses
+      (5L, "milk"), (6L, "milk"),
+      (7L, "bread"),
+      (8L, "milk"), (8L, "eggs"))
+    val got = Analytics.associationRules(rows.toDF("basket_id", "item"),
+        minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // milk in 7 baskets, bread in 5, pair in 4
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got.keySet == Set(("milk", "bread"), ("bread", "milk")),
+      s"rules: ${got.keySet}")
+    assert(got(("milk", "bread"))  == ((4L, 7L, r4(4.0 / 7), r4(4.0 * 8 / (7 * 5)))))
+    assert(got(("bread", "milk"))  == ((4L, 5L, r4(4.0 / 5), r4(4.0 * 8 / (7 * 5)))))
+    // a-priori: the sub-support {milk, eggs} pair must not appear, and a
+    // minConf filter drops the weaker direction only
+    val conf = Analytics.associationRules(rows.toDF("basket_id", "item"),
+        minSupport = 2, minConf = 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(conf == Set(("bread", "milk")))
+  }
 }
