@@ -152,6 +152,40 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Truncated EWMA smoothing of `value` per user: the last `lookback`
+    * events weighted (1−α)^distance and renormalized — the
+    * finite-window form of exponential smoothing (the infinite-memory
+    * recurrence isn't window-expressible, and at (1−α)^8 a weight is
+    * already 0.4% of the newest for α = 0.5). Returns
+    * (user_id, event_id, ewma) rounded 4 dp.
+    *
+    * Engine-determinism contract: the frame list is collected in frame
+    * order ((user, ts) rows are unique in the events table — verified
+    * both SFs), weighted and summed by an ORDERED left fold (HOF
+    * `aggregate`, never a float sum whose order the engine may choose),
+    * and α = 0.5 (the default) makes every weight an exact dyadic so the
+    * only inexact ops are the value multiplies and the ordered adds —
+    * the same IEEE sequence in any engine with a list fold. One window
+    * shuffle; per-row state is the `lookback`-bounded list. */
+  def ewmaSmooth(events: DataFrame, alpha: Double = 0.5,
+                 lookback: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1 && lookback >= 1,
+      s"alpha=$alpha lookback=$lookback")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(-(lookback - 1), 0)
+    val q = 1 - alpha
+    events
+      .withColumn("__vs", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr(s"""floor(
+          aggregate(transform(__vs, (x, i) ->
+              x * pow($q, size(__vs) - 1 - i)), 0D, (a, x) -> a + x)
+          / aggregate(transform(__vs, (x, i) ->
+              pow($q, size(__vs) - 1 - i)), 0D, (a, x) -> a + x)
+          * 1e4 + 0.5) / 1e4""").as("ewma"))
+  }
+
   /** Pairwise association rules (market-basket): for item pairs co-present
     * in ≥ `minSupport` baskets, both directed rules a→b with
     * confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b) (Agrawal–Srikant

@@ -32,6 +32,12 @@ object AnalyticsQueries {
       Analytics.transitionMatrix(Tables.events(s, d))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // truncated EWMA smoothing of event values per user (α=0.5 dyadic
+    // weights, 8-event lookback, ordered-fold determinism)
+    "q_evt_ewma" -> ((s, d) =>
+      Analytics.ewmaSmooth(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // market-basket association rules over order→part baskets: pairs
     // co-ordered ≥3 times, both rule directions with confidence + lift
     "q_mb_rules" -> ((s, d) =>
@@ -103,6 +109,29 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_ewma" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP)) AS rn
+           FROM events),
+         j AS (
+           SELECT c.user_id, c.event_id, p.value AS v, c.rn - p.rn AS d
+           FROM e c JOIN e p ON p.user_id = c.user_id
+                             AND p.rn BETWEEN c.rn - 7 AND c.rn),
+         g AS (
+           SELECT user_id, event_id, list(v ORDER BY d DESC) AS vs
+           FROM j GROUP BY 1, 2),
+         s AS (
+           SELECT user_id, event_id,
+                  list_reduce(list_transform(vs, (x, i) ->
+                    x * pow(0.5, len(vs) - i)), (a, x) -> a + x) AS num,
+                  list_reduce(list_transform(vs, (x, i) ->
+                    pow(0.5, len(vs) - i)), (a, x) -> a + x) AS den
+           FROM g)
+         SELECT user_id, event_id,
+                floor(num / den * 1e4 + 0.5) / 1e4 AS ewma
+         FROM s ORDER BY user_id, event_id""",
     "q_mb_rules" ->
       """WITH bi AS (
            SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item

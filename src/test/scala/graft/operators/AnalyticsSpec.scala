@@ -131,6 +131,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("ewmaSmooth: hand-computed weights, lookback truncation, per-user isolation") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0), 10.0), (2L, 1L, "a", ts(1), 20.0),
+      (3L, 1L, "a", ts(2), 40.0),
+      (4L, 2L, "a", ts(0), 100.0)) // other user: own series
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Analytics.ewmaSmooth(ev, alpha = 0.5, lookback = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // event 1: only itself -> 10; event 2: (20 + 0.5*10)/1.5;
+    // event 3 (lookback 2 truncates event 1): (40 + 0.5*20)/1.5
+    assert(got(1L) == 10.0)
+    assert(got(2L) == r4(25.0 / 1.5))
+    assert(got(3L) == r4(50.0 / 1.5))
+    assert(got(4L) == 100.0, "user 2 must not see user 1's series")
+  }
+
   test("associationRules: exact support/confidence/lift on a planted corpus") {
     // {milk, bread} in 4 baskets, milk alone in 2, bread alone in 1,
     // {milk, eggs} once (below minSupport=2), N = 8 baskets
