@@ -152,6 +152,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user OLS trend of `value` over time: closed-form simple linear
+    * regression from five sufficient statistics — slope = (nΣxy − ΣxΣy)
+    * / (nΣx² − (Σx)²) — reported per day. One aggregation, no iteration:
+    * regression at any corpus size is ONE partial+final agg pass.
+    *
+    * Engine-determinism contract (the rolling-z-score lesson, explicit
+    * algebra only): x is INTEGER seconds since the user's own first event
+    * (x, x², n, Σx, Σx² all exact integers — centering also keeps Σx²
+    * ~1e14 instead of the ~1e20 of raw epochs, which would shred double
+    * precision); the only inexact sums are Σy and Σxy whose order-of-
+    * addition ulps sit ~10 orders below the 4 dp rounding. Users with
+    * fewer than 2 distinct timestamps (zero variance) are excluded —
+    * their slope is undefined, not zero. */
+  def olsTrend(events: DataFrame): DataFrame = {
+    val ep = col("ts").cast("long")
+    val centered = events
+      .withColumn("__x0", min(ep).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), (ep - col("__x0")).as("x"),
+        col("value").as("y"))
+    centered
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("double") * col("y")).as("sxy"))
+      // variance test and denominator in DOUBLE: n·Σx² and (Σx)² stay
+      // exact as longs only up to ~1e18 — a heavy user's years of events
+      // would overflow the integer product, the double loses only ulps
+      .where(col("n").cast("double") * col("sxx") >
+             col("sx").cast("double") * col("sx"))
+      .select(col("user_id"), col("n"),
+        expr("""floor((n * sxy - sx * sy) /
+                      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 86400 * 1e4 + 0.5) / 1e4""").as("slope_per_day"))
+  }
+
   /** Truncated EWMA smoothing of `value` per user: the last `lookback`
     * events weighted (1−α)^distance and renormalized — the
     * finite-window form of exponential smoothing (the infinite-memory

@@ -125,4 +125,43 @@ object Profile {
         lit(0L)).cast("long").as("violations")))
     unique.unionByName(nonNull).unionByName(referential).unionByName(range)
   }
+
+  /** Pearson χ² independence test between two categorical columns:
+    * χ² = Σ_cells (o − e)²/e with e = rowTotal·colTotal/N, plus the
+    * degrees of freedom (|A|−1)(|B|−1) — the standard "are these two
+    * labels associated?" screen (e.g. language × source drift in a
+    * corpus). Returns ONE row (n_cells, dof, chi2 4 dp).
+    *
+    * Scale shape: one corpus-sized aggregation to the contingency cells,
+    * then everything runs on the CELL table (|A|·|B| rows — category-
+    * sized by definition): marginals via windows over the cells, the
+    * final Σ a single-row aggregate. The global window moves only the
+    * cell table to one task, never the corpus. Cell counts are exact
+    * longs; e and the Σ are double (order-of-addition ulps absorbed by
+    * the 4 dp rounding over category-scale cell counts). */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val seen = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    // χ² sums over the FULL |A|×|B| grid — a structurally-zero cell
+    // contributes its whole expected count ((0−e)²/e = e), so dropping
+    // unobserved combinations understates the statistic (a perfect 2×2
+    // association would read N/2 instead of N). The grid cross join is
+    // category-sized × category-sized, never corpus rows.
+    val cells = seen.select(col("a")).distinct()
+      .crossJoin(seen.select(col("b")).distinct())
+      .join(seen, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    cells
+      .withColumn("ra", sum(col("o")).over(w.partitionBy(col("a"))))
+      .withColumn("cb", sum(col("o")).over(w.partitionBy(col("b"))))
+      .withColumn("nn", sum(col("o")).over(w.partitionBy()))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1))
+          .as("dof"),
+        expr("""floor(sum(pow(o - CAST(ra AS DOUBLE) * cb / nn, 2)
+                          / (CAST(ra AS DOUBLE) * cb / nn))
+                      * 1e4 + 0.5) / 1e4""").as("chi2"))
+  }
 }

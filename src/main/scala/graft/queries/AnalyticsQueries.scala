@@ -32,6 +32,12 @@ object AnalyticsQueries {
       Analytics.transitionMatrix(Tables.events(s, d))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // per-user OLS value-over-time trend (closed-form sufficient stats,
+    // slope per day, zero-variance users excluded)
+    "q_evt_trend" -> ((s, d) =>
+      Analytics.olsTrend(Tables.events(s, d))
+        .orderBy(col("user_id"))),
+
     // truncated EWMA smoothing of event values per user (α=0.5 dyadic
     // weights, 8-event lookback, ordered-fold determinism)
     "q_evt_ewma" -> ((s, d) =>
@@ -109,6 +115,24 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_trend" ->
+      s"""WITH e AS (
+           SELECT user_id, $ep AS ept, value AS y FROM events),
+         c AS (
+           SELECT user_id,
+                  ept - min(ept) OVER (PARTITION BY user_id) AS x, y
+           FROM e),
+         g AS (
+           SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                  sum(y) AS sy, sum(CAST(x AS DOUBLE) * y) AS sxy
+           FROM c GROUP BY 1)
+         SELECT user_id, n,
+                floor((n * sxy - sx * sy) /
+                      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 86400 * 1e4 + 0.5) / 1e4 AS slope_per_day
+         FROM g
+         WHERE CAST(n AS DOUBLE) * sxx > CAST(sx AS DOUBLE) * sx
+         ORDER BY user_id""",
     "q_evt_ewma" ->
       """WITH e AS (
            SELECT user_id, event_id, value,

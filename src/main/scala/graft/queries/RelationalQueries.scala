@@ -57,6 +57,12 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Pearson χ² independence screen: is document language associated
+    // with source? Full-grid cells (structural zeros carry e each)
+    "q_profile_chi2" -> ((s, d) =>
+      graft.operators.Profile.chiSquareIndependence(
+        Tables.documents(s, d), "lang", "source")),
+
     // CSV round-trip (R22 csv sink): write lineitem as csv, read back with
     // explicit schema, aggregate. Oracle sees the original table — equality
     // proves the sink/scan pair is lossless for count+sum. One column per
@@ -302,6 +308,29 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_profile_chi2" ->
+      """WITH seen AS (
+           SELECT lang AS a, source AS b, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+         grid AS (
+           SELECT da.a, db.b FROM (SELECT DISTINCT a FROM seen) da
+           CROSS JOIN (SELECT DISTINCT b FROM seen) db),
+         cells AS (
+           SELECT grid.a, grid.b, COALESCE(seen.o, 0) AS o
+           FROM grid LEFT JOIN seen ON seen.a = grid.a AND seen.b = grid.b),
+         m AS (
+           SELECT a, b, o,
+                  sum(o) OVER (PARTITION BY a) AS ra,
+                  sum(o) OVER (PARTITION BY b) AS cb,
+                  sum(o) OVER () AS nn
+           FROM cells)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                     AS BIGINT) AS dof,
+                floor(sum(pow(o - CAST(ra AS DOUBLE) * cb / nn, 2)
+                          / (CAST(ra AS DOUBLE) * cb / nn)) * 1e4 + 0.5)
+                  / 1e4 AS chi2
+         FROM m""",
     "q_profile_psi" ->
       """WITH b AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

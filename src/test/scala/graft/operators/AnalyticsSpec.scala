@@ -131,6 +131,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("olsTrend: exact slope on a planted line, zero-variance excluded") {
+    // user 1: y = 5 + 2·day  (x in seconds; slope_per_day must be exactly 2)
+    // user 2: constant ts (zero variance) -> excluded
+    // user 3: y constant -> slope 0
+    val day = 86400L
+    val ev = (0 until 4).map(i => (i.toLong, 1L, "a",
+        new Timestamp(i * day * 1000L), 5.0 + 2.0 * i)) ++
+      Seq((10L, 2L, "a", ts(0), 1.0), (11L, 2L, "a", ts(0), 9.0)) ++
+      (0 until 3).map(i => (20L + i, 3L, "a",
+        new Timestamp(i * day * 1000L), 7.0))
+    val got = Analytics.olsTrend(
+        ev.toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 3L), s"users: ${got.keySet}")
+    assert(got(1L) == ((4L, 2.0)))
+    assert(got(3L) == ((3L, 0.0)))
+  }
+
   test("ewmaSmooth: hand-computed weights, lookback truncation, per-user isolation") {
     val ev = Seq(
       (1L, 1L, "a", ts(0), 10.0), (2L, 1L, "a", ts(1), 20.0),

@@ -63,4 +63,22 @@ class ProfileSpec extends SparkSpec {
       .select("passed").as[Boolean].collect()
     assert(got.length == 4 && got.forall(identity))
   }
+
+  test("chiSquareIndependence: zero under independence, N under perfect 2x2 association") {
+    // perfectly independent 2x2: every cell 25 of 100
+    val ind = (1 to 100).map(i =>
+      (if (i % 2 == 0) "x" else "y", if (i % 4 < 2) "p" else "q"))
+      .toDF("a", "b")
+    val gi = Profile.chiSquareIndependence(ind, "a", "b").collect()(0)
+    assert(gi.getLong(0) == 4L && gi.getLong(1) == 1L)
+    assert(gi.getDouble(2) == 0.0, s"chi2 = ${gi.getDouble(2)}")
+    // perfect association: a determines b -> chi2 = N for 2x2
+    val dep = (1 to 100).map(i =>
+      (if (i % 2 == 0) "x" else "y", if (i % 2 == 0) "p" else "q"))
+      .toDF("a", "b")
+    // n_cells is the FULL grid (zero cells included — they carry e each)
+    val gd = Profile.chiSquareIndependence(dep, "a", "b").collect()(0)
+    assert(gd.getLong(0) == 4L && gd.getLong(1) == 1L)
+    assert(gd.getDouble(2) == 100.0, s"chi2 = ${gd.getDouble(2)}")
+  }
 }
