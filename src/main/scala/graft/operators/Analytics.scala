@@ -188,6 +188,40 @@ object Analytics {
                       * 86400 * 1e4 + 0.5) / 1e4""").as("slope_per_day"))
   }
 
+  /** Welch two-sample t-test per experiment group pair — the A/B readout:
+    * for each value of `groupCol` (the variant) against the named
+    * `control` group, t = (x̄_v − x̄_c) / √(s²_v/n_v + s²_c/n_c) with
+    * Welch–Satterthwaite dof — no equal-variance assumption. ONE
+    * aggregation to per-group sufficient statistics (n, Σy, Σy²), then
+    * the test runs on the group-count-sized table. Returns
+    * (variant, n_v, n_c, mean_diff, t_stat, dof) all rounded 4 dp;
+    * explicit-algebra variance ((Σy² − (Σy)²/n)/(n−1)) keeps the op
+    * sequence engine-portable (the rolling-z-score lesson). Groups with
+    * n < 2 are excluded (undefined variance). */
+  def welchTTest(events: DataFrame, groupCol: String,
+                 control: String): DataFrame = {
+    val g = events
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sy"),
+        sum(col("value") * col("value")).as("syy"))
+      .where(col("n") >= 2)
+      .select(col("grp"), col("n"), (col("sy") / col("n")).as("mean"),
+        ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
+          .as("v"))
+    val c = g.where(col("grp") === control)
+      .select(col("n").as("n_c"), col("mean").as("mean_c"),
+        col("v").as("v_c"))
+    g.where(col("grp") =!= control)
+      .crossJoin(broadcast(c))
+      .select(col("grp").as("variant"), col("n").as("n_v"), col("n_c"),
+        expr("floor((mean - mean_c) * 1e4 + 0.5) / 1e4").as("mean_diff"),
+        expr("""floor((mean - mean_c) / sqrt(v / n + v_c / n_c)
+                      * 1e4 + 0.5) / 1e4""").as("t_stat"),
+        expr("""floor(pow(v / n + v_c / n_c, 2) /
+                      (pow(v / n, 2) / (n - 1) + pow(v_c / n_c, 2) / (n_c - 1))
+                      * 1e4 + 0.5) / 1e4""").as("dof"))
+  }
+
   /** Truncated EWMA smoothing of `value` per user: the last `lookback`
     * events weighted (1−α)^distance and renormalized — the
     * finite-window form of exponential smoothing (the infinite-memory

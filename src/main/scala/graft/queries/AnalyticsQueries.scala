@@ -32,6 +32,13 @@ object AnalyticsQueries {
       Analytics.transitionMatrix(Tables.events(s, d))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // Welch two-sample t-test: every event_type variant vs 'view' as
+    // control on event values — the A/B experiment readout
+    "q_evt_abtest" -> ((s, d) =>
+      Analytics.welchTTest(Tables.events(s, d), "event_type",
+          control = "view")
+        .orderBy(col("variant"))),
+
     // per-user OLS value-over-time trend (closed-form sufficient stats,
     // slope per day, zero-variance users excluded)
     "q_evt_trend" -> ((s, d) =>
@@ -115,6 +122,27 @@ object AnalyticsQueries {
                  floor(n_users / CAST(b AS DOUBLE) * 1e4 + 0.5) / 1e2
                    AS conv_pct
           FROM rows_ CROSS JOIN base ORDER BY step""",
+    "q_evt_abtest" ->
+      """WITH g AS (
+           SELECT event_type AS grp, count(*) AS n, sum(value) AS sy,
+                  sum(value * value) AS syy
+           FROM events GROUP BY 1 HAVING count(*) >= 2),
+         s AS (
+           SELECT grp, n, sy / n AS mean,
+                  (syy - sy * sy / n) / (n - 1) AS v
+           FROM g),
+         c AS (SELECT n AS n_c, mean AS mean_c, v AS v_c FROM s
+               WHERE grp = 'view')
+         SELECT s.grp AS variant, s.n AS n_v, c.n_c,
+                floor((s.mean - c.mean_c) * 1e4 + 0.5) / 1e4 AS mean_diff,
+                floor((s.mean - c.mean_c) / sqrt(s.v / s.n + c.v_c / c.n_c)
+                      * 1e4 + 0.5) / 1e4 AS t_stat,
+                floor(pow(s.v / s.n + c.v_c / c.n_c, 2) /
+                      (pow(s.v / s.n, 2) / (s.n - 1)
+                       + pow(c.v_c / c.n_c, 2) / (c.n_c - 1))
+                      * 1e4 + 0.5) / 1e4 AS dof
+         FROM s CROSS JOIN c WHERE s.grp <> 'view'
+         ORDER BY variant""",
     "q_evt_trend" ->
       s"""WITH e AS (
            SELECT user_id, $ep AS ept, value AS y FROM events),

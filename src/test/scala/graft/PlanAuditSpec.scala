@@ -16,10 +16,11 @@ class PlanAuditSpec extends SparkSpec {
   // q_llm_contrastive's positives are the q_llm_sim_topk broadcast
   // brute-force shape; q_profile_chi2's cross join builds the full
   // |A|×|B| category grid — category-sized × category-sized, never rows.
+  // q_evt_abtest cross-joins the 1-row control-stats table.
   private val allowedCartesian =
     Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
       "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid", "q_llm_contrastive",
-      "q_profile_chi2")
+      "q_profile_chi2", "q_evt_abtest")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))

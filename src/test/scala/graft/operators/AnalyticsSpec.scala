@@ -131,6 +131,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("welchTTest: matches a local Welch computation, zero effect is zero") {
+    // control: 10,12,14 (mean 12); variant A: 20,24,28 (mean 24, real
+    // effect); variant B: 12,14,10 (same distribution as control)
+    val ev = Seq(
+      (1L, 1L, "ctl", ts(0), 10.0), (2L, 1L, "ctl", ts(1), 12.0),
+      (3L, 1L, "ctl", ts(2), 14.0),
+      (4L, 1L, "va", ts(0), 20.0), (5L, 1L, "va", ts(1), 24.0),
+      (6L, 1L, "va", ts(2), 28.0),
+      (7L, 1L, "vb", ts(0), 12.0), (8L, 1L, "vb", ts(1), 14.0),
+      (9L, 1L, "vb", ts(2), 10.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Analytics.welchTTest(ev, "event_type", control = "ctl")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // local Welch: var ctl = 4, var va = 16, var vb = 4 (n=3 each)
+    val tA = (24.0 - 12.0) / math.sqrt(16.0 / 3 + 4.0 / 3)
+    val dofA = math.pow(16.0 / 3 + 4.0 / 3, 2) /
+      (math.pow(16.0 / 3, 2) / 2 + math.pow(4.0 / 3, 2) / 2)
+    assert(got("va") == ((3L, 3L, 12.0, r4(tA), r4(dofA))), s"va=${got("va")}")
+    // identical distributions: mean diff 0, t 0, dof = 2(n-1) = 4
+    assert(got("vb")._3 == 0.0 && got("vb")._4 == 0.0 && got("vb")._5 == 4.0)
+  }
+
   test("olsTrend: exact slope on a planted line, zero-variance excluded") {
     // user 1: y = 5 + 2·day  (x in seconds; slope_per_day must be exactly 2)
     // user 2: constant ts (zero variance) -> excluded
