@@ -220,4 +220,36 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1,
       s"expected a single user_id exchange shared by lag+lead, got $exchanges:\n$plan")
   }
+
+  test("pmiPairs probes the corpus with a BROADCAST top-vocab side, no self-join") {
+    val plan = physical(graft.operators.CorpusOps.pmiPairs(
+      Tables.documents(spark, sf0001), topVocab = 50, minPairCount = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-vocab side not broadcast:\n$plan")
+    // the HOF pair expansion replaced the doc_id self-join: exactly one
+    // join in the whole plan (the vocab probe)
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins == 1, s"expected exactly the vocab-probe join, got $joins:\n$plan")
+  }
+
+  test("associationRules broadcasts the a-priori frequent-item filter") {
+    val plan = physical(graft.operators.Analytics.associationRules(
+      Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_partkey")), minSupport = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent-item prefilter not broadcast:\n$plan")
+  }
+
+  test("zorder write plan is one range exchange, z-value math stays in project") {
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"),
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+    val plan = physical(graft.operators.LayoutOps.zvalue(o, "ck", "day")
+      .repartitionByRange(8, col("z")).sortWithinPartitions(col("z")))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"range partitioning missing:\n$plan")
+    // magic-mask interleave is pure arithmetic: no UDF, no codegen break
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"z-value left the codegen path:\n$plan")
+  }
 }
