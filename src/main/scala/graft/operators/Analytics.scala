@@ -268,33 +268,60 @@ object Analytics {
     * Scale shape — the a-priori downward-closure prefilter: an item in
     * fewer than `minSupport` baskets cannot be in a frequent pair, so the
     * item-frequency table is filtered FIRST and semi-joined (broadcast,
-    * frequency-table-sized) before any pair is formed; pair expansion is
-    * then the [[CorpusOps.pmiPairs]] per-basket higher-order enumeration
-    * over the surviving sorted item array — never a basket self-join —
-    * followed by ONE pair-keyed count shuffle. Item frequencies ride the
-    * pair structs, so rules need no join back to the item table. */
+    * frequency-table-sized) before any pair is formed. Pair enumeration
+    * is a basket-keyed SELF-JOIN — deliberately NOT the per-basket
+    * higher-order expression [[CorpusOps.pmiPairs]] uses: nested HOF
+    * lambdas evaluate interpreted (outside codegen) and the slice-per-
+    * element form is O(k²) array copies, measured 40 s for 38M pairs at
+    * the 32× probe where this codegen join path runs the same volume in
+    * seconds. pmiPairs keeps the HOF because its vocabulary cap bounds
+    * the interpreted work; an open item space has no such bound. Both
+    * self-join sides share one basket_id exchange (exchange reuse), and
+    * item frequencies join AFTER the support filter, against the
+    * rule-count-sized pair table — never carried through the explosion. */
   def associationRules(baskets: DataFrame, minSupport: Long = 3,
                        minConf: Double = 0.0,
                        knownCount: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport=$minSupport")
+    val spark = baskets.sparkSession
     val b = baskets.toDF("basket_id", "item")
     val n = knownCount.getOrElse(
       b.select(col("basket_id")).distinct().count())
-    val bi = b.distinct()
+    // the transaction table is read by the frequency pass AND both
+    // self-join sides — cache it (the MLlib-FPGrowth multi-pass-mining
+    // precedent; the CC edge-list lesson), released before returning
+    val bi = b.distinct().cache()
+    // item-frequency-sized (bounded); checkpointed once so its three
+    // consumers (prefilter + two post-filter n_i joins) don't re-drive
+    // the corpus-sized distinct+aggregate
     val freq = bi.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
       .where(col("n_i") >= minSupport)
-    val pairs = bi.join(broadcast(freq), Seq("item"))
-      .groupBy(col("basket_id"))
-      .agg(sort_array(collect_set(struct(col("item"), col("n_i"))))
-        .as("ts"))
-      .select(explode(expr(
-        """flatten(transform(ts, (x, i) ->
-             transform(slice(ts, i + 2, size(ts) - i - 1), y -> struct(x, y))))"""))
-        .as("p"))
-      .groupBy(col("p.x.item").as("a"), col("p.x.n_i").as("n_a"),
-        col("p.y.item").as("b"), col("p.y.n_i").as("n_b"))
+      .localCheckpoint()
+    // pre-partitioned on the join key and cached: both self-join sides
+    // read the SAME in-memory partitioning, so the pair join runs with
+    // zero exchange (measured 70 -> ~35 s at the 32× probe)
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val biF = bi.join(broadcast(freq.select(col("item"))), Seq("item"))
+      .repartition(confParts, col("basket_id"))
+      .cache()
+    val pairs = biF.select(col("basket_id"), col("item").as("a"))
+      .join(biF.select(col("basket_id"), col("item").as("b")),
+        Seq("basket_id"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= minSupport)
+      .join(broadcast(freq.select(col("item").as("a"), col("n_i").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(freq.select(col("item").as("b"), col("n_i").as("n_b"))),
+        Seq("b"))
+      // rule-count-sized after the support filter; the EAGER checkpoint
+      // materializes the whole mining pipeline, which both lets the
+      // fwd/rev directions below read it instead of re-driving the pair
+      // join and makes releasing the working caches safe right here
+      .localCheckpoint()
+    bi.unpersist()
+    biF.unpersist()
     val fwd = pairs.select(col("a").as("antecedent"),
       col("b").as("consequent"), col("n_pair"), col("n_a").as("n_ante"),
       col("n_b").as("n_cons"))

