@@ -559,6 +559,67 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual average-hash (aHash) of an image payload: decode
+    * (pure JDK), area-average to an 8×8 grayscale grid, bit (y·8+x) set
+    * iff the cell is brighter than the grid mean. Robust to resize /
+    * re-encode / small edits (hamming distance tracks perceptual
+    * distance), which cryptographic digests are deliberately NOT — the
+    * image twin of the text SimHash. None for undecodable payloads. */
+  private[multimodal] def averageHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val sums = new Array[Double](64)
+      val cnts = new Array[Long](64)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = cy * 8 + x * 8 / w
+          val rgb = img.getRGB(x, y)
+          sums(c) += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          cnts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cell = Array.tabulate(64)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i) / cnts(i))
+      val mean = cell.sum / 64.0
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (cell(i) > mean) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** (path, simhash) for every decodable image — the frame
+    * [[graft.operators.Dedup.hammingPairs]] blocks on. A map over the
+    * media scan; undecodable payloads drop out (they have exact-digest
+    * dedup, not perceptual). */
+  def imageHashes(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image")
+      .flatMap(m => averageHash(m.content).map(h => (m.path, h)))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Perceptual image near-dup pairs at hamming ≤ `maxDist`: aHash map +
+    * the SAME pigeonhole chunk-blocked pairing the text SimHash path
+    * uses ([[graft.operators.Dedup.hammingPairs]]) — one hash pass over
+    * the media, candidate volume bounded by the 16-bit chunk buckets,
+    * never an all-pairs image comparison. */
+  def imageNearDup(media: Dataset[MediaFile], maxDist: Int = 5): DataFrame =
+    graft.operators.Dedup.hammingPairs(imageHashes(media), maxDist)
+
   /** Metadata-only projection (no payload deserialization): proves the
     * binary column stays opaque — Catalyst prunes `content` from the scan. */
   def metaTable(media: Dataset[MediaFile]): DataFrame =

@@ -159,9 +159,14 @@ object Dedup {
   /** Blocking rows (doc_id, simhash, chunk_no, chunk) for `simhashPairs`:
     * the 64-bit hash split into (maxDist+1) bit-range chunks. Exposed so the
     * bucket-fan-out property (DedupSpec) can bound candidate volume. */
-  private[operators] def simhashChunks(docs: DataFrame, maxDist: Int): DataFrame = {
+  private[operators] def simhashChunks(docs: DataFrame, maxDist: Int): DataFrame =
+    hashChunks(simhash(docs), maxDist)
+
+  /** [[simhashChunks]] over an ALREADY-hashed frame (doc_id, simhash) —
+    * the blocking is hash-agnostic, so any 64-bit locality-preserving
+    * hash (text SimHash, image average-hash) shares it. */
+  private[operators] def hashChunks(sh: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0,63], got $maxDist")
-    val sh = simhash(docs)
     val k = maxDist + 1
     val bounds = (0 to k).map(i => i * 64 / k) // chunk i = bits [b(i), b(i+1))
     val chunks = (0 until k).map { i =>
@@ -189,8 +194,14 @@ object Dedup {
     * — brute force in disguise) and is only sane on small or pre-blocked
     * inputs. For bounds >3 at scale, tighten per-block first (e.g. dedup
     * exact-duplicate hashes) or raise the hash width instead. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val chunked = simhashChunks(docs, maxDist)
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairs(simhash(docs), maxDist)
+
+  /** [[simhashPairs]] over an already-hashed frame (doc_id, simhash) —
+    * same pigeonhole-complete chunk blocking, any 64-bit hash source
+    * (e.g. [[graft.multimodal.Multimodal]]'s image average-hash). */
+  def hammingPairs(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunked = hashChunks(hashed, maxDist)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_no") === col("b.chunk_no") &&

@@ -520,4 +520,45 @@ class MultimodalSpec extends SparkSpec {
       Seq("path", "kind", "mime", "sizeBytes", "width", "height", "durationMs"))
     assert(t.count() == 3)
   }
+
+  test("perceptual aHash: re-encode/resize invariant, edits near, distinct far") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val ramp = png(64, 64)((x, _) => gray(x * 255 / 63))
+    // same scene at a different resolution — different bytes, same hash
+    val rampSmall = png(32, 32)((x, _) => gray(x * 255 / 31))
+    // small edit: one corner cell brightened
+    val edited = png(64, 64)((x, y) =>
+      if (x < 8 && y < 8) gray(255) else gray(x * 255 / 63))
+    // different scene entirely
+    val checker = png(64, 64)((x, y) =>
+      if (((x / 8) + (y / 8)) % 2 == 0) gray(255) else gray(0))
+    def h(b: Array[Byte]) = Multimodal.averageHash(b).get
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(d(h(ramp), h(rampSmall)) == 0, "resize must not move the hash")
+    val editDist = d(h(ramp), h(edited))
+    assert(editDist >= 1 && editDist <= 5, s"small edit moved $editDist bits")
+    assert(d(h(ramp), h(checker)) > 16, "distinct scenes must be far")
+    // end-to-end: the chunk-blocked pairing finds exactly the near pair
+    val media = Seq(
+      Multimodal.probe("ramp.png", ramp),
+      Multimodal.probe("edited.png", edited),
+      Multimodal.probe("checker.png", checker)).toDS()
+    val pairs = Multimodal.imageNearDup(media, maxDist = 5)
+      .select("d1", "d2").as[(String, String)].collect().toSet
+    assert(pairs == Set(("edited.png", "ramp.png")), s"pairs: $pairs")
+    // undecodable bytes drop out of the hash table, not the pipeline
+    val withJunk = media.union(Seq(Multimodal.probe("junk.png",
+      Array.fill[Byte](32)(7))).toDS())
+    assert(Multimodal.imageHashes(withJunk).count() == 3)
+  }
 }
