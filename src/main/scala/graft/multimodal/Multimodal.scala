@@ -612,6 +612,48 @@ object Multimodal {
       .toDF("doc_id", "simhash")
   }
 
+  /** 64-bit perceptual audio hash over the REAL WAV waveform feature:
+    * 16 time windows × 4 band features (rms, zcr, hp-rms, lp-rms), bit
+    * (type·16 + window) set iff that window exceeds the mean of ITS OWN
+    * feature type — per-type thresholds make the hash invariant to
+    * uniform gain (every energy feature scales together; zcr doesn't
+    * move at all). Robust to re-encode/gain; NOT meaningful for signals
+    * with no envelope variation (a perfectly steady tone thresholds
+    * noise — the constant-signal degenerate case, same class as ranking
+    * a constant quality column). None for non-PCM payloads. */
+  private[multimodal] def audioHash(bytes: Array[Byte]): Option[Long] =
+    audioWaveformFeature(bytes, 64).map { f =>
+      var hash = 0L
+      var t = 0
+      while (t < 4) {
+        var mean = 0.0
+        var w = 0
+        while (w < 16) { mean += f(w * 4 + t); w += 1 }
+        mean /= 16
+        w = 0
+        while (w < 16) {
+          if (f(w * 4 + t) > mean) hash |= 1L << (t * 16 + w)
+          w += 1
+        }
+        t += 1
+      }
+      hash
+    }
+
+  /** (path, simhash) for every decodable-PCM audio payload — the audio
+    * twin of [[imageHashes]]. */
+  def audioHashes(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio")
+      .flatMap(m => audioHash(m.content).map(h => (m.path, h)))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Perceptual audio near-dup pairs at hamming ≤ `maxDist` — same
+    * chunk-blocked pairing as [[imageNearDup]]. */
+  def audioNearDup(media: Dataset[MediaFile], maxDist: Int = 5): DataFrame =
+    graft.operators.Dedup.hammingPairs(audioHashes(media), maxDist)
+
   /** Perceptual image near-dup pairs at hamming ≤ `maxDist`: aHash map +
     * the SAME pigeonhole chunk-blocked pairing the text SimHash path
     * uses ([[graft.operators.Dedup.hammingPairs]]) — one hash pass over

@@ -561,4 +561,44 @@ class MultimodalSpec extends SparkSpec {
       Array.fill[Byte](32)(7))).toDS())
     assert(Multimodal.imageHashes(withJunk).count() == 3)
   }
+
+  test("perceptual audio hash: gain invariant, envelope-sensitive, e2e pair") {
+    val s = spark
+    import s.implicits._
+    // sine with a per-16th-window amplitude envelope (steady tones are the
+    // documented degenerate case — real audio has an envelope)
+    def wav(freq: Double, amp: Int => Double, gain: Double = 1.0): Array[Byte] = {
+      val sr = 8000; val n = sr / 2
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val w = i * 16 / n
+        val v = (math.sin(2 * math.Pi * freq * i / sr) * amp(w) * gain).toInt
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val envA: Int => Double = w => if (w % 4 < 2) 12000.0 else 3000.0
+    val envB: Int => Double = w => if (w < 8) 12000.0 else 3000.0
+    val a = wav(440, envA)
+    val aQuiet = wav(440, envA, gain = 0.5)
+    val b = wav(440, envB)
+    def h(x: Array[Byte]) = Multimodal.audioHash(x).get
+    def d(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(d(h(a), h(aQuiet)) <= 2, s"gain moved ${d(h(a), h(aQuiet))} bits")
+    assert(d(h(a), h(b)) > 6, s"different envelopes only ${d(h(a), h(b))} apart")
+    val media = Seq(
+      Multimodal.probe("a.wav", a),
+      Multimodal.probe("a_quiet.wav", aQuiet),
+      Multimodal.probe("b.wav", b)).toDS()
+    val pairs = Multimodal.audioNearDup(media, maxDist = 5)
+      .select("d1", "d2").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a.wav", "a_quiet.wav")), s"pairs: $pairs")
+  }
 }
