@@ -59,6 +59,49 @@ object LayoutOps {
         .bitwiseOR(shiftleft(spread16(scale16(yCol, yMin, yMax)), 1)))
   }
 
+  /** k-column Morton z-value: each column rank-scales to
+    * min(16, ⌊64/k⌋) bits (same pure-`DIV` arithmetic as [[zvalue]]);
+    * bit j of column c lands at position j·k + c. The 2-column case
+    * delegates to the magic-mask [[zvalue]] (bit-identical — pinned in
+    * LayoutOpsSpec via the knownBounds generic path); for k ≥ 3 no
+    * magic-mask ladder exists, so the interleave is the explicit
+    * per-bit shift-mask-or chain per column — pure integer
+    * arithmetic, stays inside codegen (no HOF, no UDF). A range
+    * predicate on ANY of the k columns then prunes ~n^((k−1)/k) of a
+    * z-sorted file set via the same [[skippingManifest]]. */
+  def zvalueK(df: DataFrame, cols: Seq[String], zCol: String = "z",
+              knownBounds: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8, s"k=${cols.size} not in [2,8]")
+    val k = cols.size
+    if (k == 2 && knownBounds.isEmpty)
+      return zvalue(df, cols(0), cols(1), zCol)
+    // 16 bits per column at any k (capped, not 64/k): k=2 stays
+    // bit-identical with the magic-mask [[zvalue]] — the parity the spec
+    // pins through the knownBounds generic path — and precision doesn't
+    // silently grow/shrink as columns are added
+    val bits = math.min(16, 64 / k)
+    val bounds = knownBounds.getOrElse {
+      val aggs = cols.flatMap(c => Seq(min(col(c).cast("long")),
+        max(col(c).cast("long"))))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      require(!r.anyNull, s"zvalueK: empty input or null bounds for $cols")
+      cols.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
+    }
+    require(bounds.size == k, s"need $k bound pairs, got ${bounds.size}")
+    val z = cols.zipWithIndex.map { case (c, ci) =>
+      val (mn, mx) = bounds(ci)
+      val range = math.max(1L, mx - mn)
+      val scaled =
+        if (mx > mn) s"CAST(((CAST(`$c` AS BIGINT) - ($mn)) * ${(1L << bits) - 1}) " +
+          s"DIV ($range) AS BIGINT)"
+        else "CAST(0 AS BIGINT)"
+      (0 until bits).map(j =>
+        s"shiftleft(shiftrightunsigned($scaled, $j) & 1, ${j * k + ci})")
+        .mkString("(", " | ", ")")
+    }.mkString("(", " | ", ")")
+    df.withColumn(zCol, expr(z))
+  }
+
   /** Write `df` z-ordered on (xCol, yCol) into `nFiles` parquet files:
     * range-repartition on the z-value (contiguous z-ranges per file —
     * the property the manifest exploits), sort within partitions, drop

@@ -57,6 +57,20 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // 3-way Morton z-value (the multi-column OPTIMIZE ZORDER key):
+    // 16-bit scale per column, explicit shift-mask interleave — mirrored
+    // term-for-term in the generated DuckDB oracle. floor() before the
+    // long cast on price: Spark's double→long cast truncates, DuckDB's
+    // rounds — floor on both sides pins the same value.
+    "q_scan_zorder3" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+        floor(col("o_totalprice")).cast("long").as("price"))
+      graft.operators.LayoutOps.zvalueK(o, Seq("ck", "day", "price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Pearson χ² independence screen: is document language associated
     // with source? Full-grid cells (structural zeros carry e each)
     "q_profile_chi2" -> ((s, d) =>
@@ -307,7 +321,32 @@ object RelationalQueries {
         .orderBy(col("lang")))
   )
 
+  /** Generated 3-way z-value oracle: per-column 16-bit `//`-scale + the
+    * same 16-term shift-mask interleave the Spark expression builds —
+    * generated, not hand-copied, so the term layout can't drift. */
+  private def zorder3Sql: String = {
+    val cols = Seq("ck", "day", "price")
+    val spread = cols.zipWithIndex.map { case (c, ci) =>
+      val s = s"(((${c} - b.${c}_mn) * 65535) // " +
+        s"(CASE WHEN b.${c}_mx > b.${c}_mn THEN b.${c}_mx - b.${c}_mn ELSE 1 END))"
+      (0 until 16).map(j => s"((($s >> $j) & 1) << ${j * 3 + ci})")
+        .mkString("(", " | ", ")")
+    }.mkString("(", " | ", ")")
+    s"""WITH o AS (
+         SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+                CAST(date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                CAST(floor(o_totalprice) AS BIGINT) AS price
+         FROM orders),
+       b AS (SELECT min(ck) AS ck_mn, max(ck) AS ck_mx,
+                    min(day) AS day_mn, max(day) AS day_mx,
+                    min(price) AS price_mn, max(price) AS price_mx FROM o)
+       SELECT o_orderkey, ck, day, price, $spread AS z
+       FROM o CROSS JOIN b ORDER BY o_orderkey"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_scan_zorder3" -> zorder3Sql,
     "q_profile_chi2" ->
       """WITH seen AS (
            SELECT lang AS a, source AS b, count(*) AS o

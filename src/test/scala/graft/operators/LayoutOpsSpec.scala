@@ -43,6 +43,63 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  /** Local reference k-way interleave at 16 bits per column. */
+  private def localZK(vals: Seq[Long], bounds: Seq[(Long, Long)]): Long = {
+    val k = vals.size
+    var z = 0L
+    for (c <- 0 until k) {
+      val (mn, mx) = bounds(c)
+      val s = if (mx > mn) (vals(c) - mn) * 65535L / (mx - mn) else 0L
+      for (j <- 0 until math.min(16, 64 / k))
+        z |= ((s >> j) & 1L) << (j * k + c)
+    }
+    z
+  }
+
+  test("zvalueK: k=2 generic path bit-identical to the magic-mask zvalue; k=3 matches local") {
+    val rows = for (x <- Seq(0L, 7L, 100L); y <- Seq(3L, 1000L); w <- Seq(1L, 50L))
+      yield (x, y, w)
+    val df = rows.toDF("x", "y", "w")
+    val b2 = Some(Seq((0L, 100L), (3L, 1000L)))
+    val generic = LayoutOps.zvalueK(df, Seq("x", "y"), knownBounds = b2)
+      .select("x", "y", "z").as[(Long, Long, Long)].collect().toSet
+    val magic = LayoutOps.zvalue(df, "x", "y",
+        knownBounds = Some((0L, 100L, 3L, 1000L)))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect().toSet
+    assert(generic == magic, "generic k=2 diverges from the magic-mask ladder")
+    val b3 = Seq((0L, 100L), (3L, 1000L), (1L, 50L))
+    val z3 = LayoutOps.zvalueK(df, Seq("x", "y", "w"),
+        knownBounds = Some(b3))
+      .as[(Long, Long, Long, Long)].collect()
+    z3.foreach { case (x, y, w, z) =>
+      assert(z == localZK(Seq(x, y, w), b3), s"($x,$y,$w)")
+    }
+  }
+
+  test("3-way z-order prunes a box on the THIRD dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    val orders = graft.core.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+        col("o_totalprice").cast("long").as("price"))
+    LayoutOps.zvalueK(orders, Seq("ck", "day", "price"), zCol = "__z")
+      .repartitionByRange(64, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z").write.mode("overwrite").parquet(dir)
+    val b = orders.agg(min(col("price")), max(col("price"))).collect()(0)
+    val (pLo, pHi) = (b.getLong(0), b.getLong(1))
+    val lo = pLo + (pHi - pLo) * 45 / 100
+    val hi = pLo + (pHi - pLo) * 55 / 100
+    val want = orders.where(col("price").between(lo, hi))
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(want.nonEmpty)
+    val (df, nRead, nTotal) =
+      LayoutOps.pruneRead(spark, dir, Seq(("price", lo, hi)))
+    assert(df.select("o_orderkey").as[Long].collect().toSet == want)
+    assert(nTotal == 64 && nRead < 40,
+      s"3-way z-order read $nRead/64 files for a 10% price box")
+  }
+
   test("zorderWrite + pruneRead: exact rows, real file skipping on BOTH dims") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val orders = graft.core.Tables.orders(spark, sf001)
