@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver captures a 2000-char stdout TAIL of `sbt runMain` and
+// json-parses the final line. Two sbt defaults have broken that every round
+// (BENCH parsed=null r1–r6): forked output is re-logged with an "[info] "
+// prefix, and "[success] Total time" prints after our JSON. Raw pass-through
+// + no success footer makes graft.Bench's summary the literal last line.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,18 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is TIMESTAMP(NANOS) parquet; read as BIGINT nanos
-      // (converted to µs timestamps in Tables.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // R26 session lifecycle: sized + built through the one SessionFactory
+    // (core/Sessions.scala) so Verify and Bench share identical conf
+    val spark = graft.core.Sessions.build(
+      graft.core.Sessions.local(appName = "graft-verify"))
     new java.io.File(outDir).mkdirs()
     // queries are independent — run 4 at a time (Spark schedules concurrent
     // jobs FIFO; memory-sink names and staging dirs are collision-free)

@@ -247,7 +247,8 @@ object AnalyticsQueries {
             SELECT o_orderstatus,
                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
             FROM orders)
-          SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_cents
+          SELECT o_orderstatus, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
           FROM o GROUP BY 1 ORDER BY o_orderstatus""",
     "q_evt_anomaly" ->
       s"""WITH e AS (

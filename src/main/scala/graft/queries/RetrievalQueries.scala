@@ -114,7 +114,7 @@ object RetrievalQueries {
              FROM documents) WHERE t <> ''),
          tf AS (
            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
-         SELECT token, count(*) AS df, sum(tf) AS cf,
+         SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
                 md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
                   AS postings_md5
          FROM tf GROUP BY token ORDER BY token""",

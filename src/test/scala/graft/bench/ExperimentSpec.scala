@@ -82,4 +82,31 @@ class ExperimentSpec extends AnyFunSuite {
     assert(lines.size == 4)
     assert(lines.get(3).split(",")(5) == "3.0")
   }
+
+  test("R26 session factory pins the reference knob mapping") {
+    import graft.core.Sessions
+    // workflow.py GlobalConf analogues: slots×nodes → task count, jnum → FAIR,
+    // tm/jm memory → executor/driver conf, static allocation by default
+    val c = Sessions.Conf(master = "yarn", numTasks = 128, concurrentJobs = 2,
+      executorMemMb = Some(80000), driverMemMb = Some(10000))
+    val m = Sessions.sparkConf(c)
+    assert(m("spark.sql.shuffle.partitions") == "128")
+    assert(m("spark.default.parallelism") == "128")
+    assert(m("spark.scheduler.mode") == "FAIR")            // jnum=2
+    assert(m("spark.executor.memory") == "80000m")          // task_manager_mem
+    assert(m("spark.driver.memory") == "10000m")            // job_manager_mem
+    assert(!m.contains("spark.dynamicAllocation.enabled")) // -n is static
+    // single-job session: FIFO default, no memory overrides leak in
+    val solo = Sessions.sparkConf(Sessions.Conf(numTasks = 4))
+    assert(!solo.contains("spark.scheduler.mode"))
+    assert(!solo.contains("spark.executor.memory"))
+    // engine invariants present for every entry point
+    assert(solo("spark.sql.session.timeZone") == "UTC")
+    assert(solo("spark.sql.adaptive.enabled") == "true")
+    assert(solo("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // the sandbox conf honors SPARK_GRAFT_CPUS-default sizing contract
+    val loc = Sessions.local(defaultCpus = 4)
+    assert(loc.master.startsWith("local["))
+    assert(Sessions.sparkConf(loc)("spark.sql.shuffle.partitions") == loc.numTasks.toString)
+  }
 }
