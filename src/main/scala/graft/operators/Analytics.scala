@@ -111,7 +111,14 @@ object Analytics {
     * Welford-style built-ins differ in accumulation, explicit algebra
     * doesn't. One user-keyed shuffle; per-user frames are the natural
     * partitioning of a telemetry stream at any scale. Returns
-    * (user_id, event_id, v, z, is_anomaly). */
+    * (user_id, event_id, v, z, is_anomaly).
+    *
+    * Zero-variance lookback windows (a flat stream) are guarded twice:
+    * the variance is clamped to ≥ 0 before sqrt (floating-point
+    * cancellation can push Σv² − n·μ² a hair negative → NaN), and when
+    * σ = 0 the row emits z = 0 / is_anomaly = false — without the guard
+    * z is NaN/±Inf and Spark's NaN ordering makes abs(NaN) > threshold
+    * TRUE, flagging every row of a perfectly flat stream. */
   def rollingAnomaly(events: DataFrame, lookback: Int = 10,
                      zThreshold: Double = 2.0): DataFrame = {
     require(lookback >= 2, s"lookback=$lookback")
@@ -126,11 +133,15 @@ object Analytics {
     events
       .withColumn("__n", cnt)
       .withColumn("__m", s1 / n)
-      .withColumn("__sd", sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - lit(1.0))))
+      .withColumn("__sd", sqrt(
+        greatest(lit(0.0), s2 - n * (s1 / n) * (s1 / n)) / (n - lit(1.0))))
       .where(col("__n") === lookback)
       .select(col("user_id"), col("event_id"), col("value").as("v"),
-        ((col("value") - col("__m")) / col("__sd")).as("z"))
-      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+        when(col("__sd") > 0.0,
+          (col("value") - col("__m")) / col("__sd")).otherwise(lit(0.0)).as("z"),
+        col("__sd"))
+      .withColumn("is_anomaly", col("__sd") > 0.0 && abs(col("z")) > zThreshold)
+      .drop("__sd")
   }
 
   /** Weekly cohort retention: users are cohorted by the week of their

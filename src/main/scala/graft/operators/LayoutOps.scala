@@ -31,14 +31,40 @@ object LayoutOps {
     e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
   }
 
-  /** Scale an integer column to [0, 65535] by dataset bounds using pure
-    * LONG arithmetic — `(x − min) · 65535 div (max − min)` — so the
-    * result is deterministic and engine-portable (no float rounding).
-    * Constant columns (max == min) scale to 0. */
+  /** SQL for rank-scaling an integer column to [0, 2^bits − 1] by dataset
+    * bounds using pure LONG arithmetic, deterministic and engine-portable
+    * (no float rounding). Two regimes:
+    *
+    *   - range · (2^bits − 1) fits in a LONG (ranges below ~2^47 at 16
+    *     bits — every realistic id/date/price column): multiply-first
+    *     `(x − min) · maxVal div range`, full bucket resolution.
+    *   - wider ranges (epoch-nanos spans, hash-valued columns): the
+    *     multiply would silently WRAP and scramble the layout (reads stay
+    *     correct — pruning uses real per-file min/max — but clustering
+    *     degrades to noise). Divide-first instead: `(x − min) div step`
+    *     with step = range div 2^bits + 1, which keeps the quotient in
+    *     [0, 2^bits − 1] with no intermediate above the range itself.
+    *
+    * The regime is chosen driver-side from the bounds, so the per-row
+    * expression stays a two-op integer chain inside codegen. */
+  private def scaleSql(name: String, mn: Long, mx: Long, bits: Int): String = {
+    val maxVal = (1L << bits) - 1L
+    if (mx <= mn) "CAST(0 AS BIGINT)"
+    else {
+      val range = mx - mn
+      if (range <= Long.MaxValue / maxVal)
+        s"CAST(((CAST(`$name` AS BIGINT) - ($mn)) * $maxVal) DIV ($range) AS BIGINT)"
+      else {
+        val step = range / (maxVal + 1L) + 1L
+        s"CAST((CAST(`$name` AS BIGINT) - ($mn)) DIV ($step) AS BIGINT)"
+      }
+    }
+  }
+
+  /** Scale an integer column to [0, 65535] by dataset bounds — see
+    * [[scaleSql]]. Constant columns (max == min) scale to 0. */
   private def scale16(name: String, mn: Long, mx: Long): Column =
-    if (mx > mn) expr(s"CAST(((CAST(`$name` AS BIGINT) - ($mn)) * 65535) " +
-      s"DIV (${mx - mn}) AS BIGINT)")
-    else lit(0L)
+    expr(scaleSql(name, mn, mx, 16))
 
   /** Append a 32-bit Morton z-value column `zCol` interleaving two
     * integer columns, each rank-scaled to 16 bits by its dataset min/max
@@ -90,11 +116,7 @@ object LayoutOps {
     require(bounds.size == k, s"need $k bound pairs, got ${bounds.size}")
     val z = cols.zipWithIndex.map { case (c, ci) =>
       val (mn, mx) = bounds(ci)
-      val range = math.max(1L, mx - mn)
-      val scaled =
-        if (mx > mn) s"CAST(((CAST(`$c` AS BIGINT) - ($mn)) * ${(1L << bits) - 1}) " +
-          s"DIV ($range) AS BIGINT)"
-        else "CAST(0 AS BIGINT)"
+      val scaled = scaleSql(c, mn, mx, bits)
       (0 until bits).map(j =>
         s"shiftleft(shiftrightunsigned($scaled, $j) & 1, ${j * k + ci})")
         .mkString("(", " | ", ")")

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Backtick-quote a generated identifier (literal backticks double) —
+    * profiled tables arrive with dots, spaces, hyphens, quotes in column
+    * names and these land inside generated stack() SQL. */
+  private def qid(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Single-quote a SQL string literal (embedded quotes double). */
+  private def qlit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Per-column profile: (column, n, n_null, n_distinct, min_s, max_s).
     * min/max are computed in the column's native ordering, then rendered
     * as strings (cast AFTER the aggregate — "10" < "9" is exactly the bug
@@ -28,21 +36,24 @@ object Profile {
     // no distinct machinery at all, and the distinct counts come from an
     // unpivot → (col, value) two-level aggregate — linear rows, ordinary
     // partial+final combine, no expand anywhere
+    // col("a.b") parses as struct access and a stray backtick throws —
+    // reference profiled columns through the escaped-backtick form
     val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+      val rc = col(qid(c))
+      Seq(sum(when(rc.isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        min(rc).cast("string").as(s"__min_$c"),
+        max(rc).cast("string").as(s"__max_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', __n, __null_$c, __min_$c, __max_$c"
+      s"${qlit(c)}, __n, ${qid(s"__null_$c")}, ${qid(s"__min_$c")}, ${qid(s"__max_$c")}"
     }.mkString(", ")
     val basic = wide.select(expr(
       s"stack(${cols.size}, $stackArgs) " +
       "as (col_name, n, n_null, min_s, max_s)"))
     // string rendering is injective for the profiled types (ints, strings,
     // decimals), so distinct-of-rendered == distinct-of-native
-    val valueStack = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val valueStack = cols.map(c => s"${qlit(c)}, cast(${qid(c)} as string)").mkString(", ")
     val distincts = df
       .select(expr(s"stack(${cols.size}, $valueStack) as (col_name, __v)"))
       .where(col("__v").isNotNull)

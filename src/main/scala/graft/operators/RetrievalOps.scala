@@ -106,6 +106,11 @@ object RetrievalOps {
     val neg = draws
       .where(col("vid") =!= col("qid"))
       .join(pos.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
+      // two independent draws can land on the SAME vid for one qid —
+      // without this a (qid, 'neg', vid) pair repeats, silently
+      // over-weighting that negative downstream; keep the lowest rn
+      // (deterministic, and the row count still surfaces collision loss)
+      .groupBy(col("qid"), col("vid")).agg(min(col("rn")).as("rn"))
       .select(col("qid"), lit("neg").as("role"), col("rn"), col("vid"),
         lit(null).cast("double").as("cos"))
     pos.select(col("qid"), lit("pos").as("role"), col("rn"), col("vid"),

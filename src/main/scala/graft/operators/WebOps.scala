@@ -37,26 +37,36 @@ object WebOps {
     regexp_replace(host(url), "^www\\.", "")
 
   /** Canonical URL for crawl-level dedup: lowercase scheme+host, drop the
-    * fragment, drop default :80/:443 ports, drop tracking parameters
+    * fragment, drop the DEFAULT port for the scheme (:80 only under http,
+    * :443 only under https — `http://h:443` is a real nonstandard port and
+    * must NOT merge with `http://h`), drop tracking parameters
     * (utm_*, fbclid, gclid, ref), sort surviving query parameters, strip a
     * trailing slash from non-root paths and a dangling '?'. Two URLs that
     * differ only in parameter order / case / tracking garbage map to the
     * same string — the keep-first exact-dedup key for page-level dedup.
-    * Pure column expressions (split/filter/sort HOFs), map-only codegen. */
+    *
+    * Inputs WITHOUT a scheme://authority shape pass through verbatim:
+    * canonicalizing them would collapse every such string to a shared
+    * empty-host key and keep-first dedup would silently drop distinct
+    * pages. Pure column expressions (split/filter/sort HOFs), map-only
+    * codegen. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base = regexp_extract(noFrag, "^([^?]*)", 1)
     val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
     val schemeHost = lower(regexp_extract(base, "^([^:]+://[^/]+)", 1))
-    val hostNoPort = regexp_replace(schemeHost, ":(80|443)$", "")
+    val hostNoPort = regexp_replace(
+      regexp_replace(schemeHost, "^(http://[^:/]+):80$", "$1"),
+      "^(https://[^:/]+):443$", "$1")
     val path0 = regexp_extract(base, "^[^:]+://[^/]+(/.*)?$", 1)
     val path = when(length(path0) > 1,
       regexp_replace(path0, "/$", "")).otherwise(path0)
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
     val sortedQ = array_join(array_sort(params), "&")
-    concat(hostNoPort, path,
-      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+    when(schemeHost === "", url).otherwise(
+      concat(hostNoPort, path,
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
   }
 
   /** Keep the first `cap` documents (by `ord`) of every domain — the

@@ -260,15 +260,19 @@ object AnalyticsQueries {
                    count(value) OVER w AS n
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
-                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+          sd AS (
+            SELECT user_id, event_id, value, s1,
+                   sqrt(greatest(0.0,
+                     s2 - 10.0 * (s1 / 10.0) * (s1 / 10.0)) / 9.0) AS sd
+            FROM s WHERE n = 10)
           SELECT user_id, event_id,
-                 floor((value - s1 / 10.0) /
-                   sqrt((s2 - 10.0 * (s1 / 10.0) * (s1 / 10.0)) / 9.0)
-                   * 1e4 + 0.5) / 1e4 AS z,
-                 CAST(abs((value - s1 / 10.0) /
-                   sqrt((s2 - 10.0 * (s1 / 10.0) * (s1 / 10.0)) / 9.0)) > 2.0
+                 CASE WHEN sd > 0.0
+                   THEN floor((value - s1 / 10.0) / sd * 1e4 + 0.5) / 1e4
+                   ELSE 0.0 END AS z,
+                 CAST(sd > 0.0 AND abs((value - s1 / 10.0) / sd) > 2.0
                    AS INT) AS is_anomaly
-          FROM s WHERE n = 10 ORDER BY user_id, event_id""",
+          FROM sd ORDER BY user_id, event_id""",
     "q_evt_cohort" ->
       s"""WITH w AS (
             SELECT user_id, CAST(($ep // 86400) // 7 AS BIGINT) AS w

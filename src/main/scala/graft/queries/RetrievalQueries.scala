@@ -198,10 +198,11 @@ object RetrievalQueries {
                 CROSS JOIN (SELECT unnest(range(1, 5)) AS rn) u
            WHERE q.vec_id < 10),
          neg AS (
-           SELECT d.qid, d.rn, d.vid FROM draws d
+           SELECT d.qid, min(d.rn) AS rn, d.vid FROM draws d
            WHERE d.vid <> d.qid
              AND NOT EXISTS (SELECT 1 FROM pos p
-                             WHERE p.qid = d.qid AND p.vid = d.vid))
+                             WHERE p.qid = d.qid AND p.vid = d.vid)
+           GROUP BY d.qid, d.vid)
          SELECT qid, role, CAST(rn AS INT) AS rn, vid, cos FROM (
            SELECT qid, 'pos' AS role, rn, vid, cos FROM pos
            UNION ALL

@@ -334,9 +334,10 @@ object WebQueries {
                   regexp_extract(nofrag, '^[^?]*\?(.*)$', 1) AS query
            FROM c),
          parts AS (
-           SELECT regexp_replace(
+           SELECT regexp_replace(regexp_replace(
                     lower(regexp_extract(base, '^([^:]+://[^/]+)', 1)),
-                    ':(80|443)$', '') AS hostpart,
+                    '^(http://[^:/]+):80$', '\1'),
+                    '^(https://[^:/]+):443$', '\1') AS hostpart,
                   regexp_extract(base, '^[^:]+://[^/]+(/.*)?$', 1) AS path0,
                   array_to_string(list_sort(list_filter(
                     string_split(query, '&'),

@@ -118,6 +118,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(anom, "spike not flagged")
   }
 
+  test("rollingAnomaly: a perfectly flat stream flags nothing (σ=0 guard)") {
+    // 15 identical values: every full window has zero variance; without
+    // the guard z = 0/0 = NaN and Spark's NaN ordering makes
+    // abs(NaN) > 2.0 TRUE — every row of a flat telemetry stream would
+    // read as an anomaly
+    val df = (1 to 15).map(i => (1L, i.toLong, "e", ts(i), 7.5))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.rollingAnomaly(df, lookback = 10, zThreshold = 2.0)
+      .select("z", "is_anomaly").as[(Double, Boolean)].collect()
+    assert(got.length == 5, "rows 11-15 have full windows")
+    assert(got.forall { case (z, a) => z == 0.0 && !a },
+      s"flat stream must emit z=0, no anomalies; got ${got.toSeq}")
+  }
+
   test("canonicalUrl goldens: case, port, tracking params, order, fragment") {
     val cases = Seq(
       "HTTPS://WWW.Ex.COM:443/A/?b=2&a=1&utm_source=x#f" -> "https://www.ex.com/A?a=1&b=2",
@@ -125,7 +139,15 @@ class AnalyticsSpec extends SparkSpec {
       "http://EX.com:80/"                                -> "http://ex.com/",
       "http://ex.com:8080/p"                             -> "http://ex.com:8080/p",
       "https://ex.com/p?utm_campaign=z"                  -> "https://ex.com/p",
-      "https://ex.com"                                   -> "https://ex.com")
+      "https://ex.com"                                   -> "https://ex.com",
+      // default-port stripping is SCHEME-AWARE: :443 under http (and :80
+      // under https) are real nonstandard ports, not defaults
+      "http://ex.com:443/p"                              -> "http://ex.com:443/p",
+      "https://ex.com:80/p"                              -> "https://ex.com:80/p",
+      // no scheme://authority shape -> verbatim passthrough (canonicalizing
+      // would merge all such strings onto one empty-host dedup key)
+      "not a url"                                        -> "not a url",
+      "mailto:someone@ex.com"                            -> "mailto:someone@ex.com")
     val got = cases.map(_._1).toDF("url")
       .select(WebOps.canonicalUrl(col("url"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))

@@ -43,6 +43,25 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("zvalue: ranges past 2^47 use the divide-first regime — no wrap") {
+    // x spans ~2^62 (epoch-nanos-scale): the multiply-first form
+    // (x-min)*65535 would wrap LONG and scramble the layout ordering
+    val big = 1L << 62
+    val xs = Seq(0L, big / 4, big / 2, (big / 4) * 3, big)
+    val df = (for (x <- xs; y <- Seq(0L, 10L)) yield (x, y)).toDF("x", "y")
+    val got = LayoutOps.zvalue(df, "x", "y").as[(Long, Long, Long)]
+      .collect().toSeq
+    got.foreach { case (_, _, z) =>
+      assert(z >= 0 && z <= 0xFFFFFFFFL, s"z=$z outside 32-bit interleave")
+    }
+    // fixing y, z must be monotone in x (wrap would break the ordering)
+    for (yv <- Seq(0L, 10L)) {
+      val zs = got.filter(_._2 == yv).sortBy(_._1).map(_._3)
+      assert(zs == zs.sorted, s"z not monotone in x at y=$yv: $zs")
+      assert(zs.distinct.size == zs.size, s"wide-range x collapsed: $zs")
+    }
+  }
+
   /** Local reference k-way interleave at 16 bits per column. */
   private def localZK(vals: Seq[Long], bounds: Seq[(Long, Long)]): Long = {
     val k = vals.size

@@ -22,6 +22,23 @@ class ProfileSpec extends SparkSpec {
     assert(got("v") == ((4L, 1L, 2L, "9", "10")))
   }
 
+  test("columnProfile survives hostile column names (dots, spaces, quotes, hyphens)") {
+    // these names land inside generated stack() SQL — unquoted they break
+    // the parse ("a.b" resolves as struct access) or corrupt the label
+    // literal ("o'neill" terminates the string early)
+    val names = Seq("a.b", "with space", "o'neill", "hy-phen", "back`tick")
+    val df = Seq((1L, "x", "y", "z", "w"), (2L, "x", null, "z", "q"))
+      .toDF(("id" +: names.take(4)): _*)
+      .withColumnRenamed("id", names.last)
+    val got = Profile.columnProfile(df, names)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == names.toSet, s"labels mangled: ${got.keySet}")
+    assert(got("with space") == ((2L, 1L, 1L)))  // one null, one distinct
+    assert(got("back`tick") == ((2L, 0L, 2L)))
+    assert(got("o'neill") == ((2L, 0L, 1L)))
+  }
+
   test("checks detect planted violations of every kind") {
     val fact = Seq(
       (1L, Some(10L), 5.0), (1L, Some(10L), 3.0),   // duplicate key

@@ -88,7 +88,20 @@ class RetrievalOpsSpec extends SparkSpec {
       nq.foreach { case (_, _, _, vid) =>
         assert(vid != qid && !posSet((qid, vid)) && vid >= 0 && vid < 500)
       }
+      // intra-draw collisions (two rns hitting one vid) are deduped:
+      // (qid, vid) unique among negatives
+      assert(nq.map(_._4).distinct.size == nq.size,
+        s"q$qid: duplicate negative vids ${nq.map(_._4).sorted}")
     }
+    // tiny corpus forces collisions: 5 queries x 4 draws over 8 ids —
+    // without the dedup a repeated (qid, vid) negative WILL appear
+    val tiny = emb.where(col("vec_id") < 8)
+    val tneg = RetrievalOps.contrastivePairs(tiny.where(col("vec_id") < 5),
+        tiny, kPos = 2, kNeg = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .filter(_._2 == "neg").map(t => (t._1, t._3)).toSeq
+    assert(tneg.distinct.size == tneg.size,
+      s"tiny-corpus negatives must be (qid,vid)-unique: $tneg")
     // deterministic for a fixed salt; a different salt permutes the draw
     val again = RetrievalOps.contrastivePairs(q, emb, kPos = 2, kNeg = 4)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
