@@ -28,7 +28,8 @@ object SparkEntry {
     WebQueries.queries ++
     RetrievalQueries.queries ++
     AnalyticsQueries.queries ++
-    StreamingQueries.queries
+    StreamingQueries.queries ++
+    GenomicsQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++

@@ -1,0 +1,88 @@
+package graft.genomics
+
+import java.nio.file.{Files, Path}
+
+/** Deterministic synthetic BCL run + mock-aligner fixture — the catalog's
+  * way of putting the reference's ACTUAL pipeline (R1→R10: BCL decode →
+  * chastity filter → demux → pair → partitioned gzip PRQ → per-sample
+  * align → SAM parse) under the driver's eye as `q_genomics_e2e`, not only
+  * under GenomicsSpec. Content is a pure function of the cluster index, so
+  * every invocation writes byte-identical tiles and the query's output is
+  * rows-only-reproducible run to run.
+  *
+  * Layout mirrors the reference's flowcell shape (`bclreader` input,
+  * SURVEY §1.4 D1): `L001/C<cycle>.1/s_1_<tile>.bcl` cycle-major tiles +
+  * per-tile `.filter` chastity masks, little-endian u32 cluster-count
+  * headers.
+  */
+object SyntheticRun {
+
+  val rs: ReadStructure = ReadStructure(r1 = 4, index = 3, r2 = 4)
+  val sheet: Seq[(String, String)] = Seq("sample1" -> "AAA", "sample2" -> "CCC")
+
+  /** Barcode schedule by cluster index: exact/1-mismatch hits for both
+    * samples, an unmatchable code, and every 7th cluster failing
+    * chastity — all demux branches exercised. */
+  private val barcodes = Vector("AAA", "AAC", "CCC", "CCA", "GGG")
+
+  private def rotate(s: String, k: Int): String = {
+    val i = ((k % s.length) + s.length) % s.length
+    s.substring(i) + s.substring(0, i)
+  }
+
+  /** Cluster i: (r1, barcode, r2, passesChastity). */
+  def cluster(i: Int): (String, String, String, Boolean) =
+    (rotate("ACGT", i), barcodes(i % barcodes.size), rotate("TGCA", i), i % 7 != 6)
+
+  /** Encode (base, qual) to a BCL byte; 'N' → 0 (same packing the decoder
+    * inverts: low 2 bits base, high 6 quality). */
+  private def enc(base: Char, q: Int): Byte =
+    if (base == 'N') 0
+    else (("ACGT".indexOf(base)) | (q << 2)).toByte
+
+  private def writeTile(dir: Path, lane: Int, tile: Int,
+                        clusters: Seq[(String, String, String, Boolean)]): Unit = {
+    val n = clusters.size
+    val header = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    val laneDir = dir.resolve(f"L$lane%03d")
+    for (c <- 1 to rs.totalCycles) {
+      val cdir = laneDir.resolve(s"C$c.1")
+      Files.createDirectories(cdir)
+      val bytes = clusters.map { case (r1, bc, r2, _) =>
+        val all = r1 + bc + r2
+        enc(all(c - 1), 30 + (c % 10))
+      }.toArray
+      Files.write(cdir.resolve(f"s_${lane}_$tile.bcl"), header ++ bytes)
+    }
+    val fbytes = clusters.map(c => if (c._4) 1.toByte else 0.toByte).toArray
+    Files.write(laneDir.resolve(f"s_${lane}_$tile.filter"), header ++ fbytes)
+  }
+
+  /** Write a 2-tile run of `perTile` clusters each; returns the run dir. */
+  def writeRun(dir: Path, perTile: Int = 24): Path = {
+    writeTile(dir, 1, 1101, (0 until perTile).map(cluster))
+    writeTile(dir, 1, 1102, (perTile until 2 * perTile).map(cluster))
+    dir
+  }
+
+  /** Mock aligner (the reference's external `bwa`/`seqal` stand-in, R10):
+    * PRQ TSV in, minimal valid SAM out — header line then a 99/147 mate
+    * pair per read. Positions derive from the read id's cluster index, so
+    * output is independent of partition order and process batching. */
+  def writeMockAligner(path: Path): Path = {
+    val script =
+      """#!/bin/sh
+        |printf '@HD\tVN:1.6\tSO:unsorted\n'
+        |while IFS='	' read -r id s1 q1 s2 q2; do
+        |  c=${id##*_}
+        |  p=$(( (c + 1) * 10 ))
+        |  printf '%s\t99\tchr1\t%d\t60\t4M\t=\t%d\t8\t%s\t%s\tNM:i:0\n' "$id" "$p" "$((p + 4))" "$s1" "$q1"
+        |  printf '%s\t147\tchr1\t%d\t60\t4M\t=\t%d\t-8\t%s\t%s\tNM:i:0\n' "$id" "$((p + 4))" "$p" "$s2" "$q2"
+        |done
+        |""".stripMargin
+    Files.writeString(path, script)
+    path.toFile.setExecutable(true)
+    path
+  }
+}

@@ -348,4 +348,60 @@ object Analytics {
           .as("lift"))
       .where(col("confidence") >= minConf)
   }
+
+  /** Per-key time-series resampling onto a regular grid with linear
+    * interpolation — telemetry normalization before any windowed model
+    * (irregular event times → fixed `stepSec` ticks per user, value
+    * linearly interpolated between the bracketing observations, held flat
+    * outside them).
+    *
+    * Shape: observations collapse to one row per (user, second) (min —
+    * deterministic under duplicate timestamps, unlike a float avg), the
+    * per-user grid explodes from a `sequence()` over that user's own
+    * [min, max] span (no driver loop, no global calendar), and
+    * interpolation is TWO window passes over the union — forward
+    * carry-last, backward carry-first — partitioned by user: one shuffle,
+    * per-user state, scale-independent of the grid density of any other
+    * key. Observations landing exactly on a tick short-circuit to their
+    * own value (prev == next guard). Returns (user_id, t, v). */
+  def resampleLinear(events: DataFrame, stepSec: Long = 3600L): DataFrame = {
+    require(stepSec >= 1, s"stepSec=$stepSec")
+    val obs = events
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("value"))
+      .groupBy(col("user_id"), col("t")).agg(min(col("value")).as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+      // integer ceil/floor division (epoch seconds are nonnegative) — no
+      // float rounding to disagree with a mirroring engine
+      .select(col("user_id"), explode(sequence(
+        expr(s"(mn + ${stepSec - 1}) div $stepSec"),
+        expr(s"mx div $stepSec"))).as("k"))
+      .select(col("user_id"), (col("k") * stepSec).as("t"))
+    val tagged = obs.withColumn("is_obs", lit(1))
+      .unionByName(grid.withColumn("v", lit(null).cast("double"))
+        .withColumn("is_obs", lit(0)))
+    // obs sorts BEFORE the grid row at the same t in both directions, so
+    // an on-tick observation becomes its own prev AND next
+    val fwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_obs").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t").desc, col("is_obs").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("pt", last(when(col("is_obs") === 1, col("t")), ignoreNulls = true).over(fwd))
+      .withColumn("pv", last(when(col("is_obs") === 1, col("v")), ignoreNulls = true).over(fwd))
+      .withColumn("nt", last(when(col("is_obs") === 1, col("t")), ignoreNulls = true).over(bwd))
+      .withColumn("nv", last(when(col("is_obs") === 1, col("v")), ignoreNulls = true).over(bwd))
+      .where(col("is_obs") === 0)
+      .select(col("user_id"), col("t"),
+        when(col("pt").isNull, col("nv"))
+          .when(col("nt").isNull, col("pv"))
+          .when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("t") - col("pt")) / (col("nt") - col("pt")))
+          .as("v"))
+  }
 }

@@ -573,6 +573,79 @@ object CorpusOps {
         expr("floor(exp(m) * 10000 + 0.5) / 10000").as("ppl"))
   }
 
+  /** Bigram LM perplexity with interpolated Kneser-Ney smoothing — the
+    * production-grade refinement of [[bigramPerplexity]]'s Jelinek-Mercer:
+    * instead of backing off to raw unigram FREQUENCY, KN backs off to
+    * CONTINUATION probability — how many distinct contexts a word follows
+    * — which stops high-count-but-context-bound words ("Francisco") from
+    * soaking up backoff mass (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated variant):
+    *
+    *   p(w|v) = (max(c(v,w) − D, 0) + D · N1+(v·) · p_cont(w)) / c(v·)
+    *   p_cont(w) = (N1+(·w) + k) / (B + k·(V+1))      [add-k floored]
+    *
+    * with D the absolute discount, N1+(v·) the distinct-follower count of
+    * v, N1+(·w) the distinct-context count of w, B the bigram TYPE count.
+    * Unseen contexts (c(v·) = 0) score p_cont(w) directly; the add-k
+    * floor keeps every probability positive, so unseen words cost finite
+    * nll — same convention as the whole LM family here.
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — every model table
+    * (bigram types, per-context stats, per-word continuation counts)
+    * derives from ONE (prev, token) count aggregate whose exchange Spark
+    * reuses across the three sub-plans; totals are two driver scalars;
+    * scoring is guarded-broadcast joins + a per-doc aggregate. */
+  def knPerplexity(corpus: DataFrame, lmDocs: DataFrame,
+                   discount: Double = 0.75, k: Double = 0.5,
+                   maxBroadcastVocab: Long = 10L * 1000 * 1000): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount=$discount out of (0,1)")
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+    def bigrams(df: DataFrame) = toks(df)
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+        "i -> named_struct('prev', element_at(ts, i), " +
+        "'token', element_at(ts, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"),
+        col("bg.token").as("token"))
+    val bi = bigrams(lmDocs)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("bc"))
+    // per-context totals + distinct-follower counts (bi rows are distinct
+    // (prev, token) pairs, so count(*) IS N1+(v·))
+    val ctx = bi.groupBy(col("prev"))
+      .agg(sum(col("bc")).as("cc"), count(lit(1)).as("n1f"))
+    // per-word distinct-context counts N1+(·w)
+    val cw = bi.groupBy(col("token")).agg(count(lit(1)).as("n1b"))
+    val row = bi.agg(count(lit(1)),
+      count_distinct(col("token"))).collect()(0)
+    val (btypes, vocab) = (row.getLong(0), row.getLong(1))
+    val contDenom = btypes + k * (vocab + 1)
+    def guarded(df: DataFrame, bound: Long, what: String) =
+      if (bound <= maxBroadcastVocab) broadcast(df)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"knPerplexity: $what exceeds the broadcast guard " +
+          s"(cardinality bound $bound > $maxBroadcastVocab) — " +
+          "shuffle-hash join")
+        df.hint("shuffle_hash")
+      }
+    val pCont = (coalesce(col("n1b"), lit(0L)) + k) / contDenom
+    bigrams(corpus)
+      .join(guarded(bi, btypes, "bigram-type table"), Seq("prev", "token"), "left")
+      .join(guarded(ctx, btypes, "context table"), Seq("prev"), "left")
+      .join(guarded(cw, vocab, "continuation table"), Seq("token"), "left")
+      .select(col("doc_id"),
+        (-log(when(col("cc").isNotNull,
+            (greatest(coalesce(col("bc"), lit(0L)) - discount, lit(0.0))
+              + lit(discount) * col("n1f") * pCont) / col("cc"))
+          .otherwise(pCont))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("floor(exp(m) * 10000 + 0.5) / 10000").as("ppl"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards by their START offset in the deterministic doc_id order —
     * (doc_id, n_tokens, shard, offset) with offset the doc's position

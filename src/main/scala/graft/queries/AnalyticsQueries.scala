@@ -83,6 +83,15 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // per-user hourly resample with linear interpolation (gap filling):
+    // grid from each user's own span, values held flat outside the
+    // observed range; 4-dp floor-rounding is the cross-engine contract
+    "q_evt_resample" -> ((s, d) =>
+      Analytics.resampleLinear(Tables.events(s, d), stepSec = 3600L)
+        .select(col("user_id"), col("t"),
+          (floor(col("v") * 1e4 + lit(0.5)) / 1e4).as("v"))
+        .orderBy(col("user_id"), col("t"))),
+
     // rolling z-score anomalies: 10-event lookback per user, |z| > 2
     "q_evt_anomaly" -> ((s, d) =>
       Analytics.rollingAnomaly(Tables.events(s, d))
@@ -250,6 +259,43 @@ object AnalyticsQueries {
           SELECT o_orderstatus, count(*) AS n,
                  CAST(sum(cents) AS BIGINT) AS sum_cents
           FROM o GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_evt_resample" ->
+      s"""WITH o0 AS (
+            SELECT user_id, $ep AS t, value FROM events),
+          o AS (
+            SELECT user_id, t, min(value) AS v FROM o0 GROUP BY 1, 2),
+          b AS (
+            SELECT user_id, min(t) AS mn, max(t) AS mx FROM o GROUP BY 1),
+          g AS (
+            SELECT user_id, unnest(range((mn + 3599) // 3600,
+                                         mx // 3600 + 1)) * 3600 AS t
+            FROM b),
+          u AS (
+            SELECT user_id, t, v, 1 AS is_obs FROM o
+            UNION ALL
+            SELECT user_id, t, NULL AS v, 0 AS is_obs FROM g),
+          w AS (
+            SELECT user_id, t, is_obs,
+                   last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                     OVER fwd AS pt,
+                   last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                     OVER fwd AS pv,
+                   last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                     OVER bwd AS nt,
+                   last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                     OVER bwd AS nv
+            FROM u
+            WINDOW fwd AS (PARTITION BY user_id ORDER BY t, is_obs DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   bwd AS (PARTITION BY user_id ORDER BY t DESC, is_obs DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT user_id, t,
+                 floor((CASE WHEN pt IS NULL THEN nv
+                             WHEN nt IS NULL THEN pv
+                             WHEN nt = pt THEN pv
+                             ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                        END) * 1e4 + 0.5) / 1e4 AS v
+          FROM w WHERE is_obs = 0 ORDER BY user_id, t""",
     "q_evt_anomaly" ->
       s"""WITH e AS (
             SELECT user_id, event_id, value, $ep AS t FROM events),

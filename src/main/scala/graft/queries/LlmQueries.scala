@@ -258,6 +258,35 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated Kneser-Ney bigram perplexity (D=0.75 absolute discount,
+    // continuation-probability backoff with the family's add-k floor) —
+    // the production n-gram smoothing (CCNet ships KN KenLM models)
+    "q_llm_kn_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.knPerplexity(docs.where(col("doc_id") >= 100),
+          docs.where(col("doc_id") < 100), discount = 0.75, k = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source perplexity-quantile cut: each source keeps its docs at
+    // or below its OWN p75 perplexity — the CCNet per-bucket filter shape
+    // (a global cut would gut specialist sources whose baseline ppl runs
+    // high); one percentile aggregate per source, broadcast back
+    "q_llm_ppl_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = CorpusOps.lmPerplexity(docs.where(col("doc_id") >= 100),
+          docs.where(col("doc_id") < 100), k = 0.5)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val thr = scored.groupBy(col("source"))
+        .agg(expr("percentile(ppl, 0.75)").as("thr"))
+      scored.join(broadcast(thr), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ppl") <= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          (floor(max(col("thr")) * 1e4 + lit(0.5)) / 1e4).as("p75"))
+        .orderBy(col("source"))
+    }),
+
     // sequence packing into 2048-token training shards: start-offset
     // assignment over a parallel prefix sum (per-bucket windows + broadcast
     // bucket offsets — never a single-partition global window). The oracle
@@ -955,6 +984,79 @@ object LlmQueries {
          FROM c ORDER BY doc_id""",
     // (1.0e0 - 0.7e0) folds to the same IEEE double Spark's lit(1.0 - 0.7)
     // carries; integer '/' is true division in both engines
+    "q_llm_kn_ppl" ->
+      """WITH lt AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                    AS ts
+           FROM documents WHERE doc_id < 100),
+         lb AS (
+           SELECT ts[i] AS prev, ts[i + 1] AS token
+           FROM lt, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+           WHERE len(ts) >= 2),
+         b AS (SELECT prev, token, COUNT(*) AS bc FROM lb GROUP BY 1, 2),
+         c AS (SELECT prev, SUM(bc) AS cc, COUNT(*) AS n1f FROM b
+               GROUP BY prev),
+         cw AS (SELECT token, COUNT(*) AS n1b FROM b GROUP BY token),
+         tot AS (SELECT COUNT(*) AS bt, COUNT(DISTINCT token) AS v FROM b),
+         ct AS (
+           SELECT doc_id, ts[i] AS prev, ts[i + 1] AS token
+           FROM (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '')
+                          AS ts
+                 FROM documents WHERE doc_id >= 100) s,
+                unnest(generate_series(1, len(ts) - 1)) AS g(i)
+           WHERE len(ts) >= 2),
+         sc AS (
+           SELECT ct.doc_id,
+                  -ln(CASE WHEN c.cc IS NOT NULL
+                           THEN (greatest(COALESCE(b.bc, 0) - 0.75e0, 0.0e0)
+                                 + 0.75e0 * c.n1f
+                                   * ((COALESCE(cw.n1b, 0) + 0.5e0)
+                                      / (tot.bt + 0.5e0 * (tot.v + 1))))
+                                / c.cc
+                           ELSE (COALESCE(cw.n1b, 0) + 0.5e0)
+                                / (tot.bt + 0.5e0 * (tot.v + 1))
+                      END) AS nll
+           FROM ct
+           LEFT JOIN b ON ct.prev = b.prev AND ct.token = b.token
+           LEFT JOIN c ON ct.prev = c.prev
+           LEFT JOIN cw ON ct.token = cw.token
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                floor(exp(avg(nll)) * 10000 + 0.5) / 10000 AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_ppl_cut" ->
+      """WITH lt AS (
+           SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id < 100),
+         cnt AS (
+           SELECT token, COUNT(*) AS c FROM lt WHERE token <> ''
+           GROUP BY token),
+         tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt),
+         ct AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id >= 100),
+         sc AS (
+           SELECT doc_id,
+                  -ln((COALESCE(cnt.c, 0) + 0.5e0)
+                      / (tot.t + 0.5e0 * (tot.v + 1))) AS nll
+           FROM (SELECT * FROM ct WHERE token <> '') ct2
+           LEFT JOIN cnt USING (token) CROSS JOIN tot),
+         ppl AS (
+           SELECT doc_id, floor(exp(avg(nll)) * 10000 + 0.5) / 10000 AS ppl
+           FROM sc GROUP BY doc_id),
+         j AS (
+           SELECT d.source, p.ppl FROM ppl p
+           JOIN documents d ON p.doc_id = d.doc_id),
+         thr AS (
+           SELECT source, quantile_cont(ppl, 0.75) AS thr
+           FROM j GROUP BY source)
+         SELECT j.source, CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(SUM(CASE WHEN j.ppl <= thr.thr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                floor(max(thr.thr) * 1e4 + 0.5) / 1e4 AS p75
+         FROM j JOIN thr ON j.source = thr.source
+         GROUP BY j.source ORDER BY j.source""",
     "q_llm_bigram_ppl" ->
       """WITH lt AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')

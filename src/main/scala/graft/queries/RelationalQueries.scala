@@ -170,6 +170,48 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Bucketed-table sort-merge join: both sides land bucketBy+sortBy on
+    // the join key, so the per-query join runs with ZERO Exchange and
+    // ZERO Sort (asserted in BucketingSpec) — the pay-the-shuffle-once-
+    // at-ingest pattern that makes daily fact-to-fact joins at 100 TB a
+    // streaming zip of co-numbered buckets. Oracle = the plain join.
+    "q_scan_bucketed_join" -> ((s, d) => {
+      import graft.operators.Bucketing
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "graft_bj_orders", "o_custkey", 8)
+      Bucketing.writeBucketed(
+        Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        "graft_bj_customer", "o_custkey", 8)
+      Bucketing.bucketedJoin(s, "graft_bj_orders", "graft_bj_customer",
+          "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("o_totalprice")) * 100 + lit(0.5)) / 100).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Dynamic partition pruning: the fact side is day-partitioned on
+    // disk; the dim-side filter exists only at runtime, and DPP injects
+    // it into the fact scan's partition filters so untouched days are
+    // never opened (subquery-reuse plan shape asserted in BucketingSpec).
+    // Static pruning (q_scan_partitioned) can't do this — the pruning
+    // value comes from a JOIN, not a literal.
+    "q_scan_dpp" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (datediff(col("o_orderdate"), lit("1970-01-01")) % 16).as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val dim = s.range(0, 16).select(col("id").cast("int").as("day"),
+        when(col("id") < 3, lit("hot")).otherwise(lit("cold")).as("tier"))
+      s.read.parquet(tmp)
+        .join(broadcast(dim.where(col("tier") === "hot")), "day")
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("o_totalprice")) * 100 + lit(0.5)) / 100).as("sum_price"))
+    }),
+
     // Small-file compaction round-trip: fragment 500 docs into 64 tiny
     // parquet parts, compact to measured-size outputs, read back — the
     // ingest-hygiene maintenance op (per-file open costs dominate scans
@@ -479,6 +521,20 @@ object RelationalQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id < 500""",
+    "q_scan_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "q_scan_dpp" ->
+      """WITH f AS (
+           SELECT o_totalprice,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS INT) % 16 AS day
+           FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+         FROM f WHERE day < 3""",
     "q_scan_zorder" ->
       """WITH o AS (
            SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,

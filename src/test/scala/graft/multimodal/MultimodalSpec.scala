@@ -601,4 +601,51 @@ class MultimodalSpec extends SparkSpec {
       .select("d1", "d2").as[(String, String)].collect().toSet
     assert(pairs == Set(("a.wav", "a_quiet.wav")), s"pairs: $pairs")
   }
+
+  test("ustar parser never throws on hostile shards — fuzz property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a healthy 3-entry shard to corrupt (mixed payload sizes straddle
+    // block boundaries)
+    val base = TarShards.build(Seq(
+      "a.txt" -> Array.tabulate(37)(_.toByte),
+      "b.jpg" -> Array.tabulate(1024)(i => (i * 7).toByte),
+      "c.json" -> Array.tabulate(511)(i => (i ^ 3).toByte)))
+    val happy = TarShards.parseTar(base).map(_._1)
+    assert(happy == Seq("a.txt", "b.jpg", "c.json"))
+    // corruption model: flip/overwrite k random bytes (hits header
+    // checksums, octal size fields — including making them non-numeric
+    // or huge — typeflags, names), then truncate at a random offset
+    val corrupt: Gen[Array[Byte]] = for {
+      k <- Gen.choose(1, 24)
+      edits <- Gen.listOfN(k,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(-128, 127)))
+      cut <- Gen.choose(0, base.length)
+    } yield {
+      val b = java.util.Arrays.copyOf(base, base.length)
+      edits.foreach { case (i, v) => b(i) = v.toByte }
+      java.util.Arrays.copyOf(b, cut)
+    }
+    val prop = Prop.forAll(corrupt) { bytes =>
+      // lenient contract: ANY corruption parses to zero-or-more entries,
+      // each with in-bounds payload — never an exception
+      val got = TarShards.parseTar(bytes)
+      got.forall { case (n, c) => n.nonEmpty && c.length <= bytes.length }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500).withWorkers(1), prop)
+    assert(res.passed, s"fuzz: ${res.status}")
+    // targeted hostile headers the random model may miss: size field all
+    // ASCII (non-octal), size claiming past EOF, oversized octal
+    def smash(at: Int, s: String): Array[Byte] = {
+      val b = java.util.Arrays.copyOf(base, base.length)
+      val sb = s.getBytes("US-ASCII")
+      System.arraycopy(sb, 0, b, at, math.min(sb.length, 12))
+      b
+    }
+    assert(TarShards.parseTar(smash(124, "zzzzzzzzzzz ")).isEmpty)
+    val pastEof = TarShards.parseTar(smash(124, "77777777777 "))
+    assert(pastEof.isEmpty, "size past EOF must end the shard, not throw")
+    assert(TarShards.parseTar(Array.empty[Byte]).isEmpty)
+    assert(TarShards.parseTar(new Array[Byte](511)).isEmpty)
+  }
 }

@@ -118,6 +118,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(anom, "spike not flagged")
   }
 
+  test("resampleLinear: exact brackets, flat edges, on-tick passthrough") {
+    // user 1 obs: (3600, 10), (9000, 20), (14400, 50) — hourly grid ticks
+    // 3600/7200/10800/14400; user 2: one obs off-tick → its only tick
+    // holds flat
+    val df = Seq(
+      (1L, 1L, "e", new Timestamp(3600 * 1000L), 10.0),
+      (1L, 2L, "e", new Timestamp(9000 * 1000L), 20.0),
+      (1L, 3L, "e", new Timestamp(14400 * 1000L), 50.0),
+      (2L, 4L, "e", new Timestamp(7000 * 1000L), 7.0),
+      (2L, 5L, "e", new Timestamp(7400 * 1000L), 9.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.resampleLinear(df, stepSec = 3600L)
+      .as[(Long, Long, Double)].collect().toSet
+    val u1 = Map(
+      3600L -> 10.0,                       // on-tick obs passes through
+      7200L -> (10.0 + 10.0 * 3600.0 / 5400.0), // between (3600,10) (9000,20)
+      10800L -> (20.0 + 30.0 * 1800.0 / 5400.0), // between (9000,20) (14400,50)
+      14400L -> 50.0)
+    val want = u1.map { case (t, v) => (1L, t, v) }.toSet +
+      ((2L, 7200L, 7.0 + 2.0 * 200.0 / 400.0)) // interpolated mid-gap
+    assert(got == want, s"got $got\nwant $want")
+    // duplicate timestamps collapse deterministically (min)
+    val dup = df.unionByName(Seq((1L, 9L, "e", new Timestamp(9000 * 1000L), 99.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value"))
+    val got2 = Analytics.resampleLinear(dup, stepSec = 3600L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got2 == want, "min-collapse must ignore the higher duplicate")
+  }
+
   test("rollingAnomaly: a perfectly flat stream flags nothing (σ=0 guard)") {
     // 15 identical values: every full window has zero variance; without
     // the guard z = 0/0 = NaN and Spark's NaN ordering makes

@@ -809,4 +809,40 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(11L, 14L), s"got ${got.toSeq}")
   }
+
+  test("KN perplexity backs off to continuation, not frequency (Francisco)") {
+    val s = spark
+    import s.implicits._
+    // "francisco" and "the" have EQUAL unigram frequency (4), but
+    // "francisco" only ever follows "san" (1 context) while "the" follows
+    // 4 different contexts — after an unseen context, KN must prefer
+    // "the" (high continuation), where a frequency backoff ties
+    val lm = Seq(
+      (0L, "san francisco san francisco san francisco san francisco"),
+      (1L, "a the b the c the d the")).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "zzz francisco"),
+      (101L, "zzz the")).toDF("doc_id", "text")
+    val kn = CorpusOps.knPerplexity(probe, lm, discount = 0.75, k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(100L) > kn(101L),
+      s"context-bound word must score WORSE after unseen context: $kn")
+    // JM's unigram backoff cannot make this distinction
+    val jm = CorpusOps.bigramPerplexity(probe, lm, lambda = 0.7, k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(jm(100L) == jm(101L), s"JM frequency backoff must tie: $jm")
+    // exact formula parity on a seen context: doc "san francisco":
+    // c(san·)=4 (all → francisco), N1+(san·)=1, c(san,francisco)=4,
+    // B = |{(san,fr),(fr,san),(a,the),(the,b),(b,the),(the,c),(c,the),
+    //       (the,d),(d,the)}| = 9, V = distinct followers
+    val bTypes = 9.0
+    val vocab = 6.0 // francisco, san, the, b, c, d (as followers)
+    val pContFr = (1 + 0.5) / (bTypes + 0.5 * (vocab + 1))
+    val pSeen = (math.max(4 - 0.75, 0.0) + 0.75 * 1 * pContFr) / 4.0
+    val want = math.floor(math.exp(-math.log(pSeen)) * 10000 + 0.5) / 10000
+    val one = CorpusOps.knPerplexity(
+        Seq((200L, "san francisco")).toDF("doc_id", "text"), lm)
+      .collect()(0).getDouble(2)
+    assert(one == want, s"$one vs $want")
+  }
 }
