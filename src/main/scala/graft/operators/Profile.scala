@@ -175,4 +175,38 @@ object Profile {
                           / (CAST(ra AS DOUBLE) * cb / nn))
                       * 1e4 + 0.5) / 1e4""").as("chi2"))
   }
+
+  /** Equi-depth (equal-frequency) histogram: `buckets` ranges holding
+    * ~n/B rows each — the skew-robust distribution summary equi-WIDTH
+    * histograms can't give (one hot range swallows everything), and the
+    * stats shape CBO bucket estimates come from.
+    *
+    * Scale shape: boundaries come from ONE percentile aggregate (swap in
+    * `approx_percentile` past memory limits — same contract), NOT from
+    * `ntile` over a global window (a single-partition sort at corpus
+    * scale); assignment is then a map-only comparison against the
+    * broadcast boundary array, and the final count is an ordinary
+    * B-row aggregate. Boundaries are floor-rounded at 4 dp BEFORE
+    * assignment so any engine whose percentiles agree to 1e-4 buckets
+    * rows identically (the cross-engine determinism contract); ties on a
+    * boundary go to the lower bucket (strict `<` comparison). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets")
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val v = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val row = v.agg(expr(
+      s"percentile(v, array(${probs.mkString(", ")}))")).collect()(0)
+    require(!row.isNullAt(0), "equiDepthHistogram: empty input")
+    val bounds = row.getSeq[Double](0)
+      .map(b => math.floor(b * 1e4 + 0.5) / 1e4)
+    val boundsArr = array(bounds.map(lit): _*)
+    v.withColumn("bucket",
+        size(filter(boundsArr, b => b < col("v"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (floor(min(col("v")) * 1e4 + lit(0.5)) / 1e4).as("lo"),
+        (floor(max(col("v")) * 1e4 + lit(0.5)) / 1e4).as("hi"))
+  }
 }

@@ -170,6 +170,31 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Equi-depth histogram: percentile boundaries + map-side assignment
+    // (never an ntile global window); boundaries 4dp-rounded before
+    // assignment — the cross-engine bucketing contract
+    "q_profile_histogram" -> ((s, d) =>
+      graft.operators.Profile.equiDepthHistogram(
+          Tables.orders(s, d), "o_totalprice", buckets = 10)
+        .orderBy(col("bucket"))),
+
+    // Runtime Bloom-filter join: the dim filter exists only at runtime
+    // and the fact key has no disk partitioning — InjectRuntimeFilter
+    // builds a Bloom from the filtered dim and prunes the fact side
+    // BEFORE its shuffle (might_contain in the plan, BucketingSpec).
+    // Semantics are exactly the plain join (Bloom passes false positives
+    // through to the exact join), which is what the oracle checks.
+    "q_join_bloom" -> ((s, d) =>
+      graft.operators.RuntimeFilters.bloomJoin(s,
+          ns => Tables.lineitem(ns, d)
+            .select(col("l_partkey"), col("l_quantity")),
+          ns => Tables.part(ns, d).where(col("p_type").like("%BRASS%"))
+            .select(col("p_partkey").as("l_partkey"), col("p_size")),
+          "l_partkey")
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("l_quantity")) * 100 + lit(0.5)) / 100).as("sum_qty"),
+          sum(col("p_size")).cast("long").as("sum_size"))),
+
     // Bucketed-table sort-merge join: both sides land bucketBy+sortBy on
     // the join key, so the per-query join runs with ZERO Exchange and
     // ZERO Sort (asserted in BucketingSpec) — the pay-the-shuffle-once-
@@ -521,6 +546,28 @@ object RelationalQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id < 500""",
+    "q_profile_histogram" ->
+      """WITH v AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_totalprice IS NOT NULL),
+         b AS (
+           SELECT list_transform(
+                    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9]),
+                    x -> floor(x * 1e4 + 0.5) / 1e4) AS bounds
+           FROM v)
+         SELECT CAST(len(list_filter(b.bounds, x -> x < v.v)) AS INT)
+                  AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                floor(min(v.v) * 1e4 + 0.5) / 1e4 AS lo,
+                floor(max(v.v) * 1e4 + 0.5) / 1e4 AS hi
+         FROM v CROSS JOIN b GROUP BY 1 ORDER BY bucket""",
+    "q_join_bloom" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+                CAST(sum(p_size) AS BIGINT) AS sum_size
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type LIKE '%BRASS%'""",
     "q_scan_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price

@@ -33,6 +33,25 @@ class BucketingSpec extends SparkSpec {
     assert(jm.count() == want)
   }
 
+  test("runtime Bloom filter prunes the fact side before its shuffle") {
+    val s = spark
+    def li(ss: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(ss, sf001).select(col("l_partkey"), col("l_quantity"))
+    def p(ss: org.apache.spark.sql.SparkSession) =
+      Tables.part(ss, sf001).where(col("p_type").like("%BRASS%"))
+        .select(col("p_partkey").as("l_partkey"), col("p_size"))
+    val j = RuntimeFilters.bloomJoin(s, li, p, "l_partkey")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter on the fact scan:\n$plan")
+    // Bloom false positives pass through to the exact join: row parity
+    val want = li(s).join(p(s), "l_partkey").count()
+    assert(j.count() == want)
+    // conf isolation: the SHARED session's broadcast threshold untouched
+    assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "bloomJoin must not leak conf into the shared session")
+  }
+
   test("dynamic partition pruning injects the dim filter into the fact scan") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toString

@@ -39,6 +39,28 @@ class ProfileSpec extends SparkSpec {
     assert(got("o'neill") == ((2L, 0L, 1L)))
   }
 
+  test("equiDepthHistogram: equal counts on uniform data, skew-robust") {
+    // 100 distinct uniform values, 4 buckets -> exactly 25 each (25.75,
+    // 50.5, 75.25 boundaries land between distinct values)
+    val uni = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("x")
+    val got = Profile.equiDepthHistogram(uni, "x", buckets = 4)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(25L, 25L, 25L, 25L), got.toSeq.toString)
+    assert(got.head._3 == 1.0 && got.last._4 == 100.0)
+    // a skewed column still splits by frequency: one hot value dominates
+    // its bucket(s), the tail spreads over the rest — no empty ranges the
+    // way equi-width would produce
+    val skew = (Seq.fill(900)(5.0) ++ (1 to 100).map(_.toDouble + 1000))
+      .map(Tuple1(_)).toDF("x")
+    val gs = Profile.equiDepthHistogram(skew, "x", buckets = 4)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(gs.map(_._2).sum == 1000L)
+    // the hot value concentrates >= 3/4 of rows in its single bucket
+    assert(gs.map(_._2).max >= 900L, gs.toSeq.toString)
+  }
+
   test("checks detect planted violations of every kind") {
     val fact = Seq(
       (1L, Some(10L), 5.0), (1L, Some(10L), 3.0),   // duplicate key
