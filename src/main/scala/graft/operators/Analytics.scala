@@ -349,6 +349,85 @@ object Analytics {
       .where(col("confidence") >= minConf)
   }
 
+  /** Daily top-k trending event types with rank movement: per epoch-day,
+    * event types rank by count (ties break on name — total order, engine
+    * portable); the top `k` rows also report yesterday's rank (null on
+    * first appearance) and the delta. Everything after the one (day,
+    * type) count shuffle runs on the day×type table — corpus-size
+    * independent. Returns (day, event_type, n, rnk, prev_rnk, delta). */
+  def trendingTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select((col("ts").cast("long") / lit(86400L)).cast("long").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rnk", row_number().over(
+      w.partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))))
+    // yesterday's rank arrives by self-join on (day+1, type): the ranked
+    // table is day×type-sized, so this join is metadata-scale
+    val prev = ranked.select((col("day") + 1).as("day"),
+      col("event_type"), col("rnk").as("prev_rnk"))
+    ranked.where(col("rnk") <= k)
+      .join(prev, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), col("n"), col("rnk"),
+        col("prev_rnk"), (col("prev_rnk") - col("rnk")).as("delta"))
+  }
+
+  /** First/last-touch attribution: each conversion event is joined to the
+    * earliest and latest `touchType` event of the same user in the
+    * preceding `windowSec` (inclusive of the conversion instant). One
+    * user-keyed RANGE-frame window over the tagged union — no self-join
+    * of events against events, so a hot user costs its own row count,
+    * not its square. Conversions with no touch in-window keep nulls.
+    * Returns (user_id, event_id, t, first_t, last_t). */
+  def touchAttribution(events: DataFrame, convType: String,
+                       touchType: String, windowSec: Long = 86400L): DataFrame = {
+    require(windowSec >= 1, s"windowSec=$windowSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+      .where(col("event_type").isin(convType, touchType))
+      .withColumn("first_t",
+        min(when(col("event_type") === touchType, col("t"))).over(w))
+      .withColumn("last_t",
+        max(when(col("event_type") === touchType, col("t"))).over(w))
+      .where(col("event_type") === convType)
+      .select(col("user_id"), col("event_id"), col("t"),
+        col("first_t"), col("last_t"))
+  }
+
+  /** Rolling 7-day active users (WAU) per day, plus that day's DAU:
+    * window COUNT(DISTINCT) doesn't exist in Spark (or most engines), so
+    * each (user, active-day) pair EXPLODES its 7-day contribution range
+    * and the target day aggregates exact distinct users — the standard
+    * dual of a sliding window. The explode multiplies the (user, day)
+    * DISTINCT table (not raw events) by 7; days without activity don't
+    * appear. Returns (day, dau, wau). */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays")
+    val ud = events
+      .select(col("user_id"),
+        (col("ts").cast("long") / lit(86400L)).cast("long").as("day"))
+      .distinct()
+    val bounds = ud.agg(max(col("day"))).collect()(0)
+    require(!bounds.isNullAt(0), "rollingActiveUsers: empty input")
+    val maxDay = bounds.getLong(0)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        least(col("day") + (windowDays - 1), lit(maxDay)))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // days with no activity of their own still have a WAU from the
+    // trailing window; keep only observed days for a stable contract
+    dau.join(wau, Seq("day"), "left")
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** Per-key time-series resampling onto a regular grid with linear
     * interpolation — telemetry normalization before any windowed model
     * (irregular event times → fixed `stepSec` ticks per user, value

@@ -83,6 +83,23 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // daily top-3 trending event types with rank movement vs yesterday
+    "q_evt_trending" -> ((s, d) =>
+      Analytics.trendingTopK(Tables.events(s, d), k = 3)
+        .orderBy(col("day"), col("rnk"))),
+
+    // first/last-touch attribution: views within 24h before each purchase
+    "q_evt_attribution" -> ((s, d) =>
+      Analytics.touchAttribution(Tables.events(s, d),
+          convType = "purchase", touchType = "view", windowSec = 86400L)
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // rolling 7-day actives (WAU) alongside each day's DAU — the explode
+    // dual of a sliding distinct window (which no engine has natively)
+    "q_evt_wau" -> ((s, d) =>
+      Analytics.rollingActiveUsers(Tables.events(s, d), windowDays = 7)
+        .orderBy(col("day"))),
+
     // per-user hourly resample with linear interpolation (gap filling):
     // grid from each user's own span, values held flat outside the
     // observed range; 4-dp floor-rounding is the cross-engine contract
@@ -259,6 +276,50 @@ object AnalyticsQueries {
           SELECT o_orderstatus, count(*) AS n,
                  CAST(sum(cents) AS BIGINT) AS sum_cents
           FROM o GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_evt_trending" ->
+      s"""WITH e AS (
+            SELECT ($ep) // 86400 AS day, event_type FROM events),
+          c AS (
+            SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+          r AS (
+            SELECT day, event_type, n, row_number() OVER
+              (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+            FROM c),
+          p AS (
+            SELECT day + 1 AS day, event_type, rnk AS prev_rnk FROM r)
+          SELECT r.day, r.event_type, r.n, CAST(r.rnk AS INT) AS rnk,
+                 CAST(p.prev_rnk AS INT) AS prev_rnk,
+                 CAST(p.prev_rnk - r.rnk AS INT) AS delta
+          FROM r LEFT JOIN p ON r.day = p.day AND r.event_type = p.event_type
+          WHERE r.rnk <= 3 ORDER BY r.day, rnk""",
+    "q_evt_attribution" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, $ep AS t, event_type FROM events
+            WHERE event_type IN ('purchase', 'view')),
+          w AS (
+            SELECT user_id, event_id, t, event_type,
+                   min(CASE WHEN event_type = 'view' THEN t END)
+                     OVER win AS first_t,
+                   max(CASE WHEN event_type = 'view' THEN t END)
+                     OVER win AS last_t
+            FROM e
+            WINDOW win AS (PARTITION BY user_id ORDER BY t
+                           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+          SELECT user_id, event_id, t, first_t, last_t
+          FROM w WHERE event_type = 'purchase'
+          ORDER BY user_id, event_id""",
+    "q_evt_wau" ->
+      s"""WITH ud AS (
+            SELECT DISTINCT user_id, ($ep) // 86400 AS day FROM events),
+          mx AS (SELECT max(day) AS m FROM ud),
+          dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+          ex AS (
+            SELECT DISTINCT user_id,
+                   unnest(range(day, least(day + 7, m + 1))) AS day
+            FROM ud CROSS JOIN mx),
+          wau AS (SELECT day, count(*) AS wau FROM ex GROUP BY 1)
+          SELECT dau.day, dau.dau, wau.wau
+          FROM dau LEFT JOIN wau USING (day) ORDER BY day""",
     "q_evt_resample" ->
       s"""WITH o0 AS (
             SELECT user_id, $ep AS t, value FROM events),

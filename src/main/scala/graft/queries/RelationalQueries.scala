@@ -170,6 +170,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Snapshot-log time travel + merge-on-read deletes: three commits
+    // (append, append, key-delete sidecar), then every version read back
+    // through its log entry — the Delta/Iceberg read-side contract on
+    // plain parquet. Deletes cost one broadcast anti-join until compact()
+    // folds them in (SnapshotLogSpec pins that the fold preserves rows).
+    "q_scan_timetravel" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      (1 to 3).map(v => t.read(v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n"), col("sum_chars")))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"))
+    }),
+
     // Equi-depth histogram: percentile boundaries + map-side assignment
     // (never an ntile global window); boundaries 4dp-rounded before
     // assignment — the cross-engine bucketing contract
@@ -546,6 +567,17 @@ object RelationalQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id < 500""",
+    "q_scan_timetravel" ->
+      """SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 300
+         UNION ALL
+         SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500
+         UNION ALL
+         SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0
+         ORDER BY version""",
     "q_profile_histogram" ->
       """WITH v AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

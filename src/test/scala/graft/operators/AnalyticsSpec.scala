@@ -118,6 +118,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(anom, "spike not flagged")
   }
 
+  test("trendingTopK: ranks, ties on name, rank movement vs yesterday") {
+    def e(u: Long, id: Long, tp: String, day: Long) =
+      (u, id, tp, new Timestamp(day * 86400 * 1000L + 1000), 1.0)
+    // day 0: a×3, b×2, c×1; day 1: c×3, a×2, b×2 (b/a tie → a first)
+    val rows = Seq(
+      e(1, 1, "a", 0), e(1, 2, "a", 0), e(2, 3, "a", 0),
+      e(1, 4, "b", 0), e(2, 5, "b", 0), e(1, 6, "c", 0),
+      e(1, 7, "c", 1), e(2, 8, "c", 1), e(3, 9, "c", 1),
+      e(1, 10, "a", 1), e(2, 11, "a", 1),
+      e(1, 12, "b", 1), e(2, 13, "b", 1))
+    val df = rows.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.trendingTopK(df, k = 3)
+      .orderBy(col("day"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) 99 else r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (0L, "a", 1, -1, 99), (0L, "b", 2, -1, 99), (0L, "c", 3, -1, 99),
+      (1L, "c", 1, 3, 2),   // c: 3rd → 1st, delta +2
+      (1L, "a", 2, 1, -1),  // a: 1st → 2nd, delta −1
+      (1L, "b", 3, 2, -1)), got.toSeq.toString)
+  }
+
+  test("touchAttribution: first/last view in 24h, out-of-window excluded") {
+    def ev(id: Long, tp: String, sec: Long) =
+      (1L, id, tp, new Timestamp(sec * 1000L), 1.0)
+    val df = Seq(
+      ev(1, "view", 1000),           // outside 24h of the purchase
+      ev(2, "view", 90000),          // first in-window touch
+      ev(3, "view", 95000),          // last in-window touch
+      ev(4, "purchase", 100000),
+      ev(5, "purchase", 200000)      // no view in its window
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.touchAttribution(df, "purchase", "view", 86400L)
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got.toSeq == Seq((4L, 90000L, 95000L), (5L, -1L, -1L)),
+      got.toSeq.toString)
+  }
+
+  test("rollingActiveUsers: WAU windows, DAU exact, dedup within day") {
+    def ev(u: Long, id: Long, day: Long) =
+      (u, id, "e", new Timestamp(day * 86400 * 1000L + 500), 1.0)
+    // u1 active d0,d1 (twice on d1); u2 active d0, d9
+    val df = Seq(ev(1, 1, 0), ev(1, 2, 1), ev(1, 3, 1), ev(2, 4, 0),
+      ev(2, 5, 9)).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.rollingActiveUsers(df, windowDays = 7)
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // d0: dau 2 (u1,u2), wau 2; d1: dau 1, wau 2 (d0 actives in window);
+    // d9: dau 1, wau 1 (d1 fell out after d7)
+    assert(got.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L), (9L, 1L, 1L)),
+      got.toSeq.toString)
+  }
+
   test("resampleLinear: exact brackets, flat edges, on-tick passthrough") {
     // user 1 obs: (3600, 10), (9000, 20), (14400, 50) — hourly grid ticks
     // 3600/7200/10800/14400; user 2: one obs off-tick → its only tick
