@@ -483,4 +483,182 @@ object Analytics {
             (col("t") - col("pt")) / (col("nt") - col("pt")))
           .as("v"))
   }
+
+  /** Batch complex-event-processing: regex pattern matching over each
+    * user's ordered event-symbol sequence — the batch twin of Flink CEP
+    * (the reference framework's flagship feature; the reference itself
+    * orders per-sample FASTQ streams the same way, `workflow.py` pairing
+    * stage). Each event type maps to one symbol char; a user's events in
+    * (ts, event_id) order concatenate to a string; `pattern` is matched
+    * non-overlapping (leftmost, greedy — identical in Java regex and
+    * RE2 for patterns without alternation ambiguity, which is the
+    * supported subset).
+    *
+    * Returns (user_id, seq_len, n_matches, has_match). Scale shape: ONE
+    * shuffle on user_id into a single codegen'd aggregate —
+    * `array_sort(collect_list(...))` + HOF transform + one regexp pass.
+    * Per-user sequence length is bounded by per-user event count (the
+    * sessionization bound; a user is a bounded entity at any corpus
+    * scale — documents/devices with millions of events belong in
+    * sessionized sub-keys upstream). */
+  def eventPattern(events: DataFrame, symbols: Map[String, String],
+                   pattern: String): DataFrame = {
+    require(symbols.values.forall(_.length == 1),
+      s"symbols must map to single chars: $symbols")
+    val sym = symbols.foldLeft(lit("_")) { case (acc, (k, v)) =>
+      when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
+    events
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_id"), sym.as("sym"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("t"), col("event_id"),
+        col("sym")))).as("seq"))
+      .select(col("user_id"),
+        array_join(expr("transform(seq, x -> x.sym)"), "").as("s"))
+      .select(col("user_id"),
+        length(col("s")).cast("long").as("seq_len"),
+        regexp_count(col("s"), lit(pattern)).cast("long").as("n_matches"))
+      .withColumn("has_match",
+        (col("n_matches") > 0).cast("int"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test between the `valueCol`
+    * distributions of groups `g1` and `g2`: D = sup |F1(x) − F2(x)|,
+    * evaluated at every distinct observed value, plus the α=0.05
+    * rejection threshold c(α)·√((n1+n2)/(n1·n2)), c(0.05)=1.358.
+    * Completes the drift family (PSI buckets, χ² categories — KS is the
+    * distribution-free continuous test).
+    *
+    * Scale shape: one groupBy on value collapses the data to
+    * |distinct values| rows of (value, c1, c2) partial counts — the ONLY
+    * full-data shuffle. The ECDF prefix sums then run per range-bucket
+    * (two-pass parallel prefix sum: per-bucket subtotals to the driver —
+    * `nBuckets` rows — broadcast back as exclusive offsets), so no
+    * global single-partition window touches the distinct-value table. */
+  def ksTest(events: DataFrame, groupCol: String, valueCol: String,
+             g1: String, g2: String, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    val tagged = events.where(col(groupCol).isin(g1, g2))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === g1, 1L).otherwise(0L).as("i1"),
+        when(col(groupCol) === g2, 1L).otherwise(0L).as("i2"))
+    val byValue = tagged.groupBy(col("v"))
+      .agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
+      .localCheckpoint() // consumed 3× below (bounds, offsets, ecdf)
+    val Array(mnr, mxr) = byValue.agg(min(col("v")), max(col("v")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val span = math.max(mxr - mnr, java.lang.Double.MIN_NORMAL)
+    val bucketed = byValue.withColumn("b",
+      least(floor((col("v") - lit(mnr)) / lit(span) * nBuckets),
+        lit(nBuckets - 1L)).cast("int"))
+    // per-bucket subtotals → exclusive prefix offsets (nBuckets rows)
+    val offs = bucketed.groupBy(col("b"))
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    val cum = offs.scanLeft((0L, 0L)) { case ((a1, a2), (_, (s1, s2))) =>
+      (a1 + s1, a2 + s2) }.init
+    val off1 = map(offs.map(_._1).zip(cum).flatMap {
+      case (b, (o1, _)) => Seq(lit(b), lit(o1)) }: _*)
+    val off2 = map(offs.map(_._1).zip(cum).flatMap {
+      case (b, (_, o2)) => Seq(lit(b), lit(o2)) }: _*)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ecdf = bucketed
+      .withColumn("f1", sum(col("c1")).over(wb) + element_at(off1, col("b")))
+      .withColumn("f2", sum(col("c2")).over(wb) + element_at(off2, col("b")))
+    val (n1, n2) = (cum.last._1 + offs.last._2._1, cum.last._2 + offs.last._2._2)
+    require(n1 > 0 && n2 > 0, s"ksTest: empty group n1=$n1 n2=$n2")
+    ecdf.agg(max(abs(col("f1") / lit(n1.toDouble) -
+        col("f2") / lit(n2.toDouble))).as("d"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        (floor(col("d") * 1e4 + lit(0.5)) / 1e4).as("d_stat"),
+        (floor(lit(1.358) * sqrt(lit((n1 + n2).toDouble / (n1.toDouble * n2))) * 1e4
+          + lit(0.5)) / 1e4).as("crit_05"))
+      .withColumn("reject_05", (col("d_stat") > col("crit_05")).cast("int"))
+  }
+
+  /** Kaplan–Meier conversion-survival: time (hours) from each user's
+    * first event to their first `convType` event, right-censored at the
+    * earlier of the user's last observed event and a `followUpHours`
+    * analysis cutoff — the "N-day conversion curve" of product
+    * analytics, with proper censoring for users who never convert inside
+    * the follow-up. S(t) steps only at conversion times:
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with nᵢ = users still under
+    * observation at tᵢ. Returns (t_hours, n_risk, n_death, surv).
+    *
+    * Scale shape: one shuffle to per-user (time, death) rows, then a
+    * groupBy collapses to |distinct hours| ≤ `followUpHours` rows, so
+    * the ordered product window runs single-partition over a provably
+    * tiny, parameter-bounded frame. S(t) is the exp∘Σ∘ln form —
+    * associative, partial-aggregable. */
+  def kaplanMeier(events: DataFrame, convType: String = "purchase",
+                  followUpHours: Int = 72): DataFrame = {
+    require(followUpHours >= 1, s"followUpHours=$followUpHours")
+    val perUser = events
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t")).as("t0"),
+        min(when(col("event_type") === convType, col("t"))).as("tp"),
+        max(col("t")).as("tc"))
+    val horizon = followUpHours.toLong * 3600L
+    val times = perUser.select(
+      // observed time = conversion if seen, else censoring point; both
+      // clipped to the follow-up horizon (tp ≤ tc always: tp is an event)
+      expr(s"least(coalesce(tp, tc), t0 + ${horizon}L) - t0").as("dt"),
+      (col("tp").isNotNull && col("tp") <= col("t0") + lit(horizon))
+        .cast("long").as("death"))
+      .select(expr("dt div 3600").as("lt"), col("death"))
+    val byHour = times.groupBy(col("lt"))
+      .agg(count(lit(1)).as("n_all"), sum(col("death")).as("n_death"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("lt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byHour
+      // at-risk at t = everyone still observed at t = total − (count < t)
+      .withColumn("n_risk",
+        sum(col("n_all")).over(wCum.orderBy(col("lt").desc))
+          .cast("long"))
+      .withColumn("surv",
+        exp(sum(log(lit(1.0) - col("n_death") / col("n_risk").cast("double")))
+          .over(wCum)))
+      .where(col("n_death") > 0)
+      .select(col("lt").as("t_hours"), col("n_risk"),
+        col("n_death").cast("long").as("n_death"),
+        (floor(col("surv") * 1e4 + lit(0.5)) / 1e4).as("surv"))
+  }
+
+  /** Classical seasonal decomposition of the event value series by
+    * hour-of-day: per-hour mean, additive seasonal component
+    * (hour mean − grand mean), and the residual standard deviation once
+    * the hourly component is removed — 24 rows. The STL-lite profile a
+    * telemetry pipeline computes before anomaly thresholds.
+    *
+    * Scale shape: one partial-aggregable groupBy to 24 rows (sum/count/
+    * sum-of-squares sufficient statistics); the grand mean joins back as
+    * a broadcast 1-row aggregate. No windows, no second data pass. */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    // hour-of-day from epoch arithmetic, not hour(): timezone-free, the
+    // catalog's cross-engine contract (ts observed only as epoch seconds)
+    val e = events.select(col("ts").cast("long").as("t"), col("value").as("v"))
+      .select(expr("(t div 3600) % 24").cast("int").as("hr"), col("v"))
+    val hourly = e.groupBy(col("hr"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    val grand = hourly.agg((sum(col("s")) / sum(col("n"))).as("gm"))
+    hourly.crossJoin(broadcast(grand))
+      .select(col("hr"),
+        col("n").cast("long").as("n"),
+        (floor(col("s") / col("n") * 1e4 + lit(0.5)) / 1e4).as("hour_mean"),
+        (floor((col("s") / col("n") - col("gm")) * 1e4 + lit(0.5)) / 1e4)
+          .as("seasonal"),
+        // residual sd about the HOURLY mean: sqrt(E[v²]−mean²), clamped
+        // spelled (m*m), not pow(m,2): Math.pow is not bit-guaranteed to
+        // equal the product, and the oracle multiplies
+        (floor(sqrt(greatest(lit(0.0),
+          col("ss") / col("n") -
+            (col("s") / col("n")) * (col("s") / col("n")))) * 1e4
+          + lit(0.5)) / 1e4).as("resid_sd"))
+  }
 }

@@ -285,4 +285,69 @@ object GraphOps {
     e.unpersist(); deg.unpersist(); oriented.unpersist()
     out
   }
+
+  /** HITS hubs-and-authorities (Kleinberg) over the DISTINCT directed
+    * edge set: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    * iterated `iters` times from hub ≡ 1, L1-normalized ONCE at the end
+    * (scaling commutes through the linear updates, so per-round
+    * normalization is mathematically redundant — skipping it saves
+    * 2·iters driver scalars and keeps the float-op sequence short enough
+    * for cross-engine 4dp parity; magnitudes stay finite for any graph
+    * whose (max degree)^(2·iters) fits a double, which a handful of
+    * iterations guarantees).
+    *
+    * Returns (node, auth, hub) raw doubles — callers round. Scale shape
+    * — the [[pageRank]] loop machinery: the distinct edge list is cached
+    * pre-partitioned with loop shuffle-partitions sized from the
+    * MEASURED edge count; each half-round shuffles |V| score rows into a
+    * per-node sum over in/out-neighbors; the final normalizers join in
+    * as broadcast 1-row aggregates (no driver scalar in the result
+    * path). */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst").distinct()
+    val eCount = e.cache().count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(confParts.toLong,
+      (eCount + 2000000L - 1) / 2000000L)).toInt
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .repartition(loopParts, col("node"))
+      .cache()
+    nodes.count()
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var hub = nodes.select(col("node"), lit(1.0).as("h")).localCheckpoint()
+      var auth = hub.select(col("node"), col("h").as("a"))
+      var it = 0
+      while (it < iters) {
+        auth = nodes
+          .join(e.join(hub, col("src") === col("node"))
+              .groupBy(col("dst")).agg(sum(col("h")).as("s")),
+            col("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0.0)).as("a"))
+          .localCheckpoint()
+        hub = nodes
+          .join(e.join(auth, col("dst") === col("node"))
+              .groupBy(col("src")).agg(sum(col("a")).as("s")),
+            col("node") === col("src"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0.0)).as("h"))
+          .localCheckpoint()
+        it += 1
+      }
+      val na = auth.agg(sum(col("a")).as("sa"))
+      val nh = hub.agg(sum(col("h")).as("sh"))
+      auth.join(hub, "node")
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nh))
+        .select(col("node"), (col("a") / col("sa")).as("auth"),
+          (col("h") / col("sh")).as("hub"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      e.unpersist()
+      nodes.unpersist()
+    }
+  }
 }

@@ -209,4 +209,36 @@ object Profile {
         (floor(min(col("v")) * 1e4 + lit(0.5)) / 1e4).as("lo"),
         (floor(max(col("v")) * 1e4 + lit(0.5)) / 1e4).as("hi"))
   }
+
+  /** Approximate functional-dependency discovery (Tane/Metanome's g3
+    * error): for each candidate `lhs → rhs`, the minimum fraction of rows
+    * to delete for the FD to hold exactly — g3 = (N − Σ_groups max rhs
+    * frequency) / N — plus the group/violation counts a profiler reports.
+    * Returns one row per candidate:
+    * (lhs, rhs, n_groups, bad_groups, rows_remove, g3).
+    *
+    * Scale shape, per candidate: groupBy(lhs, rhs) collapses the data in
+    * one partial-aggregable shuffle; groupBy(lhs) then runs on the
+    * collapsed |distinct pairs| table; the final 4-number rollup is a
+    * 1-row aggregate. Candidates evaluate independently (a union of
+    * per-candidate plans over the same scan — Spark reuses the exchange
+    * when lhs repeats). */
+  def functionalDeps(df: DataFrame,
+                     candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "functionalDeps: no candidates")
+    candidates.map { case (lhs, rhs) =>
+      val pairs = df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
+        .agg(count(lit(1)).as("c"))
+      val groups = pairs.groupBy(col("l"))
+        .agg(count(lit(1)).as("nd"), max(col("c")).as("keep"),
+          sum(col("c")).as("tot"))
+      groups.agg(
+        lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+        count(lit(1)).as("n_groups"),
+        sum((col("nd") > 1).cast("long")).as("bad_groups"),
+        sum(col("tot") - col("keep")).as("rows_remove"),
+        (floor(sum(col("tot") - col("keep")) / sum(col("tot")).cast("double")
+          * 1e4 + lit(0.5)) / 1e4).as("g3"))
+    }.reduce(_.unionByName(_))
+  }
 }

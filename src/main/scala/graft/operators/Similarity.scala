@@ -191,4 +191,74 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vid"), col("score"))
   }
+
+  /** 1-bit sign quantization: each 32-dim slice of `embedding` packs into
+    * one long word (bit i of word w set ⇔ embedding[32w+i] ≥ 0) —
+    * 32× smaller than float32, the memory floor of the binary-embedding
+    * retrieval stack (and the exact code a Hamming-distance index stores).
+    * Map-only, no shuffle. Returns (vec_id, code: array<long>). */
+  def binaryQuantize(embeddings: DataFrame): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val words = (d + 31) / 32
+    embeddings.select(col("vec_id"),
+      array((0 until words).map { w =>
+        expr(s"""aggregate(sequence(0, ${math.min(31, d - 32 * w - 1)}), 0L,
+          (acc, i) -> acc + IF(element_at(embedding, ${32 * w} + i + 1) >= 0,
+                               shiftleft(1L, i), 0L))""")
+      }: _*).as("code"))
+  }
+
+  /** Exact Hamming top-k over [[binaryQuantize]] codes:
+    * hd = Σ_w bit_count(qw XOR cw) — the asymmetric-free, integer-exact
+    * distance of binary embeddings (Hamming ≈ monotone in angular
+    * distance for sign codes). Same broadcast-query / scan-candidate
+    * shape as [[bruteForceTopK]] but moving 32× fewer bytes than float —
+    * the cheapest first-stage filter a 100 TB rerank pipeline has.
+    * Fully deterministic: integer distance, (hd asc, vid asc) order.
+    * Returns (qid, rn, vid, hd). */
+  def hammingTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = binaryQuantize(queries)
+      .select(col("vec_id").as("qid"), col("code").as("qc"))
+    val c = binaryQuantize(graft.core.Tables.spread(candidates, col("vec_id")))
+      .select(col("vec_id").as("vid"), col("code").as("cc"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        expr("aggregate(zip_with(qc, cc, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)")
+          .as("hd"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hd").asc, col("vid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("hd"))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
+    * a deterministic ±1 sign matrix (Achlioptas): sign(j,i) from the
+    * parity of the first hex char of md5("j:i") — reproducible on any
+    * engine with md5, which is exactly how the oracle mirrors it.
+    * y_j = (Σ_i sign(j,i)·x_i) / √outDim preserves pairwise distances to
+    * (1±ε) w.h.p. — the cheap dimensionality reduction in front of
+    * clustering/dedup when PCA's covariance pass is too expensive.
+    *
+    * Scale shape: the matrix is a driver-built literal (outDim·d signs,
+    * KBs), the projection a pure per-row map — no shuffle, no fit pass,
+    * unlike [[Pca]]. Returns (vec_id, proj: array<double>). */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      // parity of the first hex char = bit 4 of the first byte
+      if ((h(0) & 0x10) == 0) 1.0 else -1.0
+    }
+    val matrix = array((0 until outDim).map { j =>
+      array((0 until d).map(i => lit(sign(j, i))): _*)
+    }: _*)
+    embeddings.select(col("vec_id"),
+      transform(matrix, row =>
+        aggregate(zip_with(col("embedding"), row,
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x) / lit(math.sqrt(outDim.toDouble)))
+        .as("proj"))
+  }
 }

@@ -115,7 +115,36 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_id"),
           (floor(col("z") * 1e4 + lit(0.5)) / 1e4).as("z"),
           col("is_anomaly").cast("int").as("is_anomaly"))
-        .orderBy(col("user_id"), col("event_id"))))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // batch CEP: per-user event-symbol sequences matched against the
+    // funnel pattern "view … purchase with no purchase between" —
+    // Flink CEP's MATCH_RECOGNIZE shape as one codegen aggregate
+    "q_evt_cep" -> ((s, d) =>
+      Analytics.eventPattern(Tables.events(s, d),
+          Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+            "signup" -> "s", "error" -> "e"),
+          pattern = "v[^p]*p")
+        .orderBy(col("user_id"))),
+
+    // two-sample Kolmogorov–Smirnov: view vs click value distributions,
+    // D statistic + α=0.05 critical value (bucketed parallel ECDF)
+    "q_evt_ks" -> ((s, d) =>
+      Analytics.ksTest(Tables.events(s, d), "event_type", "value",
+        g1 = "view", g2 = "click")),
+
+    // Kaplan–Meier conversion curve: hours from first event to first
+    // purchase, right-censored at last event / 72 h follow-up cutoff
+    "q_evt_survival" -> ((s, d) =>
+      Analytics.kaplanMeier(Tables.events(s, d), convType = "purchase",
+          followUpHours = 72)
+        .orderBy(col("t_hours"))),
+
+    // hour-of-day seasonal decomposition: additive seasonal component +
+    // residual sd per hour (24 rows, epoch arithmetic — timezone-free)
+    "q_evt_seasonal" -> ((s, d) =>
+      Analytics.seasonalDecompose(Tables.events(s, d))
+        .orderBy(col("hr"))))
 
   val oracle: Map[String, String] = Map(
     "q_evt_funnel" ->
@@ -390,5 +419,86 @@ object AnalyticsQueries {
             FROM w JOIN cohort ON w.user_id = cohort.user_id)
           SELECT cw AS cohort_week, off AS week_offset,
                  count(*) AS n_users
-          FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
+          FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // leftmost greedy non-overlapping matching is identical in Java regex
+    // (Spark) and RE2 (DuckDB) for this alternation-free pattern
+    "q_evt_cep" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1)
+          SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+                 CAST(len(regexp_extract_all(s, 'v[^p]*p')) AS BIGINT)
+                   AS n_matches,
+                 CAST(len(regexp_extract_all(s, 'v[^p]*p')) > 0 AS INT)
+                   AS has_match
+          FROM s ORDER BY user_id""",
+    "q_evt_ks" ->
+      """WITH t AS (
+           SELECT value AS v,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i2
+           FROM events WHERE event_type IN ('view', 'click')),
+         g AS (SELECT v, sum(i1) AS c1, sum(i2) AS c2 FROM t GROUP BY 1),
+         n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+         e AS (SELECT v,
+                 sum(c1) OVER (ORDER BY v) AS f1,
+                 sum(c2) OVER (ORDER BY v) AS f2
+               FROM g),
+         d AS (SELECT max(abs(f1 / CAST(n.n1 AS DOUBLE)
+                             - f2 / CAST(n.n2 AS DOUBLE))) AS d
+               FROM e CROSS JOIN n)
+         SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+                floor(d.d * 1e4 + 0.5) / 1e4 AS d_stat,
+                floor(1.358 * sqrt((n.n1 + n.n2)
+                      / (CAST(n.n1 AS DOUBLE) * n.n2)) * 1e4 + 0.5) / 1e4
+                  AS crit_05,
+                CAST(floor(d.d * 1e4 + 0.5) / 1e4
+                     > floor(1.358 * sqrt((n.n1 + n.n2)
+                             / (CAST(n.n1 AS DOUBLE) * n.n2)) * 1e4 + 0.5)
+                       / 1e4 AS INT) AS reject_05
+         FROM d CROSS JOIN n""",
+    "q_evt_survival" ->
+      s"""WITH u AS (
+            SELECT user_id, min($ep) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN $ep END) AS tp,
+                   max($ep) AS tc
+            FROM events GROUP BY 1),
+          l AS (
+            SELECT (least(coalesce(tp, tc), t0 + 259200) - t0) // 3600 AS lt,
+                   CASE WHEN tp IS NOT NULL AND tp <= t0 + 259200
+                        THEN 1 ELSE 0 END AS death
+            FROM u),
+          d AS (SELECT lt, count(*) AS n_all, sum(death) AS n_death
+                FROM l GROUP BY 1),
+          r AS (SELECT lt, n_death,
+                  sum(n_all) OVER (ORDER BY lt DESC) AS n_risk
+                FROM d),
+          s AS (SELECT lt, n_death, n_risk,
+                  exp(sum(ln(1 - n_death / CAST(n_risk AS DOUBLE)))
+                    OVER (ORDER BY lt)) AS surv
+                FROM r)
+          SELECT lt AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+                 CAST(n_death AS BIGINT) AS n_death,
+                 floor(surv * 1e4 + 0.5) / 1e4 AS surv
+          FROM s WHERE n_death > 0 ORDER BY t_hours""",
+    "q_evt_seasonal" ->
+      s"""WITH h AS (
+            SELECT CAST(($ep // 3600) % 24 AS INT) AS hr,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(value) AS s, sum(value * value) AS ss
+            FROM events GROUP BY 1),
+          g AS (SELECT sum(s) / sum(n) AS gm FROM h)
+          SELECT hr, CAST(n AS BIGINT) AS n,
+                 floor(s / n * 1e4 + 0.5) / 1e4 AS hour_mean,
+                 floor((s / n - g.gm) * 1e4 + 0.5) / 1e4 AS seasonal,
+                 floor(sqrt(greatest(0.0,
+                   ss / n - (s / n) * (s / n))) * 1e4 + 0.5) / 1e4
+                   AS resid_sd
+          FROM h CROSS JOIN g ORDER BY hr""")
 }

@@ -44,6 +44,15 @@ object RelationalQueries {
         .withColumn("passed", col("passed").cast("int"))
         .orderBy(col("check"))),
 
+    // approximate functional-dependency discovery (g3 error): three
+    // candidate FDs on lineitem — partkey→suppkey (TPC-H: 4 suppliers per
+    // part, violated), orderkey→returnflag, suppkey→partkey
+    "q_profile_fd" -> ((s, d) =>
+      graft.operators.Profile.functionalDeps(Tables.lineitem(s, d),
+          Seq("l_partkey" -> "l_suppkey", "l_orderkey" -> "l_returnflag",
+            "l_suppkey" -> "l_partkey"))
+        .orderBy(col("lhs"), col("rhs"))),
+
     // PSI distribution drift: baseline = odd orderkeys at face value,
     // current = even orderkeys with prices inflated 1.3× — a planted,
     // deterministic drift the monitor must flag (Σcontrib > 0.25)
@@ -458,6 +467,32 @@ object RelationalQueries {
                           / (CAST(ra AS DOUBLE) * cb / nn)) * 1e4 + 0.5)
                   / 1e4 AS chi2
          FROM m""",
+    "q_profile_fd" ->
+      """WITH fd AS (
+           SELECT lhs, rhs, l, count(*) AS nd, max(c) AS keep, sum(c) AS tot
+           FROM (
+             SELECT 'l_partkey' AS lhs, 'l_suppkey' AS rhs,
+                    CAST(l_partkey AS VARCHAR) AS l,
+                    CAST(l_suppkey AS VARCHAR) AS r, count(*) AS c
+             FROM lineitem GROUP BY 3, 4
+             UNION ALL
+             SELECT 'l_orderkey', 'l_returnflag',
+                    CAST(l_orderkey AS VARCHAR), l_returnflag, count(*)
+             FROM lineitem GROUP BY 3, 4
+             UNION ALL
+             SELECT 'l_suppkey', 'l_partkey',
+                    CAST(l_suppkey AS VARCHAR),
+                    CAST(l_partkey AS VARCHAR), count(*)
+             FROM lineitem GROUP BY 3, 4)
+           GROUP BY 1, 2, 3)
+         SELECT lhs, rhs,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS bad_groups,
+                CAST(sum(tot - keep) AS BIGINT) AS rows_remove,
+                floor(sum(tot - keep) / CAST(sum(tot) AS DOUBLE) * 1e4
+                      + 0.5) / 1e4 AS g3
+         FROM fd GROUP BY 1, 2 ORDER BY lhs, rhs""",
     "q_profile_psi" ->
       """WITH b AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

@@ -49,6 +49,27 @@ object RetrievalQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // 1-bit binary quantization + exact Hamming top-k: integer distance
+    // over sign codes — fully deterministic, rank column engine-exact
+    "q_llm_ann_binary" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.hammingTopK(
+          emb.where(col("vec_id") < 10), emb, k = 5)
+        .select(col("qid"), col("rn"), col("vid"),
+          col("hd").cast("int").as("hd"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims, deterministic
+    // md5-parity ±1 matrix, exploded to (vec_id, j, y) rows
+    "q_llm_rp" -> ((s, d) =>
+      graft.operators.Similarity.randomProject(Tables.embeddings(s, d),
+          outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j"),
+          (floor(col("y") * 1e4 + lit(0.5)) / 1e4).as("y"))
+        .orderBy(col("vec_id"), col("j"))),
+
     // hybrid retrieval: BM25 lexical rank fused with dense cosine rank
     // (query = embedding of vec 0, query-by-example) via RRF — the
     // standard sparse+dense ensemble, composed from three already-exact
@@ -170,6 +191,46 @@ object RetrievalQueries {
            FROM scored)
          SELECT qid, rn, vid, floor(score * 1e4 + 0.5) / 1e4 AS score
          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // sign-bit packing mirrors Similarity.binaryQuantize word-for-word:
+    // bit i of word w ⇔ embedding[32w+i] >= 0; Hamming is integer-exact
+    "q_llm_ann_binary" ->
+      """WITH c AS (
+           SELECT vec_id,
+             list_sum(list_transform(range(1, 33), i ->
+               CASE WHEN embedding[i] >= 0
+                    THEN CAST(1 AS BIGINT) << (i - 1)
+                    ELSE CAST(0 AS BIGINT) END)) AS w0,
+             list_sum(list_transform(range(1, 33), i ->
+               CASE WHEN embedding[i + 32] >= 0
+                    THEN CAST(1 AS BIGINT) << (i - 1)
+                    ELSE CAST(0 AS BIGINT) END)) AS w1
+           FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS qid, c2.vec_id AS vid,
+                  bit_count(xor(q.w0, c2.w0))
+                  + bit_count(xor(q.w1, c2.w1)) AS hd
+           FROM c q JOIN c c2 ON q.vec_id < 10 AND c2.vec_id <> q.vec_id),
+         r AS (
+           SELECT qid, vid, hd,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY hd ASC, vid ASC) AS INT) AS rn
+           FROM s)
+         SELECT qid, rn, vid, CAST(hd AS INT) AS hd
+         FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // the ±1 matrix regenerates from md5 parity exactly as the operator
+    // builds it driver-side: sign(j,i) = +1 iff first md5 hex char of
+    // "j:i" is even (bit 4 of byte 0 clear)
+    "q_llm_rp" ->
+      """SELECT e.vec_id, CAST(j.j AS INT) AS j,
+                floor(list_sum(list_transform(range(1, 65), i ->
+                    CAST(e.embedding[i] AS DOUBLE) *
+                    CASE WHEN substr(md5(CAST(j.j AS VARCHAR) || ':'
+                                         || CAST(i - 1 AS VARCHAR)), 1, 1)
+                           IN ('0','2','4','6','8','a','c','e')
+                         THEN 1.0 ELSE -1.0 END))
+                  / sqrt(16.0) * 1e4 + 0.5) / 1e4 AS y
+         FROM embeddings e CROSS JOIN range(0, 16) j(j)
+         ORDER BY e.vec_id, j""",
     "q_llm_contrastive" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS vid,

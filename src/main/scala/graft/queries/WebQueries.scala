@@ -98,6 +98,19 @@ object WebQueries {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs & authorities on the 50-node derived digraph (distinct
+    // edges), 3 iterations, L1-normalized once at the end
+    "q_graph_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 31 + col("n_chars")) % 50).as("dst"))
+      GraphOps.hits(edges, iters = 3)
+        .select(col("node"),
+          (floor(col("auth") * 1e4 + lit(0.5)) / 1e4).as("auth"),
+          (floor(col("hub") * 1e4 + lit(0.5)) / 1e4).as("hub"))
+        .orderBy(col("node"))
+    }),
+
     // single-source BFS levels from node 0 on the same 60-node graph —
     // level-synchronous frontier expansion (Pregel's traversal shape)
     "q_graph_bfs" -> ((s, d) => {
@@ -236,6 +249,44 @@ object WebQueries {
        FROM r$iters ORDER BY node"""
   }
 
+  /** Unrolled HITS CTEs mirroring [[graft.operators.GraphOps.hits]]:
+    * alternating auth/hub half-rounds over the DISTINCT edge set, no
+    * per-round normalization (scaling commutes; normalized once at the
+    * end), COALESCE(sum, 0) spelling the operator's left-join + coalesce. */
+  private def hitsSql(iters: Int): String = {
+    val iterCtes = (1 to iters).flatMap { i =>
+      val prevH = s"h${i - 1}"
+      Seq(
+        s"""a$i AS (
+           SELECT n.node, COALESCE(sum(p.h), 0) AS a
+           FROM nodes n
+           LEFT JOIN e ON e.dst = n.node
+           LEFT JOIN $prevH p ON p.node = e.src
+           GROUP BY n.node)""",
+        s"""h$i AS (
+           SELECT n.node, COALESCE(sum(q.a), 0) AS h
+           FROM nodes n
+           LEFT JOIN e ON e.src = n.node
+           LEFT JOIN a$i q ON q.node = e.dst
+           GROUP BY n.node)""")
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT DISTINCT doc_id % 50 AS src, (doc_id * 31 + n_chars) % 50 AS dst
+         FROM documents),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+       h0 AS (SELECT node, 1.0 AS h FROM nodes),
+       $iterCtes,
+       na AS (SELECT sum(a) AS sa FROM a$iters),
+       nh AS (SELECT sum(h) AS sh FROM h$iters)
+       SELECT a.node,
+              floor(a.a / na.sa * 1e4 + 0.5) / 1e4 AS auth,
+              floor(h.h / nh.sh * 1e4 + 0.5) / 1e4 AS hub
+       FROM a$iters a JOIN h$iters h ON a.node = h.node
+       CROSS JOIN na CROSS JOIN nh
+       ORDER BY a.node"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_llm_normalize" ->
       s"""WITH g AS (
@@ -270,6 +321,7 @@ object WebQueries {
            FROM d)
          SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
     "q_graph_pagerank" -> pageRankSql(10),
+    "q_graph_hits" -> hitsSql(3),
     "q_graph_ppr" -> pprSql(10),
     "q_graph_triangles" ->
       """WITH raw AS (

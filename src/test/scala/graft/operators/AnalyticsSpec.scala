@@ -328,4 +328,90 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(conf == Set(("bread", "milk")))
   }
+
+  test("eventPattern: ordered symbols, greedy non-overlapping matches") {
+    val ev = Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(1)),
+      (1L, 3L, "purchase", ts(2)), (1L, 4L, "view", ts(3)),
+      (1L, 5L, "error", ts(4)), (1L, 6L, "purchase", ts(5)),
+      (2L, 7L, "purchase", ts(0)), (2L, 8L, "view", ts(1)),
+      // u3: "vvp" — [^p]* swallows the middle v, ONE match not two
+      (3L, 9L, "view", ts(0)), (3L, 10L, "view", ts(1)),
+      (3L, 11L, "purchase", ts(2))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.eventPattern(ev,
+        Map("view" -> "v", "click" -> "c", "purchase" -> "p", "error" -> "e"),
+        pattern = "v[^p]*p")
+      .select("user_id", "seq_len", "n_matches", "has_match")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6L, 2L, 1)), s"u1: ${got(1L)}") // vcp + vep
+    assert(got(2L) == ((2L, 0L, 0)), s"u2: ${got(2L)}") // pv: no match
+    assert(got(3L) == ((3L, 1L, 1)), s"u3: ${got(3L)}")
+  }
+
+  test("eventPattern orders by ts then event_id within equal timestamps") {
+    val ev = Seq(
+      (1L, 2L, "purchase", ts(0)), (1L, 1L, "view", ts(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.eventPattern(ev, Map("view" -> "v", "purchase" -> "p"),
+        "vp").select("n_matches").as[Long].head()
+    assert(got == 1L, "event_id must break the ts tie (v before p)")
+  }
+
+  test("ksTest: identical samples D=0, disjoint samples D=1") {
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val r0 = Analytics.ksTest(same, "g", "v", "a", "b").collect()(0)
+    assert(r0.getLong(0) == 50L && r0.getLong(1) == 50L)
+    assert(r0.getDouble(2) == 0.0 && r0.getInt(4) == 0, s"$r0")
+    val disj = ((1 to 30).map(i => ("a", i.toDouble)) ++
+      (1 to 30).map(i => ("b", 100.0 + i))).toDF("g", "v")
+    val r1 = Analytics.ksTest(disj, "g", "v", "a", "b").collect()(0)
+    assert(r1.getDouble(2) == 1.0 && r1.getInt(4) == 1, s"$r1")
+  }
+
+  test("ksTest bucketed ECDF equals the single-partition ECDF") {
+    // adversarial bucket count (3) vs values straddling bucket edges
+    val df = (1 to 101).map(i => (if (i % 3 == 0) "a" else "b",
+      (i % 17).toDouble)).toDF("g", "v")
+    val many = Analytics.ksTest(df, "g", "v", "a", "b", nBuckets = 3)
+      .collect()(0).getDouble(2)
+    val one = Analytics.ksTest(df, "g", "v", "a", "b", nBuckets = 1)
+      .collect()(0).getDouble(2)
+    assert(many == one, s"bucketed=$many single=$one")
+  }
+
+  test("kaplanMeier: textbook curve with conversion and censoring") {
+    // u1 converts at 1 h, u2 at 2 h; u3 censored at 1 h (drops out, no
+    // purchase); u4 observed past the 10 h horizon, censored there
+    val ev = Seq(
+      (1L, "e", ts(0)), (1L, "purchase", ts(60)),
+      (2L, "e", ts(0)), (2L, "purchase", ts(150)),
+      (3L, "e", ts(0)), (3L, "e", ts(90)),
+      (4L, "e", ts(0)), (4L, "e", ts(20 * 60))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.kaplanMeier(ev, convType = "purchase",
+        followUpHours = 10)
+      .select("t_hours", "n_risk", "n_death", "surv")
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    // at t=1h: 4 at risk, 1 death (u3 censored AT 1h still at risk) →
+    // S=0.75; at t=2h: 2 at risk (u1 dead, u3 censored), 1 death →
+    // S=0.75·0.5=0.375; censor-only hours emit no row
+    assert(got == List((1L, 4L, 1L, 0.75), (2L, 2L, 1L, 0.375)), s"$got")
+  }
+
+  test("seasonalDecompose: planted two-hour profile") {
+    val ev = Seq(
+      (ts(0), 10.0), (ts(24L * 60), 10.0),          // hour 0: flat 10
+      (ts(60), 20.0), (ts(24L * 60 + 60), 30.0)     // hour 1: 20/30
+    ).toDF("ts", "value")
+    val got = Analytics.seasonalDecompose(ev)
+      .select("hr", "n", "hour_mean", "seasonal", "resid_sd")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // grand mean 17.5; hour1 sd about its own mean 25: 5
+    assert(got(0) == ((2L, 10.0, -7.5, 0.0)), s"${got(0)}")
+    assert(got(1) == ((2L, 25.0, 7.5, 5.0)), s"${got(1)}")
+  }
 }

@@ -205,4 +205,26 @@ class GraphOpsSpec extends SparkSpec {
     // graph would pass any wrong implementation
     assert(want.values.sum > 0, "fixture graph is triangle-free")
   }
+
+  test("hits: directed star — sources are hubs, sink is the authority") {
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = GraphOps.hits(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(0L)._1 == 1.0 && got(0L)._2 == 0.0, s"sink: ${got(0L)}")
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(got(n)._1 == 0.0, s"source $n has authority")
+      assert(math.abs(got(n)._2 - 1.0 / 3) < 1e-12, s"hub $n: ${got(n)}")
+    }
+  }
+
+  test("hits works on the distinct edge set: duplicate edges are no-ops") {
+    val once = Seq((1L, 0L), (2L, 0L), (1L, 2L)).toDF("src", "dst")
+    val dup = (Seq((1L, 0L), (2L, 0L), (1L, 2L)) ++
+      Seq((1L, 0L), (1L, 0L))).toDF("src", "dst")
+    val a = GraphOps.hits(once, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val b = GraphOps.hits(dup, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
 }

@@ -120,4 +120,16 @@ class ProfileSpec extends SparkSpec {
     assert(gd.getLong(0) == 4L && gd.getLong(1) == 1L)
     assert(gd.getDouble(2) == 100.0, s"chi2 = ${gd.getDouble(2)}")
   }
+
+  test("functionalDeps: exact g3 on a planted violation") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "z"))
+      .toDF("a", "b")
+    val got = Profile.functionalDeps(df, Seq("a" -> "b", "b" -> "a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // a→b: group a=1 keeps 2 of 3 rows (majority x), 1 removed; g3=1/4
+    assert(got(("a", "b")) == ((2L, 1L, 1L, 0.25)), s"${got(("a", "b"))}")
+    // b→a holds exactly
+    assert(got(("b", "a")) == ((3L, 0L, 0L, 0.0)), s"${got(("b", "a"))}")
+  }
 }

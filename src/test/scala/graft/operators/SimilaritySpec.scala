@@ -200,4 +200,50 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(s - t) <= math.abs(t) * 0.05 + 0.05, s"score=$s truth=$t")
     }
   }
+
+  test("binaryQuantize packs sign bits word-by-word") {
+    val s = spark
+    import s.implicits._
+    val vs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(-1.0f)),
+      (2L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.binaryQuantize(vs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) == Seq(0xFFFFFFFFL, 0xFFFFFFFFL), s"${got(0L)}")
+    assert(got(1L) == Seq(0L, 0L))
+    assert(got(2L) == Seq(0xFFFFFFFFL, 0L))
+  }
+
+  test("hammingTopK: exact integer Hamming ordering") {
+    val s = spark
+    import s.implicits._
+    val base = Array.fill(64)(1.0f)
+    def flip(k: Int) = base.zipWithIndex.map { case (x, i) =>
+      if (i < k) -x else x }
+    val vs = Seq((0L, base), (1L, flip(64)), (2L, flip(32)), (3L, flip(1)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(vs.where(col("vec_id") === 0), vs, k = 3)
+      .select("rn", "vid", "hd").as[(Int, Long, Int)].collect().toList
+      .sortBy(_._1)
+    assert(got == List((1, 3L, 1), (2, 2L, 32), (3, 1L, 64)), s"$got")
+  }
+
+  test("randomProject: deterministic, linear, dimension-correct") {
+    val s = spark
+    import s.implicits._
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val vs = Seq((0L, v), (1L, v), (2L, v.map(_ * 2))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(vs, outDim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0L).size == 16)
+    assert(got(0L) == got(1L), "same input must project identically")
+    got(0L).zip(got(2L)).foreach { case (y1, y2) =>
+      assert(math.abs(y2 - 2 * y1) < 1e-9, s"linearity: $y1 vs $y2") }
+    // signs are md5-derived, not constant: some coordinate must differ
+    // from the all-plus projection sum/4
+    val allPlus = v.map(_.toDouble).sum / 4.0
+    assert(got(0L).exists(y => math.abs(y - allPlus) > 1e-9))
+  }
 }
