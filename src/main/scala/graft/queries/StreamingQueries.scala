@@ -58,6 +58,15 @@ object StreamingQueries {
       // replay scan
       Tables.events(s, d).drop("props").repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(dir)
+      // the file source replays in MODIFICATION-TIME order, and parallel
+      // part writers finish in arbitrary order — pin mtimes to the part
+      // NAME order (range order = ts order) so the replay is a
+      // deterministic, in-order stream; order-sensitive state machines
+      // (CEP) depend on it, and it makes every replay run-reproducible
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000L + i * 1000L); () }
       dir
     })
 
@@ -165,7 +174,22 @@ object StreamingQueries {
       q.stop()
       graft.streaming.CdcApply.currentSnapshot(s, s"$dir/state").get
         .orderBy(col("key"))
-    })
+    }),
+
+    // streaming CEP: view→click→purchase chains (skip-till-next-match,
+    // one chain per user) detected incrementally across micro-batches;
+    // horizon 60 d ≫ corpus span so the oracle is the batch lazy-regex
+    // parse — leftmost-earliest chain parity across paradigms
+    "q_stream_cep" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        import s.implicits._
+        graft.streaming.EventStreams.detectPattern(
+            ev.as[graft.streaming.Event],
+            Seq("view", "click", "purchase"), withinSec = 60L * 86400)
+          .toDF()
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id")))
   )
 
   // epoch seconds with floor semantics (ts > 0), as plain TIMESTAMP math
@@ -224,6 +248,27 @@ object StreamingQueries {
                                         ORDER BY version DESC) AS rn
            FROM ch)
          SELECT key, event_type, value, version
-         FROM w WHERE rn = 1 AND op <> 'd' ORDER BY key"""
+         FROM w WHERE rn = 1 AND op <> 'd' ORDER BY key""",
+    // lazy (non-greedy) quantifiers parse the same leftmost-earliest
+    // chain the streaming NFA walks: open at the first view, advance on
+    // the first click after it, close on the first purchase after that,
+    // resume past the match (AFTER MATCH SKIP PAST LAST ROW)
+    "q_stream_cep" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1),
+          m AS (
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s, 'v.*?c.*?p')) AS BIGINT)
+                     AS n_matches
+            FROM s)
+          SELECT user_id, n_matches FROM m
+          WHERE n_matches > 0 ORDER BY user_id"""
   )
 }

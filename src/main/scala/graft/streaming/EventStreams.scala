@@ -26,6 +26,12 @@ case class JobResult(job_id: String, final_status: String,
 
 private case class JobState(firstTs: Long, nPolls: Int)
 
+/** One completed pattern occurrence emitted by `detectPattern`. */
+case class PatternMatch(user_id: Long, start: Timestamp, end: Timestamp,
+                        n_steps: Int)
+
+private case class PatternState(start: Long, idx: Int)
+
 /** Structured-Streaming operators (SURVEY §2B streaming). Window/watermark
   * ops are thin declarative wrappers — state lives in Spark's own stores and
   * scales horizontally (state is partitioned by group key; at 100 TB the
@@ -116,6 +122,63 @@ object EventStreams {
               state.setTimeoutTimestamp(cur.end + gapMs)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming CEP: detect the ordered event-type chain `steps` per user
+    * within a `withinSec` horizon — Flink CEP's `begin.followedBy…`
+    * (skip-till-next-match, AFTER MATCH SKIP PAST LAST ROW) as
+    * flatMapGroupsWithState, the incremental twin of the batch
+    * [[graft.operators.Analytics.eventPattern]] / funnel family. One
+    * active partial chain per user: a `steps.head` event opens it,
+    * each expected next step advances it, completing the last step
+    * emits a [[PatternMatch]] and resets; an event past the horizon
+    * expires the chain (and may itself re-open one). Intermediate
+    * non-step events are skipped — the "followedBy" (not "next")
+    * contract.
+    *
+    * Scale shape: state is ONE (start, idx) pair per user — O(1), not
+    * per-event — partitioned by user key in Spark's state store;
+    * event-time timeouts GC users whose chain horizon passed the
+    * watermark. Events sort by (ts, event_id) within a micro-batch
+    * (the sessionize ordering contract; cross-batch order rides the
+    * watermark like every stateful op here). */
+  def detectPattern(events: Dataset[Event], steps: Seq[String],
+                    withinSec: Long,
+                    delay: String = "15 minutes"): Dataset[PatternMatch] = {
+    require(steps.size >= 2, s"pattern needs >= 2 steps: $steps")
+    import events.sparkSession.implicits._
+    val horizonMs = withinSec * 1000L
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[PatternState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[PatternMatch]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (cur != null && t - cur.start > horizonMs) cur = null
+              if (cur == null) {
+                if (e.event_type == steps.head)
+                  cur = PatternState(t, 1)
+              } else if (e.event_type == steps(cur.idx)) {
+                if (cur.idx + 1 == steps.size) {
+                  out += PatternMatch(uid, new Timestamp(cur.start),
+                    new Timestamp(t), steps.size)
+                  cur = null
+                } else cur = PatternState(cur.start, cur.idx + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.start + horizonMs)
+            } else state.remove()
+            out.result().iterator
           }
       }
   }

@@ -491,4 +491,66 @@ class StreamingSpec extends SparkSpec {
     val got = s.read.parquet(out).as[Long].collect().sorted
     assert(got.sameElements(Array(1L, 2L, 3L, 4L, 5L)), got.mkString(","))
   }
+
+  test("detectPattern: skip-till-next-match chains across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPattern(in.toDS(),
+        Seq("view", "click", "purchase"), withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // u1 opens a chain; the error event must be skipped (followedBy,
+      // not next); chain completes in a LATER micro-batch
+      in.addData(ev(1, 1, "view", 0), ev(2, 1, "error", 5), ev(3, 1, "click", 10))
+      q.processAllAvailable()
+      in.addData(ev(4, 1, "purchase", 20))
+      q.processAllAvailable()
+      val afterFirst = s.table(name).as[PatternMatch].collect()
+      assert(afterFirst.toList == List(PatternMatch(1L, ts(0), ts(20), 3)),
+        afterFirst.mkString(","))
+      // AFTER MATCH SKIP PAST LAST ROW: the next purchase alone (no new
+      // view chain) must NOT match; a fresh full chain must
+      in.addData(ev(5, 1, "purchase", 25), ev(6, 1, "view", 30),
+        ev(7, 1, "click", 40), ev(8, 1, "purchase", 50))
+      q.processAllAvailable()
+      assert(s.table(name).count() == 2)
+      // horizon: u2's click/purchase arrive past view+60min → chain
+      // expired, no match; the second view re-opens and completes
+      in.addData(ev(9, 2, "view", 100))
+      q.processAllAvailable()
+      in.addData(ev(10, 2, "click", 170), ev(11, 2, "view", 180),
+        ev(12, 2, "click", 190), ev(13, 2, "purchase", 200))
+      q.processAllAvailable()
+      val u2 = s.table(name).as[PatternMatch].collect().filter(_.user_id == 2L)
+      assert(u2.toList == List(PatternMatch(2L, ts(180), ts(200), 3)),
+        u2.mkString(","))
+    } finally q.stop()
+  }
+
+  test("detectPattern state times out once the watermark passes the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPattern(in.toDS(), Seq("view", "purchase"),
+        withinSec = 10L * 60, delay = "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "view", 0))
+      q.processAllAvailable()
+      // advance the watermark far past 0+10min via another user
+      in.addData(ev(2, 2, "view", 100))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, "view", 101))
+      q.processAllAvailable()
+      // u1's chain expired by timeout: a purchase now cannot close it
+      in.addData(ev(4, 1, "purchase", 102))
+      q.processAllAvailable()
+      assert(s.table(name).count() == 0, "expired chain must not match")
+    } finally q.stop()
+  }
 }
