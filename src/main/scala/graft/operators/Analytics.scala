@@ -580,6 +580,70 @@ object Analytics {
       .withColumn("reject_05", (col("d_stat") > col("crit_05")).cast("int"))
   }
 
+  /** Mann–Whitney U rank-sum test (Wilcoxon two-sample): the
+    * non-parametric location test next to Welch (means), KS (shape) and
+    * χ² (categories). Average ranks for ties, tie-corrected normal
+    * approximation: z = (U₁ − n₁n₂/2) / σ with
+    * σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Exactness: ranks are half-integers, so every rank sum is EXACT in
+    * doubles (no summation-order sensitivity) — only the final z divide/
+    * sqrt rounds, on identical operands in any engine. Scale shape: same
+    * as [[ksTest]] — one value-keyed collapse to distinct-value counts,
+    * bucketed two-pass parallel prefix sum for the rank offsets, final
+    * 1-row aggregate. */
+  def mannWhitney(events: DataFrame, groupCol: String, valueCol: String,
+                  g1: String, g2: String, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    val tagged = events.where(col(groupCol).isin(g1, g2))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === g1, 1L).otherwise(0L).as("i1"),
+        when(col(groupCol) === g2, 1L).otherwise(0L).as("i2"))
+    val byValue = tagged.groupBy(col("v"))
+      .agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
+      .localCheckpoint() // consumed 3× (bounds, offsets, rank pass)
+    val Array(mnr, mxr) = byValue.agg(min(col("v")), max(col("v")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val span = math.max(mxr - mnr, java.lang.Double.MIN_NORMAL)
+    val bucketed = byValue.withColumn("b",
+      least(floor((col("v") - lit(mnr)) / lit(span) * nBuckets),
+        lit(nBuckets - 1L)).cast("int"))
+    val offs = bucketed.groupBy(col("b"))
+      .agg(sum(col("c1") + col("c2")).as("st"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val cum = offs.scanLeft(0L) { case (a, (_, s)) => a + s }.init
+    val offT = map(offs.map(_._1).zip(cum).flatMap {
+      case (b, o) => Seq(lit(b), lit(o)) }: _*)
+    val wbExcl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = bucketed
+      .withColumn("cnt", col("c1") + col("c2"))
+      .withColumn("cb",
+        coalesce(sum(col("c1") + col("c2")).over(wbExcl), lit(0L))
+          + element_at(offT, col("b")))
+      .withColumn("avgrank", col("cb") + (col("cnt") + lit(1L)) / lit(2.0))
+    val a = ranked.agg(
+      sum(col("c1") * col("avgrank")).as("r1"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // u1/z spelled with the exact parenthesization the oracle uses —
+    // every operand up to the final sqrt/divide is integer- or
+    // half-integer-exact in double
+    a.select(col("n1"), col("n2"),
+        (col("r1") - col("n1") * (col("n1") + lit(1L)) / lit(2.0)).as("u1r"),
+        col("tt"))
+      .select(col("n1"), col("n2"),
+        (floor(col("u1r") * 1e4 + lit(0.5)) / 1e4).as("u1"),
+        (floor((col("u1r") - col("n1") * col("n2") / lit(2.0)) /
+          sqrt(col("n1") * col("n2") / lit(12.0) *
+            ((col("n1") + col("n2") + lit(1L)) -
+              col("tt") / ((col("n1") + col("n2")) *
+                (col("n1") + col("n2") - lit(1.0)))))
+          * 1e4 + lit(0.5)) / 1e4).as("z"))
+      .withColumn("reject_05", (abs(col("z")) > lit(1.96)).cast("int"))
+  }
+
   /** Kaplan–Meier conversion-survival: time (hours) from each user's
     * first event to their first `convType` event, right-censored at the
     * earlier of the user's last observed event and a `followUpHours`

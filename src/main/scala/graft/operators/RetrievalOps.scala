@@ -117,4 +117,75 @@ object RetrievalOps {
         col("cos"))
       .unionByName(neg)
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell–Goldstein): from a
+    * relevance pool of `poolSize` candidates per query, greedily select
+    * `k` maximizing λ·rel − (1−λ)·max sim-to-already-selected — the
+    * standard diversity-aware second stage of a retrieval funnel.
+    *
+    * Determinism contract: rel is the pool's 4dp-rounded cosine,
+    * pairwise sims round to 4dp BEFORE the max, the MMR score rounds to
+    * 4dp before argmax, ties break vid-ascending — every comparison
+    * happens on values both engines agree on, so even the greedy ORDER
+    * is oracle-exact (the catalog oracle unrolls the k steps as CTEs).
+    *
+    * Scale shape: stage 1 is the corpus-touching part (broadcast-query
+    * top-poolSize; swap in the IVF/PQ probe at corpus scale); the greedy
+    * runs per query on a pool of `poolSize` vectors — O(k·poolSize²)
+    * local float ops on a parameter-bounded group, which is the
+    * justified use of flatMapGroups (state bounded by construction,
+    * like the external-process and trie-tokenizer sites). */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, k: Int = 5,
+                poolSize: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"k=$k poolSize=$poolSize")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = Similarity.bruteForceTopK(queries, candidates, poolSize)
+    val withVec = pool.join(
+      candidates.select(col("vec_id").as("vid"), col("embedding").as("cv")),
+      "vid")
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    withVec.select(col("qid"), col("vid"), col("cos"), col("cv"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.map { case (_, vid, rel, vec) =>
+            val v = vec.map(_.toDouble)
+            val n = math.sqrt(v.map(x => x * x).sum)
+            (vid, rel, v, if (n == 0) 1.0 else n)
+          }.toSeq: _*)
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var rn = 1
+        while (rn <= k && remaining.nonEmpty) {
+          var bestIdx = -1; var best = Double.NegativeInfinity
+          var bestVid = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val (vid, rel, v, n) = remaining(i)
+            // empty-set convention: 0 (pure relevance); else TRUE max —
+            // a negative max must stay negative (it rewards diversity)
+            var maxSim = if (chosen.isEmpty) 0.0 else Double.NegativeInfinity
+            for ((cv, cn) <- chosen) {
+              var d = 0.0; var j = 0
+              while (j < v.length) { d += v(j) * cv(j); j += 1 }
+              val s = r4(d / (n * cn))
+              if (s > maxSim) maxSim = s
+            }
+            val sc = r4(lambda * rel - (1 - lambda) * maxSim)
+            if (sc > best || (sc == best && vid < bestVid)) {
+              best = sc; bestIdx = i; bestVid = vid
+            }
+            i += 1
+          }
+          val (vid, _, v, n) = remaining.remove(bestIdx)
+          chosen += ((v, n))
+          out += ((qid, rn, vid, best))
+          rn += 1
+        }
+        out.result().iterator
+      }
+      .toDF("qid", "rn", "vid", "score")
+  }
 }

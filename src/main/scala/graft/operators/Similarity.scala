@@ -232,6 +232,47 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vid"), col("hd"))
   }
 
+  /** Two-stage retrieval funnel over matryoshka-style prefix dimensions:
+    * stage 1 ranks by cosine over the first `coarseDims` components
+    * (4× less arithmetic and bandwidth at 16/64 — the cheap sweep a
+    * 100 TB corpus can afford), keeps a `poolSize` pool per query;
+    * stage 2 rescores ONLY the pool with the exact full-dimension cosine
+    * and emits top-`k`. Both stages round scores to 4dp before ranking
+    * with vid-ascending ties, so pool membership and final order are
+    * engine-exact. Recall vs single-stage brute force is a property
+    * (SimilaritySpec), not a guarantee — prefix cosine permutes
+    * near-ties. Returns (qid, rn, vid, cos). */
+  def twoStageTopK(queries: DataFrame, candidates: DataFrame,
+                   coarseDims: Int = 16, poolSize: Int = 20,
+                   k: Int = 5): DataFrame = {
+    require(k >= 1 && poolSize >= k && coarseDims >= 1,
+      s"k=$k poolSize=$poolSize coarseDims=$coarseDims")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"),
+      l2Norm(slice(col("embedding"), 1, coarseDims)).as("qnc"))
+    val c = graft.core.Tables.spread(candidates, col("vec_id"))
+      .select(col("vec_id").as("vid"), col("embedding").as("cv"),
+        l2Norm(col("embedding")).as("cn"),
+        l2Norm(slice(col("embedding"), 1, coarseDims)).as("cnc"))
+    val coarse = broadcast(q).crossJoin(c)
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), col("qv"), col("qn"), col("cv"), col("cn"),
+        round(expr(s"dot_f(slice(qv, 1, $coarseDims), slice(cv, 1, $coarseDims))")
+          / (col("qnc") * col("cnc")), 4).as("cosc"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("cosc").desc, col("vid").asc)
+    val pool = coarse.withColumn("prn", row_number().over(wc))
+      .where(col("prn") <= poolSize)
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    pool.select(col("qid"), col("vid"),
+        round(expr("dot_f(qv, cv)") / (col("qn") * col("cn")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wf))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("cos"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
     * a deterministic ±1 sign matrix (Achlioptas): sign(j,i) from the
     * parity of the first hex char of md5("j:i") — reproducible on any

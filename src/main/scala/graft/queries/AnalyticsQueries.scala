@@ -144,7 +144,13 @@ object AnalyticsQueries {
     // residual sd per hour (24 rows, epoch arithmetic — timezone-free)
     "q_evt_seasonal" -> ((s, d) =>
       Analytics.seasonalDecompose(Tables.events(s, d))
-        .orderBy(col("hr"))))
+        .orderBy(col("hr"))),
+
+    // Mann–Whitney U rank-sum (tie-corrected normal approx): the
+    // non-parametric location test of the drift battery
+    "q_evt_mannwhitney" -> ((s, d) =>
+      Analytics.mannWhitney(Tables.events(s, d), "event_type", "value",
+        g1 = "view", g2 = "click")))
 
   val oracle: Map[String, String] = Map(
     "q_evt_funnel" ->
@@ -500,5 +506,39 @@ object AnalyticsQueries {
                  floor(sqrt(greatest(0.0,
                    ss / n - (s / n) * (s / n))) * 1e4 + 0.5) / 1e4
                    AS resid_sd
-          FROM h CROSS JOIN g ORDER BY hr""")
+          FROM h CROSS JOIN g ORDER BY hr""",
+    // ranks are half-integers ⇒ every sum below is EXACT in double;
+    // only the final sqrt/divide rounds, on identical operands
+    "q_evt_mannwhitney" ->
+      """WITH t AS (
+           SELECT value AS v,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i2
+           FROM events WHERE event_type IN ('view', 'click')),
+         g AS (SELECT v, sum(i1) AS c1, sum(i2) AS c2 FROM t GROUP BY 1),
+         e AS (SELECT v, c1, c2, c1 + c2 AS cnt,
+                 COALESCE(sum(c1 + c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+               FROM g),
+         a AS (SELECT sum(c1 * (cb + (cnt + 1) / 2.0)) AS r1,
+                      sum(cnt * cnt * cnt - cnt) AS tt,
+                      sum(c1) AS n1, sum(c2) AS n2
+               FROM e),
+         u AS (SELECT n1, n2, tt,
+                      r1 - n1 * (n1 + 1) / 2.0 AS u1r
+               FROM a)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                floor(u1r * 1e4 + 0.5) / 1e4 AS u1,
+                floor((u1r - n1 * n2 / 2.0) /
+                      sqrt(n1 * n2 / 12.0 *
+                           ((n1 + n2 + 1) -
+                            tt / ((n1 + n2) * (n1 + n2 - 1.0))))
+                      * 1e4 + 0.5) / 1e4 AS z,
+                CAST(abs(floor((u1r - n1 * n2 / 2.0) /
+                      sqrt(n1 * n2 / 12.0 *
+                           ((n1 + n2 + 1) -
+                            tt / ((n1 + n2) * (n1 + n2 - 1.0))))
+                      * 1e4 + 0.5) / 1e4) > 1.96 AS INT) AS reject_05
+         FROM u""")
 }

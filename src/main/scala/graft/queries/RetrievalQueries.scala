@@ -70,6 +70,26 @@ object RetrievalQueries {
           (floor(col("y") * 1e4 + lit(0.5)) / 1e4).as("y"))
         .orderBy(col("vec_id"), col("j"))),
 
+    // MMR diversity rerank: top-20 relevance pool → greedy λ·rel −
+    // (1−λ)·max-sim selection of 5; every comparison on 4dp-rounded
+    // values so even the greedy ORDER is oracle-exact (unrolled CTEs)
+    "q_llm_mmr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      RetrievalOps.mmrRerank(emb.where(col("vec_id") < 5), emb,
+          k = 5, poolSize = 20, lambda = 0.7)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // two-stage matryoshka funnel: 16-dim prefix-cosine pool of 20,
+    // exact 64-dim rerank to top-5
+    "q_llm_two_stage" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.twoStageTopK(
+          emb.where(col("vec_id") < 10), emb,
+          coarseDims = 16, poolSize = 20, k = 5)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // hybrid retrieval: BM25 lexical rank fused with dense cosine rank
     // (query = embedding of vec 0, query-by-example) via RRF — the
     // standard sparse+dense ensemble, composed from three already-exact
@@ -127,7 +147,101 @@ object RetrievalQueries {
 
   private val termsSqlList = bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** Raw double cosine between two embedding-list columns (DuckDB list
+    * ops) — the operand both engines agree on before any rounding. */
+  private def cosRaw(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
+  /** Unrolled greedy MMR mirroring RetrievalOps.mmrRerank: step i picks
+    * the (score desc, vid asc) argmax of
+    * floor((0.7·rel − (1−0.7)·maxsim)·1e4+0.5)/1e4 over the pool minus
+    * the chosen set; (1−0.7) is SPELLED as a subtraction so both engines
+    * compute the same 0.30000000000000004 double. */
+  private def mmrSql(k: Int, poolSize: Int): String = {
+    val steps = (1 to k).map { i =>
+      val prev = s"ch${i - 1}"
+      val msCte = if (i == 1) "" else s"""
+        ms$i AS (
+          SELECT sim.qid, sim.va AS vid, max(sim.s) AS m
+          FROM sim JOIN $prev ON sim.qid = $prev.qid AND sim.vb = $prev.vid
+          GROUP BY 1, 2),"""
+      val scoreExpr = if (i == 1)
+        "floor((0.7 * p.rel - (1 - 0.7) * 0.0) * 1e4 + 0.5) / 1e4"
+      else
+        s"floor((0.7 * p.rel - (1 - 0.7) * ms$i.m) * 1e4 + 0.5) / 1e4"
+      val joins = if (i == 1)
+        s"FROM pv p"
+      else
+        s"""FROM pv p JOIN ms$i ON p.qid = ms$i.qid AND p.vid = ms$i.vid
+            LEFT JOIN $prev ON p.qid = $prev.qid AND p.vid = $prev.vid"""
+      val whereNot = if (i == 1) "" else s"WHERE $prev.vid IS NULL"
+      s"""$msCte
+        sc$i AS (
+          SELECT p.qid, p.vid, $scoreExpr AS score
+          $joins
+          $whereNot),
+        s$i AS (
+          SELECT qid, vid, score FROM (
+            SELECT qid, vid, score, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, vid ASC) AS rr
+            FROM sc$i) WHERE rr = 1),
+        ch$i AS (${(1 to i).map(j => s"SELECT qid, vid FROM s$j")
+          .mkString(" UNION ALL ")})"""
+    }.mkString(",\n")
+    val finalSel = (1 to k).map(i =>
+      s"SELECT qid, CAST($i AS INT) AS rn, vid, score FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (
+         SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         WHERE vec_id < 5),
+       c AS (SELECT vec_id AS vid, embedding AS cv FROM embeddings),
+       scored AS (
+         SELECT qid, vid, ROUND(${cosRaw("qv", "cv")}, 4) AS rel
+         FROM q JOIN c ON vid <> qid),
+       pool AS (
+         SELECT qid, vid, rel FROM (
+           SELECT qid, vid, rel, row_number() OVER (PARTITION BY qid
+             ORDER BY rel DESC, vid ASC) AS prn
+           FROM scored) WHERE prn <= $poolSize),
+       pv AS (SELECT pool.qid, pool.vid, pool.rel, c.cv
+              FROM pool JOIN c USING (vid)),
+       sim AS (
+         SELECT a.qid, a.vid AS va, b.vid AS vb,
+                floor(${cosRaw("a.cv", "b.cv")} * 1e4 + 0.5) / 1e4 AS s
+         FROM pv a JOIN pv b ON a.qid = b.qid AND a.vid <> b.vid),
+       $steps
+       SELECT qid, rn, vid, score FROM ($finalSel) ORDER BY qid, rn"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_llm_mmr" -> mmrSql(k = 5, poolSize = 20),
+    "q_llm_two_stage" ->
+      s"""WITH q AS (
+           SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+         c AS (SELECT vec_id AS vid, embedding AS cv FROM embeddings),
+         coarse AS (
+           SELECT qid, vid, qv, cv,
+                  ROUND(${cosRaw("qv[1:16]", "cv[1:16]")}, 4) AS cosc
+           FROM q JOIN c ON vid <> qid),
+         pool AS (
+           SELECT qid, vid, qv, cv FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY cosc DESC, vid ASC) AS prn
+             FROM coarse) WHERE prn <= 20),
+         f AS (
+           SELECT qid, vid, ROUND(${cosRaw("qv", "cv")}, 4) AS cos
+           FROM pool),
+         r AS (
+           SELECT qid, vid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, vid ASC) AS INT) AS rn
+           FROM f)
+         SELECT qid, rn, vid, cos FROM r WHERE rn <= 5
+         ORDER BY qid, rn""",
     "q_llm_inverted" ->
       """WITH tok AS (
            SELECT doc_id, t AS token FROM (

@@ -414,4 +414,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0) == ((2L, 10.0, -7.5, 0.0)), s"${got(0)}")
     assert(got(1) == ((2L, 25.0, 7.5, 5.0)), s"${got(1)}")
   }
+
+  test("mannWhitney: hand-computed U and z, with and without ties") {
+    // g1 = {1,2}, g2 = {3,4}: R1 = 3, U1 = 0, z = -2/sqrt(5/3)
+    val plain = Analytics.mannWhitney(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v"),
+      "g", "v", "a", "b").collect()(0)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(plain.getLong(0) == 2L && plain.getLong(1) == 2L)
+    assert(plain.getDouble(2) == 0.0)
+    assert(plain.getDouble(3) == r4(-2.0 / math.sqrt(5.0 / 3)), s"$plain")
+    // ties: g1 = {1,1}, g2 = {1,2}: value 1 spans ranks 1..3 (avg 2),
+    // U1 = 1, tie term T = 24 -> sigma = 1, z = -1
+    val tied = Analytics.mannWhitney(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v"),
+      "g", "v", "a", "b").collect()(0)
+    assert(tied.getDouble(2) == 1.0 && tied.getDouble(3) == -1.0, s"$tied")
+    assert(tied.getInt(4) == 0)
+  }
 }

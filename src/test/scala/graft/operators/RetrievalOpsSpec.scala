@@ -114,4 +114,36 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(salted.filter(_._2 == "neg").toSet != neg.toSet,
       "salt must permute the negative draw")
   }
+
+  test("mmrRerank demotes near-duplicates that pure top-k keeps adjacent") {
+    val s = spark
+    import s.implicits._
+    // query q; candidates: two IDENTICAL high-rel vectors (1, 2), one
+    // orthogonal-ish moderate vector (3)
+    def v(a: Double, b: Double) =
+      Array.tabulate(8)(i => (if (i == 0) a else if (i == 1) b else 0.0).toFloat)
+    val q = Seq((100L, v(1, 0.2))).toDF("vec_id", "embedding")
+    val c = Seq((1L, v(1, 0.1)), (2L, v(1, 0.1)), (3L, v(0.2, 1)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(q, c, k = 3)
+      .orderBy(col("rn")).select("vid").as[Long].collect().toList
+    assert(topk.take(2) == List(1L, 2L), s"fixture: $topk")
+    val mmr = RetrievalOps.mmrRerank(q, c, k = 3, poolSize = 3, lambda = 0.5)
+      .orderBy(col("rn")).select("vid").as[Long].collect().toList
+    // after picking 1, its twin 2 (sim 1.0) must fall behind the
+    // diverse 3
+    assert(mmr == List(1L, 3L, 2L), s"mmr order: $mmr")
+  }
+
+  test("mmrRerank at lambda=1 reduces to pure relevance ranking") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.core.Tables.embeddings(s, sf0001)
+    val q = emb.where(col("vec_id") < 3)
+    val mmr = RetrievalOps.mmrRerank(q, emb, k = 4, poolSize = 8, lambda = 1.0)
+      .select("qid", "rn", "vid").as[(Long, Int, Long)].collect().toSet
+    val topk = Similarity.bruteForceTopK(q, emb, k = 4)
+      .select("qid", "rn", "vid").as[(Long, Int, Long)].collect().toSet
+    assert(mmr == topk)
+  }
 }

@@ -246,4 +246,32 @@ class SimilaritySpec extends SparkSpec {
     val allPlus = v.map(_.toDouble).sum / 4.0
     assert(got(0L).exists(y => math.abs(y - allPlus) > 1e-9))
   }
+
+  test("twoStageTopK: planted exact duplicate survives the coarse stage") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.core.Tables.embeddings(s, sf0001)
+    // plant vec 9000 = copy of vec 0: coarse cosine 1.0 keeps it in any
+    // pool, full rerank puts it at rn 1
+    val dup = emb.where(col("vec_id") === 0)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"),
+        col("label"))
+    val got = Similarity.twoStageTopK(emb.where(col("vec_id") === 0),
+        emb.unionByName(dup), coarseDims = 16, poolSize = 10, k = 3)
+      .where(col("rn") === 1).select("vid").as[Long].head()
+    assert(got == 9000L)
+  }
+
+  test("twoStageTopK with a full-corpus pool equals brute force") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.core.Tables.embeddings(s, sf0001)
+    val n = emb.count().toInt
+    val two = Similarity.twoStageTopK(emb.where(col("vec_id") < 3), emb,
+        coarseDims = 16, poolSize = n, k = 5)
+      .select("qid", "rn", "vid").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, 5)
+      .select("qid", "rn", "vid").as[(Long, Int, Long)].collect().toSet
+    assert(two == brute)
+  }
 }
