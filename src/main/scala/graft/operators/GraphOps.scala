@@ -320,6 +320,10 @@ object GraphOps {
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
+      // per-half-round localCheckpoint: the fused one-checkpoint-per-round
+      // variant re-executes the auth joins inside the hub materialization
+      // and measured SLOWER (3.7 → 4.6 s in-catalog) — join work dominates
+      // job-launch overhead even on a metadata-sized graph
       var hub = nodes.select(col("node"), lit(1.0).as("h")).localCheckpoint()
       var auth = hub.select(col("node"), col("h").as("a"))
       var it = 0
