@@ -1512,4 +1512,69 @@ object CorpusOps {
       .withColumn("position", row_number().over(w2) - 1 + off2Col)
       .select(col("position"), col("doc_id"), sc, col("rank"))
   }
+
+  /** Deterministic 256-entry gear table: first 8 bytes of md5("gear:i")
+    * as a big-endian long — reproducible on any platform, no RNG. */
+  private lazy val gearTable: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256) { i =>
+      val h = md.digest(s"gear:$i".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(h, 0, 8).getLong
+    }
+  }
+
+  /** Content-defined chunking (Gear/FastCDC boundary rule): roll
+    * h = (h << 1) + gear(byte) over UTF-8 bytes; cut when
+    * (h & (2^avgBits − 1)) == 0 at length ≥ minSize, or at maxSize.
+    * Unlike fixed-size chunking, boundaries depend only on LOCAL content,
+    * so an insertion re-syncs within one chunk and the rest of the
+    * document keeps its digests — THE property that makes chunk-level
+    * dedup survive shifting content (the restic/LBFS/FastCDC design),
+    * pinned by the spec's insertion-invariance property.
+    *
+    * Returns (doc_id, chunk_idx, start, len, digest) with digest =
+    * md5 of the chunk bytes. Per-row sequential byte scan — the
+    * justified mapPartitions shape (compressionRatio's list: binary
+    * decode, external process, trie tokenize, deflate, CDC chunking);
+    * embarrassingly parallel, no shuffle, state is one rolling long.
+    * Engine-pinned (no SQL oracle can roll a hash) — rows-only with
+    * property coverage. */
+  def cdcChunks(docs: DataFrame, minSize: Int = 32, avgBits: Int = 7,
+                maxSize: Int = 512): DataFrame = {
+    require(minSize >= 1 && maxSize >= minSize && avgBits >= 1,
+      s"minSize=$minSize avgBits=$avgBits maxSize=$maxSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mask = (1L << avgBits) - 1
+    val gear = gearTable
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text0) =>
+          val bytes = (if (text0 == null) "" else text0).getBytes("UTF-8")
+          val out = Seq.newBuilder[(Long, Int, Long, Long, String)]
+          var start = 0
+          var idx = 0
+          var h = 0L
+          var i = 0
+          while (i < bytes.length) {
+            h = (h << 1) + gear(bytes(i) & 0xff)
+            val len = i - start + 1
+            if ((len >= minSize && (h & mask) == 0L) || len >= maxSize ||
+                i == bytes.length - 1) {
+              md.reset()
+              md.update(bytes, start, len)
+              val dg = md.digest().map("%02x".format(_)).mkString
+              out += ((id, idx, start.toLong, len.toLong, dg))
+              idx += 1
+              start = i + 1
+              h = 0L
+            }
+            i += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start", "len", "digest")
+  }
 }

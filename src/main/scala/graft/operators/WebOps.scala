@@ -134,4 +134,35 @@ object WebOps {
     // change-set contract here
     merged.select(col(key), col("status"), coalesce(col("__nh"), col("__oh")).as("h"))
   }
+
+  /** Fellegi–Sunter probabilistic record linkage over blocked candidate
+    * pairs: each field comparison contributes the log-likelihood weight
+    * log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement, with
+    * (m, u) the per-field match/unmatch agreement rates; the pair score
+    * is the sum, classified against a threshold. The standard ER scoring
+    * model (Splink/RecordLinkage shape), composed downstream of blocking
+    * so the pair space is |block|², never |rows|².
+    *
+    * `fields` = (name, agreePredicate-column pairs built by the caller
+    * from the joined frame), `mu` = per-field (m, u). Scale shape: one
+    * equi-join on the block key (shuffle or broadcast per Catalyst), the
+    * scoring a pure map over the pair frame. Weights fold to literal
+    * doubles driver-side — log2 runs once per field, not per row. */
+  def fellegiSunter(left: DataFrame, right: DataFrame, blockKey: String,
+                    fields: Seq[(String, org.apache.spark.sql.Column)],
+                    mu: Seq[(Double, Double)],
+                    threshold: Double): DataFrame = {
+    require(fields.nonEmpty && fields.size == mu.size,
+      s"fields=${fields.size} mu=${mu.size}")
+    require(mu.forall { case (m, u) =>
+      m > 0 && m < 1 && u > 0 && u < 1 && m > u }, s"need 0<u<m<1: $mu")
+    val joined = left.join(right, blockKey)
+    val ln2 = math.log(2.0)
+    val score = fields.zip(mu).map { case ((_, agree), (m, u)) =>
+      when(agree, lit(math.log(m / u) / ln2))
+        .otherwise(lit(math.log((1 - m) / (1 - u)) / ln2))
+    }.reduce(_ + _)
+    joined.withColumn("score", score)
+      .withColumn("is_match", (col("score") >= lit(threshold)).cast("int"))
+  }
 }

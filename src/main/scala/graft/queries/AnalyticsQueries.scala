@@ -150,7 +150,34 @@ object AnalyticsQueries {
     // non-parametric location test of the drift battery
     "q_evt_mannwhitney" -> ((s, d) =>
       Analytics.mannWhitney(Tables.events(s, d), "event_type", "value",
-        g1 = "view", g2 = "click")))
+        g1 = "view", g2 = "click")),
+
+    // per-group feature normalization: z-score (sample sd, explicit
+    // algebra) + p05/p95 winsorize per event_type — group stats join
+    // back broadcast (group-count-sized), the feature-prep map a
+    // training pipeline runs before export
+    "q_evt_znorm" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = e.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("double").as("n"), sum(col("value")).as("sv"),
+          sum(col("value") * col("value")).as("svv"),
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .select(col("event_type"), (col("sv") / col("n")).as("mu"),
+          sqrt(greatest(lit(0.0),
+            (col("svv") - col("sv") * col("sv") / col("n"))
+              / (col("n") - 1))).as("sd"),
+          col("p05"), col("p95"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (floor(when(col("sd") > 0,
+              (col("value") - col("mu")) / col("sd")).otherwise(lit(0.0))
+            * 1e4 + lit(0.5)) / 1e4).as("z"),
+          (floor(least(greatest(col("value"), col("p05")), col("p95"))
+            * 1e4 + lit(0.5)) / 1e4).as("vw"))
+        .orderBy(col("event_id"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_evt_funnel" ->
@@ -540,5 +567,26 @@ object AnalyticsQueries {
                            ((n1 + n2 + 1) -
                             tt / ((n1 + n2) * (n1 + n2 - 1.0))))
                       * 1e4 + 0.5) / 1e4) > 1.96 AS INT) AS reject_05
-         FROM u""")
+         FROM u""",
+    // quantile_cont ≡ Spark percentile (q_agg_percentile convention);
+    // variance algebra spelled identically to the Spark side
+    "q_evt_znorm" ->
+      """WITH s AS (
+           SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  sum(value) AS sv, sum(value * value) AS svv,
+                  quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT event_type, sv / n AS mu,
+                  sqrt(greatest(0.0, (svv - sv * sv / n) / (n - 1))) AS sd,
+                  p05, p95
+           FROM s)
+         SELECT e.event_id, e.event_type,
+                floor((CASE WHEN t.sd > 0
+                            THEN (e.value - t.mu) / t.sd ELSE 0.0 END)
+                      * 1e4 + 0.5) / 1e4 AS z,
+                floor(least(greatest(e.value, t.p05), t.p95) * 1e4 + 0.5)
+                  / 1e4 AS vw
+         FROM events e JOIN t USING (event_type) ORDER BY e.event_id""")
 }

@@ -195,6 +195,29 @@ object CurationQueries {
       CurationOps.bloomDedup(batch, corpus)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // content-defined chunking resync witness: every doc re-chunked with
+    // a crawl-header prefix must share (almost) all chunk digests with
+    // its original — boundaries re-sync within a chunk of the insertion,
+    // which is the whole point of CDC over fixed-size chunking. Rolling
+    // gear hash is engine-pinned => rows-only; the invariance floor and
+    // reconstruction properties live in CorpusOpsSpec.
+    "q_llm_cdc_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val orig = CorpusOps.cdcChunks(docs)
+      val shifted = CorpusOps.cdcChunks(docs.withColumn("text",
+        concat(lit("CRAWLDATE:2026-08-13 "), col("text"))))
+      val n = orig.groupBy(col("doc_id"))
+        .agg(countDistinct(col("digest")).as("n_chunks"))
+      val shared = orig.select(col("doc_id"), col("digest")).distinct()
+        .join(shifted.select(col("doc_id"), col("digest")).distinct(),
+          Seq("doc_id", "digest"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      n.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(

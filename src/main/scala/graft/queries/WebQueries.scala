@@ -98,6 +98,35 @@ object WebQueries {
         .orderBy(col("node"))
     }),
 
+    // Fellegi–Sunter record linkage: customer vs a deterministically
+    // perturbed copy (every 3rd name truncated, every 5th balance
+    // shifted 0.37), blocked on nationkey; three field comparisons with
+    // per-field (m, u) rates; matched pairs above threshold 8
+    "q_web_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val left = c.select(col("c_custkey").as("lkey"),
+        col("c_nationkey").as("nk"), col("c_name").as("lname"),
+        col("c_mktsegment").as("lseg"), col("c_acctbal").as("lbal"))
+      val right = c.select(col("c_custkey").as("rkey"),
+        col("c_nationkey").as("nk"),
+        when(col("c_custkey") % 3 === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("rname"),
+        col("c_mktsegment").as("rseg"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.37)
+          .otherwise(col("c_acctbal")).as("rbal"))
+      WebOps.fellegiSunter(left, right, "nk",
+          fields = Seq(
+            "name" -> (levenshtein(col("lname"), col("rname")) <= 1),
+            "segment" -> (col("lseg") === col("rseg")),
+            "balance" -> (abs(col("lbal") - col("rbal")) < lit(1.0))),
+          mu = linkageMu, threshold = 8.0)
+        .where(col("is_match") === 1)
+        .select(col("lkey"), col("rkey"),
+          (floor(col("score") * 1e4 + lit(0.5)) / 1e4).as("score"))
+        .orderBy(col("lkey"), col("rkey"))
+    }),
+
     // HITS hubs & authorities on the 50-node derived digraph (distinct
     // edges), 3 iterations, L1-normalized once at the end
     "q_graph_hits" -> ((s, d) => {
@@ -249,6 +278,20 @@ object WebQueries {
        FROM r$iters ORDER BY node"""
   }
 
+  /** Per-field (m, u) rates for q_web_linkage — shared by the Spark query
+    * and the oracle so both fold to the SAME literal log2 weights. */
+  private val linkageMu =
+    Seq((0.95, 0.001), (0.9, 0.2), (0.85, 0.01))
+
+  /** Agreement/disagreement weights as full-precision SQL literals
+    * (Scala Double.toString round-trips, DuckDB parses to the identical
+    * double — the pair score is then an exact 3-term sum both engines
+    * agree on bit-for-bit). */
+  private def linkageW: Seq[(String, String)] = linkageMu.map { case (m, u) =>
+    val ln2 = math.log(2.0)
+    ((math.log(m / u) / ln2).toString, (math.log((1 - m) / (1 - u)) / ln2).toString)
+  }
+
   /** Unrolled HITS CTEs mirroring [[graft.operators.GraphOps.hits]]:
     * alternating auth/hub half-rounds over the DISTINCT edge set, no
     * per-round normalization (scaling commutes; normalized once at the
@@ -322,6 +365,32 @@ object WebQueries {
          SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
     "q_graph_pagerank" -> pageRankSql(10),
     "q_graph_hits" -> hitsSql(3),
+    "q_web_linkage" -> {
+      val Seq((na, nd), (sa, sd_), (ba, bd)) = linkageW
+      s"""WITH l AS (
+           SELECT c_custkey AS lkey, c_nationkey AS nk, c_name AS lname,
+                  c_mktsegment AS lseg, c_acctbal AS lbal
+           FROM customer),
+         r AS (
+           SELECT c_custkey AS rkey, c_nationkey AS nk,
+                  CASE WHEN c_custkey % 3 = 0
+                       THEN substr(c_name, 1, length(c_name) - 1)
+                       ELSE c_name END AS rname,
+                  c_mktsegment AS rseg,
+                  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.37
+                       ELSE c_acctbal END AS rbal
+           FROM customer),
+         p AS (
+           SELECT lkey, rkey,
+                  (CASE WHEN levenshtein(lname, rname) <= 1
+                        THEN $na ELSE $nd END)
+                + (CASE WHEN lseg = rseg THEN $sa ELSE $sd_ END)
+                + (CASE WHEN abs(lbal - rbal) < 1.0 THEN $ba ELSE $bd END)
+                  AS score
+           FROM l JOIN r USING (nk))
+         SELECT lkey, rkey, floor(score * 1e4 + 0.5) / 1e4 AS score
+         FROM p WHERE score >= 8.0 ORDER BY lkey, rkey"""
+    },
     "q_graph_ppr" -> pprSql(10),
     "q_graph_triangles" ->
       """WITH raw AS (

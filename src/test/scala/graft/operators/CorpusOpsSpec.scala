@@ -845,4 +845,60 @@ class CorpusOpsSpec extends SparkSpec {
       .collect()(0).getDouble(2)
     assert(one == want, s"$one vs $want")
   }
+
+  /** Non-periodic pseudo-random text (LCG) — a periodic fixture (e.g.
+    * (i*31)%26, period 26) never fires the gear boundary condition, so
+    * every cut lands on the start-dependent maxSize fallback and the
+    * resync property vacuously fails. Natural prose is non-periodic. */
+  private def cdcFixtureText(n: Int): String = {
+    var x = 0x9e3779b97f4a7c15L
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb += ('a' + (math.abs((x >>> 33).toInt) % 26)).toChar
+      i += 1
+    }
+    sb.toString
+  }
+
+  test("cdcChunks: lossless reconstruction, size bounds, determinism") {
+    val s = spark
+    import s.implicits._
+    val text = cdcFixtureText(3000)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = CorpusOps.cdcChunks(docs, minSize = 32, avgBits = 7,
+        maxSize = 512)
+      .orderBy(col("chunk_idx"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(chunks.length > 3, s"fixture too smooth: ${chunks.length} chunks")
+    // contiguous cover: chunk i starts where i-1 ended, total = doc length
+    chunks.sliding(2).foreach { case Array((_, s1, l1), (_, s2, _)) =>
+      assert(s2 == s1 + l1) }
+    assert(chunks.map(_._3).sum == text.length)
+    // every chunk but the last obeys [min, max]
+    chunks.init.foreach { case (_, _, len) =>
+      assert(len >= 32 && len <= 512, s"len=$len") }
+    val again = CorpusOps.cdcChunks(docs, 32, 7, 512)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(4)).toList
+    assert(again == CorpusOps.cdcChunks(docs, 32, 7, 512)
+      .orderBy(col("chunk_idx")).collect().map(_.getString(4)).toList)
+  }
+
+  test("cdcChunks: an insertion re-syncs boundaries within a few chunks") {
+    val s = spark
+    import s.implicits._
+    val text = cdcFixtureText(4000)
+    val base = CorpusOps.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().map(_.getString(4)).toSet
+    val shifted = CorpusOps.cdcChunks(
+        Seq((1L, "HEADER/2026 " + text)).toDF("doc_id", "text"))
+      .collect().map(_.getString(4)).toSet
+    val shared = (base intersect shifted).size
+    // the gear boundary rule depends on the last avgBits bytes only, so
+    // all chunks past the first natural boundary after the insertion
+    // keep their digests — fixed-size chunking would share ZERO
+    assert(shared >= base.size - 4,
+      s"shared $shared of ${base.size} — CDC resync broken")
+  }
 }

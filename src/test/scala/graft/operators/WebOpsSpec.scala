@@ -80,4 +80,30 @@ class WebOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("fellegiSunter: log2 weights, threshold, and blocking") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10, "alice", 5.0), (2L, 10, "bobby", 7.0),
+      (9L, 99, "alice", 5.0)).toDF("lkey", "blk", "lname", "lbal")
+    val right = Seq((1L, 10, "alice", 5.2), (2L, 10, "carol", 99.0))
+      .toDF("rkey", "blk", "rname", "rbal")
+    val got = WebOps.fellegiSunter(left, right, "blk",
+        fields = Seq(
+          "name" -> (col("lname") === col("rname")),
+          "bal" -> (abs(col("lbal") - col("rbal")) < lit(1.0))),
+        mu = Seq((0.9, 0.01), (0.8, 0.05)), threshold = 5.0)
+      .select("lkey", "rkey", "score", "is_match")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def w(m: Double, u: Double) = math.log(m / u) / math.log(2.0)
+    def wd(m: Double, u: Double) = math.log((1 - m) / (1 - u)) / math.log(2.0)
+    // (1,1): both agree; (1,2)/(2,1): both disagree; (2,2): both disagree
+    assert(got((1L, 1L)) == ((w(0.9, 0.01) + w(0.8, 0.05), 1)))
+    assert(got((2L, 2L)) == ((wd(0.9, 0.01) + wd(0.8, 0.05), 0)))
+    // key 9 sits in block 99 with no right-side rows: blocked out
+    assert(!got.keySet.exists(_._1 == 9L))
+    // 2x2 block pairs all formed (blocking is the ONLY pair bound)
+    assert(got.size == 4)
+  }
 }
