@@ -155,11 +155,23 @@ object RetrievalQueries {
         / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
 
+  /** Sequential-fold cosine (list_reduce, left-to-right) — bit-matches
+    * the engine's sequential dot/norm loops where list_sum's pairwise
+    * summation can differ in last bits and flip a 4dp boundary (observed
+    * once at sf0.1 in the MMR pairwise sims). */
+  private def cosRawSeq(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))))"""
+
   /** Unrolled greedy MMR mirroring RetrievalOps.mmrRerank: step i picks
     * the (score desc, vid asc) argmax of
     * floor((0.7·rel − (1−0.7)·maxsim)·1e4+0.5)/1e4 over the pool minus
-    * the chosen set; (1−0.7) is SPELLED as a subtraction so both engines
-    * compute the same 0.30000000000000004 double. */
+    * the chosen set; λ literals carry e0 (DuckDB parses bare 0.7 as
+    * DECIMAL, making (1 − 0.7) exactly 0.3 — the engine's double
+    * (1 − 0.7) is 0.30000000000000004, and the mismatch flipped a 4dp
+    * boundary at sf0.1) so both engines subtract the same doubles. */
   private def mmrSql(k: Int, poolSize: Int): String = {
     val steps = (1 to k).map { i =>
       val prev = s"ch${i - 1}"
@@ -169,9 +181,9 @@ object RetrievalQueries {
           FROM sim JOIN $prev ON sim.qid = $prev.qid AND sim.vb = $prev.vid
           GROUP BY 1, 2),"""
       val scoreExpr = if (i == 1)
-        "floor((0.7 * p.rel - (1 - 0.7) * 0.0) * 1e4 + 0.5) / 1e4"
+        "floor((0.7e0 * p.rel - (1e0 - 0.7e0) * 0e0) * 1e4 + 0.5) / 1e4"
       else
-        s"floor((0.7 * p.rel - (1 - 0.7) * ms$i.m) * 1e4 + 0.5) / 1e4"
+        s"floor((0.7e0 * p.rel - (1e0 - 0.7e0) * ms$i.m) * 1e4 + 0.5) / 1e4"
       val joins = if (i == 1)
         s"FROM pv p"
       else
@@ -199,7 +211,7 @@ object RetrievalQueries {
          WHERE vec_id < 5),
        c AS (SELECT vec_id AS vid, embedding AS cv FROM embeddings),
        scored AS (
-         SELECT qid, vid, ROUND(${cosRaw("qv", "cv")}, 4) AS rel
+         SELECT qid, vid, ROUND(${cosRawSeq("qv", "cv")}, 4) AS rel
          FROM q JOIN c ON vid <> qid),
        pool AS (
          SELECT qid, vid, rel FROM (
@@ -210,7 +222,7 @@ object RetrievalQueries {
               FROM pool JOIN c USING (vid)),
        sim AS (
          SELECT a.qid, a.vid AS va, b.vid AS vb,
-                floor(${cosRaw("a.cv", "b.cv")} * 1e4 + 0.5) / 1e4 AS s
+                floor(${cosRawSeq("a.cv", "b.cv")} * 1e4 + 0.5) / 1e4 AS s
          FROM pv a JOIN pv b ON a.qid = b.qid AND a.vid <> b.vid),
        $steps
        SELECT qid, rn, vid, score FROM ($finalSel) ORDER BY qid, rn"""

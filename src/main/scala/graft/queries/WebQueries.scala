@@ -140,6 +140,23 @@ object WebQueries {
         .orderBy(col("node"))
     }),
 
+    // weakly connected components exposed as a first-class graph op
+    // (Dedup's CC loop on a graph DELIBERATELY split into islands by
+    // dropping every edge touching node%4==0): (node, component=min id)
+    "q_graph_wcc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select((col("doc_id") % 60).as("a"),
+          ((col("doc_id") * 31 + col("n_chars")) % 60).as("b"))
+        .where(col("a") % 4 =!= 0 && col("b") % 4 =!= 0 &&
+          col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("d1"),
+          greatest(col("a"), col("b")).as("d2"))
+        .distinct()
+      graft.operators.Dedup.connectedComponents(edges)
+        .select(col("id").as("node"), col("comp").as("component"))
+        .orderBy(col("node"))
+    }),
+
     // single-source BFS levels from node 0 on the same 60-node graph —
     // level-synchronous frontier expansion (Pregel's traversal shape)
     "q_graph_bfs" -> ((s, d) => {
@@ -365,6 +382,24 @@ object WebQueries {
          SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""",
     "q_graph_pagerank" -> pageRankSql(10),
     "q_graph_hits" -> hitsSql(3),
+    // min-label propagation to a fixpoint via recursive CTE (the
+    // q_llm_pipeline2 CC-oracle pattern on an explicit graph)
+    "q_graph_wcc" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT least(a, b) AS d1, greatest(a, b) AS d2 FROM (
+             SELECT doc_id % 60 AS a, (doc_id * 31 + n_chars) % 60 AS b
+             FROM documents)
+           WHERE a % 4 <> 0 AND b % 4 <> 0 AND a <> b),
+         sym AS (SELECT d1 AS u, d2 AS v FROM e
+                 UNION ALL SELECT d2, d1 FROM e),
+         walk(node, comp) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+           UNION
+           SELECT sym.u, walk.comp FROM sym JOIN walk ON sym.v = walk.node),
+         lab AS (SELECT node, min(comp) AS component FROM walk GROUP BY 1)
+         SELECT CAST(node AS BIGINT) AS node,
+                CAST(component AS BIGINT) AS component
+         FROM lab ORDER BY node""",
     "q_web_linkage" -> {
       val Seq((na, nd), (sa, sd_), (ba, bd)) = linkageW
       s"""WITH l AS (
