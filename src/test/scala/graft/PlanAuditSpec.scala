@@ -20,12 +20,14 @@ class PlanAuditSpec extends SparkSpec {
   // q_llm_ann_binary is the q_llm_ann_int8 broadcast brute-force shape
   // (10-query side, ≠-join); q_graph_hits cross-joins the TWO 1-row
   // normalizer aggregates; q_evt_seasonal cross-joins the 1-row grand
-  // mean onto the 24-row hourly table.
+  // mean onto the 24-row hourly table. q_llm_mmr's pool stage and
+  // q_llm_two_stage's coarse stage are the same broadcast brute-force
+  // ANN shape (tiny query side × candidate scan).
   private val allowedCartesian =
     Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
       "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid", "q_llm_contrastive",
       "q_profile_chi2", "q_evt_abtest", "q_llm_ann_binary", "q_graph_hits",
-      "q_evt_seasonal")
+      "q_evt_seasonal", "q_llm_mmr", "q_llm_two_stage")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))
