@@ -100,22 +100,26 @@ object WebQueries {
 
     // Fellegi–Sunter record linkage: customer vs a deterministically
     // perturbed copy (every 3rd name truncated, every 5th balance
-    // shifted 0.37), blocked on nationkey; three field comparisons with
-    // per-field (m, u) rates; matched pairs above threshold 8
+    // shifted 0.37), blocked on a BOUNDED composite key (50-key
+    // "geo-cell" × nation — nation alone is a scale-killer: block size
+    // grows with data, so pairs grow QUADRATICALLY; the 8× probe
+    // measured 15.8× wall before the cell bound). Three field
+    // comparisons with per-field (m, u) rates; matches above 8.
     "q_web_linkage" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val left = c.select(col("c_custkey").as("lkey"),
-        col("c_nationkey").as("nk"), col("c_name").as("lname"),
+      val blk = (floor(col("c_custkey") / 50) * 100 +
+        col("c_nationkey")).as("blk")
+      val left = c.select(col("c_custkey").as("lkey"), blk,
+        col("c_name").as("lname"),
         col("c_mktsegment").as("lseg"), col("c_acctbal").as("lbal"))
-      val right = c.select(col("c_custkey").as("rkey"),
-        col("c_nationkey").as("nk"),
+      val right = c.select(col("c_custkey").as("rkey"), blk,
         when(col("c_custkey") % 3 === 0,
           expr("substring(c_name, 1, length(c_name) - 1)"))
           .otherwise(col("c_name")).as("rname"),
         col("c_mktsegment").as("rseg"),
         when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.37)
           .otherwise(col("c_acctbal")).as("rbal"))
-      WebOps.fellegiSunter(left, right, "nk",
+      WebOps.fellegiSunter(left, right, "blk",
           fields = Seq(
             "name" -> (levenshtein(col("lname"), col("rname")) <= 1),
             "segment" -> (col("lseg") === col("rseg")),
@@ -403,11 +407,14 @@ object WebQueries {
     "q_web_linkage" -> {
       val Seq((na, nd), (sa, sd_), (ba, bd)) = linkageW
       s"""WITH l AS (
-           SELECT c_custkey AS lkey, c_nationkey AS nk, c_name AS lname,
+           SELECT c_custkey AS lkey,
+                  (c_custkey // 50) * 100 + c_nationkey AS blk,
+                  c_name AS lname,
                   c_mktsegment AS lseg, c_acctbal AS lbal
            FROM customer),
          r AS (
-           SELECT c_custkey AS rkey, c_nationkey AS nk,
+           SELECT c_custkey AS rkey,
+                  (c_custkey // 50) * 100 + c_nationkey AS blk,
                   CASE WHEN c_custkey % 3 = 0
                        THEN substr(c_name, 1, length(c_name) - 1)
                        ELSE c_name END AS rname,
@@ -422,7 +429,7 @@ object WebQueries {
                 + (CASE WHEN lseg = rseg THEN $sa ELSE $sd_ END)
                 + (CASE WHEN abs(lbal - rbal) < 1.0 THEN $ba ELSE $bd END)
                   AS score
-           FROM l JOIN r USING (nk))
+           FROM l JOIN r USING (blk))
          SELECT lkey, rkey, floor(score * 1e4 + 0.5) / 1e4 AS score
          FROM p WHERE score >= 8.0 ORDER BY lkey, rkey"""
     },
