@@ -580,6 +580,48 @@ object Analytics {
       .withColumn("reject_05", (col("d_stat") > col("crit_05")).cast("int"))
   }
 
+  /** Offline change-point detection (binary-segmentation first split):
+    * per key, the split position maximizing |mean(prefix) − mean(suffix)|
+    * over the key's time-ordered values — computed from ONE pair of
+    * prefix-sum windows (no per-candidate rescan), the standard
+    * screening step before CUSUM/PELT refinement. Gap rounds to 4dp
+    * BEFORE the argmax (earliest-position tie-break) so the chosen
+    * split is engine-exact. Returns (user_id, n, split_pos, gap) for
+    * keys with ≥ 2·minSeg observations; splits respect `minSeg` on both
+    * sides (mean of < minSeg points is noise, not a regime).
+    *
+    * Scale shape: one user-keyed shuffle; both windows and the argmax
+    * run inside the per-user frame (bounded by per-user event count —
+    * the sessionization bound). */
+  def changePoint(events: DataFrame, minSeg: Int = 5): DataFrame = {
+    require(minSeg >= 1, s"minSeg=$minSeg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val scored = events
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_id"), col("value").as("v"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("ps", sum(col("v")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum(col("v")).over(wAll))
+      .where(col("pos") >= minSeg && col("pos") <= col("n") - minSeg)
+      .withColumn("gap",
+        floor(abs(col("ps") / col("pos") -
+            (col("st") - col("ps")) / (col("n") - col("pos")))
+          * 1e4 + lit(0.5)) / 1e4)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("gap").desc, col("pos").asc)
+    scored.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("split_pos"), col("gap"))
+  }
+
   /** Mann–Whitney U rank-sum test (Wilcoxon two-sample): the
     * non-parametric location test next to Welch (means), KS (shape) and
     * χ² (categories). Average ranks for ties, tie-corrected normal

@@ -152,6 +152,12 @@ object AnalyticsQueries {
       Analytics.mannWhitney(Tables.events(s, d), "event_type", "value",
         g1 = "view", g2 = "click")),
 
+    // offline change-point screen: per-user split maximizing
+    // |mean(prefix) − mean(suffix)| from one prefix-sum window pair
+    "q_evt_changepoint" -> ((s, d) =>
+      Analytics.changePoint(Tables.events(s, d), minSeg = 5)
+        .orderBy(col("user_id"))),
+
     // per-group feature normalization: z-score (sample sd, explicit
     // algebra) + p05/p95 winsorize per event_type — group stats join
     // back broadcast (group-count-sized), the feature-prep map a
@@ -568,6 +574,32 @@ object AnalyticsQueries {
                             tt / ((n1 + n2) * (n1 + n2 - 1.0))))
                       * 1e4 + 0.5) / 1e4) > 1.96 AS INT) AS reject_05
          FROM u""",
+    "q_evt_changepoint" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id, value AS v FROM events),
+          w AS (
+            SELECT user_id, v,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) AS pos,
+                   sum(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ps,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   sum(v) OVER (PARTITION BY user_id) AS st
+            FROM e),
+          g AS (
+            SELECT user_id, n, pos,
+                   floor(abs(ps / pos - (st - ps) / (n - pos)) * 1e4 + 0.5)
+                     / 1e4 AS gap
+            FROM w WHERE pos >= 5 AND pos <= n - 5),
+          b AS (
+            SELECT user_id, n, pos, gap,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY gap DESC, pos ASC) AS rn
+            FROM g)
+          SELECT user_id, CAST(n AS BIGINT) AS n,
+                 CAST(pos AS BIGINT) AS split_pos, gap
+          FROM b WHERE rn = 1 ORDER BY user_id""",
     // quantile_cont ≡ Spark percentile (q_agg_percentile convention);
     // variance algebra spelled identically to the Spark side
     "q_evt_znorm" ->

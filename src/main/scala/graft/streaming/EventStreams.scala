@@ -55,6 +55,18 @@ object EventStreams {
   def dedupByEventId(events: DataFrame, delay: String = "15 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates(Seq("event_id"))
 
+  /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`):
+    * guarantees dedup for duplicates arriving within the watermark delay
+    * of each other, and — unlike [[dedupByEventId]]'s keep-forever key
+    * state — EXPIRES a key's state once the watermark passes it, so a
+    * re-occurrence far later is emitted again. That expiry is the
+    * contract that keeps state bounded by delay × rate at crawl scale
+    * (the keep-forever variant grows with |keys| seen). */
+  def dedupWithinWatermark(events: DataFrame,
+                           delay: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Stream-stream interval join (Flink intervalJoin analogue, Q-JOIN-7's
     * streaming twin): purchase events joined to the same user's preceding
     * signup within `horizon`. Both sides watermarked so join state expires. */

@@ -432,4 +432,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(tied.getDouble(2) == 1.0 && tied.getDouble(3) == -1.0, s"$tied")
     assert(tied.getInt(4) == 0)
   }
+
+  test("changePoint finds a planted step; flat series splits earliest") {
+    val ev = ((1 to 10).map(i => (1L, i.toLong, "a", ts(i), 0.0)) ++
+      (11 to 20).map(i => (1L, i.toLong, "a", ts(i), 10.0)) ++
+      (1 to 12).map(i => (2L, (100 + i).toLong, "a", ts(i), 7.0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = Analytics.changePoint(ev, minSeg = 5)
+      .select("user_id", "n", "split_pos", "gap")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // u1: prefix mean 0, suffix mean 10 at pos 10 — the exact step
+    assert(got(1L) == ((20L, 10L, 10.0)), s"${got(1L)}")
+    // u2: flat — every gap 0, earliest eligible position wins
+    assert(got(2L) == ((12L, 5L, 0.0)), s"${got(2L)}")
+  }
 }

@@ -553,4 +553,65 @@ class StreamingSpec extends SparkSpec {
       assert(s.table(name).count() == 0, "expired chain must not match")
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark expires key state; keep-forever dedup does not") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.dedupWithinWatermark(in.toDS().toDF(),
+        delay = "5 minutes")
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "a", 0))
+      q.processAllAvailable()
+      // duplicate within the delay window: dropped
+      in.addData(ev(1, 2, "a", 2))
+      q.processAllAvailable()
+      assert(s.table(name).count() == 1)
+      // push the watermark far past event 1's expiry, then REPLAY id 1:
+      // state expired, the late re-occurrence is emitted again — the
+      // bounded-state contract keep-forever dropDuplicates cannot give
+      in.addData(ev(2, 1, "a", 100))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "a", 101))
+      q.processAllAvailable()
+      in.addData(ev(1, 3, "a", 102))
+      q.processAllAvailable()
+      val ids = s.table(name).as[(Long, Long)].collect().toList.sorted
+      assert(ids.count(_._1 == 1L) == 2, s"state must expire: $ids")
+    } finally q.stop()
+  }
+
+  test("MetricsListener captures per-batch rows, state size, watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val listener = new MetricsListener(keep = 8)
+    s.streams.addListener(listener)
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.tumblingCounts(in.toDS().toDF(), "10 minutes",
+        "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "a", 0), ev(2, 1, "a", 1))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "a", 30))
+      q.processAllAvailable()
+      val snap = listener.snapshot
+      assert(snap.nonEmpty, "no progress captured")
+      assert(snap.map(_.numInputRows).sum == 3,
+        s"rows: ${snap.map(_.numInputRows)}")
+      assert(snap.exists(_.stateRows > 0), s"state never observed: $snap")
+      assert(snap.exists(_.watermark.nonEmpty), "watermark never reported")
+      // ring bound honored
+      assert(snap.length <= 8)
+    } finally {
+      q.stop()
+      s.streams.removeListener(listener)
+    }
+  }
 }
