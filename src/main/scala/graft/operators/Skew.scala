@@ -41,4 +41,24 @@ object Skew {
         aggs.tail.zipWithIndex.map { case (a, i) =>
           a.phase2(col(s"__p${i + 1}")).as(a.out) }: _*)
   }
+
+  /** Skew-safe equi-join: the fact side salts each row into one of
+    * `salts` sub-keys (deterministic row hash — NOT rand(), which breaks
+    * retry/replay determinism), the dim side replicates `salts`× via an
+    * explode, and the join runs on (key, salt) — a hot key's rows spread
+    * over `salts` reducers instead of ONE. The manual twin of AQE's
+    * skew-join split for the cases AQE can't see (pre-AQE writers,
+    * deliberately disabled AQE, or non-shuffle-boundary skew); dim-side
+    * cost is `salts`× its size, so salt counts stay small (8–32).
+    * Returns the joined frame with the salt column dropped. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts > 0, s"salts=$salts")
+    val factCols = fact.columns.map(col)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(factCols: _*), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

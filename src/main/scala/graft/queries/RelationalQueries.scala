@@ -225,6 +225,35 @@ object RelationalQueries {
           (floor(sum(col("l_quantity")) * 100 + lit(0.5)) / 100).as("sum_qty"),
           sum(col("p_size")).cast("long").as("sum_size"))),
 
+    // Salted skew join: fact rows hash into 16 sub-keys, the dim
+    // replicates 16x, the join runs on (key, salt) — a hot key spreads
+    // over 16 reducers instead of one (the demux-Undetermined hot-key
+    // mitigation when AQE can't see the skew). Oracle = the plain join:
+    // equality proves salting is semantics-neutral.
+    "q_join_salted" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderstatus")),
+          key = "l_orderkey", salts = 16)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("l_quantity")) * 100 + lit(0.5)) / 100).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))),
+
+    // Salted two-phase aggregation on the same hot-key story: phase 1
+    // over (key, salt) sub-groups, tiny phase-2 combine
+    "q_agg_salted" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+          Tables.lineitem(s, d).select(col("l_returnflag"),
+            col("l_quantity")),
+          key = "l_returnflag", salts = 16,
+          graft.operators.Skew.count2("n"),
+          graft.operators.Skew.sum2(col("l_quantity"), "sum_qty_raw"))
+        .select(col("l_returnflag"), col("n"),
+          (floor(col("sum_qty_raw") * 100 + lit(0.5)) / 100).as("sum_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // Bucketed-table sort-merge join: both sides land bucketBy+sortBy on
     // the join key, so the per-query join runs with ZERO Exchange and
     // ZERO Sort (asserted in BucketingSpec) — the pay-the-shuffle-once-
@@ -640,6 +669,15 @@ object RelationalQueries {
                 floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+    "q_join_salted" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_agg_salted" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q_scan_dpp" ->
       """WITH f AS (
            SELECT o_totalprice,

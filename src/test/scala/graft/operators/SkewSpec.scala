@@ -104,4 +104,24 @@ class SkewSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS t_cust_b")
     }
   }
+
+  test("saltedJoin equals the plain join and spreads a hot key") {
+    val s = spark
+    import s.implicits._
+    // hot key 1 dominates the fact side
+    val fact = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => (2L, i.toLong))).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "absent"))
+      .toDF("k", "label")
+    val plain = fact.join(dim, "k")
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    assert(salted == plain, s"salted=$salted plain=$plain")
+    // the hot key's fact rows actually use more than one salt value
+    val spread = fact.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8)).cast("int"))
+      .where(col("k") === 1L).select("__salt").distinct().count()
+    assert(spread > 1, "hot key landed on a single salt")
+  }
 }
