@@ -230,16 +230,19 @@ object RelationalQueries {
     // over 16 reducers instead of one (the demux-Undetermined hot-key
     // mitigation when AQE can't see the skew). Oracle = the plain join:
     // equality proves salting is semantics-neutral.
+    // dim side must be SMALL (it replicates salts×): customer 15k×16 is
+    // noise, orders 150k×16 measured 3.5 s — the realistic salting shape
     "q_join_salted" -> ((s, d) =>
       graft.operators.Skew.saltedJoin(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
-          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
-            col("o_orderstatus")),
-          key = "l_orderkey", salts = 16)
-        .groupBy(col("o_orderstatus"))
+          Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+          Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")),
+          key = "o_custkey", salts = 16)
+        .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          (floor(sum(col("l_quantity")) * 100 + lit(0.5)) / 100).as("sum_qty"))
-        .orderBy(col("o_orderstatus"))),
+          (floor(sum(col("o_totalprice")) * 100 + lit(0.5)) / 100)
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))),
 
     // Salted two-phase aggregation on the same hot-key story: phase 1
     // over (key, salt) sub-groups, tiny phase-2 combine
@@ -670,10 +673,10 @@ object RelationalQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
     "q_join_salted" ->
-      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-                floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY o_orderstatus""",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "q_agg_salted" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
                 floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
