@@ -584,11 +584,15 @@ object Analytics {
     * per key, the split position maximizing |mean(prefix) − mean(suffix)|
     * over the key's time-ordered values — computed from ONE pair of
     * prefix-sum windows (no per-candidate rescan), the standard
-    * screening step before CUSUM/PELT refinement. Gap rounds to 4dp
-    * BEFORE the argmax (earliest-position tie-break) so the chosen
-    * split is engine-exact. Returns (user_id, n, split_pos, gap) for
-    * keys with ≥ 2·minSeg observations; splits respect `minSeg` on both
-    * sides (mean of < minSeg points is noise, not a regime).
+    * screening step before CUSUM/PELT refinement. Values convert to
+    * EXACT integer cents first, so every prefix/total sum is
+    * order-independent-exact and the gap doubles are bit-identical in
+    * any engine (raw double sums flipped two 4dp boundaries at sf0.1);
+    * gap rounds to 4dp BEFORE the argmax (earliest-position tie-break)
+    * so the chosen split is engine-exact. Returns
+    * (user_id, n, split_pos, gap) for keys with ≥ 2·minSeg
+    * observations; splits respect `minSeg` on both sides (mean of
+    * < minSeg points is noise, not a regime).
     *
     * Scale shape: one user-keyed shuffle; both windows and the argmax
     * run inside the per-user frame (bounded by per-user event count —
@@ -603,16 +607,17 @@ object Analytics {
       .partitionBy(col("user_id"))
     val scored = events
       .select(col("user_id"), col("ts").cast("long").as("t"),
-        col("event_id"), col("value").as("v"))
+        col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
       .withColumn("pos", row_number().over(w))
       .withColumn("ps", sum(col("v")).over(wCum))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("st", sum(col("v")).over(wAll))
       .where(col("pos") >= minSeg && col("pos") <= col("n") - minSeg)
       .withColumn("gap",
-        floor(abs(col("ps") / col("pos") -
-            (col("st") - col("ps")) / (col("n") - col("pos")))
-          * 1e4 + lit(0.5)) / 1e4)
+        floor(abs(col("ps") / col("pos").cast("double") -
+            (col("st") - col("ps")) / (col("n") - col("pos")).cast("double"))
+          / 100.0 * 1e4 + lit(0.5)) / 1e4)
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("gap").desc, col("pos").asc)

@@ -574,9 +574,12 @@ object AnalyticsQueries {
                             tt / ((n1 + n2) * (n1 + n2 - 1.0))))
                       * 1e4 + 0.5) / 1e4) > 1.96 AS INT) AS reject_05
          FROM u""",
+    // exact integer cents make every prefix/total sum order-independent
     "q_evt_changepoint" ->
       s"""WITH e AS (
-            SELECT user_id, $ep AS t, event_id, value AS v FROM events),
+            SELECT user_id, $ep AS t, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events),
           w AS (
             SELECT user_id, v,
                    row_number() OVER (PARTITION BY user_id
@@ -589,8 +592,9 @@ object AnalyticsQueries {
             FROM e),
           g AS (
             SELECT user_id, n, pos,
-                   floor(abs(ps / pos - (st - ps) / (n - pos)) * 1e4 + 0.5)
-                     / 1e4 AS gap
+                   floor(abs(ps / CAST(pos AS DOUBLE)
+                             - (st - ps) / CAST(n - pos AS DOUBLE))
+                         / 100.0 * 1e4 + 0.5) / 1e4 AS gap
             FROM w WHERE pos >= 5 AND pos <= n - 5),
           b AS (
             SELECT user_id, n, pos, gap,
