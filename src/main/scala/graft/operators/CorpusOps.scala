@@ -1513,6 +1513,36 @@ object CorpusOps {
       .select(col("position"), col("doc_id"), sc, col("rank"))
   }
 
+  /** Skip-gram (center, context) pair counts — the word2vec/embedding
+    * training input stage: tokens at positions i pair with tokens at
+    * positions i±1..i±window within the SAME document, symmetric
+    * emission, counts filtered at `minCount`. Returns
+    * (center, context, n).
+    *
+    * Scale shape: one explode to (doc, pos, token) — the tfIdf tokenize
+    * shuffle — then a per-doc positional band self-join: output rows =
+    * tokens × 2·window, never tokens² (the band predicate rides the
+    * doc_id equi-join, so Catalyst keeps it a hash join + filter). The
+    * pair count aggregate is partial-aggregable. */
+  def skipGrams(docs: DataFrame, window: Int = 2,
+                minCount: Long = 2): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as(Seq("pos", "token")))
+    val a = tok.select(col("doc_id"), col("pos").as("pa"),
+      col("token").as("center"))
+    val b = tok.select(col("doc_id"), col("pos").as("pb"),
+      col("token").as("context"))
+    a.join(b, Seq("doc_id"))
+      .where(col("pb") =!= col("pa") &&
+        abs(col("pb") - col("pa")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Deterministic 256-entry gear table: first 8 bytes of md5("gear:i")
     * as a big-endian long — reproducible on any platform, no RNG. */
   private lazy val gearTable: Array[Long] = {

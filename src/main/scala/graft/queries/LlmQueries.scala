@@ -647,6 +647,14 @@ object LlmQueries {
 
     // PMI association mining: co-occurrence of the top-150 vocabulary
     // within documents, pairs in ≥5 docs
+    // skip-gram (center, context) pair counts, window ±2 — the word2vec
+    // embedding-training input stage; positional band self-join, never
+    // tokens² (pairs ≥ 25 keep the driver hash bounded)
+    "q_llm_skipgrams" -> ((s, d) =>
+      CorpusOps.skipGrams(Tables.documents(s, d), window = 2,
+          minCount = 25)
+        .orderBy(col("center"), col("context"))),
+
     "q_llm_pmi" -> ((s, d) =>
       CorpusOps.pmiPairs(Tables.documents(s, d), topVocab = 150,
           minPairCount = 5)
@@ -1373,6 +1381,23 @@ object LlmQueries {
            FROM s)
          SELECT doc_id, CAST(rn AS INT) AS rn, token, score
          FROM r WHERE rn <= 5 ORDER BY doc_id, rn""",
+    "q_llm_skipgrams" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         tok AS (
+           -- parallel unnest zips the two same-length lists positionally
+           SELECT doc_id, unnest(range(len(toks))) AS pos,
+                  unnest(toks) AS token
+           FROM d),
+         p AS (
+           SELECT a.token AS center, b.token AS context
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+           WHERE b.pos <> a.pos AND abs(b.pos - a.pos) <= 2)
+         SELECT center, context, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2 HAVING count(*) >= 25
+         ORDER BY center, context""",
     "q_llm_pmi" ->
       """WITH dt AS (
            SELECT DISTINCT doc_id, token FROM (

@@ -901,4 +901,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shared >= base.size - 4,
       s"shared $shared of ${base.size} — CDC resync broken")
   }
+
+  test("skipGrams: window bound, symmetric emission, minCount filter") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val w1 = CorpusOps.skipGrams(docs, window = 1, minCount = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // adjacent pairs only, both directions; (a,b) occurs in both docs
+    assert(w1(("a", "b")) == 2L && w1(("b", "a")) == 2L)
+    assert(w1(("b", "c")) == 1L && w1(("c", "d")) == 1L)
+    assert(!w1.contains(("a", "c")), "window 1 must not reach distance 2")
+    val w2 = CorpusOps.skipGrams(docs, window = 2, minCount = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w2(("a", "c")) == 1L && w2(("b", "d")) == 1L)
+    assert(!w2.contains(("a", "d")), "window 2 must not reach distance 3")
+    // minCount drops singletons
+    val mc = CorpusOps.skipGrams(docs, window = 1, minCount = 2)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(mc == Set(("a", "b"), ("b", "a")))
+  }
 }
