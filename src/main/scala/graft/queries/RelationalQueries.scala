@@ -424,6 +424,24 @@ object RelationalQueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // SQL front end with CTE + window + QUALIFY-style filter: top-2
+    // orders per status by price, written entirely in spark.sql text
+    // (ANSI subset shared verbatim with the DuckDB oracle)
+    "q_sql_cte_window" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH ranked AS (
+          |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_orderstatus
+          |                            ORDER BY o_totalprice DESC,
+          |                                     o_orderkey ASC) AS rn
+          |  FROM orders)
+          |SELECT o_orderstatus, CAST(rn AS INT) AS rn, o_orderkey,
+          |       floor(o_totalprice * 100 + 0.5) / 100 AS price
+          |FROM ranked WHERE rn <= 2
+          |ORDER BY o_orderstatus, rn""".stripMargin)
+    }),
+
     // ---- sort / limit / top-k ------------------------------------------
     "q_sort_limit" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -733,6 +751,17 @@ object RelationalQueries {
       "SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k",
     "q_set_except" ->
       "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "q_sql_cte_window" ->
+      """WITH ranked AS (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice DESC,
+                                              o_orderkey ASC) AS rn
+           FROM orders)
+         SELECT o_orderstatus, CAST(rn AS INT) AS rn, o_orderkey,
+                floor(o_totalprice * 100 + 0.5) / 100 AS price
+         FROM ranked WHERE rn <= 2
+         ORDER BY o_orderstatus, rn""",
     "q_sql_exists" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
