@@ -923,4 +923,39 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().map(r => (r._1, r._2)).toSet
     assert(mc == Set(("a", "b"), ("b", "a")))
   }
+
+  test("cdcChunks property: any Unicode text covers losslessly with bounded chunks") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    // mixed ASCII / multi-byte / surrogate-pair text — chunk offsets are
+    // BYTE offsets, so multi-byte code points may straddle a boundary;
+    // the contract is byte-level coverage, not char-level
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.const("\u00e9"), Gen.const("\u4e16"), Gen.const("\ud83d\ude00")))
+      .map(_.mkString)
+    val prop = Prop.forAll(gen) { text =>
+      val rows = CorpusOps.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+          minSize = 8, avgBits = 4, maxSize = 64)
+        .orderBy(col("chunk_idx"))
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      val nBytes = text.getBytes("UTF-8").length
+      if (nBytes == 0) rows.isEmpty
+      else {
+        val contiguous = rows.sliding(2).forall {
+          case Array((_, s1, l1), (_, s2, _)) => s2 == s1 + l1
+          case _ => true
+        }
+        val covered = rows.headOption.exists(_._2 == 0L) &&
+          rows.map(_._3).sum == nBytes
+        val bounded = rows.dropRight(1).forall(r => r._3 >= 8 && r._3 <= 64)
+        val indexed = rows.map(_._1).toList == rows.indices.toList
+        contiguous && covered && bounded && indexed
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
