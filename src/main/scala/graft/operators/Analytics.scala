@@ -484,6 +484,39 @@ object Analytics {
           .as("v"))
   }
 
+  /** LOCF resampling (last observation carried forward): per-key hourly
+    * grid where each tick holds the most recent observation at-or-before
+    * it — the step-function semantics telemetry/finance pipelines use
+    * where [[resampleLinear]]'s interpolation would invent values (a
+    * gauge that was 5 stays 5 until re-read). Ticks before a key's first
+    * observation are absent (nothing to carry). Same grid construction
+    * and single user-keyed window shuffle as resampleLinear, forward
+    * pass only. Returns (user_id, t, v). */
+  def resampleHold(events: DataFrame, stepSec: Long = 3600L): DataFrame = {
+    require(stepSec >= 1, s"stepSec=$stepSec")
+    val obs = events
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("value"))
+      .groupBy(col("user_id"), col("t")).agg(min(col("value")).as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .select(col("user_id"), explode(sequence(
+        expr(s"(mn + ${stepSec - 1}) div $stepSec"),
+        expr(s"mx div $stepSec"))).as("k"))
+      .select(col("user_id"), (col("k") * stepSec).as("t"))
+    val tagged = obs.withColumn("is_obs", lit(1))
+      .unionByName(grid.withColumn("v", lit(null).cast("double"))
+        .withColumn("is_obs", lit(0)))
+    val fwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_obs").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("pv", last(when(col("is_obs") === 1, col("v")),
+        ignoreNulls = true).over(fwd))
+      .where(col("is_obs") === 0 && col("pv").isNotNull)
+      .select(col("user_id"), col("t"), col("pv").as("v"))
+  }
+
   /** Batch complex-event-processing: regex pattern matching over each
     * user's ordered event-symbol sequence — the batch twin of Flink CEP
     * (the reference framework's flagship feature; the reference itself

@@ -109,6 +109,14 @@ object AnalyticsQueries {
           (floor(col("v") * 1e4 + lit(0.5)) / 1e4).as("v"))
         .orderBy(col("user_id"), col("t"))),
 
+    // LOCF gap fill: hourly grid holding the last observation — the
+    // step-function twin of q_evt_resample's interpolation
+    "q_evt_gapfill" -> ((s, d) =>
+      Analytics.resampleHold(Tables.events(s, d), stepSec = 3600L)
+        .select(col("user_id"), col("t"),
+          (floor(col("v") * 1e4 + lit(0.5)) / 1e4).as("v"))
+        .orderBy(col("user_id"), col("t"))),
+
     // rolling z-score anomalies: 10-event lookback per user, |z| > 2
     "q_evt_anomaly" -> ((s, d) =>
       Analytics.rollingAnomaly(Tables.events(s, d))
@@ -425,6 +433,31 @@ object AnalyticsQueries {
                              ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
                         END) * 1e4 + 0.5) / 1e4 AS v
           FROM w WHERE is_obs = 0 ORDER BY user_id, t""",
+    "q_evt_gapfill" ->
+      s"""WITH o0 AS (
+            SELECT user_id, $ep AS t, value FROM events),
+          o AS (
+            SELECT user_id, t, min(value) AS v FROM o0 GROUP BY 1, 2),
+          b AS (
+            SELECT user_id, min(t) AS mn, max(t) AS mx FROM o GROUP BY 1),
+          g AS (
+            SELECT user_id, unnest(range((mn + 3599) // 3600,
+                                         mx // 3600 + 1)) * 3600 AS t
+            FROM b),
+          u AS (
+            SELECT user_id, t, v, 1 AS is_obs FROM o
+            UNION ALL
+            SELECT user_id, t, NULL AS v, 0 AS is_obs FROM g),
+          w AS (
+            SELECT user_id, t, is_obs,
+                   last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv
+            FROM u)
+          SELECT user_id, t, floor(pv * 1e4 + 0.5) / 1e4 AS v
+          FROM w WHERE is_obs = 0 AND pv IS NOT NULL
+          ORDER BY user_id, t""",
     "q_evt_anomaly" ->
       s"""WITH e AS (
             SELECT user_id, event_id, value, $ep AS t FROM events),

@@ -447,4 +447,20 @@ class AnalyticsSpec extends SparkSpec {
     // u2: flat — every gap 0, earliest eligible position wins
     assert(got(2L) == ((12L, 5L, 0.0)), s"${got(2L)}")
   }
+
+  test("resampleHold carries the LAST observation flat (no interpolation)") {
+    // obs at 0 min (v=10) and 180 min (v=40): hourly ticks at 60 and 120
+    // must both read 10 (LOCF), where linear interpolation would read
+    // 20 and 30
+    val ev = Seq((1L, "a", ts(0), 10.0), (1L, "a", ts(180), 40.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val hold = Analytics.resampleHold(ev, stepSec = 3600L)
+      .select("t", "v").as[(Long, Double)].collect().toMap
+    assert(hold(3600L) == 10.0 && hold(7200L) == 10.0, s"$hold")
+    // on-tick observation reads its own value
+    assert(hold(0L) == 10.0 && hold(10800L) == 40.0, s"$hold")
+    val lin = Analytics.resampleLinear(ev, stepSec = 3600L)
+      .select("t", "v").as[(Long, Double)].collect().toMap
+    assert(lin(3600L) == 20.0 && lin(7200L) == 30.0, s"$lin")
+  }
 }
