@@ -452,9 +452,14 @@ object Analytics {
       .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
       // integer ceil/floor division (epoch seconds are nonnegative) — no
       // float rounding to disagree with a mirroring engine
-      .select(col("user_id"), explode(sequence(
-        expr(s"(mn + ${stepSec - 1}) div $stepSec"),
-        expr(s"mx div $stepSec"))).as("k"))
+      .select(col("user_id"),
+        expr(s"(mn + ${stepSec - 1}) div $stepSec").as("lo"),
+        expr(s"mx div $stepSec").as("hi"))
+      // a span with no grid boundary (single observation, or all events
+      // strictly inside one step) has lo > hi, where sequence(lo, hi)
+      // would generate DESCENDING [lo..hi] instead of empty
+      .where(col("lo") <= col("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("k"))
       .select(col("user_id"), (col("k") * stepSec).as("t"))
     val tagged = obs.withColumn("is_obs", lit(1))
       .unionByName(grid.withColumn("v", lit(null).cast("double"))
@@ -499,9 +504,13 @@ object Analytics {
       .groupBy(col("user_id"), col("t")).agg(min(col("value")).as("v"))
     val grid = obs.groupBy(col("user_id"))
       .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
-      .select(col("user_id"), explode(sequence(
-        expr(s"(mn + ${stepSec - 1}) div $stepSec"),
-        expr(s"mx div $stepSec"))).as("k"))
+      .select(col("user_id"),
+        expr(s"(mn + ${stepSec - 1}) div $stepSec").as("lo"),
+        expr(s"mx div $stepSec").as("hi"))
+      // no boundary inside [mn, mx] → lo > hi → sequence would descend;
+      // emit nothing (same guard as resampleLinear)
+      .where(col("lo") <= col("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("k"))
       .select(col("user_id"), (col("k") * stepSec).as("t"))
     val tagged = obs.withColumn("is_obs", lit(1))
       .unionByName(grid.withColumn("v", lit(null).cast("double"))
@@ -579,8 +588,14 @@ object Analytics {
     val byValue = tagged.groupBy(col("v"))
       .agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
       .localCheckpoint() // consumed 3× below (bounds, offsets, ecdf)
-    val Array(mnr, mxr) = byValue.agg(min(col("v")), max(col("v")))
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val bounds = byValue.agg(min(col("v")), max(col("v")),
+        coalesce(sum(col("c1")), lit(0L)), coalesce(sum(col("c2")), lit(0L)))
+      .collect().head
+    // fail with the designed diagnostic BEFORE the offsets machinery can
+    // hit offs.last / null-cast artifacts on an empty filter result
+    require(bounds.getLong(2) > 0 && bounds.getLong(3) > 0,
+      s"ksTest: empty group n1=${bounds.getLong(2)} n2=${bounds.getLong(3)}")
+    val (mnr, mxr) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = math.max(mxr - mnr, java.lang.Double.MIN_NORMAL)
     val bucketed = byValue.withColumn("b",
       least(floor((col("v") - lit(mnr)) / lit(span) * nBuckets),
@@ -682,8 +697,12 @@ object Analytics {
     val byValue = tagged.groupBy(col("v"))
       .agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
       .localCheckpoint() // consumed 3× (bounds, offsets, rank pass)
-    val Array(mnr, mxr) = byValue.agg(min(col("v")), max(col("v")))
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val bounds = byValue.agg(min(col("v")), max(col("v")),
+        coalesce(sum(col("c1")), lit(0L)), coalesce(sum(col("c2")), lit(0L)))
+      .collect().head
+    require(bounds.getLong(2) > 0 && bounds.getLong(3) > 0,
+      s"mannWhitney: empty group n1=${bounds.getLong(2)} n2=${bounds.getLong(3)}")
+    val (mnr, mxr) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = math.max(mxr - mnr, java.lang.Double.MIN_NORMAL)
     val bucketed = byValue.withColumn("b",
       least(floor((col("v") - lit(mnr)) / lit(span) * nBuckets),

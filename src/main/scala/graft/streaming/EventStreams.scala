@@ -153,7 +153,8 @@ object EventStreams {
     * Scale shape: state is ONE (start, idx) pair per user — O(1), not
     * per-event — partitioned by user key in Spark's state store;
     * event-time timeouts GC users whose chain horizon passed the
-    * watermark. Events sort by (ts, event_id) within a micro-batch
+    * watermark. Events sort by (epoch-seconds ts, event_id) within a
+    * micro-batch
     * (the sessionize ordering contract; cross-batch order rides the
     * watermark like every stateful op here). */
   def detectPattern(events: Dataset[Event], steps: Seq[String],
@@ -169,26 +170,37 @@ object EventStreams {
         (uid: Long, it: Iterator[Event], state: GroupState[PatternState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption.orNull
+            // the ts contract is epoch-SECONDS (fixtures carry ns noise
+            // below that); order and measure the horizon in seconds so the
+            // NFA sees exactly the sequence the batch oracle defines —
+            // same-second events tie-break on event_id, not sub-second ns
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+            var cur = state.getOption.orNull // cur.start is epoch-seconds
             val out = Seq.newBuilder[PatternMatch]
             for (e <- sorted) {
-              val t = e.ts.getTime
-              if (cur != null && t - cur.start > horizonMs) cur = null
+              val t = e.ts.getTime / 1000
+              if (cur != null && t - cur.start > withinSec) cur = null
               if (cur == null) {
                 if (e.event_type == steps.head)
                   cur = PatternState(t, 1)
               } else if (e.event_type == steps(cur.idx)) {
                 if (cur.idx + 1 == steps.size) {
-                  out += PatternMatch(uid, new Timestamp(cur.start),
-                    new Timestamp(t), steps.size)
+                  out += PatternMatch(uid, new Timestamp(cur.start * 1000L),
+                    new Timestamp(t * 1000L), steps.size)
                   cur = null
                 } else cur = PatternState(cur.start, cur.idx + 1)
               }
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.start + horizonMs)
+              // flatMapGroupsWithState does not pre-filter late rows: a
+              // chain opened by a late event could place start+horizon at
+              // or below the watermark, which setTimeoutTimestamp rejects
+              // with an IllegalArgumentException — clamp to watermark+1 so
+              // such a chain times out on the next batch instead of
+              // crashing the query
+              state.setTimeoutTimestamp(math.max(cur.start * 1000L + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.result().iterator
           }

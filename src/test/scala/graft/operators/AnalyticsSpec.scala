@@ -204,6 +204,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2 == want, "min-collapse must ignore the higher duplicate")
   }
 
+  test("resample grid: spans with no step boundary emit nothing (no descending sequence)") {
+    // u1: a single observation off-tick; u2: two observations strictly
+    // inside one hour (4000..5000). Both spans contain NO multiple of
+    // 3600, so ceil(mn/step) > floor(mx/step) — sequence(lo, hi) would
+    // generate a DESCENDING [lo, hi] and a spurious tick AFTER mx got a
+    // carried value before the guard
+    val df = Seq(
+      (1L, 1L, "e", new Timestamp(4000 * 1000L), 5.0),
+      (2L, 2L, "e", new Timestamp(4000 * 1000L), 1.0),
+      (2L, 3L, "e", new Timestamp(5000 * 1000L), 2.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    assert(Analytics.resampleHold(df, stepSec = 3600L).count() == 0L)
+    assert(Analytics.resampleLinear(df, stepSec = 3600L).count() == 0L)
+    // a user WITH a boundary still resamples alongside boundary-less ones
+    val mixed = df.unionByName(Seq(
+      (3L, 4L, "e", new Timestamp(3000 * 1000L), 1.0),
+      (3L, 5L, "e", new Timestamp(4200 * 1000L), 4.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value"))
+    val hold = Analytics.resampleHold(mixed, stepSec = 3600L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hold == Set((3L, 3600L, 1.0)), hold.toString)
+  }
+
+  test("ksTest/mannWhitney: empty group fails with the designed diagnostic") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val eKs = intercept[IllegalArgumentException] {
+      Analytics.ksTest(df, "g", "v", "a", "b").collect()
+    }
+    assert(eKs.getMessage.contains("ksTest: empty group"), eKs.getMessage)
+    val eMw = intercept[IllegalArgumentException] {
+      Analytics.mannWhitney(df, "g", "v", "a", "b").collect()
+    }
+    assert(eMw.getMessage.contains("mannWhitney: empty group"), eMw.getMessage)
+    // both groups absent entirely (no rows survive the filter)
+    val eNone = intercept[IllegalArgumentException] {
+      Analytics.ksTest(df.where(lit(false)), "g", "v", "a", "b").collect()
+    }
+    assert(eNone.getMessage.contains("n1=0 n2=0"), eNone.getMessage)
+  }
+
   test("rollingAnomaly: a perfectly flat stream flags nothing (σ=0 guard)") {
     // 15 identical values: every full window has zero variance; without
     // the guard z = 0/0 = NaN and Spark's NaN ordering makes

@@ -530,6 +530,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("detectPattern orders same-second events by event_id (epoch-seconds contract)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPattern(in.toDS(), Seq("view", "purchase"),
+        withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // both events land in the SAME epoch second; their sub-second
+      // (ms) order OPPOSES event_id order. The ts contract observes only
+      // epoch-seconds, so (second, event_id) ordering puts view first →
+      // the chain must match. A raw-ms sort would see purchase first.
+      val sec = base / 1000L + 100L
+      in.addData(
+        Event(1L, 1L, "view", new Timestamp(sec * 1000L + 900L), 1.0),
+        Event(2L, 1L, "purchase", new Timestamp(sec * 1000L + 100L), 1.0))
+      q.processAllAvailable()
+      val got = s.table(name).as[PatternMatch].collect()
+      assert(got.length == 1, s"same-second view→purchase must match: ${got.toSeq}")
+      assert(got.head.start.getTime == sec * 1000L &&
+        got.head.end.getTime == sec * 1000L, got.head.toString)
+    } finally q.stop()
+  }
+
   test("detectPattern state times out once the watermark passes the horizon") {
     val s = spark
     import s.implicits._
