@@ -148,6 +148,15 @@ object GraftFunctions {
     classOf[DotProductI8].getName, null, "dot_i8",
     "_FUNC_(a, b) - integer dot product of two int arrays in long.", "")
 
+  private val pqEncodeInfo = new ExpressionInfo(
+    classOf[PqEncode].getName, null, "pq_encode",
+    "_FUNC_(v, codebooks) - PQ sub-codes of a float vector (argmin-L2 per subspace).",
+    "")
+
+  private val adcScoreInfo = new ExpressionInfo(
+    classOf[AdcScore].getName, null, "adc_score",
+    "_FUNC_(qv, codes, codebooks, base) - asymmetric-distance PQ score.", "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -181,6 +190,18 @@ object GraftFunctions {
       DotProductI8(args.head, args(1))
     }
 
+  private[functions] val pqEncodeBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "pq_encode takes exactly 2 arguments")
+      PqEncode(args.head, args(1))
+    }
+
+  private[functions] val adcScoreBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 4, "adc_score takes exactly 4 arguments")
+      AdcScore(args.head, args(1), args(2), args(3))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -192,6 +213,10 @@ object GraftFunctions {
       FunctionIdentifier("dot_f"), dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_i8"), dotI8Info, dotI8Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("adc_score"), adcScoreInfo, adcScoreBuilder)
   }
 }
 
@@ -223,6 +248,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_i8"),
       new ExpressionInfo(classOf[DotProductI8].getName, null, "dot_i8"),
       GraftFunctions.dotI8Builder))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, null, "pq_encode"),
+      GraftFunctions.pqEncodeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[AdcScore].getName, null, "adc_score"),
+      GraftFunctions.adcScoreBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

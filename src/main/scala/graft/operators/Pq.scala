@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   *    [[Ivf.trainCentroids]]; all m subspaces train in one job per Lloyd
   *    iteration (explode by subspace over the bounded sample only — never
   *    over the corpus), shuffling (m·ksub) sub-centroid sums.
-  *  - encoding is one corpus pass, pure codegen: per subspace an argmin-L2
-  *    over ksub sub-centroids via the adjusted-dot identity
-  *    argmin‖x−c‖² = argmax(x·c − ‖c‖²/2) on the dot_f expression.
+  *  - encoding is one corpus pass through the native
+  *    [[graft.functions.PqEncode]] expression (real doGenCode): per
+  *    subspace an argmin-L2 over ksub sub-centroids via the adjusted-dot
+  *    identity argmin‖x−c‖² = argmax(x·c − ‖c‖²/2), as one generated
+  *    primitive loop over the flattened codebook.
   *  - ADC scoring broadcasts the (small) query set; the codes table is
-  *    scanned once; per (query, candidate) the score is m dot_f calls
-  *    against codebook literals — no shuffle until the final per-query
-  *    top-k window.
+  *    scanned once; per (query, candidate) the score is one generated
+  *    [[graft.functions.AdcScore]] loop against the flattened codebook —
+  *    no shuffle until the final per-query top-k window.
   *  - composition with IVF: store codes `partitionBy("cid")` and ADC-score
   *    only the probed lists — the two operators multiply (IO pruning ×
   *    memory compression), which is exactly the FAISS IVFPQ layout.
@@ -42,36 +44,24 @@ object Pq {
     def dsub: Int = codebooks(0)(0).length
   }
 
-  /** All m sub-codes of a vector in ONE nested-loop expression:
-    * codes[j] = argmax over k of (x_j · c_jk − ‖c_jk‖²/2) — the L2-nearest
-    * sub-centroid per subspace (argmin‖x−c‖² = argmax(x·c − ‖c‖²/2)).
-    * The codebooks ride as a single 3-level literal indexed inside the
-    * nested transform, so the generated code is two small loops and one
-    * dot_f call site no matter how many subspaces/centroids there are
-    * (per-subspace expression trees would bloat codegen ∝ m·ksub). */
+  private def matLit(books: Array[Array[Array[Float]]]): Column =
+    typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** All m sub-codes of a vector via the [[graft.functions.PqEncode]]
+    * native expression: codes[j] = argmax over k of (x_j · c_jk − ‖c_jk‖²/2)
+    * — the L2-nearest sub-centroid per subspace
+    * (argmin‖x−c‖² = argmax(x·c − ‖c‖²/2)), score ties to the LOWEST code
+    * index (the usual argmin-L2 convention, which matters when Lloyd
+    * leaves duplicate sub-centroids — empty cells keep their previous
+    * centroid). The codebooks ride as one foldable 3-level literal the
+    * expression flattens into primitive arrays at codegen time, so a
+    * vector costs m·ksub·dsub fused multiply-adds in a real generated
+    * loop — the `transform(sequence …)` HOF nest this replaced was
+    * CodegenFallback (interpreted lambdas, m·ksub struct allocations per
+    * vector). */
   private def codesColumn(v: Column,
-                          books: Array[Array[Array[Float]]]): Column = {
-    val m = books.length
-    val ksub = books(0).length
-    val dsub = books(0)(0).length
-    val mat = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val half = typedLit(books.map(_.map(c =>
-      c.foldLeft(0.0)((a, x) => a + x.toDouble * x) / 2.0).toSeq).toSeq)
-    // score ties resolve to the LOWEST code index (the usual argmin-L2
-    // convention, and what a local maxBy recompute picks): the struct
-    // orders by (s, -k) so array_max prefers the smaller k, negated back
-    // on extraction. Matters when Lloyd leaves duplicate sub-centroids
-    // (empty cells keep their previous centroid).
-    transform(sequence(lit(0), lit(m - 1)), j =>
-      (lit(0) - array_max(transform(sequence(lit(0), lit(ksub - 1)), k =>
-        call_function("named_struct",
-          lit("s"), call_function("dot_f",
-            slice(v, j * dsub + 1, lit(dsub)),
-            element_at(element_at(mat, j + 1), k + 1))
-            - element_at(element_at(half, j + 1), k + 1),
-          lit("nk"), (lit(0) - k).cast("int")))).getField("nk"))
-        .cast("int"))
-  }
+                          books: Array[Array[Array[Float]]]): Column =
+    call_function("pq_encode", v, matLit(books))
 
   /** Train m sub-codebooks of ksub centroids each: deterministic init
     * (lowest vec_ids' subvectors), then `iters` Lloyd steps over ALL
@@ -126,8 +116,9 @@ object Pq {
   }
 
   /** Encode every vector to its m sub-codes: (vec_id, codes array<int>).
-    * One corpus pass, pure codegen — this is the table that replaces the
-    * raw vectors at rest (m bytes/vector at ksub ≤ 256). */
+    * One corpus pass through the generated [[graft.functions.PqEncode]]
+    * loop — this is the table that replaces the raw vectors at rest
+    * (m bytes/vector at ksub ≤ 256). */
   def encode(vecs: DataFrame, model: PqModel): DataFrame = {
     registered(vecs)
     graft.core.Tables.spread(vecs, col("vec_id"))
@@ -182,7 +173,6 @@ object Pq {
           residOf(col("embedding")).as("embedding")), dim, m, ksub, iters,
           maxTrainRows, n)
       else train(candidates, dim, m, ksub, iters, maxTrainRows, n)
-    val dsub = model.dsub
     val toCode =
       if (residual) residOf(col("embedding")) else col("embedding")
     val codes = graft.core.Tables.spread(candidates, col("vec_id"))
@@ -192,16 +182,14 @@ object Pq {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qv"),
       explode(Ivf.probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
-    val mat = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val base =
       if (residual)
         call_function("dot_f", col("qv"), element_at(centMat, col("cid") + 1))
       else lit(0.0)
-    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), base,
-      (acc, j) => acc + call_function("dot_f",
-        slice(col("qv"), j * dsub + 1, lit(dsub)),
-        element_at(element_at(mat, j + 1),
-          element_at(col("codes"), j + 1) + 1)))
+    // native ADC: base + Σⱼ qᵥⱼ · c_{j,codes[j]} in one generated loop,
+    // accumulation order identical to the HOF fold it replaced
+    val adc = call_function("adc_score", col("qv"), col("codes"),
+      matLit(model.codebooks), base.cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc").desc, col("vid").asc)
     // each candidate lives in exactly one list and probe cids are distinct,
@@ -221,16 +209,10 @@ object Pq {
   def adcTopK(queries: DataFrame, codes: DataFrame, model: PqModel,
               k: Int): DataFrame = {
     registered(queries)
-    val dsub = model.dsub
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val mat = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    // one fold over subspaces: acc + q_j · c_{j, codes[j]} — a single
-    // compact loop in codegen, like codesColumn
-    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
-      (acc, j) => acc + call_function("dot_f",
-        slice(col("qv"), j * dsub + 1, lit(dsub)),
-        element_at(element_at(mat, j + 1),
-          element_at(col("codes"), j + 1) + 1)))
+    // native ADC expression — one generated loop per (query, candidate)
+    val adc = call_function("adc_score", col("qv"), col("codes"),
+      matLit(model.codebooks), lit(0.0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc").desc, col("vid").asc)
     broadcast(q)

@@ -101,6 +101,47 @@ class PqSpec extends SparkSpec {
       s"residual recall $resRecall should be useful but ≤ raw $recall here")
   }
 
+  test("native pq_encode/adc_score are bit-identical to the HOF formulation") {
+    // the generated-loop expressions replaced a transform/aggregate HOF
+    // nest (CodegenFallback); this pins exact score/code parity against
+    // that formulation rebuilt here, so the swap can never drift
+    graft.functions.GraftFunctions.register(spark)
+    val m = model.m; val ksub = model.ksub; val dsub = model.dsub
+    val mat = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val half = typedLit(model.codebooks.map(_.map(c =>
+      c.foldLeft(0.0)((a, x) => a + x.toDouble * x) / 2.0).toSeq).toSeq)
+    val hofCodes = transform(sequence(lit(0), lit(m - 1)), j =>
+      (lit(0) - array_max(transform(sequence(lit(0), lit(ksub - 1)), k =>
+        call_function("named_struct",
+          lit("s"), call_function("dot_f",
+            slice(col("embedding"), j * dsub + 1, lit(dsub)),
+            element_at(element_at(mat, j + 1), k + 1))
+            - element_at(element_at(half, j + 1), k + 1),
+          lit("nk"), (lit(0) - k).cast("int")))).getField("nk"))
+        .cast("int"))
+    val both = emb.select(col("vec_id"),
+      call_function("pq_encode", col("embedding"), mat).as("native"),
+      hofCodes.as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0,
+      "pq_encode must equal the HOF transform nest exactly")
+    // ADC: native vs the aggregate fold, on raw doubles (no rounding)
+    val codes = Pq.encode(emb, model)
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val hofAdc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + call_function("dot_f",
+        slice(col("qv"), j * dsub + 1, lit(dsub)),
+        element_at(element_at(mat, j + 1),
+          element_at(col("codes"), j + 1) + 1)))
+    val pairs = broadcast(q).crossJoin(codes)
+      .select(
+        call_function("adc_score", col("qv"), col("codes"), mat,
+          lit(0.0)).as("native"),
+        hofAdc.as("hof"))
+    assert(pairs.where(col("native") =!= col("hof")).count() == 0,
+      "adc_score must equal the HOF aggregate fold bit-exactly")
+  }
+
   test("ADC approximates the true dot within the quantization error") {
     // per-vector: |dot(q, x) − adc(q, codes(x))| should be far below the
     // score's dynamic range, and self-ADC should be near the self-dot
