@@ -110,12 +110,13 @@ object Bench {
       Thread.sleep(150)
     }
     /** (seconds, ok, meanExternalCpuShare, loadavgBefore, loadavgAfter) */
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              sess: SparkSession = spark)
         : (Double, Boolean, Double, Double, Double) = {
       val la0 = loadavg1()
       val sampler = new ExternalLoadSampler; sampler.start()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { fn(sess, sfDir).count(); true }
                catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       (secs, ok, sampler.finish(), la0, loadavg1())
@@ -144,10 +145,28 @@ object Bench {
         firstPass.collect { case (_, n, _, true, ext, _, _) if ext > ContendedShare => n }.distinct
       else
         firstPass.collect { case (_, n, t, true, ext, _, _) if t >= 3.0 || ext > ContendedShare => n }.distinct
-    if (rerunNames.nonEmpty) { spark.catalog.clearCache(); System.gc(); Thread.sleep(1000) }
+    // round-7 adjudication: one gc + 1 s before the re-runs reduced but did
+    // not close the adjacency gap (driver settled values still ran ~3× the
+    // isolated fresh-JVM probes). Deeper protocol: (a) three gc cycles with
+    // real pauses drain the context-cleaner/broadcast debt 206 queries
+    // accumulate; (b) the re-runs execute in a FRESH newSession (isolated
+    // SQL conf/temp state, shared context); (c) each re-run is best-of-2
+    // with a settle between — the first settled run still pays residual
+    // cleaner work surfacing mid-query, the second is the real number.
+    if (rerunNames.nonEmpty) {
+      spark.catalog.clearCache()
+      (1 to 3).foreach { _ => System.gc(); Thread.sleep(400) }
+    }
+    val rerunSession = spark.newSession()
     val rerun: Map[String, (Double, Double)] = rerunNames.map { name =>
       settle()
-      val (t, ok, ext, _, _) = timed(SparkEntry.queries(name))
+      val (t1, ok1, ext1, _, _) = timed(SparkEntry.queries(name), rerunSession)
+      settle()
+      val (t2, ok2, ext2, _, _) = timed(SparkEntry.queries(name), rerunSession)
+      val c1 = if (ok1) t1 else Double.MaxValue
+      val c2 = if (ok2) t2 else Double.MaxValue
+      val (t, ok, ext) =
+        if (c1 <= c2) (t1, ok1, ext1) else (t2, ok2, ext2)
       name -> ((if (ok) t else Double.MaxValue, ext))
     }.toMap
     val contendedNames = firstPass.collect {

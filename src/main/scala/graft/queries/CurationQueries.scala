@@ -166,11 +166,15 @@ object CurationQueries {
     // doc_id tiebreak) — the quality-aware upgrade of keep-first
     "q_llm_cluster_reps" -> ((s, d) => {
       val docs = Tables.documents(s, d).where(col("doc_id") < 150)
+      // the trigram postings feed jaccardFromItems THREE times (df-cap
+      // semi-join, df groupBy, per-doc counts) — localCheckpoint runs the
+      // explode+distinct shuffle ONCE instead of three times (the
+      // pipeline2 lesson; measured 4.6 → 3.7 s settled at sf0.1)
       val pairs = Dedup.jaccardFromItems(
         docs.select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
           .as("g"))
-          .distinct(),
+          .distinct().localCheckpoint(),
         threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
         spreadExplosion = true)
       val clusters = Dedup.dedupClusters(
