@@ -29,7 +29,8 @@ object SparkEntry {
     RetrievalQueries.queries ++
     AnalyticsQueries.queries ++
     StreamingQueries.queries ++
-    GenomicsQueries.queries
+    GenomicsQueries.queries ++
+    SqlSuiteQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
@@ -42,5 +43,6 @@ object SparkEntry {
     WebQueries.oracle ++
     RetrievalQueries.oracle ++
     AnalyticsQueries.oracle ++
-    StreamingQueries.oracle
+    StreamingQueries.oracle ++
+    SqlSuiteQueries.oracle
 }

@@ -15,7 +15,8 @@ class CatalogSpec extends SparkSpec {
       queries.FunctionQueries.queries, queries.LlmQueries.queries,
       queries.CurationQueries.queries, queries.WebQueries.queries,
       queries.RetrievalQueries.queries, queries.AnalyticsQueries.queries,
-      queries.StreamingQueries.queries, queries.GenomicsQueries.queries)
+      queries.StreamingQueries.queries, queries.GenomicsQueries.queries,
+      queries.SqlSuiteQueries.queries)
     val total = fams.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: union=${SparkEntry.queries.size} sum=$total")
