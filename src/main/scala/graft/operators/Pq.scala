@@ -173,12 +173,13 @@ object Pq {
           residOf(col("embedding")).as("embedding")), dim, m, ksub, iters,
           maxTrainRows, n)
       else train(candidates, dim, m, ksub, iters, maxTrainRows, n)
-    val toCode =
-      if (residual) residOf(col("embedding")) else col("embedding")
-    val codes = graft.core.Tables.spread(candidates, col("vec_id"))
-      .select(Ivf.nearestCentroid(col("embedding"), cents).as("cid"),
-        col("vec_id").as("vid"),
-        codesColumn(toCode, model.codebooks).as("codes"))
+    val codes =
+      if (residual)
+        graft.core.Tables.spread(candidates, col("vec_id"))
+          .select(Ivf.nearestCentroid(col("embedding"), cents).as("cid"),
+            col("vec_id").as("vid"),
+            codesColumn(residOf(col("embedding")), model.codebooks).as("codes"))
+      else assignAndEncode(candidates, cents, model)
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qv"),
       explode(Ivf.probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
@@ -194,6 +195,64 @@ object Pq {
       .partitionBy(col("qid")).orderBy(col("adc").desc, col("vid").asc)
     // each candidate lives in exactly one list and probe cids are distinct,
     // so (qid, vid) pairs are already unique — the Ivf.probeTopK contract
+    broadcast(q).join(codes, Seq("cid"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), round(adc, 4).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid"), col("adc"))
+  }
+
+  /** Coarse-assign + PQ-encode in ONE corpus-pass projection:
+    * (cid, vid, codes) — the IVFPQ at-rest layout (raw coding; the
+    * residual variant stays an in-memory option of [[ivfPqTopK]]). */
+  def assignAndEncode(candidates: DataFrame, cents: Array[Array[Float]],
+                      model: PqModel): DataFrame = {
+    registered(candidates)
+    graft.core.Tables.spread(candidates, col("vec_id"))
+      .select(Ivf.nearestCentroid(col("embedding"), cents).as("cid"),
+        col("vec_id").as("vid"),
+        codesColumn(col("embedding"), model.codebooks).as("codes"))
+  }
+
+  /** Persist the IVFPQ index `partitionBy("cid")` — [[Ivf.writeLists]]'s
+    * layout with PQ codes instead of raw vectors: each inverted list is its
+    * own partition directory AND each row is m bytes instead of dim floats,
+    * so a probed scan reads ~nProbe/nCentroids of a corpus that is also
+    * ~16× smaller at rest. This is the table a 100 TB deployment builds
+    * once and queries forever; [[ivfPqTopKStored]] is the read side. */
+  def writeCodes(candidates: DataFrame, cents: Array[Array[Float]],
+                 model: PqModel, path: String): Unit =
+    assignAndEncode(candidates, cents, model)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cid").parquet(path)
+
+  /** ADC top-k against the STORED IVFPQ index: the query batch's probe-cid
+    * set (≤ |queries|·nProbe ints, driver-bounded by construction) is
+    * pushed as a static partition filter, so Catalyst prunes unprobed list
+    * directories at PLAN time — the scan never opens them (the
+    * `q_scan_partitioned` lesson applied to ANN; PqSpec asserts the
+    * pruning in the executed plan). Scoring is the same generated
+    * [[graft.functions.AdcScore]] loop as the in-memory path. */
+  def ivfPqTopKStored(queries: DataFrame, codesPath: String,
+                      cents: Array[Array[Float]], model: PqModel, k: Int,
+                      nProbe: Int = 8): DataFrame = {
+    registered(queries)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probeCids = queries
+      .select(explode(Ivf.probeCentroids(col("embedding"), cents, nProbe))
+        .as("cid"))
+      .distinct().as[Int].collect().sorted
+    val codes = spark.read.parquet(codesPath)
+      .where(col("cid").isin(probeCids.map(Int.box): _*))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"),
+      explode(Ivf.probeCentroids(col("embedding"), cents, nProbe)).as("cid"))
+    val adc = call_function("adc_score", col("qv"), col("codes"),
+      matLit(model.codebooks), lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("vid").asc)
     broadcast(q).join(codes, Seq("cid"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), round(adc, 4).as("adc"))

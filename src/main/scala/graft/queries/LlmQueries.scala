@@ -628,6 +628,25 @@ object LlmQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // PERSISTED IVFPQ: build the at-rest index once — (cid, vid, codes)
+    // partitionBy(cid), the FAISS on-disk layout — then probe the STORED
+    // table: the query batch's probe-cid set becomes a static partition
+    // filter, so Catalyst prunes unprobed list directories at plan time
+    // (PqSpec asserts the executed scan touches only probed partitions).
+    // 32 lists / 4 probes per query: the scan reads ~⅛ of an index that is
+    // itself 16× smaller than the raw vectors. Rows-only; PqSpec pins
+    // stored ≡ in-memory parity on identical (cents, model).
+    "q_llm_ann_ivfpq_disk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val cents = Ivf.trainCentroids(emb, nCentroids = 32, iters = 1)
+      val model = Pq.train(emb, dim = 64, m = 32, ksub = 16, iters = 1)
+      Pq.writeCodes(emb, cents, model, tmp)
+      Pq.ivfPqTopKStored(emb.where(col("vec_id") < 5), tmp, cents, model,
+          k = 5, nProbe = 4)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // brute-force cosine top-5 for query vectors 0..9 (Q-LLM-2), via the
     // native codegen'd dot product (bit-compatible with the HOF formulation
     // the DuckDB oracle mirrors — proven in CosineSimSpec); ranked on the

@@ -101,6 +101,47 @@ class PqSpec extends SparkSpec {
       s"residual recall $resRecall should be useful but ≤ raw $recall here")
   }
 
+  test("stored IVFPQ equals the in-memory path and prunes unprobed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_stored").toString
+    val cents = Ivf.trainCentroids(emb, nCentroids = 16, iters = 2)
+    Pq.writeCodes(emb, cents, model, dir)
+    val queries = emb.where(col("vec_id") < 3)
+    val stored = Pq.ivfPqTopKStored(queries, dir, cents, model,
+      k = 5, nProbe = 4)
+    // training is deterministic (fixed init + fixed data), so the
+    // in-memory path re-trains the SAME cents/model internally — row-level
+    // parity means the round-trip through parquet changes nothing
+    val mem = Pq.ivfPqTopK(queries, emb, k = 5, dim = 64,
+      nCentroids = 16, nProbe = 4, m = 32, ksub = 16, iters = 2)
+    val a = stored.collect().map(_.toSeq).sortBy(_.toString)
+    val b = mem.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq, "stored IVFPQ must equal in-memory IVFPQ")
+    // partition pruning: 3 queries x 4 probes cover at most 12 of 16 list
+    // directories — the executed scan must select only probed partitions
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    // two scans exist (the broadcast query side also reads parquet); the
+    // index scan is the one with the cid partition column
+    val scan = scans(stored.queryExecution.executedPlan)
+      .find(_.relation.partitionSchema.fieldNames.contains("cid"))
+      .getOrElse(fail("no cid-partitioned file scan in stored-IVFPQ plan"))
+    val probed = queries
+      .select(explode(Ivf.probeCentroids(col("embedding"), cents, 4)))
+      .distinct().count()
+    assert(scan.selectedPartitions.partitionCount == probed,
+      s"scan read ${scan.selectedPartitions.partitionCount} partitions, " +
+        s"probe set is $probed")
+    assert(scan.selectedPartitions.partitionCount < 16,
+      "pruning must leave unprobed list directories unread")
+  }
+
   test("native pq_encode/adc_score are bit-identical to the HOF formulation") {
     // the generated-loop expressions replaced a transform/aggregate HOF
     // nest (CodegenFallback); this pins exact score/code parity against
