@@ -25,12 +25,15 @@ case class MediaFeature(path: String, kind: String, frameNo: Int,
   * screen descriptor), WAV (fmt/data chunks), MP3 (MPEG frame header, CBR
   * duration estimate) and MP4 (ISO-BMFF box walk: mvhd duration, tkhd
   * dimensions). Image payload RESIZE is real too (ImageIO decode → scale →
-  * re-encode), as are image pooled-raster features and WAV PCM sample
-  * decode + waveform features (PCM is uncompressed — pure JDK). What
-  * remains a clearly-marked deterministic STUB: COMPRESSED video/audio
-  * frame-payload decode and their features (no codec / ML libraries in
-  * this container) — swapping those changes only the function bodies
-  * marked below, not the dataflow.
+  * re-encode), as are image pooled-raster features, WAV PCM sample
+  * decode + waveform features (PCM is uncompressed — pure JDK), and
+  * MJPEG-in-AVI video frame extraction ([[aviMjpegFrames]]: RIFF movi
+  * walk → per-frame JPEG payloads, which ImageIO decodes — the one video
+  * codec needing no codec library). What remains a clearly-marked
+  * deterministic STUB: INTER-FRAME video codecs (H.264/VP9 in MP4/MKV)
+  * and compressed-audio (MP3) payload decode and their features (no
+  * codec / ML libraries in this container) — swapping those changes only
+  * the function bodies marked below, not the dataflow.
   *
   * Scale: decode is embarrassingly parallel; `mapPartitions` keeps it one
   * process-wide pass per partition with no shuffle. Frame sampling explodes
@@ -44,7 +47,8 @@ object Multimodal {
     if (p.endsWith(".png") || p.endsWith(".jpg") || p.endsWith(".jpeg") ||
         p.endsWith(".gif")) "image"
     else if (p.endsWith(".wav") || p.endsWith(".mp3")) "audio"
-    else if (p.endsWith(".mp4") || p.endsWith(".mkv")) "video"
+    else if (p.endsWith(".mp4") || p.endsWith(".mkv") || p.endsWith(".avi"))
+      "video"
     else "binary"
   }
 
@@ -287,6 +291,93 @@ object Multimodal {
     if (durMs >= 0) Some((durMs, w, h)) else None
   }
 
+  /** REAL AVI (RIFF) header parse: walk to LIST hdrl → avih main header →
+    * (durationMs from µs-per-frame × total frames, width, height). Same
+    * overflow-hardened Long chunk walk as [[probeWavHeader]]. */
+  private[multimodal] def probeAviHeader(b: Array[Byte])
+      : Option[(Long, Int, Int)] = {
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val sz = le32(o + 4).toLong & 0xffffffffL
+      if (tag(o) == "LIST" && o + 12 <= b.length && tag(o + 8) == "hdrl") {
+        var io = o + 12L
+        val end = math.min(o + 8 + sz, b.length.toLong)
+        while (io + 8 <= end) {
+          val i = io.toInt
+          val isz = le32(i + 4).toLong & 0xffffffffL
+          // avih: usPerFrame(0) maxBps(4) padding(8) flags(12)
+          //       totalFrames(16) initial(20) streams(24) bufSize(28)
+          //       width(32) height(36)
+          if (tag(i) == "avih" && i + 8 + 40 <= b.length) {
+            val usPerFrame = le32(i + 8).toLong & 0xffffffffL
+            val totalFrames = le32(i + 8 + 16).toLong & 0xffffffffL
+            val w = le32(i + 8 + 32)
+            val h = le32(i + 8 + 36)
+            return if (w > 0 && h > 0)
+              Some((usPerFrame * totalFrames / 1000L, w, h))
+            else None
+          }
+          io += 8L + isz + (isz & 1L)
+        }
+        return None // hdrl without avih is malformed
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    None
+  }
+
+  /** REAL MJPEG-in-AVI frame extraction (pure JDK — MJPEG is the one video
+    * codec that needs none: every frame is an ordinary JPEG the JDK's
+    * ImageIO already decodes): walk the RIFF tree to LIST movi, collect
+    * `##dc`/`##db` stream chunks whose payload starts with the JPEG SOI
+    * marker, descending into `rec ` sub-LISTs. Returns the raw per-frame
+    * JPEG payloads (no re-encode — they ARE images). None when the
+    * container isn't AVI or holds no JPEG frames (inter-frame codecs — the
+    * remaining stub); at most `maxFrames` are extracted, bounding the
+    * per-record memory like [[gifFrames]]. */
+  private[multimodal] def aviMjpegFrames(b: Array[Byte], maxFrames: Int = 64)
+      : Option[Seq[Array[Byte]]] = {
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameChunk(t: String): Boolean =
+      t.length == 4 && t(0).isDigit && t(1).isDigit &&
+        (t.endsWith("dc") || t.endsWith("db"))
+    // walk children of [from, until); collect movi frame chunks
+    def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until && frames.size < maxFrames) {
+        val o = off.toInt
+        val sz = le32(o + 4).toLong & 0xffffffffL
+        val end = math.min(o + 8 + sz, until)
+        tag(o) match {
+          case "LIST" if o + 12 <= until =>
+            val lt = tag(o + 8)
+            // descend into movi (and its rec  groupings); hdrl/odml skip
+            if (lt == "movi" || (inMovi && lt == "rec "))
+              walk(o + 12L, end, inMovi = true)
+          case t if inMovi && isFrameChunk(t) && sz >= 2 =>
+            val pl = b.slice(o + 8, end.toInt)
+            // MJPEG gate: frame payload must be a JPEG (SOI marker)
+            if (pl.length >= 2 && (pl(0) & 0xff) == 0xff &&
+                (pl(1) & 0xff) == 0xd8)
+              frames += pl
+          case _ => ()
+        }
+        off += 8L + sz + (sz & 1L)
+      }
+    }
+    walk(12L, b.length.toLong, inMovi = false)
+    if (frames.nonEmpty) Some(frames.toSeq) else None
+  }
+
   /** REAL MP3 header parse: skip an ID3v2 tag if present, find the first
     * MPEG audio frame sync, decode version/layer/bitrate/samplerate, and
     * estimate duration from the stream size at that constant bitrate (the
@@ -342,6 +433,8 @@ object Multimodal {
         attempt(probeMp3Header(bytes)).map(d => MediaMeta("audio/mpeg", n, 0, 0, d))
       else if (p.endsWith(".mp4"))
         attempt(probeMp4Header(bytes)).map { case (d, w, h) => MediaMeta("video/mp4", n, w, h, d) }
+      else if (p.endsWith(".avi"))
+        attempt(probeAviHeader(bytes)).map { case (d, w, h) => MediaMeta("video/x-msvideo", n, w, h, d) }
       else None
     real match {
       case Some(meta) => MediaFile(path, kind, bytes, meta)
@@ -410,16 +503,21 @@ object Multimodal {
   /** Frame sampling: one row per sampled frame every `everyMs` (videos);
     * audio yields one frame per window. Animated GIFs decode to their REAL
     * frames (PNG-encoded rasters, pure-JDK path, magic-gated so non-GIF
-    * images never pay a decode, frame count capped); other images yield
-    * frame 0 with the whole payload (which IS the frame). Video/audio
-    * payload slices remain a STUB (real: demux+decode the GOP at that
-    * timestamp — no codec libs in this container). */
+    * images never pay a decode, frame count capped); MJPEG-in-AVI videos
+    * demux to their REAL per-frame JPEG payloads ([[aviMjpegFrames]] —
+    * MJPEG needs no codec); other images yield frame 0 with the whole
+    * payload (which IS the frame). Inter-frame video codecs (H.264/VP9 in
+    * MP4/MKV) and compressed-audio payload slices remain a STUB (real:
+    * demux+decode the GOP at that timestamp — no codec libs in this
+    * container). */
   def sampleFrames(media: Dataset[MediaFile], everyMs: Long = 1000L)
       : Dataset[(String, String, Int, Array[Byte])] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val real: Option[Seq[Array[Byte]]] =
-        if (m.kind == "image") gifFrames(m.content) else None
+        if (m.kind == "image") gifFrames(m.content)
+        else if (m.kind == "video") aviMjpegFrames(m.content)
+        else None
       real match {
         case Some(frames) =>
           frames.iterator.zipWithIndex.map { case (f, i) => (m.path, m.kind, i, f) }
@@ -532,7 +630,9 @@ object Multimodal {
     * shape: load a model once per partition, run batched inference).
     * Image frames ImageIO can decode get the REAL pooled-raster feature
     * ([[imageRasterFeature]]); WAV PCM audio gets the REAL waveform
-    * feature ([[audioWaveformFeature]] — PCM needs no codec). Video and
+    * feature ([[audioWaveformFeature]] — PCM needs no codec); video frames
+    * whose payload is a decodable image (the MJPEG demux path emits plain
+    * JPEGs) get the SAME real raster feature. Inter-frame video and
     * compressed-audio frames keep the documented STUB (splitmix-style hash
     * of the bytes → deterministic floats in [-1, 1)) — their codecs have
     * no pure-JDK decoder in this container. */
@@ -544,7 +644,8 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { case (path, kind, frameNo, bytes) =>
           val real =
-            if (kind == "image") imageRasterFeature(bytes, dim)
+            if (kind == "image" || kind == "video")
+              imageRasterFeature(bytes, dim)
             else if (kind == "audio") audioWaveformFeature(bytes, dim)
             else None
           val emb = real.getOrElse {

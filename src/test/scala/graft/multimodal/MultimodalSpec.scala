@@ -437,6 +437,72 @@ class MultimodalSpec extends SparkSpec {
       m.width == 320 && m.height == 240, s"mp4 probe through scan: $m")
   }
 
+  test("MJPEG-in-AVI: real header probe, frame demux, and real frame features") {
+    // hand-built minimal AVI: RIFF(AVI (LIST hdrl(avih) + LIST movi(00dc…)))
+    def chunk(t: String, p: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + p.length + (p.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(t.getBytes("US-ASCII")).putInt(p.length).put(p)
+      b.array()
+    }
+    def list(t: String, p: Array[Byte]): Array[Byte] =
+      chunk("LIST", t.getBytes("US-ASCII") ++ p)
+    def jpegOf(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    val frames = Seq(0xff0000, 0x00ff00, 0x0000ff).map(jpegOf)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(40000)                       // µs per frame (25 fps)
+    avih.putInt(0).putInt(0).putInt(0)       // maxBps, padding, flags
+    avih.putInt(3).putInt(0).putInt(1)       // totalFrames, initial, streams
+    avih.putInt(0).putInt(32).putInt(24)     // bufSize, width, height
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih.array())) ++
+      list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _)))
+
+    // header probe: 3 frames × 40 ms = 120 ms, 32×24
+    assert(Multimodal.probeAviHeader(avi).contains((120L, 32, 24)))
+    assert(Multimodal.probeAviHeader(Array.tabulate(64)(_.toByte)).isEmpty)
+
+    // demux returns the exact per-frame JPEG payloads, container-order
+    val got = Multimodal.aviMjpegFrames(avi).get
+    assert(got.length == 3)
+    got.zip(frames).foreach { case (g, want) => assert(g.sameElements(want)) }
+    assert(Multimodal.aviMjpegFrames(avi, maxFrames = 2).get.length == 2)
+    assert(Multimodal.aviMjpegFrames("RIFF".getBytes ++ avi.drop(4)).isEmpty
+      || true) // malformed prefix never throws
+    assert(Multimodal.aviMjpegFrames(Array.tabulate(64)(_.toByte)).isEmpty)
+
+    // end-to-end: scan → probe metadata → real frames → REAL raster features
+    val d = Files.createTempDirectory("graft_media_avi")
+    Files.write(d.resolve("clip.avi"), avi)
+    val media = Multimodal.scan(spark, d.toString)
+    val m = media.collect().head
+    assert(m.kind == "video" && m.meta.mime == "video/x-msvideo" &&
+      m.meta.durationMs == 120L && m.meta.width == 32 && m.meta.height == 24,
+      s"avi probe through scan: ${m.meta}")
+    val sampled = Multimodal.sampleFrames(media).collect().sortBy(_._3)
+    assert(sampled.length == 3, "one row per real MJPEG frame")
+    sampled.zip(frames).foreach { case ((_, kind, _, bytes), want) =>
+      assert(kind == "video" && bytes.sameElements(want))
+    }
+    val feats = Multimodal.extractFeatures(
+        Multimodal.sampleFrames(media), dim = 12).collect().sortBy(_.frameNo)
+    feats.zip(frames).foreach { case (f, jpg) =>
+      val want = Multimodal.imageRasterFeature(jpg, 12).get
+      assert(f.embedding.sameElements(want),
+        s"frame ${f.frameNo} must use the REAL pooled-raster feature")
+    }
+    // distinct solid colors ⇒ distinct features (red vs green channel)
+    assert(!feats(0).embedding.sameElements(feats(1).embedding))
+  }
+
   test("malformed WAV chunk sizes terminate the walk and degrade to the stub") {
     // RIFF/WAVE container with one chunk whose 32-bit size is adversarial
     def wavWith(chunkSize: Int): Array[Byte] = {
