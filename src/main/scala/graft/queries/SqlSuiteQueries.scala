@@ -456,6 +456,57 @@ object SqlSuiteQueries {
         |GROUP BY n_name, r_name
         |ORDER BY n_name""".stripMargin,
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT (top-2 orders per
+    // customer) — the per-row subquery shape Catalyst decorrelates into a
+    // ranked window join; shared verbatim with DuckDB's LATERAL
+    "q_sql_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.price
+        |FROM customer
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price
+        |  FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2
+        |) t ON true
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, t.price DESC, t.o_orderkey""".stripMargin,
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a generated month spine
+    // LEFT-joined to real data — the gap-preserving calendar shape
+    "q_sql_recursive" ->
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT n + 1 FROM seq WHERE n < 12
+        |)
+        |SELECT s.n AS month_no, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM seq s
+        |LEFT JOIN orders
+        |  ON CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS INT) = s.n
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY s.n
+        |ORDER BY s.n""".stripMargin,
+
+    // Inline VALUES relation joined against a real table
+    "q_sql_values" ->
+      """SELECT v.seg, v.label, CAST(count(c_custkey) AS BIGINT) AS n
+        |FROM (VALUES ('BUILDING', 'b2b'), ('AUTOMOBILE', 'consumer'),
+        |             ('MACHINERY', 'b2b')) AS v(seg, label)
+        |LEFT JOIN customer ON c_mktsegment = v.seg
+        |GROUP BY v.seg, v.label
+        |ORDER BY v.seg""".stripMargin,
+
+    // Bag-semantics set op: INTERSECT ALL keeps min(multiplicity) copies
+    "q_sql_setall" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |) t GROUP BY k
+        |ORDER BY n DESC, k LIMIT 20""".stripMargin,
+
     // FULL OUTER between two pre-grouped sides (1:1 on k, nullable counts)
     "q_sql_full" ->
       """SELECT COALESCE(a.k, b.k) AS k, a.n_ord, b.n_line
