@@ -30,7 +30,8 @@ object SparkEntry {
     AnalyticsQueries.queries ++
     StreamingQueries.queries ++
     GenomicsQueries.queries ++
-    SqlSuiteQueries.queries
+    SqlSuiteQueries.queries ++
+    GeoQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
@@ -44,5 +45,6 @@ object SparkEntry {
     RetrievalQueries.oracle ++
     AnalyticsQueries.oracle ++
     StreamingQueries.oracle ++
-    SqlSuiteQueries.oracle
+    SqlSuiteQueries.oracle ++
+    GeoQueries.oracle
 }

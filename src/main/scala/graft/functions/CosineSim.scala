@@ -157,6 +157,15 @@ object GraftFunctions {
     classOf[AdcScore].getName, null, "adc_score",
     "_FUNC_(qv, codes, codebooks, base) - asymmetric-distance PQ score.", "")
 
+  private val jwInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getName, null, "jaro_winkler",
+    "_FUNC_(a, b) - Jaro-Winkler similarity of two strings (p=0.1, prefix cap 4).",
+    "")
+
+  private val geohashInfo = new ExpressionInfo(
+    classOf[GeohashEncode].getName, null, "geohash",
+    "_FUNC_(lat, lon, precision) - base-32 geohash of a point.", "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -202,6 +211,18 @@ object GraftFunctions {
       AdcScore(args.head, args(1), args(2), args(3))
     }
 
+  private[functions] val jwBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "jaro_winkler takes exactly 2 arguments")
+      JaroWinkler(args.head, args(1))
+    }
+
+  private[functions] val geohashBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 3, "geohash takes exactly 3 arguments")
+      GeohashEncode(args.head, args(1), args(2))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -217,6 +238,10 @@ object GraftFunctions {
       FunctionIdentifier("pq_encode"), pqEncodeInfo, pqEncodeBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("adc_score"), adcScoreInfo, adcScoreBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaro_winkler"), jwInfo, jwBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("geohash"), geohashInfo, geohashBuilder)
   }
 }
 
@@ -256,6 +281,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("adc_score"),
       new ExpressionInfo(classOf[AdcScore].getName, null, "adc_score"),
       GraftFunctions.adcScoreBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, null, "jaro_winkler"),
+      GraftFunctions.jwBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("geohash"),
+      new ExpressionInfo(classOf[GeohashEncode].getName, null, "geohash"),
+      GraftFunctions.geohashBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

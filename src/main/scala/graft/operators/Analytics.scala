@@ -824,4 +824,58 @@ object Analytics {
             (col("s") / col("n")) * (col("s") / col("n")))) * 1e4
           + lit(0.5)) / 1e4).as("resid_sd"))
   }
+
+  /** Sample autocorrelation function of the daily event-count series, per
+    * event_type, lags 1..maxLag:
+    *
+    *   r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * computed INTEGER-EXACT: multiplying numerator and denominator by n²
+    * turns every term into (n·x_t − S)(n·x_{t−k} − S) with x_t, n, S all
+    * longs, so both engines sum identical integers in any order and the
+    * single final long/long double division is IEEE-identical — the same
+    * trick that made `changePoint` hash-exact. The day grid is densified
+    * over [min_day, max_day] per type (missing days count 0), guarded
+    * with lo ≤ hi (the resampleHold descending-`sequence` lesson).
+    *
+    * Scale shape: the corpus collapses to |types|·|days| rows in ONE
+    * partial-aggregable groupBy; everything after (grid, lag self-join,
+    * sufficient stats) runs on that tiny aggregate, keyed by event_type —
+    * no global window, no single-partition stage. At 100 TB the daily
+    * series is still driver-thin; the one corpus pass dominates.
+    */
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        (col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .where(col("lo") <= col("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("d"))
+    val series = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val stats = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val centered = series.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("d"),
+        (col("n") * col("x") - col("s")).as("c"))
+    val den = centered.groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c")).as("den"))
+    val lagged = centered
+      .select(col("event_type"), col("d"), col("c"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .select(col("event_type"), (col("d") - col("lag")).as("d"),
+        col("lag"), col("c").as("c_t"))
+    val num = lagged
+      .join(centered.withColumnRenamed("c", "c_tk"), Seq("event_type", "d"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("c_t") * col("c_tk")).as("num"))
+    num.join(broadcast(den), "event_type")
+      .where(col("den") > 0) // constant series has no defined ACF
+      .select(col("event_type"), col("lag"),
+        (col("num").cast("double") / col("den").cast("double")).as("r"))
+  }
 }

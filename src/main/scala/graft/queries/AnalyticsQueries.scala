@@ -166,6 +166,13 @@ object AnalyticsQueries {
       Analytics.changePoint(Tables.events(s, d), minSeg = 5)
         .orderBy(col("user_id"))),
 
+    // autocorrelation of the daily count series per event_type, lags
+    // 1..7 — integer-exact sufficient statistics (n²-scaled centering),
+    // one corpus pass, everything after runs on the |types|·|days| agg
+    "q_evt_acf" -> ((s, d) =>
+      Analytics.acf(Tables.events(s, d), maxLag = 7)
+        .orderBy(col("event_type"), col("lag"))),
+
     // per-group feature normalization: z-score (sample sd, explicit
     // algebra) + p05/p95 winsorize per event_type — group stats join
     // back broadcast (group-count-sized), the feature-prep map a
@@ -657,5 +664,38 @@ object AnalyticsQueries {
                       * 1e4 + 0.5) / 1e4 AS z,
                 floor(least(greatest(e.value, t.p05), t.p95) * 1e4 + 0.5)
                   / 1e4 AS vw
-         FROM events e JOIN t USING (event_type) ORDER BY e.event_id""")
+         FROM events e JOIN t USING (event_type) ORDER BY e.event_id""",
+    // integer-exact ACF: numerator and denominator scaled by n² so every
+    // summand is (n·x_t − S)(n·x_{t−k} − S) over integer daily counts —
+    // both engines sum identical integers, one final double division
+    "q_evt_acf" ->
+      s"""WITH daily AS (
+            SELECT event_type, ($ep) // 86400 AS d, count(*) AS x
+            FROM events GROUP BY 1, 2),
+          bounds AS (
+            SELECT event_type, min(d) AS lo, max(d) AS hi
+            FROM daily GROUP BY 1),
+          grid AS (
+            SELECT event_type, unnest(range(lo, hi + 1)) AS d FROM bounds),
+          series AS (
+            SELECT g.event_type, g.d, coalesce(daily.x, 0) AS x
+            FROM grid g LEFT JOIN daily
+              ON g.event_type = daily.event_type AND g.d = daily.d),
+          st AS (
+            SELECT event_type, count(*) AS n, sum(x) AS s
+            FROM series GROUP BY 1),
+          c AS (
+            SELECT series.event_type, d, st.n * x - st.s AS cv
+            FROM series JOIN st ON series.event_type = st.event_type),
+          den AS (SELECT event_type, sum(cv * cv) AS de FROM c GROUP BY 1),
+          lags AS (SELECT unnest(range(1, 8)) AS lag),
+          num AS (
+            SELECT a.event_type, lags.lag, sum(a.cv * b.cv) AS nu
+            FROM c a CROSS JOIN lags JOIN c b
+              ON a.event_type = b.event_type AND a.d - lags.lag = b.d
+            GROUP BY 1, 2)
+          SELECT num.event_type, CAST(lag AS INT) AS lag,
+                 CAST(nu AS DOUBLE) / CAST(de AS DOUBLE) AS r
+          FROM num JOIN den ON num.event_type = den.event_type
+          WHERE de > 0 ORDER BY 1, 2""")
 }

@@ -192,6 +192,30 @@ object JoinQueries {
         .join(side(1, "id2").as("b"), Seq("lang", "pos"))
         .select(col("lang"), (col("pos") + lit(1L)).as("rn"), col("id1"), col("id2"))
         .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Jaro-Winkler similarity join over distinct part names, blocked on
+    // the first token — the kernel is a native codegen Expression
+    // (functions/StringSim.scala) bit-matched to DuckDB's
+    // jaro_winkler_similarity (classic Winkler: p=0.1, prefix cap 4,
+    // boost only above 0.7; verified pairwise over the whole fixture
+    // vocabulary), so the entry is hash-exact, not rows-only. Blocking
+    // makes the candidate set Σ_block |b|², never names² — at corpus
+    // scale the block key is the same role the LSH band plays for minhash
+    "q_join_jw" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name").as("name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      names.as("a")
+        .join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        .withColumn("jw", expr("jaro_winkler(name_a, name_b)"))
+        .where(col("jw") >= 0.5)
+        .select(col("name_a"), col("name_b"),
+          (floor(col("jw") * 1e4 + lit(0.5)) / 1e4).as("jw"))
+        .orderBy(col("name_a"), col("name_b"))
     })
   )
 
@@ -296,6 +320,16 @@ object JoinQueries {
                  (PARTITION BY lang ORDER BY doc_id) AS rn
                FROM documents WHERE doc_id % 2 = 1) b
            ON a.lang = b.lang AND a.rn = b.rn
-         ORDER BY a.lang, a.rn"""
+         ORDER BY a.lang, a.rn""",
+    "q_join_jw" ->
+      """WITH nn AS (
+           SELECT p_name AS name, string_split(p_name, ' ')[1] AS blk
+           FROM (SELECT DISTINCT p_name FROM part)),
+         pairs AS (
+           SELECT a.name AS name_a, b.name AS name_b,
+                  jaro_winkler_similarity(a.name, b.name) AS jw
+           FROM nn a JOIN nn b ON a.blk = b.blk AND a.name < b.name)
+         SELECT name_a, name_b, floor(jw * 1e4 + 0.5) / 1e4 AS jw
+         FROM pairs WHERE jw >= 0.5 ORDER BY name_a, name_b"""
   )
 }

@@ -16,7 +16,7 @@ class CatalogSpec extends SparkSpec {
       queries.CurationQueries.queries, queries.WebQueries.queries,
       queries.RetrievalQueries.queries, queries.AnalyticsQueries.queries,
       queries.StreamingQueries.queries, queries.GenomicsQueries.queries,
-      queries.SqlSuiteQueries.queries)
+      queries.SqlSuiteQueries.queries, queries.GeoQueries.queries)
     val total = fams.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: union=${SparkEntry.queries.size} sum=$total")

@@ -22,12 +22,14 @@ class PlanAuditSpec extends SparkSpec {
   // normalizer aggregates; q_evt_seasonal cross-joins the 1-row grand
   // mean onto the 24-row hourly table. q_llm_mmr's pool stage and
   // q_llm_two_stage's coarse stage are the same broadcast brute-force
-  // ANN shape (tiny query side × candidate scan).
+  // ANN shape (tiny query side × candidate scan). q_geo_knn crosses the
+  // 5-row probe table over the point scan (broadcast brute-force k-NN,
+  // probe side driver-sized by contract).
   private val allowedCartesian =
     Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
       "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid", "q_llm_contrastive",
       "q_profile_chi2", "q_evt_abtest", "q_llm_ann_binary", "q_graph_hits",
-      "q_evt_seasonal", "q_llm_mmr", "q_llm_two_stage")
+      "q_evt_seasonal", "q_llm_mmr", "q_llm_two_stage", "q_geo_knn")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))

@@ -503,4 +503,40 @@ class AnalyticsSpec extends SparkSpec {
       .select("t", "v").as[(Long, Double)].collect().toMap
     assert(lin(3600L) == 20.0 && lin(7200L) == 30.0, s"$lin")
   }
+
+  test("acf: hand-computed series, dense-grid zero fill, lag bounds") {
+    // daily counts for type "a": days 0..4 → x = [2, 1, 0, 3, 1]
+    // (day 2 has NO events — the dense grid must fill it with 0)
+    def day(d: Int, k: Int) = (0 until k).map(i =>
+      ("a", new Timestamp(d * 86400000L + i * 1000L)))
+    val ev = (day(0, 2) ++ day(1, 1) ++ day(3, 3) ++ day(4, 1))
+      .toDF("event_type", "ts")
+    val got = Analytics.acf(ev, maxLag = 3)
+      .select("event_type", "lag", "r")
+      .as[(String, Int, Double)].collect()
+      .map { case (_, l, r) => l -> r }.toMap
+    // x̄ = 7/5; hand computation with c_t = 5·x_t − 7:
+    //   c = [3, -2, -7, 8, -2], den = Σc² = 9+4+49+64+4 = 130
+    //   lag1: 3·(−2) + (−2)(−7) + (−7)(8) + 8·(−2) = −64
+    //   lag2: 3·(−7) + (−2)(8) + (−7)(−2) = −23
+    //   lag3: 3·8 + (−2)(−2) = 28
+    assert(got(1) === -64.0 / 130.0)
+    assert(got(2) === -23.0 / 130.0)
+    assert(got(3) === 28.0 / 130.0)
+    assert(got.size === 3)
+  }
+
+  test("acf: constant series excluded (zero variance), maxLag honored") {
+    val ev = (0 until 4).map(d => ("c", new Timestamp(d * 86400000L)))
+      .toDF("event_type", "ts")
+    assert(Analytics.acf(ev, maxLag = 2).count() === 0L)
+    val mixed = ((0 until 4).map(d => ("c", new Timestamp(d * 86400000L))) ++
+        Seq(("v", new Timestamp(0L)), ("v", new Timestamp(0L)),
+            ("v", new Timestamp(86400000L))))
+      .toDF("event_type", "ts")
+    val rows = Analytics.acf(mixed, maxLag = 5)
+      .select("event_type", "lag").as[(String, Int)].collect()
+    // "v" spans 2 days → only lag 1 exists; "c" is constant → dropped
+    assert(rows.toSet === Set(("v", 1)))
+  }
 }
