@@ -878,4 +878,59 @@ object Analytics {
       .select(col("event_type"), col("lag"),
         (col("num").cast("double") / col("den").cast("double")).as("r"))
   }
+
+  /** Cross-correlation of two event types' daily-count series at lags
+    * −maxLag..maxLag (positive lag: `typeB` FOLLOWS `typeA` by that many
+    * days):
+    *
+    *   r_k = Σ_t (x_t − x̄)(y_{t+k} − ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²)
+    *
+    * Determinism: same n²-scaled integer centering as [[acf]]; the
+    * denominator is sqrt(dx)·sqrt(dy) — sqrt is IEEE correctly-rounded in
+    * every engine, and dx·dy as one long could overflow where the split
+    * form cannot. Both series share ONE day grid (the union span of the
+    * two types), zero-filled, so lags align day-for-day.
+    *
+    * Scale shape mirrors [[acf]]: one corpus pass down to daily counts,
+    * then tiny-table joins. The lead-lag readout (does marketing spend
+    * predict signups k days later?) is the classic ops-analytics ask.
+    */
+  def ccf(events: DataFrame, typeA: String, typeB: String,
+          maxLag: Int = 7): DataFrame = {
+    val e = events
+      .where(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        (col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+    val daily = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val span = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .where(col("lo") <= col("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    def series(t: String, out: String) = span
+      .join(daily.where(col("event_type") === t).drop("event_type"),
+        Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as(out))
+    val xy = series(typeA, "x").join(series(typeB, "y"), Seq("d"))
+    val st = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"))
+    val cent = xy.crossJoin(broadcast(st))
+      .select(col("d"), (col("n") * col("x") - col("sx")).as("cx"),
+        (col("n") * col("y") - col("sy")).as("cy"))
+    val den = cent.agg(sum(col("cx") * col("cx")).as("dx"),
+      sum(col("cy") * col("cy")).as("dy"))
+    // y at day d+lag pairs with x at day d
+    val lagged = cent.select(col("d"), col("cx"),
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    val num = lagged
+      .join(cent.select(col("d").as("yd"), col("cy")),
+        col("yd") === col("d") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(col("cx") * col("cy")).as("num"))
+    num.crossJoin(broadcast(den))
+      .where(col("dx") > 0 && col("dy") > 0)
+      .select(col("lag"),
+        (col("num").cast("double")
+          / (sqrt(col("dx").cast("double"))
+            * sqrt(col("dy").cast("double")))).as("r"))
+  }
 }

@@ -1543,6 +1543,56 @@ object CorpusOps {
       .where(col("n") >= minCount)
   }
 
+  /** BLEU-style clipped n-gram precision for candidate/reference doc
+    * pairs — the evaluation metric a generation pipeline scores at corpus
+    * scale. For each (cand_id, ref_id) pair and each n ≤ maxN:
+    *
+    *   matches = Σ_gram min(count_cand(gram), count_ref(gram))   (clipped)
+    *   total   = candidate n-gram count
+    *   p_n     = matches / total
+    *
+    * All counts are integers, so `p_n` is one long/long double division —
+    * IEEE-identical cross-engine (the ACF determinism contract). Pairs
+    * whose candidate has no n-gram at that order emit no row.
+    *
+    * Scale shape: n-grams per doc come from one split+transform projection
+    * (no self-join); the cand/ref match is an equi-join on (pair, gram) —
+    * Σ over pairs of gram-vocabulary overlap, never corpus². `pairs` is
+    * (cand_id, ref_id); at 100 TB it arrives pre-blocked (the aligned
+    * translation/caption pairing), so the join key is already the pair id.
+    */
+  def clippedNgramPrecision(docs: DataFrame, pairs: DataFrame,
+                            maxN: Int = 2): DataFrame = {
+    require(maxN >= 1, s"maxN=$maxN")
+    // (doc_id, n, gram, cnt): n-grams of each order with per-doc counts
+    val grams = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(maxN))).as("n"), col("toks"))
+      .where(size(col("toks")) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1, size(toks) - n + 1)," +
+          " i -> concat_ws(' ', slice(toks, i, n)))")).as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val cand = pairs.join(grams,
+        pairs("cand_id") === grams("doc_id"))
+      .select(col("cand_id"), col("ref_id"), col("n"), col("gram"),
+        col("cnt").as("c_cnt"))
+    val ref = grams.select(col("doc_id").as("ref_id"), col("n"),
+      col("gram"), col("cnt").as("r_cnt"))
+    val clipped = cand.join(ref, Seq("ref_id", "n", "gram"), "left")
+      .groupBy(col("cand_id"), col("ref_id"), col("n"))
+      .agg(sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))))
+          .as("matches"),
+        sum(col("c_cnt")).as("total"))
+    clipped.select(col("cand_id"), col("ref_id"), col("n").cast("int").as("n"),
+      col("matches"), col("total"),
+      (col("matches").cast("double") / col("total").cast("double"))
+        .as("p_n"))
+  }
+
   /** Deterministic 256-entry gear table: first 8 bytes of md5("gear:i")
     * as a big-endian long — reproducible on any platform, no RNG. */
   private lazy val gearTable: Array[Long] = {

@@ -173,6 +173,13 @@ object AnalyticsQueries {
       Analytics.acf(Tables.events(s, d), maxLag = 7)
         .orderBy(col("event_type"), col("lag"))),
 
+    // cross-correlation view→purchase at lags −7..7 (does view volume
+    // predict purchase volume k days later?) — ACF's integer machinery
+    // with a split-sqrt denominator that cannot overflow
+    "q_evt_ccf" -> ((s, d) =>
+      Analytics.ccf(Tables.events(s, d), "view", "purchase", maxLag = 7)
+        .orderBy(col("lag"))),
+
     // per-group feature normalization: z-score (sample sd, explicit
     // algebra) + p05/p95 winsorize per event_type — group stats join
     // back broadcast (group-count-sized), the feature-prep map a
@@ -697,5 +704,39 @@ object AnalyticsQueries {
           SELECT num.event_type, CAST(lag AS INT) AS lag,
                  CAST(nu AS DOUBLE) / CAST(de AS DOUBLE) AS r
           FROM num JOIN den ON num.event_type = den.event_type
-          WHERE de > 0 ORDER BY 1, 2""")
+          WHERE de > 0 ORDER BY 1, 2""",
+    // same integer centering as q_evt_acf; denominator split as
+    // sqrt(dx)·sqrt(dy) (sqrt is IEEE correctly-rounded — engine-stable;
+    // dx·dy as one integer could overflow 63 bits)
+    "q_evt_ccf" ->
+      s"""WITH e AS (
+            SELECT event_type, ($ep) // 86400 AS d FROM events
+            WHERE event_type IN ('view', 'purchase')),
+          daily AS (
+            SELECT event_type, d, count(*) AS x FROM e GROUP BY 1, 2),
+          span AS (SELECT unnest(range(min(d), max(d) + 1)) AS d FROM e),
+          sx AS (
+            SELECT span.d, coalesce(x, 0) AS x FROM span LEFT JOIN daily
+              ON daily.event_type = 'view' AND daily.d = span.d),
+          sy AS (
+            SELECT span.d, coalesce(x, 0) AS y FROM span LEFT JOIN daily
+              ON daily.event_type = 'purchase' AND daily.d = span.d),
+          xy AS (SELECT sx.d, x, y FROM sx JOIN sy ON sx.d = sy.d),
+          st AS (SELECT count(*) AS n, sum(x) AS sxs, sum(y) AS sys
+                 FROM xy),
+          cent AS (
+            SELECT d, st.n * x - st.sxs AS cx, st.n * y - st.sys AS cy
+            FROM xy CROSS JOIN st),
+          den AS (SELECT sum(cx * cx) AS dx, sum(cy * cy) AS dy FROM cent),
+          lags AS (SELECT unnest(range(-7, 8)) AS lag),
+          num AS (
+            SELECT lag, sum(a.cx * b.cy) AS nu
+            FROM cent a CROSS JOIN lags JOIN cent b ON b.d = a.d + lags.lag
+            GROUP BY 1)
+          SELECT CAST(lag AS INT) AS lag,
+                 CAST(nu AS DOUBLE)
+                   / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+                   AS r
+          FROM num CROSS JOIN den
+          WHERE dx > 0 AND dy > 0 ORDER BY lag""")
 }

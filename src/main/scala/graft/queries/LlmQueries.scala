@@ -728,6 +728,22 @@ object LlmQueries {
       Pca.project(emb, model)
         .select(col("vec_id") +: flat: _*)
         .orderBy(col("vec_id"))
+    }),
+
+    // BLEU-style clipped n-gram precision (n=1,2) scoring each doc against
+    // its successor as reference — integer clipped/total counts, one final
+    // long/long division (IEEE-identical cross-engine). The pair set is
+    // the aligned-pair shape a generation-eval pipeline brings pre-blocked.
+    "q_llm_bleu" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .select(col("doc_id").as("cand_id"),
+          (col("doc_id") + lit(1L)).as("ref_id"))
+        .join(ids.select(col("doc_id").as("ref_id")), Seq("ref_id"))
+        .select(col("cand_id"), col("ref_id"))
+      CorpusOps.clippedNgramPrecision(docs, pairs, maxN = 2)
+        .orderBy(col("cand_id"), col("n"))
     })
   )
 
@@ -1451,6 +1467,39 @@ object LlmQueries {
            SELECT nb.doc_id, nb.h FROM nb
            LEFT JOIN ex ON nb.h = ex.h WHERE ex.h IS NULL)
          SELECT MIN(doc_id) AS doc_id, h
-         FROM nov GROUP BY h ORDER BY doc_id"""
+         FROM nov GROUP BY h ORDER BY doc_id""",
+    "q_llm_bleu" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, n,
+                  unnest(list_transform(range(1, len(tk) - n + 2),
+                    i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+           FROM toks CROSS JOIN (SELECT unnest([1, 2]) AS n)
+           WHERE len(tk) >= n),
+         gc AS (
+           SELECT doc_id, n, gram, count(*) AS cnt
+           FROM grams GROUP BY 1, 2, 3),
+         pairs AS (
+           SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         cand AS (
+           SELECT p.cand_id, p.ref_id, g.n, g.gram, g.cnt AS c_cnt
+           FROM pairs p JOIN gc g ON g.doc_id = p.cand_id),
+         m AS (
+           SELECT cand_id, cand.ref_id, cand.n,
+                  sum(least(c_cnt, coalesce(r.cnt, 0))) AS matches,
+                  sum(c_cnt) AS total
+           FROM cand LEFT JOIN gc r
+             ON r.doc_id = cand.ref_id AND r.n = cand.n
+                AND r.gram = cand.gram
+           GROUP BY 1, 2, 3)
+         SELECT cand_id, ref_id, CAST(n AS INT) AS n,
+                CAST(matches AS BIGINT) AS matches,
+                CAST(total AS BIGINT) AS total,
+                CAST(matches AS DOUBLE) / CAST(total AS DOUBLE) AS p_n
+         FROM m ORDER BY cand_id, n"""
   )
 }

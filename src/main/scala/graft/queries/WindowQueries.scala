@@ -99,6 +99,17 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // rolling 7-row median of event values per user — an exact aggregate
+    // (percentile) used AS a window function; interpolation follows the
+    // q_agg_percentile quantile_cont convention, floor-rounded on output
+    "q_win_median" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (floor(expr("percentile(value, 0.5)")
+            .over(byUserTs.rowsBetween(-6, 0)) * 1e4 + lit(0.5)) / 1e4)
+            .as("med7"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // batch sessionization: 30-min-gap rule via lag + cumulative sum of
     // session-start flags (batch twin of streaming session_window)
     "q_win_session" -> ((s, d) => {
@@ -166,6 +177,13 @@ object WindowQueries {
                  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY $ep
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
           FROM events ORDER BY user_id, event_id""",
+    "q_win_median" ->
+      """SELECT user_id, event_id,
+                floor(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1e4 + 0.5)
+                  / 1e4 AS med7
+         FROM events ORDER BY user_id, event_id""",
     "q_win_topk" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, price FROM (
            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,

@@ -539,4 +539,21 @@ class AnalyticsSpec extends SparkSpec {
     // "v" spans 2 days → only lag 1 exists; "c" is constant → dropped
     assert(rows.toSet === Set(("v", 1)))
   }
+
+  test("ccf: perfect one-day lead-lag, shared grid, other types ignored") {
+    // view on day 0, purchase on day 1 → x = [1,0], y = [0,1]
+    // cx = [1,−1], cy = [−1,1], dx = dy = 2
+    val ev = Seq(
+      ("view", new Timestamp(0L)),
+      ("purchase", new Timestamp(86400000L)),
+      ("error", new Timestamp(10 * 86400000L)) // must NOT stretch the grid
+    ).toDF("event_type", "ts")
+    val got = Analytics.ccf(ev, "view", "purchase", maxLag = 1)
+      .select("lag", "r").as[(Int, Double)].collect().toMap
+    val s2 = math.sqrt(2.0)
+    assert(got(0) === -2.0 / (s2 * s2))   // anti-aligned at lag 0
+    assert(got(1) === 1.0 / (s2 * s2))    // purchase follows view by 1 day
+    assert(got(-1) === 1.0 / (s2 * s2))   // symmetric tiny series
+    assert(got.size === 3)
+  }
 }

@@ -958,4 +958,36 @@ class CorpusOpsSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(60).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("clippedNgramPrecision: hand-computed clipping, repeats capped by ref") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat the cat"), // candidate: 'the'×2 'cat'×2
+      (2L, "the cat sat"),     // reference
+      (3L, "a")                // 1 token → unigram row only
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 2L)).toDF("cand_id", "ref_id")
+    val got = CorpusOps.clippedNgramPrecision(docs, pairs, maxN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // unigrams: clipped = min(2,1)['the'] + min(2,1)['cat'] = 2 of 4
+    assert(got((1L, 1)) === ((2L, 4L, 0.5)))
+    // bigrams: 'the cat'×2 clipped to 1, 'cat the' unmatched → 1 of 3
+    assert(got((1L, 2)) === ((1L, 3L, 1.0 / 3.0)))
+    // 'a' has no match and no bigram row at all
+    assert(got((3L, 1)) === ((0L, 1L, 0.0)))
+    assert(!got.contains((3L, 2)))
+    assert(got.size === 3)
+  }
+
+  test("clippedNgramPrecision: identical docs score 1.0 at every order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x y z x y"), (2L, "x y z x y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("cand_id", "ref_id")
+    val ps = CorpusOps.clippedNgramPrecision(docs, pairs, maxN = 2)
+      .select("p_n").as[Double].collect()
+    assert(ps.length === 2 && ps.forall(_ === 1.0))
+  }
 }
