@@ -166,6 +166,11 @@ object GraftFunctions {
     classOf[GeohashEncode].getName, null, "geohash",
     "_FUNC_(lat, lon, precision) - base-32 geohash of a point.", "")
 
+  private val lcsInfo = new ExpressionInfo(
+    classOf[LcsLen].getName, null, "lcs_len",
+    "_FUNC_(a, b) - longest-common-subsequence length of two string arrays.",
+    "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -223,6 +228,12 @@ object GraftFunctions {
       GeohashEncode(args.head, args(1), args(2))
     }
 
+  private[functions] val lcsBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "lcs_len takes exactly 2 arguments")
+      LcsLen(args.head, args(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -242,6 +253,8 @@ object GraftFunctions {
       FunctionIdentifier("jaro_winkler"), jwInfo, jwBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("geohash"), geohashInfo, geohashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lcs_len"), lcsInfo, lcsBuilder)
   }
 }
 
@@ -289,6 +302,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("geohash"),
       new ExpressionInfo(classOf[GeohashEncode].getName, null, "geohash"),
       GraftFunctions.geohashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[LcsLen].getName, null, "lcs_len"),
+      GraftFunctions.lcsBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
   }
 }

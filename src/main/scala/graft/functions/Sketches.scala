@@ -319,4 +319,171 @@ object Sketches {
     if (a.isEmpty) 0.0
     else a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
   }
+
+  // ----------------------------------------------------------- t-digest ---
+
+  /** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate
+    * Quantiles Using t-Digests"): centroids sized by the k₁ scale function
+    * k(q) = (δ/2π)·asin(2q−1), so clusters shrink toward the tails — rank
+    * error is O(q(1−q)/δ), tightest exactly where percentile queries care.
+    *
+    * The sketch completes the mergeable-summary family (HLL, count-min,
+    * MinHash, Bloom, SimHash): associative merge ⇒ Spark runs it
+    * partial+final, the shuffle carries one ≤(8·2δ+ε)-byte buffer per
+    * group per map partition, never the values. No RNG anywhere —
+    * compaction is a deterministic function of the accumulated multiset
+    * and arrival order; estimates for ANY order stay inside the rank-error
+    * bound (SketchesSpec pins both the local-order exact bound and a
+    * distributed-run margin).
+    *
+    * Buffer layout (bytes): int n, then n × (double mean, double weight),
+    * centroids kept sorted by mean.
+    */
+  object TDigest {
+    /** Serialize (means, weights, n) — the empty sketch is 4 zero bytes. */
+    def pack(means: Array[Double], ws: Array[Double], n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+      bb.putInt(n)
+      var i = 0
+      while (i < n) { bb.putDouble(means(i)); bb.putDouble(ws(i)); i += 1 }
+      bb.array()
+    }
+
+    def unpack(b: Array[Byte]): (Array[Double], Array[Double]) = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      val n = bb.getInt
+      val means = new Array[Double](n)
+      val ws = new Array[Double](n)
+      var i = 0
+      while (i < n) { means(i) = bb.getDouble; ws(i) = bb.getDouble; i += 1 }
+      (means, ws)
+    }
+
+    /** k₁ scale function; δ caps the compressed centroid count at ~2δ. */
+    @inline private def kScale(q: Double, delta: Int): Double =
+      delta / (2 * math.Pi) * math.asin(2 * math.min(1.0, math.max(0.0, q)) - 1)
+
+    /** Merge-compress a (mean, weight) multiset sorted by mean into ≤ ~2δ
+      * centroids: greedily absorb neighbors while the k-span stays < 1. */
+    def compress(means: Array[Double], ws: Array[Double],
+                 delta: Int): (Array[Double], Array[Double]) = {
+      val n = means.length
+      if (n == 0) return (means, ws)
+      val idx = (0 until n).sortBy(means(_)).toArray
+      val total = ws.sum
+      val om = new Array[Double](n)
+      val ow = new Array[Double](n)
+      var out = 0
+      var accW = ws(idx(0))
+      var accSum = means(idx(0)) * ws(idx(0))
+      var wSoFar = 0.0 // weight strictly before the open cluster
+      var kLeft = kScale(0.0, delta)
+      var i = 1
+      while (i < n) {
+        val w = ws(idx(i))
+        val qRight = (wSoFar + accW + w) / total
+        if (kScale(qRight, delta) - kLeft < 1.0) {
+          accW += w; accSum += means(idx(i)) * w
+        } else {
+          om(out) = accSum / accW; ow(out) = accW; out += 1
+          wSoFar += accW
+          kLeft = kScale(wSoFar / total, delta)
+          accW = w; accSum = means(idx(i)) * w
+        }
+        i += 1
+      }
+      om(out) = accSum / accW; ow(out) = accW; out += 1
+      (om.take(out), ow.take(out))
+    }
+
+    /** Quantile estimate by linear interpolation between centroid
+      * midpoints (centroid i sits at cumulative weight W_<i + w_i/2). */
+    def quantile(means: Array[Double], ws: Array[Double], q: Double): Double = {
+      val n = means.length
+      require(n > 0, "quantile of an empty t-digest")
+      if (n == 1) return means(0)
+      val total = ws.sum
+      val target = q * total
+      var cum = 0.0
+      var i = 0
+      while (i < n) {
+        val mid = cum + ws(i) / 2
+        if (target <= mid) {
+          if (i == 0) return means(0)
+          val prevMid = cum - ws(i - 1) / 2
+          val f = (target - prevMid) / (mid - prevMid)
+          return means(i - 1) + f * (means(i) - means(i - 1))
+        }
+        cum += ws(i)
+        i += 1
+      }
+      means(n - 1)
+    }
+  }
+
+  /** Sketch-emitting aggregator: double column → serialized t-digest.
+    *
+    * The buffer is FIXED-capacity (4 + 16·8δ bytes) and mutated in place
+    * (the HllAggregator discipline): points append as weight-1 centroids
+    * at slot n; when the buffer fills it compresses back down to ≤ ~2δ
+    * centroids in place. Merge concatenates live entries + compresses.
+    * `finish` emits the compact (exact-length) serialized digest.
+    */
+  final class TDigestAggregator(delta: Int = 100)
+      extends Aggregator[Double, Array[Byte], Array[Byte]] {
+    private val bufCap = 8 * delta
+
+    override def zero: Array[Byte] = new Array[Byte](4 + 16 * bufCap)
+
+    private def compressInPlace(buf: Array[Byte]): Unit = {
+      val (m, w) = TDigest.unpack(buf)
+      val (cm, cw) = TDigest.compress(m, w, delta)
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      bb.putInt(cm.length)
+      var i = 0
+      while (i < cm.length) { bb.putDouble(cm(i)); bb.putDouble(cw(i)); i += 1 }
+    }
+
+    override def reduce(buf: Array[Byte], v: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      var n = bb.getInt(0)
+      if (n >= bufCap) { compressInPlace(buf); n = bb.getInt(0) }
+      bb.putDouble(4 + 16 * n, v)
+      bb.putDouble(4 + 16 * n + 8, 1.0)
+      bb.putInt(0, n + 1)
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val (ma, wa) = TDigest.unpack(a)
+      val (mb, wb) = TDigest.unpack(b)
+      val (cm, cw) = TDigest.compress(ma ++ mb, wa ++ wb, delta)
+      val out = new Array[Byte](4 + 16 * bufCap)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(cm.length)
+      var i = 0
+      while (i < cm.length) { bb.putDouble(cm(i)); bb.putDouble(cw(i)); i += 1 }
+      out
+    }
+
+    override def finish(buf: Array[Byte]): Array[Byte] = {
+      val (m, w) = TDigest.unpack(buf)
+      val (cm, cw) = TDigest.compress(m, w, delta)
+      TDigest.pack(cm, cw, cm.length)
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column form: serialized t-digest of a double column. */
+  def tdigest(col: Column, delta: Int = 100): Column =
+    org.apache.spark.sql.functions.udaf(new TDigestAggregator(delta),
+      Encoders.scalaDouble).apply(col)
+
+  /** Quantile estimates (array<double>) from a serialized t-digest. */
+  def tdigestQuantiles(sketch: Array[Byte], qs: Seq[Double]): Seq[Double] = {
+    val (m, w) = TDigest.unpack(sketch)
+    qs.map(q => TDigest.quantile(m, w, q))
+  }
 }

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** String-similarity and geocoding scalar kernels.
@@ -67,6 +68,34 @@ object StringSimKernels {
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 
+  /** Longest-common-subsequence length of two token sequences — the
+    * ROUGE-L kernel. Classic O(n·m) DP with a rolling 1-row table;
+    * callers bound token counts (the catalog caps at 200) so the per-pair
+    * cost is a constant, not corpus-dependent. */
+  def lcsLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    val at = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { at(i) = a.getUTF8String(i); i += 1 }
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        cur(j + 1) =
+          if (at(i) == b.getUTF8String(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
   private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Standard geohash (Niemeyer 2008): interleaved lat/lon bisection,
@@ -118,6 +147,35 @@ case class JaroWinkler(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.StringSimKernels.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lcs_len(a, b)` — longest-common-subsequence length of two string
+  * arrays (the ROUGE-L kernel); null if either side is null. */
+case class LcsLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e =>
+        e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == StringType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+      s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lcs_len"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimKernels.lcsLen(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringSimKernels.lcsLen($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *     lossless. Candidate volume is Σ_cell |L_cell|·|R_cell| — density-
   *     bounded, not |L|·|R|. Hot cells (cities) are the skew risk; the
   *     shuffle key is the cell id, so AQE skew-split or salting applies
-  *     directly, same playbook as `q_join_salted`.
+  *     directly, same playbook as `q_join_salted`. Measured at 32×
+  *     (BASELINE.md round-8 part 2): wall grows with OUTPUT cardinality
+  *     (the probe packs 32× the points into a fixed band → pairs ~density²,
+  *     24.5k → 31.5M rows) while per-output-pair cost falls — the join
+  *     shape itself stays cell-local.
   *   - `knnToProbes` is the broadcast brute-force shape shared with the
   *     ANN baselines (`q_llm_sim_topk`): a tiny probe table crosses the
   *     point scan once; per-probe top-k via a probe-partitioned window.

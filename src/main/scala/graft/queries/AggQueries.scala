@@ -172,6 +172,31 @@ object AggQueries {
         .agg(graft.functions.Sketches.hllMergeEstimate(col("sketch"))
           .as("est_users"))
         .orderBy(col("week"))
+    }),
+
+    // custom mergeable t-digest (Sketches.TDigestAggregator, k₁ scale):
+    // per-group p50/p95 estimates from one associative sketch pass — the
+    // shuffle carries ≤2δ centroids per group per map partition, never
+    // values. Rows-only (estimates are order-dependent within the proven
+    // rank-error bound); SketchesSpec pins exact-order bounds, merge
+    // consistency and the distributed-vs-exact envelope. The 5-row
+    // post-aggregate quantile readout is a typed Dataset.map (sanctioned
+    // UDF-surface path), not a scalar udf.
+    "q_agg_tdigest" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Sketches.tdigest(col("l_extendedprice"))
+            .as("sk"),
+          count(lit(1)).as("n"))
+        .as[(String, Array[Byte], Long)]
+        .map { case (f, sk, n) =>
+          val qs = graft.functions.Sketches.tdigestQuantiles(sk, Seq(0.5, 0.95))
+          (f, n, math.floor(qs(0) * 100 + 0.5) / 100,
+            math.floor(qs(1) * 100 + 0.5) / 100)
+        }
+        .toDF("l_returnflag", "n", "p50_est", "p95_est")
+        .orderBy(col("l_returnflag"))
     })
   )
 

@@ -744,6 +744,29 @@ object LlmQueries {
         .select(col("cand_id"), col("ref_id"))
       CorpusOps.clippedNgramPrecision(docs, pairs, maxN = 2)
         .orderBy(col("cand_id"), col("n"))
+    }),
+
+    // ROUGE-L via the native lcs_len codegen Expression (O(n·m) DP kernel,
+    // token count capped at 200 so per-pair cost is a constant): P/R from
+    // the LCS, F1 = 2·lcs/(n_cand+n_ref) — all integer-derived divisions.
+    // Rows-only (no LCS in the oracle engine); StringSimSpec pins the DP.
+    "q_llm_rouge" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        expr("slice(filter(split(text, ' '), t -> t <> ''), 1, 200)")
+          .as("toks"))
+      val cand = docs.select(col("doc_id").as("cand_id"), col("toks").as("ct"))
+      val ref = docs.select((col("doc_id") - lit(1L)).as("cand_id"),
+        col("toks").as("rt"))
+      cand.join(ref, "cand_id")
+        .select(col("cand_id"), expr("lcs_len(ct, rt)").as("lcs"),
+          size(col("ct")).as("n_cand"), size(col("rt")).as("n_ref"))
+        .where(col("n_cand") > 0 && col("n_ref") > 0)
+        .select(col("cand_id"), col("lcs"), col("n_cand"), col("n_ref"),
+          (col("lcs").cast("double") / col("n_cand")).as("p"),
+          (col("lcs").cast("double") / col("n_ref")).as("r"),
+          (lit(2.0) * col("lcs") / (col("n_cand") + col("n_ref"))).as("f1"))
+        .orderBy(col("cand_id"))
     })
   )
 

@@ -147,4 +147,73 @@ class SketchesSpec extends SparkSpec {
     assert(sum == one.table && a.n + b.n == one.n,
       "partition sketches must sum to the full sketch")
   }
+
+  // deterministic shuffle of 0..n-1 by mix64 sort key — no RNG in specs
+  private def shuffled(n: Int): Array[Double] =
+    (0 until n).sortBy(i => Sketches.mix64(i.toLong + 7L)).map(_.toDouble).toArray
+
+  test("t-digest: rank error ≤ 2% on a 10k uniform stream, all quantiles") {
+    val agg = new Sketches.TDigestAggregator(delta = 100)
+    val n = 10000
+    var buf = agg.zero
+    shuffled(n).foreach(v => buf = agg.reduce(buf, v))
+    val sk = agg.finish(buf)
+    // values ARE their own ranks (0..9999), so est value ≈ est rank
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = Sketches.tdigestQuantiles(sk, Seq(q)).head
+      val err = math.abs(est - q * (n - 1)) / n
+      assert(err <= 0.02, s"q=$q est=$est rank-err=$err")
+    }
+  }
+
+  test("t-digest: tails tighter than the middle (k1 scale property)") {
+    val agg = new Sketches.TDigestAggregator(delta = 100)
+    val n = 10000
+    var buf = agg.zero
+    shuffled(n).foreach(v => buf = agg.reduce(buf, v))
+    val sk = agg.finish(buf)
+    def rankErr(q: Double) =
+      math.abs(Sketches.tdigestQuantiles(sk, Seq(q)).head - q * (n - 1)) / n
+    assert(rankErr(0.001) <= 0.005 && rankErr(0.999) <= 0.005,
+      s"tail errors ${rankErr(0.001)} / ${rankErr(0.999)}")
+  }
+
+  test("t-digest: merge of chunk sketches stays within the rank bound") {
+    val agg = new Sketches.TDigestAggregator(delta = 100)
+    val n = 10000
+    val data = shuffled(n)
+    val chunks = data.grouped(2500).toArray.map { c =>
+      var b = agg.zero
+      c.foreach(v => b = agg.reduce(b, v))
+      b
+    }
+    // two different merge trees
+    val left = agg.finish(chunks.reduceLeft(agg.merge))
+    val pairA = agg.merge(chunks(0), chunks(1))
+    val pairB = agg.merge(chunks(2), chunks(3))
+    val tree = agg.finish(agg.merge(pairA, pairB))
+    for (sk <- Seq(left, tree); q <- Seq(0.05, 0.5, 0.95)) {
+      val err = math.abs(Sketches.tdigestQuantiles(sk, Seq(q)).head
+        - q * (n - 1)) / n
+      assert(err <= 0.02, s"merged q=$q err=$err")
+    }
+    // total weight is conserved exactly through any merge tree
+    val (_, w) = Sketches.TDigest.unpack(left)
+    assert(w.sum === n.toDouble)
+  }
+
+  test("t-digest: distributed estimate brackets the exact percentile rank") {
+    val s = spark
+    import s.implicits._
+    val li = Tables.lineitem(s, sf001).select(col("l_extendedprice"))
+    val n = li.count().toDouble
+    val sk = li.agg(Sketches.tdigest(col("l_extendedprice")).as("sk"))
+      .as[Array[Byte]].head()
+    for (q <- Seq(0.5, 0.95)) {
+      val est = Sketches.tdigestQuantiles(sk, Seq(q)).head
+      val rank = li.where(col("l_extendedprice") <= est).count() / n
+      assert(math.abs(rank - q) <= 0.03,
+        s"q=$q est=$est achieved-rank=$rank")
+    }
+  }
 }

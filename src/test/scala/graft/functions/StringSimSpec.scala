@@ -60,6 +60,25 @@ class StringSimSpec extends SparkSpec {
     assert(StringSimKernels.geohash(-90.0, -180.0, 1).toString === "0")
   }
 
+  test("lcs_len: textbook DP cases, empties, codegen path") {
+    GraftFunctions.register(spark)
+    def lcs(a: String, b: String): Int = spark.sql(
+      s"SELECT lcs_len(split('$a', ' '), split('$b', ' ')) AS v")
+      .head().getInt(0)
+    // classic: LCS(ABCBDAB, BDCABA) = 4 (BDAB / BCAB / BCBA)
+    assert(lcs("A B C B D A B", "B D C A B A") === 4)
+    assert(lcs("a b c", "a b c") === 3)          // identity
+    assert(lcs("a b c", "x y z") === 0)          // disjoint
+    assert(lcs("a b c d", "b d") === 2)          // subsequence, not substring
+    assert(lcs("a a a", "a a") === 2)            // repeats bounded by shorter
+    // order matters: subsequence must be increasing in BOTH
+    assert(lcs("a b", "b a") === 1)
+    val e = spark.sql(
+      "SELECT lcs_len(slice(split('x', ' '), 1, 0), split('a b', ' ')) AS v")
+      .head().getInt(0)
+    assert(e === 0)
+  }
+
   test("geohash prefix law: lower precision is a strict prefix") {
     GraftFunctions.register(spark)
     val pts = spark.range(1, 400).select(
