@@ -1,0 +1,197 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter, LogicalPlan, Window => LogicalWindow, WindowGroupLimit => LogicalWindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Native top-k-per-group: the custom `SparkStrategy` + `SparkPlan` rung of
+  * the extension ladder (SURVEY §4.3 (c) — whole-operator semantics that
+  * composition can't express EFFICIENTLY).
+  *
+  * The idiomatic DataFrame spelling
+  * `row_number().over(partitionBy(g).orderBy(o)) <= k` plans by default as
+  * exchange → per-partition FULL SORT → WindowExec → filter: O(n log n)
+  * comparisons and a fully materialized sort buffer per partition even
+  * though only k rows per group survive. (Spark's InferWindowGroupLimit
+  * inserts a pre-limiter below the Window, but the surviving rows are
+  * still sorted and ranked by the full WindowExec machinery.)
+  *
+  * [[TopKPerGroupStrategy]] recognizes exactly that logical pattern —
+  * `Filter(rn ≤ k, Window([rn := row_number() over (p, o)], p, o, child))`
+  * — and plans [[TopKPerGroupExec]] instead: hash-cluster on the group
+  * keys (EnsureRequirements inserts the one exchange), then ONE pass per
+  * partition maintaining a bounded k-row binary heap per group —
+  * O(n log k), no sort, memory bounded by groups·k rows instead of the
+  * partition. Ranks are assigned on emission, so the operator is
+  * row-for-row equivalent to the window form (ties in `o` are arbitrary in
+  * BOTH forms; catalog queries use total orders).
+  *
+  * Scale: at 100 TB this is the difference between sorting every
+  * partition of a shuffled fact table and streaming it once through a
+  * groups·k-row heap; the pre-exchange WindowGroupLimit (kept — it plans
+  * below us) additionally caps what the exchange itself carries.
+  *
+  * The strategy fires only on the exact safe shape: single row_number
+  * window expression, non-empty partition+order specs, literal int k in
+  * (0, 100000]. Everything else falls through to the default planner.
+  */
+object TopKPerGroupStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case f: LogicalFilter if f.child.isInstanceOf[LogicalWindow] =>
+      val w = f.child.asInstanceOf[LogicalWindow]
+      (w.windowExpressions, w.partitionSpec, w.orderSpec) match {
+        case (Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)), part, order)
+            if part.nonEmpty && order.nonEmpty =>
+          val rn = alias.toAttribute
+          val k = f.condition match {
+            case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
+                if a.semanticEquals(rn) => v
+            case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+                if a.semanticEquals(rn) => v - 1
+            case _ => -1
+          }
+          if (k > 0 && k <= 100000) {
+            // skip Spark's sort-based pre-limiter (InferWindowGroupLimit
+            // may have inserted it below the Window): the heap phases
+            // subsume it without the sorts it requires
+            val source = w.child match {
+              case wgl: LogicalWindowGroupLimit => wgl.child
+              case c => c
+            }
+            val partial = TopKPerGroupExec(part, order, k, None,
+              partial = true, planLater(source))
+            TopKPerGroupExec(part, order, k, Some(rn),
+              partial = false, partial) :: Nil
+          } else Nil
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Per-partition bounded-heap top-k-per-group.
+  *
+  * Two-phase: the PARTIAL instance runs before the exchange (map-side
+  * combine — each map partition forwards at most groups·k rows, no rank,
+  * no ordering requirement), the FINAL instance runs on the clustered
+  * side and assigns ranks on emission. Neither phase sorts anything.
+  */
+case class TopKPerGroupExec(
+    partExprs: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    k: Int,
+    rnAttr: Option[Attribute],
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rnAttr.get
+
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr.toSeq)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    (if (partial) UnspecifiedDistribution
+     else ClusteredDistribution(partExprs)) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupExec"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val orderSer = orderSpec
+    val partSer = partExprs
+    val kk = k
+    val out = output
+    val isPartial = partial
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(partSer, childOutput)
+      val ord = GenerateOrdering.generate(orderSer, childOutput)
+      // java PQ head = least by comparator; evict the WORST row, so the
+      // heap comparator is the REVERSED sort order (head = current worst)
+      val heapCmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val groups = new java.util.LinkedHashMap[
+        UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = groups.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, heapCmp)
+          groups.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      val groupIt = groups.values().iterator()
+      if (isPartial) {
+        // forward the survivors unranked; order within groups irrelevant
+        new Iterator[InternalRow] {
+          private var current: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          override def hasNext: Boolean = {
+            while (!current.hasNext && groupIt.hasNext)
+              current = groupIt.next().iterator()
+            current.hasNext
+          }
+          override def next(): InternalRow = current.next()
+        }
+      } else {
+        val resultProj = UnsafeProjection.create(out, out)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private var current: Array[InternalRow] = Array.empty
+          private var pos = 0
+          override def hasNext: Boolean = {
+            while (pos >= current.length && groupIt.hasNext) {
+              val heap = groupIt.next()
+              val arr = new Array[InternalRow](heap.size)
+              var i = arr.length - 1
+              while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst-first
+              current = arr
+              pos = 0
+            }
+            pos < current.length
+          }
+          override def next(): InternalRow = {
+            val row = current(pos)
+            rankRow.setInt(0, pos + 1)
+            pos += 1
+            resultProj(joined(row, rankRow))
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Idempotent per-session installer (the `experimental.extraStrategies`
+  * path, for sessions built without `spark.sql.extensions`; GraftExtensions
+  * injects the same strategy at build time). */
+object TopK {
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[TopKPerGroupStrategy.type]))
+      spark.experimental.extraStrategies = cur :+ TopKPerGroupStrategy
+  }
+}

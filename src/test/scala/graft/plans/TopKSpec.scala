@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TopKPerGroupStrategy / TopKPerGroupExec: the strategy fires on exactly
+  * the safe pattern, the heap operator is row-for-row equivalent to the
+  * default WindowExec plan, and non-matching shapes fall through.
+  */
+class TopKSpec extends SparkSpec {
+
+  // fresh session so the installed strategy never leaks into the shared one
+  private def session(): SparkSession = {
+    val s2 = spark.newSession()
+    TopK.install(s2)
+    s2
+  }
+
+  private def topkQuery(s: SparkSession, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    s.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  test("strategy plans the two heap phases, no WindowExec, no pre-exchange sort") {
+    val s2 = session()
+    val plan = topkQuery(s2, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupExec"), plan.take(2000))
+    assert(plan.contains("TopKPerGroupPartial"), "map-side combine phase missing")
+    assert(!plan.contains("WindowExec"), "full WindowExec should be gone")
+    assert(!plan.contains("WindowGroupLimit"),
+      "sort-based pre-limiter should be subsumed by the heap phases")
+    // the ONLY Sort left is the final presentation orderBy above the filter
+    assert("Sort \\[".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
+  test("heap operator is row-for-row equal to the default window plan") {
+    val native = topkQuery(session(), 3).collect().map(_.toSeq)
+    val default = topkQuery(spark, 3).collect().map(_.toSeq)
+    assert(native.toSeq === default.toSeq)
+    assert(native.nonEmpty)
+  }
+
+  test("k = 1 (argmax per group) and rn < k spelling both work") {
+    val s2 = session()
+    val one = topkQuery(s2, 1)
+    assert(one.queryExecution.executedPlan.toString
+      .contains("TopKPerGroupExec"))
+    assert(one.collect().map(_.toSeq).toSeq ===
+      topkQuery(spark, 1).collect().map(_.toSeq).toSeq)
+    // rn < 4 ≡ rn <= 3
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val lt = s2.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") < 4)
+    assert(lt.queryExecution.executedPlan.toString
+      .contains("TopKPerGroupExec"))
+    assert(lt.count() === topkQuery(spark, 3).count())
+  }
+
+  test("non-matching shapes fall through to the default planner") {
+    val s2 = session()
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // rank() is not row_number — ties would change semantics
+    val ranked = s2.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_custkey"), rank().over(w).as("rk"))
+      .where(col("rk") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString
+      .contains("TopKPerGroupExec"))
+    // unpartitioned window: global top-k is TakeOrdered territory, not ours
+    val global = s2.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"),
+        row_number().over(Window.orderBy(col("o_totalprice").desc)).as("rn"))
+      .where(col("rn") <= 3)
+    assert(!global.queryExecution.executedPlan.toString
+      .contains("TopKPerGroupExec"))
+  }
+
+  test("every group emits exactly min(k, group size) rows, ranks 1..") {
+    val s2 = session()
+    val rows = topkQuery(s2, 3).collect()
+    val byGroup = rows.groupBy(_.getLong(0))
+    byGroup.foreach { case (g, rs) =>
+      assert(rs.length <= 3, s"group $g")
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length), s"group $g")
+      // descending price within the group, orderkey tiebreak
+      val prices = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+    // exhaustive: a group with ≥3 orders must emit exactly 3
+    val counts = spark.read.parquet(s"$sf001/orders.parquet")
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byGroup.foreach { case (g, rs) =>
+      assert(rs.length === math.min(3L, counts(g)).toInt, s"group $g")
+    }
+    assert(byGroup.size === counts.size, "every group must be represented")
+  }
+}
