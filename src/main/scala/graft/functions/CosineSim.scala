@@ -307,5 +307,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[LcsLen].getName, null, "lcs_len"),
       GraftFunctions.lcsBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -99,6 +99,27 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // q_win_topk's semantics planned through the NATIVE two-phase heap
+    // operator (plans/TopKPerGroup.scala: custom SparkStrategy + SparkPlan;
+    // map-side partial heap → exchange → ranking final heap, no sorts, no
+    // WindowExec) on a private child session so the strategy never leaks
+    // into the shared driver session. Same oracle text as q_win_topk —
+    // the driver hash-checks that the custom physical operator is
+    // row-for-row equivalent to the declarative window form.
+    "q_win_topk_native" -> ((s, d) => {
+      val s2 = s.newSession()
+      graft.plans.TopK.install(s2)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s2, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // rolling 7-row median of event values per user — an exact aggregate
     // (percentile) used AS a window function; interpolation follows the
     // q_agg_percentile quantile_cont convention, floor-rounded on output
@@ -185,6 +206,15 @@ object WindowQueries {
                   / 1e4 AS med7
          FROM events ORDER BY user_id, event_id""",
     "q_win_topk" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, price FROM (
+           SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // identical text to q_win_topk: the native heap operator must be
+    // row-for-row equivalent to the declarative window form
+    "q_win_topk_native" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, price FROM (
            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
                   ROW_NUMBER() OVER (PARTITION BY o_custkey
