@@ -320,6 +320,99 @@ object Sketches {
     else a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
   }
 
+  // -------------------------------------------------------- theta (KMV) ---
+
+  /** KMV/theta sketch: the k minimum DISTINCT hash values of a set.
+    * Where HLL only unions, KMV supports INTERSECTION estimates (audience
+    * overlap) via the θ rule, and — unlike t-digest — the sketch is a pure
+    * function of the value SET: order- and partitioning-independent,
+    * bit-deterministic. Buffer = sorted distinct longs, hashes compared
+    * UNSIGNED (java.lang.Long.compareUnsigned) so θ normalizes to
+    * (kth hash)/2⁶⁴.
+    */
+  object Theta {
+    /** unsigned 64-bit value → [0, 1). */
+    @inline private def unsignedToUnit(h: Long): Double =
+      (h >>> 11).toDouble / (1L << 53).toDouble
+
+    /** θ ∈ (0,1]: the sketch's sampling threshold — the k-th minimum hash
+      * normalized to unit, or 1 when the sketch saw the whole set. */
+    def thetaOf(sk: Array[Long], k: Int): Double =
+      if (sk.length < k) 1.0 else unsignedToUnit(sk.last)
+
+    /** Distinct-count estimate: exact below k, (k−1)/θ at capacity. */
+    def estimate(sk: Array[Long], k: Int): Double =
+      if (sk.length < k) sk.length.toDouble
+      else (k - 1).toDouble / thetaOf(sk, k)
+
+    /** Union sketch: merged distinct minima, capped at k. */
+    def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+      val merged = new java.util.TreeSet[java.lang.Long](
+        java.lang.Long.compareUnsigned(_, _))
+      a.foreach(merged.add(_)); b.foreach(merged.add(_))
+      val out = new Array[Long](math.min(k, merged.size))
+      val it = merged.iterator()
+      var i = 0
+      while (i < out.length) { out(i) = it.next(); i += 1 }
+      out
+    }
+
+    /** Intersection-cardinality estimate (KMV θ rule): count the common
+      * hashes below θ = min(θ_A, θ_B), scale by 1/θ. */
+    def intersectEstimate(a: Array[Long], b: Array[Long], k: Int): Double = {
+      val t = math.min(thetaOf(a, k), thetaOf(b, k))
+      val bs = b.toSet
+      val common = a.count(h => unsignedToUnit(h) < t && bs.contains(h))
+      common / t
+    }
+  }
+
+  /** Sketch-emitting KMV aggregator over pre-hashed longs (xxhash64 the
+    * key first, as with [[HllAggregator]]). Buffer mutated in place:
+    * sorted-unsigned distinct array, binary-search insert, cap k. */
+  final class ThetaSketchAggregator(k: Int = 1024)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = Array.empty
+
+    override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      // binary search in unsigned order
+      var lo = 0; var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compareUnsigned(buf(mid), v)
+        if (c < 0) lo = mid + 1 else hi = mid
+      }
+      if (lo < buf.length && buf(lo) == v) buf           // already present
+      else if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, lo)
+        out(lo) = v
+        System.arraycopy(buf, lo, out, lo + 1, buf.length - lo)
+        out
+      } else if (lo < k) {                               // displaces the max
+        System.arraycopy(buf, lo, buf, lo + 1, k - lo - 1)
+        buf(lo) = v
+        buf
+      } else buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      Theta.union(a, b, k)
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form: KMV theta sketch (array<bigint>) of pre-hashed longs. */
+  def thetaSketch(col: Column, k: Int = 1024): Column =
+    org.apache.spark.sql.functions.udaf(new ThetaSketchAggregator(k),
+      Encoders.scalaLong).apply(col)
+
   // ----------------------------------------------------------- t-digest ---
 
   /** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate

@@ -102,6 +102,28 @@ object Analytics {
       .select(col(key), col(attr), col("t").as("valid_from"), col("valid_to"))
   }
 
+  /** Point-in-time join (the feature-store lookup): each fact row
+    * (key, t, …) joins the [[scd2History]] dimension version valid at its
+    * own timestamp — valid_from ≤ t < valid_to, open current version
+    * included. Inner semantics: facts before the key's first version drop.
+    *
+    * Scale shape: equi-join on the key, interval predicate as a post-join
+    * filter — per-key candidate product is versions(key), bounded by the
+    * attribute's change count, not the fact volume. For dimensions with
+    * per-key version counts in the thousands, switch to the [[AsOf]]
+    * carry-forward machinery (union + one window pass) — same answer,
+    * no candidate product.
+    */
+  def pointInTimeJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val f = fact.as("f")
+    val d = dim.as("d")
+    f.join(d, col(s"f.$key") === col(s"d.$key") &&
+        col("f.t") >= col("d.valid_from") &&
+        (col("d.valid_to").isNull || col("f.t") < col("d.valid_to")))
+      .select(fact.columns.map(c => col(s"f.$c")) ++
+        dim.columns.filterNot(_ == key).map(c => col(s"d.$c")): _*)
+  }
+
   /** Rolling z-score anomaly detection over each user's value stream: for
     * every event with ≥ `lookback` predecessors, z = (v − μ)/σ of the
     * PRECEDING `lookback` values (the event itself excluded — no

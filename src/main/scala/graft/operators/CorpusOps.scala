@@ -1565,6 +1565,10 @@ object CorpusOps {
                             maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN=$maxN")
     // (doc_id, n, gram, cnt): n-grams of each order with per-doc counts
+    // the gram table feeds BOTH join sides; no checkpoint needed — the
+    // aggregate's exchange is identical on both branches, so ReuseExchange
+    // materializes it once (verified: localCheckpoint measured NO gain at
+    // 1× or 32×, so the simpler lazy form stays)
     val grams = docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))

@@ -42,6 +42,13 @@ import org.apache.spark.sql.types.IntegerType
   * The strategy fires only on the exact safe shape: single row_number
   * window expression, non-empty partition+order specs, literal int k in
   * (0, 100000]. Everything else falls through to the default planner.
+  *
+  * Memory contract: each phase holds distinct-groups-per-partition × k
+  * rows — the same non-spilling envelope as a hash aggregate buffer, and
+  * strictly less than WindowExec's full-partition sort buffer. The
+  * strategy is OPT-IN (extensions or `TopK.install`); a workload whose
+  * group keys are near-unique per row gains nothing over the default
+  * plan and should leave it uninstalled.
   */
 object TopKPerGroupStrategy extends SparkStrategy {
 

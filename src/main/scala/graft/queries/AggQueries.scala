@@ -174,6 +174,36 @@ object AggQueries {
         .orderBy(col("week"))
     }),
 
+    // KMV/theta sketch audience overlap: per-type distinct-user sketches,
+    // pairwise intersection estimates via the θ rule — the set-operation
+    // capability HLL lacks. The sketch is a pure function of the user SET
+    // (order/partition independent, bit-deterministic), so the rows-only
+    // output is run-stable; SketchesSpec pins exactness below k, the
+    // bitwise union law and overlap accuracy. 5×5 sketch pair join is
+    // group-count-sized (PlanAudit allowlisted).
+    "q_agg_theta" -> ((s, d) => {
+      import s.implicits._
+      val sks = Tables.events(s, d)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Sketches.thetaSketch(col("h")).as("sk"))
+      sks.as("a").join(sks.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .as[(String, String, Array[Long], Array[Long])]
+        .map { case (ta, tb, a, b) =>
+          import graft.functions.Sketches.Theta
+          (ta, tb,
+            math.floor(Theta.estimate(a, 1024) * 100 + 0.5) / 100,
+            math.floor(Theta.estimate(b, 1024) * 100 + 0.5) / 100,
+            math.floor(Theta.intersectEstimate(a, b, 1024) * 100 + 0.5) / 100)
+        }
+        .toDF("type_a", "type_b", "est_a", "est_b", "est_overlap")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // custom mergeable t-digest (Sketches.TDigestAggregator, k₁ scale):
     // per-group p50/p95 estimates from one associative sketch pass — the
     // shuffle carries ≤2δ centroids per group per map partition, never

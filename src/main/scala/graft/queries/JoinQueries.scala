@@ -194,6 +194,22 @@ object JoinQueries {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // point-in-time join (feature-store lookup): each purchase event
+    // joins the SCD2 event-type version valid at its own timestamp —
+    // valid_from ≤ t < valid_to with the open current version included
+    "q_join_pit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = graft.operators.Analytics
+        .scd2History(ev, "user_id", "event_type")
+      val fact = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("t"))
+      graft.operators.Analytics.pointInTimeJoin(fact, dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("event_type").as("attr_at_t"), col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // Jaro-Winkler similarity join over distinct part names, blocked on
     // the first token — the kernel is a native codegen Expression
     // (functions/StringSim.scala) bit-matched to DuckDB's
@@ -321,6 +337,33 @@ object JoinQueries {
                FROM documents WHERE doc_id % 2 = 1) b
            ON a.lang = b.lang AND a.rn = b.rn
          ORDER BY a.lang, a.rn""",
+    "q_join_pit" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                           CAST(ts AS TIMESTAMP)) AS t
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, event_id, t,
+                  lag(event_type, 1) OVER w AS prev
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         runs AS (
+           SELECT user_id, event_type, event_id, t FROM ch
+           WHERE prev IS NULL OR prev <> event_type),
+         dim AS (
+           SELECT user_id, event_type, t AS valid_from,
+                  lead(t, 1) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS valid_to
+           FROM runs),
+         fact AS (
+           SELECT event_id, user_id, t FROM e
+           WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.t,
+                d.event_type AS attr_at_t, d.valid_from
+         FROM fact f JOIN dim d ON f.user_id = d.user_id
+           AND f.t >= d.valid_from
+           AND (d.valid_to IS NULL OR f.t < d.valid_to)
+         ORDER BY f.event_id""",
     "q_join_jw" ->
       """WITH nn AS (
            SELECT p_name AS name, string_split(p_name, ' ')[1] AS blk

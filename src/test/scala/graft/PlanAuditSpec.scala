@@ -26,13 +26,15 @@ class PlanAuditSpec extends SparkSpec {
   // 5-row probe table over the point scan (broadcast brute-force k-NN,
   // probe side driver-sized by contract). q_evt_ccf cross-joins its TWO
   // 1-row sufficient-stat aggregates (n/sums, then dx/dy) onto the
-  // |days|-row daily series — the q_evt_seasonal shape.
+  // |days|-row daily series — the q_evt_seasonal shape. q_agg_theta
+  // pair-joins the 5-row per-type sketch table with an inequality
+  // (group-count² rows, sketches are ≤1024 longs each).
   private val allowedCartesian =
     Set("q_llm_sim_topk", "q_join_cross_theta", "q_llm_ann_pq",
       "q_llm_ann_int8", "q_llm_bm25", "q_llm_hybrid", "q_llm_contrastive",
       "q_profile_chi2", "q_evt_abtest", "q_llm_ann_binary", "q_graph_hits",
       "q_evt_seasonal", "q_llm_mmr", "q_llm_two_stage", "q_geo_knn",
-      "q_evt_ccf")
+      "q_evt_ccf", "q_agg_theta")
   // streaming queries build via a memory sink; skip plan construction
   private def planned = SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("q_stream_"))

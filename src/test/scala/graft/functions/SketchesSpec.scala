@@ -148,6 +148,54 @@ class SketchesSpec extends SparkSpec {
       "partition sketches must sum to the full sketch")
   }
 
+  test("theta/KMV: exact below k, bit-deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val small = (1L to 500L).toDF("v").select(xxhash64(col("v")).as("h"))
+    val sk = small.agg(Sketches.thetaSketch(col("h"), k = 1024).as("sk"))
+      .as[Array[Long]].head()
+    assert(sk.length === 500)
+    assert(Sketches.Theta.estimate(sk, 1024) === 500.0)
+    // pure function of the SET: partitioning must not change a single bit
+    val sk11 = small.repartition(11)
+      .agg(Sketches.thetaSketch(col("h"), k = 1024).as("sk"))
+      .as[Array[Long]].head()
+    assert(sk.toSeq === sk11.toSeq)
+  }
+
+  test("theta/KMV: estimate within 10% at 20x capacity; union law exact") {
+    val s = spark
+    import s.implicits._
+    def sketch(lo: Long, hi: Long) = s.range(lo, hi)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(Sketches.thetaSketch(col("h"), k = 1024).as("sk"))
+      .as[Array[Long]].head()
+    val a = sketch(0L, 20000L)
+    assert(math.abs(Sketches.Theta.estimate(a, 1024) - 20000) / 20000.0
+      <= 0.10)
+    // union(sk(A), sk(B)) must equal sk(A ∪ B) exactly — KMV is a pure
+    // function of the set, so the law holds bitwise, not just in estimate
+    val b = sketch(15000L, 35000L)
+    val ab = sketch(0L, 35000L)
+    assert(Sketches.Theta.union(a, b, 1024).toSeq === ab.toSeq)
+  }
+
+  test("theta/KMV: intersection estimate tracks the true overlap") {
+    val s = spark
+    import s.implicits._
+    def sketch(lo: Long, hi: Long) = s.range(lo, hi)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(Sketches.thetaSketch(col("h"), k = 1024).as("sk"))
+      .as[Array[Long]].head()
+    val a = sketch(0L, 20000L)
+    val b = sketch(10000L, 30000L) // true overlap 10000
+    val est = Sketches.Theta.intersectEstimate(a, b, 1024)
+    assert(math.abs(est - 10000) / 10000.0 <= 0.20, s"est=$est")
+    // disjoint sets estimate ~zero
+    val c = sketch(100000L, 120000L)
+    assert(Sketches.Theta.intersectEstimate(a, c, 1024) / 20000.0 <= 0.01)
+  }
+
   // deterministic shuffle of 0..n-1 by mix64 sort key — no RNG in specs
   private def shuffled(n: Int): Array[Double] =
     (0 until n).sortBy(i => Sketches.mix64(i.toLong + 7L)).map(_.toDouble).toArray

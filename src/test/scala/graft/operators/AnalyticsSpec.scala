@@ -540,6 +540,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSet === Set(("v", 1)))
   }
 
+  test("pointInTimeJoin: boundary lands on the NEW version, pre-history drops") {
+    // dim: user 1 is 'a' from t=100, 'b' from t=200 (open)
+    val dim = Seq(
+      (1L, "a", 100L, Option(200L)),
+      (1L, "b", 200L, Option.empty[Long])
+    ).toDF("user_id", "attr", "valid_from", "valid_to")
+    val fact = Seq(
+      (10L, 1L, 50L),   // before first version → dropped
+      (11L, 1L, 100L),  // exactly at first valid_from → 'a'
+      (12L, 1L, 199L),  // last second of 'a'
+      (13L, 1L, 200L),  // boundary: belongs to 'b', NOT 'a'
+      (14L, 1L, 9999L), // open current version
+      (15L, 2L, 150L)   // unknown key → dropped
+    ).toDF("event_id", "user_id", "t")
+    val got = Analytics.pointInTimeJoin(fact, dim, "user_id")
+      .select("event_id", "attr").as[(Long, String)].collect().toMap
+    assert(got === Map(11L -> "a", 12L -> "a", 13L -> "b", 14L -> "b"))
+  }
+
   test("ccf: perfect one-day lead-lag, shared grid, other types ignored") {
     // view on day 0, purchase on day 1 → x = [1,0], y = [0,1]
     // cx = [1,−1], cy = [−1,1], dx = dy = 2
