@@ -83,6 +83,27 @@ object Geo {
         (floor(col("d") * 1e4 + lit(0.5)) / 1e4).as("dist_km"))
   }
 
+  /** k-NN JOIN within a radius: for EVERY point, its k nearest neighbors
+    * among all other points at distance ≤ `radiusKm` — the symmetric
+    * closure of [[radiusJoin]] (each unordered pair emits both
+    * directions) topped per point by a distance window. Points with no
+    * neighbor in range emit nothing (the radius bound is what keeps the
+    * candidate set grid-local at scale; an unbounded k-NN join needs ring
+    * expansion, which brute-force probes or IVF cover elsewhere).
+    */
+  def knnJoin(points: DataFrame, radiusKm: Double, k: Int): DataFrame = {
+    val pairs = radiusJoin(points, radiusKm)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"),
+        col("dist_km"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"),
+        col("dist_km")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("dist_km").asc, col("nbr").asc)
+    sym.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("nbr"), col("dist_km"))
+  }
+
   /** k nearest `points(id, lat, lon)` to each probe in
     * `probes(probe_id, plat, plon)` — probe table must be driver-sized
     * (broadcast); ties break on point id.

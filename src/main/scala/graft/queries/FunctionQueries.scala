@@ -16,6 +16,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
+    // bitwise family: and/or/xor, shifts, popcount — the bit-fiddling a
+    // feature-hashing / bitmap-index pipeline leans on; integer-exact
+    "q_fn_bitwise" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("b_and"),
+        expr("o_orderkey | 4096").as("b_or"),
+        expr("o_orderkey ^ o_custkey").as("b_xor"),
+        expr("shiftleft(o_orderkey % 1024, 4)").as("b_shl"),
+        expr("shiftright(o_orderkey, 3)").as("b_shr"),
+        expr("bit_count(o_orderkey)").as("b_pop"),
+        expr("~o_orderkey").as("b_not"))
+        .orderBy(col("o_orderkey"))),
+
     "q_fn_string" -> ((s, d) =>
       Tables.part(s, d).select(
         col("p_partkey"),
@@ -167,6 +181,16 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS b_and,
+                o_orderkey | 4096 AS b_or,
+                xor(o_orderkey, o_custkey) AS b_xor,
+                (o_orderkey % 1024) << 4 AS b_shl,
+                o_orderkey >> 3 AS b_shr,
+                CAST(bit_count(o_orderkey) AS INT) AS b_pop,
+                ~o_orderkey AS b_not
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
                 CAST(length(p_name) AS INT) AS len,

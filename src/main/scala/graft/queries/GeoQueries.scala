@@ -65,6 +65,13 @@ object GeoQueries {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // k-NN JOIN: every point's 3 nearest neighbors within 10 km — the
+    // symmetric closure of the grid radius join topped by a per-point
+    // window (candidates stay grid-local; no brute force anywhere)
+    "q_geo_knn_join" -> ((s, d) =>
+      Geo.knnJoin(customerPoints(s, d), radiusKm = 10.0, k = 3)
+        .orderBy(col("id"), col("rnk"))),
+
     // geohash bucketing of the customer point cloud: precision-6 cell per
     // point plus the precision-3 prefix a coarse partitioner would key on.
     // Rows-only (DuckDB has no geohash); GeoSpec pins published vectors
@@ -91,6 +98,29 @@ object GeoQueries {
               ON a.id < b.id AND abs(a.lat - b.lat) <= 0.2)
           SELECT id_a, id_b, floor(dd * 1e4 + 0.5) / 1e4 AS dist_km
           FROM pairs WHERE dd <= 10.0 ORDER BY id_a, id_b""",
+    // rank ties on the ROUNDED distance (coincident lattice points) break
+    // on neighbor id in both engines
+    "q_geo_knn_join" ->
+      s"""WITH p AS ($pointsSql),
+          pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} AS dd
+            FROM p a JOIN p b
+              ON a.id < b.id AND abs(a.lat - b.lat) <= 0.2),
+          q AS (
+            SELECT id_a, id_b, floor(dd * 1e4 + 0.5) / 1e4 AS dist_km
+            FROM pairs WHERE dd <= 10.0),
+          sym AS (
+            SELECT id_a AS id, id_b AS nbr, dist_km FROM q
+            UNION ALL
+            SELECT id_b AS id, id_a AS nbr, dist_km FROM q),
+          r AS (
+            SELECT id, nbr, dist_km,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY dist_km, nbr) AS rnk
+            FROM sym)
+          SELECT id, CAST(rnk AS INT) AS rnk, nbr, dist_km
+          FROM r WHERE rnk <= 3 ORDER BY id, rnk""",
     "q_geo_knn" ->
       s"""WITH p AS ($pointsSql),
           probes AS (

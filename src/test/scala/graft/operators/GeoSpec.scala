@@ -45,6 +45,25 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin: symmetric candidates, rank bounds, radius respected") {
+    val out = Geo.knnJoin(points(500), radiusKm = 10.0, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 <= 10.0))
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val ranks = rows.map(_._2).sorted.toSeq
+      assert(ranks === (1 to rows.length), s"point $id")
+      assert(rows.length <= 3, s"point $id")
+      val ds = rows.sortBy(_._2).map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, s"point $id")
+    }
+    // rank-1 neighbor relation uses the same distance in both directions
+    val dist = out.map(r => (r._1, r._3) -> r._4).toMap
+    dist.foreach { case ((a, b), d) =>
+      dist.get((b, a)).foreach(d2 => assert(d2 === d))
+    }
+  }
+
   test("knnToProbes: k rows per probe, ranks 1..k, distances nondecreasing") {
     val probes = spark.range(0, 4).select(
       col("id").cast("int").as("probe_id"),
