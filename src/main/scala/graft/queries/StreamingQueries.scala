@@ -110,6 +110,20 @@ object StreamingQueries {
                   col("n"), col("sum_value"))
       }.orderBy(col("wstart"), col("event_type"))),
 
+    // streaming distinct users per hour via the mergeable KMV/theta UDAF
+    // (Sketches.ThetaSketchAggregator) — per-window state is one ≤k-long
+    // array however many events arrive; below k the sketch is EXACT, so
+    // the count(DISTINCT) oracle hash-checks the streaming sketch path
+    // (fixture windows hold ≤ a few hundred users, k = 1024)
+    "q_stream_distinct" -> ((s, d) =>
+      runStream(s, d, "complete") { ev =>
+        ev.groupBy(window(col("ts"), "60 minutes"))
+          .agg(graft.functions.Sketches.thetaSketch(
+            xxhash64(col("user_id"))).as("sk"))
+          .select(fmtWin("window.start").as("wstart"),
+            size(col("sk")).cast("long").as("n_users"))
+      }.orderBy(col("wstart"))),
+
     // sliding window: 10-minute length, 5-minute slide
     "q_stream_sliding" -> ((s, d) =>
       runStream(s, d, "complete") { ev =>
@@ -203,6 +217,12 @@ object StreamingQueries {
                  event_type, CAST(COUNT(*) AS BIGINT) AS n,
                  ROUND(SUM(value), 2) AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q_stream_distinct" ->
+      s"""SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' +
+                   (($ep // 3600) * 3600) * INTERVAL '1 second',
+                   '%Y-%m-%d %H:%M:%S') AS wstart,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1 ORDER BY wstart""",
     // each event belongs to exactly two slide-300 grids (offsets 0 and 300)
     "q_stream_sliding" ->
       s"""SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' +

@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("theta sketch inside a watermarked window: exact distinct, state merges across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.tumblingDistinctUsers(in.toDF(), "10 minutes",
+        "15 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // window [0,10): users 1,2,2,3 across TWO micro-batches — the
+      // sketch state must merge, and duplicates must not inflate it
+      in.addData(ev(1, 1, "a", 2), ev(2, 2, "a", 3))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, "a", 5), ev(4, 3, "a", 7))
+      q.processAllAvailable()
+      // advance the watermark past the window end to emit it
+      in.addData(ev(5, 9, "a", 40))
+      q.processAllAvailable()
+      in.addData(ev(6, 9, "a", 80))
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => ((r.getTimestamp(0).getTime - base) / 60000,
+          r.getDouble(1))).toMap
+      // below k the KMV sketch is EXACT: 3 distinct users in [0,10)
+      assert(rows(0L) === 3.0, s"$rows")
+      assert(rows(40L) === 1.0, s"$rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val s = spark
     import s.implicits._
