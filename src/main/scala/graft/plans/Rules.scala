@@ -38,6 +38,18 @@ object SimplifySelfSimilarity extends Rule[LogicalPlan] {
               LessThan(d, Literal(Double.PositiveInfinity, DoubleType))),
           Literal(1.0, DoubleType),
           Literal(Double.NaN, DoubleType))
+      // jaro_winkler(x, x) = 1.0 for every string including "" (the kernel
+      // returns 1.0 on equal inputs unconditionally) — exact fold, no
+      // ulp caveat; same null-propagation guard as the cosine fold
+      case graft.functions.JaroWinkler(a, b)
+          if a == b && a.deterministic && !a.nullable =>
+        Literal(1.0, DoubleType)
+      // lcs_len(x, x) = size(x): a sequence is its own longest common
+      // subsequence — folds the O(n²) DP to an array-length read
+      case graft.functions.LcsLen(a, b)
+          if a == b && a.deterministic && !a.nullable =>
+        org.apache.spark.sql.catalyst.expressions.Size(
+          a, legacySizeOfNull = false)
     }
 }
 

@@ -174,6 +174,22 @@ object AggQueries {
         .orderBy(col("week"))
     }),
 
+    // deterministic MODE: most frequent brand per part type, ties broken
+    // on the brand itself (built-in mode() is tie-arbitrary — unusable
+    // cross-engine; the count + rank spelling is total-order exact)
+    "q_agg_mode" -> ((s, d) => {
+      val counts = Tables.part(s, d)
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_type"))
+        .orderBy(col("n").desc, col("p_brand").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("p_type"), col("p_brand").as("mode_brand"), col("n"))
+        .orderBy(col("p_type"))
+    }),
+
     // KMV/theta sketch audience overlap: per-type distinct-user sketches,
     // pairwise intersection estimates via the θ rule — the set-operation
     // capability HLL lacks. The sketch is a pure function of the user SET
@@ -231,6 +247,16 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT p_type, p_brand, count(*) AS n FROM part GROUP BY 1, 2),
+         r AS (
+           SELECT p_type, p_brand, n,
+                  row_number() OVER (PARTITION BY p_type
+                                     ORDER BY n DESC, p_brand ASC) AS rn
+           FROM c)
+         SELECT p_type, p_brand AS mode_brand, CAST(n AS BIGINT) AS n
+         FROM r WHERE rn = 1 ORDER BY p_type""",
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
                 ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -73,4 +73,29 @@ class RulesSpec extends SparkSpec {
       .select(expr("cosine_sim(a, b)").as("c"))
     assert(df.head().getDouble(0) == 0.0)
   }
+
+  test("jaro_winkler(x, x) folds to 1.0; lcs_len(x, x) folds to size") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    Rules.register(s)
+    val df = Seq(("hello world", "the cat sat on the mat"))
+      .toDF("a", "b")
+      .select(expr("jaro_winkler(a, a)").as("jw"),
+        expr("lcs_len(split(b, ' '), split(b, ' '))").as("lcs"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("jaro_winkler"), plan)
+    assert(!plan.contains("lcs_len"), plan)
+    val r = df.head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getInt(1) === 6)
+    // distinct args: the rule must NOT rewrite — values come from the
+    // real kernels (ConstantFolding may still evaluate them at plan time
+    // over this literal relation, which also exercises eval)
+    val d = Seq(("ab", "ba")).toDF("x", "y")
+      .select(expr("jaro_winkler(x, y)").as("jw"),
+        expr("lcs_len(split(x, ''), split(y, ''))").as("lcs"))
+    assert(d.head().getDouble(0) === 0.0)
+    assert(d.head().getInt(1) === 1)
+  }
 }
