@@ -846,6 +846,101 @@ object CorpusOps {
     * `aggregate` HOF fold (codegen'd, no UDF). Lineage is truncated with a
     * localCheckpoint every few merges. Ties break deterministically:
     * highest count, then lexicographic (left, right). */
+  /** Unigram-LM tokenizer training — the EM half of SentencePiece (Kudo
+    * 2018), the other major tokenizer family next to [[bpeTrain]].
+    *
+    * Shape: the distinct-word table stays DISTRIBUTED (at 100 TB it is
+    * hundreds of millions of rows); the piece table is model-sized and
+    * broadcasts. Each EM iteration is one distributed pass: per word a
+    * local forward/backward DP over segmentations yields expected piece
+    * counts (weighted by word frequency), a partial-aggregable groupBy
+    * sums them, and the vocab-sized result collects for the driver-side
+    * M-step — the [[Pq]]/[[Pca]] "model state driver-sized" contract.
+    *
+    * Candidates are all substrings ≤ maxPieceLen (freq-weighted, top
+    * 4×vocabSize) plus every single character, so any word always has a
+    * segmentation (α > 0 by construction). Final vocab: all single chars
+    * + the best multi-char pieces by probability, renormalized.
+    * Returns (rank, piece, logp) ordered by probability desc, piece asc.
+    */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 512,
+                   maxPieceLen: Int = 6, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .localCheckpoint(true)
+    // candidate seed: substring frequencies, distributed then top-capped
+    val maxL = maxPieceLen
+    val candTop = words.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxL, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("f"))
+      .orderBy(col("f").desc, col("piece").asc)
+      .limit(4 * vocabSize)
+      .as[(String, Long)].collect()
+    val singles = candTop.filter(_._1.length == 1).map(_._1).toSet ++
+      words.flatMap { case (w, _) => w.map(_.toString) }.distinct().collect()
+    val seed = (candTop.map(_._1).toSet ++ singles).toSeq.sorted
+    var probs: Map[String, Double] = {
+      val fMap = candTop.toMap
+      val raw = seed.map(p => p -> (fMap.getOrElse(p, 1L).toDouble))
+      val z = raw.map(_._2).sum
+      raw.map { case (p, f) => p -> f / z }.toMap
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(probs)
+      val expected = words.flatMap { case (w, f) =>
+        UnigramLm.expectedCounts(w, f, bc.value, maxL)
+      }.toDF("piece", "c")
+        .groupBy(col("piece")).agg(sum(col("c")).as("c"))
+        .as[(String, Double)].collect()
+      val z = expected.map(_._2).sum
+      probs = expected.map { case (p, c) => p -> c / z }.toMap
+      bc.destroy()
+    }
+    // prune: keep every single char + the best multi-char pieces
+    val floorP = 1e-12
+    val chars = singles.toSeq.map(c => c -> math.max(probs.getOrElse(c, 0.0), floorP))
+    val multis = probs.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, pr) => (-pr, p) }
+      .take(math.max(0, vocabSize - chars.length))
+    val kept = (chars ++ multis)
+    val z = kept.map(_._2).sum
+    val ranked = kept.map { case (p, pr) => (p, pr / z) }
+      .sortBy { case (p, pr) => (-pr, p) }
+      .zipWithIndex
+      .map { case ((p, pr), i) => (i + 1, p,
+        math.floor(math.log(pr) * 1e4 + 0.5) / 1e4) }
+    ranked.toDF("rank", "piece", "logp")
+  }
+
+  /** Viterbi segmentation with the trained unigram vocab (broadcast
+    * model, one distributed pass): per word the max-log-prob
+    * segmentation; ties prefer the LONGER last piece, then lexicographic
+    * — fully deterministic. Output (doc_id, n_pieces, pieces). */
+  def unigramEncode(docs: DataFrame, pieces: Map[String, Double],
+                    maxPieceLen: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pieces)
+    val maxL = maxPieceLen
+    docs.select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val out = toks.flatMap(w => UnigramLm.viterbi(w, bc.value, maxL))
+        (id, out.length.toLong, out)
+      }
+      .toDF("doc_id", "n_pieces", "pieces")
+  }
+
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1660,5 +1755,120 @@ object CorpusOps {
         }
       }
       .toDF("doc_id", "chunk_idx", "start", "len", "digest")
+  }
+}
+
+/** Unigram-LM per-word kernels (Kudo 2018): log-space forward/backward
+  * expected counts for EM and Viterbi segmentation. Log-space (with
+  * log-sum-exp) keeps long words from underflowing linear-space products.
+  */
+private[operators] object UnigramLm {
+
+  @inline private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a > b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Expected piece counts of `w` (weight `f`) under `probs` — the E-step
+    * contribution of one word: posterior probability of each segmentation
+    * edge times the word frequency. Words with no covering piece at some
+    * position (can't happen when all single chars are in the vocab)
+    * contribute nothing. */
+  def expectedCounts(w: String, f: Long, probs: Map[String, Double],
+                     maxL: Int): Seq[(String, Double)] = {
+    val n = w.length
+    if (n == 0) return Nil
+    val NEG = Double.NegativeInfinity
+    val logp = new java.util.HashMap[String, Double]()
+    val alpha = Array.fill(n + 1)(NEG)
+    val beta = Array.fill(n + 1)(NEG)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxL, i)) {
+        val piece = w.substring(i - l, i)
+        probs.get(piece).foreach { p =>
+          val lp = math.log(p)
+          logp.put(piece, lp)
+          if (alpha(i - l) != NEG)
+            alpha(i) = logAdd(alpha(i), alpha(i - l) + lp)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (alpha(n) == NEG) return Nil
+    beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= math.min(maxL, n - i)) {
+        val piece = w.substring(i, i + l)
+        if (logp.containsKey(piece) && beta(i + l) != NEG)
+          beta(i) = logAdd(beta(i), logp.get(piece) + beta(i + l))
+        l += 1
+      }
+      i -= 1
+    }
+    val out = new scala.collection.mutable.HashMap[String, Double]()
+    i = 0
+    while (i < n) {
+      var l = 1
+      while (l <= math.min(maxL, n - i)) {
+        val piece = w.substring(i, i + l)
+        if (logp.containsKey(piece) && alpha(i) != NEG &&
+            beta(i + l) != NEG) {
+          val post = math.exp(alpha(i) + logp.get(piece) + beta(i + l)
+            - alpha(n))
+          if (post > 0)
+            out.update(piece, out.getOrElse(piece, 0.0) + post * f)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Max-log-prob segmentation; ties prefer the LONGER last piece, then
+    * the lexicographically smaller one. Characters absent from the vocab
+    * pass through as single-char pieces (the unknown fallback). */
+  def viterbi(w: String, probs: Map[String, Double], maxL: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Nil
+    val NEG = Double.NegativeInfinity
+    val unkLp = -30.0
+    val best = Array.fill(n + 1)(NEG)
+    val bestLen = new Array[Int](n + 1)
+    val bestPiece = new Array[String](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxL, i)) {
+        val piece = w.substring(i - l, i)
+        val lpOpt = probs.get(piece).map(math.log)
+          .orElse(if (l == 1) Some(unkLp) else None)
+        lpOpt.foreach { lp =>
+          if (best(i - l) != NEG) {
+            val s = best(i - l) + lp
+            val better = s > best(i) ||
+              (s == best(i) && (l > bestLen(i) ||
+                (l == bestLen(i) && piece < bestPiece(i))))
+            if (better) {
+              best(i) = s; bestLen(i) = l; bestPiece(i) = piece
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var pos = n
+    val rev = new scala.collection.mutable.ArrayBuffer[String]()
+    while (pos > 0) { rev += bestPiece(pos); pos -= bestLen(pos) }
+    rev.reverse.toSeq
   }
 }

@@ -730,6 +730,36 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // unigram-LM tokenizer training (SentencePiece's EM half, Kudo 2018)
+    // — the second major tokenizer family next to BPE. Distributed E-step
+    // over the distinct-word table with the piece model broadcast;
+    // driver-sized M-step. Rows-only (iterative float EM); planted-piece
+    // discovery, exact posteriors and lossless encode in CorpusOpsSpec.
+    "q_llm_unigram" -> ((s, d) =>
+      CorpusOps.unigramTrain(
+          Tables.documents(s, d).where(col("doc_id") < 300)
+            .select(col("doc_id"), col("text")),
+          vocabSize = 256, maxPieceLen = 5, iters = 2)
+        .orderBy(col("rank"))),
+
+    // Viterbi encode with the trained unigram vocab: model collects
+    // (256 rows, bounded) and broadcasts; one distributed pass segments
+    // every doc. Rows-only; losslessness pinned in CorpusOpsSpec.
+    "q_llm_unigram_encode" -> ((s, d) => {
+      val train = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val model = CorpusOps.unigramTrain(train, vocabSize = 256,
+          maxPieceLen = 5, iters = 2)
+        .collect().map(r => r.getString(1) -> math.exp(r.getDouble(2)))
+        .toMap
+      CorpusOps.unigramEncode(
+          Tables.documents(s, d).where(col("doc_id") < 200)
+            .select(col("doc_id"), col("text")),
+          model, maxPieceLen = 5)
+        .select(col("doc_id"), col("n_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BLEU-style clipped n-gram precision (n=1,2) scoring each doc against
     // its successor as reference — integer clipped/total counts, one final
     // long/long division (IEEE-identical cross-engine). The pair set is

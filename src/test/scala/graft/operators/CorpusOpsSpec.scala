@@ -959,6 +959,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("unigram EM kernel: exact posteriors on a two-segmentation word") {
+    // "ab" under {a:0.25, b:0.25, ab:0.5}: P([ab])=0.5, P([a,b])=0.0625
+    // → posterior(ab) = 8/9, posterior(a)=posterior(b) = 1/9; f=9 scales
+    val probs = Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5)
+    val got = UnigramLm.expectedCounts("ab", 9L, probs, maxL = 2).toMap
+    assert(math.abs(got("ab") - 8.0) < 1e-9, s"$got")
+    assert(math.abs(got("a") - 1.0) < 1e-9 &&
+      math.abs(got("b") - 1.0) < 1e-9, s"$got")
+  }
+
+  test("unigram viterbi: best segmentation, tie rules, unknown fallback") {
+    val probs = Map("a" -> 0.1, "b" -> 0.1, "ab" -> 0.5)
+    assert(UnigramLm.viterbi("abab", probs, 2) === Seq("ab", "ab"))
+    // unknown char passes through as its own piece
+    assert(UnigramLm.viterbi("axb", probs, 2) === Seq("a", "x", "b"))
+    assert(UnigramLm.viterbi("", probs, 2) === Nil)
+  }
+
+  test("unigramTrain discovers a planted piece; encode is lossless") {
+    val s = spark
+    import s.implicits._
+    // 'ab' dominates: every doc repeats it; noise words keep chars honest
+    val docs = (1L to 60L).map(i =>
+      (i, if (i % 5 == 0) "xq zr" else "ababab abab ab")).toDF("doc_id", "text")
+    val model = CorpusOps.unigramTrain(docs, vocabSize = 32,
+      maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val topMulti = model.filter(_._2.length > 1).minBy(_._1)
+    assert(topMulti._2.startsWith("ab"), s"top multi-char piece: $topMulti")
+    val pieces = model.map(m => m._2 -> math.exp(m._3)).toMap
+    val enc = CorpusOps.unigramEncode(docs, pieces, maxPieceLen = 4)
+    // lossless: pieces concatenate back to the space-stripped text
+    val bad = enc.join(docs, "doc_id")
+      .select(col("doc_id"),
+        concat_ws("", col("pieces")).as("joined"),
+        regexp_replace(col("text"), " ", "").as("orig"))
+      .where(col("joined") =!= col("orig")).count()
+    assert(bad === 0L)
+    // compression: the planted docs encode in far fewer pieces than chars
+    val plantedLen = enc.where(col("doc_id") === 1L)
+      .select(col("n_pieces")).head().getLong(0)
+    assert(plantedLen <= 8L, s"expected ~6 pieces for 14 chars, got $plantedLen")
+  }
+
   test("clippedNgramPrecision: hand-computed clipping, repeats capped by ref") {
     val s = spark
     import s.implicits._
