@@ -171,6 +171,10 @@ object GraftFunctions {
     "_FUNC_(a, b) - longest-common-subsequence length of two string arrays.",
     "")
 
+  private val sessionIdInfo = new ExpressionInfo(
+    classOf[GapSessionId].getName, null, "session_id",
+    "_FUNC_(ts, gap) - window function: 1-based gap-rule session id.", "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -234,6 +238,12 @@ object GraftFunctions {
       LcsLen(args.head, args(1))
     }
 
+  private[functions] val sessionIdBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "session_id takes exactly 2 arguments")
+      GapSessionId(args.head, args(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -255,6 +265,8 @@ object GraftFunctions {
       FunctionIdentifier("geohash"), geohashInfo, geohashBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lcs_len"), lcsInfo, lcsBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("session_id"), sessionIdInfo, sessionIdBuilder)
   }
 }
 
@@ -306,6 +318,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("lcs_len"),
       new ExpressionInfo(classOf[LcsLen].getName, null, "lcs_len"),
       GraftFunctions.lcsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("session_id"),
+      new ExpressionInfo(classOf[GapSessionId].getName, null, "session_id"),
+      GraftFunctions.sessionIdBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

@@ -149,6 +149,29 @@ object WindowQueries {
              (floor(avg(col("len_s")) * 100 + 0.5) / 100).as("avg_len_s"),
              sum(col("n_events")).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // q_win_session's semantics through the NATIVE window function
+    // `session_id(ts, gap)` (functions/WindowFns.scala — a custom
+    // AggregateWindowFunction in the RowNumber extension point: the gap
+    // state machine runs as bound update expressions inside WindowExec,
+    // ONE window column instead of the lag + cumulative-sum pair). Same
+    // oracle text as q_win_session: the driver hash-checks the custom
+    // window function row-for-row against the declarative spelling.
+    "q_win_session_native" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d)
+        .withColumn("epoch", col("ts").cast("long"))
+        .withColumn("sess",
+          expr("session_id(epoch, 1800L)").over(byUserTs))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("epoch")) - min(col("epoch"))).as("len_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             (floor(avg(col("len_s")) * 100 + 0.5) / 100).as("avg_len_s"),
+             sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -222,6 +245,29 @@ object WindowQueries {
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_win_session" ->
+      s"""WITH g AS (
+            SELECT user_id, event_id, ts, $ep - LAG($ep, 1) OVER w AS gap
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM g),
+          sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged),
+          per_sess AS (
+            SELECT user_id, sess, COUNT(*) AS n_events,
+                   MAX($ep) - MIN($ep) AS len_s
+            FROM sess GROUP BY user_id, sess)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 floor(AVG(len_s) * 100 + 0.5) / 100 AS avg_len_s,
+                 CAST(SUM(n_events) AS BIGINT) AS n_events
+          FROM per_sess GROUP BY user_id ORDER BY user_id""",
+    // identical text to q_win_session: the native window function must be
+    // row-for-row equivalent to the lag + cumulative-sum spelling
+    "q_win_session_native" ->
       s"""WITH g AS (
             SELECT user_id, event_id, ts, $ep - LAG($ep, 1) OVER w AS gap
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
