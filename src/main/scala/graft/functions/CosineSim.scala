@@ -175,6 +175,10 @@ object GraftFunctions {
     classOf[GapSessionId].getName, null, "session_id",
     "_FUNC_(ts, gap) - window function: 1-based gap-rule session id.", "")
 
+  private val charNgramsInfo = new ExpressionInfo(
+    classOf[CharNgrams].getName, null, "char_ngrams",
+    "_FUNC_(text, n) - generator: one row per character n-gram.", "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -244,6 +248,12 @@ object GraftFunctions {
       GapSessionId(args.head, args(1))
     }
 
+  private[functions] val charNgramsBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "char_ngrams takes exactly 2 arguments")
+      CharNgrams(args.head, args(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -267,6 +277,8 @@ object GraftFunctions {
       FunctionIdentifier("lcs_len"), lcsInfo, lcsBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("session_id"), sessionIdInfo, sessionIdBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder)
   }
 }
 
@@ -322,6 +334,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("session_id"),
       new ExpressionInfo(classOf[GapSessionId].getName, null, "session_id"),
       GraftFunctions.sessionIdBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, null, "char_ngrams"),
+      GraftFunctions.charNgramsBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

@@ -182,6 +182,65 @@ case class LcsLen(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `char_ngrams(text, n)` — a native GENERATOR (the `explode`/`inline`
+  * extension point, the table-valued side of the Expression surface):
+  * emits one row per character n-gram of `text`, streaming UTF8String
+  * slices straight into GenerateExec's row pipeline. The composed
+  * spelling (`explode(transform(sequence(...), i -> substring(...)))`)
+  * first materializes the full n-gram ARRAY per row — for a 100 kB
+  * document that is a ~300 k-element ArrayData allocation per input row;
+  * the generator's iterator never builds it.
+  */
+case class CharNgrams(child: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  // CodegenFallback only covers the generator EXPRESSION slot —
+  // GenerateExec drives `eval` directly (the same shape as Spark's own
+  // JsonTuple generator), so the surrounding operators still codegen.
+
+  override def children: Seq[Expression] = Seq(child, n)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n.dataType == IntegerType &&
+        n.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, foldable int), got " +
+      s"${child.dataType.simpleString}, ${n.dataType.simpleString}")
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("gram", StringType, nullable = false)
+
+  override def prettyName: String = "char_ngrams"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    val nn = n.eval(input).asInstanceOf[Int]
+    if (s == null || nn <= 0) return Nil
+    val len = s.numChars()
+    if (len < nn) return Nil
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i <= len - nn
+      // fresh row per element (the ExplodeBase discipline — GenerateExec
+      // may buffer emitted rows, so the row object cannot be reused)
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val row =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        row.update(0, s.substringSQL(i + 1, nn))
+        i += 1
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), n = newChildren(1))
+}
+
 /** `geohash(lat, lon, precision)` — base-32 geohash string. */
 case class GeohashEncode(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

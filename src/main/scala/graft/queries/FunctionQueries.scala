@@ -16,6 +16,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
+    // character-trigram counts through the NATIVE char_ngrams GENERATOR
+    // (functions/StringSim.scala — the explode-family extension point):
+    // rows stream out of GenerateExec with no per-document n-gram array
+    // materialization; hash-exact vs the oracle's list_transform unnest
+    "q_fn_ngram_gen" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(expr("char_ngrams(text, 3)").as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("gram"))
+    }),
+
     // bitwise family: and/or/xor, shifts, popcount — the bit-fiddling a
     // feature-hashing / bitmap-index pipeline leans on; integer-exact
     "q_fn_bitwise" -> ((s, d) =>
@@ -181,6 +193,14 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_ngram_gen" ->
+      """WITH g AS (
+           SELECT unnest(list_transform(
+                    range(1, greatest(length(text) - 2, 0) + 1),
+                    i -> substring(text, i, 3))) AS gram
+           FROM documents)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n
+         FROM g GROUP BY 1 ORDER BY gram""",
     "q_fn_bitwise" ->
       """SELECT o_orderkey,
                 o_orderkey & 255 AS b_and,

@@ -79,6 +79,32 @@ class StringSimSpec extends SparkSpec {
     assert(e === 0)
   }
 
+  test("char_ngrams generator: goldens, edge cases, explode equivalence") {
+    GraftFunctions.register(spark)
+    def grams(s: String, n: Int): Seq[String] = spark.sql(
+      s"SELECT char_ngrams('$s', $n) AS gram").collect()
+      .map(_.getString(0)).toSeq
+    assert(grams("abcd", 3) === Seq("abc", "bcd"))
+    assert(grams("abcd", 1) === Seq("a", "b", "c", "d"))
+    assert(grams("abcd", 4) === Seq("abcd"))
+    assert(grams("ab", 3) === Nil)     // shorter than n → no rows
+    assert(grams("", 2) === Nil)
+    // row-for-row equal to the composed transform+explode spelling
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .where(col("doc_id") < 50)
+    val viaGen = docs.select(col("doc_id"),
+        expr("char_ngrams(text, 3)").as("gram"))
+      .groupBy(col("gram")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaExplode = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), " +
+        "i -> substring(text, i, 3))")).as("gram"))
+      .groupBy(col("gram")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaGen === viaExplode)
+    assert(viaGen.nonEmpty)
+  }
+
   test("geohash prefix law: lower precision is a strict prefix") {
     GraftFunctions.register(spark)
     val pts = spark.range(1, 400).select(
