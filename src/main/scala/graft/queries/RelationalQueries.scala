@@ -427,6 +427,20 @@ object RelationalQueries {
     // SQL front end with CTE + window + QUALIFY-style filter: top-2
     // orders per status by price, written entirely in spark.sql text
     // (ANSI subset shared verbatim with the DuckDB oracle)
+    // the window() table-valued function in SQL TEXT — the streaming-
+    // window syntax a SQL user reaches for in batch backfills; ts exposed
+    // through the normalized events view (ns→µs loader), buckets compare
+    // as formatted UTC strings (session timezone pinned UTC)
+    "q_sql_window_tvf" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS wstart,
+          |       event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY window(ts, '1 hour'), event_type
+          |ORDER BY wstart, event_type""".stripMargin)
+    }),
+
     "q_sql_cte_window" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql(
@@ -751,6 +765,13 @@ object RelationalQueries {
       "SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k",
     "q_set_except" ->
       "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "q_sql_window_tvf" ->
+      """SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' +
+                  ((datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                             CAST(ts AS TIMESTAMP)) // 3600) * 3600)
+                  * INTERVAL '1 second', '%Y-%m-%d %H:%M:%S') AS wstart,
+                event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "q_sql_cte_window" ->
       """WITH ranked AS (
            SELECT o_orderstatus, o_orderkey, o_totalprice,
