@@ -413,6 +413,31 @@ object Sketches {
     org.apache.spark.sql.functions.udaf(new ThetaSketchAggregator(k),
       Encoders.scalaLong).apply(col)
 
+  /** Re-aggregates PERSISTED theta sketches (the materialized-view path,
+    * [[HllMergeAggregator]]'s twin): union is the bitwise-exact set-law
+    * merge, finish rounds the θ-rule estimate to a long. Because the
+    * sketch is a pure function of the value set, rollup ≡ direct pass
+    * BIT-exactly, not just within error (SketchesSpec). */
+  final class ThetaMergeAggregator(k: Int = 1024)
+      extends Aggregator[Array[Long], Array[Long], Long] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], v: Array[Long]): Array[Long] =
+      Theta.union(b, v, k)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      Theta.union(a, b, k)
+    override def finish(buf: Array[Long]): Long =
+      math.round(Theta.estimate(buf, k))
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column form: distinct estimate from unioned persisted theta sketches. */
+  def thetaMergeEstimate(col: Column, k: Int = 1024): Column =
+    org.apache.spark.sql.functions.udaf(new ThetaMergeAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      .apply(col)
+
   // ----------------------------------------------------------- t-digest ---
 
   /** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate

@@ -174,6 +174,28 @@ object AggQueries {
         .orderBy(col("week"))
     }),
 
+    // theta-sketch ROLL-UP (hll_rollup's set-op twin): daily per-user
+    // sketches re-aggregate to weekly distinct estimates without touching
+    // raw events — and because the KMV sketch is a pure function of the
+    // value set, rollup ≡ direct pass BIT-exactly (union law, pinned in
+    // SketchesSpec). Below k the estimate is exact, so the weekly
+    // count(DISTINCT) oracle hash-checks the whole persisted-sketch path
+    // (k = 4096 > the 1500 weekly actives at sf0.1 — the exact regime;
+    // beyond k the same query degrades gracefully to ±1/√k estimates).
+    "q_agg_theta_rollup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", (col("ts").cast("long") / 86400L).cast("long"))
+        .groupBy(col("day"))
+        .agg(graft.functions.Sketches.thetaSketch(xxhash64(col("user_id")),
+          k = 4096).as("sketch"))
+      daily
+        .withColumn("week", (col("day") / 7L).cast("long"))
+        .groupBy(col("week"))
+        .agg(graft.functions.Sketches.thetaMergeEstimate(col("sketch"),
+          k = 4096).as("est_users"))
+        .orderBy(col("week"))
+    }),
+
     // deterministic MODE: most frequent brand per part type, ties broken
     // on the brand itself (built-in mode() is tie-arbitrary — unusable
     // cross-engine; the count + rank spelling is total-order exact)
@@ -247,6 +269,17 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the k=4096 sketch is EXACT below capacity (weekly actives ≤1500 at
+    // both sf), so plain count(DISTINCT) is a valid hash-exact oracle for
+    // the whole persisted-sketch rollup path
+    "q_agg_theta_rollup" ->
+      """WITH e AS (
+           SELECT (datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                            CAST(ts AS TIMESTAMP)) // 86400) // 7 AS week,
+                  user_id
+           FROM events)
+         SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+         FROM e GROUP BY 1 ORDER BY week""",
     "q_agg_mode" ->
       """WITH c AS (
            SELECT p_type, p_brand, count(*) AS n FROM part GROUP BY 1, 2),
