@@ -401,6 +401,27 @@ object RelationalQueries {
       c.except(o).orderBy(col("k"))
     }),
 
+    // MULTISET difference (exceptAll): keeps duplicate multiplicity —
+    // lineitem orderkeys minus one copy per order row; grouped afterwards
+    // so the output is deterministic without relying on row identity
+    "q_set_exceptall" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      l.exceptAll(o)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // boolean aggregates: every / any (bool_and / bool_or) + count_if —
+    // the guard-condition rollup a data-quality sweep runs per group
+    "q_agg_bool" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("every(l_quantity > 0)").as("all_pos_qty"),
+          expr("any(l_discount > 0.09)").as("any_deep_disc"),
+          expr("count_if(l_tax = 0)").as("n_taxfree"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- SQL surface: correlated subqueries (Catalyst decorrelates both
     // to joins — RewriteCorrelatedScalarSubquery / RewritePredicateSubquery;
     // the SQL text is dialect-shared with the oracle verbatim) -----------
@@ -765,6 +786,20 @@ object RelationalQueries {
       "SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k",
     "q_set_except" ->
       "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "q_set_exceptall" ->
+      """WITH d AS (
+           SELECT l_orderkey AS k FROM lineitem
+           EXCEPT ALL
+           SELECT o_orderkey AS k FROM orders)
+         SELECT k, CAST(count(*) AS BIGINT) AS n
+         FROM d GROUP BY 1 ORDER BY k""",
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+                bool_and(l_quantity > 0) AS all_pos_qty,
+                bool_or(l_discount > 0.09) AS any_deep_disc,
+                CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT)
+                  AS n_taxfree
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q_sql_window_tvf" ->
       """SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' +
                   ((datediff('second', TIMESTAMP '1970-01-01 00:00:00',
