@@ -175,8 +175,8 @@ object Analytics {
     * the distinct per-user activity weeks. */
   def cohortRetention(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
-      (col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
-      .select(col("user_id"), (col("d") / 7L).cast("long").as("w"))
+      floor(col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+      .select(col("user_id"), floor(col("d") / 7L).cast("long").as("w"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
     ev.join(cohort, "user_id")
       .select(col("user_id"), col("cw"), (col("w") - col("cw")).as("off"))
@@ -381,7 +381,7 @@ object Analytics {
     require(k >= 1, s"k=$k")
     val w = org.apache.spark.sql.expressions.Window
     val counts = events
-      .select((col("ts").cast("long") / lit(86400L)).cast("long").as("day"),
+      .select(floor(col("ts").cast("long") / lit(86400L)).cast("long").as("day"),
         col("event_type"))
       .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
     val ranked = counts.withColumn("rnk", row_number().over(
@@ -433,7 +433,7 @@ object Analytics {
     require(windowDays >= 1, s"windowDays=$windowDays")
     val ud = events
       .select(col("user_id"),
-        (col("ts").cast("long") / lit(86400L)).cast("long").as("day"))
+        floor(col("ts").cast("long") / lit(86400L)).cast("long").as("day"))
       .distinct()
     val bounds = ud.agg(max(col("day"))).collect()(0)
     require(!bounds.isNullAt(0), "rollingActiveUsers: empty input")
@@ -639,8 +639,9 @@ object Analytics {
     val ecdf = bucketed
       .withColumn("f1", sum(col("c1")).over(wb) + element_at(off1, col("b")))
       .withColumn("f2", sum(col("c2")).over(wb) + element_at(off2, col("b")))
-    val (n1, n2) = (cum.last._1 + offs.last._2._1, cum.last._2 + offs.last._2._2)
-    require(n1 > 0 && n2 > 0, s"ksTest: empty group n1=$n1 n2=$n2")
+    // totals come straight from the bounds row collected above (the early
+    // empty-group require already guaranteed both are > 0)
+    val (n1, n2) = (bounds.getLong(2), bounds.getLong(3))
     ecdf.agg(max(abs(col("f1") / lit(n1.toDouble) -
         col("f2") / lit(n2.toDouble))).as("d"))
       .select(lit(n1).as("n1"), lit(n2).as("n2"),
@@ -869,7 +870,7 @@ object Analytics {
   def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
     val daily = events
       .select(col("event_type"),
-        (col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+        floor(col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
       .groupBy(col("event_type"), col("d"))
       .agg(count(lit(1)).as("x"))
     val grid = daily.groupBy(col("event_type"))
@@ -922,7 +923,7 @@ object Analytics {
     val e = events
       .where(col("event_type").isin(typeA, typeB))
       .select(col("event_type"),
-        (col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+        floor(col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
     val daily = e.groupBy(col("event_type"), col("d"))
       .agg(count(lit(1)).as("x"))
     val span = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))

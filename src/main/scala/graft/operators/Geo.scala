@@ -15,13 +15,14 @@ import org.apache.spark.sql.functions._
   *   - `radiusJoin` NEVER builds a cross product: points are bucketed into
   *     1°×1° grid cells, ONE side expands to its 3×3 cell neighborhood
   *     (9× on a 3-column projection, ids + coords only), and the candidate
-  *     set comes from an equi-JOIN on the cell key. With radius ≤ ~50 km a
-  *     1° cell (≥ 55.6 km of longitude at |lat| ≤ 60°) guarantees every
-  *     qualifying pair shares a (neighborhood, home) cell, so the join is
-  *     lossless. Candidate volume is Σ_cell |L_cell|·|R_cell| — density-
-  *     bounded, not |L|·|R|. Hot cells (cities) are the skew risk; the
-  *     shuffle key is the cell id, so AQE skew-split or salting applies
-  *     directly, same playbook as `q_join_salted`. Measured at 32×
+  *     set comes from an equi-JOIN on the cell key. The losslessness
+  *     condition radiusKm ≤ 110·cos(maxAbsLatDeg) is ENFORCED (builder
+  *     require + per-row assert_true on |lat|), and lon cells wrap mod
+  *     360, so antimeridian-straddling pairs join. Candidate volume is
+  *     Σ_cell |L_cell|·|R_cell| — density-bounded, not |L|·|R|. Hot
+  *     cells (cities) are the skew risk; AQE skew-split applies to the
+  *     cell-id shuffle, and `saltCells > 1` shards hot home cells
+  *     in-code (exact, same playbook as `q_join_salted`). Measured at 32×
   *     (BASELINE.md round-8 part 2): wall grows with OUTPUT cardinality
   *     (the probe packs 32× the points into a fixed band → pairs ~density²,
   *     24.5k → 31.5M rows) while per-output-pair cost falls — the join
@@ -49,31 +50,75 @@ object Geo {
       sLat * sLat + cos(radians(lat1)) * cos(radians(lat2)) * sLon * sLon))
   }
 
-  /** All pairs (idA < idB) of `points(id, lat, lon)` within `radiusKm`
-    * (must be ≤ 55 so the 1° grid bounds the search to 3×3 neighborhoods).
+  /** All pairs (idA < idB) of `points(id, lat, lon)` within `radiusKm`.
     *
     * Output: (id_a, id_b, dist_km rounded 1e-4). One row per qualifying
     * pair: the left copy expands to its 9 neighbor cells, the right copy
     * stays in its home cell, and the `id <` filter keeps exactly the
     * (expanded A, home B) orientation of each unordered pair.
+    *
+    * Domain contract (ENFORCED, not just documented): the 1° grid is
+    * lossless only while one lon cell spans ≥ radiusKm of ground, i.e.
+    * radiusKm ≤ 110·cos(maxAbsLatDeg). The builder `require`s that
+    * inequality, and every row is passed through an `assert_true` on
+    * |lat| ≤ maxAbsLatDeg — a point outside the declared band fails the
+    * JOB loudly instead of silently dropping its qualifying pairs.
+    * Longitude cells WRAP modulo 360 (`pmod(c+180, 360)−180`), so a
+    * neighborhood expanded across the antimeridian (cell −181 → 179)
+    * equi-joins the far side correctly; latitude needs no wrap because
+    * the |lat| band excludes the poles.
+    *
+    * Skew (hot cells — cities): `saltCells > 1` splits every home cell
+    * into `saltCells` hash shards and replicates the EXPANDED side per
+    * shard (the `Skew.saltedJoin` playbook on the composite cell key) —
+    * candidate pairs are exactly preserved (each (A,B) meets in B's one
+    * shard), while the biggest shuffle task shrinks ×saltCells. AQE
+    * skew-join handles moderate skew without it; salt when one metro
+    * cell dominates the whole stage.
     */
-  def radiusJoin(points: DataFrame, radiusKm: Double): DataFrame = {
-    require(radiusKm <= 55.0,
-      s"radiusJoin's 1-degree grid only covers radii <= 55 km, got $radiusKm")
-    val p = points.select(col("id"), col("lat"), col("lon"),
+  def radiusJoin(points: DataFrame, radiusKm: Double,
+                 maxAbsLatDeg: Double = 60.0,
+                 saltCells: Int = 1): DataFrame = {
+    require(maxAbsLatDeg > 0 && maxAbsLatDeg < 89.0,
+      s"maxAbsLatDeg must be in (0, 89), got $maxAbsLatDeg")
+    require(saltCells >= 1, s"saltCells must be >= 1, got $saltCells")
+    // 1 deg of longitude spans ~111.32*cos(lat) km; 110 is the safety
+    // margin. A qualifying pair then differs by < 1 deg of lon, which the
+    // 3x3 neighborhood always covers. At the 60-deg default: 55 km.
+    val maxRadius = 110.0 * math.cos(math.toRadians(maxAbsLatDeg))
+    require(radiusKm <= maxRadius,
+      f"radiusJoin's 1-degree grid only covers radii <= $maxRadius%.1f km " +
+      f"at |lat| <= $maxAbsLatDeg%.1f deg (got $radiusKm%.1f km); lower the " +
+      "radius or the latitude band")
+    // |lat| outside the declared band breaks the grid's lossless bound —
+    // fail the row loudly (assert_true) rather than drop pairs silently
+    val latChecked = when(
+      assert_true(abs(col("lat")) <= lit(maxAbsLatDeg),
+        lit(s"radiusJoin: point latitude outside the declared " +
+          s"|lat| <= $maxAbsLatDeg deg band")).isNull,
+      col("lat"))
+    def wrapLon(c: Column): Column = (pmod(c + 180, lit(360)) - 180).cast("int")
+    val p = points.select(col("id"), latChecked.as("lat"), col("lon"),
       floor(col("lat")).cast("int").as("cla"),
-      floor(col("lon")).cast("int").as("clo"))
-    // 9-cell neighborhood on the LEFT projection only (ids + coords)
+      wrapLon(floor(col("lon"))).as("clo"))
+    // 9-cell neighborhood on the LEFT projection only (ids + coords);
+    // per-shard replication when salted (shard count is tiny and bounded)
     val expanded = p.select(col("id"), col("lat"), col("lon"),
         explode(expr("array(-1, 0, 1)")).as("dla"), col("cla"), col("clo"))
       .select(col("id"), col("lat"), col("lon"),
         (col("cla") + col("dla")).as("cla"),
         explode(expr("array(-1, 0, 1)")).as("dlo"), col("clo"))
       .select(col("id"), col("lat"), col("lon"), col("cla"),
-        (col("clo") + col("dlo")).as("clo"))
+        wrapLon(col("clo") + col("dlo")).as("clo"))
+      .withColumn("shard",
+        if (saltCells == 1) lit(0)
+        else explode(sequence(lit(0), lit(saltCells - 1))))
     val home = p.select(col("id").as("id_b"), col("lat").as("lat_b"),
-      col("lon").as("lon_b"), col("cla"), col("clo"))
-    expanded.join(home, Seq("cla", "clo"))
+        col("lon").as("lon_b"), col("cla"), col("clo"))
+      .withColumn("shard",
+        if (saltCells == 1) lit(0)
+        else pmod(xxhash64(col("id_b")), lit(saltCells.toLong)).cast("int"))
+    expanded.join(home, Seq("cla", "clo", "shard"))
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         haversineKm(col("lat"), col("lon"), col("lat_b"), col("lon_b"))
@@ -91,8 +136,9 @@ object Geo {
     * candidate set grid-local at scale; an unbounded k-NN join needs ring
     * expansion, which brute-force probes or IVF cover elsewhere).
     */
-  def knnJoin(points: DataFrame, radiusKm: Double, k: Int): DataFrame = {
-    val pairs = radiusJoin(points, radiusKm)
+  def knnJoin(points: DataFrame, radiusKm: Double, k: Int,
+              maxAbsLatDeg: Double = 60.0, saltCells: Int = 1): DataFrame = {
+    val pairs = radiusJoin(points, radiusKm, maxAbsLatDeg, saltCells)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"),
         col("dist_km"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"),

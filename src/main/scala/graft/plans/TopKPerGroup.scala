@@ -43,17 +43,37 @@ import org.apache.spark.sql.types.IntegerType
   * window expression, non-empty partition+order specs, literal int k in
   * (0, 100000]. Everything else falls through to the default planner.
   *
-  * Memory contract: each phase holds distinct-groups-per-partition × k
-  * rows — the same non-spilling envelope as a hash aggregate buffer, and
-  * strictly less than WindowExec's full-partition sort buffer. The
-  * strategy is OPT-IN (extensions or `TopK.install`); a workload whose
-  * group keys are near-unique per row gains nothing over the default
-  * plan and should leave it uninstalled.
+  * Memory contract: the PARTIAL (map-side) phase FLUSHES its group map
+  * every `spark.graft.topk.maxGroupsPerPartition` distinct groups
+  * (default 1M) — flushing early just forwards more candidate rows, so
+  * it is always correct — which bounds map-side heap to maxGroups × k
+  * rows regardless of key cardinality. The FINAL phase must hold every
+  * distinct group of its clustered partition (groups × k rows, the same
+  * non-spilling envelope as a hash-aggregate buffer and strictly less
+  * than WindowExec's full-partition sort buffer); if that count exceeds
+  * the same bound it fails LOUDLY with the remediation (disable the
+  * strategy or raise the bound) instead of creeping toward an executor
+  * OOM. A workload whose group keys are near-unique per row gains
+  * nothing over the default spillable WindowExec plan and should set
+  * `spark.graft.topk.enabled=false` — the strategy is injected by
+  * GraftExtensions but GATED on that conf (default true), so opting out
+  * is a session conf, not a rebuild.
   */
 object TopKPerGroupStrategy extends SparkStrategy {
 
+  val enabledKey = "spark.graft.topk.enabled"
+  val maxGroupsKey = "spark.graft.topk.maxGroupsPerPartition"
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(enabledKey, "true").toBoolean
+
+  private def maxGroups: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(maxGroupsKey, (1 << 20).toString).toInt
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case f: LogicalFilter if f.child.isInstanceOf[LogicalWindow] =>
+    case f: LogicalFilter if enabled && f.child.isInstanceOf[LogicalWindow] =>
       val w = f.child.asInstanceOf[LogicalWindow]
       (w.windowExpressions, w.partitionSpec, w.orderSpec) match {
         case (Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)), part, order)
@@ -74,10 +94,11 @@ object TopKPerGroupStrategy extends SparkStrategy {
               case wgl: LogicalWindowGroupLimit => wgl.child
               case c => c
             }
+            val bound = maxGroups
             val partial = TopKPerGroupExec(part, order, k, None,
-              partial = true, planLater(source))
+              partial = true, bound, planLater(source))
             TopKPerGroupExec(part, order, k, Some(rn),
-              partial = false, partial) :: Nil
+              partial = false, bound, partial) :: Nil
           } else Nil
         case _ => Nil
       }
@@ -89,8 +110,12 @@ object TopKPerGroupStrategy extends SparkStrategy {
   *
   * Two-phase: the PARTIAL instance runs before the exchange (map-side
   * combine — each map partition forwards at most groups·k rows, no rank,
-  * no ordering requirement), the FINAL instance runs on the clustered
-  * side and assigns ranks on emission. Neither phase sorts anything.
+  * no ordering requirement; its group map flushes every `maxGroups`
+  * distinct groups so map-side heap stays bounded on near-unique keys),
+  * the FINAL instance runs on the clustered side and assigns ranks on
+  * emission (it must hold its partition's distinct groups — exceeding
+  * `maxGroups` there fails loudly with the remediation). Neither phase
+  * sorts anything.
   */
 case class TopKPerGroupExec(
     partExprs: Seq[Expression],
@@ -98,6 +123,7 @@ case class TopKPerGroupExec(
     k: Int,
     rnAttr: Option[Attribute],
     partial: Boolean,
+    maxGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -121,6 +147,7 @@ case class TopKPerGroupExec(
     val kk = k
     val out = output
     val isPartial = partial
+    val groupBound = maxGroups
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partSer, childOutput)
       val ord = GenerateOrdering.generate(orderSer, childOutput)
@@ -132,8 +159,7 @@ case class TopKPerGroupExec(
       }
       val groups = new java.util.LinkedHashMap[
         UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = groups.get(key)
         if (heap == null) {
@@ -145,20 +171,47 @@ case class TopKPerGroupExec(
           heap.poll(); heap.add(row.copy())
         }
       }
-      val groupIt = groups.values().iterator()
       if (isPartial) {
-        // forward the survivors unranked; order within groups irrelevant
+        // forward the survivors unranked; order within groups irrelevant.
+        // The map flushes every `groupBound` distinct groups — a flushed
+        // group may re-open and forward up to k more candidates, which the
+        // final phase merges, so flushing is always correct and map-side
+        // heap is bounded at groupBound·k rows on ANY key cardinality.
         new Iterator[InternalRow] {
           private var current: java.util.Iterator[InternalRow] =
             java.util.Collections.emptyIterator()
+          private var drain: java.util.Iterator[
+            java.util.PriorityQueue[InternalRow]] =
+            java.util.Collections.emptyIterator()
+          private def refill(): Unit = {
+            while (iter.hasNext && groups.size() < groupBound)
+              insert(iter.next())
+            if (!groups.isEmpty()) {
+              drain = new java.util.ArrayList(groups.values()).iterator()
+              groups.clear()
+            }
+          }
           override def hasNext: Boolean = {
-            while (!current.hasNext && groupIt.hasNext)
-              current = groupIt.next().iterator()
-            current.hasNext
+            while (!current.hasNext) {
+              if (drain.hasNext) current = drain.next().iterator()
+              else if (iter.hasNext || !groups.isEmpty()) refill()
+              else return false
+            }
+            true
           }
           override def next(): InternalRow = current.next()
         }
       } else {
+        while (iter.hasNext) {
+          insert(iter.next())
+          if (groups.size() > groupBound) throw new IllegalStateException(
+            s"TopKPerGroupExec: more than $groupBound distinct groups in one " +
+            "clustered partition — the bounded-heap plan would exceed its " +
+            s"memory envelope. Set ${TopKPerGroupStrategy.enabledKey}=false " +
+            "to use Spark's spillable window plan, or raise " +
+            s"${TopKPerGroupStrategy.maxGroupsKey}.")
+        }
+        val groupIt = groups.values().iterator()
         val resultProj = UnsafeProjection.create(out, out)
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
         val rankRow = new org.apache.spark.sql.catalyst.expressions

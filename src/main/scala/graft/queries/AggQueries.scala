@@ -162,12 +162,12 @@ object AggQueries {
     // bit-exactly (SketchesSpec). Engine-pinned hash ⇒ rows-only.
     "q_agg_hll_rollup" -> ((s, d) => {
       val daily = Tables.events(s, d)
-        .withColumn("day", (col("ts").cast("long") / 86400L).cast("long"))
+        .withColumn("day", floor(col("ts").cast("long") / 86400L).cast("long"))
         .groupBy(col("day"))
         .agg(graft.functions.Sketches.hllSketch(xxhash64(col("user_id")))
           .as("sketch"))
       daily
-        .withColumn("week", (col("day") / 7L).cast("long"))
+        .withColumn("week", floor(col("day") / 7L).cast("long"))
         .groupBy(col("week"))
         .agg(graft.functions.Sketches.hllMergeEstimate(col("sketch"))
           .as("est_users"))
@@ -184,12 +184,12 @@ object AggQueries {
     // beyond k the same query degrades gracefully to ±1/√k estimates).
     "q_agg_theta_rollup" -> ((s, d) => {
       val daily = Tables.events(s, d)
-        .withColumn("day", (col("ts").cast("long") / 86400L).cast("long"))
+        .withColumn("day", floor(col("ts").cast("long") / 86400L).cast("long"))
         .groupBy(col("day"))
         .agg(graft.functions.Sketches.thetaSketch(xxhash64(col("user_id")),
           k = 4096).as("sketch"))
       daily
-        .withColumn("week", (col("day") / 7L).cast("long"))
+        .withColumn("week", floor(col("day") / 7L).cast("long"))
         .groupBy(col("week"))
         .agg(graft.functions.Sketches.thetaMergeEstimate(col("sketch"),
           k = 4096).as("est_users"))

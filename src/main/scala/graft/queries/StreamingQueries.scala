@@ -114,14 +114,22 @@ object StreamingQueries {
     // (Sketches.ThetaSketchAggregator) — per-window state is one ≤k-long
     // array however many events arrive; below k the sketch is EXACT, so
     // the count(DISTINCT) oracle hash-checks the streaming sketch path
-    // (fixture windows hold ≤ a few hundred users, k = 1024)
+    // (fixture windows hold ≤ a few hundred users, k = 1024). Above k the
+    // θ-rule estimate below keeps estimating instead of clamping at k —
+    // same expression as EventStreams.tumblingDistinctUsers, so the query
+    // degrades to ±1/√k at corpus scale rather than silently saturating.
     "q_stream_distinct" -> ((s, d) =>
       runStream(s, d, "complete") { ev =>
+        val k = 1024
         ev.groupBy(window(col("ts"), "60 minutes"))
           .agg(graft.functions.Sketches.thetaSketch(
-            xxhash64(col("user_id"))).as("sk"))
+            xxhash64(col("user_id")), k).as("sk"))
           .select(fmtWin("window.start").as("wstart"),
-            size(col("sk")).cast("long").as("n_users"))
+            when(size(col("sk")) < k, size(col("sk")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (shiftrightunsigned(element_at(col("sk"), -1), 11)
+                  .cast("double") / lit(9007199254740992.0)))
+              .cast("long").as("n_users"))
       }.orderBy(col("wstart"))),
 
     // sliding window: 10-minute length, 5-minute slide

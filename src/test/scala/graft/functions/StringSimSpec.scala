@@ -21,6 +21,18 @@ class StringSimSpec extends SparkSpec {
     assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
   }
 
+  test("jaro_winkler odd-transposition 3-cycle floors like DuckDB (t = 3/2 = 1)") {
+    // a 3-cycle permutation (abc→cab) long enough for window = 3 makes the
+    // aligned-walk mismatch count ODD (3); integer floor gives t = 1, so
+    // jaro = (8/8 + 8/8 + (8−1)/8)/3 — DuckDB 1.x jaro_winkler_similarity
+    // returns exactly this (0.9583333333333334, pinned this round), i.e.
+    // strcmp95's floored form, NOT the fractional t = 1.5 (0.9375)
+    assert(jw("abcxxxxx", "cabxxxxx") === 0.9583333333333334)
+    assert(jw("abcdefgh", "cabdefgh") === 0.9583333333333334)
+    // shorter 3-cycle where the window blocks one match instead
+    assert(jw("abcxx", "cabxx") === 0.8666666666666667)
+  }
+
   test("jaro_winkler edge semantics: window, boost threshold, empties") {
     // window = max(n,m)/2 - 1 = 0 → adjacent transposes can't match
     assert(jw("ab", "ba") === 0.0)

@@ -64,6 +64,51 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("radiusJoin pairs points straddling the antimeridian (lon cell wrap)") {
+    // 1 & 2 are ~15 km apart across the ±180 seam; 3 is far away
+    val p = spark.createDataFrame(Seq(
+      (1L, 10.0, 179.93), (2L, 10.0, -179.93), (3L, 10.0, 0.0)))
+      .toDF("id", "lat", "lon")
+    val got = Geo.radiusJoin(p, 20.0).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("radiusJoin fails LOUDLY on latitudes outside the declared band") {
+    val p = spark.createDataFrame(Seq((1L, 75.0, 0.0), (2L, 75.0, 0.1)))
+      .toDF("id", "lat", "lon")
+    val e = intercept[Exception] { Geo.radiusJoin(p, 10.0).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("latitude outside")), e.toString)
+    // same points pass once the band is widened (radius bound shrinks)
+    val ok = Geo.radiusJoin(p, 10.0, maxAbsLatDeg = 80.0).collect()
+    assert(ok.length === 1) // ~3 km apart at lat 75
+  }
+
+  test("salted radiusJoin/knnJoin ≡ unsalted on uniform and hot-cell data") {
+    val uniform = points(400).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(pairs(Geo.radiusJoin(uniform, 10.0, saltCells = 4)) ===
+      pairs(Geo.radiusJoin(uniform, 10.0)))
+    // hot cell: 300 of 350 points packed into ONE 1-degree cell
+    val hot = spark.range(1, 351).select(col("id"),
+      (when(col("id") <= 300, lit(0.0)).otherwise(col("id") % 50))
+        .cast("double").as("lat") + col("id") % 90 / lit(10000.0),
+      (when(col("id") <= 300, lit(0.0)).otherwise(col("id") % 60))
+        .cast("double").as("lon") + col("id") % 70 / lit(10000.0))
+      .toDF("id", "lat", "lon").cache()
+    assert(pairs(Geo.radiusJoin(hot, 10.0, saltCells = 8)) ===
+      pairs(Geo.radiusJoin(hot, 10.0)))
+    assert(pairs(Geo.knnJoin(hot, 10.0, 3, saltCells = 8)) ===
+      pairs(Geo.knnJoin(hot, 10.0, 3)))
+    // the salted plan keys the join on (cla, clo, shard): the hot cell's
+    // home rows really spread across >1 shard
+    val shards = Geo.radiusJoin(hot, 10.0, saltCells = 8)
+    assert(shards.queryExecution.analyzed.toString.contains("shard"))
+  }
+
   test("knnToProbes: k rows per probe, ranks 1..k, distances nondecreasing") {
     val probes = spark.range(0, 4).select(
       col("id").cast("int").as("probe_id"),

@@ -86,6 +86,51 @@ class TopKSpec extends SparkSpec {
       .contains("TopKPerGroupExec"))
   }
 
+  test("spark.graft.topk.enabled=false restores the default window plan") {
+    val s2 = session()
+    s2.conf.set(TopKPerGroupStrategy.enabledKey, "false")
+    try {
+      val plan = topkQuery(s2, 3).queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerGroupExec"), plan.take(2000))
+      assert(plan.contains("Window"), "default spillable plan expected")
+    } finally s2.conf.unset(TopKPerGroupStrategy.enabledKey)
+  }
+
+  test("partial phase flushes at maxGroupsPerPartition and stays exact") {
+    val s2 = session()
+    // ~1500 distinct custkeys per map partition; bound 400 forces map-side
+    // flushes (a flushed group re-opens and forwards extra candidates)
+    // while each of the 4 reduce partitions holds ~375 groups — under the
+    // bound, so the final phase merges the duplicates exactly
+    s2.conf.set(TopKPerGroupStrategy.maxGroupsKey, "400")
+    // pin the reduce side at 8 partitions (~190 groups each, under the
+    // bound) — AQE would otherwise coalesce the tiny shuffle to ONE
+    // partition holding all ~1500 groups and trip the loud final guard
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = topkQuery(s2, 3)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
+      assert(q.collect().map(_.toSeq).toSeq ===
+        topkQuery(spark, 3).collect().map(_.toSeq).toSeq)
+    } finally {
+      s2.conf.unset(TopKPerGroupStrategy.maxGroupsKey)
+      s2.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
+  test("final phase fails loudly (not OOM) past the group bound") {
+    val s2 = session()
+    s2.conf.set(TopKPerGroupStrategy.maxGroupsKey, "10")
+    try {
+      val e = intercept[Exception] { topkQuery(s2, 3).collect() }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("spark.graft.topk.enabled")), e.toString)
+    } finally s2.conf.unset(TopKPerGroupStrategy.maxGroupsKey)
+  }
+
   test("every group emits exactly min(k, group size) rows, ranks 1..") {
     val s2 = session()
     val rows = topkQuery(s2, 3).collect()
