@@ -4,6 +4,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -40,9 +41,19 @@ object Pipeline {
 
   /** Read one sample's PRQ lines via its partition directory — a single-dir
     * scan (partition-pruned by construction; the sink lays out
-    * `sample=<s>/`, `Codecs.writePartitionedGzip`). */
-  def readSamplePrq(spark: SparkSession, prqDir: String, sample: String): Dataset[String] =
-    spark.read.textFile(s"$prqDir/sample=${Codecs.escapePartitionValue(sample)}")
+    * `sample=<s>/`, `Codecs.writePartitionedGzip`). Reads through the PRQ
+    * DataSource V2 ([[graft.sources.PrqDataSource]] — one InputPartition
+    * per gzip file) and re-joins the tab line the external aligner
+    * consumes; field-split + rejoin is the identity on well-formed PRQ, so
+    * the piped bytes are unchanged vs the old text scan. */
+  def readSamplePrq(spark: SparkSession, prqDir: String, sample: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.format("prq")
+      .load(s"$prqDir/sample=${Codecs.escapePartitionValue(sample)}")
+      .select(concat_ws("\t", col("id"), col("seq1"), col("qual1"),
+        col("seq2"), col("qual2")).as("value"))
+      .as[String]
+  }
 
   /** Run stage 1 into `prqDir`, then align each sample concurrently with
     * `align` (sample, lines) => aligned lines; `onSampleDone` is the eager

@@ -118,6 +118,64 @@ class GenomicsSpec extends SparkSpec {
     assert(s1.exists(_.startsWith("1_1101_0\tACGT\t")))
   }
 
+  test("prq DataSource V2: scan parity with readPrq, pruning, sample column") {
+    val s = spark
+    val out = Files.createTempDirectory("graft_prq_v2").toString
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
+    Codecs.writePartitionedGzip(reads, out, numTasks = 2)
+    val v2 = s.read.format("prq").load(out)
+    assert(v2.schema.fieldNames.toSeq ===
+      Seq("sample", "id", "seq1", "qual1", "seq2", "qual2"))
+    // row parity with the text+parse composition (same 5 reads)
+    val viaText = Codecs.readPrq(s, out).collect()
+      .map { case (sm, line) =>
+        val f = Codecs.parsePrqLine(line); (sm, f._1, f._2, f._3, f._4, f._5) }
+      .sorted.toSeq
+    val viaV2 = v2.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).sorted.toSeq
+    assert(viaV2 === viaText)
+    assert(viaV2.length === 5)
+    // column pruning reaches the scan: an id-only projection's ReadSchema
+    // carries no seq/qual fields
+    val pruned = v2.select("id")
+    val scans = pruned.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(p => p.toString.contains("prq:") ||
+      p.schema.fieldNames.sameElements(Array("id"))), scans.mkString("\n"))
+    assert(pruned.collect().map(_.getString(0)).sorted.head.nonEmpty)
+    // partition-value decoding: per-sample filters work
+    assert(v2.where(org.apache.spark.sql.functions.col("sample") === "sample1").count() ===
+      viaText.count(_._1 == "sample1"))
+  }
+
+  test("fastq DataSource V2: 4-line chunker parity with parseFastq") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_fastq_v2")
+    val rec = "@r1\nACGT\n+\nIIII\n@r2\nTTAA\n+\nJJJJ\n"
+    Files.writeString(dir.resolve("a.fastq"), rec)
+    Files.writeString(dir.resolve("b.fastq"), "@r3\nGGGG\n+\nKKKK\n")
+    val v2 = s.read.format("fastq").load(dir.toString)
+      .select("id", "seq", "qual").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(v2 === Seq(("r1", "ACGT", "IIII"), ("r2", "TTAA", "JJJJ"),
+      ("r3", "GGGG", "KKKK")))
+    // parity with the mapPartitions codec on the same lines
+    val viaCodec = Codecs.parseFastq(
+      s.read.textFile(dir.resolve("a.fastq").toString))
+      .collect().sorted.toSeq
+    assert(viaCodec === v2.take(2))
+    // malformed record fails loudly
+    Files.writeString(dir.resolve("bad.fastq"), "@r4\nACGT\n+\n")
+    val e = intercept[Exception] {
+      s.read.format("fastq").load(dir.resolve("bad.fastq").toString).count()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("malformed FASTQ")), e.toString)
+  }
+
   test("sample discovery excludes Undetermined and _-prefixed names") {
     val reads = Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet)
     assert(Demux.discoverSamples(reads) == Seq("sample1", "sample2"))
@@ -175,10 +233,16 @@ class GenomicsSpec extends SparkSpec {
     Codecs.writePartitionedGzip(reads, prq)
     assert(Codecs.listSamplePartitions(s, prq) == Seq("sample1", "sample2"))
     val one = Pipeline.readSamplePrq(s, prq, "sample1")
-    val files = one.inputFiles
+    // the V2 scan plans one InputPartition per file — all from this
+    // sample's own partition dir
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val files = scan.inputPartitions
+      .map(_.asInstanceOf[graft.sources.LineFilePartition].file)
     assert(files.nonEmpty)
     assert(files.forall(_.contains("sample=sample1")),
-      s"per-sample scan must touch only its own partition dir: ${files.toSeq}")
+      s"per-sample scan must touch only its own partition dir: $files")
     assert(one.count() == 2)
   }
 
