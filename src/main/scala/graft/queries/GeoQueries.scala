@@ -74,8 +74,9 @@ object GeoQueries {
 
     // geohash bucketing of the customer point cloud: precision-6 cell per
     // point plus the precision-3 prefix a coarse partitioner would key on.
-    // Rows-only (DuckDB has no geohash); GeoSpec pins published vectors
-    // and the prefix-containment law.
+    // Hash-exact since round 9: the oracle recomputes the hash from pure
+    // integer bit math (see geohashSql below); GeoSpec additionally pins
+    // the published vectors and the prefix-containment law.
     "q_geo_geohash" -> ((s, d) => {
       GraftFunctions.register(s)
       customerPoints(s, d)
@@ -85,7 +86,43 @@ object GeoQueries {
         .orderBy(col("id"))
     }))
 
+  /** DuckDB recomputation of the standard geohash as PURE INTEGER bit
+    * math — the generated-SQL oracle technique (q_llm_mmr's playbook).
+    * The engine's iterative lat/lon bisection is equivalent to
+    * `floor((coord + off) / span · 2^n)` clamped to 2^n − 1: each
+    * bisection midpoint is a dyadic rational, exactly representable, so
+    * the two forms can only disagree when a coordinate sits within an
+    * ulp of a cell edge — and the fixture grid (0.01° steps, denominators
+    * 1125/2048 after reduction) puts every non-edge point ≥ 1/2048 of a
+    * cell away from an edge while the exact-edge points (lat 0, lon
+    * 0/±11.25/±22.5) compute EXACTLY in both forms (dyadic fractions).
+    * Bit t of the interleaved word takes lon bit t/2 (even t) or lat bit
+    * (t−1)/2 (odd t); each 5-bit group indexes the base-32 alphabet. */
+  private def geohashSql(nchars: Int, alias: String): String = {
+    val nbits = nchars * 5
+    val nlon = (nbits + 1) / 2
+    val nlat = nbits / 2
+    val interleave = (0 until nbits).map { t =>
+      val (src, idx, nb) =
+        if (t % 2 == 0) ("lonb", t / 2, nlon) else ("latb", (t - 1) / 2, nlat)
+      s"((($src >> ${nb - 1 - idx}) & 1) << ${nbits - 1 - t})"
+    }.mkString(" | ")
+    val chars = (0 until nchars).map { c =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST(((I >> ${5 * (nchars - 1 - c)}) & 31) AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""(SELECT $chars FROM (SELECT ($interleave) AS I FROM (SELECT
+          LEAST(CAST(floor((lon + 180e0) / 360e0 * ${1L << nlon}) AS BIGINT),
+                ${(1L << nlon) - 1}) AS lonb,
+          LEAST(CAST(floor((lat + 90e0) / 180e0 * ${1L << nlat}) AS BIGINT),
+                ${(1L << nlat) - 1}) AS latb))) AS $alias"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_geo_geohash" ->
+      s"""WITH p AS ($pointsSql)
+          SELECT id, ${geohashSql(6, "gh6")}, ${geohashSql(3, "gh3")}
+          FROM p ORDER BY id""",
     // the oracle pairs by brute force with the provable |Δlat| ≤ 0.2°
     // meridional bound (10 km / 111.19 km/° = 0.09°) — DuckDB-side cost
     // control only, it cannot change the qualifying set

@@ -779,7 +779,11 @@ object LlmQueries {
     // ROUGE-L via the native lcs_len codegen Expression (O(n·m) DP kernel,
     // token count capped at 200 so per-pair cost is a constant): P/R from
     // the LCS, F1 = 2·lcs/(n_cand+n_ref) — all integer-derived divisions.
-    // Rows-only (no LCS in the oracle engine); StringSimSpec pins the DP.
+    // Hash-exact since round 9: the oracle runs the SAME DP as a DuckDB
+    // recursive CTE (one iteration per candidate token; each row update
+    // uses the prefix-max reformulation C[j] = max(P[j], prefixmax over
+    // matches of P[k-1]+1), computable with one window). StringSimSpec
+    // additionally pins the DP on textbook vectors.
     "q_llm_rouge" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d).select(col("doc_id"),
@@ -801,6 +805,51 @@ object LlmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // ROUGE-L oracle: the LCS DP itself as a recursive CTE. Row i of the
+    // DP (over ref-token prefixes j) comes from row i-1 via the prefix-max
+    // form; `unnest + generate_subscripts` exposes j, a running-max window
+    // computes the prefix, and `list(... ORDER BY j)` re-packs the row.
+    // Recursion depth = |cand tokens| (<= 200 by the shared slice cap).
+    "q_llm_rouge" ->
+      """WITH RECURSIVE
+         docs AS (
+           SELECT doc_id, list_slice(list_filter(string_split(text, ' '),
+             t -> t <> ''), 1, 200) AS toks
+           FROM documents),
+         pairs AS (
+           SELECT c.doc_id AS cand_id, c.toks AS ct, r.toks AS rt
+           FROM docs c JOIN docs r ON r.doc_id = c.doc_id + 1
+           WHERE len(c.toks) > 0 AND len(r.toks) > 0),
+         dp AS (
+           SELECT cand_id, 0 AS i, list_transform(rt, x -> 0) AS row
+           FROM pairs
+           UNION ALL
+           SELECT d.cand_id, d.i + 1,
+             (SELECT list(greatest(prev, roll) ORDER BY j)
+              FROM (
+                SELECT j, prev,
+                       max(cnd) OVER (ORDER BY j ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS roll
+                FROM (
+                  SELECT j, prev,
+                         CASE WHEN p.rt[j] = p.ct[d.i + 1]
+                              THEN (CASE WHEN j = 1 THEN 0
+                                    ELSE d.row[j - 1] END) + 1
+                              ELSE 0 END AS cnd
+                  FROM (SELECT unnest(d.row) AS prev,
+                               generate_subscripts(d.row, 1) AS j)))) AS row
+           FROM dp d JOIN pairs p USING (cand_id)
+           WHERE d.i < len(p.ct))
+         SELECT f.cand_id, CAST(f.lcs AS INT) AS lcs,
+                CAST(f.n_cand AS INT) AS n_cand, CAST(f.n_ref AS INT) AS n_ref,
+                CAST(f.lcs AS DOUBLE) / f.n_cand AS p,
+                CAST(f.lcs AS DOUBLE) / f.n_ref AS r,
+                2e0 * f.lcs / (f.n_cand + f.n_ref) AS f1
+         FROM (SELECT d.cand_id, d.row[len(p.rt)] AS lcs,
+                      len(p.ct) AS n_cand, len(p.rt) AS n_ref
+               FROM dp d JOIN pairs p USING (cand_id)
+               WHERE d.i = len(p.ct)) f
+         ORDER BY cand_id""",
     "q_llm_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""",

@@ -239,6 +239,166 @@ object EventStreams {
       }
   }
 
+  /** transformWithState (state API v2) sessionizer — [[sessionize]]'s
+    * modern twin: the same per-key gap state machine, but the
+    * watermark-timeout arm runs through a REGISTERED EVENT-TIME TIMER
+    * (`getHandle.registerTimer`) instead of `GroupStateTimeout` — the v2
+    * API separates "rows arrived" from "time passed", so the close-on-
+    * timeout path is its own callback rather than a `hasTimedOut` branch.
+    * Each update moves the key's single timer to `end + gap` (old timer
+    * deleted); a fired timer whose expiry no longer equals the live
+    * session's deadline is stale and ignored. Semantics are asserted
+    * identical to [[sessionize]] on the same MemoryStream batches
+    * (StreamingSpec parity golden). RocksDB state store required.
+    */
+  class SessionizeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = if (st.exists()) st.get() else null
+      val hadDeadline = if (cur != null) Some(cur.end + gapMs) else None
+      val closed = Seq.newBuilder[SessionOut]
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        if (cur == null) cur = SessionState(t, t, 1)
+        else if (t - cur.end > gapMs) {
+          closed += SessionOut(uid, cur.n,
+            new Timestamp(cur.start), new Timestamp(cur.end))
+          cur = SessionState(t, t, 1)
+        } else cur = SessionState(cur.start, math.max(cur.end, t), cur.n + 1)
+      }
+      if (cur != null) {
+        st.update(cur)
+        val deadline = cur.end + gapMs
+        if (!hadDeadline.contains(deadline)) {
+          hadDeadline.foreach(getHandle.deleteTimer)
+          // a deadline at/below the watermark would never fire — clamp
+          // (same contract as the fMGWS setTimeoutTimestamp clamp)
+          getHandle.registerTimer(
+            math.max(deadline, tv.getCurrentWatermarkInMs() + 1))
+        }
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val s = st.get()
+        // stale timer from a session this key has since extended?
+        if (info.getExpiryTimeInMs >=
+            math.min(s.end + gapMs, tv.getCurrentWatermarkInMs() + 1)) {
+          st.clear()
+          Iterator.single(SessionOut(uid, s.n,
+            new Timestamp(s.start), new Timestamp(s.end)))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] via transformWithState; parity asserted in
+    * StreamingSpec on the same MemoryStream batches. */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30,
+                    delay: String = "15 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** transformWithState twin of [[detectPattern]]'s NFA: same
+    * skip-till-next-match chain state, horizon expiry via a registered
+    * event-time timer (state GC without a row arriving — the case
+    * `GroupStateTimeout` covered). A fired timer only clears state whose
+    * chain really is past its horizon; stale timers from superseded
+    * chains are ignored. Parity asserted in StreamingSpec.
+    */
+  class PatternProcessor(steps: Seq[String], withinSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternMatch] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[PatternState] = _
+    private val horizonMs = withinSec * 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PatternState]("chain",
+        Encoders.product[PatternState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[PatternMatch] = {
+      // epoch-seconds ordering contract, as in detectPattern
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+      var cur = if (st.exists()) st.get() else null
+      val hadDeadline = if (cur != null) Some(cur.start * 1000L + horizonMs) else None
+      val out = Seq.newBuilder[PatternMatch]
+      for (e <- sorted) {
+        val t = e.ts.getTime / 1000
+        if (cur != null && t - cur.start > withinSec) cur = null
+        if (cur == null) {
+          if (e.event_type == steps.head) cur = PatternState(t, 1)
+        } else if (e.event_type == steps(cur.idx)) {
+          if (cur.idx + 1 == steps.size) {
+            out += PatternMatch(uid, new Timestamp(cur.start * 1000L),
+              new Timestamp(t * 1000L), steps.size)
+            cur = null
+          } else cur = PatternState(cur.start, cur.idx + 1)
+        }
+      }
+      if (cur != null) {
+        st.update(cur)
+        val deadline = cur.start * 1000L + horizonMs
+        if (!hadDeadline.contains(deadline)) {
+          hadDeadline.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(
+            math.max(deadline, tv.getCurrentWatermarkInMs() + 1))
+        }
+      } else {
+        st.clear()
+        hadDeadline.foreach(getHandle.deleteTimer)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PatternMatch] = {
+      if (st.exists()) {
+        val s = st.get()
+        // only clear a chain genuinely past its horizon (stale timers from
+        // a superseded chain may fire first)
+        if (info.getExpiryTimeInMs >=
+            math.min(s.start * 1000L + horizonMs, tv.getCurrentWatermarkInMs() + 1))
+          st.clear()
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[detectPattern]] via transformWithState; parity asserted in
+    * StreamingSpec. */
+  def detectPatternTws(events: Dataset[Event], steps: Seq[String],
+                       withinSec: Long,
+                       delay: String = "15 minutes"): Dataset[PatternMatch] = {
+    require(steps.size >= 2, s"pattern needs >= 2 steps: $steps")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor(steps, withinSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** transformWithState (state API v2, RocksDB-backed) version of the job
     * monitor — the modern replacement for flatMapGroupsWithState: typed
     * named state, per-key timers, TTL. Requires the RocksDB state store

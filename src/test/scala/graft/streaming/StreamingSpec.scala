@@ -560,6 +560,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Runs a streaming query over scripted MemoryStream batches and
+    * collects the sink — the harness for old-vs-new state-API parity. */
+  private def runScripted[O: org.apache.spark.sql.Encoder](
+      f: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[O],
+      batches: Seq[Seq[Event]]): Seq[O] = {
+    val s = spark
+    implicit val ctx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      s.table(name).as[O].collect().toSeq
+    } finally q.stop()
+  }
+
+  private def withRocksDb[A](body: => A): A = {
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally { if (prev.isEmpty) s.conf.unset(key) else s.conf.set(key, prev) }
+  }
+
+  test("sessionizeTws (transformWithState) ≡ sessionize on the same batches") {
+    // gap close in-stream, watermark-timeout close, multi-user, cross-batch
+    // extension — the full sessionize surface
+    val batches = Seq(
+      Seq(ev(1, 1, "a", 0), ev(2, 1, "a", 10)),
+      Seq(ev(3, 1, "a", 20)),                    // extends the open session
+      Seq(ev(4, 1, "a", 100), ev(5, 2, "a", 100)), // gap>30 → closes first
+      Seq(ev(6, 2, "a", 300)),                   // wm → times out u1@100, u2@100
+      Seq(ev(7, 3, "a", 400)),
+      Seq(ev(8, 3, "a", 500)))
+    def norm(xs: Seq[SessionOut]) =
+      xs.sortBy(o => (o.user_id, o.start.getTime, o.end.getTime, o.n_events))
+    implicit val enc = org.apache.spark.sql.Encoders.product[SessionOut]
+    val old = norm(runScripted[SessionOut](
+      EventStreams.sessionize(_, 30, "5 minutes"), batches))
+    val tws = withRocksDb { norm(runScripted[SessionOut](
+      EventStreams.sessionizeTws(_, 30, "5 minutes"), batches)) }
+    assert(tws === old, s"tws=$tws old=$old")
+    assert(old.length >= 3, old.toString) // the script really closes sessions
+  }
+
+  test("detectPatternTws (transformWithState) ≡ detectPattern on the same batches") {
+    val steps = Seq("view", "click", "purchase")
+    val batches = Seq(
+      Seq(ev(1, 1, "view", 0), ev(2, 1, "error", 5), ev(3, 1, "click", 10)),
+      Seq(ev(4, 1, "purchase", 20)),             // completes across batches
+      Seq(ev(5, 1, "purchase", 25), ev(6, 1, "view", 30),
+          ev(7, 1, "click", 40), ev(8, 1, "purchase", 50)), // skip-past + fresh
+      Seq(ev(9, 2, "view", 100)),
+      Seq(ev(10, 2, "click", 170), ev(11, 2, "view", 180),
+          ev(12, 2, "click", 190), ev(13, 2, "purchase", 200))) // horizon expiry
+    def norm(xs: Seq[PatternMatch]) =
+      xs.sortBy(m => (m.user_id, m.start.getTime, m.end.getTime))
+    implicit val enc = org.apache.spark.sql.Encoders.product[PatternMatch]
+    val old = norm(runScripted[PatternMatch](
+      EventStreams.detectPattern(_, steps, 60L * 60), batches))
+    val tws = withRocksDb { norm(runScripted[PatternMatch](
+      EventStreams.detectPatternTws(_, steps, 60L * 60), batches)) }
+    assert(tws === old, s"tws=$tws old=$old")
+    assert(old.length === 3, old.toString)
+  }
+
+  test("detectPatternTws expires chain state via its event-time timer") {
+    withRocksDb {
+      implicit val enc = org.apache.spark.sql.Encoders.product[PatternMatch]
+      val got = runScripted[PatternMatch](
+        EventStreams.detectPatternTws(_, Seq("view", "purchase"),
+          withinSec = 10L * 60, delay = "5 minutes"),
+        Seq(Seq(ev(1, 1, "view", 0)),
+            Seq(ev(2, 2, "view", 100)),
+            Seq(ev(3, 2, "view", 101)),
+            Seq(ev(4, 1, "purchase", 102))))
+      assert(got.isEmpty, s"expired chain must not match: $got")
+    }
+  }
+
   test("detectPattern orders same-second events by event_id (epoch-seconds contract)") {
     val s = spark
     import s.implicits._
