@@ -375,9 +375,10 @@ object LlmQueries {
 
     // BPE tokenizer training: 16 merge rules learned from corpus word
     // frequencies. Only the word count touches the corpus; merge iterations
-    // run on the vocabulary-sized table. Deterministic tiebreak; rows-only
-    // (iterative — no SQL oracle; CorpusOpsSpec pins it against an
-    // independent reference implementation).
+    // run on the vocabulary-sized table. Deterministic tiebreak. Hash-exact
+    // since round 9: the oracle runs the SAME training loop as a DuckDB
+    // recursive CTE (bpeTrainOracle below); CorpusOpsSpec additionally pins
+    // it against an independent reference implementation.
     "q_llm_bpe" -> ((s, d) =>
       CorpusOps.bpeTrain(Tables.documents(s, d), nMerges = 16)),
 
@@ -406,10 +407,10 @@ object LlmQueries {
     }),
 
     // BPE tokenizer APPLICATION: train 16 merges, then tokenize the corpus
-    // with them — (doc_id, token count, sequence fingerprint). Rows-only
-    // (the merge fold has no SQL twin); CorpusOpsSpec pins the encoded
-    // sequences against the same reference implementation that pins
-    // training.
+    // with them — (doc_id, token count, sequence fingerprint). Hash-exact
+    // since round 9: the greedy merge fold DOES have a SQL twin (the
+    // gaps-and-islands window form, bpeMergeApplySql); CorpusOpsSpec
+    // additionally pins the sequences against the reference implementation.
     "q_llm_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = CorpusOps.bpeTrain(docs, nMerges = 16).collect()
@@ -804,7 +805,125 @@ object LlmQueries {
     })
   )
 
+  /** BPE oracles as generated DuckDB SQL (round 9) — the recursive-CTE
+    * technique that made q_llm_rouge hash-exact, applied to the full BPE
+    * loop. One recursion runs TRAINING (each iteration: adjacent-pair
+    * count over the word table, argmax with the engine's (count desc, l,
+    * r) tie-break, greedy leftmost merge application), a second applies
+    * the learned merges rank-by-rank to the distinct vocabulary for the
+    * ENCODE twin. The greedy fold (`aggregate` in the engine) is
+    * re-expressed relationally: a merge's match positions can only
+    * overlap inside same-symbol runs, so "leftmost non-overlapping" =
+    * keep matches at even offsets within each consecutive-match run —
+    * one gaps-and-islands window per word update. */
+  private def bpeMergeApplySql(syms: String, l: String, r: String): String =
+    s"""(SELECT coalesce(list(CASE WHEN keep THEN $l || $r ELSE s END ORDER BY j), [])
+       FROM (
+         SELECT j, s, keep,
+                coalesce(lag(keep) OVER (ORDER BY j), false) AS consumed
+         FROM (
+           SELECT j, s, m,
+                  (m AND (j - min(CASE WHEN m THEN j END)
+                            OVER (PARTITION BY grp)) % 2 = 0) AS keep,
+                  grp
+           FROM (
+             SELECT j, s, m,
+                    sum(CASE WHEN m THEN 0 ELSE 1 END) OVER (ORDER BY j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             FROM (
+               SELECT j, $syms[j] AS s,
+                      (j < len($syms) AND $syms[j] = $l
+                       AND $syms[j+1] = $r) AS m
+               FROM (SELECT unnest(range(1, len($syms) + 1)) AS j)))))
+       WHERE NOT consumed)"""
+
+  private val bpeTopPairSql: String =
+    """(SELECT pl, pr, c FROM (
+      SELECT p.pl AS pl, p.pr AS pr, sum(freq) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                 i -> {'pl': syms[i], 'pr': syms[i+1]})) AS p,
+               freq
+        FROM bpe WHERE kind = 'w' AND len(syms) >= 2)
+      GROUP BY 1, 2
+      ORDER BY c DESC, pl ASC, pr ASC LIMIT 1))"""
+
+  /** words0 + the training recursion; shared by all three BPE oracles. */
+  private def bpeTrainCtes(nMerges: Int): String =
+    s"""words0 AS (
+      SELECT list_append(regexp_split_to_array(w, ''), '</w>') AS syms,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY 1),
+    bpe AS (
+      SELECT 0 AS it, 'w' AS kind, syms, freq,
+             CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+             CAST(NULL AS BIGINT) AS c
+      FROM words0
+      UNION ALL
+      (
+        SELECT t.it + 1, 'w',
+          ${bpeMergeApplySql("t.syms", "tp.pl", "tp.pr")},
+          t.freq, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          CAST(NULL AS BIGINT)
+        FROM bpe t CROSS JOIN $bpeTopPairSql tp
+        WHERE t.kind = 'w' AND t.it < $nMerges
+        UNION ALL
+        SELECT t2.mit + 1, 'm', NULL, NULL, tp2.pl, tp2.pr, tp2.c
+        FROM (SELECT max(it) AS mit FROM bpe WHERE kind = 'w') t2
+             CROSS JOIN $bpeTopPairSql tp2
+        WHERE t2.mit < $nMerges
+      )
+    )"""
+
+  private def bpeTrainOracle(nMerges: Int): String =
+    s"""WITH RECURSIVE
+    ${bpeTrainCtes(nMerges)}
+    SELECT CAST(it AS INT) AS rank, l AS "left", r AS "right", c AS freq
+    FROM bpe WHERE kind = 'm' ORDER BY rank"""
+
+  /** Train, then re-apply the merges rank-by-rank to the DISTINCT
+    * vocabulary (a second recursion over merge rank), re-attach to each
+    * document's word sequence, and fingerprint the flattened token
+    * stream — the oracle for both the HOF-fold and trie encode paths
+    * (they are sequence-identical by construction). */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""WITH RECURSIVE
+    ${bpeTrainCtes(nMerges)},
+    merges AS (SELECT it AS rank, l, r FROM bpe WHERE kind = 'm'),
+    vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        FROM documents)),
+    enc AS (
+      SELECT w, list_append(regexp_split_to_array(w, ''), '</w>') AS syms,
+             0 AS it
+      FROM vocab
+      UNION ALL
+      SELECT e.w,
+        ${bpeMergeApplySql("e.syms", "m.l", "m.r")},
+        e.it + 1
+      FROM enc e JOIN merges m ON m.rank = e.it + 1),
+    encoded AS (
+      SELECT w, syms FROM enc WHERE it = (SELECT count(*) FROM merges)),
+    docwords AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ws
+            FROM documents))
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bpe_toks,
+           md5(string_agg(tok, ' ' ORDER BY widx, k)) AS fp
+    FROM (
+      SELECT d.doc_id, d.widx, t.k, t.tok
+      FROM docwords d JOIN encoded e USING (w),
+           LATERAL (SELECT unnest(e.syms) AS tok,
+                           generate_subscripts(e.syms, 1) AS k) t)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "q_llm_bpe" -> bpeTrainOracle(16),
+    "q_llm_bpe_encode" -> bpeEncodeOracle(16),
+    "q_llm_bpe_trie" -> bpeEncodeOracle(16),
     // ROUGE-L oracle: the LCS DP itself as a recursive CTE. Row i of the
     // DP (over ref-token prefixes j) comes from row i-1 via the prefix-max
     // form; `unnest + generate_subscripts` exposes j, a running-max window
