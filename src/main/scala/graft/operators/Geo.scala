@@ -91,15 +91,19 @@ object Geo {
       f"at |lat| <= $maxAbsLatDeg%.1f deg (got $radiusKm%.1f km); lower the " +
       "radius or the latitude band")
     // |lat| outside the declared band breaks the grid's lossless bound —
-    // fail the row loudly (assert_true) rather than drop pairs silently
+    // fail the row loudly (assert_true) rather than drop pairs silently.
+    // The check is woven into the CELL computation, which every row on
+    // both join sides must evaluate BEFORE the join — hanging it on the
+    // output lat would let a bad point with no candidate pair skip the
+    // assert entirely (its lat is only evaluated for matched candidates)
     val latChecked = when(
       assert_true(abs(col("lat")) <= lit(maxAbsLatDeg),
         lit(s"radiusJoin: point latitude outside the declared " +
           s"|lat| <= $maxAbsLatDeg deg band")).isNull,
       col("lat"))
     def wrapLon(c: Column): Column = (pmod(c + 180, lit(360)) - 180).cast("int")
-    val p = points.select(col("id"), latChecked.as("lat"), col("lon"),
-      floor(col("lat")).cast("int").as("cla"),
+    val p = points.select(col("id"), col("lat"), col("lon"),
+      floor(latChecked).cast("int").as("cla"),
       wrapLon(floor(col("lon"))).as("clo"))
     // 9-cell neighborhood on the LEFT projection only (ids + coords);
     // per-shard replication when salted (shard count is tiny and bounded)

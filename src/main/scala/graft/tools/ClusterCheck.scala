@@ -72,11 +72,12 @@ object ClusterCheck {
   }
 
   def runSlice(master: String, extra: Map[String, String],
-               sfDir: String): Map[String, (Long, String)] = {
+               sfDir: String,
+               names: Seq[String] = slice): Map[String, (Long, String)] = {
     val spark = graft.core.Sessions.build(graft.core.Sessions.Conf(
       master = master, appName = s"graft-clustercheck",
       numTasks = 8, extra = extra))
-    try slice.map { n =>
+    try names.map { n =>
       n -> (try resultHash(spark, n, sfDir)
             catch { case e: Throwable =>
               System.err.println(s"[clustercheck] $n ERROR: ${e.getMessage}")
@@ -86,9 +87,14 @@ object ClusterCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // `--all` widens the slice to the ENTIRE catalog (the full-parity
+    // gate; ~10× the runtime of the default slice)
+    val all = args.contains("--all")
+    val names = if (all) SparkEntry.queries.keys.toSeq.sorted else slice
+    val sfDir = args.filterNot(_ == "--all").headOption
+      .getOrElse("/root/testdata/sf0.001")
     val clusterMaster = "local-cluster[2,4,3072]"
-    val local = runSlice("local[8]", Map.empty, sfDir)
+    val local = runSlice("local[8]", Map.empty, sfDir, names)
     // executors run from their own work dir — absolutize every classpath
     // entry (tools/run.sh passes target/scala-2.13/classes relative)
     val absCp = sys.props("java.class.path")
@@ -98,10 +104,10 @@ object ClusterCheck {
     val cluster = runSlice(clusterMaster, Map(
       "spark.executor.memory" -> "2048m",
       "spark.executor.extraClassPath" -> absCp,
-      "spark.executor.extraJavaOptions" -> addOpens), sfDir)
-    val mismatch = slice.filter(n => local(n) != cluster(n))
+      "spark.executor.extraJavaOptions" -> addOpens), sfDir, names)
+    val mismatch = names.filter(n => local(n) != cluster(n))
     val json = s"""{"mode":"$clusterMaster","sf":"${sfDir.split('/').last}",""" +
-      s""""n":${slice.size},"match":${slice.size - mismatch.size},""" +
+      s""""n":${names.size},"match":${names.size - mismatch.size},""" +
       s""""mismatch":[${mismatch.map(n =>
         s""""$n(local=${local(n)},cluster=${cluster(n)})"""").mkString(",")}]}"""
     println(json)

@@ -78,6 +78,12 @@ class GeoSpec extends SparkSpec {
     val p = spark.createDataFrame(Seq((1L, 75.0, 0.0), (2L, 75.0, 0.1)))
       .toDF("id", "lat", "lon")
     val e = intercept[Exception] { Geo.radiusJoin(p, 10.0).collect() }
+    // a bad point with NO candidate pair must still trip the assert (the
+    // check rides the cell computation, not the matched-pair projection)
+    val lone = spark.createDataFrame(
+      Seq((1L, 75.0, 0.0), (2L, 5.0, 120.0), (3L, 5.01, 120.0)))
+      .toDF("id", "lat", "lon")
+    intercept[Exception] { Geo.radiusJoin(lone, 10.0).collect() }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("latitude outside")), e.toString)
