@@ -82,8 +82,17 @@ object FastqBaseline {
     * FASTQ, so it is left empty (the reference's PRQ drops it too). */
   def readMatePair(spark: SparkSession, mp: MatePair): Dataset[PrqRead] = {
     import spark.implicits._
-    val r1 = Codecs.parseFastq(spark.read.textFile(mp.r1))
-    val r2 = Codecs.parseFastq(spark.read.textFile(mp.r2))
+    // the FASTQ DataSource V2 plans exactly one InputPartition per file
+    // (the invariant the positional zip below depends on — with the text
+    // composition it was only a gzip-unsplittability side effect)
+    def readFastq(path: String) =
+      spark.read.format("fastq").load(path)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("qual"))
+        .as[(String, String, String)]
+    val r1 = readFastq(mp.r1)
+    val r2 = readFastq(mp.r2)
     val sample = mp.sample
     val lane = mp.lane
     r1.rdd.zip(r2.rdd).map { case ((id1, s1, q1), (id2, s2, q2)) =>
