@@ -413,6 +413,20 @@ object Sketches {
     org.apache.spark.sql.functions.udaf(new ThetaSketchAggregator(k),
       Encoders.scalaLong).apply(col)
 
+  /** The θ-rule estimate of a persisted sketch column, spelled as
+    * expressions so it composes into (streaming) aggregations without a
+    * UDF: exact size below k, else (k−1)/θ with θ = (last >>> 11)/2⁵³ —
+    * the ONE column-level mirror of [[Theta.estimate]]/unsignedToUnit
+    * (EventStreams.tumblingDistinctUsers and q_stream_distinct both use
+    * this; the 11/2⁵³ constants live here and in Theta only). */
+  def thetaEstimate(sk: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (shiftrightunsigned(element_at(sk, -1), 11)
+          .cast("double") / lit(9007199254740992.0)))
+  }
+
   /** Re-aggregates PERSISTED theta sketches (the materialized-view path,
     * [[HllMergeAggregator]]'s twin): union is the bitwise-exact set-law
     * merge, finish rounds the θ-rule estimate to a long. Because the

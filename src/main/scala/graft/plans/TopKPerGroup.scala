@@ -87,6 +87,8 @@ object TopKPerGroupStrategy extends SparkStrategy {
             case _ => -1
           }
           if (k > 0 && k <= 100000) {
+            require(maxGroups >= 1,
+              s"$maxGroupsKey must be >= 1, got $maxGroups")
             // skip Spark's sort-based pre-limiter (InferWindowGroupLimit
             // may have inserted it below the Window): the heap phases
             // subsume it without the sorts it requires

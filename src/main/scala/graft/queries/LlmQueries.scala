@@ -911,14 +911,20 @@ object LlmQueries {
       FROM (SELECT doc_id,
                    list_filter(string_split(text, ' '), t -> t <> '') AS ws
             FROM documents))
-    SELECT doc_id, CAST(count(*) AS INT) AS n_bpe_toks,
-           md5(string_agg(tok, ' ' ORDER BY widx, k)) AS fp
-    FROM (
-      SELECT d.doc_id, d.widx, t.k, t.tok
-      FROM docwords d JOIN encoded e USING (w),
-           LATERAL (SELECT unnest(e.syms) AS tok,
-                           generate_subscripts(e.syms, 1) AS k) t)
-    GROUP BY doc_id ORDER BY doc_id"""
+    -- LEFT JOIN keeps zero-word documents: the engine emits
+    -- (doc_id, 0, md5('')) for them (flatten of an empty word array)
+    SELECT d0.doc_id, coalesce(a.n_bpe_toks, 0) AS n_bpe_toks,
+           coalesce(a.fp, md5('')) AS fp
+    FROM documents d0 LEFT JOIN (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_bpe_toks,
+             md5(string_agg(tok, ' ' ORDER BY widx, k)) AS fp
+      FROM (
+        SELECT d.doc_id, d.widx, t.k, t.tok
+        FROM docwords d JOIN encoded e USING (w),
+             LATERAL (SELECT unnest(e.syms) AS tok,
+                             generate_subscripts(e.syms, 1) AS k) t)
+      GROUP BY doc_id) a USING (doc_id)
+    ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q_llm_bpe" -> bpeTrainOracle(16),

@@ -125,10 +125,7 @@ object StreamingQueries {
           .agg(graft.functions.Sketches.thetaSketch(
             xxhash64(col("user_id")), k).as("sk"))
           .select(fmtWin("window.start").as("wstart"),
-            when(size(col("sk")) < k, size(col("sk")).cast("double"))
-              .otherwise(lit((k - 1).toDouble) /
-                (shiftrightunsigned(element_at(col("sk"), -1), 11)
-                  .cast("double") / lit(9007199254740992.0)))
+            graft.functions.Sketches.thetaEstimate(col("sk"), k)
               .cast("long").as("n_users"))
       }.orderBy(col("wstart"))),
 

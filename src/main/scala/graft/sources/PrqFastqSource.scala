@@ -105,6 +105,15 @@ case class LineFilePartition(file: String, sample: String) extends InputPartitio
 
 abstract class LineFileTable(spark: SparkSession, path: String)
     extends Table with SupportsRead {
+  // match the text source's analysis-time contract: a missing path is a
+  // LOUD error, not an empty scan (a typo'd sample partition must abort
+  // the run, not silently feed the aligner zero records)
+  locally {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root))
+      throw new IllegalArgumentException(s"Path does not exist: $path")
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -175,8 +184,10 @@ case class PrqReaderFactory(fields: Array[String], conf: SerializableHadoopConf)
       override def next(): Boolean = {
         val line = lines.readLine()
         if (line == null) return false
-        // split limited to the 5 prq fields; a short line fails loudly
-        val f = line.split('\t')
+        // -1 keeps trailing empty fields: an empty seq2/qual2 writes as
+        // 'id\tseq1\tqual1\t\t', which the default split would collapse
+        // to 4 fields and wrongly reject
+        val f = line.split("\t", -1)
         require(f.length == 5, s"malformed PRQ line in ${p.file}: " +
           s"${f.length} fields (${line.take(80)})")
         val vals = fields.map {

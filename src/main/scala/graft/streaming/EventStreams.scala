@@ -73,13 +73,10 @@ object EventStreams {
       .agg(graft.functions.Sketches.thetaSketch(
         xxhash64(col("user_id")), k).as("sk"))
       .select(col("window.start").as("wstart"),
-        // the θ-rule estimate spelled as expressions (mirrors
-        // Theta.estimate/unsignedToUnit: θ = (last >>> 11)/2⁵³) so the
-        // whole query stays one streaming aggregation + projection
-        when(size(col("sk")) < k, size(col("sk")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) /
-            (shiftrightunsigned(element_at(col("sk"), -1), 11)
-              .cast("double") / lit(9007199254740992.0)))
+        // the θ-rule estimate spelled as expressions (shared helper —
+        // Sketches.thetaEstimate) so the whole query stays one streaming
+        // aggregation + projection
+        graft.functions.Sketches.thetaEstimate(col("sk"), k)
           .as("est_users"))
 
   /** Watermarked streaming dedup on event_id: state for an id is dropped once

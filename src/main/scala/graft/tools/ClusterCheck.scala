@@ -105,7 +105,10 @@ object ClusterCheck {
       "spark.executor.memory" -> "2048m",
       "spark.executor.extraClassPath" -> absCp,
       "spark.executor.extraJavaOptions" -> addOpens), sfDir, names)
-    val mismatch = names.filter(n => local(n) != cluster(n))
+    // an ERROR result is a gate failure even when both modes error
+    // identically — equal exceptions validate nothing
+    val mismatch = names.filter(n => local(n) != cluster(n) ||
+      local(n)._2.startsWith("ERROR") || cluster(n)._2.startsWith("ERROR"))
     val json = s"""{"mode":"$clusterMaster","sf":"${sfDir.split('/').last}",""" +
       s""""n":${names.size},"match":${names.size - mismatch.size},""" +
       s""""mismatch":[${mismatch.map(n =>

@@ -149,6 +149,25 @@ class GenomicsSpec extends SparkSpec {
       viaText.count(_._1 == "sample1"))
   }
 
+  test("prq V2 keeps trailing empty fields and rejects missing paths loudly") {
+    val dir = Files.createTempDirectory("graft_prq_edge")
+    // empty seq2/qual2 legitimately writes as trailing tabs — the reader
+    // must keep the empty fields (split with limit -1), not reject the line
+    Files.writeString(dir.resolve("part-0.txt"), "r1\tACGT\tIIII\t\t\n")
+    val rows = spark.read.format("prq").load(dir.toString).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(1) === "r1" && rows(0).getString(2) === "ACGT")
+    assert(rows(0).getString(4) === "" && rows(0).getString(5) === "")
+    // a missing path is a loud error, matching the text source — never an
+    // empty scan silently feeding stage 2 zero records
+    intercept[Exception] {
+      spark.read.format("prq").load(dir.resolve("nope").toString).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("fastq").load(dir.resolve("nope").toString).collect()
+    }
+  }
+
   test("fastq DataSource V2: 4-line chunker parity with parseFastq") {
     val s = spark
     import s.implicits._
