@@ -105,25 +105,25 @@ case class LineFilePartition(file: String, sample: String) extends InputPartitio
 
 abstract class LineFileTable(spark: SparkSession, path: String)
     extends Table with SupportsRead {
-  // match the text source's analysis-time contract: a missing path is a
-  // LOUD error, not an empty scan (a typo'd sample partition must abort
-  // the run, not silently feed the aligner zero records)
-  locally {
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // match the text source's analysis-time contract: a missing path is a
+    // LOUD error, not an empty scan (a typo'd sample partition must abort
+    // the run, not silently feed the aligner zero records). Checked at
+    // scan-build, not table-build — a WRITE to a fresh directory is fine.
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root))
       throw new IllegalArgumentException(s"Path does not exist: $path")
-  }
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = schema()
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = buildScan(required)
     }
+  }
 
   protected def buildScan(required: StructType): Scan
 
@@ -160,9 +160,13 @@ class PrqDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("prq source requires a path"))
-    new LineFileTable(SparkSession.active, path) {
+    new LineFileTable(SparkSession.active, path)
+        with org.apache.spark.sql.connector.catalog.SupportsWrite {
       override def name(): String = s"prq:$path"
       override def schema(): StructType = PrqFastqSource.prqSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
       override protected def buildScan(required: StructType): Scan = new Scan with Batch {
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
@@ -170,6 +174,10 @@ class PrqDataSource extends TableProvider with DataSourceRegister {
         override def createReaderFactory(): PartitionReaderFactory =
           PrqReaderFactory(required.fieldNames, serializableConf())
       }
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new PrqWriteBuilder(path, info, serializableConf())
     }
   }
 }

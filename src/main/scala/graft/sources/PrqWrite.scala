@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.{BufferedWriter, IOException, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+
+/** V2 WRITE path for the PRQ layout — the other half of the
+  * `TableProvider` rung: `df.write.format("prq").mode(...).save(dir)`
+  * produces exactly the `dir/sample=<s>/part-*.txt.gz` layout of
+  * [[graft.genomics.Codecs.writePartitionedGzip]], with three things the
+  * manual sink spelled by hand now owned by the engine:
+  *
+  *   - [[RequiresDistributionAndOrdering]] asks Spark to CLUSTER the
+  *     input by `sample` before the writers run — the writer-requested
+  *     shuffle replaces the manual `repartition(col("sample"), salt)`;
+  *     each task then holds a handful of open gzip streams instead of
+  *     one per (task × sample).
+  *   - A staging-directory commit protocol: writers emit to
+  *     `.spark-staging-<queryId>/`, the job-level commit renames into
+  *     place (and clears prior `sample=` dirs for overwrite/truncate) —
+  *     a failed job never leaves half-written part files visible.
+  *   - SaveMode mapping: `append` adds part files; `overwrite` (via
+  *     [[SupportsTruncate]]) atomically replaces the previous layout.
+  *
+  * Scale note: one writer task per post-shuffle partition, each file a
+  * sequential gzip stream — at 100 TB the writer width is the shuffle
+  * partition count, and the per-sample fan-in is handled by the
+  * clustered distribution, not driver coordination.
+  */
+object PrqWrite {
+  val FieldOrder = Seq("id", "seq1", "qual1", "seq2", "qual2")
+}
+
+case class PrqCommit(files: Seq[String]) extends WriterCommitMessage
+
+class PrqWriteBuilder(path: String, info: LogicalWriteInfo,
+                      conf: SerializableHadoopConf)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    val missing = ("sample" +: PrqWrite.FieldOrder)
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"prq write requires columns sample,id,seq1,qual1,seq2,qual2; " +
+      s"missing: ${missing.mkString(",")}")
+    new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(Array(Expressions.identity("sample")))
+      override def requiredOrdering(): Array[SortOrder] = Array.empty
+      override def toBatch: BatchWrite =
+        new PrqBatchWrite(path, schema, conf, info.queryId(), doTruncate)
+    }
+  }
+}
+
+class PrqBatchWrite(path: String, schema: StructType,
+                    conf: SerializableHadoopConf, queryId: String,
+                    truncate: Boolean) extends BatchWrite {
+  private val stagingDir = new Path(path, s".spark-staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    PrqWriterFactory(stagingDir.toString, schema.fieldNames, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (truncate && fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("sample="))
+          fs.delete(st.getPath, true)
+      }
+    }
+    messages.foreach {
+      case PrqCommit(files) => files.foreach { rel =>
+        val src = new Path(stagingDir, rel)
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new IOException(s"prq commit: rename failed $src -> $dst")
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf.value)
+    fs.delete(stagingDir, true)
+  }
+}
+
+case class PrqWriterFactory(stagingDir: String, fields: Array[String],
+                            conf: SerializableHadoopConf)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val iSample = fields.indexOf("sample")
+      private val iFields = PrqWrite.FieldOrder.map(f => fields.indexOf(f)).toArray
+      private val open = mutable.LinkedHashMap.empty[String, (BufferedWriter, String)]
+      private val fs = new Path(stagingDir).getFileSystem(conf.value)
+
+      private def writerFor(sample: String): BufferedWriter =
+        open.getOrElseUpdate(sample, {
+          val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(sample)
+          val rel = s"sample=$esc/part-$partitionId-$taskId.txt.gz"
+          val p = new Path(stagingDir, rel)
+          fs.mkdirs(p.getParent)
+          (new BufferedWriter(new OutputStreamWriter(
+            new GZIPOutputStream(fs.create(p, true)),
+            StandardCharsets.UTF_8)), rel)
+        })._1
+
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(iSample), "prq write: null sample")
+        val w = writerFor(row.getUTF8String(iSample).toString)
+        var i = 0
+        while (i < iFields.length) {
+          if (i > 0) w.write('\t')
+          val f = iFields(i)
+          require(!row.isNullAt(f),
+            s"prq write: null ${PrqWrite.FieldOrder(i)}")
+          w.write(row.getUTF8String(f).toString)
+          i += 1
+        }
+        w.write('\n')
+      }
+
+      override def commit(): WriterCommitMessage = {
+        open.values.foreach(_._1.close())
+        PrqCommit(open.values.map(_._2).toSeq)
+      }
+
+      override def abort(): Unit = {
+        open.values.foreach { case (w, rel) =>
+          try w.close() catch { case _: Exception => () }
+          fs.delete(new Path(stagingDir, rel), false); ()
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -149,6 +149,39 @@ class GenomicsSpec extends SparkSpec {
       viaText.count(_._1 == "sample1"))
   }
 
+  test("prq V2 WRITE: layout parity with the manual sink, clustered shuffle, overwrite") {
+    val s = spark
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
+    val df = reads.toDF().select("sample", "id", "seq1", "qual1", "seq2", "qual2")
+    val out = Files.createTempDirectory("graft_prq_w").toString
+    df.write.format("prq").mode("append").save(out)
+    // layout: sample=<s>/part-*.txt.gz, no staging remnants
+    val files = graft.sources.PrqFastqSource.listFiles(s, out)
+    assert(files.nonEmpty)
+    assert(files.forall(_._1.matches(".*sample=[^/]+/part-.*\\.txt\\.gz")),
+      files.mkString(","))
+    // content round-trips through the V2 reader, identical to the manual
+    // sink's content for the same rows
+    val manual = Files.createTempDirectory("graft_prq_m").toString
+    Codecs.writePartitionedGzip(reads, manual)
+    def rows(dir: String) = s.read.format("prq").load(dir).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(out) === rows(manual))
+    // append mode adds; overwrite (truncate) replaces
+    df.write.format("prq").mode("append").save(out)
+    assert(s.read.format("prq").load(out).count() === 2 * df.count())
+    df.write.format("prq").mode("overwrite").save(out)
+    assert(rows(out) === rows(manual))
+    // the writer-requested distribution really clusters by sample: each
+    // written file's sample dir is disjoint per (partition, task) writer —
+    // with 2 samples and hash-clustering there is at most ONE part file
+    // per sample unless both hash to one partition
+    val bySample = graft.sources.PrqFastqSource.listFiles(s, out).groupBy(_._2)
+    assert(bySample.keySet === Set("sample1", "sample2"))
+    bySample.values.foreach(fs => assert(fs.size === 1, fs.toString))
+  }
+
   test("prq V2 keeps trailing empty fields and rejects missing paths loudly") {
     val dir = Files.createTempDirectory("graft_prq_edge")
     // empty seq2/qual2 legitimately writes as trailing tabs — the reader
