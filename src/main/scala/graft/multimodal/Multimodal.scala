@@ -163,6 +163,63 @@ object Multimodal {
     Some((sampleRate, mono))
   }
 
+  /** REAL per-window frames for PCM WAV audio: each sampled frame is a
+    * SELF-CONTAINED WAV — the original `fmt ` chunk plus that window's
+    * `data` span behind a fresh RIFF header — so EVERY frame decodes
+    * through [[decodeWavPcm]] and gets the real waveform feature (a raw
+    * mid-file byte slice has no RIFF header and would fall to the stub
+    * embedding for frames 1..n−1). Window length is `everyMs` of audio,
+    * rounded down to a whole sample frame. None for non-WAV or
+    * compressed audio — callers fall back to the stub slices. */
+  private[multimodal] def wavWindows(b: Array[Byte], everyMs: Long)
+      : Option[Seq[Array[Byte]]] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var fmtOff = -1; var fmtLen = 0
+    var byteRate = 0; var blockAlign = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val sz = le32(o + 4).toLong & 0xffffffffL
+      tag(o) match {
+        case "fmt " if o + 24 <= b.length =>
+          fmtOff = o; fmtLen = (8L + sz).toInt
+          byteRate = le32(o + 16); blockAlign = math.max(1, le16(o + 20))
+        case "data" if dataOff < 0 =>
+          dataOff = o + 8
+          dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
+        case _ => ()
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    if (fmtOff < 0 || dataOff < 0 || dataLen <= 0 || byteRate <= 0 ||
+        fmtOff + fmtLen > b.length) return None
+    val win = math.max(blockAlign,
+      (byteRate * everyMs / 1000L).toInt / blockAlign * blockAlign)
+    val n = (dataLen + win - 1) / win
+    def le32b(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    Some((0 until n).map { i =>
+      val from = dataOff + i * win
+      val len = math.min(win, dataOff + dataLen - from)
+      val out = new java.io.ByteArrayOutputStream(44 + len)
+      out.write("RIFF".getBytes("US-ASCII"))
+      le32b(out, 4 + fmtLen + 8 + len)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write(b, fmtOff, fmtLen)
+      out.write("data".getBytes("US-ASCII"))
+      le32b(out, len)
+      out.write(b, from, len)
+      out.toByteArray
+    })
+  }
+
   /** REAL audio waveform feature for WAV PCM payloads: the mono signal
     * splits into dim/4 equal windows, each contributing
     * [rms, zero-crossing rate, high-pass rms, low-pass rms] — the energy
@@ -505,11 +562,13 @@ object Multimodal {
     * frames (PNG-encoded rasters, pure-JDK path, magic-gated so non-GIF
     * images never pay a decode, frame count capped); MJPEG-in-AVI videos
     * demux to their REAL per-frame JPEG payloads ([[aviMjpegFrames]] —
-    * MJPEG needs no codec); other images yield frame 0 with the whole
-    * payload (which IS the frame). Inter-frame video codecs (H.264/VP9 in
-    * MP4/MKV) and compressed-audio payload slices remain a STUB (real:
-    * demux+decode the GOP at that timestamp — no codec libs in this
-    * container). */
+    * MJPEG needs no codec); PCM WAV audio windows into REAL self-contained
+    * WAV frames ([[wavWindows]] — fmt chunk + window data behind a fresh
+    * RIFF header, so every frame decodes downstream); other images yield
+    * frame 0 with the whole payload (which IS the frame). Inter-frame
+    * video codecs (H.264/VP9 in MP4/MKV) and compressed-audio payload
+    * slices remain a STUB (real: demux+decode the GOP at that timestamp —
+    * no codec libs in this container). */
   def sampleFrames(media: Dataset[MediaFile], everyMs: Long = 1000L)
       : Dataset[(String, String, Int, Array[Byte])] = {
     import media.sparkSession.implicits._
@@ -517,6 +576,7 @@ object Multimodal {
       val real: Option[Seq[Array[Byte]]] =
         if (m.kind == "image") gifFrames(m.content)
         else if (m.kind == "video") aviMjpegFrames(m.content)
+        else if (m.kind == "audio") wavWindows(m.content, everyMs)
         else None
       real match {
         case Some(frames) =>
@@ -568,7 +628,18 @@ object Multimodal {
       case "image/png" => "png"; case "image/jpeg" => "jpg"
       case "image/gif" => "gif"; case _ => return None
     }
-    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+    // animated GIFs: ImageIO.read decodes frame 0 only — re-encoding
+    // would silently drop the rest, so the payload passes through with
+    // the metadata-only adjustment (downstream frame sampling keeps
+    // every frame of the original)
+    if (fmt == "gif" && gifFrames(m.content, Int.MaxValue).exists(_.size > 1))
+      return None
+    // corrupt-but-recognized payloads (valid header, truncated data) must
+    // degrade to the metadata-only path, never fail the executor task —
+    // the same totality contract as probe/imageRasterFeature
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (src == null) return None
     val imgType = if (fmt == "jpg") java.awt.image.BufferedImage.TYPE_INT_RGB
                   else java.awt.image.BufferedImage.TYPE_INT_ARGB

@@ -196,16 +196,6 @@ object CorpusOps {
         .as("ps"))
       .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.seg").as("seg"))
 
-  /** Global segment-level dedup, C4/CCNet-style: every occurrence of a
-    * repeated segment EXCEPT the first (first = lowest (doc_id, pos)
-    * corpus-wide) is removed, and each document's surviving segments are
-    * reassembled in order; documents whose every segment was seen earlier
-    * disappear. Input is (doc_id, pos, seg) from any segmenter
-    * ([[tokenChunks]] is the fixture). Scale shape: one shuffle keyed on
-    * the segment digest for the keep-first decision (the window carries
-    * (digest, doc_id, pos, seg) rows — corpus-sized, unavoidable for an
-    * op that rewrites the corpus), one shuffle on doc_id to reassemble;
-    * per-doc state is bounded by document length. */
   /** WITHIN-document repeated-segment removal — C4's "dedupe repeated
     * lines in a page" rule, the intra-doc sibling of [[segmentDedup]]:
     * a segment repeated inside ONE document keeps only its first
@@ -229,6 +219,16 @@ object CorpusOps {
             x => x.getField("seg")), " ").as("text"))
   }
 
+  /** Global segment-level dedup, C4/CCNet-style: every occurrence of a
+    * repeated segment EXCEPT the first (first = lowest (doc_id, pos)
+    * corpus-wide) is removed, and each document's surviving segments are
+    * reassembled in order; documents whose every segment was seen earlier
+    * disappear. Input is (doc_id, pos, seg) from any segmenter
+    * ([[tokenChunks]] is the fixture). Scale shape: one shuffle keyed on
+    * the segment digest for the keep-first decision (the window carries
+    * (digest, doc_id, pos, seg) rows — corpus-sized, unavoidable for an
+    * op that rewrites the corpus), one shuffle on doc_id to reassemble;
+    * per-doc state is bounded by document length. */
   def segmentDedup(segments: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("doc_id"), col("pos"))
@@ -476,7 +476,11 @@ object CorpusOps {
       .select(col("token"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
     val row = merged.agg(sum(col("ct")), sum(col("cr")), count(lit(1))).collect()(0)
-    val (totT, totR, vocab) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // empty/tokenless inputs aggregate sums to NULL — same guard as
+    // lmPerplexity/bigramPerplexity
+    val (totT, totR, vocab) = (
+      if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1), row.getLong(2))
     val (denT, denR) = (totT + k * (vocab + 1), totR + k * (vocab + 1))
     val ratios = merged.select(col("token"),
       (log((col("ct") + k) / denT) - log((col("cr") + k) / denR)).as("llr_tok"))
@@ -1000,7 +1004,7 @@ object CorpusOps {
     * document, score = tf · ln((N+1)/(df+1)) rounded to 4dp BEFORE ranking
     * (so the rank order is identical in any engine that rounds the same
     * way). Ties break on the term string ascending. Returns
-    * (doc_id, token, score).
+    * (doc_id, rn, token, score) — rn is the 1-based per-doc rank.
     *
     * Scale shape: tf is one corpus-sized shuffle on (doc_id, token); df
     * derives from tf by a vocabulary-sized aggregate; N is one count
@@ -1485,6 +1489,10 @@ object CorpusOps {
   private def bucketedGlobalRankDesc(df: DataFrame, valueCol: String,
                                      rankCol: String, nBuckets: Int): DataFrame = {
     val bounds = df.agg(min(col(valueCol)), max(col(valueCol))).collect()(0)
+    // empty input: min/max are NULL — return the (empty) frame ranked
+    // rather than NPE on the driver (packShards' empty-bounds contract)
+    if (bounds.isNullAt(0))
+      return df.withColumn(rankCol, lit(0L))
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val width = math.max((hi - lo) / nBuckets, java.lang.Double.MIN_NORMAL)
     val bucketed = df.withColumn("__rb",

@@ -247,6 +247,98 @@ class MultimodalSpec extends SparkSpec {
       "pipeline feature must equal the direct decode")
   }
 
+  test("WAV windows: every sampled audio frame is a self-contained decodable WAV") {
+    def sineWav(freq: Double, sr: Int = 8000, ms: Int = 3000): Array[Byte] = {
+      val n = sr * ms / 1000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (math.sin(2 * math.Pi * freq * i / sr) * 12000).toInt
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val wav = sineWav(440)
+    val wins = Multimodal.wavWindows(wav, 1000L).get
+    assert(wins.length === 3, s"${wins.length} windows")
+    // EVERY window (not just the one that inherited the original header)
+    // decodes as PCM — 1 s of samples each
+    wins.foreach { w =>
+      val (sr, samples) = Multimodal.decodeWavPcm(w).get
+      assert(sr === 8000 && samples.length === 8000, s"${samples.length}")
+    }
+    // through the pipeline: 3 frames, each with the REAL waveform feature
+    val d = Files.createTempDirectory("graft_audio_win")
+    Files.write(d.resolve("tone.wav"), wav)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.scan(spark, d.toString), everyMs = 1000L).collect()
+    assert(frames.length === 3)
+    val feats = Multimodal.extractFeatures(
+        Multimodal.sampleFrames(Multimodal.scan(spark, d.toString), 1000L),
+        dim = 16).collect()
+    assert(feats.length === 3)
+    val direct = Multimodal.audioWaveformFeature(wins.head, 16).get
+    assert(feats.minBy(_.frameNo).embedding.sameElements(direct),
+      "frame 0 feature must equal the direct window decode")
+    // same-tone windows carry near-identical physical band features
+    val zcrs = feats.map(_.embedding(1))
+    assert(zcrs.max - zcrs.min < 0.02, zcrs.mkString(","))
+    // non-WAV bytes: no windows, stub fallback intact
+    assert(Multimodal.wavWindows(Array.tabulate(64)(_.toByte), 1000L).isEmpty)
+  }
+
+  test("resize degrades gracefully on corrupt images and keeps animated GIFs whole") {
+    val s = spark
+    import s.implicits._
+    // valid PNG header (probe reads real dims) but garbage IDAT: resize
+    // must fall to the metadata-only path, never fail the task
+    val good = {
+      val img = new java.awt.image.BufferedImage(40, 20,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val corrupt = good.take(33) ++ Array.fill[Byte](40)(0x7f)
+    val mediaC = Seq(MediaFile("c.png", "image", corrupt,
+      MediaMeta("image/png", corrupt.length.toLong, 40, 20, 0L))).toDS()
+    val outC = Multimodal.resize(mediaC, 10, 10).collect().head
+    assert(outC.meta.width === 10 && outC.meta.height === 5)
+    assert(outC.content.sameElements(corrupt), "payload must pass through")
+    // animated GIF larger than the box: payload passes through whole (a
+    // re-encode would silently keep only frame 0); metadata still adjusts
+    val gif = {
+      // build a 2-frame GIF via ImageIO sequence writer
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      for (shade <- Seq(0, 255)) {
+        val img = new java.awt.image.BufferedImage(64, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(shade, shade, shade))
+        g.fillRect(0, 0, 64, 32); g.dispose()
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence(); ios.close(); w.dispose()
+      out.toByteArray
+    }
+    val mediaG = Seq(MediaFile("a.gif", "image", gif,
+      MediaMeta("image/gif", gif.length.toLong, 64, 32, 0L))).toDS()
+    val outG = Multimodal.resize(mediaG, 16, 16).collect().head
+    assert(outG.meta.width === 16 && outG.meta.height === 8)
+    assert(outG.content.sameElements(gif), "animated payload must pass through")
+    assert(Multimodal.sampleFrames(mediaG).count() === 2,
+      "both frames must survive")
+  }
+
   test("tar shards parse into entries and group into WebDataset samples") {
     def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] =
       TarShards.build(entries)
