@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Broadcast `df` when its cardinality bound fits, else a LOGGED
+    * shuffle-hash fallback — the one guard every model-table join in this
+    * file uses (contamination / lmPerplexity / importanceWeight /
+    * bigramPerplexity / knPerplexity / tfIdf). A too-big side must never
+    * attempt a multi-GB broadcast, and the fallback shuffle must be a
+    * deliberate, logged cost — never an accident. */
+  private def guardedBroadcast(df: DataFrame, bound: Long, max: Long,
+                               what: String): DataFrame =
+    if (bound <= max) broadcast(df)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$what exceeds the broadcast guard (cardinality bound " +
+        s"$bound > $max) — falling back to a shuffle-hash join")
+      df.hint("shuffle_hash")
+    }
+
+  /** Hex digit i (1-based) of the md5-hex column `h` as its 0-15 value —
+    * the shared bucketing primitive of the hashed-feature family
+    * (hashedLinearScore / hashedFeatures / shuffledPack / fimSplit). Any
+    * change here re-buckets training and scoring TOGETHER. */
+  private def hexDigit(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    a - when(a >= 97, 87).otherwise(48) // 0-9 / a-f hex digit value
+  }
+
   /** (doc_id, span): every distinct character span of length `len` per
     * document (stride 1). Documents shorter than `len` yield no spans. */
   def spans(docs: DataFrame, len: Int): DataFrame =
@@ -136,15 +161,8 @@ object CorpusOps {
                     maxBroadcastGrams: Long = 10L * 1000 * 1000): DataFrame = {
     val evalGrams = tokenNgrams(evalSet, n).select(col("g")).distinct()
     val nGrams = evalGrams.count()
-    val keyed =
-      if (nGrams <= maxBroadcastGrams) broadcast(evalGrams)
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"contamination: eval gram index has $nGrams distinct grams " +
-          s"(> $maxBroadcastGrams) — falling back to a shuffle-hash join; " +
-          "the corpus side will shuffle on gram")
-        evalGrams.hint("shuffle_hash")
-      }
+    val keyed = guardedBroadcast(evalGrams, nGrams, maxBroadcastGrams,
+      "contamination: eval gram index")
     tokenNgrams(corpus, n)
       .join(keyed, Seq("g"))
       .groupBy(col("doc_id"))
@@ -396,10 +414,7 @@ object CorpusOps {
     require(weights.length == 256,
       "bucketing uses two hex digits: exactly 256 weights")
     val wlit = array(weights.map(lit): _*)
-    def digit(i: Int): Column = {
-      val a = ascii(substring(col("h"), i, 1))
-      a - when(a >= 97, 87).otherwise(48) // 0-9 / a-f hex digit value
-    }
+    def digit(i: Int): Column = hexDigit(col("h"), i)
     docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
@@ -433,14 +448,8 @@ object CorpusOps {
     val (total, vocab) =
       (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
     val denom = total + k * (vocab + 1)
-    val lm =
-      if (vocab <= maxBroadcastVocab) broadcast(counts)
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"lmPerplexity: vocabulary has $vocab entries " +
-          s"(> $maxBroadcastVocab) — falling back to a shuffle-hash join")
-        counts.hint("shuffle_hash")
-      }
+    val lm = guardedBroadcast(counts, vocab, maxBroadcastVocab,
+      "lmPerplexity: vocabulary")
     toks(corpus)
       .join(lm, Seq("token"), "left")
       .select(col("doc_id"),
@@ -484,14 +493,8 @@ object CorpusOps {
     val (denT, denR) = (totT + k * (vocab + 1), totR + k * (vocab + 1))
     val ratios = merged.select(col("token"),
       (log((col("ct") + k) / denT) - log((col("cr") + k) / denR)).as("llr_tok"))
-    val lm =
-      if (vocab <= maxBroadcastVocab) broadcast(ratios)
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"importanceWeight: union vocabulary has $vocab entries " +
-          s"(> $maxBroadcastVocab) — falling back to a shuffle-hash join")
-        ratios.hint("shuffle_hash")
-      }
+    val lm = guardedBroadcast(ratios, vocab, maxBroadcastVocab,
+      "importanceWeight: union vocabulary")
     toks(raw)
       // inner join: every raw token is in the union vocabulary by
       // construction, so nothing drops
@@ -553,14 +556,7 @@ object CorpusOps {
     // already in hand), so a small-vocab/huge-bigram corpus never
     // broadcasts an oversized table.
     def guarded(df: DataFrame, bound: Long, what: String) =
-      if (bound <= maxBroadcastVocab) broadcast(df)
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"bigramPerplexity: $what exceeds the broadcast guard " +
-          s"(cardinality bound $bound > $maxBroadcastVocab) — " +
-          "shuffle-hash join")
-        df.hint("shuffle_hash")
-      }
+      guardedBroadcast(df, bound, maxBroadcastVocab, s"bigramPerplexity: $what")
     bigrams(corpus)
       .join(guarded(bi, total, "bigram table"), Seq("prev", "token"), "left")
       .join(guarded(ctx, vocab, "context table"), Seq("prev"), "left")
@@ -626,14 +622,7 @@ object CorpusOps {
     val (btypes, vocab) = (row.getLong(0), row.getLong(1))
     val contDenom = btypes + k * (vocab + 1)
     def guarded(df: DataFrame, bound: Long, what: String) =
-      if (bound <= maxBroadcastVocab) broadcast(df)
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"knPerplexity: $what exceeds the broadcast guard " +
-          s"(cardinality bound $bound > $maxBroadcastVocab) — " +
-          "shuffle-hash join")
-        df.hint("shuffle_hash")
-      }
+      guardedBroadcast(df, bound, maxBroadcastVocab, s"knPerplexity: $what")
     val pCont = (coalesce(col("n1b"), lit(0L)) + k) / contDenom
     bigrams(corpus)
       .join(guarded(bi, btypes, "bigram-type table"), Seq("prev", "token"), "left")
@@ -812,10 +801,7 @@ object CorpusOps {
       coalesce(expr("size(filter(split(text, ' '), t -> t <> ''))"), lit(0))
         .cast("long").as("n_tokens"),
       md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))).as("k"))
-    def digit(i: Int): Column = {
-      val a = ascii(substring(col("k"), i, 1))
-      a - when(a >= 97, 87).otherwise(48)
-    }
+    def digit(i: Int): Column = hexDigit(col("k"), i)
     val bucketed = toks.withColumn("__b", digit(1) * 16 + digit(2))
     val sums = bucketed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1030,12 +1016,8 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dfSide = knownVocab match {
-      case Some(v) if v <= maxBroadcastVocab => broadcast(df)
       case Some(v) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"tfIdf: known vocabulary $v > $maxBroadcastVocab — " +
-          "shuffle-hash df join")
-        df.hint("shuffle_hash")
+        guardedBroadcast(df, v, maxBroadcastVocab, "tfIdf: known vocabulary")
       case None => df // AQE decides from the df table's runtime size
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1131,10 +1113,7 @@ object CorpusOps {
       "bucketing uses two hex digits: exactly 256 weights")
     val wlit = array(weights.map(lit): _*)
     val toks = filter(split(text, " "), t => t =!= "")
-    def digit(h: Column, i: Int): Column = {
-      val a = ascii(substring(h, i, 1))
-      a - when(a >= 97, 87).otherwise(48)
-    }
+    def digit(h: Column, i: Int): Column = hexDigit(h, i)
     val sum = aggregate(toks, lit(0.0), (acc, t) => {
       val h = md5(t)
       acc + element_at(wlit, digit(h, 1) * 16 + digit(h, 2) + 1)
@@ -1151,10 +1130,7 @@ object CorpusOps {
     * 0/1 label. One corpus-sized shuffle builds it; training then never
     * touches the corpus text again. */
   def hashedFeatures(docs: DataFrame, label: Column): DataFrame = {
-    def digit(i: Int): Column = {
-      val a = ascii(substring(col("h"), i, 1))
-      a - when(a >= 97, 87).otherwise(48)
-    }
+    def digit(i: Int): Column = hexDigit(col("h"), i)
     docs
       .select(col("doc_id"), label.cast("double").as("y"),
         explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
@@ -1359,10 +1335,7 @@ object CorpusOps {
     * never empty, prefix may be. A pure per-row map — embarrassingly
     * parallel, no shuffle. */
   def fimSplit(docs: DataFrame, salt: String = "fim"): DataFrame = {
-    def digit(c: Column, i: Int): Column = {
-      val a = ascii(substring(c, i, 1))
-      a - when(a >= 97, 87).otherwise(48)
-    }
+    def digit(c: Column, i: Int): Column = hexDigit(c, i)
     val h = md5(concat(lit(salt + ":"), col("doc_id").cast("string")))
     docs.where(length(col("text")) >= 2)
       .withColumn("__h", h)
