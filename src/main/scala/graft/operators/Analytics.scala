@@ -208,7 +208,10 @@ object Analytics {
     centered
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        // Σx² as DECIMAL(38,0): a heavy multi-year user's sum crosses
+        // Long.MaxValue (ANSI would abort); exact either way
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
         sum(col("x").cast("double") * col("y")).as("sxy"))
       // variance test and denominator in DOUBLE: n·Σx² and (Σx)² stay
       // exact as longs only up to ~1e18 — a heavy user's years of events
@@ -244,6 +247,12 @@ object Analytics {
     val c = g.where(col("grp") === control)
       .select(col("n").as("n_c"), col("mean").as("mean_c"),
         col("v").as("v_c"))
+    // a missing (or single-row, variance-undefined) control group would
+    // wipe every variant through the cross join — indistinguishable from
+    // "no significant variants"; fail loudly instead (the ksTest /
+    // mannWhitney empty-group contract)
+    require(!c.isEmpty,
+      s"welchTTest: control group '$control' absent or has < 2 rows")
     g.where(col("grp") =!= control)
       .crossJoin(broadcast(c))
       .select(col("grp").as("variant"), col("n").as("n_v"), col("n_c"),
@@ -603,7 +612,11 @@ object Analytics {
   def ksTest(events: DataFrame, groupCol: String, valueCol: String,
              g1: String, g2: String, nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    // NULL values carry no rank/ECDF information and would otherwise
+    // surface as a NULL bucket key (driver NPE) — the tests operate on
+    // observed values only
     val tagged = events.where(col(groupCol).isin(g1, g2))
+      .where(col(valueCol).isNotNull)
       .select(col(valueCol).as("v"),
         when(col(groupCol) === g1, 1L).otherwise(0L).as("i1"),
         when(col(groupCol) === g2, 1L).otherwise(0L).as("i2"))
@@ -713,7 +726,11 @@ object Analytics {
   def mannWhitney(events: DataFrame, groupCol: String, valueCol: String,
                   g1: String, g2: String, nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    // NULL values carry no rank/ECDF information and would otherwise
+    // surface as a NULL bucket key (driver NPE) — the tests operate on
+    // observed values only
     val tagged = events.where(col(groupCol).isin(g1, g2))
+      .where(col(valueCol).isNotNull)
       .select(col(valueCol).as("v"),
         when(col(groupCol) === g1, 1L).otherwise(0L).as("i1"),
         when(col(groupCol) === g2, 1L).otherwise(0L).as("i2"))
@@ -806,9 +823,15 @@ object Analytics {
       .withColumn("n_risk",
         sum(col("n_all")).over(wCum.orderBy(col("lt").desc))
           .cast("long"))
+      // n_death == n_risk (everyone still at risk converts here) can only
+      // happen at the LAST time point — Spark's ln(0) is NULL, which the
+      // window sum would silently skip, reporting the PREVIOUS survival;
+      // the survival there is exactly 0
       .withColumn("surv",
-        exp(sum(log(lit(1.0) - col("n_death") / col("n_risk").cast("double")))
-          .over(wCum)))
+        when(col("n_death") === col("n_risk"), lit(0.0))
+          .otherwise(exp(
+            sum(log(lit(1.0) - col("n_death") / col("n_risk").cast("double")))
+              .over(wCum))))
       .where(col("n_death") > 0)
       .select(col("lt").as("t_hours"), col("n_risk"),
         col("n_death").cast("long").as("n_death"),
@@ -868,6 +891,7 @@ object Analytics {
     * series is still driver-thin; the one corpus pass dominates.
     */
   def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag") // sequence(1, 0) DESCENDS
     val daily = events
       .select(col("event_type"),
         floor(col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
@@ -885,8 +909,14 @@ object Analytics {
     val centered = series.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("d"),
         (col("n") * col("x") - col("s")).as("c"))
+    // c ≈ n·deviation can reach ~1e10 on real daily volumes, putting a
+    // single c² past Long.MaxValue (ANSI mode would abort the query) —
+    // the sufficient statistics accumulate as DECIMAL(38,0), exact like
+    // the longs and overflow-free to 38 digits; the final cast to double
+    // rounds the same exact integer either way
+    val cDec = col("c").cast("decimal(38,0)")
     val den = centered.groupBy(col("event_type"))
-      .agg(sum(col("c") * col("c")).as("den"))
+      .agg(sum(cDec * cDec).as("den"))
     val lagged = centered
       .select(col("event_type"), col("d"), col("c"),
         explode(sequence(lit(1), lit(maxLag))).as("lag"))
@@ -895,7 +925,8 @@ object Analytics {
     val num = lagged
       .join(centered.withColumnRenamed("c", "c_tk"), Seq("event_type", "d"))
       .groupBy(col("event_type"), col("lag"))
-      .agg(sum(col("c_t") * col("c_tk")).as("num"))
+      .agg(sum(col("c_t").cast("decimal(38,0)")
+        * col("c_tk").cast("decimal(38,0)")).as("num"))
     num.join(broadcast(den), "event_type")
       .where(col("den") > 0) // constant series has no defined ACF
       .select(col("event_type"), col("lag"),
@@ -920,6 +951,7 @@ object Analytics {
     */
   def ccf(events: DataFrame, typeA: String, typeB: String,
           maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag") // sequence(1, -1) DESCENDS
     val e = events
       .where(col("event_type").isin(typeA, typeB))
       .select(col("event_type"),
@@ -939,8 +971,10 @@ object Analytics {
     val cent = xy.crossJoin(broadcast(st))
       .select(col("d"), (col("n") * col("x") - col("sx")).as("cx"),
         (col("n") * col("y") - col("sy")).as("cy"))
-    val den = cent.agg(sum(col("cx") * col("cx")).as("dx"),
-      sum(col("cy") * col("cy")).as("dy"))
+    // same DECIMAL(38,0) accumulation rationale as acf's den
+    val cxD = col("cx").cast("decimal(38,0)")
+    val cyD = col("cy").cast("decimal(38,0)")
+    val den = cent.agg(sum(cxD * cxD).as("dx"), sum(cyD * cyD).as("dy"))
     // y at day d+lag pairs with x at day d
     val lagged = cent.select(col("d"), col("cx"),
       explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
@@ -948,7 +982,8 @@ object Analytics {
       .join(cent.select(col("d").as("yd"), col("cy")),
         col("yd") === col("d") + col("lag"))
       .groupBy(col("lag"))
-      .agg(sum(col("cx") * col("cy")).as("num"))
+      .agg(sum(col("cx").cast("decimal(38,0)")
+        * col("cy").cast("decimal(38,0)")).as("num"))
     num.crossJoin(broadcast(den))
       .where(col("dx") > 0 && col("dy") > 0)
       .select(col("lag"),

@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Iterated-loop shuffle width from the MEASURED row count (~2M rows
+    * per partition, capped at the session's configured parallelism) — the
+    * connectedComponents lesson shared by every iterative op here:
+    * per-round cost on a small aggregated graph is otherwise pure
+    * task-scheduling overhead across conf-many mostly-empty partitions,
+    * while a crawl-scale table lands back on the session's width. */
+  private def loopPartitions(spark: org.apache.spark.sql.SparkSession,
+                             rowCount: Long): Int = {
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(confParts.toLong,
+      (rowCount + 2000000L - 1) / 2000000L)).toInt
+  }
+
   /** Weighted PageRank with fixed iteration count and uniform
     * teleportation. `edges` is (src, dst) with multiplicity (parallel
     * edges add weight). Returns (node, rank).
@@ -59,10 +72,7 @@ object GraphOps {
     // graphs is otherwise pure task-scheduling overhead across conf-many
     // mostly-empty partitions; a crawl-scale edge table lands back on the
     // session's configured parallelism (~2M edges per partition)
-    val eCount = e.cache().count()
-    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L, math.min(confParts.toLong,
-      (eCount + 2000000L - 1) / 2000000L)).toInt
+    val loopParts = loopPartitions(spark, e.cache().count())
     val flow = e.join(deg, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("share"))
       .repartition(loopParts, col("src"))
@@ -167,10 +177,7 @@ object GraphOps {
         greatest(col("p"), col("q")).as("b"))
       .distinct()
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).cache()
-    val edgeCount = sym.count()
-    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L, math.min(confParts.toLong,
-      (edgeCount + 2000000L - 1) / 2000000L)).toInt
+    val loopParts = loopPartitions(spark, sym.count())
     val edgesP = sym.repartition(loopParts, col("a")).cache()
     edgesP.count()
     sym.unpersist()
@@ -197,9 +204,18 @@ object GraphOps {
           depth += 1
         }
       }
-      if (!done) throw new IllegalStateException(
-        s"bfsLevels still expanding at depth $maxDepth — raise maxDepth " +
-        "for graphs with eccentricity beyond it")
+      if (!done) {
+        // eccentricity EXACTLY maxDepth is a complete BFS — the loop just
+        // never ran the confirming empty round; probe before throwing
+        val unreached = edgesP
+          .join(frontier.select(col("node").as("a")), "a")
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .limit(1).count()
+        if (unreached > 0) throw new IllegalStateException(
+          s"bfsLevels still expanding at depth $maxDepth — raise maxDepth " +
+          "for graphs with eccentricity beyond it")
+      }
       visited
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
@@ -307,10 +323,7 @@ object GraphOps {
     require(iters >= 1, s"iters=$iters")
     val spark = edges.sparkSession
     val e = edges.toDF("src", "dst").distinct()
-    val eCount = e.cache().count()
-    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L, math.min(confParts.toLong,
-      (eCount + 2000000L - 1) / 2000000L)).toInt
+    val loopParts = loopPartitions(spark, e.cache().count())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

@@ -441,6 +441,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == List((1L, 4L, 1L, 0.75), (2L, 2L, 1L, 0.375)), s"$got")
   }
 
+  test("kaplanMeier: survival is exactly 0 when the last at-risk cohort converts") {
+    // u1 converts at 1 h; u2 AND u3 both convert at 2 h — at t=2h
+    // n_death == n_risk, so S(2) = 0, not the previous 0.6-ish value
+    // (Spark ln(0) is NULL and a window sum would silently skip it)
+    val ev = Seq(
+      (1L, "e", ts(0)), (1L, "purchase", ts(60)),
+      (2L, "e", ts(0)), (2L, "purchase", ts(150)),
+      (3L, "e", ts(0)), (3L, "purchase", ts(155))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.kaplanMeier(ev, convType = "purchase",
+        followUpHours = 10)
+      .select("t_hours", "n_risk", "n_death", "surv")
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got == List((1L, 3L, 1L, 0.6667), (2L, 2L, 2L, 0.0)), s"$got")
+  }
+
+  test("welchTTest fails loudly on a missing control group") {
+    val ev = Seq((1L, 1L, "va", ts(0), 1.0), (2L, 1L, "va", ts(1), 2.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.welchTTest(ev, "event_type", control = "ctl")
+    }
+    assert(e.getMessage.contains("control group"), e.getMessage)
+  }
+
+  test("acf/ccf reject non-positive maxLag (descending-sequence trap)") {
+    val ev = Seq((1L, 1L, "a", ts(0), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    intercept[IllegalArgumentException] { Analytics.acf(ev, maxLag = 0) }
+    intercept[IllegalArgumentException] { Analytics.ccf(ev, "a", "b", maxLag = -1) }
+  }
+
+  test("ksTest ignores NULL values instead of crashing on a null bucket") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0), Some(1.0)), (2L, 1L, "a", ts(1), Some(2.0)),
+      (3L, 1L, "a", ts(2), None),
+      (4L, 1L, "b", ts(0), Some(1.5)), (5L, 1L, "b", ts(1), Some(2.5)))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val row = Analytics.ksTest(ev, "event_type", "value", "a", "b")
+      .collect()(0)
+    // the null row contributes nothing: n1 counts only observed values
+    assert(row.getLong(0) === 2L && row.getLong(1) === 2L, row.toString)
+  }
+
   test("seasonalDecompose: planted two-hour profile") {
     val ev = Seq(
       (ts(0), 10.0), (ts(24L * 60), 10.0),          // hour 0: flat 10

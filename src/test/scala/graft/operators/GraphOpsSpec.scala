@@ -126,6 +126,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
   }
 
+  test("bfsLevels: eccentricity exactly maxDepth completes instead of throwing") {
+    // path 1-2-3: eccentricity 2; maxDepth = 2 finishes the BFS on the
+    // last allowed round, with no confirming empty round left to run
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3))
+    val got = GraphOps.bfsLevels(edges.toDF("a", "b"), src = 1L, maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // genuinely truncated BFS still fails loudly
+    val e = intercept[IllegalStateException] {
+      GraphOps.bfsLevels(Seq[(Long, Long)]((1, 2), (2, 3), (3, 4))
+        .toDF("a", "b"), src = 1L, maxDepth = 2).collect()
+    }
+    assert(e.getMessage.contains("still expanding"), e.getMessage)
+  }
+
   test("bfsLevels: shortest path wins over longer alternatives") {
     // 1-2-3-4 chain plus shortcut 1-4; also orientation/dup noise
     val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4), (1, 4), (4, 1), (2, 1))
