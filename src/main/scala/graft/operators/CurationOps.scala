@@ -312,6 +312,17 @@ object CurationOps {
   def bloomDedup(batch: DataFrame, corpus: DataFrame,
                  m: Int = 1 << 16, k: Int = 5): DataFrame = {
     val bits = bloomBuild(corpus, m, k)
+    // saturation guard: past ~half-full the FP rate explodes ((1−e^{−kn/m})^k
+    // → 1) and the op would silently drop most of the GENUINELY-NEW batch —
+    // the bit array is already driver-side, so the check is a popcount.
+    // Fail loudly with the resize math instead of silently destroying data.
+    val ones = bits.map(java.lang.Long.bitCount(_).toLong).sum
+    val fill = ones.toDouble / m
+    require(fill <= 0.5,
+      f"bloomDedup: filter is $fill%.2f full (m=$m, ~${ones} bits set) — " +
+      f"FP rate ≈ ${math.pow(fill, k)}%.3f would drop new documents en " +
+      "masse; raise m to ≥ 2·k·corpusSize/ln(2) or use the exact " +
+      "CorpusOps.incrementalDedup anti-join")
     val (h1, h2) = bloomHashes(col("text"))
     batch.where(!bloomMightContain(bits, m, k, h1, h2))
   }

@@ -30,7 +30,8 @@ object Skew {
 
   /** groupBy(key).agg(...) with `salts`-way key salting. */
   def saltedAgg(df: DataFrame, key: String, salts: Int, aggs: TwoPhase*): DataFrame = {
-    require(salts > 0)
+    require(salts > 0, s"salts=$salts")
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
     val phase1 = salted.groupBy(col(key), col("__salt"))
@@ -54,9 +55,14 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, s"salts=$salts")
-    val factCols = fact.columns.map(col)
+    // salt from the row's IDENTITY (monotonically_increasing_id — stable
+    // under task retry, the saltedAgg convention), not a hash of the row
+    // CONTENT: a hot key's exact-duplicate rows (the Undetermined-demux
+    // shape this op exists for) would all hash to ONE salt and the skew
+    // would survive untouched; content hashing also breaks on MapType
+    // columns
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(factCols: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -40,8 +40,9 @@ object WebOps {
     * fragment, drop the DEFAULT port for the scheme (:80 only under http,
     * :443 only under https — `http://h:443` is a real nonstandard port and
     * must NOT merge with `http://h`), drop tracking parameters
-    * (utm_*, fbclid, gclid, ref), sort surviving query parameters, strip a
-    * trailing slash from non-root paths and a dangling '?'. Two URLs that
+    * (utm_*, fbclid, gclid, ref), sort surviving query parameters, strip any
+    * trailing slash (the root '/' merges with the empty path — same
+    * page) and a dangling '?'. Two URLs that
     * differ only in parameter order / case / tracking garbage map to the
     * same string — the keep-first exact-dedup key for page-level dedup.
     *
@@ -59,8 +60,10 @@ object WebOps {
       regexp_replace(schemeHost, "^(http://[^:/]+):80$", "$1"),
       "^(https://[^:/]+):443$", "$1")
     val path0 = regexp_extract(base, "^[^:]+://[^/]+(/.*)?$", 1)
-    val path = when(length(path0) > 1,
-      regexp_replace(path0, "/$", "")).otherwise(path0)
+    // one uniform trailing-slash strip: "/a/" → "/a" AND the root "/" →
+    // "" — so http://h and http://h/ (the same page per RFC 3986, both
+    // ubiquitous in crawl data) share one dedup key
+    val path = regexp_replace(path0, "/$", "")
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
     val sortedQ = array_join(array_sort(params), "&")
@@ -103,12 +106,15 @@ object WebOps {
       .withColumn("__bl", substring(col("left"), 1, 1))
     val r = right.select(col(right.columns.head).as("right"))
       .withColumn("__br", substring(col("right"), 1, 1))
-    l.join(r,
-        col("__bl") === col("__br") &&
-        abs(length(col("left")) - length(col("right"))) <= maxDist &&
-        levenshtein(col("left"), col("right")) <= maxDist)
-      .select(col("left"), col("right"),
-        levenshtein(col("left"), col("right")).as("dist"))
+    // pure equi-join on the block, cheap length prefilter, then ONE
+    // levenshtein evaluation per surviving candidate (it was previously
+    // embedded in the join predicate AND the projection — twice per pair,
+    // and the non-equi predicate blocked a clean hash join)
+    l.join(r, col("__bl") === col("__br"))
+      .where(abs(length(col("left")) - length(col("right"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("left"), col("right")))
+      .where(col("dist") <= maxDist)
+      .select(col("left"), col("right"), col("dist"))
   }
 
   /** SCD-1 snapshot merge (MERGE INTO semantics, no tombstones): rows
@@ -116,17 +122,24 @@ object WebOps {
     * the merged table plus a `status` column
     * (`inserted` / `updated` / `unchanged` / `carried`) so downstream
     * incremental consumers can subscribe to the change set. One full-outer
-    * shuffle on the key; text comparison is digest-based so the wide text
-    * column never joins twice. */
+    * shuffle on the key over (key, digest) projections only; text
+    * comparison is digest-based so the wide text column never shuffles.
+    * Returns (key, status, h) — the change-set, not the merged payload
+    * (callers re-join the winning side by key for full rows). */
   def snapshotMerge(old: DataFrame, nw: DataFrame, key: String): DataFrame = {
     val o = old.select(col(key).as("__k"), md5(col("text")).as("__oh"))
-    val n = nw.select((col(key).as("__nk") +: nw.columns.filter(_ != key).map(col)) :+
-      md5(col("text")).as("__nh"): _*)
+    // digests only — the wide text column must not ride the full-outer
+    // shuffle (it is dropped from the output anyway)
+    val n = nw.select(col(key).as("__nk"), md5(col("text")).as("__nh"))
+    // presence is the KEY's nullness, not the digest's: md5(null text) is
+    // null too, and digest-based tests would misreport a null-text row as
+    // inserted/carried; <=> compares digests null-safely for rows whose
+    // text is null on both sides
     val merged = o.join(n, col("__k") === col("__nk"), "full_outer")
       .withColumn("status",
-        when(col("__oh").isNull, lit("inserted"))
-          .when(col("__nh").isNull, lit("carried"))
-          .when(col("__oh") === col("__nh"), lit("unchanged"))
+        when(col("__k").isNull, lit("inserted"))
+          .when(col("__nk").isNull, lit("carried"))
+          .when(col("__oh") <=> col("__nh"), lit("unchanged"))
           .otherwise(lit("updated")))
       .withColumn(key, coalesce(col("__nk"), col("__k")))
     // carried rows have no payload from `nw` — the caller re-joins `old`
@@ -159,7 +172,12 @@ object WebOps {
     val joined = left.join(right, blockKey)
     val ln2 = math.log(2.0)
     val score = fields.zip(mu).map { case ((_, agree), (m, u)) =>
-      when(agree, lit(math.log(m / u) / ln2))
+      // a NULL comparison (either side's field missing) is NO EVIDENCE —
+      // neutral 0, the standard FS treatment; otherwise() would charge
+      // the full disagreement penalty and bias incomplete records toward
+      // non-match
+      when(agree.isNull, lit(0.0))
+        .when(agree, lit(math.log(m / u) / ln2))
         .otherwise(lit(math.log((1 - m) / (1 - u)) / ln2))
     }.reduce(_ + _)
     joined.withColumn("score", score)

@@ -508,8 +508,7 @@ object WebQueries {
                       '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS sq
            FROM p)
          SELECT hostpart ||
-                (CASE WHEN len(path0) > 1
-                      THEN regexp_replace(path0, '/$', '') ELSE path0 END) ||
+                regexp_replace(path0, '/$', '') ||
                 (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canon,
                 count(*) AS n
          FROM parts GROUP BY 1 ORDER BY canon""",

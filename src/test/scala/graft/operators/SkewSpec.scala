@@ -105,6 +105,30 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin spreads EXACT-DUPLICATE hot rows across salts") {
+    val s = spark
+    import s.implicits._
+    // the worst skew shape: one hot key whose fact rows are IDENTICAL —
+    // a content-derived salt would put them all in one shard
+    val fact = Seq.fill(2000)(("hot", 1)).toDF("k", "v")
+    val dim = Seq(("hot", "d1"), ("cold", "d2")).toDF("k", "d")
+    val joined = Skew.saltedJoin(fact, dim, "k", salts = 8)
+    assert(joined.count() === 2000L)
+    // observe the salt distribution through the same derivation
+    val spread = fact.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      .groupBy(col("__salt")).count().collect()
+    assert(spread.length > 1, "identical rows must spread over >1 salt")
+  }
+
+  test("saltedAgg rejects an empty aggregate list loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k", 1)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] { Skew.saltedAgg(df, "k", 4) }
+    assert(e.getMessage.contains("aggregate"), e.getMessage)
+  }
+
   test("saltedJoin equals the plain join and spreads a hot key") {
     val s = spark
     import s.implicits._

@@ -60,6 +60,44 @@ class WebOpsSpec extends SparkSpec {
       3L -> "updated", 4L -> "inserted"))
   }
 
+  test("snapshotMerge: null text classifies by KEY presence, not digest") {
+    val old = Seq((1L, null.asInstanceOf[String]), (2L, "b"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = WebOps.snapshotMerge(old, nw, "doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    // 1: only in old (null text) → carried, NOT inserted; 4: only in nw
+    // (null text) → inserted; 5: null text on both sides → unchanged
+    assert(got == Map(1L -> "carried", 2L -> "unchanged",
+      4L -> "inserted", 5L -> "unchanged"), got.toString)
+  }
+
+  test("canonicalUrl merges the root slash with the empty path") {
+    val urls = Seq("https://example.com", "https://example.com/",
+      "https://example.com/a/", "https://example.com/a").toDF("u")
+    val canon = urls.select(WebOps.canonicalUrl(col("u")).as("c"))
+      .as[String].collect()
+    assert(canon(0) === canon(1), s"${canon(0)} vs ${canon(1)}")
+    assert(canon(2) === canon(3))
+    assert(canon.distinct.length === 2)
+  }
+
+  test("fellegiSunter scores a NULL field comparison as neutral evidence") {
+    val l = Seq(("k", "alice", null.asInstanceOf[String]))
+      .toDF("blk", "l_name", "l_mail")
+    val r = Seq(("k", "alice", "a@x.com")).toDF("blk", "r_name", "r_mail")
+    val got = WebOps.fellegiSunter(l, r, "blk",
+      Seq("name" -> (col("l_name") === col("r_name")),
+          "mail" -> (col("l_mail") === col("r_mail"))),
+      Seq((0.9, 0.1), (0.9, 0.01)), threshold = 0.0).collect()
+    // name agrees (+log2(9)); mail is NULL → 0, not the −log2(9.9)
+    // disagreement penalty that would sink the pair below threshold
+    assert(got.length === 1, "incomplete record must still match")
+    val score = got(0).getAs[Double]("score")
+    assert(math.abs(score - math.log(9.0) / math.log(2.0)) < 1e-9, s"$score")
+  }
+
   test("quantizeInt8 reconstruction error is bounded by scale/2 per element") {
     val emb = Tables.embeddings(spark, sf0001).limit(100)
     val rows = Similarity.quantizeInt8(emb)
