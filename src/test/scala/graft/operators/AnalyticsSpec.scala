@@ -262,7 +262,8 @@ class AnalyticsSpec extends SparkSpec {
     val cases = Seq(
       "HTTPS://WWW.Ex.COM:443/A/?b=2&a=1&utm_source=x#f" -> "https://www.ex.com/A?a=1&b=2",
       "https://www.ex.com/A?a=1&b=2&ref=tw"              -> "https://www.ex.com/A?a=1&b=2",
-      "http://EX.com:80/"                                -> "http://ex.com/",
+      // the root slash merges with the empty path (round 9): same page
+      "http://EX.com:80/"                                -> "http://ex.com",
       "http://ex.com:8080/p"                             -> "http://ex.com:8080/p",
       "https://ex.com/p?utm_campaign=z"                  -> "https://ex.com/p",
       "https://ex.com"                                   -> "https://ex.com",
