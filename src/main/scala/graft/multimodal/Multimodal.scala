@@ -523,6 +523,30 @@ object Multimodal {
       bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
       bytes(5) == 'a'
 
+  /** Cheap animated-GIF probe: counts frames via the reader's directory
+    * scan (`getNumImages`) WITHOUT decoding or re-encoding any raster —
+    * the multi-frame guard in [[reencodeScaled]] only needs the count,
+    * so a many-frame animation costs a header walk, not frames×(decode +
+    * PNG encode) of heap. 0 for non-GIF / undecodable inputs. */
+  private[multimodal] def gifFrameCount(bytes: Array[Byte]): Int = {
+    if (!isGif(bytes)) return 0
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return 0
+      reader = readers.next()
+      reader.setInput(iis)
+      reader.getNumImages(true)
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
+  }
+
   /** REAL multi-frame decode for animated GIFs: ImageIO reads frame
     * rasters and re-encodes each as PNG. None for non-GIF (magic-gated —
     * no decode attempted), static, or undecodable inputs (callers fall
@@ -631,8 +655,10 @@ object Multimodal {
     // animated GIFs: ImageIO.read decodes frame 0 only — re-encoding
     // would silently drop the rest, so the payload passes through with
     // the metadata-only adjustment (downstream frame sampling keeps
-    // every frame of the original)
-    if (fmt == "gif" && gifFrames(m.content, Int.MaxValue).exists(_.size > 1))
+    // every frame of the original). gifFrameCount probes the frame
+    // directory only — no raster decode, so adversarial many-frame
+    // animations can't pin frames×raster heap in this guard.
+    if (fmt == "gif" && gifFrameCount(m.content) > 1)
       return None
     // corrupt-but-recognized payloads (valid header, truncated data) must
     // degrade to the metadata-only path, never fail the executor task —

@@ -1215,10 +1215,27 @@ object CorpusOps {
     * left-to-right fold over each word's symbol array (the same
     * `aggregate` HOF the trainer iterates with), chained in rank order
     * inside a single projection. No shuffle, no join: the merge table
-    * rides in the plan (a production 50k-merge vocabulary would instead
-    * tokenize in a mapPartitions with a trie — same embarrassing
-    * parallelism, different inner loop). */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    * rides in the plan.
+    *
+    * AUTO-DISPATCH: above [[BpeHofMaxMerges]] merge rules the chained-HOF
+    * expression grows past what Janino compiles sanely (documented bloat
+    * failure ≈50k merges), so `bpeEncode` routes to [[bpeEncodeTrie]] —
+    * callers cannot select the fixture-only HOF path with a production
+    * vocabulary by accident (parity of the two paths is spec-pinned). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    if (merges.length > BpeHofMaxMerges) bpeEncodeTrie(docs, merges)
+    else bpeEncodeHof(docs, merges)
+
+  /** Largest merge table the chained-HOF apply path accepts before
+    * [[bpeEncode]] auto-dispatches to the trie: each rule adds one
+    * `aggregate` fold to a single projection, so expression size is
+    * linear in rules — 64 keeps codegen far from the Janino 64KB-method
+    * cliff while covering every fixture-scale vocabulary. */
+  val BpeHofMaxMerges = 64
+
+  /** The chained-HOF apply path itself — fixture-scale vocabularies only
+    * (see [[bpeEncode]] for the dispatch contract). */
+  private[graft] def bpeEncodeHof(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val init: Column = expr(
       "transform(filter(split(text, ' '), t -> t <> ''), " +
       "w -> concat(split(w, ''), array('</w>')))")

@@ -47,17 +47,21 @@ import org.apache.spark.sql.types.IntegerType
   * every `spark.graft.topk.maxGroupsPerPartition` distinct groups
   * (default 1M) — flushing early just forwards more candidate rows, so
   * it is always correct — which bounds map-side heap to maxGroups × k
-  * rows regardless of key cardinality. The FINAL phase must hold every
-  * distinct group of its clustered partition (groups × k rows, the same
-  * non-spilling envelope as a hash-aggregate buffer and strictly less
-  * than WindowExec's full-partition sort buffer); if that count exceeds
-  * the same bound it fails LOUDLY with the remediation (disable the
-  * strategy or raise the bound) instead of creeping toward an executor
-  * OOM. A workload whose group keys are near-unique per row gains
-  * nothing over the default spillable WindowExec plan and should set
-  * `spark.graft.topk.enabled=false` — the strategy is injected by
-  * GraftExtensions but GATED on that conf (default true), so opting out
-  * is a session conf, not a rebuild.
+  * rows regardless of key cardinality. The FINAL phase holds at most
+  * the same bound in memory; past it the group map SPILLS to disk as a
+  * key-sorted run (each group's ≤k candidate rows behind its key
+  * bytes) and a streaming k-way merge over the runs re-combines each
+  * group's candidates at emission — heap stays bounded at
+  * maxGroups × k rows plus one in-flight group per run, on ANY group
+  * cardinality, and the answer is bit-identical to the in-memory fast
+  * path (UnsafeRow key bytes order the runs; byte-equality IS group
+  * equality, the same invariant the hash map relies on). A workload
+  * whose group keys are near-unique per row degrades to roughly an
+  * external sort-merge — the default spillable WindowExec plan is then
+  * no better, but `spark.graft.topk.enabled=false` restores it if
+  * wanted — the strategy is injected by GraftExtensions but GATED on
+  * that conf (default true), so opting out is a session conf, not a
+  * rebuild.
   */
 object TopKPerGroupStrategy extends SparkStrategy {
 
@@ -115,9 +119,12 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * no ordering requirement; its group map flushes every `maxGroups`
   * distinct groups so map-side heap stays bounded on near-unique keys),
   * the FINAL instance runs on the clustered side and assigns ranks on
-  * emission (it must hold its partition's distinct groups — exceeding
-  * `maxGroups` there fails loudly with the remediation). Neither phase
-  * sorts anything.
+  * emission. Past `maxGroups` distinct groups the final map spills to a
+  * key-sorted disk run and the emit phase streams a k-way merge over
+  * the runs — exact answers on any cardinality, memory bounded at
+  * maxGroups·k rows. The fast path (no spill) never sorts anything;
+  * the degrade path sorts only group KEYS at spill time (groups·log
+  * groups key compares, never row data).
   */
 case class TopKPerGroupExec(
     partExprs: Seq[Expression],
@@ -204,30 +211,155 @@ case class TopKPerGroupExec(
           override def next(): InternalRow = current.next()
         }
       } else {
+        // FINAL phase. Fast path: all groups fit the bound → emit straight
+        // from the map. Degrade path: each time the map passes the bound it
+        // spills as a key-sorted run; emission is then a streaming k-way
+        // merge over the runs (groups with the same key bytes re-combine
+        // through the same bounded heap), so memory never exceeds
+        // bound·k rows + one in-flight group per run.
+        val nRowFields = childOutput.length
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        val spills = new java.util.ArrayList[java.io.File]()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          spills.forEach(f => { f.delete(); () })
+        }
+        def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          a.length - b.length
+        }
+        def rowBytes(r: InternalRow): Array[Byte] = r match {
+          case u: UnsafeRow => u.getBytes
+          case other => toUnsafe(other).getBytes
+        }
+        def spillMap(): Unit = {
+          if (groups.isEmpty) return
+          val f = java.io.File.createTempFile("graft-topk-", ".run")
+          f.deleteOnExit()
+          val os = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 1 << 16))
+          try {
+            val keys = new java.util.ArrayList[UnsafeRow](groups.keySet())
+            keys.sort(new java.util.Comparator[UnsafeRow] {
+              override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+                cmpBytes(a.getBytes, b.getBytes)
+            })
+            keys.forEach { key =>
+              val kb = key.getBytes
+              os.writeInt(kb.length); os.write(kb)
+              val heap = groups.get(key)
+              os.writeInt(heap.size())
+              val hIt = heap.iterator()
+              while (hIt.hasNext) {
+                val rb = rowBytes(hIt.next())
+                os.writeInt(rb.length); os.write(rb)
+              }
+            }
+          } finally os.close()
+          groups.clear()
+          spills.add(f); ()
+        }
         while (iter.hasNext) {
           insert(iter.next())
-          if (groups.size() > groupBound) throw new IllegalStateException(
-            s"TopKPerGroupExec: more than $groupBound distinct groups in one " +
-            "clustered partition — the bounded-heap plan would exceed its " +
-            s"memory envelope. Set ${TopKPerGroupStrategy.enabledKey}=false " +
-            "to use Spark's spillable window plan, or raise " +
-            s"${TopKPerGroupStrategy.maxGroupsKey}.")
+          if (groups.size() > groupBound) spillMap()
         }
-        val groupIt = groups.values().iterator()
         val resultProj = UnsafeProjection.create(out, out)
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
         val rankRow = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(1)
+        // drains one bounded heap into rank order (worst row at the head)
+        def drainHeap(heap: java.util.PriorityQueue[InternalRow])
+            : Array[InternalRow] = {
+          val arr = new Array[InternalRow](heap.size)
+          var i = arr.length - 1
+          while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst-first
+          arr
+        }
+        val groupArrays: Iterator[Array[InternalRow]] =
+          if (spills.isEmpty) {
+            val groupIt = groups.values().iterator()
+            new Iterator[Array[InternalRow]] {
+              override def hasNext: Boolean = groupIt.hasNext
+              override def next(): Array[InternalRow] = drainHeap(groupIt.next())
+            }
+          } else {
+            spillMap() // remainder joins the merge as the last run
+            // one sequential reader per run; runs are key-sorted, so a
+            // heap of run heads yields groups in global key order and
+            // byte-equal heads ARE the same group across runs
+            final class Run(file: java.io.File) {
+              private val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(
+                  new java.io.FileInputStream(file), 1 << 16))
+              var key: Array[Byte] = null
+              var rows: Array[Array[Byte]] = null
+              def advance(): Boolean = {
+                try {
+                  val kl = in.readInt()
+                  key = new Array[Byte](kl); in.readFully(key)
+                  val n = in.readInt()
+                  rows = new Array[Array[Byte]](n)
+                  var i = 0
+                  while (i < n) {
+                    val rl = in.readInt()
+                    rows(i) = new Array[Byte](rl); in.readFully(rows(i))
+                    i += 1
+                  }
+                  true
+                } catch {
+                  case _: java.io.EOFException => in.close(); key = null; false
+                }
+              }
+            }
+            val pq = new java.util.PriorityQueue[Run](
+              math.max(1, spills.size()),
+              new java.util.Comparator[Run] {
+                override def compare(a: Run, b: Run): Int = cmpBytes(a.key, b.key)
+              })
+            spills.forEach { f =>
+              val r = new Run(f)
+              if (r.advance()) { pq.add(r); () }
+            }
+            new Iterator[Array[InternalRow]] {
+              override def hasNext: Boolean = !pq.isEmpty()
+              override def next(): Array[InternalRow] = {
+                val first = pq.poll()
+                // capture BEFORE feed(): advance() reassigns first.key to
+                // the run's next group
+                val gKey = first.key
+                val heap = new java.util.PriorityQueue[InternalRow](kk + 1, heapCmp)
+                def feed(run: Run): Unit = {
+                  var i = 0
+                  while (i < run.rows.length) {
+                    val u = new UnsafeRow(nRowFields)
+                    u.pointTo(run.rows(i), run.rows(i).length)
+                    if (heap.size < kk) { heap.add(u); () }
+                    else if (ord.compare(u, heap.peek()) < 0) {
+                      heap.poll(); heap.add(u); ()
+                    }
+                    i += 1
+                  }
+                  if (run.advance()) { pq.add(run); () }
+                }
+                feed(first)
+                while (!pq.isEmpty() && cmpBytes(pq.peek().key, gKey) == 0)
+                  feed(pq.poll())
+                drainHeap(heap)
+              }
+            }
+          }
         new Iterator[InternalRow] {
           private var current: Array[InternalRow] = Array.empty
           private var pos = 0
           override def hasNext: Boolean = {
-            while (pos >= current.length && groupIt.hasNext) {
-              val heap = groupIt.next()
-              val arr = new Array[InternalRow](heap.size)
-              var i = arr.length - 1
-              while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst-first
-              current = arr
+            while (pos >= current.length && groupArrays.hasNext) {
+              current = groupArrays.next()
               pos = 0
             }
             pos < current.length

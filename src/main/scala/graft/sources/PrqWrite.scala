@@ -25,11 +25,20 @@ import org.apache.spark.sql.types.StructType
   *     each task then holds a handful of open gzip streams instead of
   *     one per (task × sample).
   *   - A staging-directory commit protocol: writers emit to
-  *     `.spark-staging-<queryId>/`, the job-level commit renames into
-  *     place (and clears prior `sample=` dirs for overwrite/truncate) —
-  *     a failed job never leaves half-written part files visible.
+  *     `.spark-staging-<queryId>/`, the job-level commit verifies every
+  *     staged file exists and only then renames into place (clearing
+  *     prior `sample=` dirs for overwrite/truncate first) — a failed
+  *     JOB never leaves half-written part files visible. The commit
+  *     itself is delete-then-rename and therefore NOT atomic: a driver
+  *     crash between the truncate delete and the final rename can leave
+  *     the old layout gone with only part of the new one visible. The
+  *     staged-file verification shrinks that window to rename-only
+  *     failures (rare on a healthy FS) but does not close it.
   *   - SaveMode mapping: `append` adds part files; `overwrite` (via
-  *     [[SupportsTruncate]]) atomically replaces the previous layout.
+  *     [[SupportsTruncate]]) replaces the previous layout. Part names
+  *     embed the job's `queryId`, so appends from a second application
+  *     can never collide with (and silently clobber) files committed by
+  *     an earlier run.
   *
   * Scale note: one writer task per post-shuffle partition, each file a
   * sequential gzip stream — at 100 TB the writer width is the shuffle
@@ -71,26 +80,36 @@ class PrqBatchWrite(path: String, schema: StructType,
   private val stagingDir = new Path(path, s".spark-staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    PrqWriterFactory(stagingDir.toString, schema.fieldNames, conf)
+    PrqWriterFactory(stagingDir.toString, schema.fieldNames, conf, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(conf.value)
+    val staged = messages.flatMap {
+      case PrqCommit(files) => files
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    // Verify every staged file before touching the existing layout —
+    // the destructive truncate delete only runs once all inputs to the
+    // rename phase are known present, shrinking the non-atomic window
+    // to rename failures only.
+    staged.foreach { rel =>
+      val src = new Path(stagingDir, rel)
+      if (!fs.exists(src))
+        throw new IOException(s"prq commit: staged file missing $src")
+    }
     if (truncate && fs.exists(root)) {
       fs.listStatus(root).foreach { st =>
         if (st.getPath.getName.startsWith("sample="))
           fs.delete(st.getPath, true)
       }
     }
-    messages.foreach {
-      case PrqCommit(files) => files.foreach { rel =>
-        val src = new Path(stagingDir, rel)
-        val dst = new Path(root, rel)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new IOException(s"prq commit: rename failed $src -> $dst")
-      }
-      case other => throw new IllegalStateException(s"unexpected $other")
+    staged.foreach { rel =>
+      val src = new Path(stagingDir, rel)
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new IOException(s"prq commit: rename failed $src -> $dst")
     }
     fs.delete(stagingDir, true)
   }
@@ -102,7 +121,7 @@ class PrqBatchWrite(path: String, schema: StructType,
 }
 
 case class PrqWriterFactory(stagingDir: String, fields: Array[String],
-                            conf: SerializableHadoopConf)
+                            conf: SerializableHadoopConf, queryId: String)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -116,7 +135,10 @@ case class PrqWriterFactory(stagingDir: String, fields: Array[String],
         open.getOrElseUpdate(sample, {
           val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(sample)
-          val rel = s"sample=$esc/part-$partitionId-$taskId.txt.gz"
+          // queryId (a UUID) makes the name unique across applications:
+          // append from a second run can never regenerate a committed
+          // filename and clobber it mid-rename.
+          val rel = s"sample=$esc/part-$queryId-$partitionId-$taskId.txt.gz"
           val p = new Path(stagingDir, rel)
           fs.mkdirs(p.getParent)
           (new BufferedWriter(new OutputStreamWriter(

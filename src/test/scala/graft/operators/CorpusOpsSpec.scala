@@ -620,6 +620,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"trie encode must be shuffle-free:\n$plan")
   }
 
+  test("bpeEncode auto-dispatches to the trie above the HOF merge cap") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "low lower newest")).toDF("doc_id", "text")
+    val small = Seq(("l", "o"))
+    // padding rules that never fire keep the output stable across paths
+    val big = small ++ (0 until CorpusOps.BpeHofMaxMerges).map(i => (s"§$i", "¶"))
+    assert(big.length > CorpusOps.BpeHofMaxMerges)
+    // small table → HOF path: a pure projection, no object-serde bridge
+    val smallPlan = CorpusOps.bpeEncode(docs, small)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("MapPartitions"),
+      s"small merge table must take the HOF projection path:\n$smallPlan")
+    // big table → trie path: the mapPartitions object bridge appears
+    val bigPlan = CorpusOps.bpeEncode(docs, big)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("MapPartitions"),
+      s"oversized merge table must dispatch to the trie path:\n$bigPlan")
+    // and the dispatch changes the plan only, never the tokens — the
+    // padding rules never fire, so trie(big) ≡ hof(small). (hof(big)
+    // itself dies in the analyzer's iteration limit at 65 chained
+    // folds — the concrete failure the dispatch exists to prevent.)
+    val a = CorpusOps.bpeEncode(docs, big).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = CorpusOps.bpeEncodeHof(docs, small).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b, s"dispatch must be plan-only: $a vs $b")
+  }
+
   test("hashed linear score matches an independent local recomputation") {
     val s = spark
     import s.implicits._

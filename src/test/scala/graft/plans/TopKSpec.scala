@@ -104,8 +104,9 @@ class TopKSpec extends SparkSpec {
     // bound, so the final phase merges the duplicates exactly
     s2.conf.set(TopKPerGroupStrategy.maxGroupsKey, "400")
     // pin the reduce side at 8 partitions (~190 groups each, under the
-    // bound) — AQE would otherwise coalesce the tiny shuffle to ONE
-    // partition holding all ~1500 groups and trip the loud final guard
+    // bound) so this test exercises the in-memory final fast path — AQE
+    // would otherwise coalesce to ONE partition and take the spill path
+    // (covered by its own test below)
     s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -120,14 +121,18 @@ class TopKSpec extends SparkSpec {
     }
   }
 
-  test("final phase fails loudly (not OOM) past the group bound") {
+  test("final phase spills past the group bound and stays exact") {
     val s2 = session()
+    // bound 10 with ~1500 distinct custkeys (AQE coalesces the tiny
+    // shuffle to one reduce partition) → the final map spills ~150
+    // key-sorted runs and the k-way merge must still produce the
+    // bit-identical answer the in-memory fast path gives
     s2.conf.set(TopKPerGroupStrategy.maxGroupsKey, "10")
     try {
-      val e = intercept[Exception] { topkQuery(s2, 3).collect() }
-      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
-        .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-      assert(msgs(e).exists(_.contains("spark.graft.topk.enabled")), e.toString)
+      val q = topkQuery(s2, 3)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
+      assert(q.collect().map(_.toSeq).toSeq ===
+        topkQuery(spark, 3).collect().map(_.toSeq).toSeq)
     } finally s2.conf.unset(TopKPerGroupStrategy.maxGroupsKey)
   }
 
