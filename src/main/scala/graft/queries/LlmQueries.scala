@@ -692,9 +692,10 @@ object LlmQueries {
     }),
 
     // hashed-classifier TRAINING (full-batch logistic GD, 4 steps): the
-    // learned 256-bucket weight table, rounded to 6dp. Rows-only (iterative
-    // float accumulation — no SQL oracle); CorpusOpsSpec pins loss descent,
-    // label separation, and exact-shape parity with a local reference GD.
+    // learned 256-bucket weight table, rounded to 6dp. Hash-exact vs the
+    // unrolled 4-step GD CTE oracle (clfTrainOracle — the 6dp rounding
+    // absorbs sum-order ulps); CorpusOpsSpec additionally pins loss
+    // descent, label separation, and parity with a local reference GD.
     "q_llm_clf_train" -> ((s, d) => {
       import s.implicits._
       val (w, _, _) = CorpusOps.trainHashedClassifier(
@@ -707,7 +708,10 @@ object LlmQueries {
     // k-means clustering over the embedding table (Lloyd via the bounded
     // training sample + typed vector-sum aggregator — the IVF coarse
     // quantizer exposed as a clustering op): cluster id → member count.
-    // Rows-only; SimilaritySpec asserts assignment ≡ local nearest-centroid.
+    // Hash-exact vs the unrolled 2-step Lloyd CTE oracle (kmeansOracle —
+    // the engine's per-component .toFloat rounding makes the centroid
+    // chain engine-independent); SimilaritySpec additionally asserts
+    // assignment ≡ local nearest-centroid.
     "q_llm_kmeans" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = Ivf.trainCentroids(emb, nCentroids = 8, iters = 2)
@@ -875,6 +879,122 @@ object LlmQueries {
         WHERE t2.mit < $nMerges
       )
     )"""
+
+  // ---- k-means oracle (unrolled Lloyd, the PageRank/BPE technique) ----
+  // Exactly replicates Ivf.trainCentroids + Ivf.assign at catalog scale:
+  // the hash training sample is the FULL table (≤2000 rows « 65536 cap →
+  // modulus 1), init = 8 lowest vec_ids, 2 Lloyd steps. Cross-engine
+  // float parity holds because every centroid component passes through
+  // CAST(… AS FLOAT) exactly where the engine calls .toFloat — the float
+  // rounding quantizes away the sum-order ulps of both engines' double
+  // accumulations (flip probability ~2^-29 per component), and the
+  // assignment argmax compares dots that differ far above ulp scale.
+
+  /** Renormalize per-cid (i, f) float components: L2 norm in double,
+    * divide, round back to float — Ivf.normalize verbatim. */
+  private def kmeansNormCte(src: String, out: String): String =
+    s"""$out AS (
+      SELECT cid, list(CAST(CAST(f AS DOUBLE) / norm AS FLOAT) ORDER BY i) AS cent
+      FROM (SELECT cid, i, f,
+              sqrt(SUM(CAST(f AS DOUBLE) * CAST(f AS DOUBLE)) OVER (PARTITION BY cid)) AS norm
+            FROM $src)
+      GROUP BY cid)"""
+
+  /** Nearest-centroid assignment: argmax dot in double, ties → lowest
+    * cid — the negated-id convention of Ivf.nearestCentroid. */
+  private def kmeansAssignCte(cents: String, out: String): String =
+    s"""$out AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(list_zip(e.embedding, c.cent),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+            c.cid ASC) AS rn
+        FROM e, $cents c) WHERE rn = 1)"""
+
+  /** Lloyd update: per-component double mean rounded to float; empty
+    * clusters keep the previous centroid (then renormalize ALL — the
+    * engine renormalizes kept centroids too). */
+  private def kmeansUpdateCtes(assigned: String, prev: String,
+                               meanOut: String, keptOut: String): String =
+    s"""$meanOut AS (
+      SELECT a.cid, i.i, CAST(SUM(CAST(e.embedding[i.i] AS DOUBLE)) / COUNT(*) AS FLOAT) AS f
+      FROM $assigned a JOIN e USING (vec_id), idx i
+      GROUP BY a.cid, i.i),
+    $keptOut AS (
+      SELECT p.cid, i.i, COALESCE(m.f, p.cent[i.i]) AS f
+      FROM $prev p CROSS JOIN idx i
+      LEFT JOIN $meanOut m ON m.cid = p.cid AND m.i = i.i)"""
+
+  private def kmeansOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    init8 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    init_raw AS (
+      SELECT cid, i.i, embedding[i.i] AS f FROM init8 CROSS JOIN idx i),
+    ${kmeansNormCte("init_raw", "c0")},
+    ${kmeansAssignCte("c0", "a1")},
+    ${kmeansUpdateCtes("a1", "c0", "m1", "k1")},
+    ${kmeansNormCte("k1", "c1")},
+    ${kmeansAssignCte("c1", "a2")},
+    ${kmeansUpdateCtes("a2", "c1", "m2", "k2")},
+    ${kmeansNormCte("k2", "c2")},
+    ${kmeansAssignCte("c2", "af")}
+    SELECT cid, COUNT(*) AS n_members FROM af GROUP BY cid ORDER BY cid"""
+
+  // ---- classifier-training oracle (4 unrolled GD steps) ----
+  // Replicates CorpusOps.trainHashedClassifier(label = lang='en',
+  // steps = 4, lr = 4.0): md5-hex bucket features, full-batch logistic
+  // gradient, weights reported at 6dp — the rounding absorbs the ulp-
+  // level sum-order differences of the two engines' double reductions
+  // (4 steps keep relative error ~1e-15, ten orders under the 1e-6
+  // quantum).
+
+  /** One GD step: margins from w{i-1}, sigmoid probabilities, bucket
+    * gradients (err·cnt/n averaged over docs), weight + bias update. */
+  private def clfStepCtes(i: Int): String = {
+    val (p, n) = (s"w${i - 1}", s"w$i")
+    val (bp, bn) = (s"bias${i - 1}", s"bias$i")
+    s"""m$i AS (
+      SELECT f.doc_id, f.y, f.n, SUM(f.cnt * w.w) AS m0
+      FROM feats f JOIN $p w ON w.b = f.b
+      GROUP BY f.doc_id, f.y, f.n),
+    p$i AS (
+      SELECT doc_id, y, n,
+             1.0 / (1.0 + exp(-(m0 / n + (SELECT bias FROM $bp)))) AS prob
+      FROM m$i),
+    g$i AS (
+      SELECT f.b, SUM((p.prob - p.y) * f.cnt / p.n) / (SELECT nd FROM nd) AS g
+      FROM feats f JOIN p$i p USING (doc_id)
+      GROUP BY f.b),
+    $n AS (
+      SELECT w.b, w.w - 4.0 * COALESCE(g.g, 0.0) AS w
+      FROM $p w LEFT JOIN g$i g USING (b)),
+    $bn AS (
+      SELECT (SELECT bias FROM $bp)
+           - 4.0 * (SELECT SUM(prob - y) FROM p$i) / (SELECT nd FROM nd) AS bias)"""
+  }
+
+  private def clfTrainOracle(steps: Int): String =
+    s"""WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y, t.token
+      FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(token)),
+    feats AS (
+      SELECT doc_id, y,
+             CAST((ascii(h1) - CASE WHEN ascii(h1) >= 97 THEN 87 ELSE 48 END) * 16
+                + (ascii(h2) - CASE WHEN ascii(h2) >= 97 THEN 87 ELSE 48 END) AS INT) AS b,
+             COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+      FROM (SELECT doc_id, y, substr(md5(token), 1, 1) AS h1,
+                   substr(md5(token), 2, 1) AS h2 FROM toks)
+      GROUP BY doc_id, y, b),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM feats),
+    w0 AS (SELECT CAST(i AS INT) AS b, 0.0 AS w FROM range(0, 256) t(i)),
+    bias0 AS (SELECT 0.0 AS bias),
+    ${(1 to steps).map(clfStepCtes).mkString(",\n    ")}
+    SELECT b, FLOOR(w * 1e6 + 0.5) / 1e6 AS weight FROM w$steps ORDER BY b"""
 
   private def bpeTrainOracle(nMerges: Int): String =
     s"""WITH RECURSIVE
@@ -1603,6 +1723,8 @@ object LlmQueries {
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          FROM aug ORDER BY doc_id""",
+    "q_llm_kmeans" -> kmeansOracle,
+    "q_llm_clf_train" -> clfTrainOracle(4),
     "q_llm_sim_topk" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS vid,
