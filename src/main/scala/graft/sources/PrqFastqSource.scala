@@ -218,16 +218,35 @@ case class PrqReaderFactory(fields: Array[String], conf: SerializableHadoopConf)
 
 class FastqDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fastq"
-  override def supportsExternalMetadata(): Boolean = false
+  // reads are per-READ rows (file,id,seq,qual); writes take PAIR rows
+  // (sample,id,seq1,qual1,seq2,qual2) and mate-split them into R1/R2
+  // files — the schemas differ, so the provider accepts the external
+  // (write-side) schema and validates it is one of the two shapes
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PrqFastqSource.fastqSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("fastq source requires a path"))
-    new LineFileTable(SparkSession.active, path) {
+    val names = schema.fieldNames.toSet
+    require(
+      names.subsetOf(PrqFastqSource.fastqSchema.fieldNames.toSet) ||
+      ("sample" +: FastqWrite.FieldOrder).forall(names.contains),
+      s"fastq table schema must be the read shape " +
+      s"(${PrqFastqSource.fastqSchema.fieldNames.mkString(",")}) or the " +
+      s"pair write shape (sample,${FastqWrite.FieldOrder.mkString(",")}); " +
+      s"got ${schema.fieldNames.mkString(",")}")
+    val tableSchema = schema
+    new LineFileTable(SparkSession.active, path)
+        with org.apache.spark.sql.connector.catalog.SupportsWrite {
       override def name(): String = s"fastq:$path"
-      override def schema(): StructType = PrqFastqSource.fastqSchema
+      // the externally-passed schema: fastqSchema on the read path (via
+      // inferSchema), the validated pair shape on the write path
+      override def schema(): StructType = tableSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
       override protected def buildScan(required: StructType): Scan = new Scan with Batch {
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
@@ -235,6 +254,10 @@ class FastqDataSource extends TableProvider with DataSourceRegister {
         override def createReaderFactory(): PartitionReaderFactory =
           FastqReaderFactory(required.fieldNames, serializableConf())
       }
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new FastqWriteBuilder(path, info, serializableConf())
     }
   }
 }

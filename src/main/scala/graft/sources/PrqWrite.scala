@@ -74,13 +74,18 @@ class PrqWriteBuilder(path: String, info: LogicalWriteInfo,
   }
 }
 
-class PrqBatchWrite(path: String, schema: StructType,
-                    conf: SerializableHadoopConf, queryId: String,
-                    truncate: Boolean) extends BatchWrite {
-  private val stagingDir = new Path(path, s".spark-staging-$queryId")
+/** Shared staged-commit protocol for the line-format sinks (PRQ, FASTQ):
+  * writers emit to `.spark-staging-<queryId>/`; job commit verifies every
+  * staged file, clears prior layout files (`deletesOnTruncate`) for
+  * overwrite, then renames into place. Delete-then-rename is NOT atomic —
+  * see [[PrqWrite]]'s scaladoc for the exact window. */
+abstract class StagedBatchWrite(path: String, conf: SerializableHadoopConf,
+                                queryId: String, truncate: Boolean)
+    extends BatchWrite {
+  protected val stagingDir = new Path(path, s".spark-staging-$queryId")
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    PrqWriterFactory(stagingDir.toString, schema.fieldNames, conf, queryId)
+  /** Which existing top-level entries an overwrite clears. */
+  protected def deletesOnTruncate(name: String): Boolean
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -96,11 +101,11 @@ class PrqBatchWrite(path: String, schema: StructType,
     staged.foreach { rel =>
       val src = new Path(stagingDir, rel)
       if (!fs.exists(src))
-        throw new IOException(s"prq commit: staged file missing $src")
+        throw new IOException(s"staged-commit: staged file missing $src")
     }
     if (truncate && fs.exists(root)) {
       fs.listStatus(root).foreach { st =>
-        if (st.getPath.getName.startsWith("sample="))
+        if (deletesOnTruncate(st.getPath.getName))
           fs.delete(st.getPath, true)
       }
     }
@@ -109,7 +114,7 @@ class PrqBatchWrite(path: String, schema: StructType,
       val dst = new Path(root, rel)
       fs.mkdirs(dst.getParent)
       if (!fs.rename(src, dst))
-        throw new IOException(s"prq commit: rename failed $src -> $dst")
+        throw new IOException(s"staged-commit: rename failed $src -> $dst")
     }
     fs.delete(stagingDir, true)
   }
@@ -118,6 +123,16 @@ class PrqBatchWrite(path: String, schema: StructType,
     val fs = stagingDir.getFileSystem(conf.value)
     fs.delete(stagingDir, true)
   }
+}
+
+class PrqBatchWrite(path: String, schema: StructType,
+                    conf: SerializableHadoopConf, queryId: String,
+                    truncate: Boolean)
+    extends StagedBatchWrite(path, conf, queryId, truncate) {
+  override protected def deletesOnTruncate(name: String): Boolean =
+    name.startsWith("sample=")
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    PrqWriterFactory(stagingDir.toString, schema.fieldNames, conf, queryId)
 }
 
 case class PrqWriterFactory(stagingDir: String, fields: Array[String],

@@ -182,6 +182,70 @@ class GenomicsSpec extends SparkSpec {
     bySample.values.foreach(fs => assert(fs.size === 1, fs.toString))
   }
 
+  test("fastq V2 WRITE: baseline grammar, positional mates, round-trip") {
+    val s = spark
+    val reads = Demux.dropUndetermined(
+      Demux.demux(Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs)), sheet))
+    val df = reads.toDF().select("sample", "id", "seq1", "qual1", "seq2", "qual2")
+    val out = Files.createTempDirectory("graft_fastq_w").toString
+    df.write.format("fastq").mode("append").save(out)
+    // filenames follow the baseline grammar the reference scans
+    // (reference baseline_workflow.py:109-117): parts[0] = sample,
+    // parts[3] = R1|R2 under '_' splits
+    val files = graft.sources.PrqFastqSource.listFiles(s, out).map(_._1)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val name = f.split('/').last
+      assert(name.matches("[^_]+_S\\d+_L\\d{3}_R[12]_.+\\.fastq\\.gz"), name)
+      val parts = name.split('_')
+      assert(Set("sample1", "sample2").contains(parts(0)), name)
+      assert(parts(3) == "R1" || parts(3) == "R2", name)
+    }
+    // every R1 file has its R2 twin and mates align POSITIONALLY —
+    // record i of R1 and R2 carry the same read id (the grammar's
+    // pairing contract; decoded straight from the gzip streams)
+    def fastqIds(path: String): Seq[String] = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(
+          Files.newInputStream(Paths.get(new java.net.URI(path)))),
+        java.nio.charset.StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .grouped(4).map(g => { assert(g.head.startsWith("@")); g.head.drop(1) })
+        .toList
+      finally in.close()
+    }
+    val r1s = files.filter(_.split('/').last.split('_')(3) == "R1")
+    assert(r1s.nonEmpty)
+    r1s.foreach { r1 =>
+      val r2 = r1.replaceAll("_R1_", "_R2_")
+      assert(files.contains(r2), s"missing R2 twin for $r1")
+      assert(fastqIds(r1) === fastqIds(r2), s"mate order differs: $r1")
+    }
+    // full round-trip through the V2 reader: pairs rebuilt by id match
+    // the input pair set exactly (sample derived from parts[0])
+    import org.apache.spark.sql.functions._
+    val back = s.read.format("fastq").load(out)
+      .withColumn("name", element_at(split(col("file"), "/"), -1))
+      .withColumn("sample", element_at(split(col("name"), "_"), 1))
+      .withColumn("mate", element_at(split(col("name"), "_"), 4))
+    val pairs = back.where(col("mate") === "R1")
+      .select(col("sample"), col("id"), col("seq").as("seq1"), col("qual").as("qual1"))
+      .join(back.where(col("mate") === "R2")
+        .select(col("id"), col("seq").as("seq2"), col("qual").as("qual2")), Seq("id"))
+      .select("sample", "id", "seq1", "qual1", "seq2", "qual2")
+    assert(pairs.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // overwrite truncates the prior flat layout
+    df.write.format("fastq").mode("overwrite").save(out)
+    assert(s.read.format("fastq").load(out).count() === 2 * df.count())
+    // a grammar-breaking sample name fails loudly, never shifts parts[3]
+    val bad = df.withColumn("sample", lit("bad_sample"))
+    intercept[Exception] {
+      bad.write.format("fastq").mode("append")
+        .save(Files.createTempDirectory("graft_fastq_bad").toString)
+    }
+  }
+
   test("prq V2 keeps trailing empty fields and rejects missing paths loudly") {
     val dir = Files.createTempDirectory("graft_prq_edge")
     // empty seq2/qual2 legitimately writes as trailing tabs — the reader
