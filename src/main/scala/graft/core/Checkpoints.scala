@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage-truncation point for every iterative loop in the engine
+  * (GraphOps rank/label loops, Dedup's connected-components loop,
+  * CorpusOps BPE training, the Analytics multi-consumer materializations).
+  *
+  * Default (`spark.graft.checkpoint.reliable` unset/false):
+  * `localCheckpoint` — blocks live in executor memory/disk, zero extra
+  * jobs, the right call for a healthy cluster and the measured-fast path
+  * every loop was tuned on. The documented failure mode is EXECUTOR
+  * LOSS: localCheckpoint blocks are unreplicated and lineage is
+  * truncated, so a lost executor fails the JOB loudly (never a wrong
+  * answer) — Spark's own contract for localCheckpoint.
+  *
+  * Reliable mode (`spark.graft.checkpoint.reliable=true`): swaps in
+  * `Dataset.checkpoint` to the filesystem at
+  * `spark.graft.checkpoint.dir` (or the driver's tmp dir when unset —
+  * fine for local[-cluster] runs; point it at HDFS/S3 for a real
+  * deployment). Executor loss then degrades to RECOMPUTE-from-checkpoint
+  * instead of job failure: stage retry re-reads the checkpoint files,
+  * the loop continues, the answer is unchanged (the chaos gate in
+  * tools.ClusterCheck kills an executor mid-loop and asserts exactly
+  * this). Cost: a reliable checkpoint writes the dataset out (one extra
+  * materialization per call) — pay it when the job is long enough that
+  * restarting from zero costs more, i.e. precisely the 100 TB runs.
+  */
+object Checkpoints {
+
+  val reliableKey = "spark.graft.checkpoint.reliable"
+  val dirKey = "spark.graft.checkpoint.dir"
+
+  def reliable(ds: Dataset[_]): Boolean =
+    ds.sparkSession.conf.get(reliableKey, "false").toBoolean
+
+  /** `localCheckpoint(eager)` by default; reliable checkpoint under the
+    * conf knob. Drop-in at every loop's truncation point. */
+  def checkpoint[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] =
+    if (!reliable(ds)) ds.localCheckpoint(eager)
+    else {
+      val sc = ds.sparkSession.sparkContext
+      // idempotent one-time dir setup per context
+      if (sc.getCheckpointDir.isEmpty) sc.synchronized {
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            ds.sparkSession.conf.get(dirKey,
+              java.nio.file.Files.createTempDirectory("graft-ckpt")
+                .toString))
+      }
+      ds.checkpoint(eager)
+    }
+}

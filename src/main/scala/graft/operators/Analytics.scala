@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +35,7 @@ object Analytics {
     var frontier = ev.where(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("t")).as("t_prev"))
       .withColumn("t_first", col("t_prev"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val counts = Seq.newBuilder[(Int, String, Long)]
     counts += ((1, steps.head, frontier.count()))
     steps.zipWithIndex.drop(1).foreach { case (step, i) =>
@@ -44,7 +45,7 @@ object Analytics {
           col("t") <= col("t_first") + withinSec)
         .groupBy(col("user_id"), col("t_first"))
         .agg(min(col("t")).as("t_prev"))
-        .localCheckpoint()
+        .graftCheckpoint()
       counts += ((i + 1, step, frontier.count()))
     }
     val rows = counts.result()
@@ -338,7 +339,7 @@ object Analytics {
     // the corpus-sized distinct+aggregate
     val freq = bi.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
       .where(col("n_i") >= minSupport)
-      .localCheckpoint()
+      .graftCheckpoint()
     // pre-partitioned on the join key and cached: both self-join sides
     // read the SAME in-memory partitioning, so the pair join runs with
     // zero exchange (measured 70 -> ~35 s at the 32× probe)
@@ -361,7 +362,7 @@ object Analytics {
       // materializes the whole mining pipeline, which both lets the
       // fwd/rev directions below read it instead of re-driving the pair
       // join and makes releasing the working caches safe right here
-      .localCheckpoint()
+      .graftCheckpoint()
     bi.unpersist()
     biF.unpersist()
     val fwd = pairs.select(col("a").as("antecedent"),
@@ -622,7 +623,7 @@ object Analytics {
         when(col(groupCol) === g2, 1L).otherwise(0L).as("i2"))
     val byValue = tagged.groupBy(col("v"))
       .agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
-      .localCheckpoint() // consumed 3× below (bounds, offsets, ecdf)
+      .graftCheckpoint() // consumed 3× below (bounds, offsets, ecdf)
     val bounds = byValue.agg(min(col("v")), max(col("v")),
         coalesce(sum(col("c1")), lit(0L)), coalesce(sum(col("c2")), lit(0L)))
       .collect().head
@@ -736,7 +737,7 @@ object Analytics {
         when(col(groupCol) === g2, 1L).otherwise(0L).as("i2"))
     val byValue = tagged.groupBy(col("v"))
       .agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
-      .localCheckpoint() // consumed 3× (bounds, offsets, rank pass)
+      .graftCheckpoint() // consumed 3× (bounds, offsets, rank pass)
     val bounds = byValue.agg(min(col("v")), max(col("v")),
         coalesce(sum(col("c1")), lit(0L)), coalesce(sum(col("c2")), lit(0L)))
       .collect().head

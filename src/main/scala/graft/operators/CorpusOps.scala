@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -862,7 +863,7 @@ object CorpusOps {
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // candidate seed: substring frequencies, distributed then top-capped
     val maxL = maxPieceLen
     val candTop = words.flatMap { case (w, f) =>
@@ -940,7 +941,7 @@ object CorpusOps {
       // symbols = characters + the word-end marker
       .select(expr("concat(split(word, ''), array('</w>'))").as("syms"),
         col("freq"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // size the iterated table's partitioning from its measured row count
     // (~256k words/partition): a toy vocabulary iterates on a few tasks
     // instead of scheduling full-width stages 2×nMerges times; a 100 TB
@@ -948,7 +949,7 @@ object CorpusOps {
     val nParts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
       (words.count() / 262144L).toInt + 1))
-    words = words.repartition(nParts).localCheckpoint(true)
+    words = words.repartition(nParts).graftCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -979,7 +980,7 @@ object CorpusOps {
                  x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))))
-        if (rank % 4 == 0) words = words.localCheckpoint(true)
+        if (rank % 4 == 0) words = words.graftCheckpoint(true)
         rank += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftCheckpointOps
 import graft.functions.Sketches
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -402,7 +403,7 @@ object Dedup {
     // dense near-dup clusters often hit the fixpoint here
     var labels = edges.groupBy(col("b"))
       .agg(least(col("b"), min(col("a"))).as("comp"))
-      .select(col("b").as("id"), col("comp")).localCheckpoint()
+      .select(col("b").as("id"), col("comp")).graftCheckpoint()
     if (verbose) println(f"GRAFT_CC init done t=${System.nanoTime() / 1e9}%.2f")
     // Every round is hook (comp' = min over self+neighbor labels) PLUS
     // shortcut (comp'' = comp'-of-comp', a pointer jump): the distance a
@@ -448,7 +449,7 @@ object Dedup {
         .observe(obs, sum(when(col("comp") =!= col("old"), 1L).otherwise(0L))
           .as("changed"))
         .select(col("id"), col("comp"))
-        .localCheckpoint()
+        .graftCheckpoint()
       // sum over an empty label table is null — empty graph is converged
       done = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       round2 += 1

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -120,7 +121,7 @@ object GraphOps {
       var ranks = (
         if (uniform) nodesTp.select(col("node"), lit(1.0 / n).as("rank"))
         else nodesTp.select(col("node"), col("tp").as("rank"))
-      ).localCheckpoint()
+      ).graftCheckpoint()
       var it = 0
       while (it < iters) {
         val dMass =
@@ -139,7 +140,7 @@ object GraphOps {
           .select(col("node"),
             (teleTerm + lit(damping) *
               (coalesce(col("in_mass"), lit(0.0)) + dangTerm)).as("rank"))
-          .localCheckpoint()
+          .graftCheckpoint()
         it += 1
       }
       ranks
@@ -184,7 +185,7 @@ object GraphOps {
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
-      var visited = Seq((src, 0L)).toDF("node", "dist").localCheckpoint()
+      var visited = Seq((src, 0L)).toDF("node", "dist").graftCheckpoint()
       var frontier = visited
       var depth = 0L
       var done = false
@@ -196,10 +197,10 @@ object GraphOps {
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(depth + 1L))
           .observe(obs, count(lit(1)).as("n"))
-          .localCheckpoint()
+          .graftCheckpoint()
         done = Option(obs.get("n")).forall(_.asInstanceOf[Long] == 0L)
         if (!done) {
-          visited = visited.unionByName(next).localCheckpoint()
+          visited = visited.unionByName(next).graftCheckpoint()
           frontier = next
           depth += 1
         }
@@ -297,7 +298,7 @@ object GraphOps {
         coalesce(col("clustering"), lit(0.0)).as("clustering"))
       // |V|-row result; checkpoint it so the working caches can be
       // released before the caller's action (the pageRank/CC pattern)
-      .localCheckpoint()
+      .graftCheckpoint()
     e.unpersist(); deg.unpersist(); oriented.unpersist()
     out
   }
@@ -337,7 +338,7 @@ object GraphOps {
       // variant re-executes the auth joins inside the hub materialization
       // and measured SLOWER (3.7 → 4.6 s in-catalog) — join work dominates
       // job-launch overhead even on a metadata-sized graph
-      var hub = nodes.select(col("node"), lit(1.0).as("h")).localCheckpoint()
+      var hub = nodes.select(col("node"), lit(1.0).as("h")).graftCheckpoint()
       var auth = hub.select(col("node"), col("h").as("a"))
       var it = 0
       while (it < iters) {
@@ -346,13 +347,13 @@ object GraphOps {
               .groupBy(col("dst")).agg(sum(col("h")).as("s")),
             col("node") === col("dst"), "left")
           .select(col("node"), coalesce(col("s"), lit(0.0)).as("a"))
-          .localCheckpoint()
+          .graftCheckpoint()
         hub = nodes
           .join(e.join(auth, col("dst") === col("node"))
               .groupBy(col("src")).agg(sum(col("a")).as("s")),
             col("node") === col("src"), "left")
           .select(col("node"), coalesce(col("s"), lit(0.0)).as("h"))
-          .localCheckpoint()
+          .graftCheckpoint()
         it += 1
       }
       val na = auth.agg(sum(col("a")).as("sa"))

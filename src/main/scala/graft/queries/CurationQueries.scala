@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.{Q, Tables}
+import graft.core.{GraftCheckpointOps, Q, Tables}
 import graft.operators.{CorpusOps, CurationOps, Dedup}
 import org.apache.spark.sql.functions._
 
@@ -98,7 +98,7 @@ object CurationQueries {
       // three ranking jobs — without this, the pair self-join, the CC id
       // set, the quality join, and packShards' sizing collects each
       // recompute it (measured 17.8 s -> ~5 s at sf0.1 with the persist)
-      val survivors = docs.join(gate, "doc_id").localCheckpoint()
+      val survivors = docs.join(gate, "doc_id").graftCheckpoint()
       val pairs = Dedup.jaccardFromItems(
         survivors.select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
@@ -174,7 +174,7 @@ object CurationQueries {
         docs.select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
           .as("g"))
-          .distinct().localCheckpoint(),
+          .distinct().graftCheckpoint(),
         threshold = 0.5, dfCap = 100000, joinKeys = Seq("g"),
         spreadExplosion = true)
       val clusters = Dedup.dedupClusters(

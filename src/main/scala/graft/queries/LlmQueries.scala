@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.{Q, Tables}
+import graft.core.{GraftCheckpointOps, Q, Tables}
 import graft.operators.{CorpusOps, Dedup, Ivf, Pca, Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -613,7 +613,7 @@ object LlmQueries {
       val train = clean
         .where(CorpusOps.splitColumn(col("text")) === "train")
         .select(col("doc_id"), col("text"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
       CorpusOps.packShards(train, 2048L)
         .orderBy(col("doc_id"))
     }),

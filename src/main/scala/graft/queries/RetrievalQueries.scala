@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.{Q, Tables}
+import graft.core.{GraftCheckpointOps, Q, Tables}
 import graft.operators.{CorpusOps, RetrievalOps}
 import org.apache.spark.sql.functions._
 
@@ -120,7 +120,7 @@ object RetrievalQueries {
         .join(lex, Seq("doc_id"), "left")
         .na.fill(0.0, Seq("lex"))
         .join(dense, Seq("doc_id"))
-        .localCheckpoint()
+        .graftCheckpoint()
       CorpusOps.rrfFusion(signals,
           Seq("lex" -> col("lex"), "dense" -> col("dense")))
         .orderBy(col("doc_id"))
