@@ -25,6 +25,15 @@ import org.apache.spark.sql.Dataset
   * this). Cost: a reliable checkpoint writes the dataset out (one extra
   * materialization per call) — pay it when the job is long enough that
   * restarting from zero costs more, i.e. precisely the 100 TB runs.
+  *
+  * Superseded-checkpoint cleanup: sessions built through
+  * [[Sessions.build]] set `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true`, so each loop round's files are deleted once
+  * the previous round's Dataset is GC'd — the checkpoint dir holds
+  * O(live datasets), not O(iterations). Sessions built elsewhere should
+  * set that conf too (it is context-build-time only); without it
+  * reliable mode grows the dir by one dataset copy per checkpoint call
+  * until application exit.
   */
 object Checkpoints {
 
@@ -40,11 +49,13 @@ object Checkpoints {
     if (!reliable(ds)) ds.localCheckpoint(eager)
     else {
       val sc = ds.sparkSession.sparkContext
-      // idempotent one-time dir setup per context
+      // idempotent one-time dir setup per context; getOption keeps the
+      // tmp-dir fallback LAZY (an explicit dirKey must not create a
+      // stray temp directory)
       if (sc.getCheckpointDir.isEmpty) sc.synchronized {
         if (sc.getCheckpointDir.isEmpty)
           sc.setCheckpointDir(
-            ds.sparkSession.conf.get(dirKey,
+            ds.sparkSession.conf.getOption(dirKey).getOrElse(
               java.nio.file.Files.createTempDirectory("graft-ckpt")
                 .toString))
       }

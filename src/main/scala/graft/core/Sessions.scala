@@ -65,7 +65,12 @@ object Sessions {
       "spark.sql.adaptive.enabled" -> "true",
       // events.ts is TIMESTAMP(NANOS) parquet; read as BIGINT nanos
       // (converted to µs timestamps in Tables.events)
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // reliable-checkpoint hygiene (Checkpoints.reliableKey): clean a
+      // checkpoint's files once its RDD is GC'd, so iterative loops
+      // don't grow the checkpoint dir by one dataset copy per round
+      // (must be set at context build — ContextCleaner reads it once)
+      "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
     val fair =
       if (c.concurrentJobs > 1) Map("spark.scheduler.mode" -> "FAIR")
       else Map.empty[String, String]

@@ -220,9 +220,33 @@ case class TopKPerGroupExec(
         val nRowFields = childOutput.length
         val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
         val spills = new java.util.ArrayList[java.io.File]()
+        val openStreams = new java.util.ArrayList[java.io.Closeable]()
+        // completion-time cleanup owns BOTH handles and files: early
+        // downstream termination (LIMIT/take/exception) must not leak
+        // open fds or spill files. deleteOnExit is deliberately NOT
+        // used — its JVM-global registry never shrinks on long-lived
+        // executors.
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          openStreams.forEach { s =>
+            try s.close() catch { case _: Exception => () }
+          }
           spills.forEach(f => { f.delete(); () })
+        }
+        // spill scratch goes to Spark's provisioned local dirs (first
+        // spark.local.dir entry), not java.io.tmpdir — the degrade path
+        // is exactly where scratch volume matters
+        val spillDir = {
+          val env = org.apache.spark.SparkEnv.get
+          val root =
+            if (env != null)
+              env.conf.get("spark.local.dir",
+                System.getProperty("java.io.tmpdir"))
+                .split(',').head.trim
+            else System.getProperty("java.io.tmpdir")
+          val d = new java.io.File(root)
+          if (d.isDirectory) d else new java.io.File(
+            System.getProperty("java.io.tmpdir"))
         }
         def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
           val n = math.min(a.length, b.length)
@@ -240,8 +264,7 @@ case class TopKPerGroupExec(
         }
         def spillMap(): Unit = {
           if (groups.isEmpty) return
-          val f = java.io.File.createTempFile("graft-topk-", ".run")
-          f.deleteOnExit()
+          val f = java.io.File.createTempFile("graft-topk-", ".run", spillDir)
           val os = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
             new java.io.FileOutputStream(f), 1 << 16))
           try {
@@ -297,6 +320,7 @@ case class TopKPerGroupExec(
               private val in = new java.io.DataInputStream(
                 new java.io.BufferedInputStream(
                   new java.io.FileInputStream(file), 1 << 16))
+              openStreams.add(in) // completion listener closes stragglers
               var key: Array[Byte] = null
               var rows: Array[Array[Byte]] = null
               def advance(): Boolean = {
@@ -313,7 +337,8 @@ case class TopKPerGroupExec(
                   }
                   true
                 } catch {
-                  case _: java.io.EOFException => in.close(); key = null; false
+                  case _: java.io.EOFException =>
+                    in.close(); openStreams.remove(in); key = null; false
                 }
               }
             }

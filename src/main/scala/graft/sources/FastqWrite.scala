@@ -38,9 +38,13 @@ object FastqWrite {
   val FieldOrder = Seq("id", "seq1", "qual1", "seq2", "qual2")
 
   /** parts[0] of the grammar IS the sample: a `_` or `/` inside the
-    * sample name would shift the mate field the baseline reads. */
+    * sample name would shift the mate field the baseline reads, and a
+    * leading `.` or `_` would make the file invisible to the engine's
+    * own reader (listFiles skips hidden/metadata names) — silent data
+    * loss on round-trip, so all four are rejected loudly. */
   def grammarSafe(sample: String): Boolean =
-    sample.nonEmpty && !sample.contains('_') && !sample.contains('/')
+    sample.nonEmpty && !sample.contains('_') && !sample.contains('/') &&
+      sample.charAt(0) != '.'
 }
 
 class FastqWriteBuilder(path: String, info: LogicalWriteInfo,
@@ -120,11 +124,16 @@ case class FastqWriterFactory(stagingDir: String, fields: Array[String],
         w.write(qual); w.write('\n')
       }
 
+      private val consumed = (iSample +:
+        Array(iId, iSeq1, iQual1, iSeq2, iQual2)).toArray
+
       override def write(row: InternalRow): Unit = {
-        require(!row.isNullAt(iSample), "fastq write: null sample")
+        // null-check only the six consumed columns — extra columns ride
+        // through untouched (and unwritten), they must not fail the job
         var i = 0
-        while (i < fields.length) {
-          require(!row.isNullAt(i), s"fastq write: null ${fields(i)}")
+        while (i < consumed.length) {
+          require(!row.isNullAt(consumed(i)),
+            s"fastq write: null ${fields(consumed(i))}")
           i += 1
         }
         val ((w1, _), (w2, _)) = writersFor(row.getUTF8String(iSample).toString)

@@ -247,12 +247,22 @@ class FastqDataSource extends TableProvider with DataSourceRegister {
       override def capabilities(): util.Set[TableCapability] =
         util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-      override protected def buildScan(required: StructType): Scan = new Scan with Batch {
-        override def readSchema(): StructType = required
-        override def toBatch: Batch = this
-        override def planInputPartitions(): Array[InputPartition] = planPartitions()
-        override def createReaderFactory(): PartitionReaderFactory =
-          FastqReaderFactory(required.fieldNames, serializableConf())
+      override protected def buildScan(required: StructType): Scan = {
+        // the pair shape is WRITE-only: a read planned with it would
+        // MatchError record-by-record in the reader — fail at plan time
+        val bad = required.fieldNames
+          .filterNot(PrqFastqSource.fastqSchema.fieldNames.contains)
+        require(bad.isEmpty,
+          s"fastq reads use schema (${PrqFastqSource.fastqSchema.fieldNames
+            .mkString(",")}); the pair shape is write-only — " +
+          s"unreadable columns: ${bad.mkString(",")}")
+        new Scan with Batch {
+          override def readSchema(): StructType = required
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] = planPartitions()
+          override def createReaderFactory(): PartitionReaderFactory =
+            FastqReaderFactory(required.fieldNames, serializableConf())
+        }
       }
       override def newWriteBuilder(
           info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
