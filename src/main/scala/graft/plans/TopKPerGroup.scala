@@ -149,6 +149,20 @@ case class TopKPerGroupExec(
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupExec"
 
+  // UI/explain observability: the degrade path should be VISIBLE — a
+  // query quietly spilling every partition is the signal to raise the
+  // bound or disable the strategy, and without a metric that signal
+  // only exists in executor temp-dir churn
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    if (partial) Map(
+      "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "map-side group-map flushes"))
+    else Map(
+      "numSpills" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "final-phase spill runs"),
+      "spillBytes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createSizeMetric(sparkContext, "final-phase spill bytes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val orderSer = orderSpec
@@ -157,6 +171,9 @@ case class TopKPerGroupExec(
     val out = output
     val isPartial = partial
     val groupBound = maxGroups
+    val mFlushes = metrics.get("numFlushes")
+    val mSpills = metrics.get("numSpills")
+    val mSpillBytes = metrics.get("spillBytes")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partSer, childOutput)
       val ord = GenerateOrdering.generate(orderSer, childOutput)
@@ -195,6 +212,8 @@ case class TopKPerGroupExec(
           private def refill(): Unit = {
             while (iter.hasNext && groups.size() < groupBound)
               insert(iter.next())
+            // input remaining with a full map = a real bound-driven flush
+            if (iter.hasNext) mFlushes.foreach(_.add(1))
             if (!groups.isEmpty()) {
               drain = new java.util.ArrayList(groups.values()).iterator()
               groups.clear()
@@ -286,7 +305,9 @@ case class TopKPerGroupExec(
             }
           } finally os.close()
           groups.clear()
-          spills.add(f); ()
+          spills.add(f)
+          mSpills.foreach(_.add(1))
+          mSpillBytes.foreach(_.add(f.length()))
         }
         while (iter.hasNext) {
           insert(iter.next())

@@ -133,6 +133,26 @@ class TopKSpec extends SparkSpec {
       assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
       assert(q.collect().map(_.toSeq).toSeq ===
         topkQuery(spark, 3).collect().map(_.toSeq).toSeq)
+      // the degrade must be OBSERVABLE: the final phase's spill metrics
+      // surface in the executed plan (UI/explain), not just temp-dir churn
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // collect() stops at AQE query-stage leaves; recurse through them
+      def findFinals(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[TopKPerGroupExec] =
+        (p match {
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            findFinals(qs.plan)
+          case t: TopKPerGroupExec if !t.partial => Seq(t)
+          case _ => Seq.empty
+        }) ++ p.children.flatMap(findFinals)
+      val execs = findFinals(finalPlan)
+      assert(execs.nonEmpty, finalPlan.toString.take(2000))
+      assert(execs.head.metrics("numSpills").value > 0, "spills not counted")
+      assert(execs.head.metrics("spillBytes").value > 0, "spill bytes not counted")
     } finally s2.conf.unset(TopKPerGroupStrategy.maxGroupsKey)
   }
 
