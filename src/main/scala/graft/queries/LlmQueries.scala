@@ -516,8 +516,9 @@ object LlmQueries {
           Tables.documents(s, d).where(col("doc_id") < 500), maxDist = 3)
         .orderBy(col("d1"), col("d2"))),
 
-    // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only;
-    // vector-space dedup variant of minhashLsh). The fixture corpus has no
+    // embedding-cosine near-dup via hyperplane-LSH buckets (vector-space
+    // dedup variant of minhashLsh). Hash-exact vs the constant-hyperplane
+    // CTE oracle (embDupOracle). The fixture corpus has no
     // true near-dups (max pairwise cosine ≈0.6), which would make a 0-row
     // check vacuous — so the query plants exact copies of vec_id<5 under
     // shifted ids: identical vectors hash to the same bucket in EVERY
@@ -537,8 +538,9 @@ object LlmQueries {
     // pairwise cosine to Σ cluster², keep-first within duplicate pairs.
     // Same planted exact copies as q_llm_embdup so drops deterministically
     // occur (identical vectors share a cluster at cos 1.0); full roster
-    // (vec_id, cid, kept) output. Rows-only: centroids are engine-trained;
-    // DedupSpec pins drop-set parity with a local recompute.
+    // (vec_id, cid, kept) output. Hash-exact vs the planted-corpus Lloyd
+    // CTE oracle (semDedupOracle); DedupSpec additionally pins drop-set
+    // parity with a local recompute.
     "q_llm_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = emb.where(col("vec_id") < 5)
@@ -548,8 +550,10 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // approximate nearest neighbors via random-hyperplane LSH (rows-only;
-    // recall vs brute force asserted in SimilaritySpec)
+    // approximate nearest neighbors via random-hyperplane LSH. Hash-exact:
+    // the deterministic splitmix hyperplanes are emitted as a constant
+    // table in the generated oracle (annLshOracle); recall vs brute force
+    // additionally asserted in SimilaritySpec
     "q_llm_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
@@ -557,8 +561,9 @@ object LlmQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
-    // approximate nearest neighbors via IVF coarse quantization (rows-only;
-    // recall + exactness-at-full-probe asserted in SimilaritySpec). The
+    // approximate nearest neighbors via IVF coarse quantization. Hash-exact
+    // vs the unrolled Lloyd+probe CTE oracle (annIvfOracle); recall +
+    // exactness-at-full-probe additionally asserted in SimilaritySpec. The
     // second ANN family next to LSH: stored inverted lists partition the
     // corpus, queries probe nProbe/nCentroids of it.
     // (iters=1 here: each extra Lloyd step is a full driver-side job + a
@@ -577,7 +582,8 @@ object LlmQueries {
     // 16× compression vs raw floats), queries ADC-score the codes table
     // without decoding. Full-entropy synthetic vectors are PQ's worst
     // case, hence many narrow subspaces; real embeddings (low intrinsic
-    // dim) compress harder. Rows-only; PqSpec pins recall ≥ 0.5 vs brute
+    // dim) compress harder. Hash-exact vs the per-subspace-Lloyd CTE
+    // oracle (annPqOracle); PqSpec additionally pins recall ≥ 0.5 vs brute
     // force, local argmin-L2 encode parity, and quantization-error bounds.
     "q_llm_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -621,7 +627,8 @@ object LlmQueries {
     // IVF+PQ composition (the FAISS IVFPQ shape): coarse-assign + encode
     // in one pass, probe 8/16 lists per query, ADC-score the compressed
     // codes inside probed lists only. Equi-join on cid — no cross join.
-    // Rows-only; PqSpec pins recall + full-probe ≡ plain-ADC equivalence.
+    // Hash-exact vs the composed Lloyd+PQ CTE oracle (annIvfPqOracle);
+    // PqSpec additionally pins recall + full-probe ≡ plain-ADC parity.
     "q_llm_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Pq.ivfPqTopK(emb.where(col("vec_id") < 10), emb, k = 5, dim = 64,
@@ -635,8 +642,9 @@ object LlmQueries {
     // filter, so Catalyst prunes unprobed list directories at plan time
     // (PqSpec asserts the executed scan touches only probed partitions).
     // 32 lists / 4 probes per query: the scan reads ~⅛ of an index that is
-    // itself 16× smaller than the raw vectors. Rows-only; PqSpec pins
-    // stored ≡ in-memory parity on identical (cents, model).
+    // itself 16× smaller than the raw vectors. Hash-exact via the same
+    // composed CTE oracle as the in-memory variant (stored ≡ in-memory,
+    // which PqSpec additionally pins on identical (cents, model)).
     "q_llm_ann_ivfpq_disk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
@@ -926,23 +934,307 @@ object LlmQueries {
       FROM $prev p CROSS JOIN idx i
       LEFT JOIN $meanOut m ON m.cid = p.cid AND m.i = i.i)"""
 
-  private def kmeansOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** The shared Lloyd chain: e/idx/init/c0…c<iters> CTEs. Returns
+    * (cte text, final-centroid table name). Generic over centroid count
+    * and iteration count — kmeans (8, 2) and the IVF coarse quantizer
+    * (16, 1) both unroll through it. */
+  private def lloydCtes(nCentroids: Int, iters: Int,
+                        corpus: String = "SELECT vec_id, embedding FROM embeddings")
+      : (String, String) = {
+    val init =
+      s"""e AS ($corpus),
     idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
-    init8 AS (
+    init_rows AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding
-      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nCentroids)),
     init_raw AS (
-      SELECT cid, i.i, embedding[i.i] AS f FROM init8 CROSS JOIN idx i),
-    ${kmeansNormCte("init_raw", "c0")},
-    ${kmeansAssignCte("c0", "a1")},
-    ${kmeansUpdateCtes("a1", "c0", "m1", "k1")},
-    ${kmeansNormCte("k1", "c1")},
-    ${kmeansAssignCte("c1", "a2")},
-    ${kmeansUpdateCtes("a2", "c1", "m2", "k2")},
-    ${kmeansNormCte("k2", "c2")},
-    ${kmeansAssignCte("c2", "af")}
+      SELECT cid, i.i, embedding[i.i] AS f FROM init_rows CROSS JOIN idx i),
+    ${kmeansNormCte("init_raw", "c0")}"""
+    val steps = (1 to iters).map { s =>
+      s"""${kmeansAssignCte(s"c${s - 1}", s"a$s")},
+    ${kmeansUpdateCtes(s"a$s", s"c${s - 1}", s"m$s", s"k$s")},
+    ${kmeansNormCte(s"k$s", s"c$s")}"""
+    }.mkString(",\n    ")
+    (s"$init,\n    $steps", s"c$iters")
+  }
+
+  private def kmeansOracle: String = {
+    val (ctes, cf) = lloydCtes(8, 2)
+    s"""WITH $ctes,
+    ${kmeansAssignCte(cf, "af")}
     SELECT cid, COUNT(*) AS n_members FROM af GROUP BY cid ORDER BY cid"""
+  }
+
+  /** q_llm_ann_ivf unrolled: 1-iteration Lloyd (16 cells) → per-query
+    * 8-best probe cells (dot desc, cid-asc ties — the negated-id
+    * convention) → candidates from the probed inverted lists → cosine
+    * ROUNDed to 4dp (the same cross-engine quantizer q_llm_sim_topk's
+    * oracle uses) → top-5 per query on (cos DESC, vid ASC). */
+  private def annIvfOracle: String = {
+    val (ctes, cf) = lloydCtes(16, 1)
+    s"""WITH $ctes,
+    ${kmeansAssignCte(cf, "af")},
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(list_zip(q.embedding, c.cent),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+            c.cid ASC) AS pr
+        FROM e q, $cf c WHERE q.vec_id < 10) WHERE pr <= 8),
+    scored AS (
+      SELECT p.qid, a.vec_id AS vid,
+        ROUND(
+          list_sum(list_transform(list_zip(q.embedding, v.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4) AS cos
+      FROM probes p
+      JOIN af a USING (cid)
+      JOIN e q ON q.vec_id = p.qid
+      JOIN e v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.qid),
+    ranked AS (
+      SELECT qid, vid, cos, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+      FROM scored)
+    SELECT qid, CAST(rn AS INT) AS rn, vid, cos
+    FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
+  // ---- PQ oracle (per-subspace Lloyd over scalar sub-columns) ----
+  // q_llm_ann_pq unrolled: m=32 subspaces of dsub=2, so each subspace's
+  // components are two scalar columns (x1, x2) — the whole per-subspace
+  // k-means (ksub=16, 2 iterations), the argmax(x·c − ‖c‖²/2) encode
+  // with lowest-code ties (PqEncode's convention), and the ADC scoring
+  // all unroll without list machinery. Sub-centroid means pass through
+  // CAST(… AS FLOAT) exactly where Pq.train calls .toFloat (NO
+  // normalization — unlike the IVF coarse centroids), and the ADC sum
+  // rounds to 4dp before ranking — the same cross-engine quantizers the
+  // kmeans/sim_topk oracles rely on.
+
+  /** Encode a sub-vector table against codebook `b`: per (vec_id, j) the
+    * argmax_k of the adjusted dot, ties → lowest k. */
+  private def pqEncodeCte(books: String, out: String): String =
+    s"""$out AS (
+      SELECT vec_id, j, k AS code FROM (
+        SELECT s.vec_id, s.j, b.k,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+            (s.x1 * CAST(b.f1 AS DOUBLE) + s.x2 * CAST(b.f2 AS DOUBLE)
+             - (CAST(b.f1 AS DOUBLE) * CAST(b.f1 AS DOUBLE)
+              + CAST(b.f2 AS DOUBLE) * CAST(b.f2 AS DOUBLE)) / 2) DESC,
+            b.k ASC) AS rn
+        FROM sub s JOIN $books b ON b.j = s.j) WHERE rn = 1)"""
+
+  /** One Lloyd step over every subspace: per-(j, code) component means
+    * (double sum / count, rounded to float), empty cells keep the
+    * previous sub-centroid. */
+  private def pqUpdateCtes(enc: String, prev: String, meanOut: String,
+                           out: String): String =
+    s"""$meanOut AS (
+      SELECT en.j, en.code AS k,
+             CAST(SUM(s.x1) / COUNT(*) AS FLOAT) AS f1,
+             CAST(SUM(s.x2) / COUNT(*) AS FLOAT) AS f2
+      FROM $enc en JOIN sub s ON s.vec_id = en.vec_id AND s.j = en.j
+      GROUP BY en.j, en.code),
+    $out AS (
+      SELECT b.j, b.k, COALESCE(m.f1, b.f1) AS f1, COALESCE(m.f2, b.f2) AS f2
+      FROM $prev b LEFT JOIN $meanOut m ON m.j = b.j AND m.k = b.k)"""
+
+  /** The full PQ chain from an existing `e` CTE: subspace explode,
+    * deterministic init, `iters` Lloyd steps, final corpus encode
+    * (`encf` against `b<iters>`). */
+  private def pqCtes(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""${pqEncodeCte(s"b${t - 1}", s"enc$t")},
+    ${pqUpdateCtes(s"enc$t", s"b${t - 1}", s"mm$t", s"b$t")}"""
+    }.mkString(",\n    ")
+    s"""js AS (SELECT CAST(j AS INT) AS j FROM range(0, 32) t(j)),
+    sub AS (
+      SELECT vec_id, j,
+             CAST(embedding[2 * j + 1] AS DOUBLE) AS x1,
+             CAST(embedding[2 * j + 2] AS DOUBLE) AS x2
+      FROM e, js),
+    init16 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16),
+    b0 AS (
+      SELECT s.j,
+        CAST(row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1 AS INT) AS k,
+        CAST(s.x1 AS FLOAT) AS f1, CAST(s.x2 AS FLOAT) AS f2
+      FROM sub s JOIN init16 USING (vec_id)),
+    $steps,
+    ${pqEncodeCte(s"b$iters", "encf")}"""
+  }
+
+  private def annPqOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    ${pqCtes(2)}
+    SELECT qid, CAST(rn AS INT) AS rn, vid, adc FROM (
+      SELECT qid, vid, adc, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY adc DESC, vid ASC) AS rn
+      FROM (
+        SELECT sq.vec_id AS qid, en.vec_id AS vid,
+               ROUND(SUM(sq.x1 * CAST(b.f1 AS DOUBLE)
+                       + sq.x2 * CAST(b.f2 AS DOUBLE)), 4) AS adc
+        FROM sub sq
+        JOIN encf en ON en.vec_id <> sq.vec_id AND en.j = sq.j
+        JOIN b2 b ON b.j = en.j AND b.k = en.code
+        WHERE sq.vec_id < 10
+        GROUP BY sq.vec_id, en.vec_id))
+    WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** q_llm_ann_ivfpq (and its persisted twin) unrolled
+    * (residual=false): the coarse quantizer from [[lloydCtes]] composes
+    * with the PQ chain — candidates come from each query's probed
+    * inverted lists, scores are the PQ ADC (base 0) rounded to 4dp.
+    * The stored variant shares the oracle shape: PqSpec pins
+    * stored ≡ in-memory on identical models, so only the parameters
+    * (cells, Lloyd/PQ iterations, probes, query slice) differ. */
+  private def annIvfPqOracle(nCentroids: Int, lloydIters: Int,
+                             pqIters: Int, nProbe: Int,
+                             maxQid: Int): String = {
+    val (ctes, cf) = lloydCtes(nCentroids, lloydIters)
+    s"""WITH $ctes,
+    ${kmeansAssignCte(cf, "af")},
+    ${pqCtes(pqIters)},
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(list_zip(q.embedding, c.cent),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+            c.cid ASC) AS pr
+        FROM e q, $cf c WHERE q.vec_id < $maxQid) WHERE pr <= $nProbe),
+    scored AS (
+      SELECT p.qid, a.vec_id AS vid,
+             ROUND(SUM(sq.x1 * CAST(b.f1 AS DOUBLE)
+                     + sq.x2 * CAST(b.f2 AS DOUBLE)), 4) AS adc
+      FROM probes p
+      JOIN af a ON a.cid = p.cid AND a.vec_id <> p.qid
+      JOIN sub sq ON sq.vec_id = p.qid
+      JOIN encf en ON en.vec_id = a.vec_id AND en.j = sq.j
+      JOIN b$pqIters b ON b.j = en.j AND b.k = en.code
+      GROUP BY p.qid, a.vec_id)
+    SELECT qid, CAST(rn AS INT) AS rn, vid, adc FROM (
+      SELECT qid, vid, adc, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY adc DESC, vid ASC) AS rn
+      FROM scored)
+    WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
+  // ---- LSH oracle (hyperplane weights emitted as a constant table) ----
+  // q_llm_ann_lsh unrolled: the hyperplanes are DETERMINISTIC — weight j
+  // of global plane g is splitmix64(g·64+j)/Long.MaxValue as float
+  // (Similarity.hyperplaneSig) — so the generator computes all
+  // 32 planes × 64 dims here and emits them as a VALUES table; the
+  // engine-side dot/sign/bucket/cosine chain then unrolls like the other
+  // ANN oracles (signature = Σ_p sign-bit·2^p per table, candidates =
+  // same-bucket-any-table distinct pairs, cosine ROUND 4dp top-5).
+  // Float weights print via Scala's shortest-round-trip repr, which
+  // DuckDB re-parses to the identical float.
+  private def lshWeightsValues(nPlanes: Int, tables: Int): String =
+    (0 until nPlanes * tables).flatMap { g =>
+      (0 until 64).map { j =>
+        val w = (graft.functions.Sketches.mix64(g.toLong * 64 + j)
+          .toDouble / Long.MaxValue).toFloat
+        s"(${g / nPlanes},${g % nPlanes},$j,CAST($w AS FLOAT))"
+      }
+    }.mkString(",")
+
+  private def annLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    wts(tbl, p, j, wt) AS (VALUES ${lshWeightsValues(nPlanes = 4, tables = 8)}),
+    proj AS (
+      SELECT e.vec_id, w.tbl, w.p,
+             SUM(CAST(e.embedding[w.j + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS proj
+      FROM e, wts w
+      GROUP BY e.vec_id, w.tbl, w.p),
+    sig AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN proj >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM proj GROUP BY vec_id, tbl),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+      FROM sig q JOIN sig c ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT p.qid, p.vid,
+        ROUND(
+          list_sum(list_transform(list_zip(q.embedding, v.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4) AS cos
+      FROM pairs p
+      JOIN e q ON q.vec_id = p.qid
+      JOIN e v ON v.vec_id = p.vid)
+    SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+      SELECT qid, vid, cos, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+      FROM scored)
+    WHERE rn <= 5 ORDER BY qid, rn"""
+
+  // ---- embedding near-dup + SemDeDup oracles (planted corpus) ----
+  // Both catalog queries plant exact copies of vec_id<5 at vec_id+1e6;
+  // the oracles replay that union. embdup reuses the hyperplane table
+  // (nPlanes=8, tables=4 decomposition of the same 32 splitmix planes);
+  // semdedup reuses the Lloyd chain (8 cells, 2 iterations) over the
+  // planted corpus, then keep-first cosine drops within clusters.
+
+  private val plantedCorpus =
+    """SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < 5"""
+
+  private def embDupOracle: String =
+    s"""WITH e AS ($plantedCorpus),
+    wts(tbl, p, j, wt) AS (VALUES ${lshWeightsValues(nPlanes = 8, tables = 4)}),
+    proj AS (
+      SELECT e.vec_id, w.tbl, w.p,
+             SUM(CAST(e.embedding[w.j + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS proj
+      FROM e, wts w
+      GROUP BY e.vec_id, w.tbl, w.p),
+    sig AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN proj >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM proj GROUP BY vec_id, tbl),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM sig a JOIN sig b
+        ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT p.d1, p.d2,
+        ROUND(
+          list_sum(list_transform(list_zip(qa.embedding, qb.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qa.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4) AS cos
+      FROM pairs p
+      JOIN e qa ON qa.vec_id = p.d1
+      JOIN e qb ON qb.vec_id = p.d2)
+    SELECT d1, d2, cos FROM scored WHERE cos >= 0.9 ORDER BY d1, d2"""
+
+  private def semDedupOracle: String = {
+    val (ctes, cf) = lloydCtes(8, 2, plantedCorpus)
+    s"""WITH $ctes,
+    ${kmeansAssignCte(cf, "af")},
+    drops AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE ROUND(
+          list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4) >= 0.95)
+    SELECT af.vec_id, af.cid,
+           (af.vec_id NOT IN (SELECT vid FROM drops)) AS kept
+    FROM af ORDER BY af.vec_id"""
+  }
 
   // ---- classifier-training oracle (4 unrolled GD steps) ----
   // Replicates CorpusOps.trainHashedClassifier(label = lang='en',
@@ -1724,6 +2016,15 @@ object LlmQueries {
                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          FROM aug ORDER BY doc_id""",
     "q_llm_kmeans" -> kmeansOracle,
+    "q_llm_ann_ivf" -> annIvfOracle,
+    "q_llm_ann_lsh" -> annLshOracle,
+    "q_llm_embdup" -> embDupOracle,
+    "q_llm_semdedup" -> semDedupOracle,
+    "q_llm_ann_pq" -> annPqOracle,
+    "q_llm_ann_ivfpq" -> annIvfPqOracle(
+      nCentroids = 16, lloydIters = 2, pqIters = 2, nProbe = 8, maxQid = 10),
+    "q_llm_ann_ivfpq_disk" -> annIvfPqOracle(
+      nCentroids = 32, lloydIters = 1, pqIters = 1, nProbe = 4, maxQid = 5),
     "q_llm_clf_train" -> clfTrainOracle(4),
     "q_llm_sim_topk" ->
       """WITH scored AS (
