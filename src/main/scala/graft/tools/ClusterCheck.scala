@@ -98,7 +98,8 @@ object ClusterCheck {
     "q_join_shuffle", "q_sql_h08",
     "q_agg_tdigest", "q_agg_theta_rollup",
     "q_graph_pagerank", "q_graph_wcc", "q_llm_dedup_clusters",
-    "q_stream_tumbling")
+    "q_win_topk_native",
+    "q_stream_tumbling", "q_stream_cep")
 
   /** Tracks live executor count via the listener bus (to wait for the
     * initial fleet and observe the post-kill relaunch). */

@@ -244,6 +244,30 @@ class GenomicsSpec extends SparkSpec {
       bad.write.format("fastq").mode("append")
         .save(Files.createTempDirectory("graft_fastq_bad").toString)
     }
+    // a leading-dot sample would write files the reader's hidden-file
+    // convention silently skips — loud failure, not silent round-trip loss
+    val hidden = df.withColumn("sample", lit(".ctrl"))
+    intercept[Exception] {
+      hidden.write.format("fastq").mode("append")
+        .save(Files.createTempDirectory("graft_fastq_dot").toString)
+    }
+    // extra columns ride through (null-checks cover only consumed ones)
+    val extra = df.withColumn("notes",
+      org.apache.spark.sql.functions.lit(null).cast("string"))
+    val out2 = Files.createTempDirectory("graft_fastq_extra").toString
+    extra.write.format("fastq").mode("append").save(out2)
+    assert(s.read.format("fastq").load(out2).count() === 2 * df.count())
+    // READS with the write-only pair schema fail at PLAN time with a
+    // clear message, not a per-record MatchError on executors
+    val e = intercept[Exception] {
+      s.read.format("fastq")
+        .schema("sample string, id string, seq1 string, qual1 string, " +
+          "seq2 string, qual2 string")
+        .load(out).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("write-only")), e.toString)
   }
 
   test("prq V2 keeps trailing empty fields and rejects missing paths loudly") {
