@@ -98,7 +98,7 @@ object ClusterCheck {
     "q_join_shuffle", "q_sql_h08",
     "q_agg_tdigest", "q_agg_theta_rollup",
     "q_graph_pagerank", "q_graph_wcc", "q_llm_dedup_clusters",
-    "q_win_topk_native",
+    "q_win_topk_native", "q_genomics_e2e",
     "q_stream_tumbling", "q_stream_cep")
 
   /** Tracks live executor count via the listener bus (to wait for the
