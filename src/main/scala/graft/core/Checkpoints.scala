@@ -16,9 +16,14 @@ import org.apache.spark.sql.Dataset
   *
   * Reliable mode (`spark.graft.checkpoint.reliable=true`): swaps in
   * `Dataset.checkpoint` to the filesystem at
-  * `spark.graft.checkpoint.dir` (or the driver's tmp dir when unset —
-  * fine for local[-cluster] runs; point it at HDFS/S3 for a real
-  * deployment). Executor loss then degrades to RECOMPUTE-from-checkpoint
+  * `spark.graft.checkpoint.dir`. When the dir is unset, a driver tmp-dir
+  * fallback is allowed ONLY on `local`/`local-cluster` masters (single
+  * machine — every executor can read the driver's filesystem). On any
+  * other master the fallback would scatter "reliable" checkpoint
+  * partitions across node-LOCAL disks that stage retries on other nodes
+  * cannot read — recovery would degrade to confusing FileNotFound
+  * failures — so [[checkpoint]] fails fast with the knob to set instead.
+  * Executor loss then degrades to RECOMPUTE-from-checkpoint
   * instead of job failure: stage retry re-reads the checkpoint files,
   * the loop continues, the answer is unchanged (the chaos gate in
   * tools.ClusterCheck kills an executor mid-loop and asserts exactly
@@ -43,6 +48,31 @@ object Checkpoints {
   def reliable(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.get(reliableKey, "false").toBoolean
 
+  /** Masters where every executor shares the driver's filesystem, so a
+    * driver-local tmp checkpoint dir is actually readable cluster-wide. */
+  private[graft] def singleMachineMaster(master: String): Boolean =
+    master.startsWith("local")
+
+  /** Resolve the reliable-checkpoint directory: the explicit `dirKey`
+    * value if set; otherwise a driver tmp dir on single-machine masters;
+    * otherwise FAIL FAST — on a real cluster a driver-local fallback
+    * scatters checkpoint partitions across node disks that other nodes'
+    * stage retries cannot read. Pure (side effect only in the tmp-dir
+    * thunk) so the guard is unit-testable without a non-local context. */
+  private[graft] def resolveReliableDir(
+      master: String, explicit: Option[String]): String =
+    explicit.getOrElse {
+      if (!singleMachineMaster(master))
+        throw new IllegalArgumentException(
+          s"$reliableKey=true on master '$master' requires an " +
+            s"executor-shared checkpoint directory: set $dirKey (or " +
+            "SparkContext.setCheckpointDir) to an HDFS/S3/NFS path. " +
+            "A driver-local temp dir would leave checkpoint partitions " +
+            "on individual node disks that stage retries on other nodes " +
+            "cannot read.")
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    }
+
   /** `localCheckpoint(eager)` by default; reliable checkpoint under the
     * conf knob. Drop-in at every loop's truncation point. */
   def checkpoint[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] =
@@ -54,10 +84,8 @@ object Checkpoints {
       // stray temp directory)
       if (sc.getCheckpointDir.isEmpty) sc.synchronized {
         if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(
-            ds.sparkSession.conf.getOption(dirKey).getOrElse(
-              java.nio.file.Files.createTempDirectory("graft-ckpt")
-                .toString))
+          sc.setCheckpointDir(resolveReliableDir(
+            sc.master, ds.sparkSession.conf.getOption(dirKey)))
       }
       ds.checkpoint(eager)
     }

@@ -252,21 +252,14 @@ case class TopKPerGroupExec(
           }
           spills.forEach(f => { f.delete(); () })
         }
-        // spill scratch goes to Spark's provisioned local dirs (first
-        // spark.local.dir entry), not java.io.tmpdir — the degrade path
-        // is exactly where scratch volume matters
-        val spillDir = {
-          val env = org.apache.spark.SparkEnv.get
-          val root =
-            if (env != null)
-              env.conf.get("spark.local.dir",
-                System.getProperty("java.io.tmpdir"))
-                .split(',').head.trim
-            else System.getProperty("java.io.tmpdir")
-          val d = new java.io.File(root)
-          if (d.isDirectory) d else new java.io.File(
-            System.getProperty("java.io.tmpdir"))
-        }
+        // spill scratch goes to Spark's provisioned local dirs, resolved
+        // in the same precedence order Spark's own Utils.getLocalDir
+        // uses: under YARN/K8s/standalone the cluster manager exports
+        // LOCAL_DIRS / SPARK_LOCAL_DIRS / SPARK_EXECUTOR_DIRS and Spark
+        // IGNORES spark.local.dir, so reading only the conf would land
+        // spills on java.io.tmpdir (often a small root volume) exactly
+        // in the degrade path where scratch volume matters
+        val spillDir = TopKPerGroupExec.resolveSpillDir()
         def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
           val n = math.min(a.length, b.length)
           var i = 0
@@ -337,31 +330,11 @@ case class TopKPerGroupExec(
             // one sequential reader per run; runs are key-sorted, so a
             // heap of run heads yields groups in global key order and
             // byte-equal heads ARE the same group across runs
-            final class Run(file: java.io.File) {
-              private val in = new java.io.DataInputStream(
-                new java.io.BufferedInputStream(
-                  new java.io.FileInputStream(file), 1 << 16))
-              openStreams.add(in) // completion listener closes stragglers
-              var key: Array[Byte] = null
-              var rows: Array[Array[Byte]] = null
-              def advance(): Boolean = {
-                try {
-                  val kl = in.readInt()
-                  key = new Array[Byte](kl); in.readFully(key)
-                  val n = in.readInt()
-                  rows = new Array[Array[Byte]](n)
-                  var i = 0
-                  while (i < n) {
-                    val rl = in.readInt()
-                    rows(i) = new Array[Byte](rl); in.readFully(rows(i))
-                    i += 1
-                  }
-                  true
-                } catch {
-                  case _: java.io.EOFException =>
-                    in.close(); openStreams.remove(in); key = null; false
-                }
-              }
+            type Run = TopKPerGroupExec.SpillRun
+            def newRun(f: java.io.File): Run = {
+              val r = new TopKPerGroupExec.SpillRun(f)
+              openStreams.add(r) // completion listener closes stragglers
+              r
             }
             val pq = new java.util.PriorityQueue[Run](
               math.max(1, spills.size()),
@@ -369,7 +342,7 @@ case class TopKPerGroupExec(
                 override def compare(a: Run, b: Run): Int = cmpBytes(a.key, b.key)
               })
             spills.forEach { f =>
-              val r = new Run(f)
+              val r = newRun(f)
               if (r.advance()) { pq.add(r); () }
             }
             new Iterator[Array[InternalRow]] {
@@ -423,6 +396,78 @@ case class TopKPerGroupExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+
+  /** Spill scratch directory, mirroring Spark's `Utils.getLocalDir`
+    * precedence: cluster-manager env (`LOCAL_DIRS` on YARN,
+    * `SPARK_EXECUTOR_DIRS` / `SPARK_LOCAL_DIRS` on standalone/K8s)
+    * overrides `spark.local.dir`, which overrides `java.io.tmpdir`.
+    * (Utils itself is private[spark], so the order is replicated here;
+    * the env hook is injectable for the spec.) */
+  private[plans] def resolveSpillDir(
+      getenv: String => String = System.getenv): java.io.File = {
+    val fromEnv = Seq("LOCAL_DIRS", "SPARK_EXECUTOR_DIRS", "SPARK_LOCAL_DIRS")
+      .iterator.map(getenv).find(v => v != null && v.nonEmpty)
+    val fromConf = Option(org.apache.spark.SparkEnv.get)
+      .flatMap(env => Option(env.conf.get("spark.local.dir", null)))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val candidates =
+      (fromEnv.toSeq ++ fromConf.toSeq :+ tmp)
+        .iterator
+        .flatMap(_.split(',').iterator.map(_.trim).filter(_.nonEmpty))
+        .map(new java.io.File(_))
+    candidates.find(_.isDirectory)
+      .getOrElse(new java.io.File(tmp))
+  }
+
+  /** Sequential reader over one key-sorted spill run.
+    *
+    * EOF contract: end-of-file is CLEAN only at a record boundary (the
+    * very first length read of a group record). Once a record has
+    * started, EOF means the run file is truncated or corrupt (disk
+    * full, scratch eviction) — swallowing it would silently drop every
+    * remaining group in the run and emit an incomplete but
+    * plausible-looking result, so [[advance]] throws instead. */
+  private[plans] final class SpillRun(file: java.io.File)
+      extends java.io.Closeable {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file), 1 << 16))
+    var key: Array[Byte] = null
+    var rows: Array[Array[Byte]] = null
+    override def close(): Unit = in.close()
+    def advance(): Boolean = {
+      val kl =
+        try in.readInt()
+        catch {
+          case _: java.io.EOFException =>
+            in.close(); key = null
+            return false
+        }
+      try {
+        key = new Array[Byte](kl); in.readFully(key)
+        val n = in.readInt()
+        if (n < 0) throw new java.io.IOException(
+          s"corrupt top-k spill run $file: negative group size $n")
+        rows = new Array[Array[Byte]](n)
+        var i = 0
+        while (i < n) {
+          val rl = in.readInt()
+          rows(i) = new Array[Byte](rl); in.readFully(rows(i))
+          i += 1
+        }
+        true
+      } catch {
+        case e: java.io.EOFException =>
+          throw new java.io.IOException(
+            s"truncated top-k spill run $file: EOF inside a record " +
+              "(disk full or scratch-file corruption); failing rather " +
+              "than emitting a partial result", e)
+      }
+    }
+  }
 }
 
 /** Idempotent per-session installer (the `experimental.extraStrategies`

@@ -45,6 +45,30 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("reliable mode fails fast on a non-local master with no explicit dir") {
+    // the guard itself is the pure resolver — a driver tmp fallback is
+    // only legal when executors share the driver's filesystem
+    val err = intercept[IllegalArgumentException] {
+      Checkpoints.resolveReliableDir("yarn", None)
+    }
+    assert(err.getMessage.contains(Checkpoints.dirKey))
+    intercept[IllegalArgumentException] {
+      Checkpoints.resolveReliableDir("spark://host:7077", None)
+    }
+    intercept[IllegalArgumentException] {
+      Checkpoints.resolveReliableDir("k8s://https://host:443", None)
+    }
+    // explicit dir always wins, any master
+    assert(Checkpoints.resolveReliableDir("yarn", Some("/shared/ckpt"))
+      === "/shared/ckpt")
+    // single-machine masters may fall back to a driver tmp dir
+    assert(Checkpoints.singleMachineMaster("local[32]"))
+    assert(Checkpoints.singleMachineMaster("local-cluster[2,4,3072]"))
+    assert(!Checkpoints.singleMachineMaster("yarn"))
+    val tmp = Checkpoints.resolveReliableDir("local[2]", None)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tmp)))
+  }
+
   test("checkpoint truncates lineage in both modes") {
     val s = spark.newSession()
     val base = s.range(0, 10).toDF("id").where(col("id") > 2)

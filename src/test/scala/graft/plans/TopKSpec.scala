@@ -156,6 +156,60 @@ class TopKSpec extends SparkSpec {
     } finally s2.conf.unset(TopKPerGroupStrategy.maxGroupsKey)
   }
 
+  test("spill dir resolution mirrors Spark's precedence: cluster-manager env over conf") {
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_ld_a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_ld_b").toString
+    // YARN-style LOCAL_DIRS wins over everything
+    assert(TopKPerGroupExec.resolveSpillDir(
+      Map("LOCAL_DIRS" -> s"$tmpA,$tmpB").getOrElse(_, null)).getPath === tmpA)
+    // standalone/K8s SPARK_LOCAL_DIRS next
+    assert(TopKPerGroupExec.resolveSpillDir(
+      Map("SPARK_LOCAL_DIRS" -> tmpB).getOrElse(_, null)).getPath === tmpB)
+    // no env → falls through to conf (unset in tests) / java.io.tmpdir,
+    // but never a non-directory: a bogus env entry is skipped
+    val resolved = TopKPerGroupExec.resolveSpillDir(
+      Map("LOCAL_DIRS" -> "/nonexistent/scratch").getOrElse(_, null))
+    assert(resolved.isDirectory)
+  }
+
+  test("truncated spill run fails loudly instead of dropping groups") {
+    def writeRun(groups: Seq[(Array[Byte], Seq[Array[Byte]])],
+                 truncateBytes: Int = 0): java.io.File = {
+      val f = java.io.File.createTempFile("graft-topk-spec-", ".run")
+      f.deleteOnExit()
+      val bos = new java.io.ByteArrayOutputStream()
+      val os = new java.io.DataOutputStream(bos)
+      groups.foreach { case (key, rows) =>
+        os.writeInt(key.length); os.write(key)
+        os.writeInt(rows.length)
+        rows.foreach { r => os.writeInt(r.length); os.write(r) }
+      }
+      os.close()
+      val bytes = bos.toByteArray
+      val out = new java.io.FileOutputStream(f)
+      out.write(bytes, 0, bytes.length - truncateBytes)
+      out.close()
+      f
+    }
+    val g1 = (Array[Byte](1, 2, 3, 4), Seq(new Array[Byte](8), new Array[Byte](8)))
+    val g2 = (Array[Byte](9, 9), Seq(new Array[Byte](4)))
+    // clean file: reads both groups then returns false (clean EOF)
+    val clean = new TopKPerGroupExec.SpillRun(writeRun(Seq(g1, g2)))
+    assert(clean.advance()); assert(clean.key.toSeq === g1._1.toSeq)
+    assert(clean.rows.length === 2)
+    assert(clean.advance()); assert(clean.key.toSeq === g2._1.toSeq)
+    assert(!clean.advance(), "EOF at a record boundary is a clean end")
+    // truncated mid-record: drop all of g2 (18 bytes) plus 5 bytes off
+    // g1's second row — advance() gets past the first readInt, then hits
+    // EOF inside the record and must THROW, not end cleanly (a swallowed
+    // EOF here silently drops half of g1's rows and all of g2)
+    val truncated = new TopKPerGroupExec.SpillRun(
+      writeRun(Seq(g1, g2), truncateBytes = 18 + 5))
+    val err = intercept[java.io.IOException] { truncated.advance() }
+    assert(err.getMessage.contains("truncated"), err.getMessage)
+    truncated.close()
+  }
+
   test("every group emits exactly min(k, group size) rows, ranks 1..") {
     val s2 = session()
     val rows = topkQuery(s2, 3).collect()
