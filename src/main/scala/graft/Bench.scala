@@ -85,6 +85,32 @@ object Bench {
         Thread.sleep(100)
       wq.stop()
     } catch { case _: Throwable => () }
+    // Cross-round calibration anchor — code FROZEN from round 11 on (any
+    // change invalidates cross-round normalization). A fixed synthetic
+    // CPU+shuffle workload on generated data, measured after warm-up and
+    // before the catalog, reported as calib_s in both JSON lines. Totals
+    // are then comparable across boxes/rounds via total/calib_s: a code
+    // regression moves the ratio, box drift moves numerator and anchor
+    // together (round-10 adjudication: +10% total was pure box drift,
+    // provable then only by rebuilding the prior round's HEAD — this
+    // anchor makes that a division). Best-of-2 defends the anchor itself
+    // against a one-off GC/compile pause.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        System.gc(); Thread.sleep(150)
+        val t0 = System.nanoTime()
+        val df = spark.range(0L, 500000000L, 1L, 32).toDF("id")
+          .withColumn("k", pmod(hash(col("id")), lit(100000)))
+          .withColumn("v", pmod(col("id") * lit(2654435761L), lit(1000003L)))
+        df.groupBy(col("k"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+          .orderBy(col("s").desc, col("k")).limit(1000).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val calibS = calibrate()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to the named queries —
     // the isolated fresh-JVM mode used to adjudicate per-query regressions
     // without full-catalog adjacency noise. SPARK_GRAFT_REPEAT=n (default 1)
@@ -192,7 +218,7 @@ object Bench {
       s"\"" + n + "\":[" + (if (t == Double.MaxValue) "null" else fmt(t)) + "," + fmt(ext, 3) + "]"
     }.mkString("{", ",", "}")
     val contended = contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"first_pass":$firsts,"load":$loads,"rerun":$reruns,"contended":$contended,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_s":${fmt(calibS)},"queries":$qs,"first_pass":$firsts,"load":$loads,"rerun":$reruns,"contended":$contended,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full line where it survives any stdout truncation: /tmp
     // for this session's adjudications, and the repo cwd so the round
     // commit carries every per-query number into history
@@ -219,7 +245,7 @@ object Bench {
       .mkString("{", ",", "}")
     // contended as a COUNT here (the name list is unbounded under a fully
     // loaded box and would blow the tail window; names are in BENCH_FULL)
-    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfShort","n_queries":${results.size},"errors":$errs,"contended":${contendedNames.size},"queries_full":"BENCH_FULL.json","fam_cs":$famCs}"""
+    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_s":${fmt(calibS, 2)},"sf":"$sfShort","n_queries":${results.size},"errors":$errs,"contended":${contendedNames.size},"queries_full":"BENCH_FULL.json","fam_cs":$famCs}"""
     spark.stop()
     println(summary)
     if (results.exists(!_._3)) sys.exit(1)
