@@ -31,7 +31,8 @@ object SparkEntry {
     StreamingQueries.queries ++
     GenomicsQueries.queries ++
     SqlSuiteQueries.queries ++
-    GeoQueries.queries
+    GeoQueries.queries ++
+    MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
