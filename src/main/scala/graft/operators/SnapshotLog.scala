@@ -29,6 +29,20 @@ import scala.jdk.CollectionConverters._
   * pattern). At 100 TB: commits move only NEW data, deletes move only
   * keys, and the log keeps every reader one JSON read away from a
   * consistent file set.
+  *
+  * Multi-writer safety (round 11 — the Delta/Iceberg single-table
+  * multi-writer contract): data/sidecar dirs are named by a commit UUID
+  * (never by version, so two in-flight writers can't clobber payloads),
+  * and the version claim is an atomic PUBLISH-IF-ABSENT of
+  * `_log/<N>.json` — write a temp file, then `Files.createLink` it to
+  * the target (link(2) fails with EEXIST atomically; filesystems
+  * without hard links fall back to a documented check-then-atomic-move).
+  * On collision the loser re-reads the new latest snapshot, REBASES its
+  * listing (append/delete compose with whatever won), and retries; after
+  * `maxCommitRetries` losses it throws `ConcurrentModificationException`
+  * loudly rather than spinning. A torn writer (died after data write,
+  * before publish) leaves an unreferenced data dir — never a corrupt
+  * log entry, because entries appear only via the atomic link.
   */
 object SnapshotLog {
   def open(spark: SparkSession, root: String, keyCol: String): SnapshotTable =
@@ -57,44 +71,94 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     (arr("data"), arr("deletes"))
   }
 
-  private def writeEntry(v: Int, data: Seq[String], deletes: Seq[String]): Unit = {
+  /** Atomically publish `_log/<v>.json` if and only if no writer claimed
+    * `v` first. The temp file is hard-linked to the target — link(2)
+    * fails with EEXIST atomically, so exactly one concurrent publisher
+    * of a version wins. Filesystems without hard-link support fall back
+    * to exists-check + ATOMIC_MOVE (a small check-to-move window — the
+    * documented weaker mode; every POSIX/HDFS-local deployment takes the
+    * link path). Returns false on collision. */
+  private[operators] def publishEntry(
+      v: Int, data: Seq[String], deletes: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    Files.writeString(entryPath(v),
+    val tmp = logDir.resolve(
+      s".commit-${java.util.UUID.randomUUID().toString}.tmp")
+    Files.writeString(tmp,
       s"""{"version":$v,"data":${arr(data)},"deletes":${arr(deletes)}}""")
+    try {
+      try { Files.createLink(entryPath(v), tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          if (Files.exists(entryPath(v))) false
+          else {
+            Files.move(tmp, entryPath(v),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          }
+      }
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
-  private def newDataDir(v: Int) = s"$root/data/v$v"
-  private def newDeleteDir(v: Int) = s"$root/deletes/v$v"
+  /** Losing more than this many version races in one commit call throws —
+    * a pathological writer storm should surface, not spin. */
+  val maxCommitRetries = 20
 
-  /** Append `df` as a new snapshot; returns the new version. */
+  /** Optimistic-concurrency commit loop: compose the entry against the
+    * CURRENT latest version, publish-if-absent, rebase and retry on
+    * collision. `compose` sees the version it is trying to claim. */
+  private def commitWithRetry(compose: Int => (Seq[String], Seq[String])): Int = {
+    var attempt = 0
+    while (attempt <= maxCommitRetries) {
+      val v = currentVersion() + 1
+      val (data, deletes) = compose(v)
+      if (publishEntry(v, data, deletes)) return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost $maxCommitRetries version races committing to $root — " +
+        "a concurrent writer storm is claiming every version; retry or " +
+        "serialize the writers")
+  }
+
+  private def newDataDir() =
+    s"$root/data/c-${java.util.UUID.randomUUID().toString}"
+  private def newDeleteDir() =
+    s"$root/deletes/c-${java.util.UUID.randomUUID().toString}"
+
+  /** Append `df` as a new snapshot; returns the committed version. Safe
+    * under concurrent writers: the data dir is commit-unique, the version
+    * claim is atomic, and on collision the listing REBASES onto the
+    * winner's snapshot (append commutes with any committed change). */
   def commitAppend(df: DataFrame): Int = {
-    val v = currentVersion() + 1
-    val (data, deletes) = if (v == 1) (Nil, Nil) else readEntry(v - 1)
-    df.write.mode("errorifexists").parquet(newDataDir(v))
-    writeEntry(v, data :+ newDataDir(v), deletes)
-    v
+    val dir = newDataDir()
+    df.write.mode("errorifexists").parquet(dir)
+    commitWithRetry { v =>
+      val (data, deletes) = if (v == 1) (Nil, Nil) else readEntry(v - 1)
+      (data :+ dir, deletes)
+    }
   }
 
   /** Replace the table's contents with `df` (drops prior delete sidecars
     * too — they referred to replaced data). */
   def commitOverwrite(df: DataFrame): Int = {
-    val v = currentVersion() + 1
-    df.write.mode("errorifexists").parquet(newDataDir(v))
-    writeEntry(v, Seq(newDataDir(v)), Nil)
-    v
+    val dir = newDataDir()
+    df.write.mode("errorifexists").parquet(dir)
+    commitWithRetry(_ => (Seq(dir), Nil))
   }
 
   /** Merge-on-read delete: write `keys` (one column, matching `keyCol`)
     * as a sidecar; data files stay untouched. */
   def commitDelete(keys: DataFrame): Int = {
-    val v = currentVersion() + 1
-    require(v > 1, "delete on an empty table")
-    val (data, deletes) = readEntry(v - 1)
+    val dir = newDeleteDir()
     keys.select(col(keys.columns.head).as(keyCol))
-      .write.mode("errorifexists").parquet(newDeleteDir(v))
-    writeEntry(v, data, deletes :+ newDeleteDir(v))
-    v
+      .write.mode("errorifexists").parquet(dir)
+    commitWithRetry { v =>
+      require(v > 1, "delete on an empty table")
+      val (data, deletes) = readEntry(v - 1)
+      (data, deletes :+ dir)
+    }
   }
 
   /** Read the table at `version` (default: latest). One log-entry read

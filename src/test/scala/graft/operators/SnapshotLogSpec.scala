@@ -49,4 +49,65 @@ class SnapshotLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SnapshotLog.open(spark, root + "_empty", "id").read())
   }
+
+  test("optimistic concurrency: interleaved committers lose no update") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_occ").toString
+    // two independent handles, as two drivers would hold
+    val t1 = SnapshotLog.open(spark, root, "id")
+    val t2 = SnapshotLog.open(spark, root, "id")
+    t1.commitAppend(Seq((0L, "seed")).toDF("id", "v"))
+    // interleave: each writer appends 6 commits from its own thread; the
+    // version claims race on the shared _log directory
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(t: SnapshotTable, tag: String): Thread = {
+      val th = new Thread(() =>
+        try (1 to 6).foreach { i =>
+          t.commitAppend(Seq((tag.hashCode.toLong * 100 + i, s"$tag$i"))
+            .toDF("id", "v"))
+        } catch { case e: Throwable => errs.add(e); () })
+      th.start(); th
+    }
+    val ths = Seq(writer(t1, "w1"), writer(t2, "w2"))
+    ths.foreach(_.join(120000))
+    assert(errs.isEmpty, Option(errs.peek()).map(_.toString).getOrElse(""))
+    // no lost update: all 13 commits claimed distinct versions, and the
+    // final snapshot carries every appended row
+    assert(t1.currentVersion() === 13)
+    val rows = t1.read().as[(Long, String)].collect().map(_._2).toSet
+    val expected = Set("seed") ++
+      (1 to 6).flatMap(i => Seq(s"w1$i", s"w2$i")).toSet
+    assert(rows === expected)
+    // every intermediate version is a readable, monotone snapshot
+    val counts = (1 to 13).map(v => t1.read(v).count())
+    assert(counts === counts.sorted)
+    assert(counts.last === 13L)
+  }
+
+  test("publish-if-absent: exactly one claimant of a version wins") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_occ2").toString
+    val t1 = SnapshotLog.open(spark, root, "id")
+    val t2 = SnapshotLog.open(spark, root, "id")
+    // the CAS primitive itself: second publish of the same version fails
+    assert(t1.publishEntry(1, Seq(s"$root/data/c-a"), Nil))
+    assert(!t2.publishEntry(1, Seq(s"$root/data/c-b"), Nil),
+      "a second claim of v1 must lose")
+    assert(!t1.publishEntry(1, Seq(s"$root/data/c-c"), Nil),
+      "even the original winner cannot re-claim")
+    // the loser's commit path rebases: a full commit now lands at v2 with
+    // the winner's listing preserved
+    val rows = Seq((7L, "ours")).toDF("id", "v")
+    val v = t2.commitAppend(rows)
+    assert(v === 2)
+    // many-way race on one version: 8 threads, exactly one winner
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ths = (1 to 8).map { i =>
+      val th = new Thread(() => {
+        if (t1.publishEntry(3, Seq(s"$root/data/c-$i"), Nil))
+          { wins.incrementAndGet(); () }
+      })
+      th.start(); th
+    }
+    ths.foreach(_.join(30000))
+    assert(wins.get() === 1)
+  }
 }
