@@ -208,6 +208,23 @@ object StreamingQueries {
           .toDF()
       }.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id"))),
+
+    // quantified streaming CEP (round 11): bounded repetition + optional
+    // steps — view click{2,3} signup? purchase — under the same lazy
+    // skip-till-next-match contract, so the oracle is ONE lazy regexp
+    // over the per-user symbol string on both engines
+    "q_stream_cep2" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        import s.implicits._
+        graft.streaming.EventStreams.detectPatternQ(
+            ev.as[graft.streaming.Event],
+            graft.streaming.EventStreams.parsePattern(
+              "view click{2,3} signup? purchase"),
+            withinSec = 60L * 86400)
+          .toDF()
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
         .orderBy(col("user_id")))
   )
 
@@ -291,6 +308,27 @@ object StreamingQueries {
           m AS (
             SELECT user_id,
                    CAST(len(regexp_extract_all(s, 'v.*?c.*?p')) AS BIGINT)
+                     AS n_matches
+            FROM s)
+          SELECT user_id, n_matches FROM m
+          WHERE n_matches > 0 ORDER BY user_id""",
+    // quantified twin: lazy bounded repetition {2,3}? and lazy optional
+    // (?:.*?s)?? mirror the NFA's min-count extents exactly (extra reps
+    // and optional consumption never move the completing event)
+    "q_stream_cep2" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1),
+          m AS (
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s,
+                     'v(?:.*?c){2,3}?(?:.*?s)??.*?p')) AS BIGINT)
                      AS n_matches
             FROM s)
           SELECT user_id, n_matches FROM m

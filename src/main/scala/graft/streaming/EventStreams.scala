@@ -30,7 +30,14 @@ private case class JobState(firstTs: Long, nPolls: Int)
 case class PatternMatch(user_id: Long, start: Timestamp, end: Timestamp,
                         n_steps: Int)
 
-private case class PatternState(start: Long, idx: Int)
+/** One step of the quantified CEP pattern language: an event type with a
+  * bounded repetition count — `view` = (1,1), `signup?` = (0,1),
+  * `click{2,3}` = (2,3). */
+case class QStep(sym: String, minRep: Int, maxRep: Int) {
+  require(minRep >= 0 && maxRep >= math.max(1, minRep), s"bad bounds: $this")
+}
+
+private case class PatternState(start: Long, idx: Int, reps: Int, n: Int)
 
 /** Structured-Streaming operators (SURVEY §2B streaming). Window/watermark
   * ops are thin declarative wrappers — state lives in Spark's own stores and
@@ -167,6 +174,83 @@ object EventStreams {
       }
   }
 
+  /** Parse the quantified pattern DSL: whitespace-separated steps, each
+    * `type`, `type?` (optional), `type{m}` or `type{m,n}` (bounded
+    * repetition). `parsePattern("view click{2,3} signup? purchase")`. */
+  def parsePattern(pattern: String): IndexedSeq[QStep] = {
+    val Rep = """^(\w+)\{(\d+)(?:,(\d+))?\}$""".r
+    val steps = pattern.trim.split("\\s+").toIndexedSeq.map {
+      case Rep(sym, m, null) => QStep(sym, m.toInt, m.toInt)
+      case Rep(sym, m, n) => QStep(sym, m.toInt, n.toInt)
+      case s if s.endsWith("?") => QStep(s.dropRight(1), 0, 1)
+      case s => QStep(s, 1, 1)
+    }
+    require(steps.nonEmpty && steps.head.minRep >= 1,
+      s"pattern must open on a required step: $pattern")
+    require(steps.exists(_.minRep >= 1) && steps.map(_.sym).distinct.size == steps.size,
+      s"pattern needs >= 1 required step and distinct symbols: $pattern")
+    steps
+  }
+
+  /** The quantified NFA's single transition, shared by the
+    * flatMapGroupsWithState and transformWithState twins and DIRECTLY
+    * parity-testable against the batch regex. Semantics: LAZY
+    * (leftmost-earliest) skip-till-next-match — the exact extents of the
+    * Java/RE2 lazy regex `sym₀ (?:.*?symᵢ){minᵢ,maxᵢ}? … .*? symₗ`:
+    *
+    *  - at step i with r reps, the step's own symbol adds a rep while
+    *    r < max (occurrences beyond max are SKIPPED like any non-step
+    *    event — they are absorbed by the regex's lazy gaps, never a
+    *    chain kill);
+    *  - once r ≥ min, the event may instead advance to a later step —
+    *    scanning forward over optional (min-0) steps but never past a
+    *    required one (a required step cannot be skipped);
+    *  - the chain COMPLETES the moment a step with only min-0 steps
+    *    after it reaches its min (lazy: trailing optionals never hold a
+    *    match open).
+    *
+    * Because the extents depend only on min counts (extra reps and
+    * optional consumption never move the completing event — see
+    * StreamingSpec's randomized regex-parity property), the DuckDB twin
+    * of any quantified pattern is one lazy regexp over the per-user
+    * symbol string, same as the plain-chain oracle.
+    *
+    * Returns (state', completedEnd): state' == null when the chain reset
+    * (completion); completedEnd carries (start, end, repsConsumed). */
+  private[streaming] def nfaStep(steps: IndexedSeq[QStep], cur: PatternState,
+                                 t: Long, sym: String)
+      : (PatternState, Option[(Long, Long, Int)]) = {
+    // true when every step after i is optional — reaching min at i ends
+    // the match
+    def completableAt(i: Int, r: Int): Boolean =
+      r >= steps(i).minRep && (i + 1 until steps.size).forall(steps(_).minRep == 0)
+    def finish(s: PatternState): (PatternState, Option[(Long, Long, Int)]) =
+      if (completableAt(s.idx, s.reps)) (null, Some((s.start, t, s.n)))
+      else (s, None)
+    if (cur == null) {
+      if (sym == steps.head.sym) finish(PatternState(t, 0, 1, 1))
+      else (null, None)
+    } else {
+      val st = steps(cur.idx)
+      if (sym == st.sym && cur.reps < st.maxRep)
+        finish(cur.copy(reps = cur.reps + 1, n = cur.n + 1))
+      else if (cur.reps >= st.minRep) {
+        // advance scan: over optional steps, stopping at the first
+        // required one (inclusive)
+        var k = cur.idx + 1
+        var hit = -1
+        var stop = false
+        while (k < steps.size && !stop && hit < 0) {
+          if (steps(k).sym == sym) hit = k
+          if (steps(k).minRep >= 1) stop = true
+          k += 1
+        }
+        if (hit >= 0) finish(PatternState(cur.start, hit, 1, cur.n + 1))
+        else (cur, None)
+      } else (cur, None)
+    }
+  }
+
   /** Streaming CEP: detect the ordered event-type chain `steps` per user
     * within a `withinSec` horizon — Flink CEP's `begin.followedBy…`
     * (skip-till-next-match, AFTER MATCH SKIP PAST LAST ROW) as
@@ -179,8 +263,8 @@ object EventStreams {
     * non-step events are skipped — the "followedBy" (not "next")
     * contract.
     *
-    * Scale shape: state is ONE (start, idx) pair per user — O(1), not
-    * per-event — partitioned by user key in Spark's state store;
+    * Scale shape: state is ONE (start, idx, reps) tuple per user — O(1),
+    * not per-event — partitioned by user key in Spark's state store;
     * event-time timeouts GC users whose chain horizon passed the
     * watermark. Events sort by (epoch-seconds ts, event_id) within a
     * micro-batch
@@ -190,6 +274,21 @@ object EventStreams {
                     withinSec: Long,
                     delay: String = "15 minutes"): Dataset[PatternMatch] = {
     require(steps.size >= 2, s"pattern needs >= 2 steps: $steps")
+    detectPatternQ(events, steps.map(QStep(_, 1, 1)).toIndexedSeq,
+      withinSec, delay)
+  }
+
+  /** Quantified streaming CEP (round 11): optional and bounded-repetition
+    * steps — `detectPatternQ(ev, parsePattern("view click{2,3} signup?
+    * purchase"), …)` — with the skip-till-next-match, one-chain-per-user,
+    * AFTER MATCH SKIP PAST LAST ROW contract of [[detectPattern]] kept.
+    * Lazy-regex extents (see [[nfaStep]]), so every pattern has a batch
+    * regex twin on BOTH engines. */
+  def detectPatternQ(events: Dataset[Event], steps: IndexedSeq[QStep],
+                     withinSec: Long,
+                     delay: String = "15 minutes"): Dataset[PatternMatch] = {
+    require(steps.nonEmpty && steps.head.minRep >= 1,
+      s"pattern must open on a required step: $steps")
     import events.sparkSession.implicits._
     val horizonMs = withinSec * 1000L
     events.withWatermark("ts", delay)
@@ -209,15 +308,11 @@ object EventStreams {
             for (e <- sorted) {
               val t = e.ts.getTime / 1000
               if (cur != null && t - cur.start > withinSec) cur = null
-              if (cur == null) {
-                if (e.event_type == steps.head)
-                  cur = PatternState(t, 1)
-              } else if (e.event_type == steps(cur.idx)) {
-                if (cur.idx + 1 == steps.size) {
-                  out += PatternMatch(uid, new Timestamp(cur.start * 1000L),
-                    new Timestamp(t * 1000L), steps.size)
-                  cur = null
-                } else cur = PatternState(cur.start, cur.idx + 1)
+              val (next, done) = nfaStep(steps, cur, t, e.event_type)
+              cur = next
+              done.foreach { case (start, end, n) =>
+                out += PatternMatch(uid, new Timestamp(start * 1000L),
+                  new Timestamp(end * 1000L), n)
               }
             }
             if (cur != null) {
@@ -315,13 +410,14 @@ object EventStreams {
   }
 
   /** transformWithState twin of [[detectPattern]]'s NFA: same
-    * skip-till-next-match chain state, horizon expiry via a registered
+    * skip-till-next-match chain state (the shared [[nfaStep]] transition,
+    * quantifiers included), horizon expiry via a registered
     * event-time timer (state GC without a row arriving — the case
     * `GroupStateTimeout` covered). A fired timer only clears state whose
     * chain really is past its horizon; stale timers from superseded
     * chains are ignored. Parity asserted in StreamingSpec.
     */
-  class PatternProcessor(steps: Seq[String], withinSec: Long)
+  class PatternProcessor(steps: IndexedSeq[QStep], withinSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternMatch] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
@@ -343,14 +439,11 @@ object EventStreams {
       for (e <- sorted) {
         val t = e.ts.getTime / 1000
         if (cur != null && t - cur.start > withinSec) cur = null
-        if (cur == null) {
-          if (e.event_type == steps.head) cur = PatternState(t, 1)
-        } else if (e.event_type == steps(cur.idx)) {
-          if (cur.idx + 1 == steps.size) {
-            out += PatternMatch(uid, new Timestamp(cur.start * 1000L),
-              new Timestamp(t * 1000L), steps.size)
-            cur = null
-          } else cur = PatternState(cur.start, cur.idx + 1)
+        val (next, done) = nfaStep(steps, cur, t, e.event_type)
+        cur = next
+        done.foreach { case (start, end, n) =>
+          out += PatternMatch(uid, new Timestamp(start * 1000L),
+            new Timestamp(end * 1000L), n)
         }
       }
       if (cur != null) {
@@ -388,6 +481,17 @@ object EventStreams {
                        withinSec: Long,
                        delay: String = "15 minutes"): Dataset[PatternMatch] = {
     require(steps.size >= 2, s"pattern needs >= 2 steps: $steps")
+    detectPatternQTws(events, steps.map(QStep(_, 1, 1)).toIndexedSeq,
+      withinSec, delay)
+  }
+
+  /** [[detectPatternQ]] via transformWithState; parity asserted in
+    * StreamingSpec. */
+  def detectPatternQTws(events: Dataset[Event], steps: IndexedSeq[QStep],
+                        withinSec: Long,
+                        delay: String = "15 minutes"): Dataset[PatternMatch] = {
+    require(steps.nonEmpty && steps.head.minRep >= 1,
+      s"pattern must open on a required step: $steps")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.withWatermark("ts", delay)

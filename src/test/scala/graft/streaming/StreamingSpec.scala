@@ -644,6 +644,110 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("parsePattern: quantifier DSL and validation") {
+    assert(EventStreams.parsePattern("view click{2,3} signup? purchase") ===
+      IndexedSeq(QStep("view", 1, 1), QStep("click", 2, 3),
+        QStep("signup", 0, 1), QStep("purchase", 1, 1)))
+    assert(EventStreams.parsePattern("a b{4}") ===
+      IndexedSeq(QStep("a", 1, 1), QStep("b", 4, 4)))
+    intercept[IllegalArgumentException](EventStreams.parsePattern("a? b"))
+    intercept[IllegalArgumentException](EventStreams.parsePattern("a b a"))
+    intercept[IllegalArgumentException](QStep("x", 3, 2))
+  }
+
+  test("detectPatternQ: quantified chains across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPatternQ(in.toDS(),
+        EventStreams.parsePattern("view click{2,3} signup? purchase"),
+        withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // one click is below min — the purchase must NOT complete the chain
+      in.addData(ev(1, 1, "view", 0), ev(2, 1, "click", 5),
+        ev(3, 1, "purchase", 8))
+      q.processAllAvailable()
+      assert(s.table(name).count() === 0)
+      // second click (cross-batch state) satisfies min=2; optional signup
+      // consumed; next purchase completes
+      in.addData(ev(4, 1, "click", 10), ev(5, 1, "signup", 12),
+        ev(6, 1, "purchase", 15))
+      q.processAllAvailable()
+      val m1 = s.table(name).as[PatternMatch].collect()
+      assert(m1.toList === List(PatternMatch(1L, ts(0), ts(15), 5)),
+        m1.mkString(","))
+      // optional SKIPPED: view 3c p completes without any signup; the 4th
+      // click beyond max is skipped like any non-step event (extents and
+      // count unchanged). Times stay monotone — the watermark has passed
+      // minute 0 by now
+      in.addData(ev(7, 2, "view", 20), ev(8, 2, "click", 21), ev(9, 2, "click", 22),
+        ev(10, 2, "click", 23), ev(11, 2, "click", 24), ev(12, 2, "purchase", 26))
+      q.processAllAvailable()
+      val m2 = s.table(name).as[PatternMatch].collect().filter(_.user_id == 2L)
+      assert(m2.toList === List(PatternMatch(2L, ts(20), ts(26), 5)),
+        m2.mkString(","))
+      // horizon expiry mid-count: clicks past view+60min expire the chain
+      in.addData(ev(13, 3, "view", 100), ev(14, 3, "click", 110))
+      q.processAllAvailable()
+      in.addData(ev(15, 3, "click", 170), ev(16, 3, "purchase", 175))
+      q.processAllAvailable()
+      assert(s.table(name).as[PatternMatch].collect()
+        .count(_.user_id == 3L) === 0)
+    } finally q.stop()
+  }
+
+  test("detectPatternQTws ≡ detectPatternQ on quantified batches") {
+    val steps = EventStreams.parsePattern("view click{2,3} signup? purchase")
+    val batches = Seq(
+      Seq(ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 8)),
+      Seq(ev(4, 1, "click", 10), ev(5, 1, "signup", 12), ev(6, 1, "purchase", 15)),
+      Seq(ev(7, 2, "view", 20), ev(8, 2, "click", 21), ev(9, 2, "click", 22),
+          ev(10, 2, "click", 23), ev(11, 2, "click", 24), ev(12, 2, "purchase", 26)),
+      Seq(ev(13, 3, "view", 100), ev(14, 3, "click", 110)),
+      Seq(ev(15, 3, "click", 170), ev(16, 3, "purchase", 175)))
+    def norm(xs: Seq[PatternMatch]) =
+      xs.sortBy(m => (m.user_id, m.start.getTime, m.end.getTime))
+    implicit val enc = org.apache.spark.sql.Encoders.product[PatternMatch]
+    val fmgws = norm(runScripted[PatternMatch](
+      EventStreams.detectPatternQ(_, steps, 60L * 60), batches))
+    val tws = withRocksDb { norm(runScripted[PatternMatch](
+      EventStreams.detectPatternQTws(_, steps, 60L * 60), batches)) }
+    assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
+    assert(fmgws.length === 2, fmgws.toString)
+  }
+
+  test("nfaStep extents ≡ lazy Java regex on randomized symbol streams") {
+    // the quantified NFA claims the exact extents of the lazy regex
+    // v(?:.*?c){2,3}?(?:.*?s)??.*?p — the property that makes the DuckDB
+    // oracle of q_stream_cep2 one regexp. Drive both over 2000 random
+    // sequences (seeded) and compare every (start, end) pair.
+    val steps = EventStreams.parsePattern("v c{2,3} s? p")
+    val regex = java.util.regex.Pattern.compile("v(?:.*?c){2,3}?(?:.*?s)??.*?p")
+    val alphabet = "vcspex".toCharArray
+    val rnd = new scala.util.Random(421101)
+    for (trial <- 1 to 2000) {
+      val n = 4 + rnd.nextInt(28)
+      val seq = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val str = new String(seq)
+      // regex extents: non-overlapping leftmost-first (start, end) index pairs
+      val m = regex.matcher(str)
+      val expected = Iterator.continually(m)
+        .takeWhile(_.find()).map(x => (x.start, x.end - 1)).toList
+      // NFA extents: event index as the timestamp, infinite horizon
+      var cur: PatternState = null
+      val got = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      seq.zipWithIndex.foreach { case (c, i) =>
+        val (next, done) = EventStreams.nfaStep(steps, cur, i.toLong, c.toString)
+        cur = next
+        done.foreach { case (st, en, _) => got += ((st.toInt, en.toInt)) }
+      }
+      assert(got.toList === expected, s"trial $trial seq=$str")
+    }
+  }
+
   test("detectPattern orders same-second events by event_id (epoch-seconds contract)") {
     val s = spark
     import s.implicits._
