@@ -36,8 +36,11 @@ case class ReadStructure(r1: Int, index: Int, r2: Int) {
   */
 object Bcl {
 
-  /** Path grammar: .../L{lane}/C{cycle}.1/s_{lane}_{tile}.bcl */
-  private val pathRe = ".*/L(\\d+)/C(\\d+)\\.1/s_\\d+_(\\d+)\\.bcl$"
+  /** Path grammar: .../L{lane}/C{cycle}.1/s_{lane}_{tile}.bcl[.bgzf] —
+    * flat HiSeq tiles and NovaSeq-era blocked-gzip tiles side by side;
+    * payload compression is resolved per file by magic ([[Bgzf.isBgzf]]),
+    * so a mixed run decodes uniformly. */
+  private val pathRe = ".*/L(\\d+)/C(\\d+)\\.1/s_\\d+_(\\d+)\\.bcl(?:\\.bgzf)?$"
   /** Filter files: .../L{lane}/s_{lane}_{tile}.filter (1 byte per cluster) */
   private val filterRe = ".*/L(\\d+)/s_\\d+_(\\d+)\\.filter$"
 
@@ -54,7 +57,7 @@ object Bcl {
     import spark.implicits._
 
     val cycles = spark.read.format("binaryFile")
-      .load(s"$runDir/L*/C*.1/*.bcl")
+      .load(s"$runDir/L*/C*.1/*.bcl*")
       .select(
         regexp_extract(col("path"), pathRe, 1).cast("int").as("lane"),
         regexp_extract(col("path"), pathRe, 3).cast("int").as("tile"),
@@ -74,8 +77,12 @@ object Bcl {
     cycles.groupByKey { case (lane, tile, _, _) => (lane, tile) }
       .cogroup(filters.groupByKey { case (lane, tile, _) => (lane, tile) }) {
         case ((lane, tile), cyIt, fIt) =>
-          val byCycle = cyIt.map { case (_, _, c, bytes) => c -> bytes.drop(4) }
-            .toMap // 4-byte LE cluster-count header
+          // bgzf tiles decompress first (validated block walk), then both
+          // kinds drop the 4-byte LE cluster-count header
+          val byCycle = cyIt.map { case (_, _, c, raw) =>
+            val bytes = if (Bgzf.isBgzf(raw)) Bgzf.decompress(raw) else raw
+            c -> bytes.drop(4)
+          }.toMap
           require(byCycle.size == rs.totalCycles,
             s"tile $lane/$tile has ${byCycle.size} cycles, expected ${rs.totalCycles}")
           val nClusters = byCycle(1).length

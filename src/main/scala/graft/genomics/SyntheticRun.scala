@@ -41,7 +41,8 @@ object SyntheticRun {
     else (("ACGT".indexOf(base)) | (q << 2)).toByte
 
   private def writeTile(dir: Path, lane: Int, tile: Int,
-                        clusters: Seq[(String, String, String, Boolean)]): Unit = {
+                        clusters: Seq[(String, String, String, Boolean)],
+                        bgzf: Boolean = false): Unit = {
     val n = clusters.size
     val header = java.nio.ByteBuffer.allocate(4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
@@ -53,16 +54,25 @@ object SyntheticRun {
         val all = r1 + bc + r2
         enc(all(c - 1), 30 + (c % 10))
       }.toArray
-      Files.write(cdir.resolve(f"s_${lane}_$tile.bcl"), header ++ bytes)
+      if (bgzf)
+        // tiny block size forces multiple BGZF blocks even on spec-sized
+        // tiles, so the multi-block walk is really exercised
+        Files.write(cdir.resolve(f"s_${lane}_$tile.bcl.bgzf"),
+          Bgzf.compress(header ++ bytes, blockSize = 16))
+      else
+        Files.write(cdir.resolve(f"s_${lane}_$tile.bcl"), header ++ bytes)
     }
     val fbytes = clusters.map(c => if (c._4) 1.toByte else 0.toByte).toArray
     Files.write(laneDir.resolve(f"s_${lane}_$tile.filter"), header ++ fbytes)
   }
 
-  /** Write a 2-tile run of `perTile` clusters each; returns the run dir. */
-  def writeRun(dir: Path, perTile: Int = 24): Path = {
-    writeTile(dir, 1, 1101, (0 until perTile).map(cluster))
-    writeTile(dir, 1, 1102, (perTile until 2 * perTile).map(cluster))
+  /** Write a 2-tile run of `perTile` clusters each; returns the run dir.
+    * `bgzf = true` writes the SAME tile payloads as NovaSeq-style
+    * `.bcl.bgzf` blocked-gzip files (GenomicsSpec pins the decode
+    * byte-identical to the flat run's). */
+  def writeRun(dir: Path, perTile: Int = 24, bgzf: Boolean = false): Path = {
+    writeTile(dir, 1, 1101, (0 until perTile).map(cluster), bgzf)
+    writeTile(dir, 1, 1102, (perTile until 2 * perTile).map(cluster), bgzf)
     dir
   }
 

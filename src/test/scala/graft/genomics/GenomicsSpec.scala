@@ -69,6 +69,63 @@ class GenomicsSpec extends SparkSpec {
     assert(!r4.passFilter)
   }
 
+  test("bgzf BCL tiles decode byte-identical to flat tiles") {
+    // the SAME synthetic run written twice: flat HiSeq .bcl and NovaSeq
+    // blocked .bcl.bgzf (16-byte blocks → multi-block walk exercised).
+    // Every decoded field must be identical — bgzf is transparent.
+    val flat = SyntheticRun.writeRun(
+      Files.createTempDirectory("graft_bcl_flat"), perTile = 24)
+    val bgzf = SyntheticRun.writeRun(
+      Files.createTempDirectory("graft_bcl_bgzf"), perTile = 24, bgzf = true)
+    val a = Bcl.decodeRun(spark, flat.toString, SyntheticRun.rs)
+      .collect().sortBy(_.id).map(_.toString)
+    val b = Bcl.decodeRun(spark, bgzf.toString, SyntheticRun.rs)
+      .collect().sortBy(_.id).map(_.toString)
+    assert(a.length === 48)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("bgzf codec: round-trip, EOF marker, loud corruption failures") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(100000)(rnd.nextInt(256).toByte)
+    val packed = Bgzf.compress(data, blockSize = 4096)
+    assert(Bgzf.isBgzf(packed))
+    assert(Bgzf.decompress(packed).toSeq === data.toSeq)
+    // ends with the standard EOF marker (htslib interop contract)
+    assert(packed.takeRight(28).toSeq === Bgzf.EofBlock.toSeq)
+    // plain gzip (no BC subfield) is NOT bgzf
+    val plain = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(data, 0, 100); gz.close(); bos.toByteArray
+    }
+    assert(!Bgzf.isBgzf(plain))
+    // a flipped payload byte must fail the CRC check loudly, not decode
+    val corrupt = packed.clone()
+    corrupt(30) = (corrupt(30) ^ 0x41).toByte
+    val e = intercept[Exception](Bgzf.decompress(corrupt))
+    assert(e.getMessage.contains("bgzf"), e.getMessage)
+    // truncation mid-block fails loudly
+    intercept[Exception](Bgzf.decompress(packed.dropRight(40)))
+    // empty payload round-trips
+    assert(Bgzf.decompress(Bgzf.compress(Array.empty[Byte])).isEmpty)
+  }
+
+  test("CBCL: header probes, per-tile decode is a loud stub") {
+    // synthetic CBCL header: version 1, headerSize 100, 2-bit bases,
+    // 2-bit quals, 4 bins (8 bytes each), 3 tile records
+    val bb = java.nio.ByteBuffer.allocate(12 + 4 * 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(1).putInt(100).put(2.toByte).put(2.toByte).putInt(4)
+    (0 until 4).foreach(i => bb.putInt(i).putInt(i * 12))
+    bb.putInt(3)
+    val hdr = bb.array()
+    val h = Bgzf.probeCbclHeader(hdr)
+    assert(h === Bgzf.CbclHeader(1, 100L, 2, 2, 4L, 3L))
+    val e = intercept[UnsupportedOperationException](Bgzf.decodeCbcl(hdr))
+    assert(e.getMessage.contains("not implemented"), e.getMessage)
+  }
+
   test("chastity filter + demux assigns samples with 1-mismatch tolerance") {
     val reads = Bcl.applyFilter(Bcl.decodeRun(spark, runDir, rs))
     val demuxed = Demux.demux(reads, sheet).collect()
