@@ -125,6 +125,22 @@ object Bench {
       val missing = o -- selected.map(_._1).toSet
       require(missing.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${missing.mkString(",")}")
     }
+    // SPARK_GRAFT_PRIME_DIR=<sfdir>: run each selected query once against
+    // a (tiny) priming scale factor BEFORE the measured passes. Whole-stage
+    // codegen classes are cached by generated source, which is data-size
+    // independent — priming at sf0.001 compiles a query's unique plan
+    // shapes outside the measurement window. This retired the
+    // q_llm_dedup_clusters "bimodality" (round 11, CodegenProbe): fresh-JVM
+    // first runs read 5.7–11.5 s vs 3.1–4.0 warm — ~2.5 s of Janino
+    // compilation (103 classes) plus JVM JIT, all paid once per JVM;
+    // primed first runs measure 4.02 s. Opt-in (isolated adjudication
+    // probes) — the full-catalog per-round bench stays unprimed for
+    // cross-round comparability.
+    sys.env.get("SPARK_GRAFT_PRIME_DIR").foreach { primeDir =>
+      selected.foreach { case (_, fn) =>
+        try { fn(spark, primeDir).count(); () } catch { case _: Throwable => () }
+      }
+    }
     // settle barrier: collect the previous query's garbage AND give the
     // context cleaner a beat to drain broadcast/shuffle state OUTSIDE the
     // next measurement — a heavy neighbor (e.g. the ~30-job dedup-clusters
