@@ -26,14 +26,18 @@ import org.apache.spark.sql.types.StructType
   *     one per (task × sample).
   *   - A staging-directory commit protocol: writers emit to
   *     `.spark-staging-<queryId>/`, the job-level commit verifies every
-  *     staged file exists and only then renames into place (clearing
-  *     prior `sample=` dirs for overwrite/truncate first) — a failed
-  *     JOB never leaves half-written part files visible. The commit
-  *     itself is delete-then-rename and therefore NOT atomic: a driver
-  *     crash between the truncate delete and the final rename can leave
-  *     the old layout gone with only part of the new one visible. The
-  *     staged-file verification shrinks that window to rename-only
-  *     failures (rare on a healthy FS) but does not close it.
+  *     staged file exists and only then publishes — a failed JOB never
+  *     leaves half-written part files visible. TRUNCATE commits (round
+  *     11) publish by MOVE-ASIDE + whole-entry rename: prior layout
+  *     entries rename into `.spark-old-<queryId>/` (never deleted
+  *     early), then each staged TOP-LEVEL entry (a whole `sample=` dir)
+  *     renames into place, and only then is the old layout deleted. A
+  *     driver crash mid-commit can leave some samples briefly missing
+  *     or stale, but NEVER permanently lost — every pre-commit byte
+  *     sits intact in `.spark-old-*` until the final cleanup, so
+  *     recovery is a rename back. The commit is still not one atomic
+  *     operation (no POSIX multi-dir rename exists); the loss window,
+  *     however, is now zero rather than rename-only.
   *   - SaveMode mapping: `append` adds part files; `overwrite` (via
   *     [[SupportsTruncate]]) replaces the previous layout. Part names
   *     embed the job's `queryId`, so appends from a second application
@@ -76,9 +80,10 @@ class PrqWriteBuilder(path: String, info: LogicalWriteInfo,
 
 /** Shared staged-commit protocol for the line-format sinks (PRQ, FASTQ):
   * writers emit to `.spark-staging-<queryId>/`; job commit verifies every
-  * staged file, clears prior layout files (`deletesOnTruncate`) for
-  * overwrite, then renames into place. Delete-then-rename is NOT atomic —
-  * see [[PrqWrite]]'s scaladoc for the exact window. */
+  * staged file, then publishes. Truncate publishes by move-aside +
+  * whole-entry rename (old bytes recoverable until the final cleanup);
+  * append renames staged files into the live layout. See [[PrqWrite]]'s
+  * scaladoc for the exact remaining window. */
 abstract class StagedBatchWrite(path: String, conf: SerializableHadoopConf,
                                 queryId: String, truncate: Boolean)
     extends BatchWrite {
@@ -94,27 +99,46 @@ abstract class StagedBatchWrite(path: String, conf: SerializableHadoopConf,
       case PrqCommit(files) => files
       case other => throw new IllegalStateException(s"unexpected $other")
     }
-    // Verify every staged file before touching the existing layout —
-    // the destructive truncate delete only runs once all inputs to the
-    // rename phase are known present, shrinking the non-atomic window
-    // to rename failures only.
+    // Verify every staged file before touching the existing layout — the
+    // publish phase only starts once all of its inputs are known present.
     staged.foreach { rel =>
       val src = new Path(stagingDir, rel)
       if (!fs.exists(src))
         throw new IOException(s"staged-commit: staged file missing $src")
     }
-    if (truncate && fs.exists(root)) {
-      fs.listStatus(root).foreach { st =>
-        if (deletesOnTruncate(st.getPath.getName))
-          fs.delete(st.getPath, true)
+    if (truncate) {
+      // 1) move the prior layout ASIDE (rename, not delete — every old
+      //    byte stays recoverable until step 3)
+      val oldDir = new Path(path, s".spark-old-$queryId")
+      if (fs.exists(root)) {
+        val doomed = fs.listStatus(root)
+          .filter(st => deletesOnTruncate(st.getPath.getName))
+        if (doomed.nonEmpty) fs.mkdirs(oldDir)
+        doomed.foreach { st =>
+          val aside = new Path(oldDir, st.getPath.getName)
+          if (!fs.rename(st.getPath, aside))
+            throw new IOException(
+              s"staged-commit: move-aside failed ${st.getPath} -> $aside")
+        }
       }
-    }
-    staged.foreach { rel =>
-      val src = new Path(stagingDir, rel)
-      val dst = new Path(root, rel)
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(src, dst))
-        throw new IOException(s"staged-commit: rename failed $src -> $dst")
+      // 2) publish whole TOP-LEVEL staged entries (a full sample= dir is
+      //    one rename, not one per part file)
+      if (fs.exists(stagingDir)) fs.listStatus(stagingDir).foreach { st =>
+        val dst = new Path(root, st.getPath.getName)
+        if (!fs.rename(st.getPath, dst))
+          throw new IOException(
+            s"staged-commit: rename failed ${st.getPath} -> $dst")
+      }
+      // 3) only now drop the old layout
+      fs.delete(oldDir, true)
+    } else {
+      staged.foreach { rel =>
+        val src = new Path(stagingDir, rel)
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new IOException(s"staged-commit: rename failed $src -> $dst")
+      }
     }
     fs.delete(stagingDir, true)
   }
