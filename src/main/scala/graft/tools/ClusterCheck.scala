@@ -99,7 +99,10 @@ object ClusterCheck {
     "q_agg_tdigest", "q_agg_theta_rollup",
     "q_graph_pagerank", "q_graph_wcc", "q_llm_dedup_clusters",
     "q_win_topk_native", "q_genomics_e2e",
-    "q_stream_tumbling", "q_stream_cep")
+    "q_stream_tumbling", "q_stream_cep",
+    // round 11: quantified-NFA streaming state + the multimodal decode
+    // path (distributed media generation, executor-side ImageIO)
+    "q_stream_cep2", "q_mm_imgdup")
 
   /** Tracks live executor count via the listener bus (to wait for the
     * initial fleet and observe the post-kill relaunch). */
