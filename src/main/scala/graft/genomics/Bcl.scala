@@ -41,6 +41,9 @@ object Bcl {
     * payload compression is resolved per file by magic ([[Bgzf.isBgzf]]),
     * so a mixed run decodes uniformly. */
   private val pathRe = ".*/L(\\d+)/C(\\d+)\\.1/s_\\d+_(\\d+)\\.bcl(?:\\.bgzf)?$"
+  /** CBCL files carry every tile of a lane surface per cycle:
+    * .../L{lane}/C{cycle}.1/L{lane}_{surface}.cbcl */
+  private val cbclRe = ".*/L(\\d+)/C(\\d+)\\.1/[^/]+\\.cbcl$"
   /** Filter files: .../L{lane}/s_{lane}_{tile}.filter (1 byte per cluster) */
   private val filterRe = ".*/L(\\d+)/s_\\d+_(\\d+)\\.filter$"
 
@@ -56,17 +59,60 @@ object Bcl {
       : Dataset[PrqRead] = {
     import spark.implicits._
 
-    val cycles = spark.read.format("binaryFile")
-      .load(s"$runDir/L*/C*.1/*.bcl*")
+    // either container arm may legitimately be absent (HiSeq runs have
+    // no .cbcl; NovaSeq runs have no flat .bcl) — an empty listing is an
+    // empty arm, not an error (the cycle-count require below still
+    // catches a truly empty run)
+    def loadBinary(glob: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types._
+      try spark.read.format("binaryFile").load(glob)
+        .select(col("path"), col("content"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Path does not exist") ||
+             e.getErrorClass == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("path", StringType),
+            StructField("content", BinaryType))))
+      }
+    }
+
+    // flat / bgzf tiles: one file per (lane, tile, cycle); header dropped
+    // and bgzf inflated HERE so the transpose sees uniform per-cluster
+    // byte columns. pfOnly is always false on this arm.
+    val flatCycles = loadBinary(s"$runDir/L*/C*.1/*.bcl*")
       .select(
         regexp_extract(col("path"), pathRe, 1).cast("int").as("lane"),
         regexp_extract(col("path"), pathRe, 3).cast("int").as("tile"),
         regexp_extract(col("path"), pathRe, 2).cast("int").as("cycle"),
         col("content"))
       .as[(Int, Int, Int, Array[Byte])]
+      .map { case (lane, tile, cycle, raw) =>
+        val bytes = if (Bgzf.isBgzf(raw)) Bgzf.decompress(raw) else raw
+        (lane, tile, cycle, bytes.drop(4), false) // 4-byte LE cluster count
+      }
 
-    val filters = spark.read.format("binaryFile")
-      .load(s"$runDir/L*/*.filter")
+    // CBCL: one file per (lane, cycle[, surface]) carrying EVERY tile —
+    // one flatMap task per file expands to per-tile columns; excludeNonPF
+    // files emit compact PF-only arrays the transpose re-expands against
+    // the lane filter. Listing may legitimately be empty (HiSeq runs).
+    val cbclCycles = {
+      loadBinary(s"$runDir/L*/C*.1/*.cbcl")
+        .select(
+          regexp_extract(col("path"), cbclRe, 1).cast("int").as("lane"),
+          regexp_extract(col("path"), cbclRe, 2).cast("int").as("cycle"),
+          col("content"))
+        .as[(Int, Int, Array[Byte])]
+        .flatMap { case (lane, cycle, bytes) =>
+          Cbcl.decode(bytes).iterator.map { case (tileNum, col, pfOnly) =>
+            (lane, tileNum, cycle, col, pfOnly)
+          }
+        }
+    }
+
+    val cycles = flatCycles.union(cbclCycles)
+
+    val filters = loadBinary(s"$runDir/L*/*.filter")
       .select(
         regexp_extract(col("path"), filterRe, 1).cast("int").as("lane"),
         regexp_extract(col("path"), filterRe, 2).cast("int").as("tile"),
@@ -74,21 +120,44 @@ object Bcl {
       .as[(Int, Int, Array[Byte])]
       .map { case (lane, tile, bytes) => (lane, tile, bytes.drop(4)) } // header
 
-    cycles.groupByKey { case (lane, tile, _, _) => (lane, tile) }
+    cycles.groupByKey { case (lane, tile, _, _, _) => (lane, tile) }
       .cogroup(filters.groupByKey { case (lane, tile, _) => (lane, tile) }) {
         case ((lane, tile), cyIt, fIt) =>
-          // bgzf tiles decompress first (validated block walk), then both
-          // kinds drop the 4-byte LE cluster-count header
-          val byCycle = cyIt.map { case (_, _, c, raw) =>
-            val bytes = if (Bgzf.isBgzf(raw)) Bgzf.decompress(raw) else raw
-            c -> bytes.drop(4)
+          val byCycle = cyIt.map { case (_, _, c, bytes, pf) =>
+            c -> ((bytes, pf))
           }.toMap
           require(byCycle.size == rs.totalCycles,
             s"tile $lane/$tile has ${byCycle.size} cycles, expected ${rs.totalCycles}")
-          val nClusters = byCycle(1).length
-          val pass = fIt.toSeq.headOption.map(_._3)
-            .getOrElse(Array.fill(nClusters)(1.toByte))
-          val cols = (1 to rs.totalCycles).map(byCycle)
+          val passOpt = fIt.toSeq.headOption.map(_._3)
+          val anyPfOnly = byCycle.valuesIterator.exists(_._2)
+          // excludeNonPF CBCL stores only pass-filter clusters; restoring
+          // full cluster order REQUIRES the lane filter — no filter file
+          // is a loud error there, never a silent mis-indexed tile
+          require(!anyPfOnly || passOpt.isDefined,
+            s"tile $lane/$tile: CBCL excludeNonPF payload but no .filter " +
+              "file — cannot restore cluster positions")
+          val nClusters =
+            passOpt.map(_.length).getOrElse(byCycle(1)._1.length)
+          val pass = passOpt.getOrElse(Array.fill(nClusters)(1.toByte))
+          val nPf = pass.count(_ != 0)
+          val cols = (1 to rs.totalCycles).map { c =>
+            val (bytes, pfOnly) = byCycle(c)
+            if (!pfOnly) bytes
+            else {
+              // re-insert no-calls at filter-failed positions
+              require(bytes.length == nPf,
+                s"tile $lane/$tile cycle $c: ${bytes.length} stored " +
+                  s"clusters, filter has $nPf pass-filter")
+              val full = new Array[Byte](nClusters)
+              var src = 0
+              var i = 0
+              while (i < nClusters) {
+                if (pass(i) != 0) { full(i) = bytes(src); src += 1 }
+                i += 1
+              }
+              full
+            }
+          }
           (0 until nClusters).iterator.map { i =>
             val sb1 = new StringBuilder; val qb1 = new StringBuilder
             val sbi = new StringBuilder

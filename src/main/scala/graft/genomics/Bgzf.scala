@@ -17,10 +17,9 @@ package graft.genomics
   * the BCL decode already runs (`Bcl.decodeRun` — no extra shuffle).
   *
   * CBCL (`.cbcl`, NovaSeq per-lane concatenated container: blocked tiles
-  * + 2-bit quality BINNING + per-tile filter-excluded packing) remains a
-  * documented PROBE-only stub: [[probeCbclHeader]] parses and returns the
-  * real header layout, and decoding throws with the layout documented —
-  * loud, never wrong.
+  * + 2-bit quality BINNING + per-tile filter-excluded packing) decodes
+  * for real in [[Cbcl]] (second half of round 11); [[probeCbclHeader]]
+  * stays as the cheap header-only inspection.
   */
 object Bgzf {
 
@@ -180,14 +179,11 @@ object Bgzf {
       le32(b, tilesOff))
   }
 
-  /** LOUD stub: CBCL per-tile decode needs the blocked-tile +
-    * quality-binning + filter-packing logic this round does not ship. */
-  def decodeCbcl(b: Array[Byte]): Nothing =
-    throw new UnsupportedOperationException(
-      "CBCL per-tile decode is not implemented: the header parses (" +
-        probeCbclHeader(b) + ") but per-tile payloads are gzip blocks of " +
-        "2-bit base + BINNED quality codes with filter-failed clusters " +
-        "excluded from the packing — decode requires the bin mapping and " +
-        "the lane filter files together. Flat .bcl and .bcl.bgzf tiles " +
-        "are fully supported.")
+  /** CBCL per-tile decode — REAL since the second half of round 11, in
+    * [[Cbcl.decode]] (blocked tiles, 2-bit base + binned quality, and
+    * excludeNonPF expansion against the lane filter inside
+    * [[Bcl.decodeRun]]'s transpose). Kept here as a delegate next to the
+    * header probe. */
+  def decodeCbcl(b: Array[Byte]): Seq[(Int, Array[Byte], Boolean)] =
+    Cbcl.decode(b)
 }

@@ -111,19 +111,120 @@ class GenomicsSpec extends SparkSpec {
     assert(Bgzf.decompress(Bgzf.compress(Array.empty[Byte])).isEmpty)
   }
 
-  test("CBCL: header probes, per-tile decode is a loud stub") {
-    // synthetic CBCL header: version 1, headerSize 100, 2-bit bases,
-    // 2-bit quals, 4 bins (8 bytes each), 3 tile records
-    val bb = java.nio.ByteBuffer.allocate(12 + 4 * 8 + 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putShort(1).putInt(100).put(2.toByte).put(2.toByte).putInt(4)
-    (0 until 4).foreach(i => bb.putInt(i).putInt(i * 12))
-    bb.putInt(3)
-    val hdr = bb.array()
-    val h = Bgzf.probeCbclHeader(hdr)
-    assert(h === Bgzf.CbclHeader(1, 100L, 2, 2, 4L, 3L))
-    val e = intercept[UnsupportedOperationException](Bgzf.decodeCbcl(hdr))
-    assert(e.getMessage.contains("not implemented"), e.getMessage)
+  // NovaSeq Q-bin table: bin 0 = no-call, bins 1..3 map to Q12/Q26/Q34
+  private val cbclBins = IndexedSeq((0, 0), (1, 12), (2, 26), (3, 34))
+
+  /** Flat-BCL-convention tile bytes whose quals sit ON the bin values —
+    * CBCL is lossy by design, so exact round-trips use bin-resident
+    * fixtures. Index 0 and every 7th cluster is a no-call. */
+  private def binnedTile(seed: Int, n: Int): Array[Byte] =
+    Array.tabulate(n) { i =>
+      if (i % 7 == 0) 0.toByte
+      else {
+        val base = (i + seed) % 4
+        val q = Seq(12, 26, 34)((i * 31 + seed) % 3)
+        (base | (q << 2)).toByte
+      }
+    }
+
+  test("CBCL codec: header, exact round-trip, lossy binning snap") {
+    val t1 = binnedTile(1, 40); val t2 = binnedTile(2, 33)
+    val f1 = Array.fill(40)(1.toByte); val f2 = Array.fill(33)(1.toByte)
+    val file = Cbcl.write(Seq((1101, t1, f1), (1102, t2, f2)), cbclBins,
+      excludeNonPF = false)
+    val h = Cbcl.parseHeader(file)
+    assert(h.version === 1 && h.bitsPerBasecall === 2 && h.bitsPerQscore === 2)
+    assert(h.bins === cbclBins && !h.excludeNonPF)
+    assert(h.tiles.map(t => (t.tileNum, t.nClusters)) ===
+      IndexedSeq((1101, 40), (1102, 33)))
+    val out = Cbcl.decode(file)
+    assert(out.map(_._1) === Seq(1101, 1102))
+    assert(out.forall(!_._3))
+    assert(out(0)._2.toSeq === t1.toSeq, "bin-resident quals round-trip exactly")
+    assert(out(1)._2.toSeq === t2.toSeq)
+    // off-bin quals SNAP DOWN to their bin representative (Q30 → Q26)
+    val lossy = Array(((2 | (30 << 2)) & 0xff).toByte)
+    val snapped = Cbcl.decode(Cbcl.write(
+      Seq((1, lossy, Array(1.toByte))), cbclBins, excludeNonPF = false))
+    assert((snapped.head._2(0) >> 2) === 26 && (snapped.head._2(0) & 3) === 2)
+    // the probe-only header view stays consistent
+    assert(Bgzf.probeCbclHeader(file).nTiles === 2L)
+  }
+
+  test("CBCL excludeNonPF: PF-only payload expands against the filter") {
+    val n = 24
+    val tile = binnedTile(3, n)
+    val filter = Array.tabulate(n)(i => if (i % 5 == 4) 0.toByte else 1.toByte)
+    val file = Cbcl.write(Seq((1101, tile, filter)), cbclBins,
+      excludeNonPF = true)
+    val Seq((1101, compact, pfOnly)) = Cbcl.decode(file): @unchecked
+    assert(pfOnly)
+    assert(compact.length === filter.count(_ != 0))
+    // expansion contract (what decodeRun's transpose does): no-call at
+    // filter-failed positions, stored bytes at PF positions in order
+    val expanded = new Array[Byte](n)
+    var src = 0
+    (0 until n).foreach { i =>
+      if (filter(i) != 0) { expanded(i) = compact(src); src += 1 }
+    }
+    val masked = tile.zipWithIndex.map { case (b, i) =>
+      if (filter(i) != 0) b else 0.toByte }
+    assert(expanded.toSeq === masked.toSeq)
+  }
+
+  test("CBCL run decodes through decodeRun identical to its flat twin") {
+    // same reads, two containers: (a) flat .bcl tiles with non-PF
+    // clusters zeroed (what CBCL cannot carry), (b) one .cbcl per cycle
+    // holding both tiles with excludeNonPF=1 + the lane filter
+    val rs2 = SyntheticRun.rs
+    val nPerTile = 20
+    def tileData(tileSeed: Int): (IndexedSeq[Array[Byte]], Array[Byte]) = {
+      val filter = Array.tabulate(nPerTile)(i =>
+        if ((i + tileSeed) % 6 == 5) 0.toByte else 1.toByte)
+      val cols = (1 to rs2.totalCycles).map { c =>
+        binnedTile(tileSeed * 100 + c, nPerTile).zipWithIndex.map {
+          case (b, i) => if (filter(i) != 0) b else 0.toByte }
+      }
+      (cols, filter)
+    }
+    val (cols1, filt1) = tileData(1)
+    val (cols2, filt2) = tileData(2)
+    def header(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    // (a) flat twin
+    val flatDir = Files.createTempDirectory("graft_cbcl_flat")
+    val lane = flatDir.resolve("L001")
+    for (c <- 1 to rs2.totalCycles) {
+      val cdir = lane.resolve(s"C$c.1"); Files.createDirectories(cdir)
+      Files.write(cdir.resolve(s"s_1_1101.bcl"), header(nPerTile) ++ cols1(c - 1))
+      Files.write(cdir.resolve(s"s_1_1102.bcl"), header(nPerTile) ++ cols2(c - 1))
+    }
+    Files.write(lane.resolve("s_1_1101.filter"), header(nPerTile) ++ filt1)
+    Files.write(lane.resolve("s_1_1102.filter"), header(nPerTile) ++ filt2)
+    // (b) CBCL run
+    val cbclDir = Files.createTempDirectory("graft_cbcl_run")
+    val lane2 = cbclDir.resolve("L001")
+    for (c <- 1 to rs2.totalCycles) {
+      val cdir = lane2.resolve(s"C$c.1"); Files.createDirectories(cdir)
+      Files.write(cdir.resolve("L001_1.cbcl"),
+        Cbcl.write(Seq((1101, cols1(c - 1), filt1), (1102, cols2(c - 1), filt2)),
+          cbclBins, excludeNonPF = true))
+    }
+    Files.write(lane2.resolve("s_1_1101.filter"), header(nPerTile) ++ filt1)
+    Files.write(lane2.resolve("s_1_1102.filter"), header(nPerTile) ++ filt2)
+    val a = Bcl.decodeRun(spark, flatDir.toString, rs2)
+      .collect().sortBy(_.id).map(_.toString)
+    val b = Bcl.decodeRun(spark, cbclDir.toString, rs2)
+      .collect().sortBy(_.id).map(_.toString)
+    assert(a.length === 2 * nPerTile)
+    assert(a.toSeq === b.toSeq)
+    // missing filter with excludeNonPF payload fails LOUDLY
+    Files.delete(lane2.resolve("s_1_1101.filter"))
+    Files.delete(lane2.resolve("s_1_1102.filter"))
+    val e = intercept[org.apache.spark.SparkException](
+      Bcl.decodeRun(spark, cbclDir.toString, rs2).collect())
+    assert(e.getMessage.contains("filter") ||
+      Option(e.getCause).exists(_.getMessage.contains("filter")), e.getMessage)
   }
 
   test("chastity filter + demux assigns samples with 1-mismatch tolerance") {
