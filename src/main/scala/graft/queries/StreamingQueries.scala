@@ -70,15 +70,84 @@ object StreamingQueries {
       dir
     })
 
-  private def runStream(s: SparkSession, d: String, mode: String)
+  /** [[stagedEvents]] plus two trailing "flush" files of sentinel events
+    * 49/50 h past the corpus max (negative users, one signup + one purchase
+    * per file so EVERY side filter passes one through to its watermark
+    * node). Consumed as their own final micro-batches, they advance the
+    * event-time watermark past every real row's join window so
+    * watermark-gated emissions (stream-stream OUTER join nulls, final
+    * window closes) drain before `processAllAvailable` returns — the
+    * streaming analogue of end-of-input. The four real part files are
+    * hard-linked from the shared staging (same bytes, same pinned mtimes);
+    * only the sentinels are new I/O. */
+  private def stagedEventsFlushed(s: SparkSession, d: String): String =
+    stagedDirs.computeIfAbsent(d + "#flush", { _ =>
+      val base = new java.io.File(stagedEvents(s, d))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_src").toString
+      base.listFiles().filter(_.getName.startsWith("part-"))
+        .foreach { f =>
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dir, f.getName), f.toPath)
+        }
+      val ev = Tables.events(s, d).drop("props")
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      // one sentinel PER JOIN SIDE: each side's watermark node sits behind
+      // that side's type filter, and the global watermark is the MIN over
+      // the nodes — a single sentinel would advance one side only. The two
+      // rows carry distinct negative users at the same instant, so they
+      // can never join each other (or any real row); the query filters the
+      // negative-user outputs.
+      val one = ev.limit(1)
+      def sent(id: Long, typ: String) = one
+        .withColumn("event_id", lit(id))
+        .withColumn("user_id", lit(id))
+        .withColumn("event_type", lit(typ))
+        .withColumn("ts", lit(new java.sql.Timestamp(
+          maxTs.getTime + 49L * 3600 * 1000)))
+      // TWO flush batches, not one: a batch evicts state under the
+      // watermark computed at the END of the PREVIOUS batch, so the first
+      // sentinel batch advances the watermark and the second (replayed
+      // separately — the flush run uses maxFilesPerTrigger=1) performs the
+      // eviction that emits the tail outer-null rows. One sentinel batch
+      // alone leaves the advanced watermark unapplied (observed: the
+      // latest unmatched purchase never emitted, because the global
+      // watermark is the MIN across both sides' nodes and the lagging
+      // side pinned it below that row until the sentinels arrived).
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      Seq(1, 2).foreach { i =>
+        val pair = sent(-2L * i, "signup").unionAll(sent(-2L * i - 1, "purchase"))
+          .withColumn("ts", lit(new java.sql.Timestamp(
+            maxTs.getTime + (48L + i) * 3600 * 1000)))
+        val flushDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_flush").toString
+        pair.coalesce(1).write.mode("overwrite").parquet(flushDir)
+        val part = new java.io.File(flushDir).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = java.nio.file.Paths.get(dir, s"part-zz-flush$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(2000000L + i * 1000L)
+        rm(new java.io.File(flushDir))
+      }
+      dir
+    })
+
+  private def runStream(s: SparkSession, d: String, mode: String,
+                        flush: Boolean = false)
                        (build: DataFrame => DataFrame): DataFrame = {
-    val staged = stagedEvents(s, d)
+    val staged = if (flush) stagedEventsFlushed(s, d) else stagedEvents(s, d)
     val ev = Tables.events(s, d).drop("props")
     // 2 files per trigger over 4 staged files = 2 micro-batches: still a
     // genuine multi-batch replay (state merge across batches exercised) at
     // half the per-batch planning cost
+    // flush runs take one file per trigger so the two sentinel files land
+    // in SEPARATE micro-batches (watermark advance, then eviction)
     val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "2").parquet(staged)
+      .option("maxFilesPerTrigger", if (flush) "1" else "2").parquet(staged)
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     // a stateful query creates (and commits) one state-store instance per
     // shuffle partition PER MICRO-BATCH; a replay batch holds a few MB, so
@@ -225,8 +294,55 @@ object StreamingQueries {
           .toDF()
       }.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_matches"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // stream-STREAM interval join (Flink interval-join analogue): each
+    // purchase pairs with the same user's signups in [ts_p − 24 h, ts_p].
+    // Both sides carry the event-time watermark (applied BEFORE the type
+    // filters, so one source watermark drives both), and the two-sided
+    // range condition lets Spark derive state-eviction bounds: a signup
+    // leaves state once the watermark passes its 24 h horizon, a purchase
+    // once its own window closes — state is watermark-bounded on BOTH
+    // sides, never corpus-sized. The staged replay is range-partitioned
+    // by ts (no cross-batch late data), so inner-join emissions are
+    // exactly the batch interval join — the DuckDB oracle.
+    "q_stream_ssjoin" -> ((s, d) =>
+      ssJoin(s, d, "inner").orderBy(col("id_p"), col("id_s"))),
+
+    // LEFT OUTER stream-stream join: unmatched purchases must emit a
+    // NULL-signup row, which Spark only releases once the WATERMARK
+    // proves no future signup can still match (ts_p's window closed).
+    // Tail rows' windows never close on a finite replay, so this variant
+    // replays the flush-sentinel staging: one far-future non-matching
+    // event advances the watermark past every real window — the
+    // streaming end-of-input. Result ≡ the batch LEFT interval join.
+    "q_stream_ssjoin_left" -> ((s, d) =>
+      ssJoin(s, d, "leftOuter", flush = true)
+        .orderBy(col("id_p"), col("id_s")))
   )
+
+  /** Shared purchase⋈signup interval self-join through the
+    * [[graft.streaming.EventStreams.intervalJoin]] operator (the same code
+    * path the MemoryStream goldens pin): join on user + a closed 24 h
+    * range, 1 min watermark delay per side. Sentinel (negative-user) rows
+    * from the flush staging are dropped post-join; NULL right ids surface
+    * as −1 (portable null-ordering for the oracle). */
+  private def ssJoin(s: SparkSession, d: String, joinType: String,
+                     flush: Boolean = false): DataFrame =
+    runStream(s, d, "append", flush) { ev =>
+      val p = ev.where(col("event_type") === "purchase")
+      val sg = ev.where(col("event_type") === "signup")
+      // NO sentinel filter inside the streaming plan: a `l_user >= 0`
+      // here gets pushed through the join into BOTH parquet scans, whose
+      // row-group stats then prune the all-negative sentinel files — the
+      // watermark nodes never see the flush rows and the tail outer-nulls
+      // never emit (observed). Sentinel-derived output rows are stripped
+      // from the SINK table below, after the stream has drained.
+      graft.streaming.EventStreams
+        .intervalJoin(p, sg, "24 hours", "1 minute", joinType)
+        .select(col("l_id").as("id_p"),
+                coalesce(col("r_id"), lit(-1L)).as("id_s"))
+    }.where(col("id_p") >= 0)
 
   // epoch seconds with floor semantics (ts > 0), as plain TIMESTAMP math
   private val ep = "datediff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP))"
@@ -332,6 +448,20 @@ object StreamingQueries {
                      AS n_matches
             FROM s)
           SELECT user_id, n_matches FROM m
-          WHERE n_matches > 0 ORDER BY user_id"""
+          WHERE n_matches > 0 ORDER BY user_id""",
+    "q_stream_ssjoin" ->
+      """SELECT p.event_id AS id_p, s.event_id AS id_s
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts <= p.ts
+              AND p.ts - s.ts <= INTERVAL 24 HOURS
+         ORDER BY id_p, id_s""",
+    "q_stream_ssjoin_left" ->
+      """SELECT p.event_id AS id_p, COALESCE(s.event_id, -1) AS id_s
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts <= p.ts
+              AND p.ts - s.ts <= INTERVAL 24 HOURS
+         ORDER BY id_p, id_s"""
   )
 }
