@@ -296,6 +296,25 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_matches"))
         .orderBy(col("user_id"))),
 
+    // quantified CEP with an ALTERNATION group: either click or error
+    // counts toward the same {2,3} bound (Flink CEP's
+    // `where(a or b)`). Symbol sets are pairwise disjoint, so the group
+    // is one super-symbol and the DuckDB twin stays ONE lazy regexp with
+    // a `(?:c|e)` atom (EventStreams.lazyRegexTwin builds it; the oracle
+    // below spells the same string)
+    "q_stream_cep3" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        import s.implicits._
+        graft.streaming.EventStreams.detectPatternQ(
+            ev.as[graft.streaming.Event],
+            graft.streaming.EventStreams.parsePattern(
+              "view (click|error){2,3} signup? purchase"),
+            withinSec = 60L * 86400)
+          .toDF()
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id"))),
+
     // stream-STREAM interval join (Flink interval-join analogue): each
     // purchase pairs with the same user's signups in [ts_p − 24 h, ts_p].
     // Both sides carry the event-time watermark (applied BEFORE the type
@@ -445,6 +464,24 @@ object StreamingQueries {
             SELECT user_id,
                    CAST(len(regexp_extract_all(s,
                      'v(?:.*?c){2,3}?(?:.*?s)??.*?p')) AS BIGINT)
+                     AS n_matches
+            FROM s)
+          SELECT user_id, n_matches FROM m
+          WHERE n_matches > 0 ORDER BY user_id""",
+    "q_stream_cep3" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1),
+          m AS (
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s,
+                     'v(?:.*?(?:c|e)){2,3}?(?:.*?s)??.*?p')) AS BIGINT)
                      AS n_matches
             FROM s)
           SELECT user_id, n_matches FROM m

@@ -30,11 +30,33 @@ private case class JobState(firstTs: Long, nPolls: Int)
 case class PatternMatch(user_id: Long, start: Timestamp, end: Timestamp,
                         n_steps: Int)
 
-/** One step of the quantified CEP pattern language: an event type with a
-  * bounded repetition count — `view` = (1,1), `signup?` = (0,1),
-  * `click{2,3}` = (2,3). */
-case class QStep(sym: String, minRep: Int, maxRep: Int) {
+/** One step of the quantified CEP pattern language: an event type — or an
+  * alternation GROUP of types, any of which counts toward the same bound —
+  * with a bounded repetition count. `view` = (1,1), `signup?` = (0,1),
+  * `click{2,3}` = (2,3), `(click|error){1,2}` = (1,2) over {click,error}.
+  * Symbol sets must be pairwise disjoint across a pattern's steps (the
+  * [[EventStreams.parsePattern]] contract): disjointness is what makes a
+  * group behave as one "super-symbol", so the lazy-regex extent-parity
+  * argument for single symbols carries over verbatim with the group
+  * spelled as an alternation atom `(?:x|y)`.
+  *
+  * `negs` guards the GAP before this step (Flink CEP's notFollowedBy):
+  * an occurrence of a negated type while the chain waits to enter this
+  * step KILLS the chain (the event is then offered to a fresh chain).
+  * The gap's regex atom becomes `[^xy]*?` instead of `.*?`. Negations
+  * are restricted to plain (1,1)-quantified chains — see
+  * [[EventStreams.parsePattern]] — because that is the subset where the
+  * single-state NFA and the regex provably agree: with quantifiers, an
+  * event can sit in several alternative gaps at once (another rep of
+  * step i vs the advance to i+1), whose classes may disagree, and
+  * tracking that needs a forking NFA, not O(1) state. */
+case class QStep(sym: String, minRep: Int, maxRep: Int,
+                 alts: Seq[String] = Nil, negs: Seq[String] = Nil) {
   require(minRep >= 0 && maxRep >= math.max(1, minRep), s"bad bounds: $this")
+  /** The step's full symbol set: head symbol + alternation alternatives. */
+  def syms: Seq[String] = sym +: alts
+  require(syms.distinct.size == syms.size, s"duplicate symbols in step: $this")
+  def matches(s: String): Boolean = s == sym || alts.contains(s)
 }
 
 private case class PatternState(start: Long, idx: Int, reps: Int, n: Int)
@@ -174,29 +196,92 @@ object EventStreams {
       }
   }
 
-  /** Parse the quantified pattern DSL: whitespace-separated steps, each
-    * `type`, `type?` (optional), `type{m}` or `type{m,n}` (bounded
-    * repetition). `parsePattern("view click{2,3} signup? purchase")`. */
+  /** Parse the quantified pattern DSL: whitespace-separated tokens. A
+    * step token is an atom — `type` or an alternation group `(a|b|c)` —
+    * followed by an optional quantifier `?`, `{m}` or `{m,n}`. A
+    * NEGATION token `!type` or `!(a|b)` guards the gap before the NEXT
+    * step (Flink CEP's notFollowedBy): seeing a negated type there kills
+    * the chain. `parsePattern("view (click|error){2,3} signup?
+    * purchase")`; `parsePattern("view !error click !signup purchase")`.
+    * Symbol sets must be pairwise disjoint across steps (see [[QStep]]);
+    * negated types must not collide with any step symbol; negations are
+    * only allowed in plain chains (every step (1,1)) — the subset where
+    * the O(1)-state NFA provably keeps lazy-regex extents. */
   def parsePattern(pattern: String): IndexedSeq[QStep] = {
-    val Rep = """^(\w+)\{(\d+)(?:,(\d+))?\}$""".r
-    val steps = pattern.trim.split("\\s+").toIndexedSeq.map {
-      case Rep(sym, m, null) => QStep(sym, m.toInt, m.toInt)
-      case Rep(sym, m, n) => QStep(sym, m.toInt, n.toInt)
-      case s if s.endsWith("?") => QStep(s.dropRight(1), 0, 1)
-      case s => QStep(s, 1, 1)
+    val Tok = """^(\w+|\((?:\w+\|)+\w+\))(?:(\?)|\{(\d+)(?:,(\d+))?\})?$""".r
+    def atomSyms(atom: String): Seq[String] =
+      if (atom.startsWith("(")) atom.substring(1, atom.length - 1).split('|').toSeq
+      else Seq(atom)
+    val toks = pattern.trim.split("\\s+").toIndexedSeq
+    val steps = scala.collection.mutable.ArrayBuffer.empty[QStep]
+    var pendingNegs = Seq.empty[String]
+    for (tok <- toks) tok match {
+      case t if t.startsWith("!") =>
+        t.drop(1) match {
+          case Tok(atom, null, null, null) => pendingNegs ++= atomSyms(atom)
+          case s => throw new IllegalArgumentException(s"bad negation: !$s")
+        }
+      case Tok(atom, opt, m, n) =>
+        val syms = atomSyms(atom)
+        val (lo, hi) =
+          if (opt != null) (0, 1)
+          else if (m == null) (1, 1)
+          else if (n == null) (m.toInt, m.toInt)
+          else (m.toInt, n.toInt)
+        steps += QStep(syms.head, lo, hi, syms.tail, pendingNegs)
+        pendingNegs = Seq.empty
+      case s => throw new IllegalArgumentException(s"bad pattern step: $s")
     }
+    require(pendingNegs.isEmpty,
+      s"dangling negation (no following step): $pattern")
     require(steps.nonEmpty && steps.head.minRep >= 1,
       s"pattern must open on a required step: $pattern")
-    require(steps.exists(_.minRep >= 1) && steps.map(_.sym).distinct.size == steps.size,
-      s"pattern needs >= 1 required step and distinct symbols: $pattern")
-    steps
+    require(steps.head.negs.isEmpty,
+      s"the opening step has no gap to guard: $pattern")
+    val all = steps.toIndexedSeq.flatMap(_.syms)
+    require(steps.exists(_.minRep >= 1) && all.distinct.size == all.size,
+      s"pattern needs >= 1 required step and pairwise-disjoint symbols: $pattern")
+    val negAll = steps.toIndexedSeq.flatMap(_.negs)
+    require(negAll.distinct.size == negAll.size && !negAll.exists(all.contains),
+      s"negated types must be distinct and disjoint from step symbols: $pattern")
+    require(negAll.isEmpty || steps.forall(s => s.minRep == 1 && s.maxRep == 1),
+      s"negations require a plain (1,1) chain — no quantifiers/optionals: $pattern")
+    steps.toIndexedSeq
+  }
+
+  /** The batch lazy-regex twin of a quantified pattern: the regexp whose
+    * non-overlapping leftmost matches over a per-user symbol string have
+    * EXACTLY the extents [[nfaStep]] emits (randomized-parity property in
+    * StreamingSpec) — so any pattern's DuckDB oracle is one
+    * `regexp_extract_all`. `enc` maps an event type to its encoded symbol
+    * (e.g. "click" → "c"); alternation groups become `(?:c|e)` atoms.
+    * For `view click{2,3} signup? purchase` under the q_stream_cep2
+    * encoding this returns `v(?:.*?c){2,3}?(?:.*?s)??.*?p`. */
+  def lazyRegexTwin(steps: IndexedSeq[QStep],
+                    enc: String => String = identity): String = {
+    def atom(s: QStep): String = {
+      val es = s.syms.map(enc)
+      if (es.size == 1) es.head else es.mkString("(?:", "|", ")")
+    }
+    def rep(a: String, lo: Int, hi: Int): String =
+      if (lo == 1 && hi == 1) s".*?$a"
+      else if (lo == 0 && hi == 1) s"(?:.*?$a)??"
+      else if (lo == hi) s"(?:.*?$a){$lo}?"
+      else s"(?:.*?$a){$lo,$hi}?"
+    val h = steps.head
+    val head = atom(h) +
+      (if (h.maxRep > 1) rep(atom(h), h.minRep - 1, h.maxRep - 1) else "")
+    head + steps.tail.map(s => rep(atom(s), s.minRep, s.maxRep)).mkString
   }
 
   /** The quantified NFA's single transition, shared by the
     * flatMapGroupsWithState and transformWithState twins and DIRECTLY
     * parity-testable against the batch regex. Semantics: LAZY
     * (leftmost-earliest) skip-till-next-match — the exact extents of the
-    * Java/RE2 lazy regex `sym₀ (?:.*?symᵢ){minᵢ,maxᵢ}? … .*? symₗ`:
+    * Java/RE2 lazy regex `sym₀ (?:.*?symᵢ){minᵢ,maxᵢ}? … .*? symₗ`
+    * (an alternation step's symbol set spelled as one `(?:x|y)` atom —
+    * see [[lazyRegexTwin]]; pairwise-disjoint sets across steps make a
+    * group a single super-symbol, so nothing below changes):
     *
     *  - at step i with r reps, the step's own symbol adds a rep while
     *    r < max (occurrences beyond max are SKIPPED like any non-step
@@ -228,11 +313,11 @@ object EventStreams {
       if (completableAt(s.idx, s.reps)) (null, Some((s.start, t, s.n)))
       else (s, None)
     if (cur == null) {
-      if (sym == steps.head.sym) finish(PatternState(t, 0, 1, 1))
+      if (steps.head.matches(sym)) finish(PatternState(t, 0, 1, 1))
       else (null, None)
     } else {
       val st = steps(cur.idx)
-      if (sym == st.sym && cur.reps < st.maxRep)
+      if (st.matches(sym) && cur.reps < st.maxRep)
         finish(cur.copy(reps = cur.reps + 1, n = cur.n + 1))
       else if (cur.reps >= st.minRep) {
         // advance scan: over optional steps, stopping at the first
@@ -241,7 +326,7 @@ object EventStreams {
         var hit = -1
         var stop = false
         while (k < steps.size && !stop && hit < 0) {
-          if (steps(k).sym == sym) hit = k
+          if (steps(k).matches(sym)) hit = k
           if (steps(k).minRep >= 1) stop = true
           k += 1
         }

@@ -102,7 +102,11 @@ object ClusterCheck {
     "q_stream_tumbling", "q_stream_cep",
     // round 11: quantified-NFA streaming state + the multimodal decode
     // path (distributed media generation, executor-side ImageIO)
-    "q_stream_cep2", "q_mm_imgdup")
+    "q_stream_cep2", "q_mm_imgdup",
+    // round 11: symmetric-hash stream-stream join — BOTH sides' join
+    // state stores (plus the watermark-gated outer-null buffer) must
+    // reload from the checkpoint after the SIGKILL
+    "q_stream_ssjoin_left")
 
   /** Tracks live executor count via the listener bus (to wait for the
     * initial fleet and observe the post-kill relaunch). */

@@ -655,6 +655,47 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](QStep("x", 3, 2))
   }
 
+  test("parsePattern: alternation groups and disjointness") {
+    assert(EventStreams.parsePattern("view (click|error){2,3} purchase") ===
+      IndexedSeq(QStep("view", 1, 1), QStep("click", 2, 3, Seq("error")),
+        QStep("purchase", 1, 1)))
+    assert(EventStreams.parsePattern("d (a|b|c)? e")(1) ===
+      QStep("a", 0, 1, Seq("b", "c")))
+    // the open-on-required rule applies to groups too
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("(a|b|c)? d"))
+    assert(QStep("click", 2, 3, Seq("error")).matches("error"))
+    assert(!QStep("click", 2, 3, Seq("error")).matches("view"))
+    // symbol sets must be pairwise disjoint across steps
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("a (a|b) c"))
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("(a|b) (b|c) d"))
+    // ...and duplicate-free within a step
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("x (y|y) z"))
+    // malformed atoms are loud, not silently one-symbol
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("a (b| c"))
+  }
+
+  test("lazyRegexTwin reproduces the catalog oracle regexes") {
+    // q_stream_cep2's hand-spelled oracle string, derived
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("v c{2,3} s? p")) ===
+      "v(?:.*?c){2,3}?(?:.*?s)??.*?p")
+    // q_stream_cep3: the alternation group becomes one (?:c|e) atom
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("view (click|error){2,3} signup? purchase"),
+        Map("view" -> "v", "click" -> "c", "error" -> "e",
+            "signup" -> "s", "purchase" -> "p")) ===
+      "v(?:.*?(?:c|e)){2,3}?(?:.*?s)??.*?p")
+    // a quantified HEAD step folds its first occurrence out of the bound
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("a{2,3} b")) ===
+      "a(?:.*?a){1,2}?.*?b")
+  }
+
   test("detectPatternQ: quantified chains across micro-batches") {
     val s = spark
     import s.implicits._
@@ -746,6 +787,90 @@ class StreamingSpec extends SparkSpec {
       }
       assert(got.toList === expected, s"trial $trial seq=$str")
     }
+  }
+
+  test("nfaStep extents ≡ lazy regex with alternation groups (randomized)") {
+    // same property as above, with the regex DERIVED by lazyRegexTwin and
+    // pattern shapes covering alternation at every position: a grouped
+    // middle step, a grouped head, a quantified grouped head and a
+    // trailing optional group. 1000 seeded sequences each.
+    val patterns = Seq(
+      "v (c|e){2,3} s? p",
+      "v (c|e) p",
+      "(v|s){1,2} c p",
+      "(v|s) c{2} (p|e)?",
+      "v (c|x){1,2} (s|e)? p")
+    val alphabet = "vcspex".toCharArray
+    val rnd = new scala.util.Random(421102)
+    for (pat <- patterns) {
+      val steps = EventStreams.parsePattern(pat)
+      val regex = java.util.regex.Pattern.compile(
+        EventStreams.lazyRegexTwin(steps))
+      for (trial <- 1 to 1000) {
+        val n = 4 + rnd.nextInt(28)
+        val seq = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+        val str = new String(seq)
+        val m = regex.matcher(str)
+        val expected = Iterator.continually(m)
+          .takeWhile(_.find()).map(x => (x.start, x.end - 1)).toList
+        var cur: PatternState = null
+        val got = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        seq.zipWithIndex.foreach { case (c, i) =>
+          val (next, done) = EventStreams.nfaStep(steps, cur, i.toLong, c.toString)
+          cur = next
+          done.foreach { case (st, en, _) => got += ((st.toInt, en.toInt)) }
+        }
+        assert(got.toList === expected, s"pattern=$pat trial $trial seq=$str")
+      }
+    }
+  }
+
+  test("detectPatternQ alternation: either symbol advances the bound (cross-batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPatternQ(in.toDS(),
+        EventStreams.parsePattern("view (click|error){2,3} signup? purchase"),
+        withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // one click + one error across SEPARATE batches reach the {2,3} min
+      in.addData(ev(1, 1, "view", 0), ev(2, 1, "click", 5))
+      q.processAllAvailable()
+      assert(s.table(name).count() === 0)
+      in.addData(ev(3, 1, "error", 10), ev(4, 1, "purchase", 15))
+      q.processAllAvailable()
+      val m1 = s.table(name).as[PatternMatch].collect()
+      assert(m1.toList === List(PatternMatch(1L, ts(0), ts(15), 4)),
+        m1.mkString(","))
+      // two clicks and no error also satisfy the same group bound
+      in.addData(ev(5, 2, "view", 20), ev(6, 2, "click", 21),
+        ev(7, 2, "click", 22), ev(8, 2, "purchase", 24))
+      q.processAllAvailable()
+      val m2 = s.table(name).as[PatternMatch].collect().filter(_.user_id == 2L)
+      assert(m2.toList === List(PatternMatch(2L, ts(20), ts(24), 4)),
+        m2.mkString(","))
+    } finally q.stop()
+  }
+
+  test("detectPatternQTws ≡ detectPatternQ on alternation batches") {
+    val steps = EventStreams.parsePattern("view (click|error){2,3} signup? purchase")
+    val batches = Seq(
+      Seq(ev(1, 1, "view", 0), ev(2, 1, "click", 5)),
+      Seq(ev(3, 1, "error", 10), ev(4, 1, "signup", 12), ev(5, 1, "purchase", 15)),
+      Seq(ev(6, 2, "view", 20), ev(7, 2, "error", 21), ev(8, 2, "error", 22),
+          ev(9, 2, "purchase", 26)))
+    def norm(xs: Seq[PatternMatch]) =
+      xs.sortBy(m => (m.user_id, m.start.getTime, m.end.getTime))
+    implicit val enc = org.apache.spark.sql.Encoders.product[PatternMatch]
+    val fmgws = norm(runScripted[PatternMatch](
+      EventStreams.detectPatternQ(_, steps, 60L * 60), batches))
+    val tws = withRocksDb { norm(runScripted[PatternMatch](
+      EventStreams.detectPatternQTws(_, steps, 60L * 60), batches)) }
+    assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
+    assert(fmgws.length === 2, fmgws.toString)
   }
 
   test("detectPattern orders same-second events by event_id (epoch-seconds contract)") {
