@@ -395,9 +395,14 @@ object RelationalQueries {
       o.intersect(c).orderBy(col("k"))
     }),
 
+    // SET difference against a SELECTIVE right side (customers who never
+    // placed a >400k order) so survivors exist at sf0.01 AND sf0.1 — the
+    // unfiltered difference is empty at both (every custkey has an
+    // order), and two empty sets hashing equal proves nothing
     "q_set_except" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
-      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val o = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k"))
       c.except(o).orderBy(col("k"))
     }),
 
@@ -785,7 +790,10 @@ object RelationalQueries {
     "q_set_intersect" ->
       "SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k",
     "q_set_except" ->
-      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+         ORDER BY k""",
     "q_set_exceptall" ->
       """WITH d AS (
            SELECT l_orderkey AS k FROM lineitem

@@ -87,8 +87,16 @@ object StreamingQueries {
         .createTempDirectory("graft_stream_src").toString
       base.listFiles().filter(_.getName.startsWith("part-"))
         .foreach { f =>
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dir, f.getName), f.toPath)
+          val dst = java.nio.file.Paths.get(dir, f.getName)
+          // hard-link shares bytes; filesystems without link support
+          // (overlay/network mounts) fall back to a copy that preserves
+          // the pinned mtime the replay order depends on
+          try java.nio.file.Files.createLink(dst, f.toPath)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              java.nio.file.Files.copy(f.toPath, dst)
+              dst.toFile.setLastModified(f.lastModified()); ()
+          }
         }
       val ev = Tables.events(s, d).drop("props")
       val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
@@ -315,10 +323,48 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_matches"))
         .orderBy(col("user_id"))),
 
+    // CEP with notFollowedBy (round 12 — Flink CEP absence): an error in
+    // the view→click gap or a signup in the click→purchase gap KILLS the
+    // chain. The gap atoms of the lazy-regex twin become negated classes
+    // ([^e]*?, [^s]*?), so the DuckDB oracle is still ONE regexp — the
+    // same derivation the batch eventPattern operator uses for absence
+    "q_stream_cep4" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        import s.implicits._
+        graft.streaming.EventStreams.detectPatternQ(
+            ev.as[graft.streaming.Event],
+            graft.streaming.EventStreams.parsePattern(
+              "view !error click !signup purchase"),
+            withinSec = 60L * 86400)
+          .toDF()
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id"))),
+
+    // CEP with UNBOUNDED looping (round 12 — Flink CEP oneOrMore):
+    // click+ consumes any number of clicks; under the lazy contract the
+    // match still completes at the first purchase once min=1 is met, so
+    // the oracle regex quantifier is simply {1,}? — extents depend only
+    // on MIN counts, bounded or not
+    "q_stream_cep5" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        import s.implicits._
+        graft.streaming.EventStreams.detectPatternQ(
+            ev.as[graft.streaming.Event],
+            graft.streaming.EventStreams.parsePattern(
+              "view click+ signup? purchase"),
+            withinSec = 60L * 86400)
+          .toDF()
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id"))),
+
     // stream-STREAM interval join (Flink interval-join analogue): each
     // purchase pairs with the same user's signups in [ts_p − 24 h, ts_p].
-    // Both sides carry the event-time watermark (applied BEFORE the type
-    // filters, so one source watermark drives both), and the two-sided
+    // Each FILTERED side carries its own watermark node (intervalJoin
+    // applies withWatermark after the type filters) and the global
+    // watermark gating emission is the MIN over both — which is exactly
+    // why the flush staging feeds one sentinel PER SIDE. The two-sided
     // range condition lets Spark derive state-eviction bounds: a signup
     // leaves state once the watermark passes its 24 h horizon, a purchase
     // once its own window closes — state is watermark-bounded on BOTH
@@ -482,6 +528,46 @@ object StreamingQueries {
             SELECT user_id,
                    CAST(len(regexp_extract_all(s,
                      'v(?:.*?(?:c|e)){2,3}?(?:.*?s)??.*?p')) AS BIGINT)
+                     AS n_matches
+            FROM s)
+          SELECT user_id, n_matches FROM m
+          WHERE n_matches > 0 ORDER BY user_id""",
+    // negated gaps as lazy character classes — derived by lazyRegexTwin
+    // for "view !error click !signup purchase"
+    "q_stream_cep4" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1),
+          m AS (
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s,
+                     'v[^e]*?c[^s]*?p')) AS BIGINT)
+                     AS n_matches
+            FROM s)
+          SELECT user_id, n_matches FROM m
+          WHERE n_matches > 0 ORDER BY user_id""",
+    // unbounded oneOrMore as a lazy {1,}? — derived by lazyRegexTwin for
+    // "view click+ signup? purchase"
+    "q_stream_cep5" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1),
+          m AS (
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s,
+                     'v(?:.*?c){1,}?(?:.*?s)??.*?p')) AS BIGINT)
                      AS n_matches
             FROM s)
           SELECT user_id, n_matches FROM m

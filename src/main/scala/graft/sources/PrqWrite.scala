@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.StructType
   *     11) publish by MOVE-ASIDE + whole-entry rename: prior layout
   *     entries rename into `.spark-old-<queryId>/` (never deleted
   *     early), then each staged TOP-LEVEL entry (a whole `sample=` dir)
-  *     renames into place, and only then is the old layout deleted. A
+  *     renames into place, and only then is the old layout deleted.
+  *     Staging is first PRUNED to the files the committed tasks vouched
+  *     for, so partials from attempts that died without `abort()` are
+  *     never published. A
   *     driver crash mid-commit can leave some samples briefly missing
   *     or stale, but NEVER permanently lost — every pre-commit byte
   *     sits intact in `.spark-old-*` until the final cleanup, so
@@ -107,6 +110,26 @@ abstract class StagedBatchWrite(path: String, conf: SerializableHadoopConf,
         throw new IOException(s"staged-commit: staged file missing $src")
     }
     if (truncate) {
+      // 0) prune staging to the VERIFIED set: a task attempt that died
+      //    without running DataWriter.abort (executor JVM kill) leaves
+      //    partial part files in staging that no commit message vouches
+      //    for — the whole-entry rename in step 2 must not publish them.
+      //    (The append branch below is per-verified-file and never could.)
+      val stagedSet = staged.toSet
+      if (fs.exists(stagingDir)) {
+        val qStaging = fs.makeQualified(stagingDir)
+        val files = fs.listFiles(qStaging, true)
+        while (files.hasNext) {
+          val st = files.next()
+          val rel = qStaging.toUri.relativize(st.getPath.toUri).getPath
+          if (!stagedSet.contains(rel)) fs.delete(st.getPath, false)
+        }
+        // a sample= dir whose only files were unverified is now empty —
+        // publishing it would violate the no-empty-parts layout contract
+        fs.listStatus(qStaging)
+          .filter(st => st.isDirectory && fs.listStatus(st.getPath).isEmpty)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
       // 1) move the prior layout ASIDE (rename, not delete — every old
       //    byte stays recoverable until step 3)
       val oldDir = new Path(path, s".spark-old-$queryId")

@@ -34,6 +34,12 @@ case class PatternMatch(user_id: Long, start: Timestamp, end: Timestamp,
   * alternation GROUP of types, any of which counts toward the same bound —
   * with a bounded repetition count. `view` = (1,1), `signup?` = (0,1),
   * `click{2,3}` = (2,3), `(click|error){1,2}` = (1,2) over {click,error}.
+  * Unbounded looping (round 12 — Flink's `oneOrMore`/`timesOrMore`)
+  * spells `maxRep = Int.MaxValue`: `click+` = (1,∞), `click*` = (0,∞),
+  * `click{2,}` = (2,∞). Under the lazy contract extents still depend
+  * only on MIN counts — the regex twin `(?:.*?c){m,}?` matches exactly
+  * m reps whenever the rest of the pattern can complete — so unbounded
+  * steps change nothing about oracle derivability.
   * Symbol sets must be pairwise disjoint across a pattern's steps (the
   * [[EventStreams.parsePattern]] contract): disjointness is what makes a
   * group behave as one "super-symbol", so the lazy-regex extent-parity
@@ -41,15 +47,19 @@ case class PatternMatch(user_id: Long, start: Timestamp, end: Timestamp,
   * spelled as an alternation atom `(?:x|y)`.
   *
   * `negs` guards the GAP before this step (Flink CEP's notFollowedBy):
-  * an occurrence of a negated type while the chain waits to enter this
-  * step KILLS the chain (the event is then offered to a fresh chain).
-  * The gap's regex atom becomes `[^xy]*?` instead of `.*?`. Negations
-  * are restricted to plain (1,1)-quantified chains — see
-  * [[EventStreams.parsePattern]] — because that is the subset where the
-  * single-state NFA and the regex provably agree: with quantifiers, an
-  * event can sit in several alternative gaps at once (another rep of
-  * step i vs the advance to i+1), whose classes may disagree, and
-  * tracking that needs a forking NFA, not O(1) state. */
+  * an occurrence of a negated type while a run waits to enter this step
+  * KILLS that run. The gap's regex atom becomes `[^xy]*?` instead of
+  * `.*?`. Unlike the skippable-gap case, a kill makes runs with
+  * different start events genuinely diverge (the regex "backtracks" to
+  * a later occurrence of the step symbol to dodge the kill), so
+  * negation patterns run on [[EventStreams.negNfaStep]] — a leftmost
+  * Thompson simulation over per-level start sets — not the O(1)
+  * single-chain [[EventStreams.nfaStep]]. Negations are restricted to
+  * plain (1,1)-quantified chains — see [[EventStreams.parsePattern]] —
+  * where the simulation provably reproduces lazy-regex extents; with
+  * quantifiers an event can sit in several alternative gaps at once
+  * (another rep of step i vs the advance to i+1) whose classes may
+  * disagree, and the regex twin stops being derivable. */
 case class QStep(sym: String, minRep: Int, maxRep: Int,
                  alts: Seq[String] = Nil, negs: Seq[String] = Nil) {
   require(minRep >= 0 && maxRep >= math.max(1, minRep), s"bad bounds: $this")
@@ -60,6 +70,13 @@ case class QStep(sym: String, minRep: Int, maxRep: Int,
 }
 
 private case class PatternState(start: Long, idx: Int, reps: Int, n: Int)
+
+/** Thompson-simulation state for negation (notFollowedBy) chains:
+  * `starts(i)` = sorted distinct epoch-second start times of runs that
+  * have matched steps 0..i and sit in the gap before step i+1. Size is
+  * bounded by the opens inside the pattern horizon (× chain length),
+  * the same bound Flink CEP's `within` gives its partial matches. */
+private case class NegState(starts: Seq[Seq[Long]])
 
 /** Structured-Streaming operators (SURVEY §2B streaming). Window/watermark
   * ops are thin declarative wrappers — state lives in Spark's own stores and
@@ -208,7 +225,8 @@ object EventStreams {
     * only allowed in plain chains (every step (1,1)) — the subset where
     * the O(1)-state NFA provably keeps lazy-regex extents. */
   def parsePattern(pattern: String): IndexedSeq[QStep] = {
-    val Tok = """^(\w+|\((?:\w+\|)+\w+\))(?:(\?)|\{(\d+)(?:,(\d+))?\})?$""".r
+    val Tok =
+      """^(\w+|\((?:\w+\|)+\w+\))(?:(\?)|(\+|\*)|\{(\d+)(?:,(\d*))?\})?$""".r
     def atomSyms(atom: String): Seq[String] =
       if (atom.startsWith("(")) atom.substring(1, atom.length - 1).split('|').toSeq
       else Seq(atom)
@@ -218,15 +236,18 @@ object EventStreams {
     for (tok <- toks) tok match {
       case t if t.startsWith("!") =>
         t.drop(1) match {
-          case Tok(atom, null, null, null) => pendingNegs ++= atomSyms(atom)
+          case Tok(atom, null, null, null, null) => pendingNegs ++= atomSyms(atom)
           case s => throw new IllegalArgumentException(s"bad negation: !$s")
         }
-      case Tok(atom, opt, m, n) =>
+      case Tok(atom, opt, loop, m, n) =>
         val syms = atomSyms(atom)
         val (lo, hi) =
           if (opt != null) (0, 1)
+          else if (loop == "+") (1, Int.MaxValue)       // Flink oneOrMore
+          else if (loop == "*") (0, Int.MaxValue)       // oneOrMore.optional
           else if (m == null) (1, 1)
           else if (n == null) (m.toInt, m.toInt)
+          else if (n.isEmpty) (m.toInt, Int.MaxValue)   // {m,} timesOrMore
           else (m.toInt, n.toInt)
         steps += QStep(syms.head, lo, hi, syms.tail, pendingNegs)
         pendingNegs = Seq.empty
@@ -263,15 +284,32 @@ object EventStreams {
       val es = s.syms.map(enc)
       if (es.size == 1) es.head else es.mkString("(?:", "|", ")")
     }
-    def rep(a: String, lo: Int, hi: Int): String =
-      if (lo == 1 && hi == 1) s".*?$a"
-      else if (lo == 0 && hi == 1) s"(?:.*?$a)??"
-      else if (lo == hi) s"(?:.*?$a){$lo}?"
-      else s"(?:.*?$a){$lo,$hi}?"
+    // the gap atom before a step: `.*?` normally, a lazy negated class
+    // `[^xy]*?` when the step carries notFollowedBy guards (negations
+    // are restricted to (1,1) steps by parsePattern, so the gap appears
+    // exactly once per guarded step; single-char encodings required)
+    def gap(s: QStep): String =
+      if (s.negs.isEmpty) ".*?"
+      else {
+        val cls = s.negs.map(enc)
+        require(cls.forall(_.length == 1),
+          s"negated-gap regex needs single-char encodings: $cls")
+        cls.mkString("[^", "", "]*?")
+      }
+    def rep(g: String, a: String, lo: Int, hi: Int): String =
+      if (lo == 1 && hi == 1) s"$g$a"
+      else if (lo == 0 && hi == 1) s"(?:$g$a)??"
+      else if (hi == Int.MaxValue)
+        (if (lo == 0) s"(?:$g$a)*?" else s"(?:$g$a){$lo,}?")
+      else if (lo == hi) s"(?:$g$a){$lo}?"
+      else s"(?:$g$a){$lo,$hi}?"
     val h = steps.head
     val head = atom(h) +
-      (if (h.maxRep > 1) rep(atom(h), h.minRep - 1, h.maxRep - 1) else "")
-    head + steps.tail.map(s => rep(atom(s), s.minRep, s.maxRep)).mkString
+      (if (h.maxRep > 1)
+         rep(".*?", atom(h), h.minRep - 1,
+             if (h.maxRep == Int.MaxValue) Int.MaxValue else h.maxRep - 1)
+       else "")
+    head + steps.tail.map(s => rep(gap(s), atom(s), s.minRep, s.maxRep)).mkString
   }
 
   /** The quantified NFA's single transition, shared by the
@@ -336,6 +374,52 @@ object EventStreams {
     }
   }
 
+  /** The negation-chain transition: one step of a LEFTMOST Thompson
+    * simulation of the negated-class lazy regex
+    * `sym₀ [^n₁]*? sym₁ … [^nₗ]*? symₗ` (gap i's class = step i's `negs`,
+    * `.*?` when empty). Why not the single-chain [[nfaStep]]: a gap kill
+    * makes run outcomes depend on WHICH occurrence of a step symbol a
+    * run consumed — the regex backtracks to a later occurrence to dodge
+    * a kill — so exact regex parity needs every viable (start, level)
+    * pair, not one chain. `levels(i)` holds the sorted distinct starts
+    * of runs that matched steps 0..i (length `steps.size - 1`; matching
+    * the last step emits). Each event does at most ONE of: open a run
+    * (head symbol), advance a level (step symbol — runs also STAY, the
+    * regex's gap-absorption fork), kill a level (negated type), or
+    * nothing (any other type). Symbols and negated types are pairwise
+    * disjoint by the [[parsePattern]] contract, which is what makes the
+    * action unique. Emission = earliest start in the top level when the
+    * last step's symbol arrives, then ALL runs clear (AFTER MATCH SKIP
+    * PAST LAST ROW); runs older than `withinSec` expire on every event.
+    *
+    * Leftmost parity argument (randomized property in StreamingSpec):
+    * kills and advances apply to every run at a level alike, so an
+    * earlier start always occupies a level ≥ any later start's top
+    * level — the first run to accept is the leftmost-starting one, and
+    * the first accept instant is that start's lazy (earliest) end.
+    *
+    * Returns (levels', completed (start, end)). */
+  private[streaming] def negNfaStep(steps: IndexedSeq[QStep],
+                                    levels: IndexedSeq[Seq[Long]],
+                                    t: Long, sym: String, withinSec: Long)
+      : (IndexedSeq[Seq[Long]], Option[(Long, Long)]) = {
+    val last = steps.size - 1
+    val lv = levels.map(_.filter(s => t - s <= withinSec))
+    val j = steps.indexWhere(_.matches(sym))
+    if (j == 0)
+      (lv.updated(0, (lv(0) :+ t).distinct.sorted), None)
+    else if (j == last) {
+      if (lv(last - 1).nonEmpty)
+        (IndexedSeq.fill(last)(Nil), Some((lv(last - 1).min, t)))
+      else (lv, None)
+    } else if (j > 0)
+      (lv.updated(j, (lv(j) ++ lv(j - 1)).distinct.sorted), None)
+    else {
+      val k = steps.indexWhere(_.negs.contains(sym))
+      if (k >= 1) (lv.updated(k - 1, Nil), None) else (lv, None)
+    }
+  }
+
   /** Streaming CEP: detect the ordered event-type chain `steps` per user
     * within a `withinSec` horizon — Flink CEP's `begin.followedBy…`
     * (skip-till-next-match, AFTER MATCH SKIP PAST LAST ROW) as
@@ -374,6 +458,11 @@ object EventStreams {
                      delay: String = "15 minutes"): Dataset[PatternMatch] = {
     require(steps.nonEmpty && steps.head.minRep >= 1,
       s"pattern must open on a required step: $steps")
+    require(steps.forall(_.negs.isEmpty) ||
+        steps.forall(s => s.minRep == 1 && s.maxRep == 1),
+      s"negations require a plain (1,1) chain: $steps")
+    if (steps.exists(_.negs.nonEmpty))
+      return detectPatternNeg(events, steps, withinSec, delay)
     import events.sparkSession.implicits._
     val horizonMs = withinSec * 1000L
     events.withWatermark("ts", delay)
@@ -409,6 +498,63 @@ object EventStreams {
               // such a chain times out on the next batch instead of
               // crashing the query
               state.setTimeoutTimestamp(math.max(cur.start * 1000L + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Negation-chain CEP (round 12 — Flink CEP `notFollowedBy`): the
+    * [[negNfaStep]] Thompson simulation as flatMapGroupsWithState.
+    * Dispatched to by [[detectPatternQ]] whenever a step carries `negs`;
+    * same Event in / PatternMatch out contract ([[PatternMatch.n_steps]]
+    * = chain length — plain (1,1) chains consume one event per step).
+    * State per user is the per-level start sets — horizon-bounded like
+    * Flink's `within` partial matches, GC'd by event-time timeout at the
+    * earliest run's expiry. */
+  private def detectPatternNeg(events: Dataset[Event],
+                               steps: IndexedSeq[QStep], withinSec: Long,
+                               delay: String): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    val nLevels = steps.size - 1
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[NegState, PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[NegState]) =>
+          if (state.hasTimedOut) {
+            // the timer fires at the EARLIEST run's horizon; younger runs
+            // survive — prune by the watermark and re-arm if any remain
+            val wmSec = state.getCurrentWatermarkMs() / 1000
+            val lv = state.get.starts.map(_.filter(_ + withinSec >= wmSec))
+            if (lv.forall(_.isEmpty)) state.remove()
+            else {
+              state.update(NegState(lv))
+              state.setTimeoutTimestamp(math.max(
+                (lv.flatten.min + withinSec) * 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+            var lv: IndexedSeq[Seq[Long]] = state.getOption
+              .map(_.starts.toIndexedSeq)
+              .getOrElse(IndexedSeq.fill(nLevels)(Seq.empty[Long]))
+            val out = Seq.newBuilder[PatternMatch]
+            for (e <- sorted) {
+              val t = e.ts.getTime / 1000
+              val (next, done) = negNfaStep(steps, lv, t, e.event_type, withinSec)
+              lv = next
+              done.foreach { case (start, end) =>
+                out += PatternMatch(uid, new Timestamp(start * 1000L),
+                  new Timestamp(end * 1000L), steps.size)
+              }
+            }
+            if (lv.exists(_.nonEmpty)) {
+              state.update(NegState(lv))
+              state.setTimeoutTimestamp(math.max(
+                (lv.flatten.min + withinSec) * 1000L + 1,
                 state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.result().iterator
@@ -560,6 +706,70 @@ object EventStreams {
     }
   }
 
+  /** transformWithState twin of [[detectPatternNeg]]: the same
+    * [[negNfaStep]] Thompson simulation, horizon GC via a registered
+    * event-time timer at the earliest run's expiry. Parity asserted in
+    * StreamingSpec. */
+  class NegPatternProcessor(steps: IndexedSeq[QStep], withinSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternMatch] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[NegState] = _
+    private val nLevels = steps.size - 1
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[NegState]("neglevels",
+        Encoders.product[NegState], TTLConfig.NONE)
+
+    private def arm(lv: IndexedSeq[Seq[Long]], tv: TimerValues,
+                    prev: Option[Long]): Unit = {
+      val deadline = (lv.flatten.min + withinSec) * 1000L + 1
+      if (!prev.contains(deadline)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(
+          math.max(deadline, tv.getCurrentWatermarkInMs() + 1))
+      }
+    }
+
+    private def prevDeadline(lv: Seq[Seq[Long]]): Option[Long] =
+      lv.flatten.minOption.map(m => (m + withinSec) * 1000L + 1)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[PatternMatch] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+      var lv: IndexedSeq[Seq[Long]] =
+        if (st.exists()) st.get().starts.toIndexedSeq
+        else IndexedSeq.fill(nLevels)(Seq.empty[Long])
+      val prev = prevDeadline(lv)
+      val out = Seq.newBuilder[PatternMatch]
+      for (e <- sorted) {
+        val t = e.ts.getTime / 1000
+        val (next, done) = negNfaStep(steps, lv, t, e.event_type, withinSec)
+        lv = next
+        done.foreach { case (start, end) =>
+          out += PatternMatch(uid, new Timestamp(start * 1000L),
+            new Timestamp(end * 1000L), steps.size)
+        }
+      }
+      if (lv.exists(_.nonEmpty)) { st.update(NegState(lv)); arm(lv, tv, prev) }
+      else { st.clear(); prev.foreach(getHandle.deleteTimer) }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PatternMatch] = {
+      if (st.exists()) {
+        val wmSec = tv.getCurrentWatermarkInMs() / 1000
+        val lv = st.get().starts.toIndexedSeq
+          .map(_.filter(_ + withinSec >= wmSec))
+        if (lv.forall(_.isEmpty)) st.clear()
+        else { st.update(NegState(lv)); arm(lv, tv, None) }
+      }
+      Iterator.empty
+    }
+  }
+
   /** [[detectPattern]] via transformWithState; parity asserted in
     * StreamingSpec. */
   def detectPatternTws(events: Dataset[Event], steps: Seq[String],
@@ -577,11 +787,17 @@ object EventStreams {
                         delay: String = "15 minutes"): Dataset[PatternMatch] = {
     require(steps.nonEmpty && steps.head.minRep >= 1,
       s"pattern must open on a required step: $steps")
+    require(steps.forall(_.negs.isEmpty) ||
+        steps.forall(s => s.minRep == 1 && s.maxRep == 1),
+      s"negations require a plain (1,1) chain: $steps")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val proc: org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternMatch] =
+      if (steps.exists(_.negs.nonEmpty)) new NegPatternProcessor(steps, withinSec)
+      else new PatternProcessor(steps, withinSec)
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .transformWithState(new PatternProcessor(steps, withinSec),
+      .transformWithState(proc,
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -340,6 +340,39 @@ class GenomicsSpec extends SparkSpec {
     bySample.values.foreach(fs => assert(fs.size === 1, fs.toString))
   }
 
+  test("prq V2 truncate commit never publishes unverified staging files") {
+    // A task attempt that dies without DataWriter.abort (executor JVM
+    // kill) leaves partial files in staging that no commit message
+    // vouches for. Drive StagedBatchWrite.commit directly with a staging
+    // dir holding verified files, a zombie partial alongside them, and a
+    // whole zombie-only sample dir — only the verified set may publish.
+    val out = Files.createTempDirectory("graft_prq_zombie")
+    val conf = new graft.sources.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val w = new graft.sources.PrqBatchWrite(out.toString,
+      org.apache.spark.sql.types.StructType(Nil), conf, "q1", truncate = true)
+    val staging = out.resolve(".spark-staging-q1")
+    def put(rel: String): Unit = {
+      val p = staging.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, "x".getBytes); ()
+    }
+    put("sample=a/part-ok.txt.gz")       // verified below
+    put("sample=a/part-zombie.txt.gz")   // dead attempt, same sample
+    put("sample=b/part-zombie2.txt.gz")  // dead attempt, zombie-only dir
+    // pre-existing layout that truncate must replace
+    val old = out.resolve("sample=c/part-old.txt.gz")
+    Files.createDirectories(old.getParent)
+    Files.write(old, "old".getBytes)
+    w.commit(Array(graft.sources.PrqCommit(Seq("sample=a/part-ok.txt.gz"))))
+    def exists(rel: String) = Files.exists(out.resolve(rel))
+    assert(exists("sample=a/part-ok.txt.gz"))
+    assert(!exists("sample=a/part-zombie.txt.gz"), "zombie file published")
+    assert(!exists("sample=b"), "zombie-only sample dir published")
+    assert(!exists("sample=c"), "truncate kept the prior layout")
+    assert(!Files.exists(staging), "staging dir not cleaned")
+  }
+
   test("fastq V2 WRITE: baseline grammar, positional mates, round-trip") {
     val s = spark
     val reads = Demux.dropUndetermined(

@@ -50,6 +50,54 @@ class SnapshotLogSpec extends SparkSpec {
       SnapshotLog.open(spark, root + "_empty", "id").read())
   }
 
+  test("log stats prune files by key range at any time-travel version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_st").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // commit 1: keys 1..100 range-partitioned into 4 files (disjoint
+    // key ranges per file — the shape stats skipping exists for)
+    t.commitAppend((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    // commit 2: keys 1000..1100, 4 more files
+    t.commitAppend((1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    val all = t.read(2)
+    assert(all.inputFiles.length === 8, all.inputFiles.mkString(","))
+    // a probe inside commit 1's low range must touch a strict subset
+    val pruned = t.readRange(1, 20)
+    assert(pruned.inputFiles.length < 8,
+      s"no files skipped: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (1L to 20L))
+    // pruning ≡ unpruned filter, at BOTH versions (stats are versioned
+    // with the entry, so v1 reads skip within v1's file set)
+    val v1 = t.readRange(50, 1050, version = 1)
+    assert(v1.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (50L to 100L), "v1 must not see commit 2")
+    val v2 = t.readRange(50, 1050, version = 2)
+    assert(v2.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      ((50L to 100L) ++ (1000L to 1050L)))
+    // an out-of-range probe reads nothing but stays schema-correct
+    assert(t.readRange(500, 600).count() === 0)
+    // deletes still apply on the pruned path
+    t.commitDelete(Seq(5L, 10L).toDF("id"))
+    assert(t.readRange(1, 20).as[(Long, String)].collect().map(_._1)
+      .sorted.toSeq === (1L to 20L).filterNot(Set(5L, 10L)))
+    // compaction rewrites data and recomputes stats — pruning still live
+    t.compact()
+    val afterCompact = t.readRange(1000, 1100)
+    assert(afterCompact.count() === 101)
+    assert(afterCompact.inputFiles.length <= t.read().inputFiles.length)
+  }
+
+  test("non-integral keys carry no stats and readRange stays correct") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_ns").toString
+    val t = SnapshotLog.open(spark, root, "name")
+    t.commitAppend(Seq(("a", 1L), ("b", 2L)).toDF("name", "x"))
+    // string key: no stats rows — readRange would need a long key; the
+    // plain read path is unaffected
+    assert(t.read().count() === 2)
+  }
+
   test("optimistic concurrency: interleaved committers lose no update") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_occ").toString
     // two independent handles, as two drivers would hold
@@ -81,6 +129,14 @@ class SnapshotLogSpec extends SparkSpec {
     val counts = (1 to 13).map(v => t1.read(v).count())
     assert(counts === counts.sorted)
     assert(counts.last === 13L)
+    // stats survived every rebase: a single-key range probe still finds
+    // its row AND skips files (the loser re-reads the winner's stats and
+    // re-appends its own — a lost race never drops skipping metadata)
+    val k = "w1".hashCode.toLong * 100 + 3
+    val probe = t1.readRange(k, k)
+    assert(probe.as[(Long, String)].collect().map(_._2).toSeq === Seq("w13"))
+    assert(probe.inputFiles.length < t1.read().inputFiles.length,
+      s"rebased stats must still skip files: ${probe.inputFiles.length}")
   }
 
   test("publish-if-absent: exactly one claimant of a version wins") {

@@ -655,6 +655,44 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](QStep("x", 3, 2))
   }
 
+  test("parsePattern: unbounded quantifiers (+ * {m,}) — round 12") {
+    assert(EventStreams.parsePattern("a b+ c") ===
+      IndexedSeq(QStep("a", 1, 1), QStep("b", 1, Int.MaxValue),
+        QStep("c", 1, 1)))
+    assert(EventStreams.parsePattern("a b{2,} c")(1) ===
+      QStep("b", 2, Int.MaxValue))
+    assert(EventStreams.parsePattern("a b* c")(1) ===
+      QStep("b", 0, Int.MaxValue))
+    assert(EventStreams.parsePattern("a (b|c)+ d")(1) ===
+      QStep("b", 1, Int.MaxValue, Seq("c")))
+    // the open-on-required rule still applies: a* head is min-0
+    intercept[IllegalArgumentException](EventStreams.parsePattern("a* b"))
+    // a+ head is fine (min 1)
+    assert(EventStreams.parsePattern("a+ b").head ===
+      QStep("a", 1, Int.MaxValue))
+  }
+
+  test("parsePattern: negation tokens (notFollowedBy) — round 12") {
+    assert(EventStreams.parsePattern("v !e c !s p") ===
+      IndexedSeq(QStep("v", 1, 1), QStep("c", 1, 1, Nil, Seq("e")),
+        QStep("p", 1, 1, Nil, Seq("s"))))
+    assert(EventStreams.parsePattern("v !(e|s) c p")(1) ===
+      QStep("c", 1, 1, Nil, Seq("e", "s")))
+    // dangling negation (no following step)
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v c !e"))
+    // negation before the opening step has no gap to guard
+    intercept[IllegalArgumentException](EventStreams.parsePattern("!e v c"))
+    // negated type colliding with a step symbol
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v !c c p"))
+    // negations are restricted to plain (1,1) chains
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("v !e c{2,3} p"))
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("v !e c p?"))
+    intercept[IllegalArgumentException](
+      EventStreams.parsePattern("v !e c+ p"))
+  }
+
   test("parsePattern: alternation groups and disjointness") {
     assert(EventStreams.parsePattern("view (click|error){2,3} purchase") ===
       IndexedSeq(QStep("view", 1, 1), QStep("click", 2, 3, Seq("error")),
@@ -694,6 +732,24 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.lazyRegexTwin(
         EventStreams.parsePattern("a{2,3} b")) ===
       "a(?:.*?a){1,2}?.*?b")
+    // round 12: negated gaps become lazy character classes
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("v !e c !s p")) === "v[^e]*?c[^s]*?p")
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("v !(e|s) c p")) === "v[^es]*?c.*?p")
+    // round 12: unbounded quantifiers
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("v c+ s? p")) ===
+      "v(?:.*?c){1,}?(?:.*?s)??.*?p")
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("v c{2,} p")) === "v(?:.*?c){2,}?.*?p")
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("v c* p")) === "v(?:.*?c)*?.*?p")
+    assert(EventStreams.lazyRegexTwin(
+        EventStreams.parsePattern("a+ b")) === "a(?:.*?a)*?.*?b")
+    // multi-char encodings under a negated gap are rejected loudly
+    intercept[IllegalArgumentException](EventStreams.lazyRegexTwin(
+      EventStreams.parsePattern("v !error c p"), identity))
   }
 
   test("detectPatternQ: quantified chains across micro-batches") {
@@ -799,13 +855,26 @@ class StreamingSpec extends SparkSpec {
       "v (c|e) p",
       "(v|s){1,2} c p",
       "(v|s) c{2} (p|e)?",
-      "v (c|x){1,2} (s|e)? p")
+      "v (c|x){1,2} (s|e)? p",
+      // round 12 — notFollowedBy gaps (plain chains)
+      "v !e c p",
+      "v !e c !s p",
+      "v !(e|x) c p",
+      "v !s c !e p",
+      // round 12 — unbounded looping (oneOrMore / timesOrMore / zeroOrMore)
+      "v c+ s? p",
+      "v c{2,} p",
+      "v c* p",
+      "v (c|e)+ s? p",
+      "c+ p",
+      "v (c|e){2,} (s|x)? p")
     val alphabet = "vcspex".toCharArray
     val rnd = new scala.util.Random(421102)
     for (pat <- patterns) {
       val steps = EventStreams.parsePattern(pat)
       val regex = java.util.regex.Pattern.compile(
         EventStreams.lazyRegexTwin(steps))
+      val hasNegs = steps.exists(_.negs.nonEmpty)
       for (trial <- 1 to 1000) {
         val n = 4 + rnd.nextInt(28)
         val seq = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
@@ -813,12 +882,24 @@ class StreamingSpec extends SparkSpec {
         val m = regex.matcher(str)
         val expected = Iterator.continually(m)
           .takeWhile(_.find()).map(x => (x.start, x.end - 1)).toList
-        var cur: PatternState = null
         val got = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
-        seq.zipWithIndex.foreach { case (c, i) =>
-          val (next, done) = EventStreams.nfaStep(steps, cur, i.toLong, c.toString)
-          cur = next
-          done.foreach { case (st, en, _) => got += ((st.toInt, en.toInt)) }
+        if (hasNegs) {
+          // negation chains run the leftmost Thompson simulation
+          var lv: IndexedSeq[Seq[Long]] =
+            IndexedSeq.fill(steps.size - 1)(Seq.empty[Long])
+          seq.zipWithIndex.foreach { case (c, i) =>
+            val (next, done) = EventStreams.negNfaStep(
+              steps, lv, i.toLong, c.toString, Long.MaxValue)
+            lv = next
+            done.foreach { case (st, en) => got += ((st.toInt, en.toInt)) }
+          }
+        } else {
+          var cur: PatternState = null
+          seq.zipWithIndex.foreach { case (c, i) =>
+            val (next, done) = EventStreams.nfaStep(steps, cur, i.toLong, c.toString)
+            cur = next
+            done.foreach { case (st, en, _) => got += ((st.toInt, en.toInt)) }
+          }
         }
         assert(got.toList === expected, s"pattern=$pat trial $trial seq=$str")
       }
@@ -871,6 +952,104 @@ class StreamingSpec extends SparkSpec {
       EventStreams.detectPatternQTws(_, steps, 60L * 60), batches)) }
     assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
     assert(fmgws.length === 2, fmgws.toString)
+  }
+
+  test("detectPatternQ negation: a negated type in the gap kills the chain (cross-batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPatternQ(in.toDS(),
+        EventStreams.parsePattern("view !error click !signup purchase"),
+        withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // error lands in the view→click gap IN A LATER BATCH — the chain
+      // opened in batch 1 must die, and the later click+purchase alone
+      // must not match (no open chain)
+      in.addData(ev(1, 1, "view", 0))
+      q.processAllAvailable()
+      in.addData(ev(2, 1, "error", 5), ev(3, 1, "click", 8),
+        ev(4, 1, "purchase", 10))
+      q.processAllAvailable()
+      assert(s.table(name).count() === 0, "gap-kill failed across batches")
+      // clean chain for user 2: non-negated noise (other types) skipped,
+      // signup AFTER the purchase is past the guarded gap
+      in.addData(ev(5, 2, "view", 20), ev(6, 2, "click", 22),
+        ev(7, 2, "purchase", 25), ev(8, 2, "signup", 26))
+      q.processAllAvailable()
+      val m = s.table(name).as[PatternMatch].collect()
+      assert(m.toList === List(PatternMatch(2L, ts(20), ts(25), 3)),
+        m.mkString(","))
+      // signup in the click→purchase gap kills the run through the FIRST
+      // click — but the leftmost start survives by taking the SECOND
+      // click (the regex's backtracking, which is why negation chains
+      // need the Thompson simulation): match is (30, 35), not (33, 35)
+      in.addData(ev(9, 3, "view", 30), ev(10, 3, "click", 31),
+        ev(11, 3, "signup", 32), ev(12, 3, "view", 33),
+        ev(13, 3, "click", 34), ev(14, 3, "purchase", 35))
+      q.processAllAvailable()
+      val m3 = s.table(name).as[PatternMatch].collect().filter(_.user_id == 3L)
+      assert(m3.toList === List(PatternMatch(3L, ts(30), ts(35), 3)),
+        m3.mkString(","))
+    } finally q.stop()
+  }
+
+  test("detectPatternQ oneOrMore: unbounded reps across batches, lazy completion") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPatternQ(in.toDS(),
+        EventStreams.parsePattern("view click{2,} purchase"),
+        withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // 5 clicks (beyond any bounded max) spread over two batches, then
+      // purchase: ONE match, ending at the purchase
+      in.addData(ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "click", 2))
+      q.processAllAvailable()
+      assert(s.table(name).count() === 0)
+      in.addData(ev(4, 1, "click", 3), ev(5, 1, "click", 4),
+        ev(6, 1, "click", 5), ev(7, 1, "purchase", 8))
+      q.processAllAvailable()
+      val m = s.table(name).as[PatternMatch].collect()
+      assert(m.toList === List(PatternMatch(1L, ts(0), ts(8), 7)),
+        m.mkString(","))
+      // below min: one click then purchase must NOT match
+      in.addData(ev(8, 2, "view", 20), ev(9, 2, "click", 21),
+        ev(10, 2, "purchase", 23))
+      q.processAllAvailable()
+      assert(s.table(name).as[PatternMatch].collect()
+        .count(_.user_id == 2L) === 0)
+    } finally q.stop()
+  }
+
+  test("detectPatternQTws ≡ detectPatternQ on negation + oneOrMore batches") {
+    def check(pat: String, batches: Seq[Seq[Event]], expected: Int): Unit = {
+      val steps = EventStreams.parsePattern(pat)
+      def norm(xs: Seq[PatternMatch]) =
+        xs.sortBy(m => (m.user_id, m.start.getTime, m.end.getTime))
+      implicit val enc = org.apache.spark.sql.Encoders.product[PatternMatch]
+      val fmgws = norm(runScripted[PatternMatch](
+        EventStreams.detectPatternQ(_, steps, 60L * 60), batches))
+      val tws = withRocksDb { norm(runScripted[PatternMatch](
+        EventStreams.detectPatternQTws(_, steps, 60L * 60), batches)) }
+      assert(tws === fmgws, s"pat=$pat tws=$tws fmgws=$fmgws")
+      assert(fmgws.length === expected, s"pat=$pat got=$fmgws")
+    }
+    check("view !error click !signup purchase", Seq(
+      Seq(ev(1, 1, "view", 0)),
+      Seq(ev(2, 1, "error", 5), ev(3, 1, "click", 8), ev(4, 1, "purchase", 10)),
+      Seq(ev(5, 2, "view", 20), ev(6, 2, "click", 22), ev(7, 2, "purchase", 25))),
+      expected = 1)
+    check("view click+ signup? purchase", Seq(
+      Seq(ev(1, 1, "view", 0), ev(2, 1, "click", 1)),
+      Seq(ev(3, 1, "click", 2), ev(4, 1, "signup", 3), ev(5, 1, "purchase", 5)),
+      Seq(ev(6, 2, "view", 20), ev(7, 2, "purchase", 23))),
+      expected = 1)
   }
 
   test("detectPattern orders same-second events by event_id (epoch-seconds contract)") {
