@@ -46,6 +46,8 @@ object Bcl {
   private val cbclRe = ".*/L(\\d+)/C(\\d+)\\.1/[^/]+\\.cbcl$"
   /** Filter files: .../L{lane}/s_{lane}_{tile}.filter (1 byte per cluster) */
   private val filterRe = ".*/L(\\d+)/s_\\d+_(\\d+)\\.filter$"
+  /** Cluster coordinates: .../L{lane}/s_{lane}_{tile}.locs or .clocs */
+  private val locsRe = ".*/L(\\d+)/s_\\d+_(\\d+)\\.(locs|clocs)$"
 
   private val bases = Array('A', 'C', 'G', 'T')
 
@@ -54,8 +56,28 @@ object Bcl {
     if (b == 0) ('N', '!')
     else (bases(b & 0x3), ((((b & 0xff) >> 2) & 0x3f) + 33).toChar)
 
-  /** Scan a run folder and decode to PRQ reads (sample not yet assigned). */
+  /** Scan a run folder and decode to PRQ reads (sample not yet assigned),
+    * with caller-supplied cycle structure and positional read ids
+    * (`lane_tile_index`). */
   def decodeRun(spark: SparkSession, runDir: String, rs: ReadStructure)
+      : Dataset[PrqRead] = decodeRunImpl(spark, runDir, rs, None)
+
+  /** Metadata-driven decode (round 12): derive the [[ReadStructure]] from
+    * `<runDir>/RunInfo.xml` and read names from the per-tile `.locs` /
+    * `.clocs` cluster coordinates — ids become the real Illumina grammar
+    * `instrument:run:flowcell:lane:tile:x:y` (`RunMeta.RunInfo.readName`).
+    * Loud on a missing/inconsistent manifest, a tile without coordinates,
+    * or a coordinate count that disagrees with the tile's cluster count —
+    * never a silently mis-named read. The coordinate files ride the same
+    * (lane, tile) shuffle as the chastity filters: no extra pass. */
+  def decodeRun(spark: SparkSession, runDir: String): Dataset[PrqRead] = {
+    val info = RunMeta.readRunInfo(runDir)
+    decodeRunImpl(spark, runDir, info.rs, Some(info))
+  }
+
+  private def decodeRunImpl(spark: SparkSession, runDir: String,
+                            rs: ReadStructure,
+                            info: Option[RunMeta.RunInfo])
       : Dataset[PrqRead] = {
     import spark.implicits._
 
@@ -112,23 +134,46 @@ object Bcl {
 
     val cycles = flatCycles.union(cbclCycles)
 
+    // per-tile metadata rides ONE dataset so filters and coordinates share
+    // the same (lane, tile) shuffle: kind "f" = chastity filter (header
+    // dropped), "locs"/"clocs" = raw coordinate payloads
     val filters = loadBinary(s"$runDir/L*/*.filter")
       .select(
         regexp_extract(col("path"), filterRe, 1).cast("int").as("lane"),
         regexp_extract(col("path"), filterRe, 2).cast("int").as("tile"),
         col("content"))
       .as[(Int, Int, Array[Byte])]
-      .map { case (lane, tile, bytes) => (lane, tile, bytes.drop(4)) } // header
+      .map { case (lane, tile, bytes) => (lane, tile, "f", bytes.drop(4)) }
+    val metas = info match {
+      case None => filters
+      case Some(_) =>
+        filters.union(loadBinary(s"$runDir/L*/*.*locs")
+          .select(
+            regexp_extract(col("path"), locsRe, 1).cast("int").as("lane"),
+            regexp_extract(col("path"), locsRe, 2).cast("int").as("tile"),
+            regexp_extract(col("path"), locsRe, 3).as("kind"),
+            col("content"))
+          .as[(Int, Int, String, Array[Byte])])
+    }
 
     cycles.groupByKey { case (lane, tile, _, _, _) => (lane, tile) }
-      .cogroup(filters.groupByKey { case (lane, tile, _) => (lane, tile) }) {
-        case ((lane, tile), cyIt, fIt) =>
+      .cogroup(metas.groupByKey { case (lane, tile, _, _) => (lane, tile) }) {
+        case ((lane, tile), cyIt, mIt) =>
           val byCycle = cyIt.map { case (_, _, c, bytes, pf) =>
             c -> ((bytes, pf))
           }.toMap
           require(byCycle.size == rs.totalCycles,
             s"tile $lane/$tile has ${byCycle.size} cycles, expected ${rs.totalCycles}")
-          val passOpt = fIt.toSeq.headOption.map(_._3)
+          val metaSeq = mIt.toSeq
+          val passOpt = metaSeq.find(_._3 == "f").map(_._4)
+          val coords: Option[Array[(Float, Float)]] = info.map { _ =>
+            val raw = metaSeq.find(m => m._3 == "locs" || m._3 == "clocs")
+            require(raw.isDefined,
+              s"tile $lane/$tile: no .locs/.clocs file — metadata-driven " +
+                "decode cannot synthesize read names without coordinates")
+            if (raw.get._3 == "locs") RunMeta.readLocs(raw.get._4)
+            else RunMeta.readClocs(raw.get._4)
+          }
           val anyPfOnly = byCycle.valuesIterator.exists(_._2)
           // excludeNonPF CBCL stores only pass-filter clusters; restoring
           // full cluster order REQUIRES the lane filter — no filter file
@@ -139,6 +184,9 @@ object Bcl {
           val nClusters =
             passOpt.map(_.length).getOrElse(byCycle(1)._1.length)
           val pass = passOpt.getOrElse(Array.fill(nClusters)(1.toByte))
+          coords.foreach(cs => require(cs.length == nClusters,
+            s"tile $lane/$tile: ${cs.length} coordinates for $nClusters " +
+              "clusters — run metadata inconsistent with BCL payloads"))
           val nPf = pass.count(_ != 0)
           val cols = (1 to rs.totalCycles).map { c =>
             val (bytes, pfOnly) = byCycle(c)
@@ -170,7 +218,12 @@ object Bcl {
               else { sb2 += base; qb2 += qual }
               c += 1
             }
-            PrqRead(s"${lane}_${tile}_$i", sample = null,
+            val id = coords match {
+              case Some(cs) =>
+                info.get.readName(lane, tile, cs(i)._1, cs(i)._2)
+              case None => s"${lane}_${tile}_$i"
+            }
+            PrqRead(id, sample = null,
               sb1.result(), qb1.result(), sb2.result(), qb2.result(),
               sbi.result(), pass(i) != 0, lane, tile)
           }

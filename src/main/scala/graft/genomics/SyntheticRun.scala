@@ -34,6 +34,51 @@ object SyntheticRun {
   def cluster(i: Int): (String, String, String, Boolean) =
     (rotate("ACGT", i), barcodes(i % barcodes.size), rotate("TGCA", i), i % 7 != 6)
 
+  /** Run manifest the metadata-driven decode derives structure/names
+    * from; the <Reads> cycle layout spells [[rs]]. */
+  val instrument = "M00001"
+  val runNumber = 7
+  val flowcell = "GRAFTFC01"
+  def runInfoXml: String =
+    s"""<?xml version="1.0"?>
+       |<RunInfo Version="5">
+       |  <Run Id="220101_${instrument}_000${runNumber}_$flowcell" Number="$runNumber">
+       |    <Flowcell>$flowcell</Flowcell>
+       |    <Instrument>$instrument</Instrument>
+       |    <Date>220101</Date>
+       |    <Reads>
+       |      <Read Number="1" NumCycles="${rs.r1}" IsIndexedRead="N"/>
+       |      <Read Number="2" NumCycles="${rs.index}" IsIndexedRead="Y"/>
+       |      <Read Number="3" NumCycles="${rs.r2}" IsIndexedRead="N"/>
+       |    </Reads>
+       |    <FlowcellLayout LaneCount="1" SurfaceCount="1" SwathCount="1" TileCount="2"/>
+       |  </Run>
+       |</RunInfo>
+       |""".stripMargin
+
+  /** Deterministic cluster coordinates by LOCAL (within-tile) index.
+    * All values are exact multiples of 0.5 (float-exact, inside the
+    * 0.1-precision the lossy .clocs encoding carries, so both codecs
+    * round-trip bit-exact), y rows advance by the 25-unit clocs bin
+    * height per 40 clusters, and bin indices are provably non-decreasing
+    * in j — the clocs writer's row-major contract. */
+  def coord(j: Int): (Float, Float) =
+    ((j % 40) * 2.5f + (j % 7) * 0.5f,
+     (j / 40) * 25.0f + (j % 4) * 0.5f)
+
+  /** Write per-tile coordinate files: tile 1101 as flat `.locs`, tile
+    * 1102 as binned `.clocs` — both decode arms exercised in one run. */
+  private def writeLocsFiles(laneDir: Path, lane: Int, tile: Int,
+                             n: Int): Unit = {
+    val cs = (0 until n).map(coord)
+    if (tile % 2 == 1)
+      Files.write(laneDir.resolve(f"s_${lane}_$tile.locs"),
+        RunMeta.writeLocs(cs))
+    else
+      Files.write(laneDir.resolve(f"s_${lane}_$tile.clocs"),
+        RunMeta.writeClocs(cs))
+  }
+
   /** Encode (base, qual) to a BCL byte; 'N' → 0 (same packing the decoder
     * inverts: low 2 bits base, high 6 quality). */
   private def enc(base: Char, q: Int): Byte =
@@ -66,6 +111,7 @@ object SyntheticRun {
     }
     val fbytes = clusters.map(c => if (c._4) 1.toByte else 0.toByte).toArray
     Files.write(laneDir.resolve(f"s_${lane}_$tile.filter"), header ++ fbytes)
+    writeLocsFiles(laneDir, lane, tile, clusters.size)
   }
 
   /** Write a 2-tile run of `perTile` clusters each; returns the run dir.
@@ -74,6 +120,8 @@ object SyntheticRun {
     * byte-identical to the flat run's). */
   def writeRun(dir: Path, perTile: Int = 24, bgzf: Boolean = false,
                bgzfBlock: Int = 16): Path = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("RunInfo.xml"), runInfoXml)
     writeTile(dir, 1, 1101, (0 until perTile).map(cluster), bgzf, bgzfBlock)
     writeTile(dir, 1, 1102, (perTile until 2 * perTile).map(cluster), bgzf, bgzfBlock)
     dir
@@ -109,20 +157,24 @@ object SyntheticRun {
     tiles.foreach { case (tileNum, clusters) =>
       val filt = clusters.map(cl => if (cl._4) 1.toByte else 0.toByte).toArray
       Files.write(laneDir.resolve(s"s_1_$tileNum.filter"), header ++ filt)
+      writeLocsFiles(laneDir, 1, tileNum, clusters.size)
     }
+    Files.writeString(dir.resolve("RunInfo.xml"), runInfoXml)
     dir
   }
 
   /** Mock aligner (the reference's external `bwa`/`seqal` stand-in, R10):
     * PRQ TSV in, minimal valid SAM out — header line then a 99/147 mate
-    * pair per read. Positions derive from the read id's cluster index, so
-    * output is independent of partition order and process batching. */
+    * pair per read. Positions derive from the read id's trailing numeric
+    * field (cluster index for positional `lane_tile_i` names, the y
+    * coordinate for Illumina `…:tile:x:y` names), so output is
+    * independent of partition order and process batching. */
   def writeMockAligner(path: Path): Path = {
     val script =
       """#!/bin/sh
         |printf '@HD\tVN:1.6\tSO:unsorted\n'
         |while IFS='	' read -r id s1 q1 s2 q2; do
-        |  c=${id##*_}
+        |  c=${id##*:}; c=${c##*_}
         |  p=$(( (c + 1) * 10 ))
         |  printf '%s\t99\tchr1\t%d\t60\t4M\t=\t%d\t8\t%s\t%s\tNM:i:0\n' "$id" "$p" "$((p + 4))" "$s1" "$q1"
         |  printf '%s\t147\tchr1\t%d\t60\t4M\t=\t%d\t-8\t%s\t%s\tNM:i:0\n' "$id" "$((p + 4))" "$p" "$s2" "$q2"

@@ -28,9 +28,12 @@ object GenomicsQueries {
       val aligner = SyntheticRun.writeMockAligner(work.resolve("align.sh"))
       val prqDir = work.resolve("prq").toString
       // stage 1 (R1–R8): decode → filter → demux → drop Undetermined →
-      // partitioned gzip PRQ
+      // partitioned gzip PRQ. Metadata-driven (round 12): ReadStructure
+      // comes from the run's own RunInfo.xml and read names from the
+      // .locs/.clocs cluster coordinates, as the reference's reader does
+      // from a bare run dir (workflow.py:251 passes only root=)
       val reads = Demux.demux(
-        Bcl.applyFilter(Bcl.decodeRun(s, runDir.toString, SyntheticRun.rs)),
+        Bcl.applyFilter(Bcl.decodeRun(s, runDir.toString)),
         SyntheticRun.sheet)
       Codecs.writePartitionedGzip(Demux.dropUndetermined(reads), prqDir)
       // R9: sample discovery from the sink's partition layout

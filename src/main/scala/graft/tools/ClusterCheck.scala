@@ -171,6 +171,79 @@ object ClusterCheck {
     } finally { stop.set(true); killer.join(2000) }
   }
 
+  /** Round-12 arm: SnapshotLog optimistic concurrency under EXECUTOR
+    * LOSS. Two committer threads race version claims (8 appends of 1000
+    * rows each against one table) while a watcher SIGKILLs an executor
+    * mid-commit — commits run real write + stats jobs on executor JVMs,
+    * so the kill lands inside the commit path. Asserts the hard-link CAS
+    * + rebase loop kept the log DENSE (every version 1..V published
+    * exactly once), no appended row lost, snapshots monotone, and the
+    * per-file stats still prune after rebases. Returns (json, ok). */
+  private def chaosSnapshotLog(spark: SparkSession): (String, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val sc = spark.sparkContext
+    val appId = sc.applicationId
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chaos-snap").toString
+    val t1 = graft.operators.SnapshotLog.open(spark, root, "id")
+    val t2 = graft.operators.SnapshotLog.open(spark, root, "id")
+    t1.commitAppend(spark.range(1)
+      .select(lit(0L).as("id"), lit("seed").as("v")))
+    val perWriter = 4
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer = new Thread(() => {
+      while (!stop.get() && !killed.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during snapshot-log commits")
+            killed.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer.setDaemon(true)
+    killer.start()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(t: graft.operators.SnapshotTable, base: Long): Thread = {
+      val th = new Thread(() =>
+        try (1 to perWriter).foreach { i =>
+          t.commitAppend(spark.range(1000)
+            .select((col("id") + base * 1000000L + i * 1000L).as("id"),
+              concat(lit(s"w$base-$i-"), col("id")).as("v")))
+        } catch { case e: Throwable => errs.add(e); () })
+      th.start(); th
+    }
+    val ths = Seq(writer(t1, 1), writer(t2, 2))
+    ths.foreach(_.join(300000))
+    stop.set(true)
+    killer.join(2000)
+    errs.forEach(e => System.err.println(s"[chaos] snapshot-log writer: $e"))
+    val v = t1.currentVersion()
+    val dense = (1 to v).forall(i => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_log", s"$i.json")))
+    val total = t1.read().count()
+    val expect = 1L + 2L * perWriter * 1000L
+    val counts = (1 to v).map(t1.read(_).count())
+    val monotone = counts == counts.sorted
+    // writer 1's i=1 block is ids 1001000..1001999 — the range probe must
+    // return exactly it AND skip files via the rebased log stats
+    val probe = t1.readRange(1001000L, 1001999L)
+    val pruned = probe.count() == 1000L &&
+      probe.inputFiles.length < t1.read().inputFiles.length
+    val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
+      total == expect && monotone && pruned
+    val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
+      s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
+      s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
+      s""""ok":$ok}"""
+    (json, ok)
+  }
+
   /** `--chaos`: local[8] reference hashes, then the chaos slice on
     * local-cluster with `spark.graft.checkpoint.reliable=true` and one
     * executor killed mid-query — every hash must survive the retry.
@@ -208,6 +281,8 @@ object ClusterCheck {
                   System.err.println(s"[chaos] $n ERROR: ${e.getMessage}")
                   (-1L, s"ERROR:${e.getClass.getSimpleName}", true) })
         }.toMap
+        // round 12: multi-writer SnapshotLog CAS under executor loss
+        val snap = chaosSnapshotLog(spark)
         // negative probe: default (localCheckpoint) loop under a kill —
         // Spark's documented contract is a LOUD job failure (truncated
         // lineage, unreplicated blocks), never a wrong answer
@@ -224,9 +299,9 @@ object ClusterCheck {
           } catch { case e: Throwable =>
             s""""loud-failure:${e.getClass.getSimpleName}""""
           }
-        (gated, probe)
+        (gated, probe, snap)
       } finally spark.stop()
-    val (gated, probe) = results
+    val (gated, probe, (snapJson, snapOk)) = results
     val mismatch = chaosSlice.filter { n =>
       val (ln, lh) = local(n)
       val (cn, ch, _) = gated(n)
@@ -237,10 +312,11 @@ object ClusterCheck {
       s""""n":${chaosSlice.size},"match":${chaosSlice.size - mismatch.size},""" +
       s""""killMissed":[${noKill.map(n => s""""$n"""").mkString(",")}],""" +
       s""""negativeProbe":$probe,""" +
+      s""""snapshotLog":$snapJson,""" +
       s""""mismatch":[${mismatch.map(n =>
         s""""$n(local=${local(n)},chaos=${gated(n)})"""").mkString(",")}]}"""
     println(json)
-    if (mismatch.nonEmpty) sys.exit(1)
+    if (mismatch.nonEmpty || !snapOk) sys.exit(1)
   }
 
   // --------------------------------------------------- memory envelope ----

@@ -340,6 +340,111 @@ class GenomicsSpec extends SparkSpec {
     bySample.values.foreach(fs => assert(fs.size === 1, fs.toString))
   }
 
+  test("RunInfo.xml parses structure, run identity, and rejects bad layouts") {
+    val info = RunMeta.parseRunInfo(SyntheticRun.runInfoXml)
+    assert(info.rs === SyntheticRun.rs)
+    assert(info.instrument === "M00001" && info.runNumber === 7 &&
+      info.flowcell === "GRAFTFC01")
+    assert(info.readName(1, 1101, 2.5f, 0.0f) ===
+      "M00001:7:GRAFTFC01:1:1101:1025:1000")
+    // dual-index cycles sum into one block
+    val dual = RunMeta.parseRunInfo(
+      """<RunInfo><Run Number="2"><Flowcell>FC</Flowcell>
+        |<Instrument>I</Instrument><Reads>
+        |<Read Number="1" NumCycles="8" IsIndexedRead="N"/>
+        |<Read Number="2" NumCycles="4" IsIndexedRead="Y"/>
+        |<Read Number="3" NumCycles="4" IsIndexedRead="Y"/>
+        |<Read Number="4" NumCycles="8" IsIndexedRead="N"/>
+        |</Reads></Run></RunInfo>""".stripMargin)
+    assert(dual.rs === ReadStructure(8, 8, 8))
+    // index-first and interleaved layouts are loud errors
+    intercept[IllegalArgumentException](RunMeta.parseRunInfo(
+      """<RunInfo><Run Number="1"><Flowcell>F</Flowcell>
+        |<Instrument>I</Instrument><Reads>
+        |<Read Number="1" NumCycles="4" IsIndexedRead="Y"/>
+        |<Read Number="2" NumCycles="8" IsIndexedRead="N"/>
+        |</Reads></Run></RunInfo>""".stripMargin))
+    intercept[IllegalArgumentException](RunMeta.parseRunInfo(
+      """<RunInfo><Run Number="1"><Flowcell>F</Flowcell>
+        |<Instrument>I</Instrument><Reads>
+        |<Read Number="1" NumCycles="4" IsIndexedRead="N"/>
+        |<Read Number="2" NumCycles="4" IsIndexedRead="Y"/>
+        |<Read Number="3" NumCycles="4" IsIndexedRead="N"/>
+        |<Read Number="4" NumCycles="4" IsIndexedRead="Y"/>
+        |</Reads></Run></RunInfo>""".stripMargin))
+    // out-of-order read numbers are a loud error
+    intercept[IllegalArgumentException](RunMeta.parseRunInfo(
+      """<RunInfo><Run Number="1"><Flowcell>F</Flowcell>
+        |<Instrument>I</Instrument><Reads>
+        |<Read Number="2" NumCycles="4" IsIndexedRead="N"/>
+        |<Read Number="1" NumCycles="4" IsIndexedRead="N"/>
+        |</Reads></Run></RunInfo>""".stripMargin))
+    // missing manifest is loud
+    val empty = Files.createTempDirectory("graft_norticulate")
+    intercept[IllegalArgumentException](RunMeta.readRunInfo(empty.toString))
+  }
+
+  test("locs and clocs round-trip cluster coordinates exactly") {
+    val cs = (0 until 57).map(SyntheticRun.coord)
+    assert(RunMeta.readLocs(RunMeta.writeLocs(cs)).toSeq === cs)
+    // 0.1-precision coords survive the lossy clocs binning exactly
+    assert(RunMeta.readClocs(RunMeta.writeClocs(cs)).toSeq === cs)
+    // multi-bin-row coords (y beyond one 25-unit row)
+    val tall = Seq((3.0f, 1.0f), (12.5f, 26.0f), (30.0f, 52.5f))
+    assert(RunMeta.readClocs(RunMeta.writeClocs(tall)).toSeq === tall)
+    // truncated payloads are loud
+    val bytes = RunMeta.writeClocs(cs)
+    intercept[IllegalArgumentException](
+      RunMeta.readClocs(bytes.dropRight(1)))
+    intercept[IllegalArgumentException](
+      RunMeta.readLocs(RunMeta.writeLocs(cs).dropRight(4)))
+  }
+
+  test("metadata-driven decode: coordinate read names, payload parity, loud gaps") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_runinfo_dec")
+    SyntheticRun.writeRun(dir)
+    val byMeta = Bcl.decodeRun(s, dir.toString).collect()
+    val byRs = Bcl.decodeRun(s, dir.toString, SyntheticRun.rs).collect()
+    // cluster-for-cluster parity: local index j of tile t carries the
+    // SAME payload under both decodes, with the metadata path's id being
+    // the coordinate-derived Illumina name for coord(j)
+    val info = RunMeta.readRunInfo(dir.toString)
+    val metaById = byMeta.map(r => r.id -> r).toMap
+    val rsById = byRs.map(r => r.id -> r).toMap
+    assert(metaById.size === byRs.length && rsById.size === byRs.length)
+    for (tile <- Seq(1101, 1102); j <- 0 until 24) {
+      val a = rsById(s"1_${tile}_$j")
+      val (x, y) = SyntheticRun.coord(j)
+      val b = metaById.getOrElse(info.readName(1, tile, x, y),
+        fail(s"no read named ${info.readName(1, tile, x, y)}"))
+      assert((a.seq1, a.qual1, a.seq2, a.qual2, a.barcode, a.passFilter) ===
+        ((b.seq1, b.qual1, b.seq2, b.qual2, b.barcode, b.passFilter)),
+        s"tile $tile cluster $j")
+    }
+    // name grammar golden: tile 1101 (locs arm) cluster 0 at (0,0) and
+    // tile 1102 (clocs arm) cluster 1 at (3.0, 0.5)
+    assert(byMeta.forall(_.id.startsWith("M00001:7:GRAFTFC01:1:")))
+    assert(metaById.contains("M00001:7:GRAFTFC01:1:1101:1000:1000"))
+    assert(metaById.contains("M00001:7:GRAFTFC01:1:1102:1030:1005"))
+    // a tile without coordinates is a loud error on the metadata path
+    // (and invisible to the explicit-structure path)
+    Files.delete(dir.resolve("L001").resolve("s_1_1102.clocs"))
+    val e = intercept[org.apache.spark.SparkException](
+      Bcl.decodeRun(s, dir.toString).collect())
+    assert(e.getMessage.contains("locs") ||
+      Option(e.getCause).exists(_.getMessage.contains("locs")))
+    assert(Bcl.decodeRun(s, dir.toString, SyntheticRun.rs).count() ===
+      byRs.length.toLong)
+    // a coordinate count that disagrees with the cluster count is loud
+    Files.write(dir.resolve("L001").resolve("s_1_1102.locs"),
+      RunMeta.writeLocs(Seq((1.0f, 1.0f))))
+    val e2 = intercept[org.apache.spark.SparkException](
+      Bcl.decodeRun(s, dir.toString).collect())
+    assert(e2.getMessage.contains("coordinates") ||
+      Option(e2.getCause).exists(_.getMessage.contains("coordinates")))
+  }
+
   test("prq V2 truncate commit never publishes unverified staging files") {
     // A task attempt that dies without DataWriter.abort (executor JVM
     // kill) leaves partial files in staging that no commit message
