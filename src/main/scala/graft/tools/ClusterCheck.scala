@@ -106,7 +106,11 @@ object ClusterCheck {
     // round 11: symmetric-hash stream-stream join — BOTH sides' join
     // state stores (plus the watermark-gated outer-null buffer) must
     // reload from the checkpoint after the SIGKILL
-    "q_stream_ssjoin_left")
+    "q_stream_ssjoin_left",
+    // round 12: negation chains run the leftmost Thompson simulation
+    // (negNfaStep per-level start sets) — a distinct state encoding from
+    // cep2's O(1) chain, so its checkpoint reload is its own arm
+    "q_stream_cep4")
 
   /** Tracks live executor count via the listener bus (to wait for the
     * initial fleet and observe the post-kill relaunch). */
