@@ -77,6 +77,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
 
   private def readEntry(v: Int): (Seq[String], Seq[String], Seq[FileStat]) = {
+    require(Files.exists(entryPath(v)),
+      s"version $v of $root is gone — vacuumed past the retention horizon " +
+        "(or never committed); time travel only reaches retained versions")
     val txt = Files.readString(entryPath(v))
     def arr(field: String): Seq[String] = {
       val m = (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
@@ -276,4 +279,239 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   /** Fold delete sidecars into the data (the deletion-vector compaction):
     * materializes the current view as one overwrite commit. */
   def compact(): Int = commitOverwrite(read())
+
+  // ---- round 12: MERGE / change feed / VACUUM ---------------------------
+
+  /** Scheme-stripped, slash-collapsed path — entries written by
+    * `input_file_name()` are URI-form (`file:///x`), locally-walked and
+    * caller-supplied paths are plain; all comparisons go through here. */
+  private def normPath(p: String): String = {
+    val viaUri =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null) u.getPath else p
+      } catch { case _: Exception => p }
+    viaUri.replaceAll("/{2,}", "/").stripSuffix("/")
+  }
+
+  /** Does stat/walked file `f` belong to data entry `d` (a dir or a
+    * single file)? */
+  private def belongsTo(f: String, d: String): Boolean = {
+    val nf = normPath(f); val nd = normPath(d)
+    nf == nd || nf.startsWith(nd + "/")
+  }
+
+  /** Copy-on-write MERGE (upsert): every current row whose `keyCol`
+    * matches a key in `updates` is replaced by the update rows;
+    * unmatched update keys are inserts. The 100 TB contract is that the
+    * rewrite is FILE-pruned via the logged min/max stats: a part file
+    * whose [lo, hi] misses the updates' key range is carried into the
+    * new snapshot as a file-level data entry — never read, never
+    * rewritten, its stats row carried verbatim. Only intersecting files
+    * are scanned (survivors = stats-pruned scan anti-joined against the
+    * broadcast update keys) and rewritten together with the updates into
+    * one new data dir. Keys without integral stats (or legacy entries)
+    * fall back to rewriting everything — correct, just unpruned.
+    *
+    * Pending merge-on-read delete sidecars are CONSOLIDATED, not
+    * carried: the new sidecar is (old delete keys) minus (update keys),
+    * so an upsert of a previously deleted key resurrects it — MERGE
+    * operates on the current view, exactly Delta's semantics. Sidecars
+    * are key-count-sized, so the consolidation is metadata-cheap.
+    *
+    * Concurrency: a merge's rewrite is computed against the snapshot it
+    * started from; if ANY other commit lands first, rebasing would
+    * require redoing the rewrite, so the merge fails loudly with
+    * `ConcurrentModificationException` (the serializable write-conflict
+    * Delta reports for overlapping transactions) instead of publishing a
+    * lost update. Appends/deletes remain freely concurrent. */
+  def commitMerge(updates: DataFrame): Int = {
+    val v0 = currentVersion()
+    require(v0 >= 1, "merge on an empty table — use commitAppend")
+    val (data, deletes, stats) = readEntry(v0)
+
+    val tableCols = spark.read.parquet(data.head).columns
+    require(updates.columns.toSet == tableCols.toSet,
+      s"merge schema mismatch: table has ${tableCols.mkString(",")}, " +
+        s"updates have ${updates.columns.mkString(",")}")
+    val upd = updates.select(tableCols.map(col).toSeq: _*)
+    val updKeys = upd.select(col(keyCol)).distinct()
+
+    // update key envelope — one 1-row driver read; used only to prune
+    val bounds = upd.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).collect()(0)
+    val haveBounds = stats.nonEmpty && !bounds.isNullAt(0)
+    val (ulo, uhi) =
+      if (haveBounds) (bounds.getLong(0), bounds.getLong(1))
+      else (Long.MinValue, Long.MaxValue)
+
+    // partition the live entries: an entry is untouched iff every one of
+    // its stat files misses [ulo, uhi]; entries with no stats coverage
+    // are conservatively touched (must be rewritten whole)
+    val byEntry: Seq[(String, Seq[FileStat])] =
+      data.map(d => d -> stats.filter(s => belongsTo(s.file, d)))
+    val (untouchedE, touchedE) = byEntry.partition { case (_, fs) =>
+      haveBounds && fs.nonEmpty && fs.forall(s => s.hi < ulo || s.lo > uhi)
+    }
+    // within a touched entry, individual files that miss the range are
+    // still carried file-level (the entry splits: files, not dirs, are
+    // the rewrite unit)
+    val carriedFiles = touchedE.flatMap { case (_, fs) =>
+      if (haveBounds) fs.filter(s => s.hi < ulo || s.lo > uhi) else Nil
+    }
+    val rewriteScan: Seq[String] = touchedE.flatMap { case (d, fs) =>
+      if (!haveBounds || fs.isEmpty) Seq(d)
+      else fs.filter(s => s.hi >= ulo && s.lo <= uhi).map(_.file)
+    }
+
+    val survivors =
+      if (rewriteScan.isEmpty) None
+      else Some(spark.read.parquet(rewriteScan: _*)
+        .join(broadcast(updKeys), Seq(keyCol), "left_anti"))
+    val newData = survivors.map(_.unionByName(upd)).getOrElse(upd)
+    val dir = newDataDir()
+    newData.write.mode("errorifexists").parquet(dir)
+    val newStats = statsFor(dir)
+
+    // consolidate sidecars: old deletes minus update keys (resurrection)
+    val newDeletes: Seq[String] =
+      if (deletes.isEmpty) Nil
+      else {
+        val remaining = spark.read.parquet(deletes: _*)
+          .select(col(keyCol)).distinct()
+          .join(broadcast(updKeys), Seq(keyCol), "left_anti")
+        if (remaining.isEmpty) Nil
+        else {
+          val dd = newDeleteDir()
+          remaining.write.mode("errorifexists").parquet(dd)
+          Seq(dd)
+        }
+      }
+
+    val keptEntries = untouchedE.map(_._1) ++ carriedFiles.map(_.file)
+    val keptStats = untouchedE.flatMap(_._2) ++ carriedFiles
+    commitWithRetry { v =>
+      if (v != v0 + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"merge computed against version $v0 of $root but version " +
+            s"${v - 1} has been committed since — the copy-on-write file " +
+            "set is stale; re-run the merge against the new snapshot")
+      (keptEntries :+ dir, newDeletes, keptStats ++ newStats)
+    }
+  }
+
+  /** Change data feed: the exact multiset row diff between two committed
+    * versions, each row tagged `_change_type` = `insert` (present at
+    * `toV`, absent at `fromV`) or `delete` (the reverse). An update
+    * surfaces Delta-style as its old row deleted + its new row inserted.
+    *
+    * The scan is bounded by WHAT CHANGED, not table size: data entries
+    * shared by both versions contribute identical multisets to both
+    * sides and cancel out of the diff, so only entries present in
+    * exactly one version are read — plus shared entries probed ONLY for
+    * keys whose delete-sidecar membership changed (a key-sized broadcast
+    * semi-join), because a sidecar flip alters a shared file's visible
+    * rows without moving any data file. At 100 TB a merge that rewrote
+    * 3 files costs a 3-file diff, never a full-table exceptAll. */
+  def changes(fromV: Int, toV: Int): DataFrame = {
+    val latest = currentVersion()
+    require(fromV >= 1 && toV <= latest && fromV < toV,
+      s"need 1 <= fromV < toV <= $latest, got ($fromV, $toV)")
+    val (dA, delA, _) = readEntry(fromV)
+    val (dB, delB, _) = readEntry(toV)
+    val shared = dA.toSet.intersect(dB.toSet)
+    val onlyA = dA.filterNot(shared)
+    val onlyB = dB.filterNot(shared)
+
+    def sidecarKeys(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs: _*).select(col(keyCol)).distinct())
+    // keys whose deleted-status differs between the versions
+    val flipped: Option[DataFrame] = (sidecarKeys(delA), sidecarKeys(delB)) match {
+      case (None, None) => None
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(b)
+      case (Some(a), Some(b)) =>
+        Some(a.exceptAll(b).union(b.exceptAll(a)))
+    }
+    val flippedNonEmpty = flipped.exists(!_.isEmpty)
+
+    def view(own: Seq[String], dels: Seq[String]): DataFrame = {
+      val parts = Seq(
+        if (own.nonEmpty) Some(spark.read.parquet(own: _*)) else None,
+        if (shared.nonEmpty && flippedNonEmpty)
+          Some(spark.read.parquet(shared.toSeq: _*)
+            .join(broadcast(flipped.get), Seq(keyCol), "left_semi"))
+        else None).flatten
+      val base = parts match {
+        case Nil => spark.read.parquet(dA.head).where(lit(false))
+        case xs  => xs.reduce(_ unionByName _)
+      }
+      if (dels.isEmpty) base
+      else base.join(
+        broadcast(spark.read.parquet(dels: _*).select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+    }
+    val a = view(onlyA, delA)
+    val b = view(onlyB, delB)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Garbage-collect: drop log entries below `retainFrom` and physically
+    * delete every data/sidecar file no retained version references —
+    * including torn-writer leftovers (dirs written but never published).
+    * A dir referenced whole by any retained entry is kept whole; a dir
+    * referenced only at file level (post-merge splits) keeps exactly the
+    * referenced files (plus their local-FS `.crc` shadows and
+    * `_SUCCESS`). Time travel below `retainFrom` then fails loudly at
+    * `readEntry`. Returns (filesRemoved, logEntriesRemoved). */
+  def vacuum(retainFrom: Int): (Int, Int) = {
+    val latest = currentVersion()
+    require(retainFrom >= 1 && retainFrom <= latest,
+      s"retainFrom $retainFrom out of [1, $latest] for $root")
+    val retained = (retainFrom to latest)
+      .filter(v => Files.exists(entryPath(v)))
+      .map(readEntry)
+    val refs: Set[String] =
+      retained.flatMap { case (d, del, _) => d ++ del }.map(normPath).toSet
+
+    var removedFiles = 0
+    def sweep(top: Path): Unit = {
+      if (!Files.isDirectory(top)) return
+      val children = Files.list(top).iterator().asScala.toSeq
+      for (c <- children if Files.isDirectory(c)) {
+        val nc = normPath(c.toString)
+        if (!refs.contains(nc)) {
+          // not referenced whole — keep only file-level refs inside
+          val files = Files.walk(c).iterator().asScala
+            .filter(Files.isRegularFile(_)).toSeq
+          val keptNames = files.map(f => f.getFileName.toString -> f)
+            .filter { case (_, f) => refs.contains(normPath(f.toString)) }
+            .map(_._1).toSet
+          for (f <- files) {
+            val name = f.getFileName.toString
+            val isShadow = name.startsWith(".") && name.endsWith(".crc") &&
+              keptNames.contains(name.stripPrefix(".").stripSuffix(".crc"))
+            val isMarker = name == "_SUCCESS" && keptNames.nonEmpty
+            if (!refs.contains(normPath(f.toString)) && !isShadow && !isMarker) {
+              Files.delete(f); removedFiles += 1
+            }
+          }
+          // prune now-empty directories bottom-up
+          val dirs = Files.walk(c).iterator().asScala
+            .filter(Files.isDirectory(_)).toSeq
+            .sortBy(-_.getNameCount)
+          for (d <- dirs if !Files.list(d).iterator().hasNext) Files.delete(d)
+        }
+      }
+    }
+    sweep(Paths.get(root, "data"))
+    sweep(Paths.get(root, "deletes"))
+
+    var removedEntries = 0
+    for (v <- 1 until retainFrom if Files.deleteIfExists(entryPath(v)))
+      removedEntries += 1
+    (removedFiles, removedEntries)
+  }
 }

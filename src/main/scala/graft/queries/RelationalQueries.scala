@@ -200,6 +200,90 @@ object RelationalQueries {
         .orderBy(col("version"))
     }),
 
+    // Copy-on-write MERGE on the snapshot log (round 12): upsert a batch
+    // that updates [250,350), inserts [500,600), and RESURRECTS keys the
+    // v3 sidecar had deleted (sidecars consolidate to old-minus-update
+    // keys). The rewrite is file-pruned via the logged min/max stats —
+    // part files outside the update envelope carry over as file-level
+    // entries, never read (SnapshotLogSpec pins the pruning; this row
+    // pins the semantics against the DuckDB coalesce oracle).
+    "q_scan_merge" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mrg").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      val band = docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+      t.commitMerge(
+        band.withColumn("n_chars", col("n_chars") * 2).unionByName(
+          band.withColumn("doc_id", col("doc_id") + 250)
+            .withColumn("n_chars", col("n_chars") + 7)))
+      t.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
+    // Change data feed between two snapshot versions (round 12): the
+    // exact multiset row diff v1 → v4 (append, append, MOR delete, COW
+    // merge), rows tagged insert/delete, an update surfacing as its old
+    // row deleted + new row inserted — Delta's CDF contract. The scan is
+    // bounded by entries present in exactly one version plus sidecar-
+    // flipped keys, never a full-table diff.
+    "q_scan_cdf" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      val band = docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+      t.commitMerge(
+        band.withColumn("n_chars", col("n_chars") * 2).unionByName(
+          band.withColumn("doc_id", col("doc_id") + 250)
+            .withColumn("n_chars", col("n_chars") + 7)))
+      t.changes(1, 4)
+        .groupBy(col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("change"))
+    }),
+
+    // VACUUM after compaction (round 12): deletion-vector fold makes v5
+    // the only needed snapshot; vacuum(5) drops log entries 1-4 and
+    // physically deletes every file no retained version references
+    // (asserted non-zero here — the GC must actually collect), then the
+    // live read over the swept table stays hash-exact vs the oracle.
+    "q_scan_vacuum" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vac").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      val band = docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+      t.commitMerge(
+        band.withColumn("n_chars", col("n_chars") * 2).unionByName(
+          band.withColumn("doc_id", col("doc_id") + 250)
+            .withColumn("n_chars", col("n_chars") + 7)))
+      val v = t.compact()
+      val (removedFiles, removedEntries) = t.vacuum(v)
+      require(removedFiles > 0 && removedEntries == v - 1,
+        s"vacuum collected nothing (files=$removedFiles entries=$removedEntries)")
+      t.read()
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
     // Equi-depth histogram: percentile boundaries + map-side assignment
     // (never an ntile global window); boundaries 4dp-rounded before
     // assignment — the cross-engine bucketing contract
@@ -703,6 +787,54 @@ object RelationalQueries {
          SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0
          ORDER BY version""",
+    "q_scan_merge" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT lang, n_chars AS nc, doc_id AS id FROM documents
+            WHERE doc_id < 500 AND doc_id % 7 <> 0
+              AND (doc_id < 250 OR doc_id >= 350)
+           UNION ALL
+           SELECT lang, n_chars * 2, doc_id FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT lang, n_chars + 7, doc_id + 250 FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350)
+         GROUP BY lang ORDER BY lang""",
+    "q_scan_cdf" ->
+      """SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars
+         FROM (
+           SELECT 'insert' AS change, n_chars * 2 AS nc FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT 'insert', n_chars FROM documents
+            WHERE doc_id >= 350 AND doc_id < 500 AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT 'insert', n_chars + 7 FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT 'delete', n_chars FROM documents
+            WHERE doc_id < 250 AND doc_id % 7 = 0
+           UNION ALL
+           SELECT 'delete', n_chars FROM documents
+            WHERE doc_id >= 250 AND doc_id < 300)
+         GROUP BY change ORDER BY change""",
+    "q_scan_vacuum" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT n_chars AS nc, doc_id AS id FROM documents
+            WHERE doc_id < 500 AND doc_id % 7 <> 0
+              AND (doc_id < 250 OR doc_id >= 350)
+           UNION ALL
+           SELECT n_chars * 2, doc_id FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT n_chars + 7, doc_id + 250 FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350)""",
     "q_profile_histogram" ->
       """WITH v AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

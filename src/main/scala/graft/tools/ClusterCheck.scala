@@ -239,11 +239,55 @@ object ClusterCheck {
     val probe = t1.readRange(1001000L, 1001999L)
     val pruned = probe.count() == 1000L &&
       probe.inputFiles.length < t1.read().inputFiles.length
+
+    // round-12 merge phase: a copy-on-write upsert under a FRESH executor
+    // kill — the merge's scan/write/stats jobs retry on the surviving
+    // executor and the version publishes exactly once. Upsert rewrites
+    // writer 1's i=1 block (500 updated rows) and inserts 5 new keys; the
+    // read-back must show exactly the upserted values, the version must
+    // advance by one, and no concurrent-commit CME can fire (writers are
+    // drained).
+    val stop2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer2 = new Thread(() => {
+      while (!stop2.get() && !killed2.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop2.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during snapshot-log merge")
+            killed2.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer2.setDaemon(true)
+    killer2.start()
+    val mergeOk = try {
+      val upd = spark.range(1001000L, 1001500L)
+        .select(col("id"), concat(lit("MERGED-"), col("id")).as("v"))
+        .unionByName(spark.range(9000000L, 9000005L)
+          .select(col("id"), concat(lit("NEW-"), col("id")).as("v")))
+      val mv = t1.commitMerge(upd)
+      val merged = t1.read()
+      mv == v + 1 &&
+        merged.count() == expect + 5 &&
+        merged.where(col("v").startsWith("MERGED-")).count() == 500 &&
+        merged.where(col("v").startsWith("NEW-")).count() == 5 &&
+        t1.readRange(1001000L, 1001499L)
+          .where(!col("v").startsWith("MERGED-")).count() == 0
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] snapshot-log merge: $e"); false
+    } finally { stop2.set(true); killer2.join(2000) }
+
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
-      total == expect && monotone && pruned
+      total == expect && monotone && pruned && mergeOk
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
+      s""""mergeOk":$mergeOk,"mergeKillLanded":${killed2.get()},""" +
       s""""ok":$ok}"""
     (json, ok)
   }

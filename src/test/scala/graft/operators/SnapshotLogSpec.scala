@@ -166,4 +166,148 @@ class SnapshotLogSpec extends SparkSpec {
     ths.foreach(_.join(30000))
     assert(wins.get() === 1)
   }
+
+  // ---- round 12: MERGE / change feed / VACUUM ---------------------------
+
+  test("merge: copy-on-write upsert rewrites ONLY stats-intersecting files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_mg").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // 4 files with disjoint key ranges (1-25, 26-50, 51-75, 76-100)
+    t.commitAppend((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    val filesBefore = t.read().inputFiles.toSet
+    assert(filesBefore.size === 4)
+    t.commitDelete(Seq(40L, 60L, 90L).toDF("id"))
+
+    // upsert: update 55-60 (inside file 3; resurrects deleted key 60),
+    // insert 200-204 — the envelope [55, 204] misses files 1 and 2
+    val upd = ((55L to 60L).map(i => (i, s"U$i")) ++
+      (200L to 204L).map(i => (i, s"N$i"))).toDF("id", "v")
+    val v3 = t.commitMerge(upd)
+    assert(v3 === 3)
+
+    val after = t.read().as[(Long, String)].collect().toMap
+    // updated band carries new values, including resurrected 60
+    (55L to 60L).foreach(i => assert(after(i) === s"U$i", s"key $i"))
+    // inserts present
+    (200L to 204L).foreach(i => assert(after(i) === s"N$i"))
+    // untouched rows intact; deletes OUTSIDE the update band still apply
+    assert(after(1L) === "a1" && after(100L) === "a100")
+    assert(!after.contains(40L) && !after.contains(90L),
+      "non-upserted deleted keys must stay deleted")
+    assert(after.size === 100 - 3 + 1 + 5) // 100 - 3 deletes + 60 back + 5 new
+
+    // the COW contract: the two out-of-envelope files were CARRIED, not
+    // rewritten — their physical paths survive into the merged snapshot
+    val filesAfter = t.read().inputFiles.toSet
+    val carried = filesBefore.intersect(filesAfter)
+    assert(carried.size === 2,
+      s"expected exactly the 2 untouched files carried; got ${carried.size}")
+
+    // carried stats still prune: a probe into the low range skips files
+    val probe = t.readRange(1, 20)
+    assert(probe.inputFiles.length < filesAfter.size,
+      "logged stats must keep pruning after a merge")
+    assert(probe.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (1L to 20L))
+
+    // pre-merge versions still time-travel intact
+    assert(t.read(1).count() === 100)
+    assert(t.read(2).count() === 97)
+  }
+
+  test("merge fails loudly when a commit lands underneath it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_mc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    // the conflicting commit fires from INSIDE the merge's first action
+    // on the updates frame (the bounds agg) — deterministically after
+    // merge pinned its snapshot, before it claims the version. The task
+    // touches only the filesystem (never Spark), publishing a minimal
+    // valid log entry for v2 exactly like a racing writer would.
+    val rootS = root // capture only the string in the task closure
+    val s0 = spark
+    import s0.implicits._
+    val upd = Seq((5L, "U5")).toDF("id", "v").as[(Long, String)]
+      .mapPartitions { it =>
+        // idempotent: every partition (re-)writes the same entry bytes
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(rootS, "data", "c-racer"))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(rootS, "_log"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(rootS, "_log", "2.json"),
+          s"""{"version":2,"data":["$rootS/data/c-racer"],""" +
+            """"deletes":[],"stats":[]}""")
+        it
+      }.toDF("id", "v")
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.commitMerge(upd))
+    assert(e.getMessage.contains("copy-on-write file set is stale"))
+    // the table is unharmed: v2 is the racer's entry, no merge published
+    assert(t.currentVersion() === 2)
+  }
+
+  test("change feed: exact multiset diff across append/delete/merge") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cd").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))   // v1
+    t.commitAppend((11L to 15L).map(i => (i, s"b$i")).toDF("id", "v"))  // v2
+    t.commitDelete(Seq(2L, 12L).toDF("id"))                             // v3
+    t.commitMerge(Seq((5L, "U5"), (20L, "N20")).toDF("id", "v"))        // v4
+
+    def diff(a: Int, b: Int): Set[(Long, String, String)] =
+      t.changes(a, b).as[(Long, String, String)].collect().toSet
+
+    // pure append: inserts only
+    assert(diff(1, 2) ===
+      (11L to 15L).map(i => (i, s"b$i", "insert")).toSet)
+    // sidecar flip: deletes surface from SHARED files via the key probe
+    assert(diff(2, 3) ===
+      Set((2L, "a2", "delete"), (12L, "b12", "delete")))
+    // merge: update = old deleted + new inserted; insert plain
+    assert(diff(3, 4) ===
+      Set((5L, "a5", "delete"), (5L, "U5", "insert"), (20L, "N20", "insert")))
+    // composed span — updates collapse to net old-out/new-in
+    assert(diff(1, 4) ===
+      Set((2L, "a2", "delete"), (5L, "a5", "delete"),
+        (5L, "U5", "insert"), (20L, "N20", "insert")) ++
+        Seq(11L, 13L, 14L, 15L).map(i => (i, s"b$i", "insert")).toSet)
+    // bounds checked loudly
+    intercept[IllegalArgumentException](t.changes(2, 2))
+    intercept[IllegalArgumentException](t.changes(1, 99))
+  }
+
+  test("vacuum: GC unreferenced files, keep file-level refs, fail loud reads") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_vc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")))                                // v1
+    t.commitDelete(Seq(40L).toDF("id"))                                 // v2
+    t.commitMerge((55L to 60L).map(i => (i, s"U$i")).toDF("id", "v"))   // v3
+    // a torn writer: data dir written, never published
+    val torn = java.nio.file.Paths.get(root, "data", "c-torn")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-0.parquet"), "junk")
+
+    val expect = t.read().as[(Long, String)].collect().toSet
+    val keptFiles = t.read().inputFiles.toSet
+
+    val (files, entries) = t.vacuum(3)
+    assert(entries === 2, s"log entries 1-2 should drop, got $entries")
+    assert(files > 0, "the rewritten files + torn dir must be collected")
+    assert(!java.nio.file.Files.exists(torn), "torn dir must be GC'd")
+
+    // live view byte-identical; carried file-level entries survived the
+    // sweep of their partially-referenced parent dirs
+    assert(t.read().as[(Long, String)].collect().toSet === expect)
+    assert(t.read().inputFiles.toSet === keptFiles)
+    // stats intact: pruning still works post-vacuum
+    assert(t.readRange(1, 20).inputFiles.length < keptFiles.size)
+    // vacuumed history is loudly unreachable
+    val e = intercept[IllegalArgumentException](t.read(1))
+    assert(e.getMessage.contains("vacuumed"))
+    // idempotent re-run collects nothing further
+    assert(t.vacuum(3) === ((0, 0)))
+  }
 }
