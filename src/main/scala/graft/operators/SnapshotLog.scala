@@ -301,17 +301,77 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     nf == nd || nf.startsWith(nd + "/")
   }
 
+  /** Data files of an entry (a dir or a single file) — one metadata
+    * listing, no data read. */
+  private def dataFilesOf(entry: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(entry)
+    val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fsys.getFileStatus(p).isFile) Seq(entry)
+    else fsys.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+      .filter { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+  }
+
+  /** Which stat intervals does at least one key of `keys` stab? One
+    * distributed pass: the file intervals (file-count-sized metadata)
+    * broadcast sorted by `lo` with a running max-`hi` prefix, each key
+    * binary-searched to its rightmost candidate and walked left only
+    * while the prefix max still reaches it — O(log F + overlap) per key,
+    * exact (no false positives, no misses). Returns the stabbed files. */
+  private def stabbedFiles(keys: DataFrame, stats: Seq[FileStat]): Set[String] = {
+    import spark.implicits._
+    val sorted = stats.sortBy(_.lo).toArray
+    val los = sorted.map(_.lo)
+    val his = sorted.map(_.hi)
+    val maxHi = new Array[Long](sorted.length)
+    var m = Long.MinValue
+    for (i <- sorted.indices) { m = math.max(m, his(i)); maxHi(i) = m }
+    val bc = spark.sparkContext.broadcast((los, his, maxHi))
+    val hitIdx = keys.select(col(keyCol).cast("long").as("k"))
+      .where(col("k").isNotNull) // null keys stab nothing (join semantics)
+      .as[Long]
+      .mapPartitions { it =>
+        val (los, his, maxHi) = bc.value
+        val hit = new scala.collection.mutable.BitSet(los.length)
+        it.foreach { k =>
+          var j = java.util.Arrays.binarySearch(los, k)
+          if (j >= 0) { // rightmost equal lo
+            while (j + 1 < los.length && los(j + 1) == k) j += 1
+          } else j = -j - 2
+          while (j >= 0 && maxHi(j) >= k) {
+            if (his(j) >= k && los(j) <= k) hit += j
+            j -= 1
+          }
+        }
+        hit.iterator.map(_.toLong)
+      }.distinct().collect().toSet
+    bc.destroy()
+    sorted.iterator.zipWithIndex
+      .collect { case (s, i) if hitIdx.contains(i.toLong) => s.file }.toSet
+  }
+
   /** Copy-on-write MERGE (upsert): every current row whose `keyCol`
     * matches a key in `updates` is replaced by the update rows;
     * unmatched update keys are inserts. The 100 TB contract is that the
-    * rewrite is FILE-pruned via the logged min/max stats: a part file
-    * whose [lo, hi] misses the updates' key range is carried into the
-    * new snapshot as a file-level data entry — never read, never
-    * rewritten, its stats row carried verbatim. Only intersecting files
-    * are scanned (survivors = stats-pruned scan anti-joined against the
-    * broadcast update keys) and rewritten together with the updates into
-    * one new data dir. Keys without integral stats (or legacy entries)
-    * fall back to rewriting everything — correct, just unpruned.
+    * rewrite is FILE-pruned EXACTLY: a part file is rewritten only if at
+    * least one update key stabs its logged [lo, hi] interval — computed
+    * by a distributed binary search of the (distinct, batch-sized)
+    * update keys against the broadcast sorted file-stat intervals
+    * ([[stabbedFiles]]), never by the single [min(updates),
+    * max(updates)] envelope a Delta-style OPTIMIZE prune would use. The
+    * difference matters precisely for the common upsert shape "update a
+    * hot band + insert brand-new high keys": the envelope spans from the
+    * band to the top of the key space and would rewrite half the table;
+    * the stab test rewrites only the band's files, because the insert
+    * keys stab nothing. Untouched files carry into the new snapshot as
+    * file-level data entries — never read, never rewritten, stats rows
+    * verbatim. Only stabbed files are scanned (survivors = pruned scan
+    * anti-joined against the broadcast update keys) and rewritten
+    * together with the updates into one new data dir. Keys without
+    * integral stats (or legacy entries) fall back to rewriting
+    * everything — correct, just unpruned.
     *
     * Pending merge-on-read delete sidecars are CONSOLIDATED, not
     * carried: the new sidecar is (old delete keys) minus (update keys),
@@ -337,31 +397,39 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val upd = updates.select(tableCols.map(col).toSeq: _*)
     val updKeys = upd.select(col(keyCol)).distinct()
 
-    // update key envelope — one 1-row driver read; used only to prune
-    val bounds = upd.agg(min(col(keyCol)).cast("long"),
-      max(col(keyCol)).cast("long")).collect()(0)
-    val haveBounds = stats.nonEmpty && !bounds.isNullAt(0)
-    val (ulo, uhi) =
-      if (haveBounds) (bounds.getLong(0), bounds.getLong(1))
-      else (Long.MinValue, Long.MaxValue)
+    // exact per-file touch set: which stat intervals does at least one
+    // update key stab? (None when the key is non-integral / no stats —
+    // conservative full rewrite)
+    val stabbed: Option[Set[String]] =
+      if (stats.isEmpty) None else Some(stabbedFiles(updKeys, stats))
 
-    // partition the live entries: an entry is untouched iff every one of
-    // its stat files misses [ulo, uhi]; entries with no stats coverage
-    // are conservatively touched (must be rewritten whole)
+    // partition the live entries: an entry is untouched iff it has full
+    // stats coverage and none of its files is stabbed; entries with no
+    // stats coverage are conservatively touched (rewritten whole)
     val byEntry: Seq[(String, Seq[FileStat])] =
       data.map(d => d -> stats.filter(s => belongsTo(s.file, d)))
     val (untouchedE, touchedE) = byEntry.partition { case (_, fs) =>
-      haveBounds && fs.nonEmpty && fs.forall(s => s.hi < ulo || s.lo > uhi)
+      stabbed.isDefined && fs.nonEmpty &&
+        fs.forall(s => !stabbed.get.contains(s.file))
     }
-    // within a touched entry, individual files that miss the range are
-    // still carried file-level (the entry splits: files, not dirs, are
-    // the rewrite unit)
+    // within a touched entry, individual unstabbed files are still
+    // carried file-level (the entry splits: files, not dirs, are the
+    // rewrite unit)
     val carriedFiles = touchedE.flatMap { case (_, fs) =>
-      if (haveBounds) fs.filter(s => s.hi < ulo || s.lo > uhi) else Nil
+      stabbed.map(t => fs.filterNot(s => t.contains(s.file))).getOrElse(Nil)
     }
     val rewriteScan: Seq[String] = touchedE.flatMap { case (d, fs) =>
-      if (!haveBounds || fs.isEmpty) Seq(d)
-      else fs.filter(s => s.hi >= ulo && s.lo <= uhi).map(_.file)
+      if (stabbed.isEmpty || fs.isEmpty) Seq(d)
+      else {
+        // files with no stats row hold only null-key rows (statsFor
+        // drops all-NULL files); they can never match an update key but
+        // must not be lost when the entry splits — fold them into the
+        // rewrite scan (the anti-join passes null keys through)
+        val statted = fs.map(s => normPath(s.file)).toSet
+        val unstatted = dataFilesOf(d)
+          .filterNot(f => statted.contains(normPath(f)))
+        fs.filter(s => stabbed.get.contains(s.file)).map(_.file) ++ unstatted
+      }
     }
 
     val survivors =

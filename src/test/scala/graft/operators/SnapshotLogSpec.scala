@@ -180,7 +180,9 @@ class SnapshotLogSpec extends SparkSpec {
     t.commitDelete(Seq(40L, 60L, 90L).toDF("id"))
 
     // upsert: update 55-60 (inside file 3; resurrects deleted key 60),
-    // insert 200-204 — the envelope [55, 204] misses files 1 and 2
+    // insert 200-204. The single [min,max] envelope [55, 204] would drag
+    // file 4 (76-100) into the rewrite; the exact stab test must not —
+    // no update key lands inside 76-100, and the inserts stab nothing
     val upd = ((55L to 60L).map(i => (i, s"U$i")) ++
       (200L to 204L).map(i => (i, s"N$i"))).toDF("id", "v")
     val v3 = t.commitMerge(upd)
@@ -197,12 +199,13 @@ class SnapshotLogSpec extends SparkSpec {
       "non-upserted deleted keys must stay deleted")
     assert(after.size === 100 - 3 + 1 + 5) // 100 - 3 deletes + 60 back + 5 new
 
-    // the COW contract: the two out-of-envelope files were CARRIED, not
-    // rewritten — their physical paths survive into the merged snapshot
+    // the COW contract: every unstabbed file was CARRIED, not rewritten —
+    // files 1, 2 AND 4 (which the naive envelope would have rewritten)
+    // survive physically into the merged snapshot; only file 3 moved
     val filesAfter = t.read().inputFiles.toSet
     val carried = filesBefore.intersect(filesAfter)
-    assert(carried.size === 2,
-      s"expected exactly the 2 untouched files carried; got ${carried.size}")
+    assert(carried.size === 3,
+      s"expected exactly the 3 unstabbed files carried; got ${carried.size}")
 
     // carried stats still prune: a probe into the low range skips files
     val probe = t.readRange(1, 20)
