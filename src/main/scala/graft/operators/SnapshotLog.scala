@@ -280,6 +280,20 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * materializes the current view as one overwrite commit. */
   def compact(): Int = commitOverwrite(read())
 
+  /** OPTIMIZE / CLUSTER BY: rewrite the live view range-clustered on
+    * `keyCol` into `numFiles` key-disjoint part files (one overwrite
+    * commit, delete sidecars folded like [[compact]]). Clustering is
+    * what makes the log's stats bite: with disjoint [lo, hi] per file a
+    * `readRange` probe or a merge's interval stab hits the minimal file
+    * set, where fragmented ingest (every file spanning the key space)
+    * prunes nothing. The scheduled-maintenance counterpart to
+    * [[commitMerge]]'s pruning, exactly Delta's OPTIMIZE ZORDER role
+    * for the single-key case. */
+  def optimize(numFiles: Int): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    commitOverwrite(read().repartitionByRange(numFiles, col(keyCol)))
+  }
+
   // ---- round 12: MERGE / change feed / VACUUM ---------------------------
 
   /** Scheme-stripped, slash-collapsed path — entries written by
@@ -483,9 +497,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * 3 files costs a 3-file diff, never a full-table exceptAll. */
   def changes(fromV: Int, toV: Int): DataFrame = {
     val latest = currentVersion()
-    require(fromV >= 1 && toV <= latest && fromV < toV,
-      s"need 1 <= fromV < toV <= $latest, got ($fromV, $toV)")
-    val (dA, delA, _) = readEntry(fromV)
+    require(fromV >= 0 && toV <= latest && fromV < toV,
+      s"need 0 <= fromV < toV <= $latest, got ($fromV, $toV)")
+    // fromV = 0 is "before the first commit": v1's rows all surface as
+    // inserts — the streaming change-feed backfill start point
+    val (dA, delA, _) =
+      if (fromV == 0) (Nil, Nil, Nil) else readEntry(fromV)
     val (dB, delB, _) = readEntry(toV)
     val shared = dA.toSet.intersect(dB.toSet)
     val onlyA = dA.filterNot(shared)
@@ -512,7 +529,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             .join(broadcast(flipped.get), Seq(keyCol), "left_semi"))
         else None).flatten
       val base = parts match {
-        case Nil => spark.read.parquet(dA.head).where(lit(false))
+        case Nil => spark.read.parquet((dA ++ dB).head).where(lit(false))
         case xs  => xs.reduce(_ unionByName _)
       }
       if (dels.isEmpty) base

@@ -272,6 +272,39 @@ object StreamingQueries {
         .orderBy(col("key"))
     }),
 
+    // Streaming change feed over the snapshot log (round 12 — the Delta
+    // "table as a stream" read side): a file stream tails `_log/*.json`
+    // (one immutable atomically-published file per version), foreachBatch
+    // computes each newly seen version's exact row diff changes(v-1, v)
+    // — v=1 diffs against the empty table, a pure-insert backfill — and
+    // lands it in a per-version overwrite partition (idempotent on
+    // retry). The result aggregates the whole feed per (version, change
+    // type); the oracle spells each version's closed-form diff directly.
+    "q_stream_snapcdf" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scdf").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      val band = docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+      t.commitMerge(
+        band.withColumn("n_chars", col("n_chars") * 2).unionByName(
+          band.withColumn("doc_id", col("doc_id") + 250)
+            .withColumn("n_chars", col("n_chars") + 7)))
+      val sink = s"$tmp/cdf_sink"
+      graft.streaming.SnapshotCdf.backfill(
+        s, tmp, "doc_id", sink, s"$tmp/cdf_ckpt")
+      graft.streaming.SnapshotCdf.feed(s, sink)
+        .groupBy(col("cdf_version").cast("int").as("v"),
+          col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("v"), col("change"))
+    }),
+
     // streaming CEP: view→click→purchase chains (skip-till-next-match,
     // one chain per user) detected incrementally across micro-batches;
     // horizon 60 d ≫ corpus span so the oracle is the batch lazy-regex
@@ -472,6 +505,28 @@ object StreamingQueries {
            FROM ch)
          SELECT key, event_type, value, version
          FROM w WHERE rn = 1 AND op <> 'd' ORDER BY key""",
+    "q_stream_snapcdf" ->
+      """SELECT v, change, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars
+         FROM (
+           SELECT 1 AS v, 'insert' AS change, n_chars AS nc FROM documents
+            WHERE doc_id < 300
+           UNION ALL
+           SELECT 2, 'insert', n_chars FROM documents
+            WHERE doc_id >= 300 AND doc_id < 500
+           UNION ALL
+           SELECT 3, 'delete', n_chars FROM documents
+            WHERE doc_id % 7 = 0 AND doc_id < 500
+           UNION ALL
+           SELECT 4, 'insert', n_chars * 2 FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT 4, 'insert', n_chars + 7 FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT 4, 'delete', n_chars FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350 AND doc_id % 7 <> 0)
+         GROUP BY v, change ORDER BY v, change""",
     // lazy (non-greedy) quantifiers parse the same leftmost-earliest
     // chain the streaming NFA walks: open at the first view, advance on
     // the first click after it, close on the first purchase after that,

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming change-feed source over a [[graft.operators.SnapshotLog]]
+  * table — the Delta "table as a stream" read side, built on Structured
+  * Streaming's file source rather than a custom Source: every committed
+  * version IS exactly one immutable `_log/<N>.json` file published
+  * atomically (hard-link CAS), so tailing the log directory with a file
+  * stream gives a replayable, checkpointed version feed for free. Each
+  * micro-batch maps the newly seen entry files to their versions and
+  * computes the exact per-version row diff `changes(v-1, v)` with the
+  * batch API (v = 1 diffs against the empty table: a pure-insert
+  * backfill), writing each version's diff to its own `v=<N>` partition
+  * directory with overwrite — so a retried batch rewrites the same
+  * bytes and the sink stays exactly-once per version without a
+  * transactional sink.
+  *
+  * Scale shape: the per-version diff cost is bounded by the entries the
+  * version touched (see [[graft.operators.SnapshotTable.changes]]), the
+  * file-source checkpoint holds one line per version (driver metadata),
+  * and a catch-up run after N new commits processes exactly those N
+  * entry files. Vacuumed history fails loudly inside `changes` if a
+  * stream starts below the retention horizon — resume from a retained
+  * version instead.
+  *
+  * `Trigger.AvailableNow` drains everything committed so far and
+  * terminates (the incremental-backfill mode); re-running with the same
+  * checkpoint picks up only versions committed since.
+  */
+object SnapshotCdf {
+
+  /** Drain all unprocessed versions of `root`'s log into
+    * `sinkDir/cdf_version=<N>/` partition dirs (schema: table columns +
+    * `_change_type`), tracking progress in `ckptDir`. Returns after
+    * catch-up. */
+  def backfill(spark: SparkSession, root: String, keyCol: String,
+      sinkDir: String, ckptDir: String): Unit = {
+    val entries = spark.readStream
+      .option("maxFilesPerTrigger", 2) // several versions per batch is fine
+      .text(s"$root/_log")
+      .select(input_file_name().as("f"))
+    val q = entries.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch
+          .select(regexp_extract(col("f"), "([0-9]+)\\.json$", 1)
+            .cast("int").as("v"))
+          .where(col("v").isNotNull).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val t = graft.operators.SnapshotLog.open(spark, root, keyCol)
+        vs.foreach { v =>
+          // overwrite per version dir = idempotent on batch retry; the
+          // partition column gets a name no table column will shadow
+          t.changes(v - 1, v)
+            .write.mode("overwrite").parquet(s"$sinkDir/cdf_version=$v")
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The accumulated feed: one row per changed row per version, with the
+    * `cdf_version` partition column. */
+  def feed(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+}

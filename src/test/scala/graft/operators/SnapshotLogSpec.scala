@@ -313,4 +313,33 @@ class SnapshotLogSpec extends SparkSpec {
     // idempotent re-run collects nothing further
     assert(t.vacuum(3) === ((0, 0)))
   }
+
+  test("optimize: range-clustering turns no-op pruning into minimal scans") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_op").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // fragmented ingest: two appends, every file spanning the key space
+    t.commitAppend((1L to 4000L by 2).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartition(8))
+    t.commitAppend((2L to 4000L by 2).map(i => (i, s"b$i")).toDF("id", "v")
+      .repartition(8))
+    val allFiles = t.read().inputFiles.length
+    assert(allFiles === 16)
+    // a narrow probe prunes nothing — all 16 files overlap [100, 120]
+    assert(t.readRange(100, 120).inputFiles.length === 16)
+
+    val expect = t.read().as[(Long, String)].collect().toSet
+    val v3 = t.optimize(8)
+    assert(v3 === 3)
+    // rows identical, layout now key-disjoint: the same probe reads 1 file
+    assert(t.read().as[(Long, String)].collect().toSet === expect)
+    assert(t.read().inputFiles.length === 8)
+    assert(t.readRange(100, 120).inputFiles.length === 1,
+      "post-optimize, a narrow probe must hit exactly one clustered file")
+    assert(t.readRange(100, 120).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq === (100L to 120L))
+    // and a merge into one band now rewrites one file, carries seven
+    val before = t.read().inputFiles.toSet
+    t.commitMerge(Seq((100L, "U100")).toDF("id", "v"))
+    assert(before.intersect(t.read().inputFiles.toSet).size === 7)
+  }
 }
