@@ -75,6 +75,22 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   private val StatRe =
     """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+  private val TxnPairRe = """"([^"]+)":(-?\d+)""".r
+
+  /** Streaming-writer transaction watermarks carried in the entry
+    * (round 12): `"txn":{"<appId>":<lastBatchId>}` — the Delta `txn`
+    * action. Every commit path carries the map forward (max per app on
+    * rebase), so "has batch N of app X been applied?" is answerable
+    * from the latest entry alone. App count = number of distinct
+    * streaming writers: driver-metadata-sized. */
+  private def readTxn(v: Int): Map[String, Long] = {
+    if (v < 1 || !Files.exists(entryPath(v))) return Map.empty
+    val txt = Files.readString(entryPath(v))
+    val m = """"txn":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+    m.map(g => TxnPairRe.findAllMatchIn(g.group(1))
+      .map(p => p.group(1) -> p.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+  }
 
   private def readEntry(v: Int): (Seq[String], Seq[String], Seq[FileStat]) = {
     require(Files.exists(entryPath(v)),
@@ -125,17 +141,20 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * link path). Returns false on collision. */
   private[operators] def publishEntry(
       v: Int, data: Seq[String], deletes: Seq[String],
-      stats: Seq[FileStat] = Nil): Boolean = {
+      stats: Seq[FileStat] = Nil,
+      txn: Map[String, Long] = Map.empty): Boolean = {
     Files.createDirectories(logDir)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statArr = stats
       .map(s => s"""{"f":"${s.file}","lo":${s.lo},"hi":${s.hi}}""")
       .mkString("[", ",", "]")
+    val txnObj = txn.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")
     val tmp = logDir.resolve(
       s".commit-${java.util.UUID.randomUUID().toString}.tmp")
     Files.writeString(tmp,
       s"""{"version":$v,"data":${arr(data)},"deletes":${arr(deletes)},""" +
-        s""""stats":$statArr}""")
+        s""""stats":$statArr,"txn":$txnObj}""")
     try {
       try { Files.createLink(entryPath(v), tmp); true }
       catch {
@@ -167,14 +186,26 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   /** Optimistic-concurrency commit loop: compose the entry against the
     * CURRENT latest version, publish-if-absent, rebase and retry on
-    * collision. `compose` sees the version it is trying to claim. */
+    * collision. `compose` sees the version it is trying to claim and
+    * returns None to bail without committing (the idempotent-replay
+    * skip — e.g. a rebase revealed the batch already landed). Every
+    * composed entry inherits the previous version's txn watermarks
+    * merged (max per app) with `txnPut`, so a lost race never regresses
+    * another streaming writer's high-water mark. */
   private def commitWithRetry(
-      compose: Int => (Seq[String], Seq[String], Seq[FileStat])): Int = {
+      txnPut: Map[String, Long] = Map.empty)(
+      compose: Int => Option[(Seq[String], Seq[String], Seq[FileStat])])
+      : Option[Int] = {
     var attempt = 0
     while (attempt <= maxCommitRetries) {
       val v = currentVersion() + 1
-      val (data, deletes, stats) = compose(v)
-      if (publishEntry(v, data, deletes, stats)) return v
+      compose(v) match {
+        case None => return None
+        case Some((data, deletes, stats)) =>
+          val txn = (readTxn(v - 1).toSeq ++ txnPut.toSeq)
+            .groupMapReduce(_._1)(_._2)(math.max)
+          if (publishEntry(v, data, deletes, stats, txn)) return Some(v)
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -196,14 +227,59 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    commitWithRetry { v =>
+    commitWithRetry() { v =>
       val (data, deletes, stats) =
         if (v == 1) (Nil, Nil, Nil) else readEntry(v - 1)
       // stats ride the rebase: the winner's per-file stats are re-read
       // from its entry and our new dir's appended — a lost race never
       // drops skipping metadata
-      (data :+ dir, deletes, stats ++ newStats)
+      Some((data :+ dir, deletes, stats ++ newStats))
+    }.get
+  }
+
+  /** Idempotent streaming append — the Delta `txn` action. Appends `df`
+    * and records `(appId, batchId)` in the entry's txn watermarks in the
+    * SAME atomic publish, so "commit the data" and "remember the batch"
+    * cannot tear. If the table already carries `txn[appId] >= batchId`
+    * the batch is a replay (a foreachBatch retry after a sink-side crash,
+    * or a whole-query restart from an older checkpoint): nothing is
+    * committed, the just-written data dir is removed, and None is
+    * returned — exactly-once ingestion without a transactional sink.
+    * The replay check runs inside the OCC loop, so a concurrent twin of
+    * the same app racing the same batch resolves to one winner: the
+    * loser's rebase re-reads the watermark the winner just advanced.
+    * Watermarks only advance (max per app on every commit path), and
+    * commits by OTHER apps or batch writers carry them forward, so the
+    * check stays answerable from the latest entry alone. */
+  def commitAppendTxn(df: DataFrame, appId: String, batchId: Long)
+      : Option[Int] = {
+    require(appId.nonEmpty && !appId.exists("\"{}:,\\".contains(_)),
+      s"""appId "$appId" — quotes/braces/colons/commas/backslashes """ +
+        "would corrupt the log entry's txn object")
+    if (lastTxn(appId).exists(_ >= batchId)) return None // cheap pre-check
+    val dir = newDataDir()
+    df.write.mode("errorifexists").parquet(dir)
+    val newStats = statsFor(dir)
+    val committed = commitWithRetry(Map(appId -> batchId)) { v =>
+      if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
+      else {
+        val (data, deletes, stats) =
+          if (v == 1) (Nil, Nil, Nil) else readEntry(v - 1)
+        Some((data :+ dir, deletes, stats ++ newStats))
+      }
     }
+    if (committed.isEmpty) { // lost to our own replay — drop the orphan dir
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ()
+    }
+    committed
+  }
+
+  /** Highest batch id `appId` has committed, from the latest entry. */
+  def lastTxn(appId: String): Option[Long] = {
+    val v = currentVersion()
+    if (v == 0) None else readTxn(v).get(appId)
   }
 
   /** Replace the table's contents with `df` (drops prior delete sidecars
@@ -212,7 +288,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    commitWithRetry(_ => (Seq(dir), Nil, newStats))
+    commitWithRetry()(_ => Some((Seq(dir), Nil, newStats))).get
   }
 
   /** Merge-on-read delete: write `keys` (one column, matching `keyCol`)
@@ -221,11 +297,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDeleteDir()
     keys.select(col(keys.columns.head).as(keyCol))
       .write.mode("errorifexists").parquet(dir)
-    commitWithRetry { v =>
+    commitWithRetry() { v =>
       require(v > 1, "delete on an empty table")
       val (data, deletes, stats) = readEntry(v - 1)
-      (data, deletes :+ dir, stats)
-    }
+      Some((data, deletes :+ dir, stats))
+    }.get
   }
 
   /** Read the table at `version` (default: latest). One log-entry read
@@ -472,14 +548,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
     val keptEntries = untouchedE.map(_._1) ++ carriedFiles.map(_.file)
     val keptStats = untouchedE.flatMap(_._2) ++ carriedFiles
-    commitWithRetry { v =>
+    commitWithRetry() { v =>
       if (v != v0 + 1)
         throw new java.util.ConcurrentModificationException(
           s"merge computed against version $v0 of $root but version " +
             s"${v - 1} has been committed since — the copy-on-write file " +
             "set is stale; re-run the merge against the new snapshot")
-      (keptEntries :+ dir, newDeletes, keptStats ++ newStats)
-    }
+      Some((keptEntries :+ dir, newDeletes, keptStats ++ newStats))
+    }.get
   }
 
   /** Change data feed: the exact multiset row diff between two committed

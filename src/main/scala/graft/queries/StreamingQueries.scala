@@ -305,6 +305,40 @@ object StreamingQueries {
         .orderBy(col("v"), col("change"))
     }),
 
+    // Exactly-once streaming ingest INTO the snapshot log (round 12 —
+    // the Delta `txn`-action write side, closing the loop with
+    // q_stream_snapcdf's read side): the staged 4-file events stream
+    // drains one file per micro-batch through SnapshotCdf.ingest, each
+    // batch committing its data dir AND its (appId, batchId) watermark
+    // in ONE atomic log publish. Idempotence is part of the hash: after
+    // the drain the query replays batch 0 by hand (a foreachBatch retry)
+    // and re-runs the whole stream on the same checkpoint (a restart);
+    // if either committed, every count below doubles and the oracle —
+    // the plain batch aggregate over events — mismatches.
+    "q_stream_snapsink" -> ((s, d) => {
+      val staged = stagedEvents(s, d)
+      val ev = Tables.events(s, d).drop("props")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snapsink").toString
+      val root = s"$tmp/table"
+      def src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      graft.streaming.SnapshotCdf.ingest(
+        src, root, "user_id", "events-writer", s"$tmp/ckpt")
+      val t = graft.operators.SnapshotLog.open(s, root, "user_id")
+      val replayed = t.commitAppendTxn(ev.limit(7), "events-writer", 0L)
+      require(replayed.isEmpty,
+        "txn replay guard failed: an already-applied batch committed again")
+      graft.streaming.SnapshotCdf.ingest(
+        src, root, "user_id", "events-writer", s"$tmp/ckpt")
+      t.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // streaming CEP: view→click→purchase chains (skip-till-next-match,
     // one chain per user) detected incrementally across micro-batches;
     // horizon 60 d ≫ corpus span so the oracle is the batch lazy-regex
@@ -527,6 +561,11 @@ object StreamingQueries {
            SELECT 4, 'delete', n_chars FROM documents
             WHERE doc_id >= 250 AND doc_id < 350 AND doc_id % 7 <> 0)
          GROUP BY v, change ORDER BY v, change""",
+    "q_stream_snapsink" ->
+      """SELECT event_type, COUNT(*) AS n,
+                ROUND(SUM(value), 2) AS sum_value,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // lazy (non-greedy) quantifiers parse the same leftmost-earliest
     // chain the streaming NFA walks: open at the first view, advance on
     // the first click after it, close on the first purchase after that,

@@ -67,4 +67,35 @@ object SnapshotCdf {
     * `cdf_version` partition column. */
   def feed(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.parquet(sinkDir)
+
+  /** Exactly-once streaming INGEST into a snapshot-log table — the write
+    * side of this file's read side, and the Delta streaming-sink
+    * pattern: each micro-batch lands via
+    * [[graft.operators.SnapshotTable.commitAppendTxn]], which records
+    * `(appId, batchId)` in the same atomic log publish as the data, so a
+    * foreachBatch retry or a restart that replays batches the sink
+    * already applied (offsets checkpointed, sink effect already durable)
+    * commits NOTHING the second time. foreachBatch alone is only
+    * at-least-once; the txn watermark is what upgrades it. `appId` must
+    * be stable across restarts (it identifies the writer, not the run).
+    *
+    * Scale shape: one log entry + one data dir per micro-batch — commit
+    * cost is batch-sized, the replay check is one log-entry read, and
+    * concurrent batch writers/other streams interleave freely through
+    * the OCC loop. Drains with `Trigger.AvailableNow` and terminates;
+    * re-running with the same checkpoint appends only new source data. */
+  def ingest(stream: DataFrame, root: String, keyCol: String,
+      appId: String, ckptDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SnapshotLog
+          .open(batch.sparkSession, root, keyCol)
+          .commitAppendTxn(batch, appId, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

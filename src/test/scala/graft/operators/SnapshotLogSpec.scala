@@ -342,4 +342,75 @@ class SnapshotLogSpec extends SparkSpec {
     t.commitMerge(Seq((100L, "U100")).toDF("id", "v"))
     assert(before.intersect(t.read().inputFiles.toSet).size === 7)
   }
+
+  test("txn: idempotent append, watermarks survive every commit path") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_tx").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val b0 = (1L to 5L).map(i => (i, s"a$i")).toDF("id", "v")
+    val b1 = (6L to 9L).map(i => (i, s"b$i")).toDF("id", "v")
+
+    assert(t.lastTxn("w").isEmpty)
+    assert(t.commitAppendTxn(b0, "w", 0L).contains(1))
+    assert(t.commitAppendTxn(b1, "w", 1L).contains(2))
+    assert(t.lastTxn("w").contains(1L))
+
+    // replay of an applied batch: no commit, no rows, no orphan data dir
+    val dirsBefore = java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, "data")).count()
+    assert(t.commitAppendTxn(b1, "w", 1L).isEmpty)
+    assert(t.commitAppendTxn(b0, "w", 0L).isEmpty)
+    assert(t.currentVersion() == 2 && t.read().count() == 9)
+    assert(java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, "data")).count() == dirsBefore,
+      "a skipped replay must remove its just-written data dir")
+
+    // a second app's watermark is independent
+    assert(t.commitAppendTxn(b0.withColumn("id", col("id") + 100),
+      "w2", 0L).contains(3))
+    assert(t.lastTxn("w").contains(1L) && t.lastTxn("w2").contains(0L))
+
+    // watermarks ride every other commit path: delete, merge, overwrite
+    t.commitDelete(Seq(1L).toDF("id"))
+    t.commitMerge(Seq((2L, "U2")).toDF("id", "v"))
+    t.commitOverwrite(t.read())
+    assert(t.lastTxn("w").contains(1L) && t.lastTxn("w2").contains(0L),
+      "txn watermarks must survive delete/merge/overwrite commits")
+    // and the replay guard still holds after all of them
+    assert(t.commitAppendTxn(b1, "w", 1L).isEmpty)
+
+    // unsafe app ids are rejected before anything is written
+    intercept[IllegalArgumentException] {
+      t.commitAppendTxn(b0, """a"b""", 5L)
+    }
+    ()
+  }
+
+  test("txn: two racing committers of the same (app, batch) → one winner") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_tr").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 3L).map(i => (i, "x")).toDF("id", "v"))
+    val batch = (10L to 14L).map(i => (i, s"r$i")).toDF("id", "v")
+    // the zombie-driver scenario: an old incarnation of the same
+    // streaming query races the restarted one on the same batch id
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] = {
+          gate.await()
+          SnapshotLog.open(spark, root, "id")
+            .commitAppendTxn(batch, "app", 7L)
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = results.map(_.get())
+    pool.shutdown()
+    assert(outcomes.count(_.isDefined) == 1,
+      s"exactly one racer must commit, got $outcomes")
+    assert(t.read().where(col("id") >= 10L).count() == 5,
+      "the batch must land exactly once")
+    assert(t.lastTxn("app").contains(7L))
+  }
 }

@@ -70,4 +70,58 @@ class SnapshotCdfSpec extends SparkSpec {
     SnapshotCdf.backfill(spark, root, "id", sink, ckpt)
     assert(files(sink) == allBefore, "idle re-run must write nothing")
   }
+
+  test("txn ingest: exactly-once across restart, catch-up, forced replay") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snapsink_sp").toString
+    val srcDir = s"$base/src"
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    // 3 source files, one per micro-batch, mtime-ordered like stagedEvents
+    val rows = (1L to 30L).map(i => (i, s"r$i"))
+    for (g <- 0 until 3)
+      rows.slice(g * 10, g * 10 + 10).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$srcDir/g$g")
+    val parts = new java.io.File(srcDir).listFiles().sortBy(_.getName)
+      .flatMap(d => d.listFiles().filter(_.getName.startsWith("part-")))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000L + i * 1000L); () }
+    val schema = spark.read.parquet(s"$srcDir/g0").schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+
+    SnapshotCdf.ingest(src, root, "id", "app", ckpt)
+    val t = SnapshotLog.open(spark, root, "id")
+    val vAfter = t.currentVersion()
+    assert(vAfter >= 1 && t.read().count() == 30)
+    assert(t.lastTxn("app").isDefined)
+
+    // restart on the same checkpoint with no new data: nothing commits
+    SnapshotCdf.ingest(src, root, "id", "app", ckpt)
+    assert(t.currentVersion() == vAfter && t.read().count() == 30)
+
+    // FORCED replay: delete the final batch's commit marker so the
+    // restart re-executes it (offsets say "planned", commits say "never
+    // finished" — the crash-between-sink-and-commit window). foreachBatch
+    // alone would double those 10 rows; the txn watermark must skip them.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists) assert(crc.delete()) // ChecksumFs shadow of the marker
+    SnapshotCdf.ingest(src, root, "id", "app", ckpt)
+    assert(t.read().count() == 30,
+      "replayed final batch must be deduplicated by the txn watermark")
+    assert(t.read().groupBy(col("id")).count()
+      .where(col("count") > 1).count() == 0)
+
+    // new source data after all that still lands (watermark advances)
+    rows.take(3).map { case (i, v) => (i + 100, v) }.toDF("id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/g3")
+    SnapshotCdf.ingest(src, root, "id", "app", ckpt)
+    assert(t.read().count() == 33)
+  }
 }
