@@ -282,12 +282,72 @@ object ClusterCheck {
       System.err.println(s"[chaos] snapshot-log merge: $e"); false
     } finally { stop2.set(true); killer2.join(2000) }
 
+    // round-12 txn phase: exactly-once STREAMING ingest under yet another
+    // fresh executor kill, then a FORCED batch replay. Three source files
+    // drain one-per-micro-batch through SnapshotCdf.ingest while the
+    // watcher SIGKILLs an executor (foreachBatch's write + stats jobs
+    // retry on the survivor; the txn watermark publishes with the data in
+    // one atomic log link). Then the last commit marker is deleted — the
+    // crash-between-sink-and-commit window — and the stream re-run: the
+    // re-executed batch must be skipped by the watermark, every ingested
+    // id exactly once.
+    val stop3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer3 = new Thread(() => {
+      while (!stop3.get() && !killed3.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop3.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during txn ingest")
+            killed3.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer3.setDaemon(true)
+    killer3.start()
+    val txnOk = try {
+      val srcDir = s"$root/txn_src"; val ckpt = s"$root/txn_ckpt"
+      for (g <- 0 until 3)
+        spark.range(10000000L + g * 1000L, 10000000L + g * 1000L + 1000L)
+          .select(col("id"), concat(lit(s"T$g-"), col("id")).as("v"))
+          .coalesce(1).write.parquet(s"$srcDir/g$g")
+      new java.io.File(srcDir).listFiles().sortBy(_.getName)
+        .flatMap(d => d.listFiles().filter(_.getName.startsWith("part-")))
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1000000L + i * 1000L); () }
+      val schema = spark.read.parquet(s"$srcDir/g0").schema
+      def src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(srcDir)
+      graft.streaming.SnapshotCdf.ingest(src, root, "id", "chaos-app", ckpt)
+      val afterDrain = t1.read().where(col("id") >= 10000000L).count()
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val crc = new java.io.File(commits.last.getParentFile,
+        s".${commits.last.getName}.crc")
+      val torn = commits.last.delete() && (!crc.exists || crc.delete())
+      graft.streaming.SnapshotCdf.ingest(src, root, "id", "chaos-app", ckpt)
+      val ingested = t1.read().where(col("id") >= 10000000L)
+      afterDrain == 3000L && torn &&
+        ingested.count() == 3000L &&
+        ingested.groupBy(col("id")).count()
+          .where(col("count") > 1).count() == 0L &&
+        t1.lastTxn("chaos-app").isDefined
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] snapshot-log txn ingest: $e"); false
+    } finally { stop3.set(true); killer3.join(2000) }
+
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
-      total == expect && monotone && pruned && mergeOk
+      total == expect && monotone && pruned && mergeOk && txnOk
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
       s""""mergeOk":$mergeOk,"mergeKillLanded":${killed2.get()},""" +
+      s""""txnOk":$txnOk,"txnKillLanded":${killed3.get()},""" +
       s""""ok":$ok}"""
     (json, ok)
   }
