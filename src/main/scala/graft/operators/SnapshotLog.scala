@@ -35,6 +35,15 @@ import scala.jdk.CollectionConverters._
   * keys, and the log keeps every reader one JSON read away from a
   * consistent file set.
   *
+  * Round 12 additions mirror the rest of Delta's log-native surface:
+  * per-file key stats ride IN the entry (data skipping at any
+  * time-travel version), MERGE/change-feed/VACUUM/OPTIMIZE, per-app
+  * `txn` watermarks for exactly-once streaming ingest
+  * ([[SnapshotTable.commitAppendTxn]]), the table SCHEMA in the entry
+  * (add-only evolution on append, no footer inference at read, time
+  * travel under each version's own schema), and metadata-only
+  * [[SnapshotTable.restore]].
+  *
   * Multi-writer safety (round 11 — the Delta/Iceberg single-table
   * multi-writer contract): data/sidecar dirs are named by a commit UUID
   * (never by version, so two in-flight writers can't clobber payloads),
@@ -59,10 +68,34 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   private def entryPath(v: Int): Path = logDir.resolve(s"$v.json")
 
-  /** Latest committed version, or 0 when the table is empty. */
-  def currentVersion(): Int =
-    if (!Files.isDirectory(logDir)) 0
-    else Files.list(logDir).iterator().asScala
+  private val hintPath = logDir.resolve("_latest.hint")
+
+  /** Latest committed version, or 0 when the table is empty.
+    *
+    * Resolution is O(1)+probes via the `_latest.hint` file (the
+    * `_last_checkpoint` pattern): each successful publish overwrites the
+    * hint non-atomically AFTER the entry lands, so the hint is purely
+    * ADVISORY — it can lag (a racing writer overwrote it with a smaller
+    * value, or a writer died between publish and hint) but can never
+    * point above a published entry, and a garbled/missing hint falls
+    * back to the full listing. From the verified floor the true latest
+    * is found by probing forward one exists() per version. Without this, a
+    * long-lived table (10⁵ commits) pays an O(V) directory listing on
+    * EVERY commit and read — O(V²) cumulative. */
+  def currentVersion(): Int = {
+    if (!Files.isDirectory(logDir)) return 0
+    val hinted =
+      try {
+        val h = Files.readString(hintPath).trim.toInt
+        if (h >= 1 && Files.exists(entryPath(h))) h else fullScanVersion()
+      } catch { case _: Exception => fullScanVersion() }
+    var v = hinted
+    while (Files.exists(entryPath(v + 1))) v += 1
+    v
+  }
+
+  private def fullScanVersion(): Int =
+    Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toInt).foldLeft(0)(math.max)
 
@@ -96,7 +129,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(Files.exists(entryPath(v)),
       s"version $v of $root is gone — vacuumed past the retention horizon " +
         "(or never committed); time travel only reaches retained versions")
-    val txt = Files.readString(entryPath(v))
+    val full = Files.readString(entryPath(v))
+    // the schema object is always the LAST field; everything structural
+    // (data/deletes/stats/txn) is parsed from the text before it, so a
+    // table column named "data" or "stats" can never confuse the regexes
+    val txt = full.indexOf("\"schema\":") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
     def arr(field: String): Seq[String] = {
       val m = (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
       m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
@@ -106,6 +146,42 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .map(m => FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong))
       .toSeq
     (arr("data"), arr("deletes"), stats)
+  }
+
+  /** The table schema AS OF version `v`, from the log entry alone — the
+    * Delta pattern: readers never infer schema from parquet footers (at
+    * 100 TB file counts footer-merging is a driver-side scan of its
+    * own), and time travel reads each version with the schema it was
+    * committed under. None for pre-schema (legacy) entries, which fall
+    * back to footer inference. */
+  def schemaOf(v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val full = Files.readString(entryPath(v))
+    val i = full.indexOf("\"schema\":")
+    if (i < 0) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(full.substring(i + 9, full.length - 1))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Widen `prev` (the logged schema) with `next` (an appended batch's):
+    * same-name columns must keep their exact type (no silent coercion —
+    * a type change is a rewrite, not an append), brand-new columns are
+    * appended nullable. Old files simply lack the new columns and read
+    * as NULL — Delta's mergeSchema=true append semantics. */
+  private def widen(
+      prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = prev.fields.map(f => f.name -> f).toMap
+    for (f <- next.fields; p <- byName.get(f.name))
+      require(p.dataType == f.dataType,
+        s"schema evolution cannot change column '${f.name}' from " +
+          s"${p.dataType.simpleString} to ${f.dataType.simpleString} — " +
+          "appends may only ADD columns; a type change needs a rewrite " +
+          "(commitOverwrite)")
+    val added = next.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(prev.fields ++ added)
   }
 
   /** min/max of `keyCol` per part file of a freshly written data dir —
@@ -142,7 +218,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   private[operators] def publishEntry(
       v: Int, data: Seq[String], deletes: Seq[String],
       stats: Seq[FileStat] = Nil,
-      txn: Map[String, Long] = Map.empty): Boolean = {
+      txn: Map[String, Long] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Boolean = {
     Files.createDirectories(logDir)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statArr = stats
@@ -150,13 +228,24 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .mkString("[", ",", "]")
     val txnObj = txn.toSeq.sortBy(_._1)
       .map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")
+    // schema MUST stay the last field: readEntry parses the structural
+    // fields from the text before it, schemaOf from the text after it
+    val schemaField = schema.map(s => s""","schema":${s.json}""").getOrElse("")
     val tmp = logDir.resolve(
       s".commit-${java.util.UUID.randomUUID().toString}.tmp")
     Files.writeString(tmp,
       s"""{"version":$v,"data":${arr(data)},"deletes":${arr(deletes)},""" +
-        s""""stats":$statArr,"txn":$txnObj}""")
+        s""""stats":$statArr,"txn":$txnObj$schemaField}""")
+    def won(): Boolean = {
+      // advance the advisory hint AFTER the entry is durable; a torn or
+      // lost-race overwrite only makes the hint lag (currentVersion
+      // verifies and probes forward), never lie
+      try Files.writeString(hintPath, v.toString)
+      catch { case _: Exception => () }
+      true
+    }
     try {
-      try { Files.createLink(entryPath(v), tmp); true }
+      try { Files.createLink(entryPath(v), tmp); won() }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
@@ -171,7 +260,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             try {
               Files.move(tmp, entryPath(v),
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              true
+              won()
             } catch {
               case _: java.nio.file.FileAlreadyExistsException => false
             }
@@ -194,17 +283,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * another streaming writer's high-water mark. */
   private def commitWithRetry(
       txnPut: Map[String, Long] = Map.empty)(
-      compose: Int => Option[(Seq[String], Seq[String], Seq[FileStat])])
+      compose: Int => Option[(Seq[String], Seq[String], Seq[FileStat],
+        Option[org.apache.spark.sql.types.StructType])])
       : Option[Int] = {
     var attempt = 0
     while (attempt <= maxCommitRetries) {
       val v = currentVersion() + 1
       compose(v) match {
         case None => return None
-        case Some((data, deletes, stats)) =>
+        case Some((data, deletes, stats, schema)) =>
           val txn = (readTxn(v - 1).toSeq ++ txnPut.toSeq)
             .groupMapReduce(_._1)(_._2)(math.max)
-          if (publishEntry(v, data, deletes, stats, txn)) return Some(v)
+          if (publishEntry(v, data, deletes, stats, txn, schema))
+            return Some(v)
       }
       attempt += 1
     }
@@ -223,6 +314,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * under concurrent writers: the data dir is commit-unique, the version
     * claim is atomic, and on collision the listing REBASES onto the
     * winner's snapshot (append commutes with any committed change). */
+  /** The appended schema for version `v`: widened against the previous
+    * entry's logged schema (add-only evolution); a legacy (schemaless)
+    * table stays schemaless rather than guessing what its files hold. */
+  private def appendSchema(v: Int,
+      df: DataFrame): Option[org.apache.spark.sql.types.StructType] =
+    if (v == 1) Some(df.schema)
+    else schemaOf(v - 1).map(widen(_, df.schema))
+
   def commitAppend(df: DataFrame): Int = {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
@@ -233,7 +332,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       // stats ride the rebase: the winner's per-file stats are re-read
       // from its entry and our new dir's appended — a lost race never
       // drops skipping metadata
-      Some((data :+ dir, deletes, stats ++ newStats))
+      Some((data :+ dir, deletes, stats ++ newStats, appendSchema(v, df)))
     }.get
   }
 
@@ -265,7 +364,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       else {
         val (data, deletes, stats) =
           if (v == 1) (Nil, Nil, Nil) else readEntry(v - 1)
-        Some((data :+ dir, deletes, stats ++ newStats))
+        Some((data :+ dir, deletes, stats ++ newStats, appendSchema(v, df)))
       }
     }
     if (committed.isEmpty) { // lost to our own replay — drop the orphan dir
@@ -288,7 +387,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    commitWithRetry()(_ => Some((Seq(dir), Nil, newStats))).get
+    commitWithRetry()(_ =>
+      Some((Seq(dir), Nil, newStats, Some(df.schema)))).get
   }
 
   /** Merge-on-read delete: write `keys` (one column, matching `keyCol`)
@@ -300,7 +400,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     commitWithRetry() { v =>
       require(v > 1, "delete on an empty table")
       val (data, deletes, stats) = readEntry(v - 1)
-      Some((data, deletes :+ dir, stats))
+      Some((data, deletes :+ dir, stats, schemaOf(v - 1)))
     }.get
   }
 
@@ -326,6 +426,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(v >= 1 && v <= latest,
       s"version $v out of range [1, $latest] for $root")
     val (data, deletes, stats) = readEntry(v)
+    // read with the schema AS OF this version, straight from the entry:
+    // no footer inference (a driver-side file scan at 100 TB file
+    // counts), evolved tables read old files' missing columns as NULL,
+    // and time travel sees each version under its own schema
+    val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
     val base = range match {
       case Some((lo, hi)) if stats.nonEmpty =>
         // file paths in stats come from input_file_name() (URI form);
@@ -338,18 +443,44 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         val uncovered = data.filterNot(d => statCovered.exists(_.contains(d)))
         val paths = keep ++ uncovered
         val df = if (paths.isEmpty)
-          spark.read.parquet(data: _*).where(lit(false))
-        else spark.read.parquet(paths: _*)
+          rd.parquet(data: _*).where(lit(false))
+        else rd.parquet(paths: _*)
         df.where(col(keyCol) >= lo && col(keyCol) <= hi)
       case Some((lo, hi)) =>
-        spark.read.parquet(data: _*)
+        rd.parquet(data: _*)
           .where(col(keyCol) >= lo && col(keyCol) <= hi)
-      case None => spark.read.parquet(data: _*)
+      case None => rd.parquet(data: _*)
     }
     if (deletes.isEmpty) base
     else base.join(
       broadcast(spark.read.parquet(deletes: _*).select(col(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
+  }
+
+  /** RESTORE: roll the table back to `version`'s state as a NEW commit
+    * (history preserved — Delta's `RESTORE TABLE ... VERSION AS OF`).
+    * Metadata-only and O(entry): the new entry re-publishes the target
+    * version's listing, stats, and schema verbatim; no data moves, so
+    * restoring a 100 TB table costs one JSON publish. The restored
+    * entry's references also re-protect those files from [[vacuum]]
+    * (refs are computed over retained entries). Fails loudly up front
+    * if any referenced path was already vacuumed. Txn watermarks are
+    * NOT rolled back — they only advance, so a restore can never
+    * resurrect an already-applied streaming batch as "new". */
+  def restore(version: Int): Int = {
+    val latest = currentVersion()
+    require(version >= 1 && version <= latest,
+      s"restore target $version out of [1, $latest] for $root")
+    val (data, deletes, stats) = readEntry(version)
+    val hconf = spark.sessionState.newHadoopConf()
+    for (d <- data ++ deletes) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      require(p.getFileSystem(hconf).exists(p),
+        s"cannot restore $root to version $version: $d was vacuumed; " +
+          "only versions whose files survive retention are restorable")
+    }
+    val sch = schemaOf(version)
+    commitWithRetry()(_ => Some((data, deletes, stats, sch))).get
   }
 
   /** Fold delete sidecars into the data (the deletion-vector compaction):
@@ -480,11 +611,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(v0 >= 1, "merge on an empty table — use commitAppend")
     val (data, deletes, stats) = readEntry(v0)
 
-    val tableCols = spark.read.parquet(data.head).columns
+    val mergeSchema = schemaOf(v0)
+    val tableCols = mergeSchema.map(_.fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(data.head).columns.toSeq)
     require(updates.columns.toSet == tableCols.toSet,
       s"merge schema mismatch: table has ${tableCols.mkString(",")}, " +
         s"updates have ${updates.columns.mkString(",")}")
-    val upd = updates.select(tableCols.map(col).toSeq: _*)
+    val upd = updates.select(tableCols.map(col): _*)
     val updKeys = upd.select(col(keyCol)).distinct()
 
     // exact per-file touch set: which stat intervals does at least one
@@ -524,8 +657,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
     val survivors =
       if (rewriteScan.isEmpty) None
-      else Some(spark.read.parquet(rewriteScan: _*)
-        .join(broadcast(updKeys), Seq(keyCol), "left_anti"))
+      else {
+        // read with the LOGGED schema: post-evolution the scanned files
+        // are heterogeneous (older ones lack added columns → NULL)
+        val rd = mergeSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+        Some(rd.parquet(rewriteScan: _*)
+          .join(broadcast(updKeys), Seq(keyCol), "left_anti"))
+      }
     val newData = survivors.map(_.unionByName(upd)).getOrElse(upd)
     val dir = newDataDir()
     newData.write.mode("errorifexists").parquet(dir)
@@ -554,7 +692,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           s"merge computed against version $v0 of $root but version " +
             s"${v - 1} has been committed since — the copy-on-write file " +
             "set is stale; re-run the merge against the new snapshot")
-      Some((keptEntries :+ dir, newDeletes, keptStats ++ newStats))
+      Some((keptEntries :+ dir, newDeletes, keptStats ++ newStats,
+        mergeSchema))
     }.get
   }
 
@@ -597,15 +736,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     val flippedNonEmpty = flipped.exists(!_.isEmpty)
 
+    // both sides diff under toV's schema (the Delta CDF convention for
+    // feeds spanning a schema change): fromV's files lacking an added
+    // column surface it as NULL, so exceptAll compares aligned rows
+    val rd = schemaOf(toV).map(spark.read.schema(_)).getOrElse(spark.read)
     def view(own: Seq[String], dels: Seq[String]): DataFrame = {
       val parts = Seq(
-        if (own.nonEmpty) Some(spark.read.parquet(own: _*)) else None,
+        if (own.nonEmpty) Some(rd.parquet(own: _*)) else None,
         if (shared.nonEmpty && flippedNonEmpty)
-          Some(spark.read.parquet(shared.toSeq: _*)
+          Some(rd.parquet(shared.toSeq: _*)
             .join(broadcast(flipped.get), Seq(keyCol), "left_semi"))
         else None).flatten
       val base = parts match {
-        case Nil => spark.read.parquet((dA ++ dB).head).where(lit(false))
+        case Nil => rd.parquet((dA ++ dB).head).where(lit(false))
         case xs  => xs.reduce(_ unionByName _)
       }
       if (dels.isEmpty) base

@@ -284,6 +284,39 @@ object RelationalQueries {
           sum(col("doc_id")).cast("long").as("sum_ids"))
     }),
 
+    // Schema evolution + RESTORE on the snapshot log (round 12): the
+    // entry carries the table SCHEMA, so appends may ADD columns (old
+    // files read the new column as NULL — Delta mergeSchema semantics),
+    // readers never infer from parquet footers, and every time-travel
+    // version is read under ITS OWN schema. v1 appends (doc_id,
+    // n_chars); v2 appends with a new `lang` column; v3 RESTOREs to v1
+    // (metadata-only rollback — schema narrows back too); v4 appends
+    // the evolved shape again on top of the restored base. The result
+    // unions the as-of-v2 and final aggregates, NULL-lang rows bucketed
+    // as '??' — wrong evolution (lost rows, phantom columns, restore
+    // leaking v2 rows) breaks the hash.
+    "q_scan_snapevolve" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300).drop("lang"))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.restore(1)
+      t.commitAppend(docs.where(col("doc_id") >= 500 && col("doc_id") < 600))
+      require(t.read(1).columns.toSeq == Seq("doc_id", "n_chars") &&
+        t.read(3).columns.toSeq == Seq("doc_id", "n_chars"),
+        "restored/original versions must read under the 2-column schema")
+      def agg(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.groupBy(coalesce(col("lang"), lit("??")).as("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("lang"), col("n"),
+            col("sum_chars"))
+      agg(t.read(2), 2).unionByName(agg(t.read(4), 4))
+        .orderBy(col("version"), col("lang"))
+    }),
+
     // Equi-depth histogram: percentile boundaries + map-side assignment
     // (never an ntile global window); boundaries 4dp-rounded before
     // assignment — the cross-engine bucketing contract
@@ -835,6 +868,20 @@ object RelationalQueries {
            UNION ALL
            SELECT n_chars + 7, doc_id + 250 FROM documents
             WHERE doc_id >= 250 AND doc_id < 350)""",
+    "q_scan_snapevolve" ->
+      """SELECT 2 AS version,
+                CASE WHEN doc_id < 300 THEN '??' ELSE lang END AS lang,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 500
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT 4, CASE WHEN doc_id < 300 THEN '??' ELSE lang END,
+                CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+         FROM documents
+         WHERE doc_id < 300 OR (doc_id >= 500 AND doc_id < 600)
+         GROUP BY 1, 2
+         ORDER BY version, lang""",
     "q_profile_histogram" ->
       """WITH v AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

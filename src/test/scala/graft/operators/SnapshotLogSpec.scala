@@ -343,6 +343,99 @@ class SnapshotLogSpec extends SparkSpec {
     assert(before.intersect(t.read().inputFiles.toSet).size === 7)
   }
 
+  test("_latest.hint is advisory: stale, garbled, or missing never lies") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_h").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    (1 to 4).foreach(i =>
+      t.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val hint = java.nio.file.Paths.get(root, "_log", "_latest.hint")
+    assert(java.nio.file.Files.exists(hint), "publish must advance the hint")
+    assert(t.currentVersion() == 4)
+    // stale hint (lost-race overwrite): probe-forward recovers
+    java.nio.file.Files.writeString(hint, "1")
+    assert(t.currentVersion() == 4)
+    // garbled hint: falls back to the full listing
+    java.nio.file.Files.writeString(hint, "not-a-number")
+    assert(t.currentVersion() == 4)
+    // hint above any published entry (impossible by construction, but
+    // a byzantine write must not invent versions): falls back
+    java.nio.file.Files.writeString(hint, "99")
+    assert(t.currentVersion() == 4)
+    // missing hint: full listing
+    java.nio.file.Files.delete(hint)
+    assert(t.currentVersion() == 4)
+    // and the next commit repairs it
+    t.commitAppend(Seq((5L, "v5")).toDF("id", "v"))
+    assert(java.nio.file.Files.readString(hint).trim == "5")
+  }
+
+  test("schema in the log: add-only evolution, per-version time travel") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_sc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 5L).map(i => (i, s"a$i")).toDF("id", "v"))
+    // add a column: old files read it as NULL, new rows carry it
+    t.commitAppend((6L to 8L).map(i => (i, s"b$i", i * 10.0))
+      .toDF("id", "v", "score"))
+    assert(t.schemaOf(1).get.fieldNames.toSeq == Seq("id", "v"))
+    assert(t.schemaOf(2).get.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(t.read().columns.toSeq == Seq("id", "v", "score"))
+    assert(t.read().where(col("score").isNull).count() == 5)
+    assert(t.read().where(col("score").isNotNull).count() == 3)
+    // time travel sees version 1 under ITS schema — no phantom column
+    assert(t.read(1).columns.toSeq == Seq("id", "v"))
+
+    // type changes are rejected loudly (append may only ADD columns)
+    intercept[IllegalArgumentException] {
+      t.commitAppend(Seq((9L, 42)).toDF("id", "v"))
+    }
+
+    // merge on the evolved table: survivors from pre-evolution files
+    // carry NULL score, updates land with theirs
+    t.commitMerge(Seq((2L, "U2", 99.0), (100L, "N100", 1.0))
+      .toDF("id", "v", "score"))
+    val m = t.read()
+    assert(m.where(col("id") === 2L).select("score")
+      .collect().head.getDouble(0) == 99.0)
+    assert(m.where(col("id") === 1L).select("score")
+      .collect().head.isNullAt(0))
+    assert(m.count() == 9)
+
+    // change feed across the evolution diffs under toV's schema
+    val ch = t.changes(1, 2)
+    assert(ch.columns.toSeq == Seq("id", "v", "score", "_change_type"))
+    assert(ch.count() == 3 &&
+      ch.where(col("_change_type") === "insert").count() == 3)
+
+    // restore: metadata-only rollback to v1 as a NEW commit
+    val rv = t.restore(1)
+    assert(rv == 4 && t.currentVersion() == 4)
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    assert(t.read().as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (1L to 5L))
+    // history intact: the evolved versions still read as they were
+    assert(t.read(3).count() == 9)
+    // and the restored entry's refs protect v1's files from vacuum
+    t.vacuum(4)
+    assert(t.read().count() == 5)
+    intercept[IllegalArgumentException] { t.read(3) }
+    ()
+  }
+
+  test("restore refuses a vacuumed target and keeps txn watermarks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_rs").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppendTxn((1L to 3L).map(i => (i, "x")).toDF("id", "v"), "w", 0L)
+    t.commitOverwrite((4L to 6L).map(i => (i, "y")).toDF("id", "v"))
+    t.vacuum(2) // v1's files are gone
+    intercept[IllegalArgumentException] { t.restore(1) }
+    // restore to a live version does not regress the watermark
+    val rv = t.restore(2)
+    assert(t.read(rv).count() == 3)
+    assert(t.lastTxn("w").contains(0L),
+      "restore must carry txn watermarks forward, not roll them back")
+    assert(t.commitAppendTxn(Seq((9L, "z")).toDF("id", "v"), "w", 0L).isEmpty)
+  }
+
   test("txn: idempotent append, watermarks survive every commit path") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_tx").toString
     val t = SnapshotLog.open(spark, root, "id")
