@@ -184,28 +184,68 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     org.apache.spark.sql.types.StructType(prev.fields ++ added)
   }
 
-  /** min/max of `keyCol` per part file of a freshly written data dir —
-    * one small Spark job per commit (file-count-sized result). Stats are
-    * collected only for integral key types; for anything else the entry
-    * carries none and reads fall back to scanning every file (correct,
-    * just unpruned). Files whose keys are all NULL get no stats row and
-    * are likewise always scanned. */
+  /** min/max of `keyCol` per part file of a freshly written data dir,
+    * from the parquet FOOTERS — metadata-only, no data re-read. The
+    * naive alternative (a groupBy(input_file_name) job over the dir)
+    * reads every newly written byte a second time: at 100 TB ingest
+    * that doubles the write path's I/O, where footers cost one small
+    * ranged read per file on the driver. Spark's parquet writer always
+    * records row-group min/max for integral columns, so this is the
+    * same numbers Delta lifts out of its write transaction. Stats are
+    * collected only for integral key types (INT32/INT64 physical with
+    * no non-int logical annotation — dates/timestamps excluded); for
+    * anything else, for all-NULL files, or for a file whose footer
+    * carries no statistics, the entry gets no row and reads fall back
+    * to scanning that file (pruning never changes results). */
   private def statsFor(dir: String): Seq[FileStat] = {
-    import org.apache.spark.sql.types._
-    val df = spark.read.parquet(dir)
-    val integral = df.schema.fields.find(_.name == keyCol).map(_.dataType)
-      .exists {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-    if (!integral) Nil
-    else df.groupBy(input_file_name().as("f"))
-      .agg(min(col(keyCol)).cast("long").as("lo"),
-           max(col(keyCol)).cast("long").as("hi"))
-      .collect()
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSeq
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parts = p.getFileSystem(conf).listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    parts.flatMap { st =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val md = rdr.getFooter
+        val schema = md.getFileMetaData.getSchema
+        val integral = schema.containsField(keyCol) && {
+          val t = schema.getType(Seq(keyCol): _*)
+          t.isPrimitive && {
+            val pt = t.asPrimitiveType()
+            (pt.getPrimitiveTypeName == INT32 ||
+              pt.getPrimitiveTypeName == INT64) &&
+              (pt.getLogicalTypeAnnotation == null ||
+                pt.getLogicalTypeAnnotation
+                  .isInstanceOf[IntLogicalTypeAnnotation])
+          }
+        }
+        if (!integral) None
+        else {
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          var seen = false; var trusted = true
+          md.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == keyCol) {
+                val s = c.getStatistics
+                if (s == null || s.isEmpty) trusted = false
+                else if (s.hasNonNullValue) {
+                  seen = true
+                  lo = math.min(lo, s.genericGetMin.asInstanceOf[Number].longValue)
+                  hi = math.max(hi, s.genericGetMax.asInstanceOf[Number].longValue)
+                }
+              }
+            }
+          }
+          if (trusted && seen) Some(FileStat(st.getPath.toString, lo, hi))
+          else None
+        }
+      } finally rdr.close()
+    }
   }
 
   /** Atomically publish `_log/<v>.json` if and only if no writer claimed
@@ -433,9 +473,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
     val base = range match {
       case Some((lo, hi)) if stats.nonEmpty =>
-        // file paths in stats come from input_file_name() (URI form);
-        // live data dirs are matched by substring so dir-path spelling
-        // differences (file: scheme, double slashes) cannot unprune
+        // file paths in stats come from FileStatus (URI form, e.g.
+        // file:/x); live data dirs are matched by substring so dir-path
+        // spelling (scheme prefixes, double slashes) cannot unprune
         val keep = stats.filter(s => s.hi >= lo && s.lo <= hi)
           .map(_.file).filter(f => data.exists(d => f.contains(d)))
         val statCovered = stats.map(_.file).toSet
