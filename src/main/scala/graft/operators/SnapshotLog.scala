@@ -197,18 +197,35 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * anything else, for all-NULL files, or for a file whose footer
     * carries no statistics, the entry gets no row and reads fall back
     * to scanning that file (pruning never changes results). */
-  private def statsFor(dir: String): Seq[FileStat] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
-    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+  private[graft] def statsFor(dir: String): Seq[FileStat] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val parts = p.getFileSystem(conf).listStatus(p).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    parts.flatMap { st =>
+    // footer opens are latency-bound (a ranged read per file — on object
+    // storage a round-trip each); read them on a small bounded pool so a
+    // many-file commit costs max(latency) × ceil(files/16), not Σ latency
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, parts.size)))
+    try {
+      val futs = parts.map { st =>
+        pool.submit(new java.util.concurrent.Callable[Option[FileStat]] {
+          def call(): Option[FileStat] = footerStat(st, conf)
+        })
+      }
+      futs.flatMap(_.get())
+    } finally { pool.shutdown() }
+  }
+
+  private def footerStat(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Option[FileStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    locally {
       val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try {
         val md = rdr.getFooter

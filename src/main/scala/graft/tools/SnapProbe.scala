@@ -101,6 +101,34 @@ object SnapProbe {
       files.toLong
     }
 
+    // per-commit stats derivation, isolated: footer reads (the commit
+    // path since the footer-stats change) vs the scan-job alternative
+    // (groupBy over input_file_name — what every commit used to pay on
+    // top of its write). Rows carry a ~1 KB payload so the scan price
+    // reflects real commit volume (the probe's 2-column rows understate
+    // it ~100×); footers never read the payload at all. The dir is
+    // written ONCE outside the timers; each rep times only the stats
+    // pass over the same 64 files.
+    val statsRoot = java.nio.file.Files
+      .createTempDirectory("snap_probe_stats").toString
+    val statsDir = s"$statsRoot/d"
+    base
+      .withColumn("payload",
+        sha2(concat(lit("p"), col("id").cast("string")), 256))
+      .withColumn("payload", concat((1 to 16).map(i =>
+        sha2(concat(col("payload"), lit(i)), 256)): _*))
+      .repartitionByRange(64, col("id"))
+      .write.parquet(statsDir)
+    val st = SnapshotLog.open(spark, statsRoot, "id")
+    time("stats_footer") { st.statsFor(statsDir).size.toLong }
+    time("stats_scan") {
+      spark.read.parquet(statsDir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("id")).cast("long").as("lo"),
+          max(col("id")).cast("long").as("hi"))
+        .collect().length.toLong
+    }
+
     spark.stop()
   }
 }
