@@ -103,11 +103,20 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * min(keyCol), max(keyCol)) for every part file of every live data
     * dir — the Delta/Iceberg pattern where data skipping works at ANY
     * time-travel version because the stats are versioned with the
-    * snapshot, not rebuilt from the live layout. */
-  private[operators] case class FileStat(file: String, lo: Long, hi: Long)
+    * snapshot, not rebuilt from the live layout. `cols` extends the
+    * same [lo, hi] to every OTHER integral top-level column (capped at
+    * [[statCols]], Delta's first-N-columns convention), so
+    * [[SnapshotTable.readWhere]] prunes on non-key predicates too. */
+  private[operators] case class FileStat(file: String, lo: Long, hi: Long,
+      cols: Map[String, (Long, Long)] = Map.empty)
+
+  /** Max non-key columns carrying per-file stats (Delta's
+    * dataSkippingNumIndexedCols analogue). */
+  val statCols = 32
 
   private val StatRe =
-    """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+    """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)(?:,"cols":\{([^}]*)\})?\}""".r
+  private val ColRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   private val TxnPairRe = """"([^"]+)":(-?\d+)""".r
 
   /** Streaming-writer transaction watermarks carried in the entry
@@ -143,7 +152,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     }
     val stats = StatRe.findAllMatchIn(txt)
-      .map(m => FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .map { m =>
+        val cols = Option(m.group(4)).map { inner =>
+          ColRe.findAllMatchIn(inner)
+            .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
+            .toMap
+        }.getOrElse(Map.empty[String, (Long, Long)])
+        FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong, cols)
+      }
       .toSeq
     (arr("data"), arr("deletes"), stats)
   }
@@ -230,36 +246,55 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       try {
         val md = rdr.getFooter
         val schema = md.getFileMetaData.getSchema
-        val integral = schema.containsField(keyCol) && {
-          val t = schema.getType(Seq(keyCol): _*)
-          t.isPrimitive && {
-            val pt = t.asPrimitiveType()
-            (pt.getPrimitiveTypeName == INT32 ||
-              pt.getPrimitiveTypeName == INT64) &&
-              (pt.getLogicalTypeAnnotation == null ||
-                pt.getLogicalTypeAnnotation
-                  .isInstanceOf[IntLogicalTypeAnnotation])
+        import scala.jdk.CollectionConverters._
+        // every integral top-level column is a skipping candidate —
+        // keyCol fills the primary [lo, hi], the next `statCols` go to
+        // `cols` (unsafe names would corrupt the JSON; skip them)
+        def integral(name: String): Boolean =
+          schema.containsField(name) && {
+            val t = schema.getType(Seq(name): _*)
+            t.isPrimitive && {
+              val pt = t.asPrimitiveType()
+              (pt.getPrimitiveTypeName == INT32 ||
+                pt.getPrimitiveTypeName == INT64) &&
+                (pt.getLogicalTypeAnnotation == null ||
+                  pt.getLogicalTypeAnnotation
+                    .isInstanceOf[IntLogicalTypeAnnotation])
+            }
           }
-        }
-        if (!integral) None
+        val wanted = schema.getFields.asScala.map(_.getName)
+          .filter(n => n == keyCol ||
+            (integral(n) && !n.exists("\"\\{}[]:,".contains(_))))
+          .filter(integral).take(statCols + 1).toSet
+        if (!wanted.contains(keyCol)) None
         else {
-          var lo = Long.MaxValue; var hi = Long.MinValue
-          var seen = false; var trusted = true
+          // per-column running [lo, hi] across the file's row groups;
+          // a column whose footer lacks statistics anywhere is dropped
+          // (untrusted), all-NULL columns never materialize an entry
+          val lo = scala.collection.mutable.Map.empty[String, Long]
+          val hi = scala.collection.mutable.Map.empty[String, Long]
+          val untrusted = scala.collection.mutable.Set.empty[String]
           md.getBlocks.forEach { b =>
             b.getColumns.forEach { c =>
-              if (c.getPath.toDotString == keyCol) {
+              val name = c.getPath.toDotString
+              if (wanted.contains(name)) {
                 val s = c.getStatistics
-                if (s == null || s.isEmpty) trusted = false
+                if (s == null || s.isEmpty) { untrusted += name; () }
                 else if (s.hasNonNullValue) {
-                  seen = true
-                  lo = math.min(lo, s.genericGetMin.asInstanceOf[Number].longValue)
-                  hi = math.max(hi, s.genericGetMax.asInstanceOf[Number].longValue)
+                  val mn = s.genericGetMin.asInstanceOf[Number].longValue
+                  val mx = s.genericGetMax.asInstanceOf[Number].longValue
+                  lo.updateWith(name)(o => Some(o.fold(mn)(math.min(_, mn))))
+                  hi.updateWith(name)(o => Some(o.fold(mx)(math.max(_, mx))))
+                  ()
                 }
               }
             }
           }
-          if (trusted && seen) Some(FileStat(st.getPath.toString, lo, hi))
-          else None
+          def ok(n: String) = !untrusted.contains(n) && lo.contains(n)
+          if (!ok(keyCol)) None
+          else Some(FileStat(st.getPath.toString, lo(keyCol), hi(keyCol),
+            (wanted - keyCol).filter(ok)
+              .map(n => n -> (lo(n), hi(n))).toMap))
         }
       } finally rdr.close()
     }
@@ -281,7 +316,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     Files.createDirectories(logDir)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val statArr = stats
-      .map(s => s"""{"f":"${s.file}","lo":${s.lo},"hi":${s.hi}}""")
+      .map { s =>
+        val colsField =
+          if (s.cols.isEmpty) ""
+          else s.cols.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
+            .mkString(""","cols":{""", ",", "}")
+        s"""{"f":"${s.file}","lo":${s.lo},"hi":${s.hi}$colsField}"""
+      }
       .mkString("[", ",", "]")
     val txnObj = txn.toSeq.sortBy(_._1)
       .map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")
@@ -474,9 +516,21 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * stats live IN the versioned entry, skipping works identically at
     * any time-travel version — no live-layout manifest to rebuild. */
   def readRange(keyLo: Long, keyHi: Long, version: Int = -1): DataFrame =
-    readImpl(version, Some((keyLo, keyHi)))
+    readImpl(version, Some((keyCol, keyLo, keyHi)))
 
-  private def readImpl(version: Int, range: Option[(Long, Long)]): DataFrame = {
+  /** [[readRange]] generalized to ANY column with logged stats — the
+    * entry carries per-file [min, max] for every integral top-level
+    * column (up to [[SnapshotLog.statCols]] beyond the key, Delta's
+    * first-N-columns convention), so a range predicate on a non-key
+    * column also prunes from the LOG alone. Files without stats for
+    * `column` (non-integral, all-NULL there, or beyond the cap) are
+    * always scanned; the exact filter applies regardless. */
+  def readWhere(column: String, lo: Long, hi: Long,
+      version: Int = -1): DataFrame =
+    readImpl(version, Some((column, lo, hi)))
+
+  private def readImpl(version: Int,
+      range: Option[(String, Long, Long)]): DataFrame = {
     val latest = currentVersion()
     require(latest >= 1, s"empty table at $root")
     val v = if (version < 0) latest else version
@@ -488,12 +542,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // counts), evolved tables read old files' missing columns as NULL,
     // and time travel sees each version under its own schema
     val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
+    // a stat row's bounds for the predicate column: the primary pair
+    // for the key, the `cols` map otherwise; None = cannot prune (the
+    // file is kept — pruning is never allowed to change results)
+    def boundsOf(s: FileStat, c: String): Option[(Long, Long)] =
+      if (c == keyCol) Some((s.lo, s.hi)) else s.cols.get(c)
     val base = range match {
-      case Some((lo, hi)) if stats.nonEmpty =>
+      case Some((c, lo, hi)) if stats.nonEmpty =>
         // file paths in stats come from FileStatus (URI form, e.g.
         // file:/x); live data dirs are matched by substring so dir-path
         // spelling (scheme prefixes, double slashes) cannot unprune
-        val keep = stats.filter(s => s.hi >= lo && s.lo <= hi)
+        val keep = stats
+          .filter(s => boundsOf(s, c).forall { case (l, h) =>
+            h >= lo && l <= hi })
           .map(_.file).filter(f => data.exists(d => f.contains(d)))
         val statCovered = stats.map(_.file).toSet
         // dirs contributing files with no stats row must be scanned whole
@@ -502,10 +563,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         val df = if (paths.isEmpty)
           rd.parquet(data: _*).where(lit(false))
         else rd.parquet(paths: _*)
-        df.where(col(keyCol) >= lo && col(keyCol) <= hi)
-      case Some((lo, hi)) =>
+        df.where(col(c) >= lo && col(c) <= hi)
+      case Some((c, lo, hi)) =>
         rd.parquet(data: _*)
-          .where(col(keyCol) >= lo && col(keyCol) <= hi)
+          .where(col(c) >= lo && col(c) <= hi)
       case None => rd.parquet(data: _*)
     }
     if (deletes.isEmpty) base

@@ -343,6 +343,47 @@ class SnapshotLogSpec extends SparkSpec {
     assert(before.intersect(t.read().inputFiles.toSet).size === 7)
   }
 
+  test("multi-column log stats: readWhere prunes on non-key columns") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_mc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(spark.range(0, 4000)
+      .select(col("id"), (col("id") * 3 + 7).as("ts"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(8, col("id")))
+    assert(t.read().inputFiles.length == 8)
+
+    // a ts-range predicate prunes from the LOG (ts rides the id
+    // clustering here, so its per-file intervals are disjoint too)
+    val probe = t.readWhere("ts", 1000L * 3 + 7, 1099L * 3 + 7)
+    assert(probe.count() == 100)
+    assert(probe.inputFiles.length == 1,
+      s"expected 1 file, scanned ${probe.inputFiles.length}")
+    assert(probe.select(sum(col("id")).cast("long")).collect().head
+      .getLong(0) == (1000L to 1099L).sum)
+    // readWhere(keyCol) ≡ readRange
+    assert(t.readWhere("id", 500, 599).count() ==
+      t.readRange(500, 599).count())
+
+    // non-key stats survive a merge's carry/rebase: update one band,
+    // the ts probe on an untouched band still prunes and stays exact
+    t.commitMerge(spark.range(100, 150)
+      .select(col("id"), lit(-1L).as("ts"),
+        concat(lit("U"), col("id")).as("v")))
+    val probe2 = t.readWhere("ts", 3000L * 3 + 7, 3099L * 3 + 7)
+    assert(probe2.count() == 100)
+    assert(probe2.inputFiles.length == 1,
+      "carried file-level stats must keep pruning after a merge")
+    // the rewritten band reads back through ts stats too (ts = -1 now)
+    assert(t.readWhere("ts", -1L, -1L).count() == 50)
+
+    // time travel prunes with THAT version's stats
+    val probe1 = t.readWhere("ts", 1000L * 3 + 7, 1099L * 3 + 7, version = 1)
+    assert(probe1.count() == 100 && probe1.inputFiles.length == 1)
+
+    // a column without stats (non-integral) never prunes, stays correct
+    assert(t.read().where(col("v") === "U120").count() == 1)
+  }
+
   test("_latest.hint is advisory: stale, garbled, or missing never lies") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_h").toString
     val t = SnapshotLog.open(spark, root, "id")
