@@ -311,7 +311,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       v: Int, data: Seq[String], deletes: Seq[String],
       stats: Seq[FileStat] = Nil,
       txn: Map[String, Long] = Map.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: String = "append")
       : Boolean = {
     Files.createDirectories(logDir)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -334,7 +335,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s".commit-${java.util.UUID.randomUUID().toString}.tmp")
     Files.writeString(tmp,
       s"""{"version":$v,"data":${arr(data)},"deletes":${arr(deletes)},""" +
-        s""""stats":$statArr,"txn":$txnObj$schemaField}""")
+        s""""stats":$statArr,"txn":$txnObj,"op":"$op"$schemaField}""")
     def won(): Boolean = {
       // advance the advisory hint AFTER the entry is durable; a torn or
       // lost-race overwrite only makes the hint lag (currentVersion
@@ -381,7 +382,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * merged (max per app) with `txnPut`, so a lost race never regresses
     * another streaming writer's high-water mark. */
   private def commitWithRetry(
-      txnPut: Map[String, Long] = Map.empty)(
+      txnPut: Map[String, Long] = Map.empty, op: String = "append")(
       compose: Int => Option[(Seq[String], Seq[String], Seq[FileStat],
         Option[org.apache.spark.sql.types.StructType])])
       : Option[Int] = {
@@ -393,7 +394,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         case Some((data, deletes, stats, schema)) =>
           val txn = (readTxn(v - 1).toSeq ++ txnPut.toSeq)
             .groupMapReduce(_._1)(_._2)(math.max)
-          if (publishEntry(v, data, deletes, stats, txn, schema))
+          if (publishEntry(v, data, deletes, stats, txn, schema, op))
             return Some(v)
       }
       attempt += 1
@@ -458,7 +459,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    val committed = commitWithRetry(Map(appId -> batchId)) { v =>
+    val committed = commitWithRetry(Map(appId -> batchId), "txn-append") { v =>
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
         val (data, deletes, stats) =
@@ -482,11 +483,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   /** Replace the table's contents with `df` (drops prior delete sidecars
     * too — they referred to replaced data). */
-  def commitOverwrite(df: DataFrame): Int = {
+  def commitOverwrite(df: DataFrame): Int = overwriteWith(df, "overwrite")
+
+  private def overwriteWith(df: DataFrame, op: String): Int = {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    commitWithRetry()(_ =>
+    commitWithRetry(op = op)(_ =>
       Some((Seq(dir), Nil, newStats, Some(df.schema)))).get
   }
 
@@ -496,7 +499,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDeleteDir()
     keys.select(col(keys.columns.head).as(keyCol))
       .write.mode("errorifexists").parquet(dir)
-    commitWithRetry() { v =>
+    commitWithRetry(op = "delete") { v =>
       require(v > 1, "delete on an empty table")
       val (data, deletes, stats) = readEntry(v - 1)
       Some((data, deletes :+ dir, stats, schemaOf(v - 1)))
@@ -598,12 +601,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           "only versions whose files survive retention are restorable")
     }
     val sch = schemaOf(version)
-    commitWithRetry()(_ => Some((data, deletes, stats, sch))).get
+    commitWithRetry(op = "restore")(_ =>
+      Some((data, deletes, stats, sch))).get
   }
 
   /** Fold delete sidecars into the data (the deletion-vector compaction):
     * materializes the current view as one overwrite commit. */
-  def compact(): Int = commitOverwrite(read())
+  def compact(): Int = overwriteWith(read(), "compact")
 
   /** OPTIMIZE / CLUSTER BY: rewrite the live view range-clustered on
     * `keyCol` into `numFiles` key-disjoint part files (one overwrite
@@ -616,7 +620,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * for the single-key case. */
   def optimize(numFiles: Int): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    commitOverwrite(read().repartitionByRange(numFiles, col(keyCol)))
+    overwriteWith(read().repartitionByRange(numFiles, col(keyCol)),
+      "optimize")
   }
 
   // ---- round 12: MERGE / change feed / VACUUM ---------------------------
@@ -804,7 +809,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
     val keptEntries = untouchedE.map(_._1) ++ carriedFiles.map(_.file)
     val keptStats = untouchedE.flatMap(_._2) ++ carriedFiles
-    commitWithRetry() { v =>
+    commitWithRetry(op = "merge") { v =>
       if (v != v0 + 1)
         throw new java.util.ConcurrentModificationException(
           s"merge computed against version $v0 of $root but version " +
@@ -878,6 +883,26 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val b = view(onlyB, delB)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version — operation name,
+    * entry composition, and the entry file's mtime (informational; the
+    * log's ordering authority is the version number, not the clock).
+    * Driver metadata only: one small file read per version, no data
+    * touched. Versions below a vacuum horizon are absent — history is
+    * exactly what time travel can still reach. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val latest = currentVersion()
+    (1 to latest).filter(v => Files.exists(entryPath(v))).map { v =>
+      val txt = Files.readString(entryPath(v))
+      val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("unknown")
+      val (data, deletes, stats) = readEntry(v)
+      (v, op, data.size, deletes.size, stats.size,
+        Files.getLastModifiedTime(entryPath(v)).toMillis)
+    }.toDF("version", "operation", "data_entries", "delete_entries",
+      "stat_files", "ts_millis")
   }
 
   /** Garbage-collect: drop log entries below `retainFrom` and physically

@@ -343,6 +343,30 @@ class SnapshotLogSpec extends SparkSpec {
     assert(before.intersect(t.read().inputFiles.toSet).size === 7)
   }
 
+  test("history: one row per retained version, labeled by operation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_hy").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 5L).map(i => (i, s"a$i")).toDF("id", "v"))
+    t.commitAppendTxn((6L to 9L).map(i => (i, s"b$i")).toDF("id", "v"),
+      "w", 0L)
+    t.commitDelete(Seq(1L).toDF("id"))
+    t.commitMerge(Seq((2L, "U2")).toDF("id", "v"))
+    t.restore(1)
+    t.optimize(2)
+    t.compact()
+    t.commitOverwrite((20L to 22L).map(i => (i, s"o$i")).toDF("id", "v"))
+    val ops = t.history().orderBy(col("version"))
+      .select("version", "operation")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(ops == Seq(1 -> "append", 2 -> "txn-append", 3 -> "delete",
+      4 -> "merge", 5 -> "restore", 6 -> "optimize", 7 -> "compact",
+      8 -> "overwrite"))
+    // history is exactly what time travel can still reach
+    t.vacuum(5)
+    assert(t.history().select("version").collect().map(_.getInt(0)).toSeq
+      == Seq(5, 6, 7, 8))
+  }
+
   test("multi-column log stats: readWhere prunes on non-key columns") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_mc").toString
     val t = SnapshotLog.open(spark, root, "id")
