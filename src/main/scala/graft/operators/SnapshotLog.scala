@@ -108,15 +108,27 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * [[statCols]], Delta's first-N-columns convention), so
     * [[SnapshotTable.readWhere]] prunes on non-key predicates too. */
   private[operators] case class FileStat(file: String, lo: Long, hi: Long,
-      cols: Map[String, (Long, Long)] = Map.empty)
+      cols: Map[String, (Long, Long)] = Map.empty,
+      scols: Map[String, (String, String)] = Map.empty)
 
   /** Max non-key columns carrying per-file stats (Delta's
-    * dataSkippingNumIndexedCols analogue). */
+    * dataSkippingNumIndexedCols analogue); integral and string columns
+    * share the budget. */
   val statCols = 32
 
+  /** A string bound rides the log only when it cannot corrupt the JSON
+    * or diverge from parquet's unsigned-byte ordering: short printable
+    * ASCII, no quote/backslash. Anything else drops the column's stats
+    * for that file — conservative, the file is simply always scanned. */
+  private def safeBound(s: String): Boolean =
+    s.length <= 64 && s.forall(c => c >= ' ' && c <= '~' &&
+      c != '"' && c != '\\')
+
   private val StatRe =
-    """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)(?:,"cols":\{([^}]*)\})?\}""".r
+    ("""\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)""" +
+      """(?:,"cols":\{([^}]*)\})?(?:,"scols":\{([^}]*)\})?\}""").r
   private val ColRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  private val SColRe = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
   private val TxnPairRe = """"([^"]+)":(-?\d+)""".r
 
   /** Streaming-writer transaction watermarks carried in the entry
@@ -158,7 +170,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
             .toMap
         }.getOrElse(Map.empty[String, (Long, Long)])
-        FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong, cols)
+        val scols = Option(m.group(5)).map { inner =>
+          SColRe.findAllMatchIn(inner)
+            .map(c => c.group(1) -> (c.group(2), c.group(3)))
+            .toMap
+        }.getOrElse(Map.empty[String, (String, String)])
+        FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong,
+          cols, scols)
       }
       .toSeq
     (arr("data"), arr("deletes"), stats)
@@ -247,25 +265,35 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         val md = rdr.getFooter
         val schema = md.getFileMetaData.getSchema
         import scala.jdk.CollectionConverters._
-        // every integral top-level column is a skipping candidate —
-        // keyCol fills the primary [lo, hi], the next `statCols` go to
-        // `cols` (unsafe names would corrupt the JSON; skip them)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+        import org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation
+        // every integral or string top-level column is a skipping
+        // candidate — keyCol fills the primary [lo, hi], the next
+        // `statCols` share `cols`/`scols` (unsafe names would corrupt
+        // the JSON; skip them)
+        def prim(name: String) = {
+          val t = schema.getType(Seq(name): _*)
+          if (t.isPrimitive) Some(t.asPrimitiveType()) else None
+        }
         def integral(name: String): Boolean =
-          schema.containsField(name) && {
-            val t = schema.getType(Seq(name): _*)
-            t.isPrimitive && {
-              val pt = t.asPrimitiveType()
-              (pt.getPrimitiveTypeName == INT32 ||
-                pt.getPrimitiveTypeName == INT64) &&
-                (pt.getLogicalTypeAnnotation == null ||
-                  pt.getLogicalTypeAnnotation
-                    .isInstanceOf[IntLogicalTypeAnnotation])
-            }
+          schema.containsField(name) && prim(name).exists { pt =>
+            (pt.getPrimitiveTypeName == INT32 ||
+              pt.getPrimitiveTypeName == INT64) &&
+              (pt.getLogicalTypeAnnotation == null ||
+                pt.getLogicalTypeAnnotation
+                  .isInstanceOf[IntLogicalTypeAnnotation])
           }
+        def stringy(name: String): Boolean =
+          schema.containsField(name) && prim(name).exists { pt =>
+            pt.getPrimitiveTypeName == BINARY &&
+              pt.getLogicalTypeAnnotation
+                .isInstanceOf[StringLogicalTypeAnnotation]
+          }
+        val safeName = (n: String) => !n.exists("\"\\{}[]:,".contains(_))
         val wanted = schema.getFields.asScala.map(_.getName)
-          .filter(n => n == keyCol ||
-            (integral(n) && !n.exists("\"\\{}[]:,".contains(_))))
-          .filter(integral).take(statCols + 1).toSet
+          .filter(n => (n == keyCol && integral(n)) ||
+            (safeName(n) && (integral(n) || stringy(n))))
+          .take(statCols + 1).toSet
         if (!wanted.contains(keyCol)) None
         else {
           // per-column running [lo, hi] across the file's row groups;
@@ -273,6 +301,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           // (untrusted), all-NULL columns never materialize an entry
           val lo = scala.collection.mutable.Map.empty[String, Long]
           val hi = scala.collection.mutable.Map.empty[String, Long]
+          val slo = scala.collection.mutable.Map.empty[String, String]
+          val shi = scala.collection.mutable.Map.empty[String, String]
           val untrusted = scala.collection.mutable.Set.empty[String]
           md.getBlocks.forEach { b =>
             b.getColumns.forEach { c =>
@@ -281,20 +311,42 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
                 val s = c.getStatistics
                 if (s == null || s.isEmpty) { untrusted += name; () }
                 else if (s.hasNonNullValue) {
-                  val mn = s.genericGetMin.asInstanceOf[Number].longValue
-                  val mx = s.genericGetMax.asInstanceOf[Number].longValue
-                  lo.updateWith(name)(o => Some(o.fold(mn)(math.min(_, mn))))
-                  hi.updateWith(name)(o => Some(o.fold(mx)(math.max(_, mx))))
-                  ()
+                  if (integral(name)) {
+                    val mn = s.genericGetMin.asInstanceOf[Number].longValue
+                    val mx = s.genericGetMax.asInstanceOf[Number].longValue
+                    lo.updateWith(name)(o => Some(o.fold(mn)(math.min(_, mn))))
+                    hi.updateWith(name)(o => Some(o.fold(mx)(math.max(_, mx))))
+                    ()
+                  } else {
+                    val mn = s.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    val mx = s.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    // printable-ASCII-only bounds: JSON-safe AND Java
+                    // string order ≡ parquet's unsigned-byte order
+                    if (!safeBound(mn) || !safeBound(mx)) untrusted += name
+                    else {
+                      slo.updateWith(name)(o =>
+                        Some(o.fold(mn)(v => if (mn < v) mn else v)))
+                      shi.updateWith(name)(o =>
+                        Some(o.fold(mx)(v => if (mx > v) mx else v)))
+                    }
+                    ()
+                  }
                 }
               }
             }
           }
-          def ok(n: String) = !untrusted.contains(n) && lo.contains(n)
-          if (!ok(keyCol)) None
+          def ok(n: String) =
+            !untrusted.contains(n) && (lo.contains(n) || slo.contains(n))
+          if (!(!untrusted.contains(keyCol) && lo.contains(keyCol))) None
           else Some(FileStat(st.getPath.toString, lo(keyCol), hi(keyCol),
-            (wanted - keyCol).filter(ok)
-              .map(n => n -> (lo(n), hi(n))).toMap))
+            (wanted - keyCol).filter(n => ok(n) && lo.contains(n))
+              .map(n => n -> (lo(n), hi(n))).toMap,
+            (wanted - keyCol).filter(n => ok(n) && slo.contains(n))
+              .map(n => n -> (slo(n), shi(n))).toMap))
         }
       } finally rdr.close()
     }
@@ -323,7 +375,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           else s.cols.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
             .mkString(""","cols":{""", ",", "}")
-        s"""{"f":"${s.file}","lo":${s.lo},"hi":${s.hi}$colsField}"""
+        val scolsField =
+          if (s.scols.isEmpty) ""
+          else s.scols.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s""""$c":["$lo","$hi"]""" }
+            .mkString(""","scols":{""", ",", "}")
+        s"""{"f":"${s.file}","lo":${s.lo},"hi":${s.hi}$colsField$scolsField}"""
       }
       .mkString("[", ",", "]")
     val txnObj = txn.toSeq.sortBy(_._1)
@@ -519,7 +576,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * stats live IN the versioned entry, skipping works identically at
     * any time-travel version — no live-layout manifest to rebuild. */
   def readRange(keyLo: Long, keyHi: Long, version: Int = -1): DataFrame =
-    readImpl(version, Some((keyCol, keyLo, keyHi)))
+    readImpl(version, Some(LongPred(keyCol, keyLo, keyHi)))
 
   /** [[readRange]] generalized to ANY column with logged stats — the
     * entry carries per-file [min, max] for every integral top-level
@@ -530,10 +587,24 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * always scanned; the exact filter applies regardless. */
   def readWhere(column: String, lo: Long, hi: Long,
       version: Int = -1): DataFrame =
-    readImpl(version, Some((column, lo, hi)))
+    readImpl(version, Some(LongPred(column, lo, hi)))
+
+  /** [[readWhere]] for STRING columns: the entry carries per-file
+    * [min, max] string bounds too (printable-ASCII-short only, so Java
+    * ordering matches parquet's unsigned-byte stats order; anything
+    * else never materializes a bound and the file is always scanned).
+    * Point lookups are `readWhereString(c, v, v)` — the common
+    * lang/category/event_type pruning on clustered layouts. */
+  def readWhereString(column: String, lo: String, hi: String,
+      version: Int = -1): DataFrame =
+    readImpl(version, Some(StrPred(column, lo, hi)))
+
+  private sealed trait Pred { def col: String }
+  private case class LongPred(col: String, lo: Long, hi: Long) extends Pred
+  private case class StrPred(col: String, lo: String, hi: String) extends Pred
 
   private def readImpl(version: Int,
-      range: Option[(String, Long, Long)]): DataFrame = {
+      range: Option[Pred]): DataFrame = {
     val latest = currentVersion()
     require(latest >= 1, s"empty table at $root")
     val v = if (version < 0) latest else version
@@ -545,19 +616,26 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // counts), evolved tables read old files' missing columns as NULL,
     // and time travel sees each version under its own schema
     val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
-    // a stat row's bounds for the predicate column: the primary pair
-    // for the key, the `cols` map otherwise; None = cannot prune (the
-    // file is kept — pruning is never allowed to change results)
-    def boundsOf(s: FileStat, c: String): Option[(Long, Long)] =
-      if (c == keyCol) Some((s.lo, s.hi)) else s.cols.get(c)
+    // could a stat row's file hold rows matching the predicate? true
+    // when the logged bounds intersect OR the file carries no bounds
+    // for the column — pruning is never allowed to change results
+    def mayMatch(s: FileStat, p: Pred): Boolean = p match {
+      case LongPred(c, lo, hi) =>
+        val b = if (c == keyCol) Some((s.lo, s.hi)) else s.cols.get(c)
+        b.forall { case (l, h) => h >= lo && l <= hi }
+      case StrPred(c, lo, hi) =>
+        s.scols.get(c).forall { case (l, h) => h >= lo && l <= hi }
+    }
+    def filterExpr(p: Pred): org.apache.spark.sql.Column = p match {
+      case LongPred(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case StrPred(c, lo, hi)  => col(c) >= lo && col(c) <= hi
+    }
     val base = range match {
-      case Some((c, lo, hi)) if stats.nonEmpty =>
+      case Some(p) if stats.nonEmpty =>
         // file paths in stats come from FileStatus (URI form, e.g.
         // file:/x); live data dirs are matched by substring so dir-path
         // spelling (scheme prefixes, double slashes) cannot unprune
-        val keep = stats
-          .filter(s => boundsOf(s, c).forall { case (l, h) =>
-            h >= lo && l <= hi })
+        val keep = stats.filter(mayMatch(_, p))
           .map(_.file).filter(f => data.exists(d => f.contains(d)))
         val statCovered = stats.map(_.file).toSet
         // dirs contributing files with no stats row must be scanned whole
@@ -566,10 +644,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         val df = if (paths.isEmpty)
           rd.parquet(data: _*).where(lit(false))
         else rd.parquet(paths: _*)
-        df.where(col(c) >= lo && col(c) <= hi)
-      case Some((c, lo, hi)) =>
-        rd.parquet(data: _*)
-          .where(col(c) >= lo && col(c) <= hi)
+        df.where(filterExpr(p))
+      case Some(p) =>
+        rd.parquet(data: _*).where(filterExpr(p))
       case None => rd.parquet(data: _*)
     }
     if (deletes.isEmpty) base
