@@ -317,6 +317,29 @@ object RelationalQueries {
         .orderBy(col("version"), col("lang"))
     }),
 
+    // String-stats file pruning on the snapshot log (round 12): the
+    // entry carries per-file [min, max] STRING bounds (short printable
+    // ASCII only, where Java ordering provably matches parquet's
+    // unsigned-byte stats order), so a lang point-lookup on a
+    // lang-clustered layout prunes files from the LOG alone. The query
+    // asserts in-flight that pruning actually skipped files (correct
+    // results alone wouldn't prove the stats bit), then aggregates the
+    // pruned read — hash-exact vs the plain predicate oracle.
+    "q_scan_snapprune" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_spr").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.repartitionByRange(8, col("lang"), col("doc_id")))
+      val total = t.read().inputFiles.length
+      val pruned = t.readWhereString("lang", "en", "en")
+      require(pruned.inputFiles.length < total,
+        s"string stats pruned nothing (${pruned.inputFiles.length}/$total)")
+      pruned.agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
     // Equi-depth histogram: percentile boundaries + map-side assignment
     // (never an ntile global window); boundaries 4dp-rounded before
     // assignment — the cross-engine bucketing contract
@@ -882,6 +905,11 @@ object RelationalQueries {
          WHERE doc_id < 300 OR (doc_id >= 500 AND doc_id < 600)
          GROUP BY 1, 2
          ORDER BY version, lang""",
+    "q_scan_snapprune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE lang = 'en'""",
     "q_profile_histogram" ->
       """WITH v AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
