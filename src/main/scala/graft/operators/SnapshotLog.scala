@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.nio.file.{Files, Path, Paths}
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -14,17 +15,34 @@ import scala.jdk.CollectionConverters._
   * [[graft.streaming.CdcApply]] its streaming writer; this object is the
   * versioned-read half.
   *
-  * Layout: `<table>/data/v<N>/part-*.parquet` (one directory per commit),
-  * `<table>/_log/<N>.json` with
-  * `{"version":N,"data":[dirs alive],"deletes":[dirs alive],
-  * "stats":[{f,lo,hi} per part file]}`. The log entry is a FULL snapshot
-  * listing (not a delta), so resolving any version is one file read —
-  * log entries are snapshot-count-sized driver metadata, exactly like a
-  * Delta checkpoint. Since round 12 the entry also carries per-file
-  * min/max stats of `keyCol` (computed once at commit time), so
-  * [[SnapshotTable.readRange]] skips files from the LOG alone — data
-  * skipping that stays correct at every time-travel version, the stats
-  * half [[LayoutOps.skippingManifest]] keeps outside the log.
+  * Layout: `<table>/data/c-<uuid>/part-*.parquet` (one directory per
+  * commit), `<table>/_log/<N>.json` with
+  * `{"version":N,"data":[entries alive],"deletes":[dirs alive],
+  * "stats":[per-file stats],"txn":{...},"op":"...","sv":2,"schema":{...}}`.
+  * The log entry is a FULL snapshot listing (not a delta), so resolving
+  * any version is one file read — log entries are snapshot-count-sized
+  * driver metadata, exactly like a Delta checkpoint. Entries are written
+  * and parsed with Jackson (on Spark's classpath), never by regex — a
+  * string bound or column name can't corrupt the entry or silently drop
+  * a file's stats row (round 13; the round-12 regex parser could lose a
+  * stats object whose string bound contained '}').
+  *
+  * Per-file stats (round 12, completed round 13): the entry carries ONE
+  * stats row for EVERY part file of every live data entry — key [lo, hi]
+  * when the footer provides trusted integral bounds, per-column [lo, hi]
+  * for up to [[statCols]] more integral/string columns, per-column NULL
+  * counts, and the file's row count, all lifted from parquet FOOTERS at
+  * commit time (metadata-only, no data re-read). A file whose footer
+  * can't bound the key still gets a row (unbounded sentinel — always
+  * scanned), so stats double as the complete file listing: `"sv":2`
+  * marks entries with that guarantee, and pruned reads of sv≥2 entries
+  * never need a directory listing. Data skipping therefore works at ANY
+  * time-travel version, for key ranges ([[SnapshotTable.readRange]]),
+  * non-key ranges ([[SnapshotTable.readWhere]]), string bounds
+  * ([[SnapshotTable.readWhereString]]), and NULL probes
+  * ([[SnapshotTable.readWhereNull]]) — and pruning NEVER changes
+  * results: a file without trusted bounds for the probed column is
+  * simply always scanned.
   *
   * Merge-on-read deletes: a delete commit writes the doomed KEYS as a
   * parquet sidecar and a log entry keeping the data dirs untouched;
@@ -36,13 +54,15 @@ import scala.jdk.CollectionConverters._
   * consistent file set.
   *
   * Round 12 additions mirror the rest of Delta's log-native surface:
-  * per-file key stats ride IN the entry (data skipping at any
-  * time-travel version), MERGE/change-feed/VACUUM/OPTIMIZE, per-app
-  * `txn` watermarks for exactly-once streaming ingest
-  * ([[SnapshotTable.commitAppendTxn]]), the table SCHEMA in the entry
-  * (add-only evolution on append, no footer inference at read, time
-  * travel under each version's own schema), and metadata-only
-  * [[SnapshotTable.restore]].
+  * MERGE/change-feed/VACUUM/OPTIMIZE, per-app `txn` watermarks for
+  * exactly-once streaming ingest ([[SnapshotTable.commitAppendTxn]]),
+  * the table SCHEMA in the entry (add-only evolution on append, no
+  * footer inference at read, time travel under each version's own
+  * schema), and metadata-only [[SnapshotTable.restore]]. Round 13 adds
+  * null-count pruning, multi-column z-order OPTIMIZE, and a
+  * conflict-detecting OCC guard for [[SnapshotTable.optimize]] /
+  * [[SnapshotTable.compact]] (a commit landing under a table rewrite
+  * now throws instead of being silently dropped from the new snapshot).
   *
   * Multi-writer safety (round 11 — the Delta/Iceberg single-table
   * multi-writer contract): data/sidecar dirs are named by a commit UUID
@@ -61,9 +81,16 @@ import scala.jdk.CollectionConverters._
 object SnapshotLog {
   def open(spark: SparkSession, root: String, keyCol: String): SnapshotTable =
     new SnapshotTable(spark, root, keyCol)
+
+  /** Shared entry (de)serializer — ObjectMapper is thread-safe once
+    * configured; Jackson ships with Spark. */
+  private[operators] val Json =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
+  import SnapshotLog.Json
+
   private val logDir = Paths.get(root, "_log")
 
   private def entryPath(v: Int): Path = logDir.resolve(s"$v.json")
@@ -99,37 +126,53 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toInt).foldLeft(0)(math.max)
 
-  /** Per-file key stats carried IN the log entry (round 12): (file,
-    * min(keyCol), max(keyCol)) for every part file of every live data
-    * dir — the Delta/Iceberg pattern where data skipping works at ANY
-    * time-travel version because the stats are versioned with the
-    * snapshot, not rebuilt from the live layout. `cols` extends the
-    * same [lo, hi] to every OTHER integral top-level column (capped at
-    * [[statCols]], Delta's first-N-columns convention), so
-    * [[SnapshotTable.readWhere]] prunes on non-key predicates too. */
+  /** Per-file stats carried IN the log entry: key bounds `[lo, hi]`
+    * (the unbounded sentinel `(Long.MinValue, Long.MaxValue)` when the
+    * footer can't bound the key — non-integral key, all-NULL keys,
+    * missing footer statistics), `cols`/`scols` bounds for the other
+    * stats-budgeted integral/string columns, per-column NULL counts
+    * (`nulls`, present only when every row group reported one — a 0 is
+    * meaningful: the column has NO nulls in this file), and the file's
+    * row count (`rows`, −1 for legacy entries). Every part file of a
+    * committed dir gets a row (round 13), so the stats are also the
+    * complete file listing of sv≥2 entries — the Delta pattern where
+    * skipping works at any time-travel version because the stats are
+    * versioned with the snapshot, not rebuilt from the live layout. */
   private[operators] case class FileStat(file: String, lo: Long, hi: Long,
       cols: Map[String, (Long, Long)] = Map.empty,
-      scols: Map[String, (String, String)] = Map.empty)
+      scols: Map[String, (String, String)] = Map.empty,
+      nulls: Map[String, Long] = Map.empty,
+      rows: Long = -1L) {
+    /** False for the unbounded sentinel (no trusted key bounds). */
+    def keyed: Boolean = !(lo == Long.MinValue && hi == Long.MaxValue)
+  }
+
+  /** Versioned snapshot listing parsed from one `_log/<N>.json` entry.
+    * `sv` is the stats coverage level: ≥2 guarantees `stats` holds a row
+    * for every data file of every entry in `data` (so pruned reads need
+    * no directory listing); 1 marks legacy/hand-written entries whose
+    * coverage may be partial — pruned reads then list the live dirs and
+    * scan any file lacking a stats row (correct, one metadata op per
+    * dir). */
+  private[operators] case class Entry(data: Seq[String], deletes: Seq[String],
+      stats: Seq[FileStat], sv: Int)
 
   /** Max non-key columns carrying per-file stats (Delta's
     * dataSkippingNumIndexedCols analogue); integral and string columns
-    * share the budget. */
+    * share the budget. The KEY column never competes for it — it is
+    * always stats-collected first (a wide table can exhaust the budget
+    * on leading columns, but key-range pruning and merge interval
+    * stabbing must not silently degrade). */
   val statCols = 32
 
-  /** A string bound rides the log only when it cannot corrupt the JSON
-    * or diverge from parquet's unsigned-byte ordering: short printable
-    * ASCII, no quote/backslash. Anything else drops the column's stats
-    * for that file — conservative, the file is simply always scanned. */
+  /** A string bound rides the log only when Java string ordering
+    * provably matches parquet's unsigned-byte stats ordering: short
+    * printable ASCII. (JSON safety is Jackson's job — quotes, braces and
+    * backslashes are escaped at write; ordering is the only reason to
+    * drop a bound.) Anything else drops the column's bounds for that
+    * file — conservative, the file is simply always scanned. */
   private def safeBound(s: String): Boolean =
-    s.length <= 64 && s.forall(c => c >= ' ' && c <= '~' &&
-      c != '"' && c != '\\')
-
-  private val StatRe =
-    ("""\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)""" +
-      """(?:,"cols":\{([^}]*)\})?(?:,"scols":\{([^}]*)\})?\}""").r
-  private val ColRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
-  private val SColRe = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
-  private val TxnPairRe = """"([^"]+)":(-?\d+)""".r
+    s.length <= 64 && s.forall(c => c >= ' ' && c <= '~')
 
   /** Streaming-writer transaction watermarks carried in the entry
     * (round 12): `"txn":{"<appId>":<lastBatchId>}` — the Delta `txn`
@@ -139,47 +182,38 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * streaming writers: driver-metadata-sized. */
   private def readTxn(v: Int): Map[String, Long] = {
     if (v < 1 || !Files.exists(entryPath(v))) return Map.empty
-    val txt = Files.readString(entryPath(v))
-    val m = """"txn":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-    m.map(g => TxnPairRe.findAllMatchIn(g.group(1))
-      .map(p => p.group(1) -> p.group(2).toLong).toMap)
-      .getOrElse(Map.empty)
+    val tree = Json.readTree(Files.readString(entryPath(v)))
+    Option(tree.get("txn")).map { o =>
+      o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
+    }.getOrElse(Map.empty)
   }
 
-  private def readEntry(v: Int): (Seq[String], Seq[String], Seq[FileStat]) = {
+  private[operators] def readEntry(v: Int): Entry = {
     require(Files.exists(entryPath(v)),
       s"version $v of $root is gone — vacuumed past the retention horizon " +
         "(or never committed); time travel only reaches retained versions")
-    val full = Files.readString(entryPath(v))
-    // the schema object is always the LAST field; everything structural
-    // (data/deletes/stats/txn) is parsed from the text before it, so a
-    // table column named "data" or "stats" can never confuse the regexes
-    val txt = full.indexOf("\"schema\":") match {
-      case -1 => full
-      case i  => full.substring(0, i)
-    }
-    def arr(field: String): Seq[String] = {
-      val m = (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
-      m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    }
-    val stats = StatRe.findAllMatchIn(txt)
-      .map { m =>
-        val cols = Option(m.group(4)).map { inner =>
-          ColRe.findAllMatchIn(inner)
-            .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
-            .toMap
-        }.getOrElse(Map.empty[String, (Long, Long)])
-        val scols = Option(m.group(5)).map { inner =>
-          SColRe.findAllMatchIn(inner)
-            .map(c => c.group(1) -> (c.group(2), c.group(3)))
-            .toMap
-        }.getOrElse(Map.empty[String, (String, String)])
-        FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong,
-          cols, scols)
-      }
-      .toSeq
-    (arr("data"), arr("deletes"), stats)
+    val tree = Json.readTree(Files.readString(entryPath(v)))
+    def arr(field: String): Seq[String] =
+      Option(tree.get(field))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    def mapOf[T](n: JsonNode, field: String)(f: JsonNode => T): Map[String, T] =
+      Option(n.get(field)).map { o =>
+        o.fieldNames().asScala.map(k => k -> f(o.get(k))).toMap
+      }.getOrElse(Map.empty)
+    val stats = Option(tree.get("stats")).map {
+      _.elements().asScala.map { n =>
+        val keyed = n.has("lo") && n.has("hi")
+        FileStat(n.get("f").asText(),
+          if (keyed) n.get("lo").asLong() else Long.MinValue,
+          if (keyed) n.get("hi").asLong() else Long.MaxValue,
+          mapOf(n, "cols")(a => (a.get(0).asLong(), a.get(1).asLong())),
+          mapOf(n, "scols")(a => (a.get(0).asText(), a.get(1).asText())),
+          mapOf(n, "nulls")(_.asLong()),
+          if (n.has("rows")) n.get("rows").asLong() else -1L)
+      }.toSeq
+    }.getOrElse(Nil)
+    Entry(arr("data"), arr("deletes"), stats,
+      Option(tree.get("sv")).map(_.asInt()).getOrElse(1))
   }
 
   /** The table schema AS OF version `v`, from the log entry alone — the
@@ -189,12 +223,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * committed under. None for pre-schema (legacy) entries, which fall
     * back to footer inference. */
   def schemaOf(v: Int): Option[org.apache.spark.sql.types.StructType] = {
-    val full = Files.readString(entryPath(v))
-    val i = full.indexOf("\"schema\":")
-    if (i < 0) None
-    else Some(org.apache.spark.sql.types.DataType
-      .fromJson(full.substring(i + 9, full.length - 1))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val tree = Json.readTree(Files.readString(entryPath(v)))
+    Option(tree.get("schema")).map(n =>
+      org.apache.spark.sql.types.DataType.fromJson(n.toString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Widen `prev` (the logged schema) with `next` (an appended batch's):
@@ -218,19 +250,18 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     org.apache.spark.sql.types.StructType(prev.fields ++ added)
   }
 
-  /** min/max of `keyCol` per part file of a freshly written data dir,
-    * from the parquet FOOTERS — metadata-only, no data re-read. The
-    * naive alternative (a groupBy(input_file_name) job over the dir)
-    * reads every newly written byte a second time: at 100 TB ingest
-    * that doubles the write path's I/O, where footers cost one small
-    * ranged read per file on the driver. Spark's parquet writer always
-    * records row-group min/max for integral columns, so this is the
-    * same numbers Delta lifts out of its write transaction. Stats are
-    * collected only for integral key types (INT32/INT64 physical with
-    * no non-int logical annotation — dates/timestamps excluded); for
-    * anything else, for all-NULL files, or for a file whose footer
-    * carries no statistics, the entry gets no row and reads fall back
-    * to scanning that file (pruning never changes results). */
+  /** Per-file stats of a freshly written data dir, from the parquet
+    * FOOTERS — metadata-only, no data re-read. The naive alternative (a
+    * groupBy(input_file_name) job over the dir) reads every newly
+    * written byte a second time: at 100 TB ingest that doubles the write
+    * path's I/O, where footers cost one small ranged read per file on
+    * the driver. Spark's parquet writer always records row-group min/max
+    * and null counts, so these are the same numbers Delta lifts out of
+    * its write transaction. EVERY part file gets a row (row count always;
+    * key bounds only for integral keys with trusted footer statistics —
+    * otherwise the unbounded sentinel), so the stats double as the
+    * entry's complete file listing and pruning can never silently drop
+    * an unstatted file. */
   private[graft] def statsFor(dir: String): Seq[FileStat] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -245,111 +276,127 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       math.max(1, math.min(16, parts.size)))
     try {
       val futs = parts.map { st =>
-        pool.submit(new java.util.concurrent.Callable[Option[FileStat]] {
-          def call(): Option[FileStat] = footerStat(st, conf)
+        pool.submit(new java.util.concurrent.Callable[FileStat] {
+          def call(): FileStat = footerStat(st, conf)
         })
       }
-      futs.flatMap(_.get())
+      futs.map(_.get())
     } finally { pool.shutdown() }
   }
 
   private def footerStat(st: org.apache.hadoop.fs.FileStatus,
-      conf: org.apache.hadoop.conf.Configuration): Option[FileStat] = {
+      conf: org.apache.hadoop.conf.Configuration): FileStat = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
-    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
-    locally {
-      val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-      try {
-        val md = rdr.getFooter
-        val schema = md.getFileMetaData.getSchema
-        import scala.jdk.CollectionConverters._
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
-        import org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation
-        // every integral or string top-level column is a skipping
-        // candidate — keyCol fills the primary [lo, hi], the next
-        // `statCols` share `cols`/`scols` (unsafe names would corrupt
-        // the JSON; skip them)
-        def prim(name: String) = {
-          val t = schema.getType(Seq(name): _*)
-          if (t.isPrimitive) Some(t.asPrimitiveType()) else None
-        }
-        def integral(name: String): Boolean =
-          schema.containsField(name) && prim(name).exists { pt =>
-            (pt.getPrimitiveTypeName == INT32 ||
-              pt.getPrimitiveTypeName == INT64) &&
-              (pt.getLogicalTypeAnnotation == null ||
-                pt.getLogicalTypeAnnotation
-                  .isInstanceOf[IntLogicalTypeAnnotation])
-          }
-        def stringy(name: String): Boolean =
-          schema.containsField(name) && prim(name).exists { pt =>
-            pt.getPrimitiveTypeName == BINARY &&
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+    try {
+      val md = rdr.getFooter
+      val schema = md.getFileMetaData.getSchema
+      def prim(name: String) = {
+        val t = schema.getType(Seq(name): _*)
+        if (t.isPrimitive) Some(t.asPrimitiveType()) else None
+      }
+      def integral(name: String): Boolean =
+        schema.containsField(name) && prim(name).exists { pt =>
+          (pt.getPrimitiveTypeName == INT32 ||
+            pt.getPrimitiveTypeName == INT64) &&
+            (pt.getLogicalTypeAnnotation == null ||
               pt.getLogicalTypeAnnotation
-                .isInstanceOf[StringLogicalTypeAnnotation]
-          }
-        val safeName = (n: String) => !n.exists("\"\\{}[]:,".contains(_))
-        val wanted = schema.getFields.asScala.map(_.getName)
-          .filter(n => (n == keyCol && integral(n)) ||
-            (safeName(n) && (integral(n) || stringy(n))))
-          .take(statCols + 1).toSet
-        if (!wanted.contains(keyCol)) None
-        else {
-          // per-column running [lo, hi] across the file's row groups;
-          // a column whose footer lacks statistics anywhere is dropped
-          // (untrusted), all-NULL columns never materialize an entry
-          val lo = scala.collection.mutable.Map.empty[String, Long]
-          val hi = scala.collection.mutable.Map.empty[String, Long]
-          val slo = scala.collection.mutable.Map.empty[String, String]
-          val shi = scala.collection.mutable.Map.empty[String, String]
-          val untrusted = scala.collection.mutable.Set.empty[String]
-          md.getBlocks.forEach { b =>
-            b.getColumns.forEach { c =>
-              val name = c.getPath.toDotString
-              if (wanted.contains(name)) {
-                val s = c.getStatistics
-                if (s == null || s.isEmpty) { untrusted += name; () }
-                else if (s.hasNonNullValue) {
-                  if (integral(name)) {
-                    val mn = s.genericGetMin.asInstanceOf[Number].longValue
-                    val mx = s.genericGetMax.asInstanceOf[Number].longValue
-                    lo.updateWith(name)(o => Some(o.fold(mn)(math.min(_, mn))))
-                    hi.updateWith(name)(o => Some(o.fold(mx)(math.max(_, mx))))
-                    ()
-                  } else {
-                    val mn = s.genericGetMin
-                      .asInstanceOf[org.apache.parquet.io.api.Binary]
-                      .toStringUsingUTF8
-                    val mx = s.genericGetMax
-                      .asInstanceOf[org.apache.parquet.io.api.Binary]
-                      .toStringUsingUTF8
-                    // printable-ASCII-only bounds: JSON-safe AND Java
-                    // string order ≡ parquet's unsigned-byte order
-                    if (!safeBound(mn) || !safeBound(mx)) untrusted += name
-                    else {
-                      slo.updateWith(name)(o =>
-                        Some(o.fold(mn)(v => if (mn < v) mn else v)))
-                      shi.updateWith(name)(o =>
-                        Some(o.fold(mx)(v => if (mx > v) mx else v)))
-                    }
-                    ()
+                .isInstanceOf[IntLogicalTypeAnnotation])
+        }
+      def stringy(name: String): Boolean =
+        schema.containsField(name) && prim(name).exists { pt =>
+          pt.getPrimitiveTypeName == BINARY &&
+            pt.getLogicalTypeAnnotation
+              .isInstanceOf[StringLogicalTypeAnnotation]
+        }
+      // a top-level name containing '.' is indistinguishable from a
+      // nested path in the per-chunk dotted spelling — skip it
+      val safeName = (n: String) => !n.contains('.')
+      def eligible(n: String) = safeName(n) && (integral(n) || stringy(n))
+      // keyCol ALWAYS takes the first stats slot when eligible; only the
+      // remaining columns compete for the statCols budget — a 33-column
+      // table must not silently lose key-range pruning (round 13)
+      val others = schema.getFields.asScala.map(_.getName)
+        .filter(n => n != keyCol && eligible(n)).take(statCols)
+      val wanted =
+        ((if (schema.containsField(keyCol) && eligible(keyCol)) Seq(keyCol)
+          else Nil) ++ others).toSet
+      // per-column running [lo, hi] and null counts across the file's
+      // row groups; a column whose footer lacks statistics (or a set
+      // null count) anywhere is dropped from that aspect (untrusted) —
+      // all-NULL columns keep their null count but never bound
+      val lo = scala.collection.mutable.Map.empty[String, Long]
+      val hi = scala.collection.mutable.Map.empty[String, Long]
+      val slo = scala.collection.mutable.Map.empty[String, String]
+      val shi = scala.collection.mutable.Map.empty[String, String]
+      val nn = scala.collection.mutable.Map.empty[String, Long]
+      val untrusted = scala.collection.mutable.Set.empty[String]
+      val nnUntrusted = scala.collection.mutable.Set.empty[String]
+      var rows = 0L
+      md.getBlocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (wanted.contains(name)) {
+            val s = c.getStatistics
+            if (s == null) { untrusted += name; nnUntrusted += name; () }
+            else {
+              if (s.isNumNullsSet)
+                nn.updateWith(name)(o => Some(o.getOrElse(0L) + s.getNumNulls))
+              else nnUntrusted += name
+              if (s.isEmpty) { untrusted += name; () }
+              else if (s.hasNonNullValue) {
+                if (integral(name)) {
+                  val mn = s.genericGetMin.asInstanceOf[Number].longValue
+                  val mx = s.genericGetMax.asInstanceOf[Number].longValue
+                  lo.updateWith(name)(o => Some(o.fold(mn)(math.min(_, mn))))
+                  hi.updateWith(name)(o => Some(o.fold(mx)(math.max(_, mx))))
+                  ()
+                } else {
+                  val mn = s.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  val mx = s.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  // printable-ASCII-only bounds: Java string order ≡
+                  // parquet's unsigned-byte order
+                  if (!safeBound(mn) || !safeBound(mx)) untrusted += name
+                  else {
+                    slo.updateWith(name)(o =>
+                      Some(o.fold(mn)(v => if (mn < v) mn else v)))
+                    shi.updateWith(name)(o =>
+                      Some(o.fold(mx)(v => if (mx > v) mx else v)))
                   }
+                  ()
                 }
               }
             }
           }
-          def ok(n: String) =
-            !untrusted.contains(n) && (lo.contains(n) || slo.contains(n))
-          if (!(!untrusted.contains(keyCol) && lo.contains(keyCol))) None
-          else Some(FileStat(st.getPath.toString, lo(keyCol), hi(keyCol),
-            (wanted - keyCol).filter(n => ok(n) && lo.contains(n))
-              .map(n => n -> (lo(n), hi(n))).toMap,
-            (wanted - keyCol).filter(n => ok(n) && slo.contains(n))
-              .map(n => n -> (slo(n), shi(n))).toMap))
         }
-      } finally rdr.close()
-    }
+      }
+      def ok(n: String) = !untrusted.contains(n)
+      val keyBounds =
+        if (integral(keyCol) && ok(keyCol) && lo.contains(keyCol))
+          Some((lo(keyCol), hi(keyCol)))
+        else None
+      // an integral keyCol's bounds ride the primary lo/hi slot, never
+      // cols; a STRING keyCol's bounds go to scols so readWhereString
+      // prunes on it like any other string column
+      FileStat(st.getPath.toString,
+        keyBounds.map(_._1).getOrElse(Long.MinValue),
+        keyBounds.map(_._2).getOrElse(Long.MaxValue),
+        (wanted - keyCol).filter(n => ok(n) && lo.contains(n))
+          .map(n => n -> (lo(n), hi(n))).toMap,
+        wanted.filter(n => ok(n) && slo.contains(n))
+          .map(n => n -> (slo(n), shi(n))).toMap,
+        wanted.filterNot(nnUntrusted).filter(nn.contains)
+          .map(n => n -> nn(n)).toMap,
+        rows)
+    } finally rdr.close()
   }
 
   /** Atomically publish `_log/<v>.json` if and only if no writer claimed
@@ -364,35 +411,44 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       stats: Seq[FileStat] = Nil,
       txn: Map[String, Long] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: String = "append")
+      op: String = "append", sv: Int = 2)
       : Boolean = {
     Files.createDirectories(logDir)
-    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val statArr = stats
-      .map { s =>
-        val colsField =
-          if (s.cols.isEmpty) ""
-          else s.cols.toSeq.sortBy(_._1)
-            .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
-            .mkString(""","cols":{""", ",", "}")
-        val scolsField =
-          if (s.scols.isEmpty) ""
-          else s.scols.toSeq.sortBy(_._1)
-            .map { case (c, (lo, hi)) => s""""$c":["$lo","$hi"]""" }
-            .mkString(""","scols":{""", ",", "}")
-        s"""{"f":"${s.file}","lo":${s.lo},"hi":${s.hi}$colsField$scolsField}"""
+    val node = Json.createObjectNode()
+    node.put("version", v)
+    val dArr = node.putArray("data"); data.foreach(dArr.add)
+    val delArr = node.putArray("deletes"); deletes.foreach(delArr.add)
+    val stArr = node.putArray("stats")
+    stats.foreach { s =>
+      val o = stArr.addObject()
+      o.put("f", s.file)
+      if (s.keyed) { o.put("lo", s.lo); o.put("hi", s.hi); () }
+      if (s.rows >= 0) { o.put("rows", s.rows); () }
+      if (s.cols.nonEmpty) {
+        val c = o.putObject("cols")
+        s.cols.toSeq.sortBy(_._1).foreach { case (n, (l, h)) =>
+          val a = c.putArray(n); a.add(l); a.add(h); ()
+        }
       }
-      .mkString("[", ",", "]")
-    val txnObj = txn.toSeq.sortBy(_._1)
-      .map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")
-    // schema MUST stay the last field: readEntry parses the structural
-    // fields from the text before it, schemaOf from the text after it
-    val schemaField = schema.map(s => s""","schema":${s.json}""").getOrElse("")
+      if (s.scols.nonEmpty) {
+        val c = o.putObject("scols")
+        s.scols.toSeq.sortBy(_._1).foreach { case (n, (l, h)) =>
+          val a = c.putArray(n); a.add(l); a.add(h); ()
+        }
+      }
+      if (s.nulls.nonEmpty) {
+        val c = o.putObject("nulls")
+        s.nulls.toSeq.sortBy(_._1).foreach { case (n, k) => c.put(n, k); () }
+      }
+    }
+    val txnNode = node.putObject("txn")
+    txn.toSeq.sortBy(_._1).foreach { case (a, b) => txnNode.put(a, b); () }
+    node.put("op", op)
+    node.put("sv", sv)
+    schema.foreach(s => node.set[JsonNode]("schema", Json.readTree(s.json)))
     val tmp = logDir.resolve(
       s".commit-${java.util.UUID.randomUUID().toString}.tmp")
-    Files.writeString(tmp,
-      s"""{"version":$v,"data":${arr(data)},"deletes":${arr(deletes)},""" +
-        s""""stats":$statArr,"txn":$txnObj,"op":"$op"$schemaField}""")
+    Files.writeString(tmp, Json.writeValueAsString(node))
     def won(): Boolean = {
       // advance the advisory hint AFTER the entry is durable; a torn or
       // lost-race overwrite only makes the hint lag (currentVersion
@@ -437,21 +493,22 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * skip — e.g. a rebase revealed the batch already landed). Every
     * composed entry inherits the previous version's txn watermarks
     * merged (max per app) with `txnPut`, so a lost race never regresses
-    * another streaming writer's high-water mark. */
+    * another streaming writer's high-water mark. The Int in the composed
+    * tuple is the stats coverage level ([[Entry.sv]]) to publish. */
   private def commitWithRetry(
       txnPut: Map[String, Long] = Map.empty, op: String = "append")(
       compose: Int => Option[(Seq[String], Seq[String], Seq[FileStat],
-        Option[org.apache.spark.sql.types.StructType])])
+        Option[org.apache.spark.sql.types.StructType], Int)])
       : Option[Int] = {
     var attempt = 0
     while (attempt <= maxCommitRetries) {
       val v = currentVersion() + 1
       compose(v) match {
         case None => return None
-        case Some((data, deletes, stats, schema)) =>
+        case Some((data, deletes, stats, schema, sv)) =>
           val txn = (readTxn(v - 1).toSeq ++ txnPut.toSeq)
             .groupMapReduce(_._1)(_._2)(math.max)
-          if (publishEntry(v, data, deletes, stats, txn, schema, op))
+          if (publishEntry(v, data, deletes, stats, txn, schema, op, sv))
             return Some(v)
       }
       attempt += 1
@@ -479,17 +536,20 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (v == 1) Some(df.schema)
     else schemaOf(v - 1).map(widen(_, df.schema))
 
+  private def prevEntry(v: Int): Entry =
+    if (v == 1) Entry(Nil, Nil, Nil, 2) else readEntry(v - 1)
+
   def commitAppend(df: DataFrame): Int = {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
     commitWithRetry() { v =>
-      val (data, deletes, stats) =
-        if (v == 1) (Nil, Nil, Nil) else readEntry(v - 1)
+      val p = prevEntry(v)
       // stats ride the rebase: the winner's per-file stats are re-read
       // from its entry and our new dir's appended — a lost race never
       // drops skipping metadata
-      Some((data :+ dir, deletes, stats ++ newStats, appendSchema(v, df)))
+      Some((p.data :+ dir, p.deletes, p.stats ++ newStats,
+        appendSchema(v, df), math.min(p.sv, 2)))
     }.get
   }
 
@@ -511,7 +571,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       : Option[Int] = {
     require(appId.nonEmpty && !appId.exists("\"{}:,\\".contains(_)),
       s"""appId "$appId" — quotes/braces/colons/commas/backslashes """ +
-        "would corrupt the log entry's txn object")
+        "in an app id are needlessly hostile to log tooling")
     if (lastTxn(appId).exists(_ >= batchId)) return None // cheap pre-check
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
@@ -519,9 +579,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val committed = commitWithRetry(Map(appId -> batchId), "txn-append") { v =>
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
-        val (data, deletes, stats) =
-          if (v == 1) (Nil, Nil, Nil) else readEntry(v - 1)
-        Some((data :+ dir, deletes, stats ++ newStats, appendSchema(v, df)))
+        val p = prevEntry(v)
+        Some((p.data :+ dir, p.deletes, p.stats ++ newStats,
+          appendSchema(v, df), math.min(p.sv, 2)))
       }
     }
     if (committed.isEmpty) { // lost to our own replay — drop the orphan dir
@@ -539,15 +599,35 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   }
 
   /** Replace the table's contents with `df` (drops prior delete sidecars
-    * too — they referred to replaced data). */
+    * too — they referred to replaced data). Overwrite is REPLACE
+    * semantics by design: it does not conflict-check against concurrent
+    * commits (the caller is declaring the table's new contents outright).
+    * [[compact]] and [[optimize]], whose new contents are COMPUTED from
+    * a snapshot, do conflict-check — see `base`. */
   def commitOverwrite(df: DataFrame): Int = overwriteWith(df, "overwrite")
 
-  private def overwriteWith(df: DataFrame, op: String): Int = {
+  /** `base = Some(v0)`: the rewrite was computed from snapshot v0; if
+    * any other commit claimed a version since, publishing would silently
+    * drop that commit from the new snapshot (a lost update), so fail
+    * with `ConcurrentModificationException` instead — the same guard
+    * [[commitMerge]] applies (round 13; previously optimize/compact
+    * could swallow an interleaved append). The orphaned data dir is
+    * unreferenced and swept by the next [[vacuum]]. */
+  private def overwriteWith(df: DataFrame, op: String,
+      base: Option[Int] = None): Int = {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    commitWithRetry(op = op)(_ =>
-      Some((Seq(dir), Nil, newStats, Some(df.schema)))).get
+    commitWithRetry(op = op) { v =>
+      base.foreach { b =>
+        if (v != b + 1)
+          throw new java.util.ConcurrentModificationException(
+            s"$op computed against version $b of $root but version " +
+              s"${v - 1} has been committed since — the rewrite is stale; " +
+              "re-run against the new snapshot")
+      }
+      Some((Seq(dir), Nil, newStats, Some(df.schema), 2))
+    }.get
   }
 
   /** Merge-on-read delete: write `keys` (one column, matching `keyCol`)
@@ -558,8 +638,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .write.mode("errorifexists").parquet(dir)
     commitWithRetry(op = "delete") { v =>
       require(v > 1, "delete on an empty table")
-      val (data, deletes, stats) = readEntry(v - 1)
-      Some((data, deletes :+ dir, stats, schemaOf(v - 1)))
+      val p = readEntry(v - 1)
+      Some((p.data, p.deletes :+ dir, p.stats, schemaOf(v - 1), p.sv))
     }.get
   }
 
@@ -570,8 +650,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   /** Range read with LOG-STATS file skipping: resolve `version`'s entry,
     * keep only part files whose logged [min,max] of `keyCol` intersects
     * [keyLo, keyHi], scan just those, and still apply the predicate (the
-    * stats skip files; the filter is exact). Files without a stats row
-    * (non-integral key, all-NULL keys, legacy entries) are always
+    * stats skip files; the filter is exact). Files without trusted key
+    * bounds (non-integral key, all-NULL keys, legacy entries) are always
     * scanned — pruning is never allowed to change results. Because the
     * stats live IN the versioned entry, skipping works identically at
     * any time-travel version — no live-layout manifest to rebuild. */
@@ -580,11 +660,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   /** [[readRange]] generalized to ANY column with logged stats — the
     * entry carries per-file [min, max] for every integral top-level
-    * column (up to [[SnapshotLog.statCols]] beyond the key, Delta's
-    * first-N-columns convention), so a range predicate on a non-key
-    * column also prunes from the LOG alone. Files without stats for
-    * `column` (non-integral, all-NULL there, or beyond the cap) are
-    * always scanned; the exact filter applies regardless. */
+    * column (up to [[statCols]] beyond the key, Delta's first-N-columns
+    * convention), so a range predicate on a non-key column also prunes
+    * from the LOG alone. Files without stats for `column`
+    * (non-integral, all-NULL there, or beyond the cap) are always
+    * scanned; the exact filter applies regardless. */
   def readWhere(column: String, lo: Long, hi: Long,
       version: Int = -1): DataFrame =
     readImpl(version, Some(LongPred(column, lo, hi)))
@@ -599,9 +679,47 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       version: Int = -1): DataFrame =
     readImpl(version, Some(StrPred(column, lo, hi)))
 
+  /** NULL-probe read with log-stats skipping (round 13 — Delta's
+    * nullCount pruning): the entry carries per-file NULL counts, so
+    * `column IS NULL` skips files the log proves null-free
+    * (nullCount = 0) and `column IS NOT NULL` skips files the log
+    * proves all-NULL (nullCount = rows) — the common "which rows still
+    * need the backfill?" probe after a schema evolution. Files without
+    * a trusted null count for `column` (including pre-evolution files
+    * that lack the column entirely) are always scanned; the exact
+    * filter applies regardless. */
+  def readWhereNull(column: String, isNull: Boolean,
+      version: Int = -1): DataFrame =
+    readImpl(version, Some(NullPred(column, isNull)))
+
   private sealed trait Pred { def col: String }
   private case class LongPred(col: String, lo: Long, hi: Long) extends Pred
   private case class StrPred(col: String, lo: String, hi: String) extends Pred
+  private case class NullPred(col: String, isNull: Boolean) extends Pred
+
+  /** Could a stat row's file hold rows matching the predicate? True
+    * when the logged evidence intersects OR the file carries no trusted
+    * evidence for the column — pruning is never allowed to change
+    * results. */
+  private def mayMatch(s: FileStat, p: Pred): Boolean = p match {
+    case LongPred(c, lo, hi) =>
+      val b = if (c == keyCol && s.keyed) Some((s.lo, s.hi)) else s.cols.get(c)
+      b.forall { case (l, h) => h >= lo && l <= hi }
+    case StrPred(c, lo, hi) =>
+      s.scols.get(c).forall { case (l, h) => h >= lo && l <= hi }
+    case NullPred(c, isNull) =>
+      if (s.rows < 0) true
+      else s.nulls.get(c) match {
+        case None    => true // no trusted count — scan
+        case Some(n) => if (isNull) n > 0 else n < s.rows
+      }
+  }
+
+  private def filterExpr(p: Pred): org.apache.spark.sql.Column = p match {
+    case LongPred(c, lo, hi)  => col(c) >= lo && col(c) <= hi
+    case StrPred(c, lo, hi)   => col(c) >= lo && col(c) <= hi
+    case NullPred(c, isNull)  => if (isNull) col(c).isNull else col(c).isNotNull
+  }
 
   private def readImpl(version: Int,
       range: Option[Pred]): DataFrame = {
@@ -610,48 +728,49 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val v = if (version < 0) latest else version
     require(v >= 1 && v <= latest,
       s"version $v out of range [1, $latest] for $root")
-    val (data, deletes, stats) = readEntry(v)
+    val e = readEntry(v)
     // read with the schema AS OF this version, straight from the entry:
     // no footer inference (a driver-side file scan at 100 TB file
     // counts), evolved tables read old files' missing columns as NULL,
     // and time travel sees each version under its own schema
     val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
-    // could a stat row's file hold rows matching the predicate? true
-    // when the logged bounds intersect OR the file carries no bounds
-    // for the column — pruning is never allowed to change results
-    def mayMatch(s: FileStat, p: Pred): Boolean = p match {
-      case LongPred(c, lo, hi) =>
-        val b = if (c == keyCol) Some((s.lo, s.hi)) else s.cols.get(c)
-        b.forall { case (l, h) => h >= lo && l <= hi }
-      case StrPred(c, lo, hi) =>
-        s.scols.get(c).forall { case (l, h) => h >= lo && l <= hi }
-    }
-    def filterExpr(p: Pred): org.apache.spark.sql.Column = p match {
-      case LongPred(c, lo, hi) => col(c) >= lo && col(c) <= hi
-      case StrPred(c, lo, hi)  => col(c) >= lo && col(c) <= hi
-    }
     val base = range match {
-      case Some(p) if stats.nonEmpty =>
-        // file paths in stats come from FileStatus (URI form, e.g.
-        // file:/x); live data dirs are matched by substring so dir-path
-        // spelling (scheme prefixes, double slashes) cannot unprune
-        val keep = stats.filter(mayMatch(_, p))
-          .map(_.file).filter(f => data.exists(d => f.contains(d)))
-        val statCovered = stats.map(_.file).toSet
-        // dirs contributing files with no stats row must be scanned whole
-        val uncovered = data.filterNot(d => statCovered.exists(_.contains(d)))
-        val paths = keep ++ uncovered
+      case Some(p) if e.stats.nonEmpty =>
+        // only stats rows of LIVE entries participate (defensive: every
+        // commit path already drops rewritten files' rows); paths are
+        // normalized, so dir-path spelling (scheme prefixes, double
+        // slashes) cannot unprune or misprune
+        val liveStats = e.stats.filter(s => e.data.exists(belongsTo(s.file, _)))
+        val keep = liveStats.filter(mayMatch(_, p)).map(_.file)
+        val extra =
+          if (e.sv >= 2) {
+            // sv≥2: stats are the complete file listing — entries with
+            // no stats rows at all are empty dirs or raw-published test
+            // fixtures; scan them whole (correctness over pruning)
+            e.data.filterNot(d => e.stats.exists(s => belongsTo(s.file, d)))
+          } else {
+            // legacy partial coverage: uncovered is computed at FILE
+            // granularity (one listing per live dir) so a file lacking a
+            // stats row is scanned, never silently pruned — the round-12
+            // dir-granularity shortcut could drop an unstatted file
+            // whose sibling was statted
+            val statted = liveStats.map(s => normPath(s.file)).toSet
+            e.data.flatMap(d => dataFilesOf(d)
+              .filterNot(f => statted.contains(normPath(f))))
+          }
+        val paths = keep ++ extra
         val df = if (paths.isEmpty)
-          rd.parquet(data: _*).where(lit(false))
+          rd.parquet(e.data: _*).where(lit(false))
         else rd.parquet(paths: _*)
         df.where(filterExpr(p))
       case Some(p) =>
-        rd.parquet(data: _*).where(filterExpr(p))
-      case None => rd.parquet(data: _*)
+        rd.parquet(e.data: _*).where(filterExpr(p))
+      case None => rd.parquet(e.data: _*)
     }
-    if (deletes.isEmpty) base
+    if (e.deletes.isEmpty) base
     else base.join(
-      broadcast(spark.read.parquet(deletes: _*).select(col(keyCol)).distinct()),
+      broadcast(spark.read.parquet(e.deletes: _*)
+        .select(col(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
   }
 
@@ -669,9 +788,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val latest = currentVersion()
     require(version >= 1 && version <= latest,
       s"restore target $version out of [1, $latest] for $root")
-    val (data, deletes, stats) = readEntry(version)
+    val e = readEntry(version)
     val hconf = spark.sessionState.newHadoopConf()
-    for (d <- data ++ deletes) {
+    for (d <- e.data ++ e.deletes) {
       val p = new org.apache.hadoop.fs.Path(d)
       require(p.getFileSystem(hconf).exists(p),
         s"cannot restore $root to version $version: $d was vacuumed; " +
@@ -679,26 +798,44 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     val sch = schemaOf(version)
     commitWithRetry(op = "restore")(_ =>
-      Some((data, deletes, stats, sch))).get
+      Some((e.data, e.deletes, e.stats, sch, e.sv))).get
   }
 
   /** Fold delete sidecars into the data (the deletion-vector compaction):
-    * materializes the current view as one overwrite commit. */
-  def compact(): Int = overwriteWith(read(), "compact")
+    * materializes the current view as one overwrite commit. Conflict-
+    * checked: a commit landing between the snapshot read and the publish
+    * throws `ConcurrentModificationException` (never a lost update). */
+  def compact(): Int = {
+    val v0 = currentVersion()
+    overwriteWith(read(v0), "compact", base = Some(v0))
+  }
 
-  /** OPTIMIZE / CLUSTER BY: rewrite the live view range-clustered on
-    * `keyCol` into `numFiles` key-disjoint part files (one overwrite
-    * commit, delete sidecars folded like [[compact]]). Clustering is
-    * what makes the log's stats bite: with disjoint [lo, hi] per file a
-    * `readRange` probe or a merge's interval stab hits the minimal file
-    * set, where fragmented ingest (every file spanning the key space)
-    * prunes nothing. The scheduled-maintenance counterpart to
-    * [[commitMerge]]'s pruning, exactly Delta's OPTIMIZE ZORDER role
-    * for the single-key case. */
-  def optimize(numFiles: Int): Int = {
+  /** OPTIMIZE / CLUSTER BY: rewrite the live view clustered into
+    * `numFiles` part files (one overwrite commit, delete sidecars folded
+    * like [[compact]], same conflict guard). With no `zorderCols` the
+    * layout is range-clustered on `keyCol` (key-disjoint [lo, hi] per
+    * file); with k ≥ 2 columns it is Z-ORDERED — the rows are clustered
+    * by the interleaved-bit Morton value of the given INTEGRAL columns
+    * ([[LayoutOps.zvalueK]]), so the logged per-file stats prune a range
+    * probe on ANY of them to ~n^((k−1)/k) of the files, exactly Delta's
+    * `OPTIMIZE ZORDER BY (c1, c2, …)`. Clustering is what makes the
+    * log's stats bite: with fragmented ingest every file spans the key
+    * space and prunes nothing. Costs one extra bounds aggregate over the
+    * snapshot (driver-side k·2 longs) before the clustered rewrite. */
+  def optimize(numFiles: Int, zorderCols: String*): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    overwriteWith(read().repartitionByRange(numFiles, col(keyCol)),
-      "optimize")
+    val v0 = currentVersion()
+    val base = read(v0)
+    val clustered =
+      if (zorderCols.isEmpty) base.repartitionByRange(numFiles, col(keyCol))
+      else if (zorderCols.size == 1)
+        base.repartitionByRange(numFiles, col(zorderCols.head))
+      else
+        LayoutOps.zvalueK(base, zorderCols, zCol = "__graft_z")
+          .repartitionByRange(numFiles, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+    overwriteWith(clustered, "optimize", base = Some(v0))
   }
 
   // ---- round 12: MERGE / change feed / VACUUM ---------------------------
@@ -740,7 +877,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * broadcast sorted by `lo` with a running max-`hi` prefix, each key
     * binary-searched to its rightmost candidate and walked left only
     * while the prefix max still reaches it — O(log F + overlap) per key,
-    * exact (no false positives, no misses). Returns the stabbed files. */
+    * exact (no false positives, no misses). Unbounded sentinel rows span
+    * everything and are stabbed by any key (always rewritten —
+    * conservative). Returns the stabbed files. */
   private def stabbedFiles(keys: DataFrame, stats: Seq[FileStat]): Set[String] = {
     import spark.implicits._
     val sorted = stats.sortBy(_.lo).toArray
@@ -791,8 +930,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * verbatim. Only stabbed files are scanned (survivors = pruned scan
     * anti-joined against the broadcast update keys) and rewritten
     * together with the updates into one new data dir. Keys without
-    * integral stats (or legacy entries) fall back to rewriting
-    * everything — correct, just unpruned.
+    * integral stats (unbounded sentinel rows, legacy entries) fall back
+    * to rewriting everything — correct, just unpruned.
     *
     * Pending merge-on-read delete sidecars are CONSOLIDATED, not
     * carried: the new sidecar is (old delete keys) minus (update keys),
@@ -809,7 +948,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   def commitMerge(updates: DataFrame): Int = {
     val v0 = currentVersion()
     require(v0 >= 1, "merge on an empty table — use commitAppend")
-    val (data, deletes, stats) = readEntry(v0)
+    val e0 = readEntry(v0)
+    val (data, deletes, stats) = (e0.data, e0.deletes, e0.stats)
 
     val mergeSchema = schemaOf(v0)
     val tableCols = mergeSchema.map(_.fieldNames.toSeq)
@@ -821,7 +961,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val updKeys = upd.select(col(keyCol)).distinct()
 
     // exact per-file touch set: which stat intervals does at least one
-    // update key stab? (None when the key is non-integral / no stats —
+    // update key stab? (None when the table has no stats at all —
     // conservative full rewrite)
     val stabbed: Option[Set[String]] =
       if (stats.isEmpty) None else Some(stabbedFiles(updKeys, stats))
@@ -844,10 +984,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val rewriteScan: Seq[String] = touchedE.flatMap { case (d, fs) =>
       if (stabbed.isEmpty || fs.isEmpty) Seq(d)
       else {
-        // files with no stats row hold only null-key rows (statsFor
-        // drops all-NULL files); they can never match an update key but
+        // legacy (sv<2) entries may hold files with no stats row; they
         // must not be lost when the entry splits — fold them into the
-        // rewrite scan (the anti-join passes null keys through)
+        // rewrite scan (one listing; sv≥2 entries find nothing here)
         val statted = fs.map(s => normPath(s.file)).toSet
         val unstatted = dataFilesOf(d)
           .filterNot(f => statted.contains(normPath(f)))
@@ -893,7 +1032,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             s"${v - 1} has been committed since — the copy-on-write file " +
             "set is stale; re-run the merge against the new snapshot")
       Some((keptEntries :+ dir, newDeletes, keptStats ++ newStats,
-        mergeSchema))
+        mergeSchema, e0.sv))
     }.get
   }
 
@@ -916,9 +1055,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"need 0 <= fromV < toV <= $latest, got ($fromV, $toV)")
     // fromV = 0 is "before the first commit": v1's rows all surface as
     // inserts — the streaming change-feed backfill start point
-    val (dA, delA, _) =
-      if (fromV == 0) (Nil, Nil, Nil) else readEntry(fromV)
-    val (dB, delB, _) = readEntry(toV)
+    val eA = if (fromV == 0) Entry(Nil, Nil, Nil, 2) else readEntry(fromV)
+    val eB = readEntry(toV)
+    val (dA, delA) = (eA.data, eA.deletes)
+    val (dB, delB) = (eB.data, eB.deletes)
     val shared = dA.toSet.intersect(dB.toSet)
     val onlyA = dA.filterNot(shared)
     val onlyB = dB.filterNot(shared)
@@ -972,11 +1112,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     import spark.implicits._
     val latest = currentVersion()
     (1 to latest).filter(v => Files.exists(entryPath(v))).map { v =>
-      val txt = Files.readString(entryPath(v))
-      val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("unknown")
-      val (data, deletes, stats) = readEntry(v)
-      (v, op, data.size, deletes.size, stats.size,
+      val tree = Json.readTree(Files.readString(entryPath(v)))
+      val op = Option(tree.get("op")).map(_.asText()).getOrElse("unknown")
+      val e = readEntry(v)
+      (v, op, e.data.size, e.deletes.size, e.stats.size,
         Files.getLastModifiedTime(entryPath(v)).toMillis)
     }.toDF("version", "operation", "data_entries", "delete_entries",
       "stat_files", "ts_millis")
@@ -998,7 +1137,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .filter(v => Files.exists(entryPath(v)))
       .map(readEntry)
     val refs: Set[String] =
-      retained.flatMap { case (d, del, _) => d ++ del }.map(normPath).toSet
+      retained.flatMap(e => e.data ++ e.deletes).map(normPath).toSet
 
     var removedFiles = 0
     def sweep(top: Path): Unit = {

@@ -340,6 +340,64 @@ object RelationalQueries {
           sum(col("doc_id")).cast("long").as("sum_ids"))
     }),
 
+    // Null-count file pruning on the snapshot log (round 13): the entry
+    // carries per-file NULL counts + row counts from the parquet
+    // footers, so `tag IS NOT NULL` skips files the log proves all-NULL
+    // (nullCount = rows) and `tag IS NULL` skips files it proves
+    // null-free (nullCount = 0) — the "which rows still need the
+    // backfill?" probe. Both polarities assert in-flight that files
+    // were actually skipped, then aggregate — hash-exact vs the plain
+    // predicate oracle.
+    "q_scan_snapnull" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snl").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") >= 300, col("lang")).as("tag"))
+        .where(col("doc_id") < 600)
+      t.commitAppend(docs.repartitionByRange(8, col("doc_id")))
+      val total = t.read().inputFiles.length
+      val filled = t.readWhereNull("tag", isNull = false)
+      val missing = t.readWhereNull("tag", isNull = true)
+      require(filled.inputFiles.length < total &&
+        missing.inputFiles.length < total,
+        s"null-count stats pruned nothing (${filled.inputFiles.length} + " +
+          s"${missing.inputFiles.length} of $total)")
+      def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"),
+            col("sum_ids"))
+      agg(filled, "filled").unionByName(agg(missing, "missing"))
+        .orderBy(col("side"))
+    }),
+
+    // Multi-column OPTIMIZE ZORDER on the snapshot log (round 13 —
+    // Delta's `OPTIMIZE ... ZORDER BY (c1, c2)`): fragmented ingest
+    // (every file spans both dimensions, prunes nothing), then
+    // optimize(16, key, y) rewrites the table clustered on the
+    // interleaved-bit Morton value, after which the logged per-file
+    // stats prune a range probe on the NON-key dimension too (asserted
+    // in-flight). y is a decorrelated integer derived from doc_id so
+    // the oracle can reproduce it exactly.
+    "q_scan_zorder_opt" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zop").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (col("doc_id").cast("long") * 48271 % 4096).as("y"))
+      t.commitAppend(docs.repartition(8))
+      t.optimize(16, "doc_id", "y")
+      val probe = t.readWhere("y", 0, 511)
+      require(probe.inputFiles.length < 16,
+        s"z-order must prune the non-key dim " +
+          s"(${probe.inputFiles.length}/16 files)")
+      probe.agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
     // Equi-depth histogram: percentile boundaries + map-side assignment
     // (never an ntile global window); boundaries 4dp-rounded before
     // assignment — the cross-engine bucketing contract
@@ -910,6 +968,25 @@ object RelationalQueries {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
          FROM documents WHERE lang = 'en'""",
+    "q_scan_snapnull" ->
+      """SELECT 'filled' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE doc_id >= 300 AND doc_id < 600 AND lang IS NOT NULL
+         UNION ALL
+         SELECT 'missing', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+         FROM documents
+         WHERE doc_id < 600 AND (doc_id < 300 OR lang IS NULL)
+         ORDER BY side""",
+    "q_scan_zorder_opt" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE (CAST(doc_id AS BIGINT) * 48271) % 4096
+               BETWEEN 0 AND 511""",
     "q_profile_histogram" ->
       """WITH v AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

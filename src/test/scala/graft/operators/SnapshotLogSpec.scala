@@ -578,6 +578,192 @@ class SnapshotLogSpec extends SparkSpec {
     ()
   }
 
+  // ---- round 13: entry robustness / complete coverage / null stats ------
+
+  test("string bounds with JSON metacharacters survive the log round-trip") {
+    // round-12 regression: the regex entry parser lost the whole stats
+    // object of a file whose string bound contained '}' — the file then
+    // silently fell out of pruned reads. Jackson-written entries escape
+    // everything; only the ASCII-ordering rule may drop a bound.
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_js").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val rows = Seq(
+      (1L, """a}b"""), (2L, """a{b"""), (3L, """q"w"""), (4L, """p\q"""),
+      (5L, "z]x"), (6L, "z[x"), (7L, "zz"), (8L, "za"))
+      .toDF("id", "s")
+    t.commitAppend(rows.repartitionByRange(2, col("s")))
+    assert(t.read().inputFiles.length == 2)
+    // both files kept their stats rows (complete coverage), and a probe
+    // into the low (brace-y) range prunes the high file
+    val probe = t.readWhereString("s", "a", "b")
+    assert(probe.count() == 2, "metachar-bounded file must not lose rows")
+    assert(probe.inputFiles.length == 1,
+      s"metachar bounds must still prune: ${probe.inputFiles.length}/2")
+    // key pruning unaffected
+    assert(t.readRange(1, 2).count() == 2)
+  }
+
+  test("files without key bounds are never pruned out by non-key reads") {
+    // round-12 regression (ADVICE): a part file with all-NULL keyCol got
+    // no stats row, and if a sibling file was statted the dir counted as
+    // covered — readWhere silently lost the null-key file's rows. Now
+    // every file gets a (possibly unbounded) row and stays scanned.
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_nk").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val withKeys = spark.range(0, 100)
+      .select(col("id"), (col("id") % 10).as("x"))
+    val nullKeys = spark.range(0, 5)
+      .select(lit(null).cast("long").as("id"), lit(777L).as("x"))
+    t.commitAppend(withKeys.coalesce(1).unionByName(nullKeys.coalesce(1))
+      .repartitionByRange(2, col("id"))) // nulls sort first: own file
+    // the null-key rows are visible to a non-key predicate read
+    assert(t.readWhere("x", 777L, 777L).count() == 5,
+      "null-key rows must survive readWhere pruning")
+    // and to a null-probe on the key itself
+    assert(t.readWhereNull("id", isNull = true).count() == 5)
+    // while key-range reads exclude them by predicate semantics
+    assert(t.readRange(0, 1000).count() == 100)
+  }
+
+  test("legacy partial-coverage entries scan unstatted files (no silent loss)") {
+    // hand-publish an sv=1 entry whose stats cover only one of two part
+    // files — the pre-round-13 on-disk shape. Pruned reads must list the
+    // dir and scan the unstatted file rather than dropping its rows.
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_lg").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val dir = s"$root/data/c-legacy"
+    spark.range(0, 100).select(col("id"), (col("id") * 2).as("x"))
+      .repartitionByRange(2, col("id"))
+      .write.parquet(dir)
+    val full = t.statsFor(dir)
+    assert(full.size == 2)
+    assert(t.publishEntry(1, Seq(dir), Nil, full.take(1), sv = 1))
+    // rows in the UNSTATTED file (the high id range) still surface
+    assert(t.readWhere("x", 0L, 500L).count() == 100,
+      "unstatted legacy file must be scanned, not pruned")
+    // the sharp case: a probe whose rows live ONLY in unstatted files —
+    // x ∈ [150, 500] is ids 75..99, the high half (whichever file kept
+    // its stats row, the other must be listed and scanned)
+    assert(t.readWhere("x", 150L, 500L).count() == 25,
+      "a probe hitting only unstatted rows must still find them")
+    assert(t.readWhere("x", 0L, 20L).count() == 11)
+    assert(t.readRange(0, 99).count() == 100)
+    // the statted file still prunes when the predicate excludes the rest
+    val lowProbe = t.readRange(0, 10)
+    assert(lowProbe.count() == 11)
+  }
+
+  test("keyCol always gets a stats slot on wide tables") {
+    // 40 eligible columns precede the key in schema order; the statCols
+    // budget must not evict the KEY bounds (round 13 — previously the
+    // key could fall out of `wanted` and the file lost ALL stats)
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_wd").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val wide = (0 until 40).foldLeft(spark.range(0, 1000).toDF("k0")) {
+      case (df, i) => df.withColumn(f"c$i%02d", col("k0") + i)
+    }.withColumn("id", col("k0")).drop("k0")
+    t.commitAppend(wide.repartitionByRange(4, col("id")))
+    val probe = t.readRange(0, 100)
+    assert(probe.count() == 101)
+    assert(probe.inputFiles.length < 4,
+      s"key stats must survive the budget: ${probe.inputFiles.length}/4")
+  }
+
+  test("null-count stats: readWhereNull prunes both polarities exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_nn").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // id-clustered layout where `tag` is NULL exactly for id < 2000 —
+    // low files are all-NULL in tag, high files null-free
+    t.commitAppend(spark.range(0, 4000)
+      .select(col("id"),
+        when(col("id") >= 2000, concat(lit("t"), col("id"))).as("tag"))
+      .repartitionByRange(8, col("id")))
+    assert(t.read().inputFiles.length == 8)
+    val notNull = t.readWhereNull("tag", isNull = false)
+    assert(notNull.count() == 2000)
+    assert(notNull.inputFiles.length == 4,
+      s"IS NOT NULL must skip the all-NULL files: ${notNull.inputFiles.length}/8")
+    val isNull = t.readWhereNull("tag", isNull = true)
+    assert(isNull.count() == 2000)
+    assert(isNull.inputFiles.length == 4,
+      s"IS NULL must skip the null-free files: ${isNull.inputFiles.length}/8")
+    // null counts ride a merge carry: update one high band, re-probe
+    t.commitMerge(spark.range(3000, 3100)
+      .select(col("id"), lit("U").as("tag")))
+    assert(t.readWhereNull("tag", isNull = true).count() == 2000)
+    assert(t.readWhereNull("tag", isNull = true).inputFiles.length <= 5,
+      "carried null counts must keep pruning after a merge")
+    // pre-evolution files (column absent) are conservatively scanned:
+    // add a column, old files have no trusted count for it
+    t.commitAppend(spark.range(4000, 4010)
+      .select(col("id"), lit("x").as("tag"), lit(1L).as("extra")))
+    assert(t.readWhereNull("extra", isNull = true).count() == 4000,
+      "old files read the added column as NULL and must all be scanned")
+  }
+
+  test("optimize/compact conflict-check: an interleaved commit throws, never vanishes") {
+    // round-13 ADVICE fix: optimize()/compact() materialize a snapshot
+    // then publish an overwrite — an append landing in between must
+    // surface as ConcurrentModificationException, not be dropped.
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_oc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(spark.range(0, 100000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartition(8))
+    val e1 = t.readEntry(1)
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val dirsBefore = java.nio.file.Files.list(dataDir).count()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val opt = new Thread(() =>
+      try { t.optimize(8); () }
+      catch { case e: Throwable => failure.set(e) })
+    opt.start()
+    // wait until optimize's rewrite dir appears — it is created strictly
+    // AFTER optimize pinned its base version, so a commit published now
+    // is guaranteed to conflict; the racing publish is pure filesystem
+    // (a no-op append re-listing v1), so it always beats the rewrite
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (java.nio.file.Files.list(dataDir).count() == dirsBefore &&
+      System.nanoTime() < deadline) Thread.sleep(2)
+    assert(java.nio.file.Files.list(dataDir).count() > dirsBefore,
+      "optimize never started writing")
+    assert(t.publishEntry(2, e1.data, e1.deletes, e1.stats,
+      schema = t.schemaOf(1), sv = e1.sv), "the racer must claim v2")
+    opt.join(120000)
+    assert(failure.get() != null &&
+      failure.get().isInstanceOf[java.util.ConcurrentModificationException],
+      s"expected CME, got ${failure.get()}")
+    // nothing lost: v2 is the racer's entry, optimize published nothing
+    assert(t.currentVersion() == 2)
+    assert(t.read().count() == 100000)
+  }
+
+  test("multi-column OPTIMIZE ZORDER: secondary-column probes prune too") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_zo").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // two independent dimensions: id and a decorrelated y
+    t.commitAppend(spark.range(0, 65536)
+      .select(col("id"),
+        ((col("id") * 48271) % 65536).as("y"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartition(8))
+    // fragmented: a y-probe prunes nothing
+    assert(t.readWhere("y", 0, 4095).inputFiles.length == t.read().inputFiles.length)
+    val expect = t.read().count()
+    t.optimize(64, "id", "y")
+    assert(t.read().count() == expect)
+    assert(t.read().inputFiles.length == 64)
+    // a 1/16 box on EITHER dimension touches far fewer than all files
+    val py = t.readWhere("y", 0, 4095)
+    assert(py.count() == 4096)
+    assert(py.inputFiles.length < 40,
+      s"z-order must prune the non-leading dim: ${py.inputFiles.length}/64")
+    val pid = t.readRange(0, 4095)
+    assert(pid.count() == 4096)
+    assert(pid.inputFiles.length < 40,
+      s"z-order must prune the key dim: ${pid.inputFiles.length}/64")
+  }
+
   test("txn: two racing committers of the same (app, batch) → one winner") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_tr").toString
     val t = SnapshotLog.open(spark, root, "id")
