@@ -426,6 +426,27 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_matches"))
         .orderBy(col("user_id"))),
 
+    // STRICT-contiguity CEP (round 13 — Flink CEP next/notNext): the
+    // event right after the view must not be an error (notNext one-event
+    // guard), the click is found under relaxed contiguity, and the event
+    // right after the click must be the purchase (next) or the run dies
+    // — a failed strict step may itself reopen a run, exactly where the
+    // committed regex twin's next leftmost attempt begins. The oracle is
+    // ONE RE2-safe regexp (EventStreams.strictRegexTwin derives it:
+    // committed negated-class gaps instead of lazy gaps, no lookahead)
+    "q_stream_cep6" -> ((s, d) =>
+      runStream(s, d, "append") { ev =>
+        import s.implicits._
+        graft.streaming.EventStreams.detectPatternQ(
+            ev.as[graft.streaming.Event],
+            graft.streaming.EventStreams.parsePattern(
+              "view !>error click >purchase"),
+            withinSec = 60L * 86400)
+          .toDF()
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id"))),
+
     // stream-STREAM interval join (Flink interval-join analogue): each
     // purchase pairs with the same user's signups in [ts_p − 24 h, ts_p].
     // Each FILTERED side carries its own watermark node (intervalJoin
@@ -662,6 +683,26 @@ object StreamingQueries {
             SELECT user_id,
                    CAST(len(regexp_extract_all(s,
                      'v(?:.*?c){1,}?(?:.*?s)??.*?p')) AS BIGINT)
+                     AS n_matches
+            FROM s)
+          SELECT user_id, n_matches FROM m
+          WHERE n_matches > 0 ORDER BY user_id""",
+    // strict contiguity as a committed regex — derived by strictRegexTwin
+    // for "view !>error click >purchase" (pinned in StreamingSpec)
+    "q_stream_cep6" ->
+      s"""WITH e AS (
+            SELECT user_id, $ep AS t, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+            FROM events),
+          s AS (
+            SELECT user_id, string_agg(sym, '' ORDER BY t, event_id) AS s
+            FROM e GROUP BY 1),
+          m AS (
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s,
+                     'v(?:[^ec][^c]*)?cp')) AS BIGINT)
                      AS n_matches
             FROM s)
           SELECT user_id, n_matches FROM m

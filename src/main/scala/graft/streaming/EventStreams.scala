@@ -59,9 +59,25 @@ case class PatternMatch(user_id: Long, start: Timestamp, end: Timestamp,
   * where the simulation provably reproduces lazy-regex extents; with
   * quantifiers an event can sit in several alternative gaps at once
   * (another rep of step i vs the advance to i+1) whose classes may
-  * disagree, and the regex twin stops being derivable. */
+  * disagree, and the regex twin stops being derivable.
+  *
+  * `strict` marks a STRICT-contiguity step (round 13 — Flink CEP's
+  * `next`): the event immediately following the previous step's match
+  * must be this step's symbol, or the run DIES (and the killing event
+  * may itself open a fresh run — exactly where a leftmost regex would
+  * retry from the next head symbol). `notNext` (Flink's `notNext`) is
+  * the one-event negated guard on the gap's FIRST event only: if the
+  * event right after the previous step's match is a guarded type the
+  * run dies; any other first event spends the guard and the step stays
+  * relaxed. Both are restricted to plain (1,1) chains (like `negs`) and
+  * run on [[EventStreams.strictNfaStep]] — under relaxed contiguity's
+  * commit-to-first-occurrence contract the regex twin swaps lazy gaps
+  * for committed negated classes (`[^c]*c`), a strict step drops its
+  * gap atom entirely, and a notNext guard becomes `(?:[^xc][^c]*)?c` —
+  * see [[EventStreams.strictRegexTwin]]. */
 case class QStep(sym: String, minRep: Int, maxRep: Int,
-                 alts: Seq[String] = Nil, negs: Seq[String] = Nil) {
+                 alts: Seq[String] = Nil, negs: Seq[String] = Nil,
+                 strict: Boolean = false, notNext: Seq[String] = Nil) {
   require(minRep >= 0 && maxRep >= math.max(1, minRep), s"bad bounds: $this")
   /** The step's full symbol set: head symbol + alternation alternatives. */
   def syms: Seq[String] = sym +: alts
@@ -70,6 +86,12 @@ case class QStep(sym: String, minRep: Int, maxRep: Int,
 }
 
 private case class PatternState(start: Long, idx: Int, reps: Int, n: Int)
+
+/** Single-chain state for STRICT-contiguity chains: `idx` = last matched
+  * step, `fresh` = true iff no event has been seen since that match (the
+  * window in which a `notNext` guard or a strict next step applies). */
+private case class StrictChainState(start: Long, idx: Int, n: Int,
+                                    fresh: Boolean)
 
 /** Thompson-simulation state for negation (notFollowedBy) chains:
   * `starts(i)` = sorted distinct epoch-second start times of runs that
@@ -220,6 +242,18 @@ object EventStreams {
     * step (Flink CEP's notFollowedBy): seeing a negated type there kills
     * the chain. `parsePattern("view (click|error){2,3} signup?
     * purchase")`; `parsePattern("view !error click !signup purchase")`.
+    *
+    * STRICT contiguity (round 13 — Flink's `next`/`notNext`): a `>`
+    * prefix marks a strict step (`view >click` — the event right after
+    * the view must be the click, or the run dies), and a `!>type` token
+    * guards only the VERY NEXT event before the following step
+    * (`view !>error click` — the event right after the view must not be
+    * an error; later errors are skipped as usual). Strict/notNext
+    * patterns must be plain (1,1) chains, cannot mix with `!type`
+    * (notFollowedBy) gap guards — each family has its own
+    * provably-regex-parity NFA — and a notNext guard cannot precede a
+    * strict step (the strict match already excludes every other type).
+    *
     * Symbol sets must be pairwise disjoint across steps (see [[QStep]]);
     * negated types must not collide with any step symbol; negations are
     * only allowed in plain chains (every step (1,1)) — the subset where
@@ -233,27 +267,41 @@ object EventStreams {
     val toks = pattern.trim.split("\\s+").toIndexedSeq
     val steps = scala.collection.mutable.ArrayBuffer.empty[QStep]
     var pendingNegs = Seq.empty[String]
+    var pendingNotNext = Seq.empty[String]
     for (tok <- toks) tok match {
+      case t if t.startsWith("!>") =>
+        t.drop(2) match {
+          case Tok(atom, null, null, null, null) =>
+            pendingNotNext ++= atomSyms(atom)
+          case s => throw new IllegalArgumentException(s"bad notNext: !>$s")
+        }
       case t if t.startsWith("!") =>
         t.drop(1) match {
           case Tok(atom, null, null, null, null) => pendingNegs ++= atomSyms(atom)
           case s => throw new IllegalArgumentException(s"bad negation: !$s")
         }
-      case Tok(atom, opt, loop, m, n) =>
-        val syms = atomSyms(atom)
-        val (lo, hi) =
-          if (opt != null) (0, 1)
-          else if (loop == "+") (1, Int.MaxValue)       // Flink oneOrMore
-          else if (loop == "*") (0, Int.MaxValue)       // oneOrMore.optional
-          else if (m == null) (1, 1)
-          else if (n == null) (m.toInt, m.toInt)
-          else if (n.isEmpty) (m.toInt, Int.MaxValue)   // {m,} timesOrMore
-          else (m.toInt, n.toInt)
-        steps += QStep(syms.head, lo, hi, syms.tail, pendingNegs)
-        pendingNegs = Seq.empty
-      case s => throw new IllegalArgumentException(s"bad pattern step: $s")
+      case t =>
+        val (isStrict, body) =
+          if (t.startsWith(">")) (true, t.drop(1)) else (false, t)
+        body match {
+          case Tok(atom, opt, loop, m, n) =>
+            val syms = atomSyms(atom)
+            val (lo, hi) =
+              if (opt != null) (0, 1)
+              else if (loop == "+") (1, Int.MaxValue)     // Flink oneOrMore
+              else if (loop == "*") (0, Int.MaxValue)     // oneOrMore.optional
+              else if (m == null) (1, 1)
+              else if (n == null) (m.toInt, m.toInt)
+              else if (n.isEmpty) (m.toInt, Int.MaxValue) // {m,} timesOrMore
+              else (m.toInt, n.toInt)
+            steps += QStep(syms.head, lo, hi, syms.tail, pendingNegs,
+              strict = isStrict, notNext = pendingNotNext)
+            pendingNegs = Seq.empty
+            pendingNotNext = Seq.empty
+          case s => throw new IllegalArgumentException(s"bad pattern step: $s")
+        }
     }
-    require(pendingNegs.isEmpty,
+    require(pendingNegs.isEmpty && pendingNotNext.isEmpty,
       s"dangling negation (no following step): $pattern")
     require(steps.nonEmpty && steps.head.minRep >= 1,
       s"pattern must open on a required step: $pattern")
@@ -267,6 +315,20 @@ object EventStreams {
       s"negated types must be distinct and disjoint from step symbols: $pattern")
     require(negAll.isEmpty || steps.forall(s => s.minRep == 1 && s.maxRep == 1),
       s"negations require a plain (1,1) chain — no quantifiers/optionals: $pattern")
+    val strictish = steps.exists(s => s.strict || s.notNext.nonEmpty)
+    if (strictish) {
+      require(steps.forall(s => s.minRep == 1 && s.maxRep == 1),
+        s"strict contiguity requires a plain (1,1) chain: $pattern")
+      require(negAll.isEmpty,
+        s"strict contiguity cannot mix with !type gap guards: $pattern")
+      require(!steps.head.strict && steps.head.notNext.isEmpty,
+        s"the opening step has no preceding event to constrain: $pattern")
+      require(!steps.exists(s => s.strict && s.notNext.nonEmpty),
+        s"a notNext guard before a strict step is unreachable: $pattern")
+      val nnAll = steps.toIndexedSeq.flatMap(_.notNext)
+      require(nnAll.distinct.size == nnAll.size && !nnAll.exists(all.contains),
+        s"notNext types must be distinct and disjoint from step symbols: $pattern")
+    }
     steps.toIndexedSeq
   }
 
@@ -420,6 +482,84 @@ object EventStreams {
     }
   }
 
+  /** The strict-contiguity chain transition (round 13 — Flink CEP
+    * `next`/`notNext`): one event against one [[StrictChainState]].
+    * Relaxed contiguity COMMITS to the first occurrence of each step
+    * symbol (the skip-till-next-match contract, same as [[nfaStep]] on
+    * plain chains), so a single chain per user suffices; the strict
+    * additions only add KILL edges:
+    *
+    *  - a strict next step not matched by the first event after the
+    *    previous step's match kills the run;
+    *  - a notNext-guarded type as that first event kills the run;
+    *  - a killed run's killing event may itself OPEN a fresh run (it is
+    *    exactly where the committed regex twin's next leftmost attempt
+    *    would begin);
+    *  - any other first event SPENDS the guard (`fresh` → false) and
+    *    relaxed skipping resumes.
+    *
+    * Extent parity with the committed regex twin
+    * ([[strictRegexTwin]] — randomized property in StreamingSpec):
+    * commitment removes backtracking alternatives, so the one chain IS
+    * the leftmost match. Returns (state', completed (start, end, n));
+    * state' == null on completion (AFTER MATCH SKIP PAST LAST ROW). */
+  private[streaming] def strictNfaStep(steps: IndexedSeq[QStep],
+                                       cur: StrictChainState,
+                                       t: Long, sym: String)
+      : (StrictChainState, Option[(Long, Long, Int)]) = {
+    def open(): (StrictChainState, Option[(Long, Long, Int)]) =
+      if (steps.head.matches(sym))
+        (StrictChainState(t, 0, 1, fresh = true), None)
+      else (null, None)
+    if (cur == null) open()
+    else {
+      val nxt = steps(cur.idx + 1) // completion resets to null, so it exists
+      if (nxt.matches(sym)) {
+        if (cur.idx + 2 == steps.size) (null, Some((cur.start, t, cur.n + 1)))
+        else (StrictChainState(cur.start, cur.idx + 1, cur.n + 1,
+          fresh = true), None)
+      } else if (nxt.strict ||
+          (cur.fresh && nxt.notNext.contains(sym))) open()
+      else (cur.copy(fresh = false), None)
+    }
+  }
+
+  /** The committed-regex twin of a strict/notNext chain — the DuckDB
+    * oracle counterpart of [[lazyRegexTwin]] for the strict family.
+    * Relaxed contiguity's commit-to-first-occurrence is spelled with
+    * committed negated classes instead of lazy gaps (`[^c]*c` — the
+    * engine CANNOT backtrack past a committed step, which is exactly the
+    * single-chain kill semantics); a strict step contributes its atom
+    * with NO gap; a notNext guard becomes a one-event negated class
+    * `(?:[^xc][^c]*)?c` (either the step symbol is immediate, or the
+    * first event is neither guarded nor the symbol and relaxed skipping
+    * resumes — no lookahead needed, so the twin stays RE2/DuckDB-safe).
+    * Requires single-character encodings (class atoms). */
+  def strictRegexTwin(steps: IndexedSeq[QStep],
+                      enc: String => String = identity): String = {
+    def encs(xs: Seq[String]): Seq[String] = {
+      val es = xs.map(enc)
+      require(es.forall(_.length == 1),
+        s"strict-chain regex needs single-char encodings: $es")
+      es
+    }
+    def atom(s: QStep): String = {
+      val es = encs(s.syms)
+      if (es.size == 1) es.head else es.mkString("(?:", "|", ")")
+    }
+    steps.head match { case h =>
+      atom(h) + steps.tail.map { s =>
+        val cls = encs(s.syms).mkString
+        if (s.strict) atom(s)
+        else if (s.notNext.isEmpty) s"[^$cls]*" + atom(s)
+        else {
+          val guard = encs(s.notNext).mkString
+          s"(?:[^$guard$cls][^$cls]*)?" + atom(s)
+        }
+      }.mkString
+    }
+  }
+
   /** Streaming CEP: detect the ordered event-type chain `steps` per user
     * within a `withinSec` horizon — Flink CEP's `begin.followedBy…`
     * (skip-till-next-match, AFTER MATCH SKIP PAST LAST ROW) as
@@ -463,6 +603,8 @@ object EventStreams {
       s"negations require a plain (1,1) chain: $steps")
     if (steps.exists(_.negs.nonEmpty))
       return detectPatternNeg(events, steps, withinSec, delay)
+    if (steps.exists(s => s.strict || s.notNext.nonEmpty))
+      return detectPatternStrict(events, steps, withinSec, delay)
     import events.sparkSession.implicits._
     val horizonMs = withinSec * 1000L
     events.withWatermark("ts", delay)
@@ -555,6 +697,46 @@ object EventStreams {
               state.update(NegState(lv))
               state.setTimeoutTimestamp(math.max(
                 (lv.flatten.min + withinSec) * 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Strict-contiguity CEP (round 13 — Flink CEP `next`/`notNext`): the
+    * [[strictNfaStep]] single chain as flatMapGroupsWithState.
+    * Dispatched to by [[detectPatternQ]] whenever a step is strict or
+    * carries a notNext guard; same Event in / PatternMatch out contract
+    * and O(1) per-user state as the plain/quantified chain. */
+  private def detectPatternStrict(events: Dataset[Event],
+                                  steps: IndexedSeq[QStep], withinSec: Long,
+                                  delay: String): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    val horizonMs = withinSec * 1000L
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StrictChainState, PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[StrictChainState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[PatternMatch]
+            for (e <- sorted) {
+              val t = e.ts.getTime / 1000
+              if (cur != null && t - cur.start > withinSec) cur = null
+              val (next, done) = strictNfaStep(steps, cur, t, e.event_type)
+              cur = next
+              done.foreach { case (start, end, n) =>
+                out += PatternMatch(uid, new Timestamp(start * 1000L),
+                  new Timestamp(end * 1000L), n)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(math.max(cur.start * 1000L + horizonMs,
                 state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.result().iterator
@@ -770,6 +952,64 @@ object EventStreams {
     }
   }
 
+  /** transformWithState twin of [[detectPatternStrict]]: the same
+    * [[strictNfaStep]] single chain, horizon GC via a registered
+    * event-time timer. Parity asserted in StreamingSpec. */
+  class StrictPatternProcessor(steps: IndexedSeq[QStep], withinSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternMatch] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[StrictChainState] = _
+    private val horizonMs = withinSec * 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[StrictChainState]("strictchain",
+        Encoders.product[StrictChainState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[PatternMatch] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+      var cur = if (st.exists()) st.get() else null
+      val hadDeadline = if (cur != null) Some(cur.start * 1000L + horizonMs) else None
+      val out = Seq.newBuilder[PatternMatch]
+      for (e <- sorted) {
+        val t = e.ts.getTime / 1000
+        if (cur != null && t - cur.start > withinSec) cur = null
+        val (next, done) = strictNfaStep(steps, cur, t, e.event_type)
+        cur = next
+        done.foreach { case (start, end, n) =>
+          out += PatternMatch(uid, new Timestamp(start * 1000L),
+            new Timestamp(end * 1000L), n)
+        }
+      }
+      if (cur != null) {
+        st.update(cur)
+        val deadline = cur.start * 1000L + horizonMs
+        if (!hadDeadline.contains(deadline)) {
+          hadDeadline.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(
+            math.max(deadline, tv.getCurrentWatermarkInMs() + 1))
+        }
+      } else {
+        st.clear()
+        hadDeadline.foreach(getHandle.deleteTimer)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PatternMatch] = {
+      if (st.exists()) {
+        val s = st.get()
+        if (info.getExpiryTimeInMs >=
+            math.min(s.start * 1000L + horizonMs, tv.getCurrentWatermarkInMs() + 1))
+          st.clear()
+      }
+      Iterator.empty
+    }
+  }
+
   /** [[detectPattern]] via transformWithState; parity asserted in
     * StreamingSpec. */
   def detectPatternTws(events: Dataset[Event], steps: Seq[String],
@@ -794,6 +1034,8 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val proc: org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternMatch] =
       if (steps.exists(_.negs.nonEmpty)) new NegPatternProcessor(steps, withinSec)
+      else if (steps.exists(s => s.strict || s.notNext.nonEmpty))
+        new StrictPatternProcessor(steps, withinSec)
       else new PatternProcessor(steps, withinSec)
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)

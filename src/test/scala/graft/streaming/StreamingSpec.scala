@@ -717,6 +717,165 @@ class StreamingSpec extends SparkSpec {
       EventStreams.parsePattern("a (b| c"))
   }
 
+  test("parsePattern strict contiguity: >step and !>type tokens (round 13)") {
+    val p = EventStreams.parsePattern("view !>error click >purchase")
+    assert(p(0) === QStep("view", 1, 1))
+    assert(p(1) === QStep("click", 1, 1, notNext = Seq("error")))
+    assert(p(2) === QStep("purchase", 1, 1, strict = true))
+    // notNext alternation groups
+    assert(EventStreams.parsePattern("v !>(e|x) c p")(1).notNext ===
+      Seq("e", "x"))
+    // the opening step has no preceding event to constrain
+    intercept[IllegalArgumentException](EventStreams.parsePattern(">v c"))
+    intercept[IllegalArgumentException](EventStreams.parsePattern("!>e v c"))
+    // strict contiguity requires a plain (1,1) chain
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v >c{2} p"))
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v >c p*"))
+    // cannot mix with notFollowedBy gap guards
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v !e c >p"))
+    // a notNext guard before a strict step is unreachable
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v !>e >c p"))
+    // notNext types disjoint from step symbols
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v !>c c p"))
+    // dangling guard
+    intercept[IllegalArgumentException](EventStreams.parsePattern("v c !>e"))
+  }
+
+  test("strictRegexTwin reproduces the committed oracle regexes (round 13)") {
+    // q_stream_cep6's hand-spelled oracle string, derived
+    assert(EventStreams.strictRegexTwin(
+        EventStreams.parsePattern("view !>error click >purchase"),
+        Map("view" -> "v", "click" -> "c", "error" -> "e",
+            "purchase" -> "p")) ===
+      "v(?:[^ec][^c]*)?cp")
+    // a strict step drops its gap atom entirely
+    assert(EventStreams.strictRegexTwin(
+        EventStreams.parsePattern("v >c p")) === "vc[^p]*p")
+    // relaxed steps use COMMITTED negated-class gaps, not lazy dots
+    assert(EventStreams.strictRegexTwin(
+        EventStreams.parsePattern("v c >p")) === "v[^c]*cp")
+    // alternation groups: class unions the symbols
+    assert(EventStreams.strictRegexTwin(
+        EventStreams.parsePattern("v >(c|e) p")) === "v(?:c|e)[^p]*p")
+    assert(EventStreams.strictRegexTwin(
+        EventStreams.parsePattern("v !>(e|x) (c|s) >p"))
+      === "v(?:[^excs][^cs]*)?(?:c|s)p")
+    // multi-char encodings are rejected loudly (class atoms)
+    intercept[IllegalArgumentException](EventStreams.strictRegexTwin(
+      EventStreams.parsePattern("view >click p"), identity))
+  }
+
+  test("strictNfaStep extents ≡ committed regex on randomized streams (round 13)") {
+    // the strict-chain NFA claims the exact extents of the committed
+    // regex strictRegexTwin derives — the property that makes
+    // q_stream_cep6's DuckDB oracle one RE2-safe regexp. Pattern shapes
+    // cover strict steps at every position, notNext guards, alternation
+    // on strict and relaxed steps, and all-strict chains.
+    val patterns = Seq(
+      "v >c p",
+      "v c >p",
+      "v >c >p",
+      "v !>e c p",
+      "v !>e c >p",
+      "v !>(e|x) c p",
+      "v >(c|e) p",
+      "v (c|e) >p",
+      "v !>s (c|e) >p",
+      "v >c s >p",
+      "c >p")
+    val alphabet = "vcspex".toCharArray
+    val rnd = new scala.util.Random(421301)
+    for (pat <- patterns) {
+      val steps = EventStreams.parsePattern(pat)
+      val regex = java.util.regex.Pattern.compile(
+        EventStreams.strictRegexTwin(steps))
+      for (trial <- 1 to 1000) {
+        val n = 4 + rnd.nextInt(28)
+        val seq = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+        val str = new String(seq)
+        val m = regex.matcher(str)
+        val expected = Iterator.continually(m)
+          .takeWhile(_.find()).map(x => (x.start, x.end - 1)).toList
+        var cur: StrictChainState = null
+        val got = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        seq.zipWithIndex.foreach { case (c, i) =>
+          val (next, done) =
+            EventStreams.strictNfaStep(steps, cur, i.toLong, c.toString)
+          cur = next
+          done.foreach { case (st, en, _) => got += ((st.toInt, en.toInt)) }
+        }
+        assert(got.toList === expected, s"pattern=$pat trial $trial seq=$str")
+      }
+    }
+  }
+
+  test("detectPatternQ strict: next/notNext kill across micro-batches (round 13)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams.detectPatternQ(in.toDS(),
+        EventStreams.parsePattern("view !>error click >purchase"),
+        withinSec = 60L * 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // user 1: the event right after the view (arriving in a LATER
+      // batch — the fresh flag must persist in state) is an error → the
+      // run dies; the later click+purchase alone must not match
+      in.addData(ev(1, 1, "view", 0))
+      q.processAllAvailable()
+      in.addData(ev(2, 1, "error", 5), ev(3, 1, "click", 8),
+        ev(4, 1, "purchase", 10))
+      q.processAllAvailable()
+      assert(s.table(name).count() === 0, "notNext kill failed across batches")
+      // user 2: a signup right after the view SPENDS the guard; the later
+      // error is skipped as usual; click then immediately purchase
+      in.addData(ev(5, 2, "view", 20), ev(6, 2, "signup", 21))
+      q.processAllAvailable()
+      in.addData(ev(7, 2, "error", 22), ev(8, 2, "click", 24),
+        ev(9, 2, "purchase", 25))
+      q.processAllAvailable()
+      val m2 = s.table(name).as[PatternMatch].collect()
+      assert(m2.toList === List(PatternMatch(2L, ts(20), ts(25), 3)),
+        m2.mkString(","))
+      // user 3: a signup between click and purchase breaks the STRICT
+      // step and kills the run; the killing event cannot reopen (not a
+      // view), but a later full chain matches — and the strict-kill
+      // restart is exactly the committed regex's next leftmost attempt
+      in.addData(ev(10, 3, "view", 30), ev(11, 3, "click", 31),
+        ev(12, 3, "signup", 32))
+      q.processAllAvailable()
+      in.addData(ev(13, 3, "view", 33), ev(14, 3, "click", 34),
+        ev(15, 3, "purchase", 35))
+      q.processAllAvailable()
+      val m3 = s.table(name).as[PatternMatch].collect().filter(_.user_id == 3L)
+      assert(m3.toList === List(PatternMatch(3L, ts(33), ts(35), 3)),
+        m3.mkString(","))
+    } finally q.stop()
+  }
+
+  test("detectPatternQTws ≡ detectPatternQ on strict chains (round 13)") {
+    val steps = EventStreams.parsePattern("view !>error click >purchase")
+    val batches = Seq(
+      Seq(ev(1, 1, "view", 0)),
+      Seq(ev(2, 1, "error", 5), ev(3, 1, "click", 8), ev(4, 1, "purchase", 10)),
+      Seq(ev(5, 2, "view", 20), ev(6, 2, "signup", 21)),
+      Seq(ev(7, 2, "error", 22), ev(8, 2, "click", 24), ev(9, 2, "purchase", 25),
+          ev(10, 3, "view", 30), ev(11, 3, "click", 31), ev(12, 3, "signup", 32),
+          ev(13, 3, "view", 33), ev(14, 3, "click", 34), ev(15, 3, "purchase", 35)))
+    def norm(xs: Seq[PatternMatch]) =
+      xs.sortBy(m => (m.user_id, m.start.getTime, m.end.getTime))
+    implicit val enc = org.apache.spark.sql.Encoders.product[PatternMatch]
+    val fmgws = norm(runScripted[PatternMatch](
+      EventStreams.detectPatternQ(_, steps, 60L * 60), batches))
+    val tws = withRocksDb { norm(runScripted[PatternMatch](
+      EventStreams.detectPatternQTws(_, steps, 60L * 60), batches)) }
+    assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
+    assert(fmgws.map(m => (m.user_id, m.start, m.end)) ===
+      Seq((2L, ts(20), ts(25)), (3L, ts(33), ts(35))), fmgws.toString)
+  }
+
   test("lazyRegexTwin reproduces the catalog oracle regexes") {
     // q_stream_cep2's hand-spelled oracle string, derived
     assert(EventStreams.lazyRegexTwin(
