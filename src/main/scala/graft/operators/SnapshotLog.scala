@@ -86,10 +86,41 @@ object SnapshotLog {
     * configured; Jackson ships with Spark. */
   private[operators] val Json =
     new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Per-file stats carried IN the log entry: key bounds `[lo, hi]`
+    * (the unbounded sentinel `(Long.MinValue, Long.MaxValue)` when the
+    * footer can't bound the key — non-integral key, all-NULL keys,
+    * missing footer statistics), `cols`/`scols` bounds for the other
+    * stats-budgeted integral/string columns, per-column NULL counts
+    * (`nulls`, present only when every row group reported one — a 0 is
+    * meaningful: the column has NO nulls in this file), and the file's
+    * row count (`rows`, −1 for legacy entries). Every part file of a
+    * committed dir gets a row (round 13), so the stats are also the
+    * complete file listing of sv≥2 entries — the Delta pattern where
+    * skipping works at any time-travel version because the stats are
+    * versioned with the snapshot, not rebuilt from the live layout. */
+  private[graft] case class FileStat(file: String, lo: Long, hi: Long,
+      cols: Map[String, (Long, Long)] = Map.empty,
+      scols: Map[String, (String, String)] = Map.empty,
+      nulls: Map[String, Long] = Map.empty,
+      rows: Long = -1L) {
+    /** False for the unbounded sentinel (no trusted key bounds). */
+    def keyed: Boolean = !(lo == Long.MinValue && hi == Long.MaxValue)
+  }
+
+  /** Versioned snapshot listing parsed from one `_log/<N>.json` entry.
+    * `sv` is the stats coverage level: ≥2 guarantees `stats` holds a row
+    * for every data file of every entry in `data` (so pruned reads need
+    * no directory listing); 1 marks legacy/hand-written entries whose
+    * coverage may be partial — pruned reads then list the live dirs and
+    * scan any file lacking a stats row (correct, one metadata op per
+    * dir). */
+  private[graft] case class Entry(data: Seq[String], deletes: Seq[String],
+      stats: Seq[FileStat], sv: Int)
 }
 
 final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
-  import SnapshotLog.Json
+  import SnapshotLog.{Entry, FileStat, Json}
 
   private val logDir = Paths.get(root, "_log")
 
@@ -126,37 +157,6 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toInt).foldLeft(0)(math.max)
 
-  /** Per-file stats carried IN the log entry: key bounds `[lo, hi]`
-    * (the unbounded sentinel `(Long.MinValue, Long.MaxValue)` when the
-    * footer can't bound the key — non-integral key, all-NULL keys,
-    * missing footer statistics), `cols`/`scols` bounds for the other
-    * stats-budgeted integral/string columns, per-column NULL counts
-    * (`nulls`, present only when every row group reported one — a 0 is
-    * meaningful: the column has NO nulls in this file), and the file's
-    * row count (`rows`, −1 for legacy entries). Every part file of a
-    * committed dir gets a row (round 13), so the stats are also the
-    * complete file listing of sv≥2 entries — the Delta pattern where
-    * skipping works at any time-travel version because the stats are
-    * versioned with the snapshot, not rebuilt from the live layout. */
-  private[operators] case class FileStat(file: String, lo: Long, hi: Long,
-      cols: Map[String, (Long, Long)] = Map.empty,
-      scols: Map[String, (String, String)] = Map.empty,
-      nulls: Map[String, Long] = Map.empty,
-      rows: Long = -1L) {
-    /** False for the unbounded sentinel (no trusted key bounds). */
-    def keyed: Boolean = !(lo == Long.MinValue && hi == Long.MaxValue)
-  }
-
-  /** Versioned snapshot listing parsed from one `_log/<N>.json` entry.
-    * `sv` is the stats coverage level: ≥2 guarantees `stats` holds a row
-    * for every data file of every entry in `data` (so pruned reads need
-    * no directory listing); 1 marks legacy/hand-written entries whose
-    * coverage may be partial — pruned reads then list the live dirs and
-    * scan any file lacking a stats row (correct, one metadata op per
-    * dir). */
-  private[operators] case class Entry(data: Seq[String], deletes: Seq[String],
-      stats: Seq[FileStat], sv: Int)
-
   /** Max non-key columns carrying per-file stats (Delta's
     * dataSkippingNumIndexedCols analogue); integral and string columns
     * share the budget. The KEY column never competes for it — it is
@@ -188,7 +188,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }.getOrElse(Map.empty)
   }
 
-  private[operators] def readEntry(v: Int): Entry = {
+  private[graft] def readEntry(v: Int): Entry = {
     require(Files.exists(entryPath(v)),
       s"version $v of $root is gone — vacuumed past the retention horizon " +
         "(or never committed); time travel only reaches retained versions")
@@ -214,6 +214,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }.getOrElse(Nil)
     Entry(arr("data"), arr("deletes"), stats,
       Option(tree.get("sv")).map(_.asInt()).getOrElse(1))
+  }
+
+  /** The table's key column as recorded in version `v`'s entry (None for
+    * legacy entries written before the field existed). */
+  private[graft] def keyOf(v: Int): Option[String] = {
+    val tree = Json.readTree(Files.readString(entryPath(v)))
+    Option(tree.get("key")).map(_.asText())
   }
 
   /** The table schema AS OF version `v`, from the log entry alone — the
@@ -445,6 +452,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     txn.toSeq.sortBy(_._1).foreach { case (a, b) => txnNode.put(a, b); () }
     node.put("op", op)
     node.put("sv", sv)
+    // the table's key column rides every entry so engine-native readers
+    // (the snaplog DSv2 source) can apply MOR deletes and key-range
+    // pruning without out-of-band configuration
+    node.put("key", keyCol)
     schema.foreach(s => node.set[JsonNode]("schema", Json.readTree(s.json)))
     val tmp = logDir.resolve(
       s".commit-${java.util.UUID.randomUUID().toString}.tmp")
@@ -861,7 +872,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   /** Data files of an entry (a dir or a single file) — one metadata
     * listing, no data read. */
-  private def dataFilesOf(entry: String): Seq[String] = {
+  private[graft] def dataFilesOf(entry: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(entry)
     val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fsys.getFileStatus(p).isFile) Seq(entry)

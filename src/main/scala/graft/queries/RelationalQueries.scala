@@ -200,6 +200,46 @@ object RelationalQueries {
         .orderBy(col("version"))
     }),
 
+    // Snapshot-log DSv2 connector (round 13): the same three-commit table
+    // as q_scan_timetravel read ENGINE-natively via
+    // spark.read.format("snaplog") — versioned reads (option("version")),
+    // the logged schema, MOR delete application inside the readers (no
+    // join node), and log-stats file pruning as a PLANNING fact: the
+    // in-flight require asserts a key-range filter shrinks
+    // BatchScanExec's input partitions. Same oracle as q_scan_timetravel
+    // plus a pruned-probe aggregate row.
+    "q_scan_snaplog_dsv2" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dv2").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 300)
+        .repartitionByRange(4, col("doc_id")))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500)
+        .repartitionByRange(4, col("doc_id")))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      def snap(v: Int) =
+        s.read.format("snaplog").option("version", v).load(tmp)
+      def parts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+      val pruned = snap(3).where(col("doc_id") >= 400)
+      require(parts(pruned) < parts(snap(3)),
+        s"pushed filter pruned nothing (${parts(pruned)}/${parts(snap(3))})")
+      (1 to 3).map(v => snap(v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n"), col("sum_chars")))
+        .reduce(_ unionByName _)
+        .unionByName(pruned
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(4).as("version"), col("n"), col("sum_chars")))
+        .orderBy(col("version"))
+    }),
+
     // Copy-on-write MERGE on the snapshot log (round 12): upsert a batch
     // that updates [250,350), inserts [500,600), and RESURRECTS keys the
     // v3 sidecar had deleted (sidecars consolidate to old-minus-update
@@ -900,6 +940,21 @@ object RelationalQueries {
          UNION ALL
          SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0
+         ORDER BY version""",
+    "q_scan_snaplog_dsv2" ->
+      """SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 300
+         UNION ALL
+         SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500
+         UNION ALL
+         SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0
+         UNION ALL
+         SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents
+         WHERE doc_id >= 400 AND doc_id < 500 AND doc_id % 7 <> 0
          ORDER BY version""",
     "q_scan_merge" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,

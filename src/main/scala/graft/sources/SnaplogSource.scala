@@ -1,0 +1,436 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{SnapshotLog, SnapshotTable}
+
+/** DataSource V2 reader for [[graft.operators.SnapshotLog]] tables —
+  * `spark.read.format("snaplog").load(root)` — making the log's read-side
+  * contract ENGINE-native instead of a method-call surface: versioned
+  * snapshots (`option("version", N)` time travel), the LOGGED schema
+  * (old files read added columns as NULL, each version under its own
+  * schema, zero footer inference), merge-on-read delete application, and
+  * log-stats FILE PRUNING as a *planning* fact — pushed filters shrink
+  * `planInputPartitions`, so `explain`/`BatchScanExec` show exactly which
+  * files a predicate reads, and the pruned scan composes with joins,
+  * AQE, and SQL text like any other V2 relation.
+  *
+  * What the planner pushes down:
+  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the parquet
+  *     readers decode only requested columns (plus the key column when a
+  *     delete sidecar must be applied).
+  *   - FILTERS ([[SupportsPushDownFilters]]): =, <, <=, >, >=, IN,
+  *     IS NULL / IS NOT NULL, and AND/OR of those prune whole FILES via
+  *     the per-file bounds + null counts carried in the versioned log
+  *     entry — the same evidence `SnapshotTable.readWhere*` uses, so
+  *     pruning works at any time-travel version with no directory
+  *     listing (sv≥2 entries' stats are the complete file listing).
+  *     Every filter is also RE-EVALUATED by Spark (file-level pruning is
+  *     never exact), so unsupported predicates are merely unpruned.
+  *
+  * Merge-on-read deletes are applied INSIDE the readers: the sidecar
+  * keys (key-count-sized by the log's contract — the deletion-vector
+  * bound) load once at plan time and ship with the reader factory; each
+  * row's key probes a hash set. A reader therefore returns exactly the
+  * anti-joined view without a join node in the plan.
+  *
+  * Scope: flat schemas of {long, int, double, float, boolean, string}
+  * columns — the analytic shapes the snapshot log's stats cover. Nested
+  * or temporal REQUESTED columns fail LOUDLY at scan build; the
+  * `SnapshotTable` API remains the general path. The key column name
+  * rides in every entry (`"key"`), so no out-of-band configuration is
+  * needed; legacy entries accept `option("key", col)`.
+  */
+object SnaplogSource {
+
+  private[sources] val SupportedTypes: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType)
+
+  /** Numeric filter value → Long (None for non-integral values). */
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Long  => Some(n)
+    case n: Int   => Some(n.toLong)
+    case n: Short => Some(n.toLong)
+    case n: Byte  => Some(n.toLong)
+    case _        => None
+  }
+
+  /** Could `s`'s file hold rows satisfying `f`? True when the logged
+    * evidence cannot EXCLUDE the file — unknown columns, untyped values
+    * and unsupported filter shapes all keep the file (pruning never
+    * changes results; Spark re-applies every filter exactly). */
+  private[sources] def mayKeep(s: SnapshotLog.FileStat, keyCol: String,
+                               f: Filter): Boolean = {
+    def lb(c: String): Option[(Long, Long)] =
+      if (c == keyCol && s.keyed) Some((s.lo, s.hi)) else s.cols.get(c)
+    def cmpLong(c: String, v: Any)(test: (Long, Long, Long) => Boolean) =
+      asLong(v) match {
+        case Some(x) => lb(c).forall { case (l, h) => test(l, h, x) }
+        case None    => true
+      }
+    def cmpStr(c: String, v: Any)(test: (String, String, String) => Boolean) =
+      v match {
+        case x: String => s.scols.get(c).forall { case (l, h) => test(l, h, x) }
+        case _         => true
+      }
+    f match {
+      case And(a, b) => mayKeep(s, keyCol, a) && mayKeep(s, keyCol, b)
+      case Or(a, b)  => mayKeep(s, keyCol, a) || mayKeep(s, keyCol, b)
+      case EqualTo(c, v) =>
+        cmpLong(c, v)((l, h, x) => l <= x && x <= h) &&
+          cmpStr(c, v)((l, h, x) => l <= x && x <= h)
+      case GreaterThan(c, v) =>
+        cmpLong(c, v)((_, h, x) => h > x) && cmpStr(c, v)((_, h, x) => h > x)
+      case GreaterThanOrEqual(c, v) =>
+        cmpLong(c, v)((_, h, x) => h >= x) && cmpStr(c, v)((_, h, x) => h >= x)
+      case LessThan(c, v) =>
+        cmpLong(c, v)((l, _, x) => l < x) && cmpStr(c, v)((l, _, x) => l < x)
+      case LessThanOrEqual(c, v) =>
+        cmpLong(c, v)((l, _, x) => l <= x) && cmpStr(c, v)((l, _, x) => l <= x)
+      case In(c, vs) =>
+        vs.isEmpty || vs.exists(v => mayKeep(s, keyCol, EqualTo(c, v)))
+      case IsNull(c) =>
+        s.rows < 0 || s.nulls.get(c).forall(_ > 0)
+      case IsNotNull(c) =>
+        s.rows < 0 || s.nulls.get(c).forall(_ < s.rows)
+      case _ => true
+    }
+  }
+}
+
+class SnaplogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "snaplog"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def resolve(options: util.Map[String, String])
+      : (SnapshotTable, Int, String) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("snaplog source requires a path"))
+    // the handle is used for entry/schema resolution only; the real key
+    // column is read back out of the versioned entry itself
+    val t = SnapshotLog.open(SparkSession.active, path, "__resolve")
+    val latest = t.currentVersion()
+    require(latest >= 1, s"empty snaplog table at $path")
+    val v = Option(options.get("version")).map(_.toInt).getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"version $v out of range [1, $latest] for $path")
+    val key = t.keyOf(v).orElse(Option(options.get("key"))).getOrElse(
+      throw new IllegalArgumentException(
+        "legacy snaplog entry carries no key column; pass option(\"key\", ...)"))
+    (t, v, key)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (t, v, _) = resolve(options)
+    t.schemaOf(v).getOrElse(throw new IllegalArgumentException(
+      s"snaplog entry $v carries no schema (legacy table) — " +
+        "read it through the SnapshotTable API"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val (t, v, key) = resolve(properties)
+    new SnaplogTable(SparkSession.active, t, properties.get("path"), v, key,
+      schema)
+  }
+}
+
+class SnaplogTable(spark: SparkSession, t: SnapshotTable,
+                   path: String, version: Int, keyCol: String,
+                   tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"snaplog:$path@v$version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+        with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // file-level pruning is inexact: Spark re-applies them all
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def build(): Scan = {
+        val bad = required.fields.filterNot(f =>
+          SnaplogSource.SupportedTypes.contains(f.dataType))
+        require(bad.isEmpty,
+          s"snaplog DSv2 reads flat long/int/double/float/boolean/string " +
+            s"columns; unsupported: ${bad.map(f =>
+              s"${f.name}:${f.dataType.simpleString}").mkString(",")} — " +
+            "use the SnapshotTable API for these")
+        new SnaplogScan(spark, t, path, version, keyCol, tableSchema,
+          required, pushed)
+      }
+    }
+}
+
+class SnaplogScan(spark: SparkSession, t: SnapshotTable,
+                  path: String, version: Int, keyCol: String,
+                  tableSchema: StructType, required: StructType,
+                  filters: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val entry = t.readEntry(version)
+
+  private def norm(p: String): String = {
+    val viaUri =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null) u.getPath else p
+      } catch { case _: Exception => p }
+    viaUri.replaceAll("/{2,}", "/").stripSuffix("/")
+  }
+  private def normBelongs(f: String, d: String): Boolean = {
+    val nf = norm(f); val nd = norm(d)
+    nf == nd || nf.startsWith(nd + "/")
+  }
+
+  /** Files the pushed filters cannot exclude, from the versioned entry's
+    * stats alone — the planning-time half of `SnapshotTable.readWhere*`.
+    * sv≥2 entries need no listing (stats ARE the file listing); legacy
+    * entries fall back to one listing per live dir so unstatted files
+    * are scanned, never lost. */
+  private lazy val keptFiles: Seq[String] = {
+    val live = entry.data
+    val liveStats = entry.stats.filter(s =>
+      live.exists(d => normBelongs(s.file, d)))
+    val kept = liveStats
+      .filter(s => filters.forall(f => SnaplogSource.mayKeep(s, keyCol, f)))
+      .map(_.file)
+    val extra =
+      if (entry.sv >= 2)
+        live.filterNot(d => entry.stats.exists(s => normBelongs(s.file, d)))
+          .flatMap(t.dataFilesOf)
+      else {
+        val statted = entry.stats.map(s => norm(s.file)).toSet
+        live.flatMap(d => t.dataFilesOf(d))
+          .filterNot(f => statted.contains(norm(f)))
+      }
+    kept ++ extra
+  }
+
+  /** Sidecar delete keys, loaded ONCE at plan time (key-count-sized by
+    * the log's deletion-vector contract) and shipped to every reader. */
+  private lazy val deletedKeys: Array[Any] =
+    if (entry.deletes.isEmpty) Array.empty
+    else {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(entry.deletes: _*).select(col(keyCol)).distinct()
+        .collect().flatMap(r =>
+          if (r.isNullAt(0)) None else Some(normKey(r.get(0))))
+    }
+
+  private def normKey(v: Any): Any = v match {
+    case n: Int    => java.lang.Long.valueOf(n.toLong)
+    case n: Long   => java.lang.Long.valueOf(n)
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"snaplog DSv2 delete sidecars support long/int/string keys; " +
+        s"got ${other.getClass.getSimpleName}")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.sorted.map(f => SnaplogFilePartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // readers decode required columns plus (when deletes apply) the key
+    val needKey = deletedKeys.nonEmpty &&
+      !required.fieldNames.contains(keyCol)
+    val readFields: StructType =
+      if (needKey)
+        StructType(required.fields :+
+          tableSchema.fields.find(_.name == keyCol).getOrElse(
+            throw new IllegalArgumentException(
+              s"key column $keyCol missing from table schema")))
+      else required
+    val keyIdx =
+      if (deletedKeys.isEmpty) -1 else readFields.fieldNames.indexOf(keyCol)
+    SnaplogReaderFactory(readFields, required.size, keyIdx,
+      deletedKeys, new SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
+  }
+
+  override def description(): String =
+    s"snaplog $path v$version files=${keptFiles.size} " +
+      s"deletes=${deletedKeys.length} " +
+      s"PushedFilters=[${filters.mkString(", ")}]"
+}
+
+case class SnaplogFilePartition(file: String) extends InputPartition
+
+case class SnaplogReaderFactory(readFields: StructType, requiredCount: Int,
+                                keyIdx: Int, deletedKeys: Array[Any],
+                                conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[SnaplogFilePartition].file
+    new SnaplogFileReader(file, readFields, requiredCount, keyIdx,
+      deletedKeys, conf.value)
+  }
+}
+
+/** Reads one parquet file into [[InternalRow]]s of `readFields` order via
+  * parquet-column's record assembly (MessageColumnIO + a custom
+  * [[org.apache.parquet.io.api.RecordMaterializer]]): column projection
+  * is pushed to the page level, columns the file lacks (pre-evolution)
+  * surface as NULL, and rows whose key is in `deletedKeys` are dropped
+  * in-place (merge-on-read without a join node). Only the first
+  * `requiredCount` fields are emitted — the key may be decoded solely
+  * for the delete probe. */
+class SnaplogFileReader(file: String, readFields: StructType,
+                        requiredCount: Int, keyIdx: Int,
+                        deletedKeys: Array[Any],
+                        conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.ColumnIOFactory
+  import org.apache.parquet.schema.MessageType
+
+  private val deleted: java.util.HashSet[Any] = {
+    val s = new java.util.HashSet[Any](math.max(16, deletedKeys.length * 2))
+    deletedKeys.foreach(s.add)
+    s
+  }
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  // project to the wanted columns PRESENT in this file (older files may
+  // lack evolved columns — they stay NULL in the assembled row)
+  private val presentNames = readFields.fieldNames
+    .filter(fileSchema.containsField)
+  private val projection: Option[MessageType] =
+    if (presentNames.isEmpty) None
+    else Some(new MessageType(fileSchema.getName,
+      presentNames.map(n => fileSchema.getType(Seq(n): _*)): _*))
+  projection.foreach(reader.setRequestedSchema)
+
+  private val materializer =
+    new SnaplogRowMaterializer(readFields, presentNames.toIndexedSeq)
+  private val columnIO =
+    projection.map(p => new ColumnIOFactory().getColumnIO(p))
+
+  private var rowsLeftInGroup = 0L
+  private var recordReader: org.apache.parquet.io.RecordReader[GenericInternalRow] = _
+  // no wanted column present in the file: emit bare (all-NULL) rows so
+  // row COUNTS stay exact for pre-evolution files and count(*) pushups
+  private var emptyRowsLeft: Long =
+    if (projection.isEmpty) {
+      var n = 0L; reader.getFooter.getBlocks.forEach(b => n += b.getRowCount); n
+    } else 0L
+  private var row: InternalRow = _
+
+  private def advanceGroup(): Boolean = {
+    val pages = reader.readNextRowGroup()
+    if (pages == null) return false
+    rowsLeftInGroup = pages.getRowCount
+    recordReader = columnIO.get.getRecordReader(pages, materializer)
+    true
+  }
+
+  override def next(): Boolean = {
+    if (projection.isEmpty) {
+      if (emptyRowsLeft <= 0) return false
+      emptyRowsLeft -= 1
+      row = new GenericInternalRow(new Array[Any](requiredCount))
+      true
+    } else {
+      while (true) {
+        if (rowsLeftInGroup <= 0 && !advanceGroup()) return false
+        while (rowsLeftInGroup > 0) {
+          rowsLeftInGroup -= 1
+          val assembled = recordReader.read()
+          if (keyIdx < 0 || !isDeleted(assembled)) {
+            row =
+              if (assembled.numFields == requiredCount) assembled
+              else new GenericInternalRow(
+                Array.tabulate[Any](requiredCount)(i =>
+                  assembled.get(i, readFields.fields(i).dataType)))
+            return true
+          }
+        }
+      }
+      false // unreachable: the loop above always returns
+    }
+  }
+
+  private def isDeleted(r: GenericInternalRow): Boolean = {
+    if (r.isNullAt(keyIdx)) return false // null keys never match a key set
+    val k = readFields.fields(keyIdx).dataType match {
+      case LongType    => java.lang.Long.valueOf(r.getLong(keyIdx))
+      case IntegerType => java.lang.Long.valueOf(r.getInt(keyIdx).toLong)
+      case StringType  => r.getUTF8String(keyIdx).toString
+      case dt => throw new IllegalArgumentException(
+        s"unsupported snaplog key type ${dt.simpleString}")
+    }
+    deleted.contains(k)
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+/** Assembles parquet records straight into [[GenericInternalRow]]s laid
+  * out in `readFields` order; fields absent from the file's projection
+  * (`projected` is the file-present subset, in projection order) remain
+  * NULL. Flat primitive schemas only (the provider enforces the type set
+  * at scan build). */
+class SnaplogRowMaterializer(readFields: StructType, projected: IndexedSeq[String])
+    extends org.apache.parquet.io.api.RecordMaterializer[GenericInternalRow] {
+  import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter}
+
+  private val values = new Array[Any](readFields.size)
+  private val idxByName = readFields.fieldNames.zipWithIndex.toMap
+
+  private class FieldConverter(slot: Int) extends PrimitiveConverter {
+    override def addLong(v: Long): Unit = values(slot) = v
+    override def addInt(v: Int): Unit = values(slot) = v
+    override def addDouble(v: Double): Unit = values(slot) = v
+    override def addFloat(v: Float): Unit = values(slot) = v
+    override def addBoolean(v: Boolean): Unit = values(slot) = v
+    override def addBinary(v: Binary): Unit =
+      values(slot) = UTF8String.fromBytes(v.getBytes)
+  }
+
+  private val converters: Array[Converter] =
+    projected.map(name => new FieldConverter(idxByName(name)): Converter)
+      .toArray
+
+  private val root: GroupConverter = new GroupConverter {
+    override def getConverter(fieldIndex: Int): Converter =
+      converters(fieldIndex)
+    override def start(): Unit =
+      java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
+    override def end(): Unit = ()
+  }
+
+  override def getRootConverter: GroupConverter = root
+
+  override def getCurrentRecord: GenericInternalRow =
+    new GenericInternalRow(values.clone())
+}

@@ -341,14 +341,35 @@ object ClusterCheck {
       System.err.println(s"[chaos] snapshot-log txn ingest: $e"); false
     } finally { stop3.set(true); killer3.join(2000) }
 
+    // round-13 connector phase: the survivor table — rebased commits,
+    // post-kill merge splits, txn-ingested batches — read back through
+    // the snaplog DSv2 source must equal the SnapshotTable view exactly,
+    // deletes/carries included, and a pushed key filter must still prune
+    // input partitions from the rebased log stats
+    val dsv2Ok = try {
+      val api = t1.read()
+      val con = spark.read.format("snaplog").load(root)
+      def parts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+      con.count() == api.count() &&
+        con.exceptAll(api).isEmpty && api.exceptAll(con).isEmpty &&
+        parts(con.where(col("id") >= 1001000L && col("id") <= 1001999L)) <
+          parts(con)
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] snaplog DSv2 readback: $e"); false
+    }
+
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
-      total == expect && monotone && pruned && mergeOk && txnOk
+      total == expect && monotone && pruned && mergeOk && txnOk && dsv2Ok
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
       s""""mergeOk":$mergeOk,"mergeKillLanded":${killed2.get()},""" +
       s""""txnOk":$txnOk,"txnKillLanded":${killed3.get()},""" +
-      s""""ok":$ok}"""
+      s""""dsv2Ok":$dsv2Ok,"ok":$ok}"""
     (json, ok)
   }
 

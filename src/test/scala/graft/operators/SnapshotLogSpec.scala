@@ -679,13 +679,15 @@ class SnapshotLogSpec extends SparkSpec {
         when(col("id") >= 2000, concat(lit("t"), col("id"))).as("tag"))
       .repartitionByRange(8, col("id")))
     assert(t.read().inputFiles.length == 8)
+    // range partitioning SAMPLES boundaries: the id=2000 null boundary
+    // may straddle one file — 4 or 5 of 8 scanned, never all
     val notNull = t.readWhereNull("tag", isNull = false)
     assert(notNull.count() == 2000)
-    assert(notNull.inputFiles.length == 4,
+    assert(notNull.inputFiles.length <= 5,
       s"IS NOT NULL must skip the all-NULL files: ${notNull.inputFiles.length}/8")
     val isNull = t.readWhereNull("tag", isNull = true)
     assert(isNull.count() == 2000)
-    assert(isNull.inputFiles.length == 4,
+    assert(isNull.inputFiles.length <= 5,
       s"IS NULL must skip the null-free files: ${isNull.inputFiles.length}/8")
     // null counts ride a merge carry: update one high band, re-probe
     t.commitMerge(spark.range(3000, 3100)

@@ -1,0 +1,177 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class SnaplogSourceSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  private def scanParts(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions.size
+    }.sum
+
+  private def snap(root: String, version: Int = -1): DataFrame = {
+    val r = spark.read.format("snaplog")
+    (if (version > 0) r.option("version", version) else r).load(root)
+  }
+
+  test("snaplog DSv2: versioned reads ≡ SnapshotTable.read, MOR deletes inline") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 100L).map(i => (i, s"a$i", i * 2.0)).toDF("id", "v", "w")
+      .repartitionByRange(4, col("id")))
+    t.commitAppend((101L to 150L).map(i => (i, s"b$i", i * 2.0)).toDF("id", "v", "w"))
+    t.commitDelete(Seq(7L, 40L, 120L).toDF("id"))
+
+    for (v <- 1 to 3) {
+      val api = t.read(v).as[(Long, String, Double)].collect().toSet
+      val dsv2 = snap(root, v).as[(Long, String, Double)].collect().toSet
+      assert(dsv2 === api, s"version $v mismatch")
+    }
+    // default = latest; deletes applied INSIDE the readers, no join node
+    val live = snap(root)
+    assert(live.count() === 147)
+    val plan = live.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"MOR deletes must not plan a join:\n$plan")
+    assert(live.where(col("id") === 7L).count() === 0)
+    // version bounds fail loudly
+    intercept[Exception](snap(root, 99).collect())
+  }
+
+  test("snaplog DSv2: pushed filters prune input partitions from the log stats") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2p").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val langs = Seq("ar", "de", "en", "fr")
+    t.commitAppend(spark.range(0, 4000)
+      .select(col("id"), (col("id") * 3).as("ts"),
+        element_at(lit(langs.toArray), (col("id") % 4 + 1).cast("int")).as("lang"),
+        when(col("id") >= 2000, concat(lit("t"), col("id"))).as("tag"))
+      .repartitionByRange(8, col("id"))) // id-clustered: ts rides it; lang does not
+    val total = scanParts(snap(root))
+    assert(total === 8)
+
+    // key range prunes
+    val keyProbe = snap(root).where(col("id") >= 100 && col("id") <= 300)
+    assert(scanParts(keyProbe) < total, "key filter must prune partitions")
+    assert(keyProbe.count() === 201)
+    // non-key integral range prunes
+    val tsProbe = snap(root).where(col("ts") === 3000L)
+    assert(scanParts(tsProbe) === 1, s"got ${scanParts(tsProbe)}")
+    assert(tsProbe.count() === 1)
+    // IS NULL / IS NOT NULL prune via logged null counts (range
+    // partitioning SAMPLES boundaries, so the id=2000 null boundary may
+    // straddle one file — 4 or 5 of 8 scanned, never all)
+    val nn = snap(root).where(col("tag").isNotNull)
+    assert(scanParts(nn) <= 5, s"got ${scanParts(nn)}")
+    assert(nn.count() === 2000)
+    val nl = snap(root).where(col("tag").isNull)
+    assert(scanParts(nl) <= 5, s"got ${scanParts(nl)}")
+    assert(nl.count() === 2000)
+    // IN-list prunes to the stabbed files
+    val inProbe = snap(root).where(col("id").isin(5L, 3995L))
+    assert(scanParts(inProbe) === 2, s"got ${scanParts(inProbe)}")
+    assert(inProbe.count() === 2)
+    // an unprunable filter (lang spans every file) still answers exactly
+    val lp = snap(root).where(col("lang") === "en")
+    assert(lp.count() === 1000)
+
+    // string stats prune on a lang-clustered layout
+    val root2 = java.nio.file.Files.createTempDirectory("graft_dsv2s").toString
+    val t2 = SnapshotLog.open(spark, root2, "id")
+    t2.commitAppend(spark.range(0, 4000)
+      .select(col("id"),
+        element_at(lit(langs.toArray), (col("id") % 4 + 1).cast("int")).as("lang"))
+      .repartitionByRange(8, col("lang"), col("id")))
+    val sp = snap(root2).where(col("lang") === "en")
+    assert(scanParts(sp) < 8, s"string stats must prune: ${scanParts(sp)}/8")
+    assert(sp.count() === 1000)
+  }
+
+  test("snaplog DSv2: column pruning reaches the parquet readers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2c").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 50L).map(i => (i, s"v$i", s"body-$i" * 10))
+      .toDF("id", "v", "body"))
+    val pruned = snap(root).select(col("id"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("id"),
+      scans.head.scan.readSchema().toString)
+    assert(pruned.as[Long].collect().sorted.toSeq === (1L to 50L))
+    // with deletes, the key is decoded for the probe but NOT emitted
+    t.commitDelete(Seq(3L).toDF("id"))
+    val vOnly = snap(root).select(col("v"))
+    assert(vOnly.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head.scan.readSchema().fieldNames.toSeq === Seq("v"))
+    assert(vOnly.as[String].collect().toSet ===
+      (1L to 50L).filterNot(_ == 3L).map(i => s"v$i").toSet)
+    // count(*) over a delete-bearing table stays exact (empty projection
+    // still probes the key)
+    assert(snap(root).count() === 49)
+  }
+
+  test("snaplog DSv2: logged-schema evolution and per-version schemas") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2e").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 5L).map(i => (i, s"a$i")).toDF("id", "v"))
+    t.commitAppend((6L to 8L).map(i => (i, s"b$i", i * 10.0))
+      .toDF("id", "v", "score"))
+    // latest reads under the evolved schema; old files null-fill score
+    val live = snap(root)
+    assert(live.columns.toSeq === Seq("id", "v", "score"))
+    assert(live.where(col("score").isNull).count() === 5)
+    assert(live.where(col("score").isNotNull).count() === 3)
+    // time travel reads v1 under ITS schema — no phantom column
+    assert(snap(root, 1).columns.toSeq === Seq("id", "v"))
+    assert(snap(root, 1).count() === 5)
+    // a projection of ONLY the evolved column over pre-evolution files
+    // (empty file projection) still yields the right row count
+    assert(snap(root).select(col("score")).where(col("score").isNull)
+      .count() === 5)
+  }
+
+  test("snaplog DSv2: composes with SQL text and broadcast joins") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2q").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("g"))
+      .repartitionByRange(4, col("id")))
+    snap(root).createOrReplaceTempView("snap_sql_view")
+    val joined = spark.sql(
+      """SELECT d.name, count(*) AS n, sum(s.id) AS sum_ids
+         FROM snap_sql_view s
+         JOIN (SELECT 1 AS g, 'one' AS name) d ON s.g = d.g
+         WHERE s.id < 500
+         GROUP BY d.name""")
+    val r = joined.collect()
+    val expect = (0L until 500L).filter(_ % 7 == 1)
+    assert(r.length === 1 && r.head.getLong(1) === expect.size.toLong &&
+      r.head.getLong(2) === expect.sum)
+    // the SQL-text WHERE pushed through to partition pruning
+    assert(scanParts(spark.sql(
+      "SELECT * FROM snap_sql_view WHERE id < 100")) < 4)
+  }
+
+  test("snaplog DSv2: unsupported REQUESTED types fail loudly, others read fine") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2t").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(Seq((1L, "a", Seq(1, 2)), (2L, "b", Seq(3)))
+      .toDF("id", "v", "arr"))
+    // projecting only flat columns works
+    assert(snap(root).select("id", "v").count() === 2)
+    // requesting the array column is a loud plan-time error
+    val e = intercept[Exception](snap(root).select("arr").collect())
+    assert(e.getMessage.contains("unsupported") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported")),
+      e.toString)
+  }
+}
