@@ -13,8 +13,8 @@ import org.apache.spark.sql.streaming.Trigger
   * micro-batch maps the newly seen entry files to their versions and
   * computes the exact per-version row diff `changes(v-1, v)` with the
   * batch API (v = 1 diffs against the empty table: a pure-insert
-  * backfill), writing each version's diff to its own `v=<N>` partition
-  * directory with overwrite — so a retried batch rewrites the same
+  * backfill), writing each version's diff to its own `cdf_version=<N>`
+  * partition directory with overwrite — so a retried batch rewrites the same
   * bytes and the sink stays exactly-once per version without a
   * transactional sink.
   *
