@@ -84,7 +84,7 @@ object SnapshotLog {
 
   /** Shared entry (de)serializer — ObjectMapper is thread-safe once
     * configured; Jackson ships with Spark. */
-  private[operators] val Json =
+  private[graft] val Json =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Per-file stats carried IN the log entry: key bounds `[lo, hi]`
@@ -221,6 +221,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   private[graft] def keyOf(v: Int): Option[String] = {
     val tree = Json.readTree(Files.readString(entryPath(v)))
     Option(tree.get("key")).map(_.asText())
+  }
+
+  /** The operation that produced version `v` ("unknown" for legacy
+    * entries). */
+  private[graft] def opOf(v: Int): String = {
+    val tree = Json.readTree(Files.readString(entryPath(v)))
+    Option(tree.get("op")).map(_.asText()).getOrElse("unknown")
   }
 
   /** The table schema AS OF version `v`, from the log entry alone — the
@@ -1123,8 +1130,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     import spark.implicits._
     val latest = currentVersion()
     (1 to latest).filter(v => Files.exists(entryPath(v))).map { v =>
-      val tree = Json.readTree(Files.readString(entryPath(v)))
-      val op = Option(tree.get("op")).map(_.asText()).getOrElse("unknown")
+      val op = opOf(v)
       val e = readEntry(v)
       (v, op, e.data.size, e.deletes.size, e.stats.size,
         Files.getLastModifiedTime(entryPath(v)).toMillis)

@@ -305,6 +305,67 @@ object StreamingQueries {
         .orderBy(col("v"), col("change"))
     }),
 
+    // Custom MicroBatchStream change feed (round 13 — the DSv2 streaming
+    // twin of q_stream_snapcdf, for when RATE CONTROL matters): offsets
+    // are VERSIONS, option("maxVersionsPerTrigger", 1) admits one commit
+    // per micro-batch via SupportsAdmissionControl (asserted in-flight:
+    // every batch carries exactly one cdf_version), and a second stream
+    // starts at option("startVersion") past a delete commit — the
+    // admitted append's entry carries the delete sidecar, applied
+    // IN-READER, so a re-appended deleted key never surfaces as an
+    // insert. The oracle spells each version's closed-form insert set.
+    "q_stream_snapcdf2" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scdf2").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))                    // v1
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500)) // v2
+      val sink = s"$tmp/feed"
+      val perBatchVersions =
+        new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val q1 = s.readStream.format("snapcdf")
+        .option("maxVersionsPerTrigger", 1).load(tmp)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt1")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select(col("cdf_version")).distinct()
+            .collect().map(_.getInt(0))
+          if (vs.nonEmpty) {
+            require(vs.length == 1,
+              s"maxVersionsPerTrigger=1 admitted ${vs.toSeq} in one batch")
+            perBatchVersions.add(vs.head)
+            b.write.mode("append").parquet(sink)
+          }
+        }
+        .start()
+      q1.awaitTermination()
+      require(perBatchVersions.size == 2,
+        s"expected one micro-batch per version, got $perBatchVersions")
+      // a delete commit, then an append that RE-WRITES sidecar-deleted
+      // keys: the stream resumes past the delete (startVersion) and the
+      // reader must drop the still-deleted rows
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 600)
+        .select(col("doc_id")))                                          // v3
+      // v4 RE-appends a band that includes sidecar-deleted keys: those
+      // rows are invisible at v4 and must not surface as inserts
+      t.commitAppend(docs.where(col("doc_id") >= 200 && col("doc_id") < 300)) // v4
+      val q2 = s.readStream.format("snapcdf")
+        .option("startVersion", 3).load(tmp)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(sink)
+        }
+        .start()
+      q2.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy(col("cdf_version").as("v"), col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("v"), col("change"))
+    }),
+
     // Exactly-once streaming ingest INTO the snapshot log (round 12 —
     // the Delta `txn`-action write side, closing the loop with
     // q_stream_snapcdf's read side): the staged 4-file events stream
@@ -581,6 +642,19 @@ object StreamingQueries {
            UNION ALL
            SELECT 4, 'delete', n_chars FROM documents
             WHERE doc_id >= 250 AND doc_id < 350 AND doc_id % 7 <> 0)
+         GROUP BY v, change ORDER BY v, change""",
+    "q_stream_snapcdf2" ->
+      """SELECT v, change, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars
+         FROM (
+           SELECT 1 AS v, 'insert' AS change, n_chars AS nc FROM documents
+            WHERE doc_id < 300
+           UNION ALL
+           SELECT 2, 'insert', n_chars FROM documents
+            WHERE doc_id >= 300 AND doc_id < 500
+           UNION ALL
+           SELECT 4, 'insert', n_chars FROM documents
+            WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 7 <> 0)
          GROUP BY v, change ORDER BY v, change""",
     "q_stream_snapsink" ->
       """SELECT event_type, COUNT(*) AS n,

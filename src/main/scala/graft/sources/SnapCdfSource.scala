@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{SnapshotLog, SnapshotTable}
+
+/** Streaming change-feed source for [[graft.operators.SnapshotLog]]
+  * tables — `spark.readStream.format("snapcdf").load(root)` — the custom
+  * `MicroBatchStream` twin of [[graft.streaming.SnapshotCdf.backfill]]'s
+  * file-source-over-`_log` composition, for the case where RATE CONTROL
+  * matters: offsets are VERSIONS (one checkpointed long), and
+  * `option("maxVersionsPerTrigger", n)` admits at most n commits per
+  * micro-batch through [[SupportsAdmissionControl]] — the Delta-source
+  * `maxFilesPerTrigger` role. A restart resumes from the checkpointed
+  * version; `option("startVersion", v)` begins a fresh stream after
+  * version v (0 = full backfill — every retained commit replays as
+  * inserts).
+  *
+  * Emitted schema: the table's LOGGED schema (as of the stream's start)
+  * plus `_change_type` (always `insert` here) and `cdf_version` (the
+  * commit that produced the row). Each admitted version contributes
+  * exactly its NEW data entries' files as input partitions — change-data
+  * cost is bounded by what the commit wrote, never table size — read by
+  * the same parquet assembly as the snaplog batch connector, with the
+  * version's delete-sidecar keys applied in-reader so rows invisible at
+  * that version never surface as inserts.
+  *
+  * Scope: APPEND-family commits (`append`, `txn-append` — the streaming
+  * ingest shapes; `restore` of a pure superset also replays as inserts).
+  * A delete/merge/overwrite commit in the admitted range fails LOUDLY —
+  * its exact diff needs the batch `changes()` machinery — and the
+  * [[graft.streaming.SnapshotCdf.backfill]] composition remains the
+  * general path. Versions below a vacuum horizon fail loudly at
+  * `readEntry` (resume from a retained version instead). */
+object SnapCdfSource {
+  private[sources] val ChangeTypeCol = "_change_type"
+  private[sources] val VersionCol = "cdf_version"
+
+  private[sources] def cdfSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(VersionCol, IntegerType, nullable = false)))
+}
+
+case class SnapCdfOffset(v: Int) extends Offset {
+  override def json: String = s"""{"version":$v}"""
+}
+
+class SnapCdfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "snapcdf"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def open(options: util.Map[String, String]): SnapshotTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("snapcdf source requires a path"))
+    SnapshotLog.open(SparkSession.active, path, "__resolve")
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = open(options)
+    val latest = t.currentVersion()
+    require(latest >= 1, "empty snaplog table — nothing to stream")
+    SnapCdfSource.cdfSchema(t.schemaOf(latest).getOrElse(
+      throw new IllegalArgumentException(
+        "legacy snaplog entry carries no schema — use SnapshotCdf.backfill")))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val t = open(properties)
+    val path = properties.get("path")
+    val maxVersions = Option(properties.get("maxVersionsPerTrigger"))
+      .map(_.toInt)
+    val startVersion = Option(properties.get("startVersion"))
+      .map(_.toInt).getOrElse(0)
+    maxVersions.foreach(n => require(n >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $n"))
+    val tableSchema = schema
+    new Table with SupportsRead {
+      override def name(): String = s"snapcdf:$path"
+      override def schema(): StructType = tableSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new Scan {
+            override def readSchema(): StructType = tableSchema
+            override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+              new SnapCdfStream(SparkSession.active, t, path, tableSchema,
+                maxVersions, startVersion)
+          }
+        }
+    }
+  }
+}
+
+class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
+                    cdfSchema: StructType, maxVersions: Option[Int],
+                    startVersion: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val dataFields =
+    StructType(cdfSchema.fields.dropRight(2)) // minus _change_type, cdf_version
+
+  // Trigger.AvailableNow: drain exactly what was committed at start (in
+  // maxVersionsPerTrigger-sized batches), then terminate
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(t.currentVersion())
+
+  override def initialOffset(): Offset = SnapCdfOffset(startVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    SnapCdfOffset(SnapshotLog.Json.readTree(json).get("version").asInt())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called (admission control)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapCdfOffset].v
+    val live = t.currentVersion()
+    val latest = availableNowTarget.fold(live)(math.min(_, live))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(latest.toLong, s + r.maxRows()).toInt
+      case _              => latest
+    }
+    SnapCdfOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset = SnapCdfOffset(t.currentVersion())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapCdfOffset].v
+    val e = end.asInstanceOf[SnapCdfOffset].v
+    val parts = Array.newBuilder[InputPartition]
+    for (v <- (s + 1) to e) {
+      val op = t.opOf(v)
+      require(op == "append" || op == "txn-append",
+        s"snapcdf streams append-family commits; version $v is '$op' — " +
+          "use SnapshotCdf.backfill for exact diffs of " +
+          "delete/merge/overwrite history")
+      val prev = if (v == 1) Set.empty[String]
+        else t.readEntry(v - 1).data.toSet
+      val entry = t.readEntry(v)
+      for (d <- entry.data if !prev.contains(d); f <- t.dataFilesOf(d))
+        parts += SnapCdfPartition(f, v)
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // one delete-key set per version could differ; the admitted window is
+    // maxVersions-bounded and sidecars are key-count-sized by contract
+    val latest = t.currentVersion()
+    val keyCol = t.keyOf(latest).getOrElse(
+      throw new IllegalArgumentException("legacy snaplog entry has no key"))
+    val needKey = !dataFields.fieldNames.contains(keyCol)
+    SnapCdfReaderFactory(dataFields, keyCol, needKey,
+      root, new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class SnapCdfPartition(file: String, version: Int) extends InputPartition
+
+/** Per-file reader: the snaplog parquet assembly plus the two appended
+  * CDF metadata columns. The version's delete-sidecar keys load lazily
+  * ON THE EXECUTOR (one small parquet read via hadoop, key-count-sized)
+  * so the factory stays a thin serializable shell. */
+case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
+                                needKey: Boolean, root: String,
+                                conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapCdfPartition]
+    // resolve the version's delete sidecars from its entry — one small
+    // JSON read per task, executor-local (no SparkSession out here)
+    val entryPath = new org.apache.hadoop.fs.Path(s"$root/_log/${p.version}.json")
+    val fs = entryPath.getFileSystem(conf.value)
+    val txt = {
+      val in = fs.open(entryPath)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    }
+    val tree = SnapshotLog.Json.readTree(txt)
+    val delDirs = Option(tree.get("deletes")).map { n =>
+      val b = Seq.newBuilder[String]
+      n.elements().forEachRemaining(e => b += e.asText())
+      b.result()
+    }.getOrElse(Nil)
+    val deletedKeys: Array[Any] =
+      if (delDirs.isEmpty) Array.empty
+      else readSidecarKeys(delDirs, fs)
+    val readFields =
+      if (needKey && deletedKeys.nonEmpty)
+        StructType(dataFields.fields :+ keyFieldOf())
+      else dataFields
+    val keyIdx =
+      if (deletedKeys.isEmpty) -1 else readFields.fieldNames.indexOf(keyCol)
+    val inner = new SnaplogFileReader(p.file, readFields, dataFields.size,
+      keyIdx, deletedKeys, conf.value)
+    val insertU = UTF8String.fromString("insert")
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        val out = new Array[Any](dataFields.size + 2)
+        var i = 0
+        while (i < dataFields.size) {
+          out(i) = if (r.isNullAt(i)) null
+            else r.get(i, dataFields.fields(i).dataType)
+          i += 1
+        }
+        out(dataFields.size) = insertU
+        out(dataFields.size + 1) = p.version
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  private def keyFieldOf(): StructField =
+    dataFields.fields.find(_.name == keyCol).getOrElse(
+      // key evolved out of the projected schema shape: default to long
+      StructField(keyCol, LongType, nullable = true))
+
+  /** Distinct sidecar keys via the snaplog parquet assembly (no session
+    * on executors) — sidecars are single-column, key-count-sized. */
+  private def readSidecarKeys(dirs: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem): Array[Any] = {
+    val keyField = keyFieldOf()
+    val acc = new java.util.HashSet[Any]()
+    for (d <- dirs) {
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val files = fs.listStatus(dp).filter(_.isFile)
+        .map(_.getPath.toString)
+        .filterNot { f =>
+          val n = f.substring(f.lastIndexOf('/') + 1)
+          n.startsWith("_") || n.startsWith(".")
+        }
+      for (f <- files) {
+        val rdr = new SnaplogFileReader(f, StructType(Seq(keyField)), 1,
+          -1, Array.empty, conf.value)
+        try {
+          while (rdr.next()) {
+            val r = rdr.get()
+            if (!r.isNullAt(0)) {
+              keyField.dataType match {
+                case LongType    => acc.add(java.lang.Long.valueOf(r.getLong(0)))
+                case IntegerType =>
+                  acc.add(java.lang.Long.valueOf(r.getInt(0).toLong))
+                case StringType  => acc.add(r.getUTF8String(0).toString)
+                case dt => throw new IllegalArgumentException(
+                  s"unsupported snapcdf key type ${dt.simpleString}")
+              }
+              ()
+            }
+          }
+        } finally rdr.close()
+      }
+    }
+    acc.toArray.map(x => x: Any)
+  }
+}

@@ -71,6 +71,96 @@ class SnapshotCdfSpec extends SparkSpec {
     assert(files(sink) == allBefore, "idle re-run must write nothing")
   }
 
+  test("snapcdf MicroBatchStream: version admission, backfill parity, catch-up") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mbs").toString
+    val root = s"$base/table"; val ckpt = s"$base/ckpt"
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartition(2))                                                  // v1
+    assert(t.commitAppendTxn((11L to 15L).map(i => (i, s"b$i")).toDF("id", "v"),
+      "w", 0L).contains(2))                                             // v2
+    t.commitAppend((16L to 18L).map(i => (i, s"c$i")).toDF("id", "v"))  // v3
+
+    val batches = scala.collection.mutable.ListBuffer.empty[(Long, Set[(Long, String, String, Int)])]
+    def drain(): Unit = {
+      val q = spark.readStream.format("snapcdf")
+        .option("maxVersionsPerTrigger", 1)
+        .load(root)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = b.select("id", "v", "_change_type", "cdf_version")
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getString(2), r.getInt(3))).toSet
+          batches.synchronized { batches += ((id, rows)); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // per-version admission: every non-empty micro-batch carries EXACTLY
+    // one version, and versions arrive in order
+    val nonEmpty = batches.toList.filter(_._2.nonEmpty)
+    assert(nonEmpty.forall(_._2.map(_._4).size >= 1))
+    assert(nonEmpty.forall(b => b._2.map(_._4).toSeq.distinct.size == 1),
+      s"maxVersionsPerTrigger=1 violated: $nonEmpty")
+    assert(nonEmpty.map(_._2.head._4) == List(1, 2, 3))
+    // parity with the file-source backfill composition on the same table
+    val sink = s"$base/feed"
+    SnapshotCdf.backfill(spark, root, "id", sink, s"$base/bckpt")
+    val fromBackfill = SnapshotCdf.feed(spark, sink)
+      .select("id", "v", "_change_type", "cdf_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(batches.flatMap(_._2).toSet == fromBackfill,
+      "MicroBatchStream feed must equal the backfill composition")
+
+    // restart/catch-up: two more commits, same checkpoint → only 4 and 5
+    batches.clear()
+    t.commitAppend((19L to 20L).map(i => (i, s"d$i")).toDF("id", "v"))  // v4
+    t.commitAppend(Seq((21L, "e21")).toDF("id", "v"))                   // v5
+    drain()
+    assert(batches.flatMap(_._2).map(_._4).toSet == Set(4, 5),
+      s"catch-up must process only new versions: ${batches.toList}")
+
+    // a non-append commit in the admitted range fails LOUDLY
+    t.commitDelete(Seq(1L).toDF("id"))                                  // v6
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("append-family")), e.toString)
+
+    // startVersion skips history; the admitted appends apply their own
+    // entry's delete sidecar in-reader: v7 re-appends the deleted key 1,
+    // which is invisible at v7 (still sidecar-deleted) and must NOT
+    // surface as an insert — exactly changes(6, 7)
+    t.commitAppend(Seq((1L, "GHOST"), (22L, "f22")).toDF("id", "v"))    // v7
+    val fresh = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Int)]
+    val q2 = spark.readStream.format("snapcdf")
+      .option("startVersion", 6)
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        fresh.synchronized {
+          fresh ++= b.select("id", "v", "_change_type", "cdf_version")
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getString(2), r.getInt(3)))
+          ()
+        }
+      }
+      .start()
+    q2.awaitTermination()
+    assert(fresh.toSet == Set((22L, "f22", "insert", 7)),
+      s"sidecar-deleted re-append must not surface: ${fresh.toList}")
+    val batchDiff = t.changes(6, 7).as[(Long, String, String)].collect().toSet
+    assert(fresh.map(x => (x._1, x._2, x._3)).toSet == batchDiff)
+  }
+
   test("txn ingest: exactly-once across restart, catch-up, forced replay") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_snapsink_sp").toString
