@@ -420,7 +420,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * to exists-check + ATOMIC_MOVE (a small check-to-move window — the
     * documented weaker mode; every POSIX/HDFS-local deployment takes the
     * link path). Returns false on collision. */
-  private[operators] def publishEntry(
+  private[graft] def publishEntry(
       v: Int, data: Seq[String], deletes: Seq[String],
       stats: Seq[FileStat] = Nil,
       txn: Map[String, Long] = Map.empty,

@@ -27,7 +27,22 @@ import org.apache.spark.sql.functions._
   * thousands of range-clustered files rewrites only the files the
   * update envelope touches.
   *
-  * Usage: tools/run.sh graft.tools.SnapProbe [K] [repeats]
+  * Round 13 adds the VERSION-count axis (every earlier probe scaled
+  * ROWS): a 10⁴-commit history, in both regimes the entry format admits —
+  * `flat` (compacted/maintained table: every entry lists O(1) data
+  * entries, the steady state OPTIMIZE/compact produce) and `grow`
+  * (maintenance-free appends: entry v lists v dirs, so entry SIZE is
+  * live-entry-bound — the full-snapshot-listing design trades Delta's
+  * log-replay for one-read version resolution, and this regime prices
+  * that trade). Measured at head: per-publish latency early vs late
+  * (flat must stay flat; grow may not), head-entry bytes, a REAL
+  * commitAppend at v≈10⁴ (pays the rebase read of the previous entry),
+  * `currentVersion()` with the `_latest.hint` vs cold (hint deleted —
+  * the O(V) listing fallback), `history()` over 10⁴ retained versions,
+  * a late-span `changes(V-1, V)` (bounded by the tail commit's files,
+  * never history length), and `vacuum` of 90% of history.
+  *
+  * Usage: tools/run.sh graft.tools.SnapProbe [K] [repeats] [V]
   * Prints one line per (op, rep): PROBE snap[<op>] K=… rows=… wall=…s
   */
 object SnapProbe {
@@ -35,6 +50,7 @@ object SnapProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(32)
     val repeats = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val vCount = args.drop(2).headOption.map(_.toInt).getOrElse(10000)
     val spark = graft.core.Sessions.build(graft.core.Sessions.Conf(
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       appName = "graft-snap-probe",
@@ -127,6 +143,116 @@ object SnapProbe {
         .agg(min(col("id")).cast("long").as("lo"),
           max(col("id")).cast("long").as("hi"))
         .collect().length.toLong
+    }
+
+    // ---- round 13: VERSION-count scaling --------------------------------
+    // Both regimes publish entries through the real atomic-link path; the
+    // flat table's dirs are real (reads work), grow's historical dirs are
+    // synthetic (never read — only entry size matters there) except the
+    // tail, which is real so the late-span change feed actually reads.
+    def ms(t0: Long): Double = (System.nanoTime() - t0) / 1e6
+
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("snap_probe_v").toString
+      val t = SnapshotLog.open(spark, root, "id")
+      t.commitAppend(spark.range(0, 1000).select(col("id"),
+        concat(lit("v"), col("id")).as("v")).coalesce(1))
+      val e1 = t.readEntry(1)
+      // flat regime: every entry re-lists v1's single dir + stats
+      var earlyMs = 0.0; var lateMs = 0.0
+      val tenPct = math.max(1, vCount / 10)
+      val tPub0 = System.nanoTime()
+      for (v <- 2 to vCount) {
+        val t0 = System.nanoTime()
+        require(t.publishEntry(v, e1.data, Nil, e1.stats, sv = e1.sv))
+        val d = ms(t0)
+        if (v <= 1 + tenPct) earlyMs += d
+        if (v > vCount - tenPct) lateMs += d
+      }
+      val pubTotal = ms(tPub0) / 1000
+      println(f"PROBE snap[versions_flat_publish] V=$vCount wall=$pubTotal%.2fs " +
+        f"early10pct=${earlyMs / tenPct}%.3fms late10pct=${lateMs / tenPct}%.3fms " +
+        f"headBytes=${java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, "_log", s"$vCount.json"))}")
+
+      // real commit at head: pays the write + footer stats + the rebase
+      // read of the (constant-size) previous entry
+      (1 to repeats).foreach { rep =>
+        val t0 = System.nanoTime()
+        val v = t.commitAppend(spark.range(0, 1000).select(col("id"),
+          concat(lit("h"), col("id")).as("v")).coalesce(1))
+        println(f"PROBE snap[versions_flat_real_commit] V=$v rep=$rep " +
+          f"wall=${ms(t0) / 1000}%.2fs")
+      }
+
+      // version resolution: hinted (the steady state) vs cold (hint gone)
+      val tH0 = System.nanoTime()
+      var acc = 0L
+      (1 to 1000).foreach(_ => acc += t.currentVersion())
+      println(f"PROBE snap[versions_cv_hinted_x1000] V=${t.currentVersion()} " +
+        f"wall=${ms(tH0) / 1000}%.3fs")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "_log", "_latest.hint"))
+      val tC0 = System.nanoTime()
+      val cold = t.currentVersion()
+      println(f"PROBE snap[versions_cv_cold] V=$cold wall=${ms(tC0) / 1000}%.3fs")
+
+      // history over the full retained range (driver metadata, O(V) reads)
+      val tHi0 = System.nanoTime()
+      val hRows = t.history().count()
+      println(f"PROBE snap[versions_history] V=$hRows wall=${ms(tHi0) / 1000}%.2fs")
+
+      // late-span change feed: bounded by the tail commit's files
+      val head = t.currentVersion()
+      val tCh0 = System.nanoTime()
+      val chRows = t.changes(head - 1, head).count()
+      println(f"PROBE snap[versions_changes_tail] V=$head rows=$chRows " +
+        f"wall=${ms(tCh0) / 1000}%.2fs")
+
+      // vacuum 90% of history: entry deletes + one sweep of real dirs
+      val keepFrom = math.max(1, (head * 0.9).toInt)
+      val tV0 = System.nanoTime()
+      val (vf, ve) = t.vacuum(keepFrom)
+      println(f"PROBE snap[versions_vacuum90] entriesRemoved=$ve files=$vf " +
+        f"wall=${ms(tV0) / 1000}%.2fs")
+      require(t.read().count() == 1000L * (1 + repeats),
+        "flat table must stay readable after the vacuum")
+    }
+
+    // grow regime: entry v lists v data entries (no maintenance ever ran);
+    // capped — cumulative bytes are O(V²) by design, which is the point
+    locally {
+      val vGrow = math.min(vCount, 2000)
+      val root = java.nio.file.Files.createTempDirectory("snap_probe_g").toString
+      val t = SnapshotLog.open(spark, root, "id")
+      t.commitAppend(spark.range(0, 1000).select(col("id"),
+        concat(lit("v"), col("id")).as("v")).coalesce(1))
+      val e1 = t.readEntry(1)
+      var dirs = e1.data
+      var earlyMs = 0.0; var lateMs = 0.0
+      val tenPct = math.max(1, vGrow / 10)
+      for (v <- 2 until vGrow) {
+        dirs = dirs :+ s"$root/data/c-synth-$v" // never read
+        val t0 = System.nanoTime()
+        require(t.publishEntry(v, dirs, Nil, e1.stats, sv = 1))
+        val d = ms(t0)
+        if (v <= 1 + tenPct) earlyMs += d
+        if (v > vGrow - tenPct) lateMs += d
+      }
+      // the tail commit is REAL so the late-span diff reads actual files
+      val tReal0 = System.nanoTime()
+      val head = t.commitAppend(spark.range(5000, 6000).select(col("id"),
+        concat(lit("t"), col("id")).as("v")).coalesce(1))
+      val realMs = ms(tReal0)
+      val headBytes = java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, "_log", s"$head.json"))
+      println(f"PROBE snap[versions_grow_publish] V=$vGrow " +
+        f"early10pct=${earlyMs / tenPct}%.3fms late10pct=${lateMs / tenPct}%.3fms " +
+        f"realCommitAtHead=${realMs / 1000}%.2fs headBytes=$headBytes")
+      val tCh0 = System.nanoTime()
+      val chRows = t.changes(head - 1, head).count()
+      println(f"PROBE snap[versions_grow_changes_tail] V=$head rows=$chRows " +
+        f"wall=${ms(tCh0) / 1000}%.2fs")
     }
 
     spark.stop()
