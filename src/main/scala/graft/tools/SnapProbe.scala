@@ -75,14 +75,17 @@ object SnapProbe {
         println(f"PROBE snap[$tag] K=$k rep=$rep rows=$rows wall=$s%.2fs")
       }
 
-    def freshTable(clustered: Boolean): graft.operators.SnapshotTable = {
+    def freshTableAt(clustered: Boolean)
+        : (graft.operators.SnapshotTable, String) = {
       val root = java.nio.file.Files.createTempDirectory("snap_probe").toString
       val t = SnapshotLog.open(spark, root, "id")
       val df = if (clustered) base.repartitionByRange(64, col("id"))
                else base.repartition(64) // every file spans the key space
       t.commitAppend(df)
-      t
+      (t, root)
     }
+    def freshTable(clustered: Boolean): graft.operators.SnapshotTable =
+      freshTableAt(clustered)._1
 
     // COW merge against range-clustered files: stats confine the rewrite
     time("merge_cow") {
@@ -143,6 +146,24 @@ object SnapProbe {
         .agg(min(col("id")).cast("long").as("lo"),
           max(col("id")).cast("long").as("hi"))
         .collect().length.toLong
+    }
+
+    // ---- round 13: the DSv2 connector at scale ---------------------------
+    // the snaplog format's planning-time pruning on the same K·100k-row
+    // clustered table: the FULL scan is data-bound (the contrast), the
+    // band probe must stay band-sized — plan-level file pruning means its
+    // wall tracks the 1-2 kept files, not K
+    locally {
+      val (t, root) = freshTableAt(clustered = true)
+      t.commitDelete(spark.range(bandLo, bandLo + 100).toDF("id"))
+      def con = spark.read.format("snaplog").load(root)
+      time("dsv2_scan_full") { con.count() }
+      time("dsv2_scan_band") {
+        val probe = con.where(col("id") >= bandLo && col("id") < bandHi)
+        val got = probe.count()
+        require(got == (bandHi - bandLo) - 100, s"band count $got")
+        got
+      }
     }
 
     // ---- round 13: VERSION-count scaling --------------------------------
