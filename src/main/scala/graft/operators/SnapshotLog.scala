@@ -93,17 +93,19 @@ object SnapshotLog {
     * missing footer statistics), `cols`/`scols` bounds for the other
     * stats-budgeted integral/string columns, per-column NULL counts
     * (`nulls`, present only when every row group reported one — a 0 is
-    * meaningful: the column has NO nulls in this file), and the file's
-    * row count (`rows`, −1 for legacy entries). Every part file of a
-    * committed dir gets a row (round 13), so the stats are also the
-    * complete file listing of sv≥2 entries — the Delta pattern where
-    * skipping works at any time-travel version because the stats are
-    * versioned with the snapshot, not rebuilt from the live layout. */
+    * meaningful: the column has NO nulls in this file), the file's
+    * row count (`rows`) and byte size (`bytes`) — both −1 for legacy
+    * entries. Every part file of a committed dir gets a row (round 13),
+    * so the stats are also the complete file listing of sv≥2 entries —
+    * the Delta pattern where skipping works at any time-travel version
+    * because the stats are versioned with the snapshot, not rebuilt from
+    * the live layout; sizes let engine-native scans report exact
+    * post-pruning statistics to the planner (broadcast decisions). */
   private[graft] case class FileStat(file: String, lo: Long, hi: Long,
       cols: Map[String, (Long, Long)] = Map.empty,
       scols: Map[String, (String, String)] = Map.empty,
       nulls: Map[String, Long] = Map.empty,
-      rows: Long = -1L) {
+      rows: Long = -1L, bytes: Long = -1L) {
     /** False for the unbounded sentinel (no trusted key bounds). */
     def keyed: Boolean = !(lo == Long.MinValue && hi == Long.MaxValue)
   }
@@ -209,7 +211,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           mapOf(n, "cols")(a => (a.get(0).asLong(), a.get(1).asLong())),
           mapOf(n, "scols")(a => (a.get(0).asText(), a.get(1).asText())),
           mapOf(n, "nulls")(_.asLong()),
-          if (n.has("rows")) n.get("rows").asLong() else -1L)
+          if (n.has("rows")) n.get("rows").asLong() else -1L,
+          if (n.has("sz")) n.get("sz").asLong() else -1L)
       }.toSeq
     }.getOrElse(Nil)
     Entry(arr("data"), arr("deletes"), stats,
@@ -409,7 +412,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           .map(n => n -> (slo(n), shi(n))).toMap,
         wanted.filterNot(nnUntrusted).filter(nn.contains)
           .map(n => n -> nn(n)).toMap,
-        rows)
+        rows, st.getLen)
     } finally rdr.close()
   }
 
@@ -438,6 +441,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       o.put("f", s.file)
       if (s.keyed) { o.put("lo", s.lo); o.put("hi", s.hi); () }
       if (s.rows >= 0) { o.put("rows", s.rows); () }
+      if (s.bytes >= 0) { o.put("sz", s.bytes); () }
       if (s.cols.nonEmpty) {
         val c = o.putObject("cols")
         s.cols.toSeq.sortBy(_._1).foreach { case (n, (l, h)) =>

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -189,7 +189,7 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
                   path: String, version: Int, keyCol: String,
                   tableSchema: StructType, required: StructType,
                   filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -209,18 +209,17 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
     nf == nd || nf.startsWith(nd + "/")
   }
 
-  /** Files the pushed filters cannot exclude, from the versioned entry's
-    * stats alone — the planning-time half of `SnapshotTable.readWhere*`.
-    * sv≥2 entries need no listing (stats ARE the file listing); legacy
-    * entries fall back to one listing per live dir so unstatted files
-    * are scanned, never lost. */
-  private lazy val keptFiles: Seq[String] = {
+  /** Stats rows and no-stats extras the pushed filters cannot exclude,
+    * from the versioned entry's stats alone — the planning-time half of
+    * `SnapshotTable.readWhere*`. sv≥2 entries need no listing (stats ARE
+    * the file listing); legacy entries fall back to one listing per live
+    * dir so unstatted files are scanned, never lost. */
+  private lazy val (keptStats, extraFiles): (Seq[SnapshotLog.FileStat], Seq[String]) = {
     val live = entry.data
     val liveStats = entry.stats.filter(s =>
       live.exists(d => normBelongs(s.file, d)))
     val kept = liveStats
       .filter(s => filters.forall(f => SnaplogSource.mayKeep(s, keyCol, f)))
-      .map(_.file)
     val extra =
       if (entry.sv >= 2)
         live.filterNot(d => entry.stats.exists(s => normBelongs(s.file, d)))
@@ -230,7 +229,26 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
         live.flatMap(d => t.dataFilesOf(d))
           .filterNot(f => statted.contains(norm(f)))
       }
-    kept ++ extra
+    (kept, extra)
+  }
+
+  private lazy val keptFiles: Seq[String] = keptStats.map(_.file) ++ extraFiles
+
+  /** Post-pruning statistics straight from the LOG (exact file bytes and
+    * row counts recorded at commit) — the planning fact that lets Spark
+    * auto-broadcast a pruned snapshot in a join. Unknown when any kept
+    * file lacks logged numbers; row count additionally requires no
+    * pending delete sidecar (deletes shrink visible rows in-reader). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (extraFiles.isEmpty && keptStats.forall(_.bytes >= 0))
+        java.util.OptionalLong.of(keptStats.map(_.bytes).sum)
+      else java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      if (extraFiles.isEmpty && entry.deletes.isEmpty &&
+          keptStats.forall(_.rows >= 0))
+        java.util.OptionalLong.of(keptStats.map(_.rows).sum)
+      else java.util.OptionalLong.empty()
   }
 
   /** Sidecar delete keys, loaded ONCE at plan time (key-count-sized by

@@ -161,6 +161,56 @@ class SnaplogSourceSpec extends SparkSpec {
       "SELECT * FROM snap_sql_view WHERE id < 100")) < 4)
   }
 
+  test("snaplog DSv2: logged sizes/rows feed planner statistics post-pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2st").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(spark.range(0, 10000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")))
+    // unpruned: size = exact sum of the part files, rows = exact count
+    val full = snap(root)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    val diskBytes = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+    assert(fullStats.sizeInBytes === BigInt(diskBytes),
+      s"${fullStats.sizeInBytes} vs disk $diskBytes")
+    assert(fullStats.rowCount.contains(BigInt(10000)), fullStats.toString)
+    // pruned: statistics shrink WITH the kept file set — the planner
+    // sees a band probe as broadcast-sized even on a huge table
+    val band = snap(root).where(col("id") >= 0 && col("id") < 100)
+    val bandStats = band.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.head
+    assert(bandStats.sizeInBytes < fullStats.sizeInBytes / 2,
+      s"pruned ${bandStats.sizeInBytes} vs full ${fullStats.sizeInBytes}")
+    // a delete sidecar makes exact row counts unknowable (reader-side
+    // filtering) — rows go empty, size stays
+    t.commitDelete(Seq(1L).toDF("id"))
+    val afterDel = snap(root).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.head
+    assert(afterDel.rowCount.isEmpty)
+    // and the small pruned side broadcasts in a join without hints
+    val big = spark.range(0, 2000000).toDF("id")
+    val joined = big.join(band.select(col("id"), col("v")), "id")
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"pruned snaplog side must broadcast:\n$planStr")
+    assert(joined.count() === 100)
+  }
+
   test("snaplog DSv2: unsupported REQUESTED types fail loudly, others read fine") {
     val root = java.nio.file.Files.createTempDirectory("graft_dsv2t").toString
     val t = SnapshotLog.open(spark, root, "id")
