@@ -112,8 +112,12 @@ object SnaplogSource {
 
 class SnaplogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "snaplog"
-  override def supportsExternalMetadata(): Boolean = false
+  // reads infer the logged schema; WRITES to a fresh table arrive with
+  // the dataframe's schema (there is no entry to infer from yet)
+  override def supportsExternalMetadata(): Boolean = true
 
+  /** (handle, resolved version — 0 for an empty table, key column —
+    * empty only when the table is empty and no option("key") given). */
   private def resolve(options: util.Map[String, String])
       : (SnapshotTable, Int, String) = {
     val path = Option(options.get("path")).getOrElse(
@@ -122,7 +126,8 @@ class SnaplogDataSource extends TableProvider with DataSourceRegister {
     // column is read back out of the versioned entry itself
     val t = SnapshotLog.open(SparkSession.active, path, "__resolve")
     val latest = t.currentVersion()
-    require(latest >= 1, s"empty snaplog table at $path")
+    if (latest == 0) // a write target — reads fail loudly at scan build
+      return (t, 0, Option(options.get("key")).getOrElse(""))
     val v = Option(options.get("version")).map(_.toInt).getOrElse(latest)
     require(v >= 1 && v <= latest,
       s"version $v out of range [1, $latest] for $path")
@@ -134,6 +139,7 @@ class SnaplogDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (t, v, _) = resolve(options)
+    require(v >= 1, s"empty snaplog table at ${options.get("path")}")
     t.schemaOf(v).getOrElse(throw new IllegalArgumentException(
       s"snaplog entry $v carries no schema (legacy table) — " +
         "read it through the SnapshotTable API"))
@@ -150,13 +156,56 @@ class SnaplogDataSource extends TableProvider with DataSourceRegister {
 class SnaplogTable(spark: SparkSession, t: SnapshotTable,
                    path: String, version: Int, keyCol: String,
                    tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"snaplog:$path@v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE keeps DataFrameWriter on the V2 plan; V1_BATCH_WRITE
+    // routes the built V1Write through the InsertableRelation fallback
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** `df.write.format("snaplog")` — the WRITE side rides the V1 fallback
+    * (`V1Write` → `InsertableRelation`), which hands the planned
+    * DataFrame straight to the log's own commit paths: append =
+    * [[SnapshotTable.commitAppend]] (footer stats, OCC rebase, atomic
+    * publish — everything batch writers get), overwrite (TRUNCATE) =
+    * [[SnapshotTable.commitOverwrite]] (replace semantics). A fresh
+    * table needs `option("key", col)` for its first commit; later
+    * commits read the key from the log. Spark's append validation pins
+    * the df schema to the table schema, so ADD-column evolution stays on
+    * the `SnapshotTable` API by design. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              require(keyCol.nonEmpty,
+                "first commit to a fresh snaplog table needs " +
+                  "option(\"key\", <column>)")
+              require(data.columns.contains(keyCol),
+                s"snaplog write is missing its key column '$keyCol'")
+              val tw = SnapshotLog.open(data.sparkSession, path, keyCol)
+              if (replace) tw.commitOverwrite(data)
+              else tw.commitAppend(data)
+              ()
+            }
+        }
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version >= 1, s"empty snaplog table at $path")
     new ScanBuilder
         with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
       private var required: StructType = tableSchema
@@ -183,6 +232,7 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
           required, pushed)
       }
     }
+  }
 }
 
 class SnaplogScan(spark: SparkSession, t: SnapshotTable,

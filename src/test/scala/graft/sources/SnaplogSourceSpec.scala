@@ -211,6 +211,47 @@ class SnaplogSourceSpec extends SparkSpec {
     assert(joined.count() === 100)
   }
 
+  test("snaplog DSv2: write path commits through the log (append/overwrite)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2w").toString
+    // first commit to a fresh table: key comes from the writer option
+    spark.range(0, 1000)
+      .select(col("id"), concat(lit("a"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.format("snaplog").option("key", "id").mode("append").save(root)
+    val t = SnapshotLog.open(spark, root, "id")
+    assert(t.currentVersion() === 1)
+    assert(t.read().count() === 1000)
+    // the connector write went through commitAppend: stats logged, key
+    // recorded — a later append needs NO option, and pruning works
+    spark.range(1000, 1500)
+      .select(col("id"), concat(lit("b"), col("id")).as("v"))
+      .write.format("snaplog").mode("append").save(root)
+    assert(t.currentVersion() === 2)
+    assert(t.read().count() === 1500)
+    val probe = t.readRange(0, 200)
+    assert(probe.inputFiles.length < t.read().inputFiles.length,
+      "connector-written commits must carry pruning stats")
+    // round-trip: read back through the connector, deletes included
+    t.commitDelete(Seq(5L).toDF("id"))
+    assert(snap(root).count() === 1499)
+    // overwrite REPLACES (truncate semantics)
+    spark.range(0, 10)
+      .select(col("id"), lit("x").as("v"))
+      .write.format("snaplog").mode("overwrite").save(root)
+    assert(t.currentVersion() === 4)
+    assert(snap(root).count() === 10)
+    assert(t.read(2).count() === 1500, "history must survive the overwrite")
+    // a fresh table without option(\"key\") fails loudly
+    val root2 = java.nio.file.Files.createTempDirectory("graft_dsv2w2").toString
+    val e = intercept[Exception] {
+      spark.range(0, 5).toDF("id")
+        .write.format("snaplog").mode("append").save(root2)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("key")), e.toString)
+  }
+
   test("snaplog DSv2: unsupported REQUESTED types fail loudly, others read fine") {
     val root = java.nio.file.Files.createTempDirectory("graft_dsv2t").toString
     val t = SnapshotLog.open(spark, root, "id")
