@@ -766,6 +766,63 @@ class SnapshotLogSpec extends SparkSpec {
       s"z-order must prune the key dim: ${pid.inputFiles.length}/64")
   }
 
+  test("entry format round-trips arbitrary stats exactly (property)") {
+    // the round-13 Jackson rework's contract: publishEntry ∘ readEntry is
+    // the identity on every representable entry — arbitrary printable-
+    // ASCII string bounds (quotes, braces, backslashes included),
+    // arbitrary column names, extreme longs, missing/present optional
+    // fields. The round-12 regex parser failed this on '}' in a bound.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_pp").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val asciiStr = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(' ', '~')).map(_.mkString))
+    val name = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val longG = Gen.oneOf(Gen.choose(-1000L, 1000L),
+      Gen.oneOf(Long.MinValue + 1, -1L, 0L, Long.MaxValue))
+    val boundsG = Gen.zip(longG, longG)
+    val statGen = for {
+      f <- name.map(n => s"$root/data/c-x/$n.parquet")
+      keyed <- Gen.oneOf(true, false)
+      kb <- boundsG
+      cols <- Gen.mapOfN(2, Gen.zip(name, boundsG))
+      scols <- Gen.mapOfN(2, Gen.zip(name, Gen.zip(asciiStr, asciiStr)))
+      nulls <- Gen.mapOfN(2, Gen.zip(name, Gen.choose(0L, 1000L)))
+      rows <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 100000L))
+      bytes <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 1000000L))
+    } yield SnapshotLog.FileStat(f,
+      if (keyed) math.min(kb._1, kb._2) else Long.MinValue,
+      if (keyed) math.max(kb._1, kb._2) else Long.MaxValue,
+      cols, scols, nulls, rows, bytes)
+    val entryGen = for {
+      data <- Gen.listOfN(3, name.map(n => s"$root/data/c-$n"))
+      dels <- Gen.choose(0, 2).flatMap(n =>
+        Gen.listOfN(n, name.map(m => s"$root/deletes/c-$m")))
+      stats <- Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, statGen))
+      sv <- Gen.oneOf(1, 2)
+      txn <- Gen.mapOfN(2, Gen.zip(name, Gen.choose(0L, 100L)))
+      op <- Gen.oneOf("append", "merge", "txn-append")
+    } yield (data, dels, stats, sv, txn, op)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prop = Prop.forAll(entryGen) { case (data, dels, stats, sv, txn, op) =>
+      val v = counter.incrementAndGet() + 1000
+      assert(t.publishEntry(v, data, dels, stats, txn,
+        Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))), op, sv))
+      val e = t.readEntry(v)
+      e.data == data && e.deletes == dels && e.stats == stats &&
+        e.sv == sv && t.opOf(v) == op &&
+        t.keyOf(v).contains("id") &&
+        t.schemaOf(v).exists(_.fieldNames.toSeq == Seq("id"))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txn: two racing committers of the same (app, batch) → one winner") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_tr").toString
     val t = SnapshotLog.open(spark, root, "id")
