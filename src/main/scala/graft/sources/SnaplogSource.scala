@@ -239,12 +239,32 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
                   path: String, version: Int, keyCol: String,
                   tableSchema: StructType, required: StructType,
                   filters: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   private val entry = t.readEntry(version)
+
+  // ---- runtime (dynamic) file pruning — Delta's dynamic file pruning:
+  // a broadcast join's build-side keys arrive at EXECUTION time as an
+  // In(...) filter; re-pruning the file list against the logged stats
+  // then shrinks the probe side to the files the dim keys actually stab.
+  // Every column may be offered (columns without logged evidence simply
+  // never exclude a file — mayKeep is conservative by construction).
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  private[sources] def runtimeApplied: Boolean = runtimeFilters.nonEmpty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns in THIS scan's output — Spark resolves the references
+    // against the relation's (possibly pruned) attributes; evidence-free
+    // columns are still safe to offer (mayKeep never excludes on them)
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   private def norm(p: String): String = {
     val viaUri =
@@ -282,7 +302,13 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
     (kept, extra)
   }
 
-  private lazy val keptFiles: Seq[String] = keptStats.map(_.file) ++ extraFiles
+  /** Statically-kept files, re-pruned by any runtime filters that
+    * arrived since planning (extras have no stats — never re-pruned). */
+  private def keptFiles: Seq[String] =
+    keptStats
+      .filter(s => runtimeFilters.forall(f =>
+        SnaplogSource.mayKeep(s, keyCol, f)))
+      .map(_.file) ++ extraFiles
 
   /** Post-pruning statistics straight from the LOG (exact file bytes and
     * row counts recorded at commit) — the planning fact that lets Spark

@@ -211,6 +211,38 @@ class SnaplogSourceSpec extends SparkSpec {
     assert(joined.count() === 100)
   }
 
+  test("snaplog DSv2: runtime (dynamic) file pruning from a broadcast join") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2r").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(spark.range(0, 64000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(64, col("id")))
+    // the dim's keys exist only at EXECUTION time (selective filter on a
+    // broadcast side) — the scan must re-prune its file list when the
+    // join's runtime In-filter arrives, Delta's dynamic file pruning
+    val dim = spark.range(0, 64000, 1000).toDF("id")
+      .where(col("id") < 2000) // keys 0 and 1000: stab ≤2 of 64 files
+    val joined = snap(root).join(broadcast(dim), "id")
+    val rows = joined.collect()
+    assert(rows.length === 2, rows.mkString(","))
+    // AQE wraps materialized stages in QueryStageExec leaves — descend
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[SnaplogScan] =
+      (p match {
+        case b: BatchScanExec => b.scan match {
+          case s: SnaplogScan => Seq(s); case _ => Nil
+        }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case _ => Nil
+      }) ++ p.children.flatMap(scansOf)
+    val scans = scansOf(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "snaplog scan missing from the executed plan")
+    assert(scans.exists(_.runtimeApplied),
+      "the broadcast join's runtime filter never reached the scan")
+  }
+
   test("snaplog DSv2: write path commits through the log (append/overwrite)") {
     val root = java.nio.file.Files.createTempDirectory("graft_dsv2w").toString
     // first commit to a fresh table: key comes from the writer option
