@@ -284,6 +284,42 @@ class SnaplogSourceSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("key")), e.toString)
   }
 
+  test("snaplog catalog: SQL-native VERSION/TIMESTAMP AS OF and INSERT INTO") {
+    spark.conf.set("spark.sql.catalog.snap", classOf[SnaplogCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    // push the first entry's mtime into the past so TIMESTAMP AS OF can
+    // distinguish the versions deterministically
+    val e1 = java.nio.file.Paths.get(root, "_log", "1.json")
+    java.nio.file.Files.setLastModifiedTime(e1,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(e1).toMillis - 3600000L))
+    val cut = new java.sql.Timestamp(
+      java.nio.file.Files.getLastModifiedTime(e1).toMillis + 1000L)
+    t.commitAppend((11L to 15L).map(i => (i, s"b$i")).toDF("id", "v"))
+
+    def q(sql: String): Long = spark.sql(sql).collect().head.getLong(0)
+    assert(q(s"SELECT count(*) FROM snap.`$root`") === 15)
+    assert(q(s"SELECT count(*) FROM snap.`$root` VERSION AS OF 1") === 10)
+    assert(q(s"SELECT count(*) FROM snap.`$root` TIMESTAMP AS OF '$cut'") === 10)
+    // predicates in SQL text still prune files at plan time
+    assert(q(s"SELECT count(*) FROM snap.`$root` WHERE id <= 3") === 3)
+    // INSERT INTO rides the table's write path (commitAppend)
+    spark.sql(s"INSERT INTO snap.`$root` SELECT id, 'x' AS v FROM range(100, 103)")
+    assert(t.currentVersion() === 3)
+    assert(q(s"SELECT count(*) FROM snap.`$root`") === 18)
+    assert(t.read().where(col("v") === "x").count() === 3)
+    // MOR deletes apply through the catalog read too
+    t.commitDelete(Seq(1L).toDF("id"))
+    assert(q(s"SELECT count(*) FROM snap.`$root`") === 17)
+    // DDL verbs fail loudly
+    intercept[Exception](spark.sql(s"DROP TABLE snap.`$root`"))
+    // a missing table is NoSuchTable, not a crash
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM snap.`$root-none`").collect())
+  }
+
   test("snaplog DSv2: unsupported REQUESTED types fail loudly, others read fine") {
     val root = java.nio.file.Files.createTempDirectory("graft_dsv2t").toString
     val t = SnapshotLog.open(spark, root, "id")
