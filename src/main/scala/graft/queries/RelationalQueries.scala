@@ -240,6 +240,35 @@ object RelationalQueries {
         .orderBy(col("version"))
     }),
 
+    // SQL-native snapshot-log catalog (round 13): the TableCatalog rung —
+    // the same three-commit table addressed purely from SQL TEXT via
+    // snap-catalog paths: per-version reads with VERSION AS OF, and an
+    // INSERT INTO whose SOURCE is a time-traveled SELECT of the table
+    // itself (v1, pre-delete), committed through the same append path.
+    // The oracle spells each version's closed form; v4 = v3 plus the 50
+    // re-keyed rows the INSERT copied from v1.
+    "q_scan_snapcat" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graftsnap",
+        "graft.sources.SnaplogCatalog")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      s.sql(s"INSERT INTO graftsnap.`$tmp` " +
+        s"SELECT doc_id + 1000 AS doc_id, n_chars " +
+        s"FROM graftsnap.`$tmp` VERSION AS OF 1 WHERE doc_id < 50")
+      require(t.currentVersion() == 4, "INSERT INTO must commit version 4")
+      (1 to 4).map(v => s.sql(
+          s"SELECT $v AS version, CAST(count(*) AS BIGINT) AS n, " +
+            s"CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+            s"FROM graftsnap.`$tmp` VERSION AS OF $v"))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"))
+    }),
+
     // Copy-on-write MERGE on the snapshot log (round 12): upsert a batch
     // that updates [250,350), inserts [500,600), and RESURRECTS keys the
     // v3 sidecar had deleted (sidecars consolidate to old-minus-update
@@ -955,6 +984,24 @@ object RelationalQueries {
          SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
          FROM documents
          WHERE doc_id >= 400 AND doc_id < 500 AND doc_id % 7 <> 0
+         ORDER BY version""",
+    "q_scan_snapcat" ->
+      """SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id < 300
+         UNION ALL
+         SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500
+         UNION ALL
+         SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0
+         UNION ALL
+         SELECT 4, CAST(count(*) AS BIGINT), CAST(SUM(nc) AS BIGINT)
+         FROM (
+           SELECT n_chars AS nc FROM documents
+            WHERE doc_id < 500 AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT n_chars FROM documents WHERE doc_id < 50)
          ORDER BY version""",
     "q_scan_merge" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
