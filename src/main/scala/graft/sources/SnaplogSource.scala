@@ -101,6 +101,16 @@ object SnaplogSource {
         cmpLong(c, v)((l, _, x) => l <= x) && cmpStr(c, v)((l, _, x) => l <= x)
       case In(c, vs) =>
         vs.isEmpty || vs.exists(v => mayKeep(s, keyCol, EqualTo(c, v)))
+      case StringStartsWith(c, p) =>
+        // any s with prefix p satisfies p <= s < p.init + (p.last+1) in
+        // Java string order — intersect that band with the logged bounds
+        // (no ceiling when the last char cannot be bumped)
+        s.scols.get(c).forall { case (l, h) =>
+          h >= p && (p.isEmpty || p.last == Char.MaxValue || {
+            val ceil = p.init + (p.last + 1).toChar
+            l < ceil
+          })
+        }
       case IsNull(c) =>
         s.rows < 0 || s.nulls.get(c).forall(_ > 0)
       case IsNotNull(c) =>

@@ -91,6 +91,10 @@ class SnaplogSourceSpec extends SparkSpec {
     val sp = snap(root2).where(col("lang") === "en")
     assert(scanParts(sp) < 8, s"string stats must prune: ${scanParts(sp)}/8")
     assert(sp.count() === 1000)
+    // LIKE 'prefix%' prunes via the same bounds (StringStartsWith)
+    val pre = snap(root2).where(col("lang").startsWith("e"))
+    assert(scanParts(pre) < 8, s"prefix filter must prune: ${scanParts(pre)}/8")
+    assert(pre.count() === 1000)
   }
 
   test("snaplog DSv2: column pruning reaches the parquet readers") {
