@@ -138,7 +138,26 @@ class SnaplogDataSource extends TableProvider with DataSourceRegister {
     val latest = t.currentVersion()
     if (latest == 0) // a write target — reads fail loudly at scan build
       return (t, 0, Option(options.get("key")).getOrElse(""))
-    val v = Option(options.get("version")).map(_.toInt).getOrElse(latest)
+    // version / versionAsOf (Delta spelling) pin a version; timestampAsOf
+    // resolves to the newest entry whose mtime is at or before the
+    // timestamp (millis or 'yyyy-MM-dd HH:mm:ss[.S]') — the same
+    // single-writer-clock convenience as the catalog's TIMESTAMP AS OF
+    val byVersion = Option(options.get("version"))
+      .orElse(Option(options.get("versionAsOf"))).map(_.toInt)
+    val byTs = Option(options.get("timestampAsOf")).map { raw =>
+      val tsMillis =
+        if (raw.forall(c => c.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      (1 to latest).filter { i =>
+        val p = java.nio.file.Paths.get(path, "_log", s"$i.json")
+        java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis <= tsMillis
+      }.lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snaplog version of $path committed at or before $raw"))
+    }
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "pass either version/versionAsOf or timestampAsOf, not both")
+    val v = byVersion.orElse(byTs).getOrElse(latest)
     require(v >= 1 && v <= latest,
       s"version $v out of range [1, $latest] for $path")
     val key = t.keyOf(v).orElse(Option(options.get("key"))).getOrElse(

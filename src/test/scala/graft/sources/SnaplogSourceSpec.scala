@@ -33,6 +33,19 @@ class SnaplogSourceSpec extends SparkSpec {
       val dsv2 = snap(root, v).as[(Long, String, Double)].collect().toSet
       assert(dsv2 === api, s"version $v mismatch")
     }
+    // Delta-spelling reader options: versionAsOf + timestampAsOf
+    assert(spark.read.format("snaplog").option("versionAsOf", 1)
+      .load(root).count() === 100)
+    val e1 = java.nio.file.Paths.get(root, "_log", "1.json")
+    java.nio.file.Files.setLastModifiedTime(e1,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(e1).toMillis - 3600000L))
+    val cutMs = java.nio.file.Files.getLastModifiedTime(e1).toMillis + 1000L
+    assert(spark.read.format("snaplog").option("timestampAsOf", cutMs)
+      .load(root).count() === 100)
+    intercept[Exception](spark.read.format("snaplog")
+      .option("version", 1).option("timestampAsOf", cutMs).load(root))
+
     // default = latest; deletes applied INSIDE the readers, no join node
     val live = snap(root)
     assert(live.count() === 147)
