@@ -118,11 +118,20 @@ object SnapshotLog {
     * scan any file lacking a stats row (correct, one metadata op per
     * dir). */
   private[graft] case class Entry(data: Seq[String], deletes: Seq[String],
-      stats: Seq[FileStat], sv: Int)
+      stats: Seq[FileStat], sv: Int, cdc: Option[String] = None)
+
+  /** What a commit path asks the OCC loop to publish (the `compose`
+    * return): the snapshot listing plus schema, stats coverage level,
+    * and the optional change-data sidecar dir ([[Entry.cdc]] — written
+    * by `commitMerge(cdc = true)`, Delta's `_change_data` analogue). */
+  private[operators] case class Composed(data: Seq[String],
+      deletes: Seq[String], stats: Seq[FileStat],
+      schema: Option[org.apache.spark.sql.types.StructType], sv: Int,
+      cdc: Option[String] = None)
 }
 
 final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
-  import SnapshotLog.{Entry, FileStat, Json}
+  import SnapshotLog.{Composed, Entry, FileStat, Json}
 
   private val logDir = Paths.get(root, "_log")
 
@@ -216,7 +225,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       }.toSeq
     }.getOrElse(Nil)
     Entry(arr("data"), arr("deletes"), stats,
-      Option(tree.get("sv")).map(_.asInt()).getOrElse(1))
+      Option(tree.get("sv")).map(_.asInt()).getOrElse(1),
+      Option(tree.get("cdc")).map(_.asText()))
   }
 
   /** The table's key column as recorded in version `v`'s entry (None for
@@ -428,7 +438,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       stats: Seq[FileStat] = Nil,
       txn: Map[String, Long] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: String = "append", sv: Int = 2)
+      op: String = "append", sv: Int = 2,
+      cdc: Option[String] = None)
       : Boolean = {
     Files.createDirectories(logDir)
     val node = Json.createObjectNode()
@@ -463,6 +474,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     txn.toSeq.sortBy(_._1).foreach { case (a, b) => txnNode.put(a, b); () }
     node.put("op", op)
     node.put("sv", sv)
+    cdc.foreach(d => node.put("cdc", d))
     // the table's key column rides every entry so engine-native readers
     // (the snaplog DSv2 source) can apply MOR deletes and key-range
     // pruning without out-of-band configuration
@@ -519,18 +531,18 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * tuple is the stats coverage level ([[Entry.sv]]) to publish. */
   private def commitWithRetry(
       txnPut: Map[String, Long] = Map.empty, op: String = "append")(
-      compose: Int => Option[(Seq[String], Seq[String], Seq[FileStat],
-        Option[org.apache.spark.sql.types.StructType], Int)])
+      compose: Int => Option[Composed])
       : Option[Int] = {
     var attempt = 0
     while (attempt <= maxCommitRetries) {
       val v = currentVersion() + 1
       compose(v) match {
         case None => return None
-        case Some((data, deletes, stats, schema, sv)) =>
+        case Some(c) =>
           val txn = (readTxn(v - 1).toSeq ++ txnPut.toSeq)
             .groupMapReduce(_._1)(_._2)(math.max)
-          if (publishEntry(v, data, deletes, stats, txn, schema, op, sv))
+          if (publishEntry(v, c.data, c.deletes, c.stats, txn, c.schema,
+              op, c.sv, c.cdc))
             return Some(v)
       }
       attempt += 1
@@ -570,7 +582,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       // stats ride the rebase: the winner's per-file stats are re-read
       // from its entry and our new dir's appended — a lost race never
       // drops skipping metadata
-      Some((p.data :+ dir, p.deletes, p.stats ++ newStats,
+      Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
         appendSchema(v, df), math.min(p.sv, 2)))
     }.get
   }
@@ -602,7 +614,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
         val p = prevEntry(v)
-        Some((p.data :+ dir, p.deletes, p.stats ++ newStats,
+        Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
           appendSchema(v, df), math.min(p.sv, 2)))
       }
     }
@@ -648,7 +660,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
               s"${v - 1} has been committed since — the rewrite is stale; " +
               "re-run against the new snapshot")
       }
-      Some((Seq(dir), Nil, newStats, Some(df.schema), 2))
+      Some(Composed(Seq(dir), Nil, newStats, Some(df.schema), 2))
     }.get
   }
 
@@ -661,7 +673,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     commitWithRetry(op = "delete") { v =>
       require(v > 1, "delete on an empty table")
       val p = readEntry(v - 1)
-      Some((p.data, p.deletes :+ dir, p.stats, schemaOf(v - 1), p.sv))
+      Some(Composed(p.data, p.deletes :+ dir, p.stats, schemaOf(v - 1), p.sv))
     }.get
   }
 
@@ -820,7 +832,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     val sch = schemaOf(version)
     commitWithRetry(op = "restore")(_ =>
-      Some((e.data, e.deletes, e.stats, sch, e.sv))).get
+      Some(Composed(e.data, e.deletes, e.stats, sch, e.sv))).get
   }
 
   /** Fold delete sidecars into the data (the deletion-vector compaction):
@@ -966,8 +978,21 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * require redoing the rewrite, so the merge fails loudly with
     * `ConcurrentModificationException` (the serializable write-conflict
     * Delta reports for overlapping transactions) instead of publishing a
-    * lost update. Appends/deletes remain freely concurrent. */
-  def commitMerge(updates: DataFrame): Int = {
+    * lost update. Appends/deletes remain freely concurrent.
+    *
+    * `cdc = true` (round 13 — Delta's `_change_data` when CDF is
+    * enabled): the merge ALSO materializes its exact change rows to a
+    * sidecar recorded in the entry (`"cdc"`): the pre-image of every
+    * VISIBLE matched row tagged `delete` plus every update row tagged
+    * `insert` — `changes(v0, v0+1)` at band-sized extra write cost and
+    * zero extra read (the pre-images come from the stabbed scan the
+    * rewrite already plans). One documented divergence: an update that
+    * rewrites a row with IDENTICAL values still emits its delete+insert
+    * pair (the operation's view — Delta CDF's update_pre/postimage),
+    * where the lazy `changes()` multiset diff cancels the no-op pair.
+    * The snapcdf streaming source serves merge versions from this
+    * sidecar; without it they fail loudly there. */
+  def commitMerge(updates: DataFrame, cdc: Boolean = false): Int = {
     val v0 = currentVersion()
     require(v0 >= 1, "merge on an empty table — use commitAppend")
     val e0 = readEntry(v0)
@@ -1045,6 +1070,34 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         }
       }
 
+    // change-data sidecar: pre-images of VISIBLE matched rows (delete) +
+    // the update rows (insert) — resurrected keys were invisible at v0,
+    // so v0's sidecar keys are anti-joined out of the pre-images
+    val cdcDir: Option[String] =
+      if (!cdc) None
+      else {
+        val rd = mergeSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+        val preImages =
+          if (rewriteScan.isEmpty) None
+          else {
+            val matched = rd.parquet(rewriteScan: _*)
+              .join(broadcast(updKeys), Seq(keyCol), "left_semi")
+            Some(
+              if (deletes.isEmpty) matched
+              else matched.join(
+                broadcast(spark.read.parquet(deletes: _*)
+                  .select(col(keyCol)).distinct()),
+                Seq(keyCol), "left_anti"))
+          }
+        val changeRows = preImages
+          .map(_.withColumn("_change_type", lit("delete"))
+            .unionByName(upd.withColumn("_change_type", lit("insert"))))
+          .getOrElse(upd.withColumn("_change_type", lit("insert")))
+        val cd = s"$root/cdc/c-${java.util.UUID.randomUUID().toString}"
+        changeRows.write.mode("errorifexists").parquet(cd)
+        Some(cd)
+      }
+
     val keptEntries = untouchedE.map(_._1) ++ carriedFiles.map(_.file)
     val keptStats = untouchedE.flatMap(_._2) ++ carriedFiles
     commitWithRetry(op = "merge") { v =>
@@ -1053,8 +1106,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           s"merge computed against version $v0 of $root but version " +
             s"${v - 1} has been committed since — the copy-on-write file " +
             "set is stale; re-run the merge against the new snapshot")
-      Some((keptEntries :+ dir, newDeletes, keptStats ++ newStats,
-        mergeSchema, e0.sv))
+      Some(Composed(keptEntries :+ dir, newDeletes, keptStats ++ newStats,
+        mergeSchema, e0.sv, cdcDir))
     }.get
   }
 
@@ -1158,7 +1211,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       .filter(v => Files.exists(entryPath(v)))
       .map(readEntry)
     val refs: Set[String] =
-      retained.flatMap(e => e.data ++ e.deletes).map(normPath).toSet
+      retained.flatMap(e => e.data ++ e.deletes ++ e.cdc).map(normPath).toSet
 
     var removedFiles = 0
     def sweep(top: Path): Unit = {
@@ -1192,6 +1245,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     sweep(Paths.get(root, "data"))
     sweep(Paths.get(root, "deletes"))
+    sweep(Paths.get(root, "cdc"))
 
     var removedEntries = 0
     for (v <- 1 until retainFrom if Files.deleteIfExists(entryPath(v)))

@@ -38,8 +38,11 @@ import graft.operators.{SnapshotLog, SnapshotTable}
   * that version never surface as inserts.
   *
   * Scope: APPEND-family commits (`append`, `txn-append` — the streaming
-  * ingest shapes; `restore` of a pure superset also replays as inserts).
-  * A delete/merge/overwrite commit in the admitted range fails LOUDLY —
+  * ingest shapes), plus MERGE commits written with
+  * `commitMerge(cdc = true)` — those carry their exact change rows in a
+  * log-referenced sidecar (Delta's `_change_data`) and are served
+  * verbatim, `delete` pre-images included. Any other
+  * delete/merge/overwrite commit in the admitted range fails LOUDLY —
   * its exact diff needs the batch `changes()` machinery — and the
   * [[graft.streaming.SnapshotCdf.backfill]] composition remains the
   * general path. Versions below a vacuum horizon fail loudly at
@@ -153,15 +156,22 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
     val parts = Array.newBuilder[InputPartition]
     for (v <- (s + 1) to e) {
       val op = t.opOf(v)
-      require(op == "append" || op == "txn-append",
-        s"snapcdf streams append-family commits; version $v is '$op' — " +
-          "use SnapshotCdf.backfill for exact diffs of " +
-          "delete/merge/overwrite history")
-      val prev = if (v == 1) Set.empty[String]
-        else t.readEntry(v - 1).data.toSet
       val entry = t.readEntry(v)
-      for (d <- entry.data if !prev.contains(d); f <- t.dataFilesOf(d))
-        parts += SnapCdfPartition(f, v)
+      if (op == "merge" && entry.cdc.isDefined) {
+        // a CDF-enabled merge (commitMerge(cdc = true)) materialized its
+        // exact change rows — serve them verbatim, types included
+        for (f <- t.dataFilesOf(entry.cdc.get))
+          parts += SnapCdfPartition(f, v, typed = true)
+      } else {
+        require(op == "append" || op == "txn-append",
+          s"snapcdf streams append-family commits (and merges committed " +
+            s"with cdc = true); version $v is '$op' — use " +
+            "SnapshotCdf.backfill for exact diffs of other history")
+        val prev = if (v == 1) Set.empty[String]
+          else t.readEntry(v - 1).data.toSet
+        for (d <- entry.data if !prev.contains(d); f <- t.dataFilesOf(d))
+          parts += SnapCdfPartition(f, v)
+      }
     }
     parts.result()
   }
@@ -181,7 +191,8 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
   override def stop(): Unit = ()
 }
 
-case class SnapCdfPartition(file: String, version: Int) extends InputPartition
+case class SnapCdfPartition(file: String, version: Int,
+                            typed: Boolean = false) extends InputPartition
 
 /** Per-file reader: the snaplog parquet assembly plus the two appended
   * CDF metadata columns. The version's delete-sidecar keys load lazily
@@ -194,6 +205,7 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapCdfPartition]
+    if (p.typed) return typedReader(p) // cdc sidecar: change rows verbatim
     // resolve the version's delete sidecars from its entry — one small
     // JSON read per task, executor-local (no SparkSession out here)
     val entryPath = new org.apache.hadoop.fs.Path(s"$root/_log/${p.version}.json")
@@ -236,6 +248,35 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
           i += 1
         }
         out(dataFields.size) = insertU
+        out(dataFields.size + 1) = p.version
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  /** Reader for a cdc-sidecar file: rows already carry their
+    * `_change_type` — decode it as a data column, append the version,
+    * and apply NO delete filtering (change records are exact). */
+  private def typedReader(p: SnapCdfPartition): PartitionReader[InternalRow] = {
+    val readFields = StructType(dataFields.fields :+
+      StructField(SnapCdfSource.ChangeTypeCol, StringType, nullable = true))
+    val inner = new SnaplogFileReader(p.file, readFields, readFields.size,
+      -1, Array.empty, conf.value)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        val out = new Array[Any](dataFields.size + 2)
+        var i = 0
+        while (i < dataFields.size) {
+          out(i) = if (r.isNullAt(i)) null
+            else r.get(i, dataFields.fields(i).dataType)
+          i += 1
+        }
+        out(dataFields.size) =
+          if (r.isNullAt(dataFields.size)) null
+          else r.getUTF8String(dataFields.size)
         out(dataFields.size + 1) = p.version
         new GenericInternalRow(out)
       }

@@ -766,6 +766,46 @@ class SnapshotLogSpec extends SparkSpec {
       s"z-order must prune the key dim: ${pid.inputFiles.length}/64")
   }
 
+  test("merge cdc sidecar: exact change rows, vacuum-protected (round 13)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")))                                 // v1
+    t.commitDelete(Seq(60L).toDF("id"))                                  // v2
+    // upsert: update 55-60 (60 was deleted → resurrection, NO delete
+    // pre-image), insert 200
+    val upd = ((55L to 60L).map(i => (i, s"U$i")) :+ ((200L, "N200")))
+      .toDF("id", "v")
+    t.commitMerge(upd, cdc = true)                                       // v3
+    val e3 = t.readEntry(3)
+    assert(e3.cdc.isDefined, "cdc=true must record the sidecar in the entry")
+    // the sidecar IS changes(2, 3), type column included
+    val sidecar = spark.read.parquet(e3.cdc.get)
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    val batch = t.changes(2, 3).as[(Long, String, String)].collect().toSet
+    assert(sidecar === batch, s"sidecar=$sidecar batch=$batch")
+    // resurrected 60 has no delete pre-image; plain updates do
+    assert(!sidecar.contains((60L, "a60", "delete")))
+    assert(sidecar.contains((55L, "a55", "delete")))
+    assert(sidecar.contains((60L, "U60", "insert")))
+    assert(sidecar.contains((200L, "N200", "insert")))
+    // vacuum keeps the sidecar while v3 is retained, sweeps it after
+    t.commitOverwrite((1L to 3L).map(i => (i, "z")).toDF("id", "v"))     // v4
+    t.vacuum(3)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(e3.cdc.get)), "retained cdc must survive")
+    t.vacuum(4)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(e3.cdc.get)), "unreferenced cdc must be swept")
+    // cdc=false (the default) records nothing
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snap_cc2").toString
+    val t2 = SnapshotLog.open(spark, root2, "id")
+    t2.commitAppend((1L to 10L).map(i => (i, "x")).toDF("id", "v"))
+    t2.commitMerge(Seq((5L, "U")).toDF("id", "v"))
+    assert(t2.readEntry(2).cdc.isEmpty)
+  }
+
   test("entry format round-trips arbitrary stats exactly (property)") {
     // the round-13 Jackson rework's contract: publishEntry ∘ readEntry is
     // the identity on every representable entry — arbitrary printable-

@@ -161,6 +161,50 @@ class SnapshotCdfSpec extends SparkSpec {
     assert(fresh.map(x => (x._1, x._2, x._3)).toSet == batchDiff)
   }
 
+  test("snapcdf MicroBatchStream serves cdc-enabled merges (round 13)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mbs2").toString
+    val root = s"$base/table"
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))    // v1
+    t.commitMerge(Seq((5L, "U5"), (20L, "N20")).toDF("id", "v"),
+      cdc = true)                                                        // v2
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Int)]
+    val q = spark.readStream.format("snapcdf").load(root)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= b.select("id", "v", "_change_type", "cdf_version")
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getString(2), r.getInt(3)))
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val v2Rows = rows.filter(_._4 == 2).map(x => (x._1, x._2, x._3)).toSet
+    val batch = t.changes(1, 2).as[(Long, String, String)].collect().toSet
+    assert(v2Rows === batch,
+      s"merge version must stream its exact diff: $v2Rows vs $batch")
+    assert(v2Rows.contains((5L, "a5", "delete")) &&
+      v2Rows.contains((5L, "U5", "insert")) &&
+      v2Rows.contains((20L, "N20", "insert")))
+    assert(rows.count(_._4 == 1) === 10, "the backfill inserts still stream")
+    // a cdc-LESS merge still fails loudly
+    t.commitMerge(Seq((6L, "U6")).toDF("id", "v"))                       // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("snapcdf").load(root)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q2.awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("cdc = true")), e.toString)
+  }
+
   test("txn ingest: exactly-once across restart, catch-up, forced replay") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_snapsink_sp").toString
