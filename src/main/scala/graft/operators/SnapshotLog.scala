@@ -116,18 +116,31 @@ object SnapshotLog {
     * no directory listing); 1 marks legacy/hand-written entries whose
     * coverage may be partial — pruned reads then list the live dirs and
     * scan any file lacking a stats row (correct, one metadata op per
-    * dir). */
+    * dir). `pvals` maps a PARTITIONED data entry (a hive leaf dir
+    * written by `commitAppend(df, partitionBy)`) to its partition
+    * column → value assignment (round 13); `constraints` is the table's
+    * CHECK-constraint set (name → SQL expression), carried forward by
+    * every commit path like `txn`. */
   private[graft] case class Entry(data: Seq[String], deletes: Seq[String],
-      stats: Seq[FileStat], sv: Int, cdc: Option[String] = None)
+      stats: Seq[FileStat], sv: Int, cdc: Option[String] = None,
+      pvals: Map[String, Map[String, String]] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   /** What a commit path asks the OCC loop to publish (the `compose`
     * return): the snapshot listing plus schema, stats coverage level,
     * and the optional change-data sidecar dir ([[Entry.cdc]] — written
-    * by `commitMerge(cdc = true)`, Delta's `_change_data` analogue). */
+    * by `commitMerge(cdc = true)`, Delta's `_change_data` analogue).
+    * `newPvals` are partition-value assignments for NEW data entries
+    * (prior entries' values are carried forward automatically and
+    * dropped when their entry leaves the listing); `constraints` is
+    * None to inherit the previous version's set verbatim, Some(set) to
+    * replace it (add/drop constraint). */
   private[operators] case class Composed(data: Seq[String],
       deletes: Seq[String], stats: Seq[FileStat],
       schema: Option[org.apache.spark.sql.types.StructType], sv: Int,
-      cdc: Option[String] = None)
+      cdc: Option[String] = None,
+      newPvals: Map[String, Map[String, String]] = Map.empty,
+      constraints: Option[Map[String, String]] = None)
 }
 
 final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
@@ -224,9 +237,16 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           if (n.has("sz")) n.get("sz").asLong() else -1L)
       }.toSeq
     }.getOrElse(Nil)
+    val pvals = Option(tree.get("pvals")).map { o =>
+      o.fieldNames().asScala.map { d =>
+        d -> mapOf(o, d)(_.asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, String]])
     Entry(arr("data"), arr("deletes"), stats,
       Option(tree.get("sv")).map(_.asInt()).getOrElse(1),
-      Option(tree.get("cdc")).map(_.asText()))
+      Option(tree.get("cdc")).map(_.asText()),
+      pvals,
+      mapOf(tree, "constraints")(_.asText()))
   }
 
   /** The table's key column as recorded in version `v`'s entry (None for
@@ -439,7 +459,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       txn: Map[String, Long] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: String = "append", sv: Int = 2,
-      cdc: Option[String] = None)
+      cdc: Option[String] = None,
+      pvals: Map[String, Map[String, String]] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
       : Boolean = {
     Files.createDirectories(logDir)
     val node = Json.createObjectNode()
@@ -472,6 +494,17 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     val txnNode = node.putObject("txn")
     txn.toSeq.sortBy(_._1).foreach { case (a, b) => txnNode.put(a, b); () }
+    if (pvals.nonEmpty) {
+      val pv = node.putObject("pvals")
+      pvals.toSeq.sortBy(_._1).foreach { case (d, vs) =>
+        val o = pv.putObject(d)
+        vs.toSeq.sortBy(_._1).foreach { case (c, x) => o.put(c, x); () }
+      }
+    }
+    if (constraints.nonEmpty) {
+      val cn = node.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e); () }
+    }
     node.put("op", op)
     node.put("sv", sv)
     cdc.foreach(d => node.put("cdc", d))
@@ -541,8 +574,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         case Some(c) =>
           val txn = (readTxn(v - 1).toSeq ++ txnPut.toSeq)
             .groupMapReduce(_._1)(_._2)(math.max)
+          val prev = prevEntry(v)
+          // partition values follow their entry: carried while the dir is
+          // listed, dropped the commit it leaves (merge/compact/overwrite),
+          // extended by whatever the path just wrote
+          val dataSet = c.data.toSet
+          val pv = (prev.pvals ++ c.newPvals).filter { case (d, _) =>
+            dataSet.contains(d)
+          }
+          // CHECK constraints persist across every commit unless the path
+          // explicitly replaces the set (add/drop constraint)
+          val cons = c.constraints.getOrElse(prev.constraints)
           if (publishEntry(v, c.data, c.deletes, c.stats, txn, c.schema,
-              op, c.sv, c.cdc))
+              op, c.sv, c.cdc, pv, cons))
             return Some(v)
       }
       attempt += 1
@@ -574,6 +618,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (v == 1) Entry(Nil, Nil, Nil, 2) else readEntry(v - 1)
 
   def commitAppend(df: DataFrame): Int = {
+    checkConstraints(df, constraints())
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
@@ -585,6 +630,221 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
         appendSchema(v, df), math.min(p.sv, 2)))
     }.get
+  }
+
+  // ---- round 13: partitioned tables / dynamic partition overwrite --------
+
+  /** Shadow-column prefix for the hive partition layout. The REAL column
+    * stays in the data files (so parquet footers bound it min = max and
+    * the existing stats machinery — readWhere/readWhereString, the
+    * snaplog DSv2 pushdown — prunes partitions with zero new read
+    * logic); the shadow only names the directory. */
+  private val PartPrefix = "gp_"
+  private val PartValRe = "[A-Za-z0-9._-]+"
+
+  /** Hive-layout write of `df` partitioned by `cols`; returns one
+    * (leafDir, partitionValues, fileStats) triple per written partition.
+    * Partition values must be NON-NULL and PATH-SAFE ([A-Za-z0-9._-]) —
+    * the leaf dir name IS the value, so no escaping ambiguity can exist
+    * between the path and the logged value (loud error otherwise; dates
+    * and the usual lang/category/dt values all pass). */
+  private def writePartitioned(df: DataFrame, cols: Seq[String])
+      : Seq[(String, Map[String, String], Seq[FileStat])] = {
+    require(cols.nonEmpty, "partitionBy must name at least one column")
+    require(cols.distinct == cols, s"duplicate partition column in $cols")
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    for (c <- cols) {
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"partition column '$c' not in (${df.columns.mkString(", ")})"))
+      import org.apache.spark.sql.types._
+      require(Seq[DataType](StringType, IntegerType, LongType, ShortType,
+          ByteType, DateType).contains(f.dataType),
+        s"partition column '$c' must be string/integral/date, got " +
+          f.dataType.simpleString)
+    }
+    require(!df.columns.exists(_.startsWith(PartPrefix)),
+      s"column names starting with '$PartPrefix' collide with the " +
+        "partition shadow columns")
+    val viol = df.where(cols.map(c =>
+        col(c).isNull || !col(c).cast("string").rlike(s"^$PartValRe$$"))
+      .reduce(_ || _)).limit(1).collect()
+    require(viol.isEmpty,
+      s"partition values must be non-null and path-safe ($PartValRe); " +
+        s"offending row: ${viol.headOption.fold("")(_.toString)}")
+    val dir = newDataDir()
+    val shadows = cols.map(PartPrefix + _)
+    cols.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(s, col(c).cast("string"))
+      }.write.mode("errorifexists").partitionBy(shadows: _*).parquet(dir)
+    // discover the leaf dirs (depth = partition-column count below dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val top = new org.apache.hadoop.fs.Path(dir)
+    val fsys = top.getFileSystem(conf)
+    def leaves(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      if (depth == 0) Seq("")
+      else fsys.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(s => leaves(s.getPath, depth - 1).map(rel =>
+          if (rel.isEmpty) s.getPath.getName else s.getPath.getName + "/" + rel))
+    leaves(top, cols.size).map { rel =>
+      val vals = rel.split('/').map { seg =>
+        val i = seg.indexOf('=')
+        require(i > PartPrefix.length, s"unexpected partition dir '$seg'")
+        seg.substring(PartPrefix.length, i) -> seg.substring(i + 1)
+      }.toMap
+      val leaf = s"$dir/$rel"
+      (leaf, vals, statsFor(leaf))
+    }
+  }
+
+  /** Partitioned append — Delta/Iceberg partition columns on the
+    * snapshot log: data lands hive-laid-out
+    * (`data/c-<uuid>/gp_<col>=<value>/part-*.parquet`) with each LEAF
+    * dir recorded as its own data entry carrying its explicit partition
+    * values in the log (`pvals`). The partition column itself stays IN
+    * the files (the shadow column only names the directory), so every
+    * file's footer bounds it min = max and partition pruning rides the
+    * EXISTING stats machinery — `readWhere`/`readWhereString`, the
+    * snaplog DSv2 connector's filter pushdown, and merge interval
+    * stabbing all skip foreign partitions with zero new read logic,
+    * while [[readPartitions]] and [[commitReplacePartitions]] get exact
+    * METADATA-level entry selection from `pvals`. At 100 TB the value
+    * is the usual one: ingest aligned to the query dimension (dt, lang,
+    * source) turns full scans into per-partition file-list reads, and
+    * partition-scoped overwrites never rewrite foreign partitions. */
+  def commitAppend(df: DataFrame, partitionBy: Seq[String]): Int = {
+    checkConstraints(df, constraints())
+    val parts = writePartitioned(df, partitionBy)
+    commitWithRetry() { v =>
+      val p = prevEntry(v)
+      Some(Composed(p.data ++ parts.map(_._1), p.deletes,
+        p.stats ++ parts.flatMap(_._3), appendSchema(v, df),
+        math.min(p.sv, 2),
+        newPvals = parts.map(t => t._1 -> t._2).toMap))
+    }.get
+  }
+
+  /** Dynamic partition overwrite (Delta's `replaceWhere` on partition
+    * columns / Spark's `partitionOverwriteMode=dynamic`, THE idempotent
+    * backfill pattern): atomically replace EXACTLY the partitions
+    * present in `df` — existing entries whose logged partition values
+    * match one of the incoming tuples leave the snapshot, everything
+    * else is untouched, and the swap is pure METADATA (no foreign
+    * partition is read or rewritten; a re-run of a failed backfill
+    * lands the same partitions again, idempotently). Concurrency: the
+    * drop set is recomputed from the LATEST entry on every OCC rebase,
+    * so writers replacing DISJOINT partitions never conflict and both
+    * land — the property that lets one backfill job per day/lang pair
+    * run unserialised.
+    *
+    * Loud refusals keep it exact: every existing data entry must be
+    * partition-aligned on the same columns (a merge/compact/optimize
+    * rewrite drops alignment — re-ingest partitioned, or overwrite), and
+    * pending delete sidecars must be compacted first (a sidecar applies
+    * by key across partitions; silently re-deleting replaced rows would
+    * be wrong). */
+  def commitReplacePartitions(df: DataFrame, partitionBy: Seq[String]): Int = {
+    checkConstraints(df, constraints())
+    val parts = writePartitioned(df, partitionBy)
+    val replaced: Set[Map[String, String]] = parts.map(_._2).toSet
+    commitWithRetry(op = "replace-partitions") { v =>
+      require(v > 1,
+        "replacePartitions on an empty table — use commitAppend")
+      val p = prevEntry(v)
+      require(p.deletes.isEmpty,
+        s"replacePartitions on $root with pending delete sidecars is " +
+          "ambiguous (a sidecar applies by key across partitions) — " +
+          "compact() first")
+      val drop = p.data.filter { d =>
+        p.pvals.get(d) match {
+          case Some(vs) if partitionBy.forall(vs.contains) =>
+            replaced.contains(partitionBy.map(c => c -> vs(c)).toMap)
+          case Some(vs) => throw new IllegalStateException(
+            s"data entry $d is partitioned by " +
+              s"(${vs.keys.toSeq.sorted.mkString(", ")}), not " +
+              s"(${partitionBy.mkString(", ")}) — replacePartitions " +
+              "needs a consistently partitioned table")
+          case None => throw new IllegalStateException(
+            s"data entry $d carries no partition values (unpartitioned " +
+              "append, or a merge/compact/optimize rewrite) — " +
+              "replacePartitions requires every data entry " +
+              "partition-aligned; re-ingest partitioned or commitOverwrite")
+        }
+      }.toSet
+      val keep = p.data.filterNot(drop)
+      val keepStats = p.stats.filterNot(s => drop.exists(belongsTo(s.file, _)))
+      Some(Composed(keep ++ parts.map(_._1), Nil,
+        keepStats ++ parts.flatMap(_._3), appendSchema(v, df),
+        math.min(p.sv, 2),
+        newPvals = parts.map(t => t._1 -> t._2).toMap))
+    }.get
+  }
+
+  /** Partition-scoped read: keep only data entries whose logged
+    * partition values agree with `values` — METADATA selection, no
+    * stats math, no file listing — then apply the exact predicate
+    * anyway (entries without partition values, or partitioned on other
+    * columns, are always scanned; pruning never changes results).
+    * Values compare in string form, matching how they are logged. */
+  def readPartitions(values: Map[String, String], version: Int = -1)
+      : DataFrame = {
+    require(values.nonEmpty, "readPartitions needs at least one column=value")
+    val latest = currentVersion()
+    require(latest >= 1, s"empty table at $root")
+    val v = if (version < 0) latest else version
+    require(v >= 1 && v <= latest,
+      s"version $v out of range [1, $latest] for $root")
+    val e = readEntry(v)
+    val keep = e.data.filter { d =>
+      e.pvals.get(d).forall(vs =>
+        values.forall { case (c, x) => vs.get(c).forall(_ == x) })
+    }
+    val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
+    val flt = values.map { case (c, x) => col(c).cast("string") === lit(x) }
+      .reduce(_ && _)
+    val base =
+      if (keep.isEmpty) rd.parquet(e.data: _*).where(lit(false))
+      else rd.parquet(keep: _*).where(flt)
+    if (e.deletes.isEmpty) base
+    else base.join(
+      broadcast(spark.read.parquet(e.deletes: _*)
+        .select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Partition values of the latest (or given) version's data entries —
+    * one row per partitioned entry, driver-metadata-sized. */
+  def partitionValues(version: Int = -1): Map[String, Map[String, String]] = {
+    val latest = currentVersion()
+    require(latest >= 1, s"empty table at $root")
+    readEntry(if (version < 0) latest else version).pvals
+  }
+
+  // ---- round 13: shallow clone --------------------------------------------
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): publish
+    * the current snapshot's listing, stats, schema, partition values and
+    * constraints as version 1 of a NEW table at `destRoot` — pure
+    * metadata, zero data copied, so cloning a 100 TB table costs one
+    * JSON write. The clone references the SOURCE files until its own
+    * commits diverge; txn watermarks do NOT copy (the clone is a fresh
+    * writer space — a streaming app re-targeting it starts clean), and
+    * the change-data sidecar pointer is dropped (CDF history belongs to
+    * the source). The documented hazard is Delta's own: `vacuum` on the
+    * SOURCE can delete files the clone still references (the source
+    * doesn't know its children) — vacuum the source only after clones
+    * re-materialize (compact/optimize) or are dropped. Vacuum on the
+    * CLONE is safe: it sweeps only the clone's own directories. */
+  def cloneTo(destRoot: String): SnapshotTable = {
+    val v0 = currentVersion()
+    require(v0 >= 1, s"cannot clone empty table $root")
+    val e = readEntry(v0)
+    val dest = new SnapshotTable(spark, destRoot, keyCol)
+    require(dest.currentVersion() == 0,
+      s"clone destination $destRoot already has commits")
+    require(dest.publishEntry(1, e.data, e.deletes, e.stats, Map.empty,
+        schemaOf(v0), "clone", e.sv, None, e.pvals, e.constraints),
+      s"clone destination $destRoot gained a commit mid-clone")
+    dest
   }
 
   /** Idempotent streaming append — the Delta `txn` action. Appends `df`
@@ -607,6 +867,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"""appId "$appId" — quotes/braces/colons/commas/backslashes """ +
         "in an app id are needlessly hostile to log tooling")
     if (lastTxn(appId).exists(_ >= batchId)) return None // cheap pre-check
+    checkConstraints(df, constraints())
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
@@ -632,6 +893,84 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (v == 0) None else readTxn(v).get(appId)
   }
 
+  // ---- round 13: CHECK constraints / invariants --------------------------
+
+  /** The table's CHECK constraints (name → SQL expression) as of the
+    * latest version — Delta's `ALTER TABLE ADD CONSTRAINT` surface. */
+  def constraints(): Map[String, String] = {
+    val v = currentVersion()
+    if (v == 0) Map.empty else readEntry(v).constraints
+  }
+
+  /** Enforce `cons` on an incoming batch BEFORE any data is written —
+    * write-path invariants, the Delta CHECK-constraint contract. SQL
+    * CHECK semantics: a row violates only when the expression evaluates
+    * to FALSE; NULL passes (spell `c IS NOT NULL` to forbid nulls).
+    * Cost is one pass over the BATCH per constraint (constraints are
+    * few; batches are what the writer just produced) — table size never
+    * enters, which is the property that keeps invariants affordable on
+    * a 100 TB table under continuous ingest. */
+  private def checkConstraints(df: DataFrame,
+      cons: Map[String, String]): Unit =
+    for ((name, sql) <- cons.toSeq.sortBy(_._1)) {
+      val bad = df.where(expr(sql) === lit(false)).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($sql) violated on $root by e.g. " +
+            bad.head.toString)
+    }
+
+  /** Add a CHECK constraint as a metadata-only commit. The CURRENT
+    * table is validated first (one scan — the unavoidable price of a
+    * new invariant over existing data; Delta pays the same); thereafter
+    * every ingest path (append, txn append, overwrite, merge, partition
+    * replace) validates its incoming batch at batch-sized cost.
+    * Conflict-checked like [[commitMerge]]: rows landing between the
+    * validation scan and the publish could violate the new invariant,
+    * so an interleaved commit throws `ConcurrentModificationException`
+    * rather than publishing a constraint the table may already break. */
+  def addConstraint(name: String, sql: String): Int =
+    addConstraintAt(name, sql, currentVersion())
+
+  /** [[addConstraint]] with the validation base pinned by the caller —
+    * the testable seam for the conflict guard. */
+  private[operators] def addConstraintAt(name: String, sql: String,
+      v0: Int): Int = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_.-]+"),
+      s"constraint name '$name' — use [A-Za-z0-9_.-] (it rides the log)")
+    require(v0 >= 1, "add constraints after the table's first commit")
+    require(!readEntry(v0).constraints.contains(name),
+      s"constraint '$name' already exists on $root (drop it first)")
+    val bad = read(v0).where(expr(sql) === lit(false)).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint '$name' ($sql): existing rows of " +
+        s"$root violate it, e.g. ${bad.headOption.fold("")(_.toString)}")
+    commitWithRetry(op = "add-constraint") { v =>
+      if (v != v0 + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"addConstraint('$name') validated version $v0 of $root but " +
+            s"version ${v - 1} has been committed since — the validation " +
+            "is stale; re-run against the new snapshot")
+      val p = prevEntry(v)
+      Some(Composed(p.data, p.deletes, p.stats, schemaOf(v - 1), p.sv,
+        constraints = Some(p.constraints + (name -> sql))))
+    }.get
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). Safe to run
+    * concurrently with ingest — removing an invariant can't be violated
+    * by an interleaved commit, so no base pin. */
+  def dropConstraint(name: String): Int =
+    commitWithRetry(op = "drop-constraint") { v =>
+      require(v > 1, s"empty table at $root has no constraints")
+      val p = prevEntry(v)
+      require(p.constraints.contains(name),
+        s"no constraint '$name' on $root " +
+          s"(have: ${p.constraints.keys.toSeq.sorted.mkString(", ")})")
+      Some(Composed(p.data, p.deletes, p.stats, schemaOf(v - 1), p.sv,
+        constraints = Some(p.constraints - name)))
+    }.get
+
   /** Replace the table's contents with `df` (drops prior delete sidecars
     * too — they referred to replaced data). Overwrite is REPLACE
     * semantics by design: it does not conflict-check against concurrent
@@ -649,6 +988,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * unreferenced and swept by the next [[vacuum]]. */
   private def overwriteWith(df: DataFrame, op: String,
       base: Option[Int] = None): Int = {
+    // compact/optimize rewrite rows already admitted under the invariants;
+    // only a user-supplied overwrite brings NEW rows to validate
+    if (op == "overwrite") checkConstraints(df, constraints())
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
@@ -831,8 +1173,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           "only versions whose files survive retention are restorable")
     }
     val sch = schemaOf(version)
+    // the target's partition values restore with its listing; constraints
+    // do NOT roll back (like txn watermarks, invariants only advance —
+    // restored rows predate them and are not revalidated, Delta's call)
     commitWithRetry(op = "restore")(_ =>
-      Some(Composed(e.data, e.deletes, e.stats, sch, e.sv))).get
+      Some(Composed(e.data, e.deletes, e.stats, sch, e.sv,
+        newPvals = e.pvals))).get
   }
 
   /** Fold delete sidecars into the data (the deletion-vector compaction):
@@ -1005,6 +1351,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"merge schema mismatch: table has ${tableCols.mkString(",")}, " +
         s"updates have ${updates.columns.mkString(",")}")
     val upd = updates.select(tableCols.map(col): _*)
+    checkConstraints(upd, e0.constraints)
     val updKeys = upd.select(col(keyCol)).distinct()
 
     // exact per-file touch set: which stat intervals does at least one
@@ -1220,18 +1567,30 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       for (c <- children if Files.isDirectory(c)) {
         val nc = normPath(c.toString)
         if (!refs.contains(nc)) {
-          // not referenced whole — keep only file-level refs inside
+          // not referenced whole — keep file-level refs AND files under a
+          // referenced descendant dir (partitioned leaf entries live one
+          // hive level below the commit dir)
+          def kept(f: Path): Boolean = {
+            if (refs.contains(normPath(f.toString))) return true
+            var a = f.getParent
+            while (a != null && a.startsWith(c) && a != c) {
+              if (refs.contains(normPath(a.toString))) return true
+              a = a.getParent
+            }
+            false
+          }
           val files = Files.walk(c).iterator().asScala
             .filter(Files.isRegularFile(_)).toSeq
-          val keptNames = files.map(f => f.getFileName.toString -> f)
-            .filter { case (_, f) => refs.contains(normPath(f.toString)) }
-            .map(_._1).toSet
+          val keptNames = files.filter(kept)
+            .map(_.getFileName.toString).toSet
           for (f <- files) {
             val name = f.getFileName.toString
+            val base = name.stripPrefix(".").stripSuffix(".crc")
             val isShadow = name.startsWith(".") && name.endsWith(".crc") &&
-              keptNames.contains(name.stripPrefix(".").stripSuffix(".crc"))
+              (keptNames.contains(base) ||
+                (base == "_SUCCESS" && keptNames.nonEmpty))
             val isMarker = name == "_SUCCESS" && keptNames.nonEmpty
-            if (!refs.contains(normPath(f.toString)) && !isShadow && !isMarker) {
+            if (!kept(f) && !isShadow && !isMarker) {
               Files.delete(f); removedFiles += 1
             }
           }

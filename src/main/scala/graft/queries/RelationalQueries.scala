@@ -467,6 +467,121 @@ object RelationalQueries {
         sum(col("doc_id")).cast("long").as("sum_ids"))
     }),
 
+    // Partitioned snapshot-log table + dynamic partition overwrite
+    // (round 13 — Delta's partition columns + replaceWhere, THE
+    // idempotent-backfill shape): ingest lands hive-laid-out with each
+    // leaf dir its own data entry carrying explicit partition values in
+    // the log; commitReplacePartitions swaps EXACTLY the incoming
+    // partitions as metadata (foreign partitions untouched — asserted:
+    // same dirs carry over); the partition column stays IN the files so
+    // a point probe prunes foreign partitions through the ordinary
+    // logged stats (asserted in-flight); readPartitions selects entries
+    // by logged values alone. Result: per-lang aggregate where the 'en'
+    // partition was replaced by doubled-n_chars rows — wrong swap scope,
+    // leaked old 'en' rows, or lost foreign partitions all break the hash.
+    "q_scan_snappart" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_spt").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .where(col("doc_id") < 600)
+      t.commitAppend(docs, Seq("lang"))
+      val dirsBefore = t.partitionValues()
+        .collect { case (dir, vs) if vs("lang") != "en" => dir }.toSet
+      t.commitReplacePartitions(
+        docs.where(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") * 2),
+        Seq("lang"))
+      val dirsAfter = t.partitionValues().keySet
+      require(dirsBefore.subsetOf(dirsAfter),
+        "foreign partitions must carry over as the SAME entries")
+      val total = t.read().inputFiles.length
+      val probe = t.readWhereString("lang", "fr", "fr")
+      require(probe.inputFiles.length < total,
+        s"partition stats pruned nothing (${probe.inputFiles.length}/$total)")
+      t.readPartitions(Map("lang" -> "en"))
+        .unionByName(probe)
+        .unionByName(t.read().where(col("lang") =!= "en" &&
+          col("lang") =!= "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
+    // CHECK constraints on the snapshot log (round 13 — Delta's ALTER
+    // TABLE ADD CONSTRAINT): the invariant rides the log entry and every
+    // ingest path validates its BATCH before any data is written (table
+    // size never enters). A violating append must fail loudly and leave
+    // NO version behind (asserted in-flight: version count and row set
+    // unchanged); a conforming append lands; dropConstraint re-admits.
+    // The final aggregate includes the post-drop outlier row — a
+    // constraint that silently passed the bad batch, or one that blocked
+    // the good batch, breaks the hash.
+    "q_scan_snapconstraint" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sct").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.addConstraint("chars_pos", "n_chars >= 0 AND lang IS NOT NULL")
+      val vBefore = t.currentVersion()
+      val threw =
+        try {
+          t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+            .withColumn("n_chars", col("n_chars") - 100000))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(threw && t.currentVersion() == vBefore,
+        "a violating batch must fail loudly and commit nothing")
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.dropConstraint("chars_pos")
+      t.commitAppend(docs.where(col("doc_id") === 400)
+        .withColumn("n_chars", col("n_chars") - 100000))
+      t.read().agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
+    // Shallow CLONE of a snapshot-log table (round 13 — Delta's CREATE
+    // TABLE ... SHALLOW CLONE): one JSON publish copies the listing,
+    // stats, schema and MOR sidecar — zero data files (asserted
+    // in-flight) — after which source and clone diverge independently:
+    // the source takes a delete, the clone a merge, and neither sees the
+    // other's change. Result: side-tagged aggregates of both tables —
+    // a clone that deep-copied, leaked a post-clone source change, or
+    // shared log state breaks the hash (and the in-flight asserts).
+    "q_scan_snapclone" -> ((s, d) => {
+      val srcTmp = java.nio.file.Files.createTempDirectory("graft_cl1").toString
+      val dstTmp = srcTmp + "_clone"
+      val t = graft.operators.SnapshotLog.open(s, srcTmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 400))
+      t.commitDelete(docs.where(col("doc_id") % 9 === 0 && col("doc_id") < 400)
+        .select(col("doc_id")))
+      val clone = t.cloneTo(dstTmp)
+      require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dstTmp, "data")),
+        "shallow clone must copy METADATA only, never data files")
+      // diverge: source deletes a band, clone doubles one
+      t.commitDelete(docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id")))
+      clone.commitMerge(docs
+        .where(col("doc_id") >= 100 && col("doc_id") < 200 &&
+          col("doc_id") % 9 =!= 0)
+        .withColumn("n_chars", col("n_chars") * 2))
+      def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"),
+            col("sum_ids"))
+      agg(t.read(), "src").unionByName(agg(clone.read(), "clone"))
+        .orderBy(col("side"))
+    }),
+
     // Equi-depth histogram: percentile boundaries + map-side assignment
     // (never an ntile global window); boundaries 4dp-rounded before
     // assignment — the cross-engine bucketing contract
@@ -1089,6 +1204,37 @@ object RelationalQueries {
          FROM documents
          WHERE (CAST(doc_id AS BIGINT) * 48271) % 4096
                BETWEEN 0 AND 511""",
+    "q_scan_snappart" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN lang = 'en' THEN n_chars * 2
+                              ELSE n_chars END) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id < 600
+         GROUP BY lang ORDER BY lang""",
+    "q_scan_snapconstraint" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT n_chars AS nc, doc_id AS id FROM documents
+            WHERE doc_id < 500
+           UNION ALL
+           SELECT n_chars - 100000, doc_id FROM documents
+            WHERE doc_id = 400)""",
+    "q_scan_snapclone" ->
+      """SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT 'src' AS side, n_chars AS nc, doc_id AS id
+           FROM documents
+            WHERE doc_id < 300 AND doc_id % 9 <> 0
+           UNION ALL
+           SELECT 'clone', CASE WHEN doc_id >= 100 AND doc_id < 200
+                                THEN n_chars * 2 ELSE n_chars END, doc_id
+           FROM documents
+            WHERE doc_id < 400 AND doc_id % 9 <> 0)
+         GROUP BY side ORDER BY side""",
     "q_profile_histogram" ->
       """WITH v AS (
            SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

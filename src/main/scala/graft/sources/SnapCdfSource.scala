@@ -163,7 +163,13 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
         for (f <- t.dataFilesOf(entry.cdc.get))
           parts += SnapCdfPartition(f, v, typed = true)
       } else {
-        require(op == "append" || op == "txn-append",
+        // metadata-only commits (constraint changes) admit cleanly and
+        // contribute no rows; a clone's v1 is a pure backfill (all
+        // inherited files surface as inserts). Ops that REMOVE rows
+        // (delete/merge/overwrite/restore/replace-partitions) fail loudly.
+        require(op == "append" || op == "txn-append" ||
+            op == "add-constraint" || op == "drop-constraint" ||
+            (op == "clone" && v == 1),
           s"snapcdf streams append-family commits (and merges committed " +
             s"with cdc = true); version $v is '$op' — use " +
             "SnapshotCdf.backfill for exact diffs of other history")

@@ -891,4 +891,241 @@ class SnapshotLogSpec extends SparkSpec {
       "the batch must land exactly once")
     assert(t.lastTxn("app").contains(7L))
   }
+
+  // ---- round 13 (late): partitioned tables ---------------------------------
+
+  private def partDf(ids: Range, lang: Long => String) =
+    ids.map(i => (i.toLong, lang(i.toLong), s"v$i")).toDF("id", "lang", "v")
+
+  test("partitioned append: leaf entries, logged pvals, stats prune partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_pt").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val df = partDf(1 to 90, i => Seq("en", "fr", "de")((i % 3).toInt))
+    assert(t.commitAppend(df, Seq("lang")) == 1)
+
+    // one data entry per partition value, each with its logged values
+    val pv = t.partitionValues()
+    assert(pv.size == 3 && pv.values.map(_("lang")).toSet == Set("en", "fr", "de"))
+    assert(pv.keys.forall(d => d.contains("/gp_lang=")))
+
+    // the partition column stays IN the files: min = max footer stats →
+    // a point probe prunes foreign partitions through the EXISTING
+    // stats machinery (no partition-specific read logic)
+    val all = t.read()
+    assert(all.count() == 90 && all.columns.toSeq == Seq("id", "lang", "v"))
+    val en = t.readWhereString("lang", "en", "en")
+    assert(en.inputFiles.length < all.inputFiles.length,
+      s"partition stats pruned nothing (${en.inputFiles.length})")
+    assert(en.count() == 30 &&
+      en.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+
+    // metadata-level partition read: entry selection by pvals
+    val fr = t.readPartitions(Map("lang" -> "fr"))
+    assert(fr.count() == 30 &&
+      fr.select("lang").distinct().as[String].collect().toSeq == Seq("fr"))
+    // a MOR delete still applies through the partition read
+    t.commitDelete(Seq(1L, 4L).toDF("id")) // ids 1, 4 are fr (i % 3 == 1)
+    assert(t.readPartitions(Map("lang" -> "fr")).count() == 28)
+
+    // value hygiene fails loudly: nulls and path-hostile values
+    intercept[IllegalArgumentException](t.commitAppend(
+      Seq((200L, null: String, "x")).toDF("id", "lang", "v"), Seq("lang")))
+    intercept[IllegalArgumentException](t.commitAppend(
+      Seq((201L, "a/b", "x")).toDF("id", "lang", "v"), Seq("lang")))
+    intercept[IllegalArgumentException](t.commitAppend(
+      Seq((202L, "x", "y")).toDF("id", "lang", "v"), Seq("nope")))
+  }
+
+  test("replacePartitions: metadata swap of exactly the incoming partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_rp").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(partDf(1 to 90, i => Seq("en", "fr", "de")((i % 3).toInt)),
+      Seq("lang"))
+    val enBefore = t.readPartitions(Map("lang" -> "en"))
+      .select("id").as[Long].collect().toSet
+
+    // replace ONLY the en partition (new ids 1000+); fr/de untouched,
+    // their entries carried verbatim (same dirs, same pvals)
+    val pvBefore = t.partitionValues()
+    val v2 = t.commitReplacePartitions(
+      partDf(1000 to 1019, _ => "en"), Seq("lang"))
+    assert(v2 == 2)
+    val pvAfter = t.partitionValues()
+    val keptDirs = pvBefore.collect { case (d, vs) if vs("lang") != "en" => d }
+    assert(keptDirs.forall(pvAfter.contains),
+      "foreign partitions must carry over as the SAME entries")
+    val en = t.readPartitions(Map("lang" -> "en")).select("id")
+      .as[Long].collect().toSet
+    assert(en == (1000L to 1019L).toSet && en.intersect(enBefore).isEmpty)
+    assert(t.readPartitions(Map("lang" -> "fr")).count() == 30)
+    assert(t.read().count() == 60 + 20)
+    // time travel still sees the pre-replace partition
+    assert(t.readPartitions(Map("lang" -> "en"), version = 1)
+      .select("id").as[Long].collect().toSet == enBefore)
+
+    // idempotent re-run (the backfill retry): same partitions, same rows
+    t.commitReplacePartitions(partDf(1000 to 1019, _ => "en"), Seq("lang"))
+    assert(t.read().count() == 80)
+
+    // vacuum after the replace GCs the replaced leaf only after history
+    // drops below it; with full retention nothing is collectable
+    assert(t.vacuum(1)._1 == 0)
+    val (gone, _) = { t.compact(); t.vacuum(t.currentVersion()) }
+    assert(gone > 0, "replaced partition files must be collectable")
+    assert(t.read().count() == 80)
+  }
+
+  test("replacePartitions refuses misalignment and pending sidecars loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_rr").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // unpartitioned entry in the listing → misaligned
+    t.commitAppend(partDf(1 to 10, _ => "en"))
+    intercept[IllegalStateException](
+      t.commitReplacePartitions(partDf(11 to 12, _ => "en"), Seq("lang")))
+    // partition-aligned table but a pending delete sidecar → refuse
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snap_rs").toString
+    val t2 = SnapshotLog.open(spark, root2, "id")
+    t2.commitAppend(partDf(1 to 10, _ => "en"), Seq("lang"))
+    t2.commitDelete(Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException](
+      t2.commitReplacePartitions(partDf(11 to 12, _ => "en"), Seq("lang")))
+    // compact folds the sidecar; the replace then lands
+    t2.compact()
+    // post-compact the table is unpartitioned (rewrite drops alignment) —
+    // the documented trade; re-ingesting partitioned restores it
+    intercept[IllegalStateException](
+      t2.commitReplacePartitions(partDf(11 to 12, _ => "en"), Seq("lang")))
+  }
+
+  test("concurrent replacePartitions of DISJOINT partitions both land") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_rc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(partDf(1 to 90, i => Seq("en", "fr", "de")((i % 3).toInt)),
+      Seq("lang"))
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val jobs = Seq("en" -> (1000 to 1009), "fr" -> (2000 to 2009)).map {
+      case (lang, ids) =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            SnapshotLog.open(spark, root, "id")
+              .commitReplacePartitions(partDf(ids, _ => lang), Seq("lang"))
+          }
+        })
+    }
+    gate.countDown()
+    val versions = jobs.map(_.get()).sorted
+    pool.shutdown()
+    assert(versions == Seq(2, 3), s"both racers must land, got $versions")
+    // the rebase composed both replaces: en AND fr replaced, de untouched
+    assert(t.readPartitions(Map("lang" -> "en")).select("id")
+      .as[Long].collect().toSet == (1000L to 1009L).toSet)
+    assert(t.readPartitions(Map("lang" -> "fr")).select("id")
+      .as[Long].collect().toSet == (2000L to 2009L).toSet)
+    assert(t.readPartitions(Map("lang" -> "de")).count() == 30)
+  }
+
+  // ---- round 13 (late): CHECK constraints ----------------------------------
+
+  test("constraints: add validates the table, every ingest path enforces") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_ck").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, i * 10, s"a$i")).toDF("id", "n", "v"))
+
+    // an invariant existing rows violate is refused outright
+    intercept[IllegalArgumentException](t.addConstraint("n_big", "n > 50"))
+    assert(t.constraints().isEmpty)
+
+    t.addConstraint("n_pos", "n > 0 AND v IS NOT NULL")
+    assert(t.constraints() == Map("n_pos" -> "n > 0 AND v IS NOT NULL"))
+    assert(t.opOf(t.currentVersion()) == "add-constraint")
+
+    // every ingest path validates its batch (batch-sized, pre-write)
+    val bad = Seq((20L, -1L, "x")).toDF("id", "n", "v")
+    intercept[IllegalArgumentException](t.commitAppend(bad))
+    intercept[IllegalArgumentException](t.commitAppend(bad, Seq("v")))
+    intercept[IllegalArgumentException](t.commitAppendTxn(bad, "app", 1L))
+    intercept[IllegalArgumentException](t.commitOverwrite(bad))
+    intercept[IllegalArgumentException](t.commitMerge(bad))
+    // NULL passes (SQL CHECK semantics): n IS NULL is not a violation
+    t.commitAppend(Seq((21L, null.asInstanceOf[java.lang.Long], "ok"))
+      .toDF("id", "n", "v"))
+
+    // constraints carry across data commits and survive compact/optimize
+    t.commitAppend(Seq((22L, 5L, "y")).toDF("id", "n", "v"))
+    t.compact()
+    assert(t.constraints().contains("n_pos"))
+    intercept[IllegalArgumentException](t.commitAppend(bad))
+
+    // drop re-admits; double-add and unknown-drop fail loudly
+    intercept[IllegalArgumentException](t.addConstraint("n_pos", "n > 0"))
+    t.dropConstraint("n_pos")
+    intercept[IllegalArgumentException](t.dropConstraint("n_pos"))
+    t.commitAppend(bad)
+    assert(t.read().where(col("n") === -1L).count() == 1)
+  }
+
+  test("addConstraint conflict-checks: an interleaved commit throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 5L).map(i => (i, i)).toDF("id", "n"))
+    // a commit lands between the validation scan (pinned at v1) and the
+    // publish: the guard must throw, never publish a constraint the
+    // interleaved rows were not validated against
+    t.commitAppend(Seq((6L, 6L)).toDF("id", "n"))
+    intercept[java.util.ConcurrentModificationException](
+      t.addConstraintAt("late", "n > 0", v0 = 1))
+    assert(t.constraints().isEmpty)
+    // and with no interleaving the same pin commits cleanly
+    t.addConstraintAt("ok", "n > 0", v0 = t.currentVersion())
+    assert(t.constraints().contains("ok"))
+  }
+
+  // ---- round 13 (late): shallow clone --------------------------------------
+
+  test("shallow clone: metadata-only copy, divergence stays independent") {
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft_snap_cs").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_snap_cd").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dstRoot))
+    val src = SnapshotLog.open(spark, srcRoot, "id")
+    src.commitAppend(partDf(1 to 30, i => Seq("en", "fr")((i % 2).toInt)),
+      Seq("lang"))
+    src.addConstraint("pos", "id > 0")
+    src.commitDelete(Seq(1L, 2L).toDF("id"))
+
+    val before = src.read().select("id").as[Long].collect().toSet
+    val clone = src.cloneTo(dstRoot)
+
+    // pure metadata: the clone holds NO parquet of its own
+    import scala.jdk.CollectionConverters._
+    val owned = java.nio.file.Files.walk(java.nio.file.Paths.get(dstRoot))
+      .iterator().asScala.filter(p => p.toString.endsWith(".parquet")).toSeq
+    assert(owned.isEmpty, s"shallow clone copied data: $owned")
+    assert(clone.read().select("id").as[Long].collect().toSet == before)
+    // pvals, constraints, and the MOR sidecar all cross
+    assert(clone.partitionValues().values.map(_("lang")).toSet ==
+      Set("en", "fr"))
+    intercept[IllegalArgumentException](
+      clone.commitAppend(Seq((-5L, "en", "x")).toDF("id", "lang", "v")))
+
+    // divergence: source delete invisible to the clone; clone append
+    // invisible to the source
+    src.commitDelete(Seq(10L).toDF("id"))
+    clone.commitAppend(Seq((100L, "en", "z")).toDF("id", "lang", "v"))
+    assert(clone.read().select("id").as[Long].collect().toSet.contains(10L),
+      "a post-clone source delete must not leak into the clone")
+    assert(clone.read().count() == before.size + 1)
+    assert(src.read().count() == before.size - 1)
+
+    // clone-side vacuum sweeps only clone-owned dirs: source files survive
+    clone.compact()
+    clone.vacuum(clone.currentVersion())
+    assert(src.read().count() == before.size - 1,
+      "vacuum on the clone must never touch source files")
+
+    // cloning onto a non-empty table fails loudly
+    intercept[IllegalArgumentException](src.cloneTo(dstRoot))
+  }
 }
