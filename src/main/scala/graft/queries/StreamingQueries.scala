@@ -532,6 +532,28 @@ object StreamingQueries {
     // streaming end-of-input. Result ≡ the batch LEFT interval join.
     "q_stream_ssjoin_left" -> ((s, d) =>
       ssJoin(s, d, "leftOuter", flush = true)
+        .orderBy(col("id_p"), col("id_s"))),
+
+    // FULL OUTER stream-stream join (round 13): unmatched rows on EITHER
+    // side emit NULL-partnered once the watermark proves no partner can
+    // still arrive — the left variant's contract on both sides at once,
+    // which is exactly where state-expiry symmetry shows: a signup's
+    // state outlives its 24 h horizon, a purchase's its own window, and
+    // each emits its outer row at ITS OWN watermark crossing. Same
+    // flush-sentinel staging (one far-future event per side) as the left
+    // variant; sentinel-derived rows are stripped from the SINK table
+    // (an in-plan filter would push through the join and starve the
+    // watermark — see ssJoin). Result ≡ the batch FULL interval join.
+    "q_stream_ssjoin_full" -> ((s, d) =>
+      runStream(s, d, "append", flush = true) { ev =>
+        val p = ev.where(col("event_type") === "purchase")
+        val sg = ev.where(col("event_type") === "signup")
+        graft.streaming.EventStreams
+          .intervalJoin(p, sg, "24 hours", "1 minute", "fullOuter")
+          .select(coalesce(col("l_id"), lit(-1L)).as("id_p"),
+                  coalesce(col("r_id"), lit(-1L)).as("id_s"),
+                  coalesce(col("l_user"), col("r_user")).as("u"))
+      }.where(col("u") >= 0).drop("u")
         .orderBy(col("id_p"), col("id_s")))
   )
 
@@ -792,6 +814,14 @@ object StreamingQueries {
       """SELECT p.event_id AS id_p, COALESCE(s.event_id, -1) AS id_s
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND s.ts <= p.ts
+              AND p.ts - s.ts <= INTERVAL 24 HOURS
+         ORDER BY id_p, id_s""",
+    "q_stream_ssjoin_full" ->
+      """SELECT COALESCE(p.event_id, -1) AS id_p,
+                COALESCE(s.event_id, -1) AS id_s
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND s.ts <= p.ts
               AND p.ts - s.ts <= INTERVAL 24 HOURS
          ORDER BY id_p, id_s"""

@@ -269,6 +269,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val name = sink()
+    val q = EventStreams
+      .intervalJoin(purchases.toDF(), signups.toDF(), "10 minutes",
+        delay = "15 minutes", joinType = "fullOuter")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      signups.addData(ev(10, 1, "signup", 0),
+        ev(12, 3, "signup", 2)) // user 3 never purchases → right-unmatched
+      purchases.addData(ev(20, 1, "purchase", 5)) // matched
+      purchases.addData(ev(21, 2, "purchase", 6)) // no signup → left-unmatched
+      q.processAllAvailable()
+      assert(s.table(name).where($"r_id".isNull || $"l_id".isNull).count() == 0,
+        "outer rows emitted before their windows closed")
+      // advance the watermark past every real window on BOTH streams,
+      // then once more so the advanced watermark evicts state
+      signups.addData(ev(90, 9, "signup", 120))
+      purchases.addData(ev(91, 9, "purchase", 120))
+      q.processAllAvailable()
+      signups.addData(ev(92, 9, "signup", 121))
+      purchases.addData(ev(93, 9, "purchase", 121))
+      q.processAllAvailable()
+      val rows = s.table(name).select("l_id", "r_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((20L, 10L)), s"matched pair missing: $rows")
+      assert(rows.contains((21L, -1L)), s"unmatched purchase missing: $rows")
+      assert(rows.contains((-1L, 12L)), s"unmatched signup missing: $rows")
+    } finally q.stop()
+  }
+
   test("update output mode re-emits only changed groups per batch") {
     val s = spark
     import s.implicits._
