@@ -124,7 +124,8 @@ object SnapshotLog {
   private[graft] case class Entry(data: Seq[String], deletes: Seq[String],
       stats: Seq[FileStat], sv: Int, cdc: Option[String] = None,
       pvals: Map[String, Map[String, String]] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      bloomCols: Map[String, Int] = Map.empty)
 
   /** What a commit path asks the OCC loop to publish (the `compose`
     * return): the snapshot listing plus schema, stats coverage level,
@@ -140,7 +141,8 @@ object SnapshotLog {
       schema: Option[org.apache.spark.sql.types.StructType], sv: Int,
       cdc: Option[String] = None,
       newPvals: Map[String, Map[String, String]] = Map.empty,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      bloomCols: Option[Map[String, Int]] = None)
 }
 
 final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
@@ -246,7 +248,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       Option(tree.get("sv")).map(_.asInt()).getOrElse(1),
       Option(tree.get("cdc")).map(_.asText()),
       pvals,
-      mapOf(tree, "constraints")(_.asText()))
+      mapOf(tree, "constraints")(_.asText()),
+      mapOf(tree, "bloomCols")(_.asInt()))
   }
 
   /** The table's key column as recorded in version `v`'s entry (None for
@@ -461,7 +464,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       op: String = "append", sv: Int = 2,
       cdc: Option[String] = None,
       pvals: Map[String, Map[String, String]] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      bloomCols: Map[String, Int] = Map.empty)
       : Boolean = {
     Files.createDirectories(logDir)
     val node = Json.createObjectNode()
@@ -504,6 +508,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (constraints.nonEmpty) {
       val cn = node.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cn.put(n, e); () }
+    }
+    if (bloomCols.nonEmpty) {
+      val bn = node.putObject("bloomCols")
+      bloomCols.toSeq.sortBy(_._1).foreach { case (c, b) => bn.put(c, b); () }
     }
     node.put("op", op)
     node.put("sv", sv)
@@ -582,11 +590,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           val pv = (prev.pvals ++ c.newPvals).filter { case (d, _) =>
             dataSet.contains(d)
           }
-          // CHECK constraints persist across every commit unless the path
-          // explicitly replaces the set (add/drop constraint)
+          // CHECK constraints and the bloom-index config persist across
+          // every commit unless the path explicitly replaces the set
           val cons = c.constraints.getOrElse(prev.constraints)
+          val bloom = c.bloomCols.getOrElse(prev.bloomCols)
           if (publishEntry(v, c.data, c.deletes, c.stats, txn, c.schema,
-              op, c.sv, c.cdc, pv, cons))
+              op, c.sv, c.cdc, pv, cons, bloom))
             return Some(v)
       }
       attempt += 1
@@ -622,6 +631,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
+    buildBloom(dir, newStats, bloomColumns())
     commitWithRetry() { v =>
       val p = prevEntry(v)
       // stats ride the rebase: the winner's per-file stats are re-read
@@ -672,6 +682,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"partition values must be non-null and path-safe ($PartValRe); " +
         s"offending row: ${viol.headOption.fold("")(_.toString)}")
     val dir = newDataDir()
+    val bloomCfg = bloomColumns()
     val shadows = cols.map(PartPrefix + _)
     cols.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
         d.withColumn(s, col(c).cast("string"))
@@ -692,7 +703,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         seg.substring(PartPrefix.length, i) -> seg.substring(i + 1)
       }.toMap
       val leaf = s"$dir/$rel"
-      (leaf, vals, statsFor(leaf))
+      val st = statsFor(leaf)
+      buildBloom(leaf, st, bloomCfg)
+      (leaf, vals, st)
     }
   }
 
@@ -842,7 +855,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(dest.currentVersion() == 0,
       s"clone destination $destRoot already has commits")
     require(dest.publishEntry(1, e.data, e.deletes, e.stats, Map.empty,
-        schemaOf(v0), "clone", e.sv, None, e.pvals, e.constraints),
+        schemaOf(v0), "clone", e.sv, None, e.pvals, e.constraints,
+        e.bloomCols),
       s"clone destination $destRoot gained a commit mid-clone")
     dest
   }
@@ -871,6 +885,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
+    buildBloom(dir, newStats, bloomColumns())
     val committed = commitWithRetry(Map(appId -> batchId), "txn-append") { v =>
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
@@ -971,6 +986,217 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         constraints = Some(p.constraints - name)))
     }.get
 
+  // ---- round 13: Bloom-filter file-skipping index -------------------------
+
+  /** The Bloom-indexed columns (column → bits-per-value) as of the
+    * latest version. */
+  def bloomColumns(): Map[String, Int] = {
+    val v = currentVersion()
+    if (v == 0) Map.empty else readEntry(v).bloomCols
+  }
+
+  /** Configure the table's Bloom-filter index — Delta's
+    * `CREATE BLOOMFILTER INDEX` role, for point lookups on
+    * HIGH-CARDINALITY UNCLUSTERED columns where min/max stats prune
+    * nothing (a fragmented layout spans the whole value space in every
+    * file) and clustering would cost a rewrite per indexed column.
+    * Metadata-only commit; from the next data commit on, every write
+    * path also builds `<dir>/_bloom.json` — one Bloom filter per (part
+    * file, indexed column), sized from the file's row count — paid as
+    * ONE re-read of the just-written BATCH (what Delta's index build
+    * pays inside its write transaction; table size never enters).
+    * Files written before the config (or whose sidecar was lost) simply
+    * have no filter and are always scanned: skipping never changes
+    * results. Existing files gain filters when a rewrite path
+    * (compact/OPTIMIZE/merge) rewrites them. Pass `cols = Nil` to drop
+    * the config. Indexed columns must be string or integral — the
+    * filter hashes the value's CAST-TO-STRING form, the same spelling
+    * [[readWhereEquals]] probes. */
+  def setBloomColumns(cols: Seq[String], bitsPerValue: Int = 10): Int = {
+    require(bitsPerValue >= 4 && bitsPerValue <= 24,
+      s"bitsPerValue $bitsPerValue out of [4, 24]")
+    require(cols.distinct == cols, s"duplicate column in $cols")
+    commitWithRetry(op = "set-bloom") { v =>
+      require(v > 1, "configure bloom columns after the table's first commit")
+      val p = prevEntry(v)
+      val sch = schemaOf(v - 1)
+      sch.foreach { s =>
+        import org.apache.spark.sql.types._
+        for (c <- cols) {
+          val f = s.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"bloom column '$c' not in (${s.fieldNames.mkString(", ")})"))
+          require(Seq[DataType](StringType, IntegerType, LongType, ShortType,
+              ByteType).contains(f.dataType),
+            s"bloom column '$c' must be string/integral, got " +
+              f.dataType.simpleString)
+        }
+      }
+      Some(Composed(p.data, p.deletes, p.stats, sch, p.sv,
+        bloomCols = Some(cols.map(_ -> bitsPerValue).toMap)))
+    }.get
+  }
+
+  /** Build `<dir>/_bloom.json` for a freshly written data dir: one Bloom
+    * filter per (part file, configured column), each sized from the
+    * file's logged row count. One distributed pass over the BATCH (the
+    * bytes the writer just produced — never the table), merged
+    * driver-side by OR (Bloom union law). The sidecar lives INSIDE the
+    * data dir so its lifecycle is the dir's: readers ignore `_`-files,
+    * vacuum sweeps it with the dir, and a torn writer's orphan sidecar
+    * dies with the orphan dir. */
+  private def buildBloom(dir: String, stats: Seq[FileStat],
+      cfg: Map[String, Int]): Unit = {
+    if (cfg.isEmpty || stats.isEmpty) return
+    val df = spark.read.parquet(dir)
+    val cols = cfg.keySet.intersect(df.columns.toSet).toSeq.sorted
+    if (cols.isEmpty) return
+    // (m, k) per file per column, from the logged per-file row counts
+    val mk: Map[String, Seq[(Int, Int)]] = stats.map { s =>
+      val base = s.file.substring(s.file.lastIndexOf('/') + 1)
+      base -> cols.map { c =>
+        (FileBloom.mFor(s.rows, cfg(c)), FileBloom.kFor(cfg(c)))
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast((cols, mk))
+    val merged = df
+      .select(input_file_name().as("__f") +:
+        cols.map(c => col(c).cast("string").as(c)): _*)
+      .queryExecution.toRdd.mapPartitions { it =>
+        val (cs, mks) = bc.value
+        val acc = scala.collection.mutable.Map
+          .empty[(String, Int), Array[Long]]
+        it.foreach { row =>
+          val f = row.getUTF8String(0).toString
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          mks.get(base) match {
+            case None => ()
+            case Some(dims) =>
+              var i = 0
+              while (i < cs.length) {
+                if (!row.isNullAt(i + 1)) {
+                  val (m, k) = dims(i)
+                  val bits = acc.getOrElseUpdate((base, i),
+                    FileBloom.newBits(m))
+                  FileBloom.add(bits, m, k, row.getUTF8String(i + 1).toString)
+                }
+                i += 1
+              }
+          }
+        }
+        acc.iterator.map { case ((b, i), bits) => (b, i, bits) }
+      }.collect()
+    bc.destroy()
+    val byKey = scala.collection.mutable.Map.empty[(String, Int), Array[Long]]
+    for ((b, i, bits) <- merged) byKey.get((b, i)) match {
+      case Some(into) => FileBloom.or(into, bits)
+      case None       => byKey((b, i)) = bits
+    }
+    val node = Json.createObjectNode()
+    val filesNode = node.putObject("files")
+    for (base <- mk.keys.toSeq.sorted) {
+      val fo = filesNode.putObject(base)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        byKey.get((base, i)).foreach { bits =>
+          val (m, k) = mk(base)(i)
+          val co = fo.putObject(c)
+          co.put("m", m); co.put("k", k)
+          co.put("b", FileBloom.toB64(bits))
+          ()
+        }
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(dir, "_bloom.json")
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p)
+    try out.write(Json.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Parse a dir's `_bloom.json` → file base name → column → (m, k,
+    * bitset). None when the dir has no sidecar (pre-config files,
+    * vacuum-collected sidecar — always scanned). Shared with the snaplog
+    * DSv2 scan, which probes the same sidecars for pushed =/IN filters. */
+  private[graft] def loadBloom(dir: String)
+      : Option[Map[String, Map[String, (Int, Int, Array[Long])]]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_bloom.json")
+    val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fsys.exists(p)) return None
+    val in = fsys.open(p)
+    val txt =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    val tree = Json.readTree(txt)
+    Option(tree.get("files")).map { fn =>
+      fn.fieldNames().asScala.map { base =>
+        val fo = fn.get(base)
+        base -> fo.fieldNames().asScala.map { c =>
+          val co = fo.get(c)
+          c -> ((co.get("m").asInt(), co.get("k").asInt(),
+            FileBloom.fromB64(co.get("b").asText())))
+        }.toMap
+      }.toMap
+    }
+  }
+
+  /** Point-lookup read with BLOOM file skipping layered over the stats:
+    * resolve the version's candidate files through the ordinary logged
+    * min/max pruning, then drop every candidate whose per-file Bloom
+    * filter proves the value absent — the fragmented-layout point probe
+    * (log id, URL, user id) that min/max can never prune. Files without
+    * a filter for `column` are always scanned, and the exact equality
+    * predicate applies regardless — a Bloom false positive costs one
+    * extra file scan, never a wrong row. `value` is the value's STRING
+    * form (longs round-trip exactly; the filter hashed the same cast). */
+  def readWhereEquals(column: String, value: String,
+      version: Int = -1): DataFrame = {
+    val latest = currentVersion()
+    require(latest >= 1, s"empty table at $root")
+    val v = if (version < 0) latest else version
+    require(v >= 1 && v <= latest,
+      s"version $v out of range [1, $latest] for $root")
+    val e = readEntry(v)
+    val sch = schemaOf(v)
+    val isIntegral = sch.exists(_.fields.find(_.name == column).exists(f =>
+      Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(f.dataType)))
+    val pred: Pred =
+      if (isIntegral) LongPred(column, value.toLong, value.toLong)
+      else StrPred(column, value, value)
+    val statPruned: Seq[String] = prunedPaths(e, pred)
+      .getOrElse(e.data.flatMap(dataFilesOf))
+    val byDir = statPruned.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    val kept = byDir.toSeq.sortBy(_._1).flatMap { case (dir, files) =>
+      loadBloom(dir) match {
+        case None => files
+        case Some(bm) => files.filter { f =>
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          bm.get(base).flatMap(_.get(column)) match {
+            case None              => true // no filter for this column — scan
+            case Some((m, k, bits)) => FileBloom.contains(bits, m, k, value)
+          }
+        }
+      }
+    }
+    val rd = sch.map(spark.read.schema(_)).getOrElse(spark.read)
+    val flt =
+      if (isIntegral) col(column) === lit(value.toLong)
+      else col(column) === lit(value)
+    val base =
+      if (kept.isEmpty) rd.parquet(e.data: _*).where(lit(false))
+      else rd.parquet(kept: _*).where(flt)
+    if (e.deletes.isEmpty) base
+    else base.join(
+      broadcast(spark.read.parquet(e.deletes: _*)
+        .select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
   /** Replace the table's contents with `df` (drops prior delete sidecars
     * too — they referred to replaced data). Overwrite is REPLACE
     * semantics by design: it does not conflict-check against concurrent
@@ -994,6 +1220,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
+    buildBloom(dir, newStats, bloomColumns())
     commitWithRetry(op = op) { v =>
       base.foreach { b =>
         if (v != b + 1)
@@ -1097,6 +1324,39 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     case NullPred(c, isNull)  => if (isNull) col(c).isNull else col(c).isNotNull
   }
 
+  /** Stats-pruned candidate list for predicate `p` at entry `e`: the
+    * files whose logged evidence may match, PLUS everything the stats
+    * don't cover (sv≥2: entries with no stats rows whole; legacy: the
+    * per-file uncovered set). None when the entry has no stats at all —
+    * the caller reads the data entries whole. Both paths may mix dirs
+    * and files; pruning never changes results. */
+  private def prunedPaths(e: Entry, p: Pred): Option[Seq[String]] = {
+    if (e.stats.isEmpty) return None
+    // only stats rows of LIVE entries participate (defensive: every
+    // commit path already drops rewritten files' rows); paths are
+    // normalized, so dir-path spelling (scheme prefixes, double
+    // slashes) cannot unprune or misprune
+    val liveStats = e.stats.filter(s => e.data.exists(belongsTo(s.file, _)))
+    val keep = liveStats.filter(mayMatch(_, p)).map(_.file)
+    val extra =
+      if (e.sv >= 2) {
+        // sv≥2: stats are the complete file listing — entries with
+        // no stats rows at all are empty dirs or raw-published test
+        // fixtures; scan them whole (correctness over pruning)
+        e.data.filterNot(d => e.stats.exists(s => belongsTo(s.file, d)))
+      } else {
+        // legacy partial coverage: uncovered is computed at FILE
+        // granularity (one listing per live dir) so a file lacking a
+        // stats row is scanned, never silently pruned — the round-12
+        // dir-granularity shortcut could drop an unstatted file
+        // whose sibling was statted
+        val statted = liveStats.map(s => normPath(s.file)).toSet
+        e.data.flatMap(d => dataFilesOf(d)
+          .filterNot(f => statted.contains(normPath(f))))
+      }
+    Some(keep ++ extra)
+  }
+
   private def readImpl(version: Int,
       range: Option[Pred]): DataFrame = {
     val latest = currentVersion()
@@ -1111,36 +1371,15 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // and time travel sees each version under its own schema
     val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
     val base = range match {
-      case Some(p) if e.stats.nonEmpty =>
-        // only stats rows of LIVE entries participate (defensive: every
-        // commit path already drops rewritten files' rows); paths are
-        // normalized, so dir-path spelling (scheme prefixes, double
-        // slashes) cannot unprune or misprune
-        val liveStats = e.stats.filter(s => e.data.exists(belongsTo(s.file, _)))
-        val keep = liveStats.filter(mayMatch(_, p)).map(_.file)
-        val extra =
-          if (e.sv >= 2) {
-            // sv≥2: stats are the complete file listing — entries with
-            // no stats rows at all are empty dirs or raw-published test
-            // fixtures; scan them whole (correctness over pruning)
-            e.data.filterNot(d => e.stats.exists(s => belongsTo(s.file, d)))
-          } else {
-            // legacy partial coverage: uncovered is computed at FILE
-            // granularity (one listing per live dir) so a file lacking a
-            // stats row is scanned, never silently pruned — the round-12
-            // dir-granularity shortcut could drop an unstatted file
-            // whose sibling was statted
-            val statted = liveStats.map(s => normPath(s.file)).toSet
-            e.data.flatMap(d => dataFilesOf(d)
-              .filterNot(f => statted.contains(normPath(f))))
-          }
-        val paths = keep ++ extra
-        val df = if (paths.isEmpty)
-          rd.parquet(e.data: _*).where(lit(false))
-        else rd.parquet(paths: _*)
-        df.where(filterExpr(p))
-      case Some(p) =>
-        rd.parquet(e.data: _*).where(filterExpr(p))
+      case Some(p) => prunedPaths(e, p) match {
+        case Some(paths) =>
+          val df = if (paths.isEmpty)
+            rd.parquet(e.data: _*).where(lit(false))
+          else rd.parquet(paths: _*)
+          df.where(filterExpr(p))
+        case None =>
+          rd.parquet(e.data: _*).where(filterExpr(p))
+      }
       case None => rd.parquet(e.data: _*)
     }
     if (e.deletes.isEmpty) base
@@ -1401,6 +1640,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     newData.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
+    buildBloom(dir, newStats, e0.bloomCols)
 
     // consolidate sidecars: old deletes minus update keys (resurrection)
     val newDeletes: Seq[String] =
@@ -1586,10 +1826,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           for (f <- files) {
             val name = f.getFileName.toString
             val base = name.stripPrefix(".").stripSuffix(".crc")
+            // markers ride with kept siblings: _SUCCESS, and the bloom
+            // sidecar (file-keyed — harmless and useful for survivors)
+            val markers = Set("_SUCCESS", "_bloom.json")
             val isShadow = name.startsWith(".") && name.endsWith(".crc") &&
               (keptNames.contains(base) ||
-                (base == "_SUCCESS" && keptNames.nonEmpty))
-            val isMarker = name == "_SUCCESS" && keptNames.nonEmpty
+                (markers.contains(base) && keptNames.nonEmpty))
+            val isMarker = markers.contains(name) && keptNames.nonEmpty
             if (!kept(f) && !isShadow && !isMarker) {
               Files.delete(f); removedFiles += 1
             }

@@ -510,6 +510,44 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    // Bloom-filter file-skipping index on the snapshot log (round 13 —
+    // Delta's bloom index / Iceberg puffin role): point lookups on
+    // HIGH-CARDINALITY UNCLUSTERED columns, exactly where min/max stats
+    // prune nothing (the fragmented repartition(8) spreads every value
+    // band across all files). setBloomColumns rides the log; the
+    // indexed append builds one filter per (file, column) from the batch
+    // alone; readWhereEquals drops files the filter proves value-free
+    // (asserted in-flight) while pre-config files are always scanned and
+    // the exact predicate applies regardless — a false positive costs a
+    // file scan, never a wrong row. Probes: the text of doc 123 (string)
+    // and doc_id 321 (integral) — hash-exact vs the plain equality
+    // oracle.
+    "q_scan_snapbloom" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sbl").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 10))
+      t.setBloomColumns(Seq("text", "doc_id"))
+      t.commitAppend(docs.where(col("doc_id") >= 10).repartition(8))
+      val probeText = docs.where(col("doc_id") === 123)
+        .select(col("text")).collect().head.getString(0)
+      val total = t.read().inputFiles.length
+      val byText = t.readWhereEquals("text", probeText)
+      val byId = t.readWhereEquals("doc_id", "321")
+      require(byText.inputFiles.length < total &&
+        byId.inputFiles.length < total,
+        s"bloom pruned nothing (${byText.inputFiles.length}, " +
+          s"${byId.inputFiles.length} of $total)")
+      def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"),
+            col("sum_ids"))
+      agg(byId, "id").unionByName(agg(byText, "text")).orderBy(col("side"))
+    }),
+
     // CHECK constraints on the snapshot log (round 13 — Delta's ALTER
     // TABLE ADD CONSTRAINT): the invariant rides the log entry and every
     // ingest path validates its BATCH before any data is written (table
@@ -1211,6 +1249,17 @@ object RelationalQueries {
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
          FROM documents WHERE doc_id < 600
          GROUP BY lang ORDER BY lang""",
+    "q_scan_snapbloom" ->
+      """SELECT 'id' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id = 321
+         UNION ALL
+         SELECT 'text', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+         FROM documents
+         WHERE text = (SELECT text FROM documents WHERE doc_id = 123)
+         ORDER BY side""",
     "q_scan_snapconstraint" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(nc) AS BIGINT) AS sum_chars,

@@ -169,7 +169,7 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
         // (delete/merge/overwrite/restore/replace-partitions) fail loudly.
         require(op == "append" || op == "txn-append" ||
             op == "add-constraint" || op == "drop-constraint" ||
-            (op == "clone" && v == 1),
+            op == "set-bloom" || (op == "clone" && v == 1),
           s"snapcdf streams append-family commits (and merges committed " +
             s"with cdc = true); version $v is '$op' — use " +
             "SnapshotCdf.backfill for exact diffs of other history")

@@ -59,7 +59,7 @@ object SnaplogSource {
     LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType)
 
   /** Numeric filter value → Long (None for non-integral values). */
-  private def asLong(v: Any): Option[Long] = v match {
+  private[sources] def asLong(v: Any): Option[Long] = v match {
     case n: Long  => Some(n)
     case n: Int   => Some(n.toLong)
     case n: Short => Some(n.toLong)
@@ -117,6 +117,60 @@ object SnaplogSource {
         s.rows < 0 || s.nulls.get(c).forall(_ < s.rows)
       case _ => true
     }
+  }
+
+  /** One ROW GROUP's statistics as a pseudo [[SnapshotLog.FileStat]], so
+    * [[mayKeep]] prunes row groups inside a kept file with the same
+    * (conservative) logic that pruned files from the log — the second
+    * granularity level of the scan: the log's per-file stats prune
+    * FILES at plan time; the footer's per-block stats prune ROW GROUPS
+    * at execution time. Same trust rules as the commit-time footer
+    * lift: only top-level integral/string primitives, string bounds
+    * only when short printable ASCII (Java order ≡ parquet's
+    * unsigned-byte order), missing/empty statistics → unbounded. */
+  private[sources] def blockStat(
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData)
+      : SnapshotLog.FileStat = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
+    def safeBound(x: String): Boolean =
+      x.length <= 64 && x.forall(c => c >= ' ' && c <= '~')
+    val lo = Map.newBuilder[String, (Long, Long)]
+    val slo = Map.newBuilder[String, (String, String)]
+    val nn = Map.newBuilder[String, Long]
+    b.getColumns.forEach { c =>
+      if (c.getPath.size() == 1) {
+        val name = c.getPath.toDotString
+        val pt = c.getPrimitiveType
+        val integral = (pt.getPrimitiveTypeName == INT32 ||
+          pt.getPrimitiveTypeName == INT64) &&
+          (pt.getLogicalTypeAnnotation == null ||
+            pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
+        val stringy = pt.getPrimitiveTypeName == BINARY &&
+          pt.getLogicalTypeAnnotation.isInstanceOf[StringLogicalTypeAnnotation]
+        val s = c.getStatistics
+        if (s != null) {
+          if (s.isNumNullsSet) { nn += name -> s.getNumNulls; () }
+          if (!s.isEmpty && s.hasNonNullValue) {
+            if (integral) {
+              lo += name -> ((s.genericGetMin.asInstanceOf[Number].longValue,
+                s.genericGetMax.asInstanceOf[Number].longValue))
+              ()
+            } else if (stringy) {
+              val mn = s.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              val mx = s.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              if (safeBound(mn) && safeBound(mx)) { slo += name -> ((mn, mx)); () }
+            }
+          }
+        }
+      }
+    }
+    SnapshotLog.FileStat("", Long.MinValue, Long.MaxValue,
+      lo.result(), slo.result(), nn.result(), b.getRowCount, -1L)
   }
 }
 
@@ -331,13 +385,60 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
     (kept, extra)
   }
 
+  /** Top-level conjunctive point predicates (col, admissible values)
+    * the Bloom sidecars can refute: every row of a file must satisfy
+    * each top-level AND term, so an EqualTo/In term whose value set the
+    * file's filter proves absent excludes the whole file. Only string
+    * and integral values participate — the build hashed the
+    * cast-to-string form. */
+  private def pointProbes(fs: Array[Filter]): Seq[(String, Seq[String])] =
+    fs.toSeq.flatMap {
+      case EqualTo(c, v: String) => Some(c -> Seq(v))
+      case EqualTo(c, v) if SnaplogSource.asLong(v).isDefined =>
+        Some(c -> Seq(SnaplogSource.asLong(v).get.toString))
+      case In(c, vs) if vs.nonEmpty && vs.forall(v =>
+          v.isInstanceOf[String] || SnaplogSource.asLong(v).isDefined) =>
+        Some(c -> vs.toSeq.map {
+          case s: String => s
+          case v         => SnaplogSource.asLong(v).get.toString
+        })
+      case _ => None
+    }
+
   /** Statically-kept files, re-pruned by any runtime filters that
-    * arrived since planning (extras have no stats — never re-pruned). */
-  private def keptFiles: Seq[String] =
-    keptStats
+    * arrived since planning (extras have no stats — never re-pruned),
+    * then by the per-file BLOOM sidecars for pushed point predicates
+    * (files without a filter for the column are kept; a Bloom can only
+    * refute, so skipping stays conservative). */
+  private def keptFiles: Seq[String] = {
+    val statKept = keptStats
       .filter(s => runtimeFilters.forall(f =>
         SnaplogSource.mayKeep(s, keyCol, f)))
-      .map(_.file) ++ extraFiles
+      .map(_.file)
+    val probes = pointProbes(filters) ++ pointProbes(runtimeFilters)
+    val bloomKept =
+      if (probes.isEmpty) statKept
+      else {
+        val byDir = statKept.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+        byDir.toSeq.sortBy(_._1).flatMap { case (dir, fsOfDir) =>
+          t.loadBloom(dir) match {
+            case None => fsOfDir
+            case Some(bm) => fsOfDir.filter { f =>
+              val base = f.substring(f.lastIndexOf('/') + 1)
+              probes.forall { case (c, vals) =>
+                bm.get(base).flatMap(_.get(c)) match {
+                  case None => true // no filter for this column — scan
+                  case Some((m, k, bits)) =>
+                    vals.exists(v =>
+                      graft.operators.FileBloom.contains(bits, m, k, v))
+                }
+              }
+            }
+          }
+        }
+      }
+    bloomKept ++ extraFiles
+  }
 
   /** Post-pruning statistics straight from the LOG (exact file bytes and
     * row counts recorded at commit) — the planning fact that lets Spark
@@ -392,9 +493,13 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
       else required
     val keyIdx =
       if (deletedKeys.isEmpty) -1 else readFields.fieldNames.indexOf(keyCol)
+    // the same pushed (and runtime) filters that pruned FILES from the
+    // log prune ROW GROUPS inside surviving files, against the footer's
+    // per-block statistics — evaluated once per file on the executor
     SnaplogReaderFactory(readFields, required.size, keyIdx,
       deletedKeys, new SerializableHadoopConf(
-        spark.sessionState.newHadoopConf()))
+        spark.sessionState.newHadoopConf()),
+      filters ++ runtimeFilters)
   }
 
   override def description(): String =
@@ -407,12 +512,13 @@ case class SnaplogFilePartition(file: String) extends InputPartition
 
 case class SnaplogReaderFactory(readFields: StructType, requiredCount: Int,
                                 keyIdx: Int, deletedKeys: Array[Any],
-                                conf: SerializableHadoopConf)
+                                conf: SerializableHadoopConf,
+                                filters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SnaplogFilePartition].file
     new SnaplogFileReader(file, readFields, requiredCount, keyIdx,
-      deletedKeys, conf.value)
+      deletedKeys, conf.value, filters)
   }
 }
 
@@ -427,7 +533,8 @@ case class SnaplogReaderFactory(readFields: StructType, requiredCount: Int,
 class SnaplogFileReader(file: String, readFields: StructType,
                         requiredCount: Int, keyIdx: Int,
                         deletedKeys: Array[Any],
-                        conf: org.apache.hadoop.conf.Configuration)
+                        conf: org.apache.hadoop.conf.Configuration,
+                        filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -443,6 +550,30 @@ class SnaplogFileReader(file: String, readFields: StructType,
   private val reader =
     ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  // ROW-GROUP pruning: the filters that pruned files from the log prune
+  // blocks inside this file against the footer's per-block statistics —
+  // conservative exactly like mayKeep at file level (missing evidence
+  // keeps the block; Spark re-applies every filter on the rows), so the
+  // scan's skipping granularity drops from file to row group. At 100 TB
+  // a kept 1 GB file with 8 row groups reads ~1 group for a point probe
+  // instead of all 8.
+  private val keepGroup: IndexedSeq[Boolean] = {
+    val blocks = reader.getFooter.getBlocks
+    val out = new Array[Boolean](blocks.size())
+    var i = 0
+    while (i < out.length) {
+      out(i) = filters.isEmpty || {
+        val bs = SnaplogSource.blockStat(blocks.get(i))
+        filters.forall(f => SnaplogSource.mayKeep(bs, "", f))
+      }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+  private[sources] def groupsKept: Int = keepGroup.count(identity)
+  private[sources] def groupsTotal: Int = keepGroup.length
+  private var groupIdx = -1
+
   // project to the wanted columns PRESENT in this file (older files may
   // lack evolved columns — they stay NULL in the assembled row)
   private val presentNames = readFields.fieldNames
@@ -462,18 +593,32 @@ class SnaplogFileReader(file: String, readFields: StructType,
   private var recordReader: org.apache.parquet.io.RecordReader[GenericInternalRow] = _
   // no wanted column present in the file: emit bare (all-NULL) rows so
   // row COUNTS stay exact for pre-evolution files and count(*) pushups
+  // (kept groups only — pruned groups are rows the filters exclude)
   private var emptyRowsLeft: Long =
     if (projection.isEmpty) {
-      var n = 0L; reader.getFooter.getBlocks.forEach(b => n += b.getRowCount); n
+      var n = 0L; var i = 0
+      val blocks = reader.getFooter.getBlocks
+      while (i < keepGroup.length) {
+        if (keepGroup(i)) n += blocks.get(i).getRowCount
+        i += 1
+      }
+      n
     } else 0L
   private var row: InternalRow = _
 
   private def advanceGroup(): Boolean = {
-    val pages = reader.readNextRowGroup()
-    if (pages == null) return false
-    rowsLeftInGroup = pages.getRowCount
-    recordReader = columnIO.get.getRecordReader(pages, materializer)
-    true
+    while (true) {
+      groupIdx += 1
+      if (groupIdx >= keepGroup.length) return false
+      if (keepGroup(groupIdx)) {
+        val pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        rowsLeftInGroup = pages.getRowCount
+        recordReader = columnIO.get.getRecordReader(pages, materializer)
+        return true
+      } else reader.skipNextRowGroup()
+    }
+    false // unreachable
   }
 
   override def next(): Boolean = {

@@ -166,6 +166,47 @@ object SnapProbe {
       }
     }
 
+    // ---- round 13 (late): Bloom-index point probes, fragmented layout ----
+    // the shape neither min/max stats nor clustering can serve: random
+    // layout (every file spans the whole key/value space), point lookups
+    // on high-cardinality columns. Contrast: the same probe without the
+    // index (reads all 64 files) vs with it (reads the fpp-admitted
+    // files), the indexed commit vs the plain commit (prices the build's
+    // one batch re-read), and the probe through the DSv2 connector's
+    // pushed EqualTo.
+    locally {
+      val probeId = (n / 3).toString
+      val (tPlain, _) = freshTableAt(clustered = false)
+      time("bloom_probe_noindex") {
+        val p = tPlain.readWhereEquals("id", probeId)
+        println(s"  filesRead=${p.inputFiles.length}/64")
+        p.count()
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("snap_probe_bl").toString
+      val t = SnapshotLog.open(spark, root, "id")
+      t.commitAppend(base.limit(1).coalesce(1)) // seed so config can commit
+      t.setBloomColumns(Seq("id", "v"))
+      time("bloom_build_commit") { t.commitAppend(base.repartition(64)); n }
+      time("bloom_probe_indexed") {
+        val p = t.readWhereEquals("id", probeId)
+        println(s"  filesRead=${p.inputFiles.length}")
+        p.count()
+      }
+      time("bloom_probe_str") {
+        val p = t.readWhereEquals("v", "v" + probeId)
+        println(s"  filesRead=${p.inputFiles.length}")
+        p.count()
+      }
+      def con = spark.read.format("snaplog").load(root)
+      time("bloom_dsv2_point") {
+        con.where(col("v") === ("v" + probeId)).count()
+      }
+      val tNoIdx = SnapshotLog.open(spark, java.nio.file.Files
+        .createTempDirectory("snap_probe_bn").toString, "id")
+      time("bloom_plain_commit") { tNoIdx.commitAppend(base.repartition(64)); n }
+    }
+
     // ---- round 13: VERSION-count scaling --------------------------------
     // Both regimes publish entries through the real atomic-link path; the
     // flat table's dirs are real (reads work), grow's historical dirs are

@@ -1128,4 +1128,91 @@ class SnapshotLogSpec extends SparkSpec {
     // cloning onto a non-empty table fails loudly
     intercept[IllegalArgumentException](src.cloneTo(dstRoot))
   }
+
+  // ---- round 13 (late): Bloom-filter file-skipping index -------------------
+
+  test("bloom index: fragmented point lookups skip files, never lose rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_bl").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"u$i", s"p$i")).toDF("id", "url", "v")
+    // pre-config commit: its files never get filters — always scanned
+    t.commitAppend(batch(1 to 4000).repartition(8))
+    assert(t.readWhereEquals("url", "u123").count() == 1)
+
+    t.setBloomColumns(Seq("url", "id"))
+    assert(t.bloomColumns() == Map("url" -> 10, "id" -> 10))
+    t.commitAppend(batch(4001 to 8000).repartition(8))
+
+    // the new commit's dir carries the sidecar; the old one doesn't
+    import scala.jdk.CollectionConverters._
+    val blooms = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(_.getFileName.toString == "_bloom.json").toSeq
+    assert(blooms.size == 1, s"exactly the post-config commit is indexed: $blooms")
+
+    val total = t.read().inputFiles.length
+    // a value in the BLOOMED batch: 8 unbloomed files always scanned,
+    // bloom admits ~1 of the 8 indexed ones
+    val probe = t.readWhereEquals("url", "u5000")
+    assert(probe.inputFiles.length < total,
+      s"bloom pruned nothing (${probe.inputFiles.length}/$total)")
+    assert(probe.count() == 1)
+    // integral column probes through the same index
+    assert(t.readWhereEquals("id", "6000").count() == 1)
+    // a value NOT in the table: zero rows (and only unbloomed+fp files read)
+    val miss = t.readWhereEquals("url", "absent")
+    assert(miss.count() == 0 && miss.inputFiles.length < total)
+
+    // OPTIMIZE rewrites everything under the config → all files indexed;
+    // the point probe now reads a small fraction of the table
+    t.optimize(8)
+    val opt = t.readWhereEquals("url", "u123")
+    assert(opt.inputFiles.length <= 2,
+      s"post-OPTIMIZE bloom must prune hard (${opt.inputFiles.length}/8)")
+    assert(opt.count() == 1)
+
+    // no false negatives, ever (shared hash contract build↔probe)
+    for (i <- 1 to 20)
+      assert(t.readWhereEquals("url", s"u${i * 397}").count() == 1,
+        s"false negative for u${i * 397}")
+
+    // MOR delete still applies through the bloom read
+    t.commitDelete(Seq(123L).toDF("id"))
+    assert(t.readWhereEquals("url", "u123").count() == 0)
+  }
+
+  test("bloom config: validation, clear, partitioned builds, clone crossing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_bc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(Seq((1L, "en", 0.5, "x")).toDF("id", "lang", "score", "v"))
+    intercept[IllegalArgumentException](t.setBloomColumns(Seq("nope")))
+    intercept[IllegalArgumentException](t.setBloomColumns(Seq("score")))
+    intercept[IllegalArgumentException](t.setBloomColumns(Seq("v"), 99))
+
+    t.setBloomColumns(Seq("v"))
+    // partitioned appends build per-LEAF sidecars
+    t.commitAppend((2L to 41L).map(i =>
+        (i, Seq("en", "fr")((i % 2).toInt), 0.1, s"v$i"))
+      .toDF("id", "lang", "score", "v"), Seq("lang"))
+    import scala.jdk.CollectionConverters._
+    def sidecars() = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(_.getFileName.toString == "_bloom.json").toSeq
+    assert(sidecars().size == 2, s"one sidecar per leaf: ${sidecars()}")
+    assert(t.readWhereEquals("v", "v7").count() == 1)
+
+    // clearing the config stops indexing new commits
+    t.setBloomColumns(Nil)
+    assert(t.bloomColumns().isEmpty)
+    val before = sidecars().size
+    t.commitAppend(Seq((99L, "en", 0.2, "z")).toDF("id", "lang", "score", "v"))
+    assert(sidecars().size == before, "cleared config must not build filters")
+
+    // the config crosses a shallow clone
+    t.setBloomColumns(Seq("v"))
+    val dst = root + "_clone"
+    val clone = t.cloneTo(dst)
+    assert(clone.bloomColumns() == Map("v" -> 10))
+  }
 }
