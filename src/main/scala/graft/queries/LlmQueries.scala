@@ -473,6 +473,27 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Blocklist curation via Aho–Corasick (round 13): k phrases matched
+    // in ONE automaton pass per document — the C4/Dolma blocklist step,
+    // where a k-way regex alternation backtracks per position per branch
+    // and a per-phrase contains() pass scans the corpus k times. The
+    // automaton builds once per executor from the broadcast phrase list;
+    // matching is a map-side column, no shuffle. Result: per-lang doc
+    // counts, blocked counts (≥1 distinct phrase), and the total
+    // distinct-phrases-per-doc sum — hash-exact vs DuckDB's contains()
+    // join (DISTINCT-phrase semantics make overlap counting portable).
+    "q_llm_blocklist" -> ((s, d) => {
+      val phrases = Seq("scan slow", "slow fast", "fast table",
+        "vector", "merge batch")
+      graft.operators.Blocklist.annotate(
+          Tables.documents(s, d), "text", phrases)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("blocked_terms") > 0, 1)).as("n_blocked"),
+          sum(col("blocked_terms")).cast("long").as("sum_terms"))
+        .orderBy(col("lang"))
+    }),
+
     // PII detection + redaction: email/phone regex families. The corpus has
     // no PII (verified: zero digits or '@'), so the query deterministically
     // PLANTS a synthetic email+phone into every 20th document in BOTH
@@ -1999,6 +2020,18 @@ object LlmQueries {
                      ELSE 0.0 END AS dup_bigram_frac
          FROM ts LEFT JOIN bc ON ts.doc_id = bc.doc_id
          ORDER BY ts.doc_id""",
+    "q_llm_blocklist" ->
+      """WITH m AS (
+           SELECT d.doc_id, d.lang, count(DISTINCT p.p) AS terms
+           FROM documents d
+           LEFT JOIN (VALUES ('scan slow'), ('slow fast'), ('fast table'),
+                             ('vector'), ('merge batch')) p(p)
+             ON contains(d.text, p.p)
+           GROUP BY 1, 2)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(*) FILTER (terms > 0) AS BIGINT) AS n_blocked,
+                CAST(sum(terms) AS BIGINT) AS sum_terms
+         FROM m GROUP BY lang ORDER BY lang""",
     "q_llm_pii" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -535,10 +535,11 @@ object RelationalQueries {
       val total = t.read().inputFiles.length
       val byText = t.readWhereEquals("text", probeText)
       val byId = t.readWhereEquals("doc_id", "321")
-      require(byText.inputFiles.length < total &&
-        byId.inputFiles.length < total,
-        s"bloom pruned nothing (${byText.inputFiles.length}, " +
-          s"${byId.inputFiles.length} of $total)")
+      // the skip assert rides the UNIQUE-at-any-scale probe (doc_id);
+      // the text probe stays for the hash — on replicated scale-up
+      // fixtures the same text legitimately lands in every file
+      require(byId.inputFiles.length < total,
+        s"bloom pruned nothing (${byId.inputFiles.length} of $total)")
       def agg(df: org.apache.spark.sql.DataFrame, side: String) =
         df.agg(count(lit(1)).as("n"),
             sum(col("n_chars")).cast("long").as("sum_chars"),

@@ -341,6 +341,75 @@ object ClusterCheck {
       System.err.println(s"[chaos] snapshot-log txn ingest: $e"); false
     } finally { stop3.set(true); killer3.join(2000) }
 
+    // round-13 (late) partition/constraint/bloom phase: a PARTITIONED
+    // table under yet another fresh executor kill — two concurrent
+    // commitReplacePartitions of DISJOINT partitions must BOTH land
+    // (the drop set recomputes on OCC rebase; leaf writes + footer
+    // stats + bloom builds retry on the surviving executor), a CHECK
+    // constraint must refuse a violating batch mid-chaos leaving NO
+    // version behind, and a Bloom point probe on the rebuilt partition
+    // must still skip files and return exactly its row.
+    val stop4 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed4 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer4 = new Thread(() => {
+      while (!stop4.get() && !killed4.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop4.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during partition replace")
+            killed4.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer4.setDaemon(true)
+    killer4.start()
+    val partOk = try {
+      val proot = java.nio.file.Files
+        .createTempDirectory("graft-chaos-part").toString
+      val tp = graft.operators.SnapshotLog.open(spark, proot, "id")
+      def mk(part: String, lo: Long, n: Long, tag: String) =
+        spark.range(lo, lo + n).select(col("id"), lit(part).as("p"),
+          concat(lit(tag), col("id")).as("v"))
+      tp.commitAppend(mk("a", 0, 2000, "seed-")
+        .unionByName(mk("b", 2000, 2000, "seed-"))
+        .unionByName(mk("c", 4000, 2000, "seed-")), Seq("p"))
+      tp.addConstraint("nonneg", "id >= 0")
+      tp.setBloomColumns(Seq("v"))
+      val errsP = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val reps = Seq(("a", 2000000L, "ra-"), ("b", 3000000L, "rb-")).map {
+        case (part, lo, tag) =>
+          val th = new Thread(() =>
+            try {
+              tp.commitReplacePartitions(
+                mk(part, lo, 2000, tag).repartition(4), Seq("p"))
+              ()
+            } catch { case e: Throwable => errsP.add(e); () })
+          th.start(); th
+      }
+      reps.foreach(_.join(300000))
+      errsP.forEach(e => System.err.println(s"[chaos] partition replace: $e"))
+      val vNow = tp.currentVersion()
+      val threw =
+        try { tp.commitAppend(mk("a", -10, 5, "bad-"), Seq("p")); false }
+        catch { case _: IllegalArgumentException => true }
+      val probe = tp.readWhereEquals("v", "ra-2000005")
+      errsP.isEmpty && threw && tp.currentVersion() == vNow &&
+        tp.read().count() == 6000L &&
+        tp.readPartitions(Map("p" -> "c")).count() == 2000L &&
+        tp.readPartitions(Map("p" -> "a"))
+          .where(col("v").startsWith("ra-")).count() == 2000L &&
+        tp.readPartitions(Map("p" -> "b"))
+          .where(col("v").startsWith("rb-")).count() == 2000L &&
+        probe.count() == 1L &&
+        probe.inputFiles.length < tp.read().inputFiles.length
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] partition/constraint/bloom: $e"); false
+    } finally { stop4.set(true); killer4.join(2000) }
+
     // round-13 connector phase: the survivor table — rebased commits,
     // post-kill merge splits, txn-ingested batches — read back through
     // the snaplog DSv2 source must equal the SnapshotTable view exactly,
@@ -363,12 +432,14 @@ object ClusterCheck {
     }
 
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
-      total == expect && monotone && pruned && mergeOk && txnOk && dsv2Ok
+      total == expect && monotone && pruned && mergeOk && txnOk &&
+      partOk && dsv2Ok
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
       s""""mergeOk":$mergeOk,"mergeKillLanded":${killed2.get()},""" +
       s""""txnOk":$txnOk,"txnKillLanded":${killed3.get()},""" +
+      s""""partOk":$partOk,"partKillLanded":${killed4.get()},""" +
       s""""dsv2Ok":$dsv2Ok,"ok":$ok}"""
     (json, ok)
   }
