@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style partition TRANSFORMS for the snapshot log — hidden
+  * partitioning: the table partitions on a value DERIVED from a source
+  * column (`bucket(16, id)`, `truncate(100, id)`, `days(ts)`), queries
+  * keep predicating on the SOURCE column, and the engine maps the
+  * predicate through the transform to prune partitions. The derived
+  * value exists only in the directory name and the log's `pvals`; the
+  * source column stays IN the files, so footer min/max stats still
+  * serve range predicates on truncate/days layouts for free — the one
+  * shape stats can never serve is bucket (hash scatters the order),
+  * which is exactly what the metadata bucket-prune in
+  * `readWhereEquals` (and the snaplog DSv2 EqualTo pushdown) covers.
+  *
+  * Spec grammar (the `partitionBy` strings): a bare column name is the
+  * identity transform; `bucket(N, col)` hashes to N buckets (graft's
+  * own FNV-1a + SplitMix64 over the cast-to-string form — engine-owned
+  * so the probe side can recompute it anywhere); `truncate(W, col)`
+  * floors integrals to W-wide bands and prefixes strings to W chars;
+  * `days(col)` formats a timestamp/date to its UTC calendar day. */
+private[graft] sealed trait PTransform {
+  /** Canonical spec string — the `pvals` key, e.g. "bucket(16,id)". */
+  def spec: String
+  def srcCol: String
+  /** Path-safe directory key (no '(' '=' '/' ','). */
+  def dirKey: String
+  /** The derived STRING value as a Spark column over the source. */
+  def derivedExpr(isIntegral: Boolean): Column
+  /** Driver-side twin of [[derivedExpr]] for a probe value's string
+    * form; None when this transform cannot map an equality probe
+    * (pruning then never fires — conservative). */
+  def derive(value: String, isIntegral: Boolean): Option[String]
+}
+
+private[graft] object PTransform {
+  final case class IdentityT(srcCol: String) extends PTransform {
+    def spec = srcCol
+    def dirKey = srcCol
+    def derivedExpr(isIntegral: Boolean): Column = col(srcCol).cast("string")
+    def derive(value: String, isIntegral: Boolean): Option[String] =
+      Some(value)
+  }
+
+  final case class Bucket(n: Int, srcCol: String) extends PTransform {
+    def spec = s"bucket($n,$srcCol)"
+    def dirKey = s"bucket${n}_$srcCol"
+    def derivedExpr(isIntegral: Boolean): Column = {
+      val nn = n
+      val f = udf((s: String) =>
+        if (s == null) null else bucketOf(s, nn).toString)
+      f(col(srcCol).cast("string"))
+    }
+    def derive(value: String, isIntegral: Boolean): Option[String] =
+      Some(bucketOf(value, n).toString)
+  }
+
+  final case class Truncate(w: Int, srcCol: String) extends PTransform {
+    def spec = s"truncate($w,$srcCol)"
+    def dirKey = s"trunc${w}_$srcCol"
+    def derivedExpr(isIntegral: Boolean): Column =
+      if (isIntegral)
+        (col(srcCol) - pmod(col(srcCol), lit(w))).cast("long").cast("string")
+      else substring(col(srcCol), 1, w)
+    def derive(value: String, isIntegral: Boolean): Option[String] =
+      if (isIntegral)
+        scala.util.Try(value.toLong).toOption
+          .map(v => (v - java.lang.Math.floorMod(v, w.toLong)).toString)
+      else Some(value.take(w))
+  }
+
+  final case class Days(srcCol: String) extends PTransform {
+    def spec = s"days($srcCol)"
+    def dirKey = s"days_$srcCol"
+    def derivedExpr(isIntegral: Boolean): Column =
+      date_format(col(srcCol), "yyyy-MM-dd")
+    // equality probes on a raw timestamp don't map through days() here
+    // (string-form timestamp parsing is locale/precision-fraught) —
+    // days layouts prune via readPartitions on the day value instead
+    def derive(value: String, isIntegral: Boolean): Option[String] = None
+  }
+
+  /** graft's bucket hash: FNV-1a 64 + SplitMix64 over the value's
+    * string form, top bit cleared, mod n — reproducible on the driver,
+    * in executors, and by any external reader of the log. */
+  def bucketOf(s: String, n: Int): Int =
+    (((FileBloom.mix(FileBloom.hash1(s)) >>> 1) % n).toInt)
+
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val PlainRe = """([A-Za-z0-9_]+)""".r
+
+  def parse(s: String): PTransform = s.trim match {
+    case BucketRe(n, c) =>
+      require(n.toInt >= 2, s"bucket count must be >= 2 in '$s'"); Bucket(n.toInt, c)
+    case TruncRe(w, c) =>
+      require(w.toInt >= 1, s"truncate width must be >= 1 in '$s'"); Truncate(w.toInt, c)
+    case DaysRe(c)  => Days(c)
+    case PlainRe(c) => IdentityT(c)
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition spec '$other' — use a column name, " +
+        "bucket(N, col), truncate(W, col), or days(col)")
+  }
+}

@@ -652,42 +652,70 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   private val PartPrefix = "gp_"
   private val PartValRe = "[A-Za-z0-9._-]+"
 
-  /** Hive-layout write of `df` partitioned by `cols`; returns one
-    * (leafDir, partitionValues, fileStats) triple per written partition.
-    * Partition values must be NON-NULL and PATH-SAFE ([A-Za-z0-9._-]) —
-    * the leaf dir name IS the value, so no escaping ambiguity can exist
-    * between the path and the logged value (loud error otherwise; dates
-    * and the usual lang/category/dt values all pass). */
-  private def writePartitioned(df: DataFrame, cols: Seq[String])
+  /** Is `dt` one of the integral types the transforms floor numerically? */
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(dt)
+  }
+
+  /** Hive-layout write of `df` partitioned by `specs` — each a bare
+    * column (identity) or an Iceberg-style TRANSFORM (`bucket(N, col)`,
+    * `truncate(W, col)`, `days(col)` — see [[PTransform]]); returns one
+    * (leafDir, partitionValues, fileStats) triple per written partition,
+    * values keyed by the CANONICAL spec string. The derived value names
+    * the directory (and rides `pvals`); the SOURCE column stays in the
+    * files. Derived values must be NON-NULL and PATH-SAFE
+    * ([A-Za-z0-9._-]) — the leaf dir name IS the value, so no escaping
+    * ambiguity can exist between path and logged value (loud error
+    * otherwise; bucket ids, truncate bands, calendar days and the usual
+    * lang/category values all pass). */
+  private def writePartitioned(df: DataFrame, specs: Seq[String])
       : Seq[(String, Map[String, String], Seq[FileStat])] = {
-    require(cols.nonEmpty, "partitionBy must name at least one column")
-    require(cols.distinct == cols, s"duplicate partition column in $cols")
+    require(specs.nonEmpty, "partitionBy must name at least one column")
+    val ts = specs.map(PTransform.parse)
+    require(ts.map(_.spec).distinct == ts.map(_.spec),
+      s"duplicate partition spec in $specs")
     val byName = df.schema.fields.map(f => f.name -> f).toMap
-    for (c <- cols) {
-      val f = byName.getOrElse(c, throw new IllegalArgumentException(
-        s"partition column '$c' not in (${df.columns.mkString(", ")})"))
-      import org.apache.spark.sql.types._
-      require(Seq[DataType](StringType, IntegerType, LongType, ShortType,
-          ByteType, DateType).contains(f.dataType),
-        s"partition column '$c' must be string/integral/date, got " +
-          f.dataType.simpleString)
+    import org.apache.spark.sql.types._
+    val exprs: Seq[org.apache.spark.sql.Column] = ts.map { t =>
+      val f = byName.getOrElse(t.srcCol, throw new IllegalArgumentException(
+        s"partition column '${t.srcCol}' not in (${df.columns.mkString(", ")})"))
+      t match {
+        case PTransform.Days(_) =>
+          require(Seq[DataType](DateType, TimestampType)
+              .contains(f.dataType),
+            s"days(${t.srcCol}) needs a date/timestamp column, got " +
+              f.dataType.simpleString)
+        case _: PTransform.Bucket | _: PTransform.Truncate =>
+          require(f.dataType == StringType || integralType(f.dataType),
+            s"${t.spec} needs a string/integral column, got " +
+              f.dataType.simpleString)
+        case _: PTransform.IdentityT =>
+          require(Seq[DataType](StringType, DateType).contains(f.dataType) ||
+              integralType(f.dataType),
+            s"partition column '${t.srcCol}' must be string/integral/date, " +
+              s"got ${f.dataType.simpleString}")
+      }
+      t.derivedExpr(integralType(f.dataType))
     }
     require(!df.columns.exists(_.startsWith(PartPrefix)),
       s"column names starting with '$PartPrefix' collide with the " +
         "partition shadow columns")
-    val viol = df.where(cols.map(c =>
-        col(c).isNull || !col(c).cast("string").rlike(s"^$PartValRe$$"))
+    val viol = df.where(exprs.map(e =>
+        e.isNull || !e.rlike(s"^$PartValRe$$"))
       .reduce(_ || _)).limit(1).collect()
     require(viol.isEmpty,
-      s"partition values must be non-null and path-safe ($PartValRe); " +
-        s"offending row: ${viol.headOption.fold("")(_.toString)}")
+      s"derived partition values must be non-null and path-safe " +
+        s"($PartValRe); offending row: ${viol.headOption.fold("")(_.toString)}")
     val dir = newDataDir()
     val bloomCfg = bloomColumns()
-    val shadows = cols.map(PartPrefix + _)
-    cols.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
-        d.withColumn(s, col(c).cast("string"))
+    val shadows = ts.map(t => PartPrefix + t.dirKey)
+    ts.zip(shadows).zip(exprs).foldLeft(df) { case (d, ((_, s), e)) =>
+        d.withColumn(s, e)
       }.write.mode("errorifexists").partitionBy(shadows: _*).parquet(dir)
-    // discover the leaf dirs (depth = partition-column count below dir)
+    // discover the leaf dirs (depth = spec count below dir); hive nests
+    // in partitionBy order, so segment i of a leaf's relative path IS
+    // spec i's value — values resolve positionally, never by key parse
     val conf = spark.sessionState.newHadoopConf()
     val top = new org.apache.hadoop.fs.Path(dir)
     val fsys = top.getFileSystem(conf)
@@ -696,11 +724,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       else fsys.listStatus(p).toSeq.filter(_.isDirectory)
         .flatMap(s => leaves(s.getPath, depth - 1).map(rel =>
           if (rel.isEmpty) s.getPath.getName else s.getPath.getName + "/" + rel))
-    leaves(top, cols.size).map { rel =>
-      val vals = rel.split('/').map { seg =>
+    leaves(top, ts.size).map { rel =>
+      val vals = rel.split('/').zip(ts).map { case (seg, t) =>
         val i = seg.indexOf('=')
         require(i > PartPrefix.length, s"unexpected partition dir '$seg'")
-        seg.substring(PartPrefix.length, i) -> seg.substring(i + 1)
+        t.spec -> seg.substring(i + 1)
       }.toMap
       val leaf = s"$dir/$rel"
       val st = statsFor(leaf)
@@ -757,6 +785,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * be wrong). */
   def commitReplacePartitions(df: DataFrame, partitionBy: Seq[String]): Int = {
     checkConstraints(df, constraints())
+    // canonical spec strings — "bucket(16, id)" and "bucket(16,id)" are
+    // the same partitioning
+    val specs = partitionBy.map(PTransform.parse(_).spec)
     val parts = writePartitioned(df, partitionBy)
     val replaced: Set[Map[String, String]] = parts.map(_._2).toSet
     commitWithRetry(op = "replace-partitions") { v =>
@@ -769,12 +800,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           "compact() first")
       val drop = p.data.filter { d =>
         p.pvals.get(d) match {
-          case Some(vs) if partitionBy.forall(vs.contains) =>
-            replaced.contains(partitionBy.map(c => c -> vs(c)).toMap)
+          case Some(vs) if specs.forall(vs.contains) =>
+            replaced.contains(specs.map(c => c -> vs(c)).toMap)
           case Some(vs) => throw new IllegalStateException(
             s"data entry $d is partitioned by " +
               s"(${vs.keys.toSeq.sorted.mkString(", ")}), not " +
-              s"(${partitionBy.mkString(", ")}) — replacePartitions " +
+              s"(${specs.mkString(", ")}) — replacePartitions " +
               "needs a consistently partitioned table")
           case None => throw new IllegalStateException(
             s"data entry $d carries no partition values (unpartitioned " +
@@ -797,7 +828,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * stats math, no file listing — then apply the exact predicate
     * anyway (entries without partition values, or partitioned on other
     * columns, are always scanned; pruning never changes results).
-    * Values compare in string form, matching how they are logged. */
+    * Keys are partition SPECS (a column name, or a transform like
+    * `bucket(16,id)` / `days(ts)`), values their derived string form —
+    * exactly how they are logged; the exact filter recomputes the
+    * transform over the source column. */
   def readPartitions(values: Map[String, String], version: Int = -1)
       : DataFrame = {
     require(values.nonEmpty, "readPartitions needs at least one column=value")
@@ -807,13 +841,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(v >= 1 && v <= latest,
       s"version $v out of range [1, $latest] for $root")
     val e = readEntry(v)
+    val canon = values.map { case (k, x) => PTransform.parse(k).spec -> x }
     val keep = e.data.filter { d =>
       e.pvals.get(d).forall(vs =>
-        values.forall { case (c, x) => vs.get(c).forall(_ == x) })
+        canon.forall { case (c, x) => vs.get(c).forall(_ == x) })
     }
-    val rd = schemaOf(v).map(spark.read.schema(_)).getOrElse(spark.read)
-    val flt = values.map { case (c, x) => col(c).cast("string") === lit(x) }
-      .reduce(_ && _)
+    val sch = schemaOf(v)
+    val rd = sch.map(spark.read.schema(_)).getOrElse(spark.read)
+    val flt = canon.map { case (c, x) =>
+      val t = PTransform.parse(c)
+      val integral = sch.exists(_.fields.find(_.name == t.srcCol)
+        .exists(f => integralType(f.dataType)))
+      t.derivedExpr(integral) === lit(x)
+    }.reduce(_ && _)
     val base =
       if (keep.isEmpty) rd.parquet(e.data: _*).where(lit(false))
       else rd.parquet(keep: _*).where(flt)
@@ -1170,7 +1210,24 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       else StrPred(column, value, value)
     val statPruned: Seq[String] = prunedPaths(e, pred)
       .getOrElse(e.data.flatMap(dataFilesOf))
-    val byDir = statPruned.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    // hidden-partition pruning (Iceberg's transform mapping): an entry
+    // whose logged TRANSFORM value over `column` differs from the probe
+    // value's derived form cannot hold the row — the bucket layout's
+    // point-lookup contract (identity/truncate map through their
+    // driver-side twins; days never maps equality probes, so it never
+    // prunes here). Entries without pvals, or partitioned on other
+    // columns, are untouched.
+    val pvalPruned: Seq[String] =
+      if (e.pvals.isEmpty) statPruned
+      else statPruned.filter { f =>
+        e.data.find(belongsTo(f, _)).flatMap(e.pvals.get).forall(vs =>
+          vs.forall { case (specStr, pv) =>
+            val t = PTransform.parse(specStr)
+            t.srcCol != column ||
+              t.derive(value, isIntegral).forall(_ == pv)
+          })
+      }
+    val byDir = pvalPruned.groupBy(f => f.substring(0, f.lastIndexOf('/')))
     val kept = byDir.toSeq.sortBy(_._1).flatMap { case (dir, files) =>
       loadBloom(dir) match {
         case None => files

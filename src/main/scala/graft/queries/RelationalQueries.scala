@@ -510,6 +510,51 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    // Partition TRANSFORMS on the snapshot log (round 13 — Iceberg's
+    // hidden partitioning): the table partitions on a value DERIVED from
+    // a source column while queries keep predicating on the source.
+    // Table A buckets by hash — bucket(8, doc_id) — and the point probe
+    // maps through the transform to read ONE bucket's entry (asserted
+    // in-flight; a hash layout is the one shape min/max stats can never
+    // prune). Table B truncates to 100-wide bands — truncate(100,
+    // doc_id) — and the range read prunes via the ordinary footer stats
+    // (the SOURCE column stays in the files, each leaf's bounds are its
+    // band), plus a readPartitions addressed by the derived band value.
+    // Result: point row + band aggregates — hash-exact vs the plain
+    // predicate oracle.
+    "q_scan_snaptransform" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val tmpA = java.nio.file.Files.createTempDirectory("graft_trA").toString
+      val tA = graft.operators.SnapshotLog.open(s, tmpA, "doc_id")
+      tA.commitAppend(docs, Seq("bucket(8, doc_id)"))
+      val probe = tA.readWhereEquals("doc_id", "321")
+      val bucket = "gp_bucket8_doc_id=" +
+        graft.operators.PTransform.bucketOf("321", 8)
+      require(probe.inputFiles.nonEmpty &&
+        probe.inputFiles.forall(_.contains(bucket)),
+        s"bucket probe escaped its partition: ${probe.inputFiles.toSeq}")
+      val tmpB = java.nio.file.Files.createTempDirectory("graft_trB").toString
+      val tB = graft.operators.SnapshotLog.open(s, tmpB, "doc_id")
+      tB.commitAppend(docs.where(col("doc_id") < 600), Seq("truncate(100, doc_id)"))
+      val band = tB.readRange(250L, 349L)
+      require(band.inputFiles.nonEmpty && band.inputFiles.forall(f =>
+        f.contains("gp_trunc100_doc_id=200") ||
+          f.contains("gp_trunc100_doc_id=300")),
+        s"range read escaped its bands: ${band.inputFiles.toSeq}")
+      def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"),
+            col("sum_ids"))
+      agg(probe, "point")
+        .unionByName(agg(band, "range"))
+        .unionByName(agg(
+          tB.readPartitions(Map("truncate(100,doc_id)" -> "400")), "part"))
+        .orderBy(col("side"))
+    }),
+
     // Bloom-filter file-skipping index on the snapshot log (round 13 —
     // Delta's bloom index / Iceberg puffin role): point lookups on
     // HIGH-CARDINALITY UNCLUSTERED columns, exactly where min/max stats
@@ -1250,6 +1295,21 @@ object RelationalQueries {
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
          FROM documents WHERE doc_id < 600
          GROUP BY lang ORDER BY lang""",
+    "q_scan_snaptransform" ->
+      """SELECT 'part' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id >= 400 AND doc_id < 500
+         UNION ALL
+         SELECT 'point', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+         FROM documents WHERE doc_id = 321
+         UNION ALL
+         SELECT 'range', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+         FROM documents
+         WHERE doc_id BETWEEN 250 AND 349 AND doc_id < 600
+         ORDER BY side""",
     "q_scan_snapbloom" ->
       """SELECT 'id' AS side, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

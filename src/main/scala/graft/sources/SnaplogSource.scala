@@ -437,7 +437,28 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
           }
         }
       }
-    bloomKept ++ extraFiles
+    // hidden-partition pruning (Iceberg transform mapping): a pushed
+    // point predicate maps through an entry's logged partition TRANSFORM
+    // — an entry whose bucket/truncate/identity value differs from every
+    // admissible probe value's derived form cannot hold matching rows
+    val pvalKept =
+      if (entry.pvals.isEmpty || probes.isEmpty) bloomKept
+      else bloomKept.filter { f =>
+        entry.data.find(d => normBelongs(f, d))
+          .flatMap(entry.pvals.get).forall(vs =>
+            vs.forall { case (specStr, pv) =>
+              val tr = graft.operators.PTransform.parse(specStr)
+              probes.forall { case (c, vals) =>
+                c != tr.srcCol || {
+                  val integral = tableSchema.fields.find(_.name == c)
+                    .exists(fd => Seq[DataType](IntegerType, LongType,
+                      ShortType, ByteType).contains(fd.dataType))
+                  vals.exists(v => tr.derive(v, integral).forall(_ == pv))
+                }
+              }
+            })
+      }
+    pvalKept ++ extraFiles
   }
 
   /** Post-pruning statistics straight from the LOG (exact file bytes and

@@ -1129,6 +1129,97 @@ class SnapshotLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](src.cloneTo(dstRoot))
   }
 
+  // ---- round 13 (late): partition transforms (hidden partitioning) --------
+
+  test("bucket transform: point lookups map through the hash to ONE entry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_tb").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val df = (1L to 4000L).map(i => (i, s"u$i")).toDF("id", "v")
+    t.commitAppend(df, Seq("bucket(8, id)"))
+    val pv = t.partitionValues()
+    assert(pv.values.flatMap(_.keySet).toSet == Set("bucket(8,id)"),
+      "pvals must key by the CANONICAL spec")
+    assert(pv.size == 8, s"4000 ids must hit all 8 buckets, got ${pv.size}")
+
+    // hidden point-lookup pruning: the probe reads only the one bucket's
+    // leaf (stats can't prune a hash layout; the transform mapping can)
+    val probe = t.readWhereEquals("id", "1234")
+    val expect = PTransform.bucketOf("1234", 8).toString
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.nonEmpty &&
+      probe.inputFiles.forall(_.contains(s"gp_bucket8_id=$expect")),
+      s"probe escaped its bucket: ${probe.inputFiles.toSeq}")
+
+    // readPartitions addresses a bucket by its derived value
+    val bCount = t.readPartitions(Map("bucket(8,id)" -> expect)).count()
+    assert(bCount > 0 &&
+      t.readPartitions(Map("bucket(8, id)" -> expect)).count() == bCount,
+      "spec spelling must canonicalize")
+    // replacePartitions swaps exactly the buckets present in the new df
+    t.commitReplacePartitions(
+      Seq((1234L, "REPL")).toDF("id", "v"), Seq("bucket(8,id)"))
+    assert(t.read().count() == 4000L - bCount + 1)
+    assert(t.readWhereEquals("id", "1234").select("v").as[String]
+      .collect().toSeq == Seq("REPL"))
+
+    // spec hygiene fails loudly
+    intercept[IllegalArgumentException](
+      t.commitAppend(df, Seq("bucket(1, id)")))
+    intercept[IllegalArgumentException](
+      t.commitAppend(df, Seq("nonsense(id")))
+    intercept[IllegalArgumentException](
+      t.commitAppend(df, Seq("bucket(4, v)", "bucket(4,v)")))
+  }
+
+  test("truncate transform: band leaves serve range reads via footer stats") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_tt").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 4000L).map(i => (i, s"u$i")).toDF("id", "v"),
+      Seq("truncate(1000, id)"))
+    val pv = t.partitionValues()
+    assert(pv.values.map(_("truncate(1000,id)")).toSet ==
+      Set("0", "1000", "2000", "3000", "4000"))
+    // the SOURCE column stays in the files, so each leaf's footer bounds
+    // it to its band and readRange prunes with ZERO transform logic
+    val r = t.readRange(1500L, 1700L)
+    assert(r.count() == 201L)
+    assert(r.inputFiles.forall(_.contains("gp_trunc1000_id=1000")),
+      s"range read escaped its band: ${r.inputFiles.toSeq}")
+    assert(t.readPartitions(Map("truncate(1000,id)" -> "2000"))
+      .count() == 1000L)
+    // string truncate: prefix bands
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snap_ts").toString
+    val t2 = SnapshotLog.open(spark, root2, "id")
+    t2.commitAppend(Seq((1L, "apple"), (2L, "apric"), (3L, "berry"))
+      .toDF("id", "v"), Seq("truncate(2, v)"))
+    assert(t2.partitionValues().values.map(_("truncate(2,v)")).toSet ==
+      Set("ap", "be"))
+    assert(t2.readWhereEquals("v", "apple").inputFiles
+      .forall(_.contains("gp_trunc2_v=ap")))
+  }
+
+  test("days transform: calendar-day leaves, partition reads exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_td").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val df = (0 until 96).map(h =>
+      (h.toLong, new java.sql.Timestamp(base + h * 3600000L)))
+      .toDF("id", "ts")
+    t.commitAppend(df, Seq("days(ts)"))
+    val days = t.partitionValues().values.map(_("days(ts)")).toSet
+    assert(days.size == 4 || days.size == 5, s"96 hours ≈ 4 days: $days")
+    // each day's partition read ≡ the exact date_format filter
+    for (d <- days) {
+      val part = t.readPartitions(Map("days(ts)" -> d))
+      val exact = df.where(date_format(col("ts"), "yyyy-MM-dd") === d)
+      assert(part.count() == exact.count(), s"day $d mismatch")
+    }
+    // a days table refuses non-temporal sources
+    intercept[IllegalArgumentException](
+      t.commitAppend((1L to 3L).map(i => (i, s"x$i")).toDF("id", "v"),
+        Seq("days(v)")))
+  }
+
   // ---- round 13 (late): Bloom-filter file-skipping index -------------------
 
   test("bloom index: fragmented point lookups skip files, never lose rows") {

@@ -359,6 +359,21 @@ class SnaplogSourceSpec extends SparkSpec {
     assert(snap(root).where(col("url") === "seed").count() === 1L)
   }
 
+  test("snaplog DSv2: pushed EqualTo maps through bucket partitioning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2tb").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 4000L).map(i => (i, s"u$i")).toDF("id", "v"),
+      Seq("bucket(8, id)"))
+    val all = scanParts(snap(root))
+    val probe = snap(root).where(col("id") === 1234L)
+    assert(scanParts(probe) < all,
+      s"bucket transform pruned nothing (${scanParts(probe)}/$all)")
+    assert(probe.count() === 1L)
+    // IN probes keep the union of admissible buckets
+    val in = snap(root).where(col("id").isin(1234L, 77L))
+    assert(scanParts(in) < all && in.count() === 2L)
+  }
+
   test("snaplog DSv2: footer stats prune ROW GROUPS inside kept files") {
     val root = java.nio.file.Files.createTempDirectory("graft_dsv2rg").toString
     val t = SnapshotLog.open(spark, root, "id")
