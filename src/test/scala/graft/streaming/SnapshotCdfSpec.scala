@@ -258,4 +258,42 @@ class SnapshotCdfSpec extends SparkSpec {
     SnapshotCdf.ingest(src, root, "id", "app", ckpt)
     assert(t.read().count() == 33)
   }
+
+  test("snapcdf streams partitioned appends; metadata-only commits admit silently") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mbp").toString
+    val root = s"$base/table"; val ckpt = s"$base/ckpt"
+    val t = SnapshotLog.open(spark, root, "id")
+    def part(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, Seq("a", "b")((i % 2)), s"$tag$i"))
+        .toDF("id", "p", "v")
+    t.commitAppend(part(1 to 12, "x"), Seq("p"))   // v1 — two leaf entries
+    t.addConstraint("pos", "id > 0")               // v2 — metadata-only
+    t.setBloomColumns(Seq("v"))                    // v3 — metadata-only
+    t.commitAppend(part(13 to 15, "y"), Seq("p"))  // v4 — leaf entries again
+    val got = scala.collection.mutable.Set.empty[(Long, String, String, Int)]
+    val q = spark.readStream.format("snapcdf")
+      .option("maxVersionsPerTrigger", 1)
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("id", "p", "_change_type", "cdf_version").collect()
+          .foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getString(1), r.getString(2),
+              r.getInt(3))); ()
+          })
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // every row surfaces exactly once as an insert at its commit's
+    // version, partition column included; the metadata commits (v2, v3)
+    // contribute nothing and never fail the stream
+    assert(got.map(_._4).toSet == Set(1, 4), s"versions: ${got.map(_._4)}")
+    assert(got.count(_._4 == 1) == 12 && got.count(_._4 == 4) == 3)
+    assert(got.forall(_._3 == "insert"))
+    assert(got.filter(_._4 == 4).map(r => (r._1, r._2)) ==
+      Set((13L, "b"), (14L, "a"), (15L, "b")))
+  }
 }
