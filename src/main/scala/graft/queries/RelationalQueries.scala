@@ -510,6 +510,35 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    // Predicate DML on the snapshot log (round 13 — Delta's DELETE/
+    // UPDATE WHERE): on the key-clustered (OPTIMIZEd) table, DELETE
+    // WHERE doc_id < 150 is the RETENTION shape — files provably inside
+    // the band drop as pure metadata, only the boundary file is
+    // rewritten — and UPDATE WHERE 300..399 rewrites just the files the
+    // band's logged stats hit (untouched files carry over, asserted
+    // in-flight). Result: the post-DML aggregate, hash-exact vs the
+    // closed-form oracle; time travel still sees every prior state.
+    "q_scan_snapdml" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 600))
+      t.optimize(8)
+      val before = t.read().inputFiles.toSet
+      t.commitDeleteWhere("doc_id", 0L, 149L)
+      t.commitUpdateWhere("doc_id", 300L, 399L,
+        Map("n_chars" -> "n_chars + 100000"))
+      val after = t.read().inputFiles.toSet
+      require(before.intersect(after).nonEmpty,
+        "predicate DML must carry untouched files as metadata")
+      require(t.read(2).count() > t.read().count(),
+        "time travel must still see the pre-DML snapshot")
+      t.read().agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
     // Partition TRANSFORMS on the snapshot log (round 13 — Iceberg's
     // hidden partitioning): the table partitions on a value DERIVED from
     // a source column while queries keep predicating on the source.
@@ -1295,6 +1324,13 @@ object RelationalQueries {
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
          FROM documents WHERE doc_id < 600
          GROUP BY lang ORDER BY lang""",
+    "q_scan_snapdml" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN doc_id BETWEEN 300 AND 399
+                              THEN n_chars + 100000
+                              ELSE n_chars END) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id >= 150 AND doc_id < 600""",
     "q_scan_snaptransform" ->
       """SELECT 'part' AS side, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -1129,7 +1129,89 @@ class SnapshotLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](src.cloneTo(dstRoot))
   }
 
-  // ---- round 13 (late): partition transforms (hidden partitioning) --------
+  // ---- round 13 (late): predicate DML (DELETE WHERE / UPDATE WHERE) -------
+
+  test("DELETE WHERE: aligned retention bands drop as PURE metadata") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_dw").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // key-clustered with EXACT 500-wide bands: parallelize slices the
+    // ordered range evenly (repartitionByRange samples and may straddle
+    // boundaries; a union of coalesced ranges gets collapsed by the
+    // optimizer into one partition)
+    t.commitAppend(spark.sparkContext.parallelize(0L until 4000L, 8)
+      .toDF("id").select(col("id"), concat(lit("v"), col("id")).as("v")))
+    def dataDirs() = {
+      val p = java.nio.file.Paths.get(root, "data")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.size
+    }
+    val dirsBefore = dataDirs()
+    val filesBefore = t.read().inputFiles.length
+
+    // retention: drop ids < 1000 — two whole files, band-aligned, so the
+    // commit writes NO data (no new c- dir) and reads NOTHING
+    val v = t.commitDeleteWhere("id", 0L, 999L)
+    assert(v == 2 && t.opOf(2) == "delete-where")
+    assert(dataDirs() == dirsBefore, "aligned DELETE WHERE must be metadata-only")
+    assert(t.read().inputFiles.length < filesBefore)
+    assert(t.read().count() == 3000L &&
+      t.read().agg(min(col("id"))).head().getLong(0) == 1000L)
+    // time travel still sees the pre-delete snapshot
+    assert(t.read(1).count() == 4000L)
+
+    // boundary band: 1200..1399 straddles one 500-wide file — exactly
+    // one file rewritten, the rest carried
+    val v2 = t.commitDeleteWhere("id", 1200L, 1399L)
+    assert(v2 == 3)
+    assert(dataDirs() == dirsBefore + 1, "boundary delete rewrites once")
+    assert(t.read().count() == 2800L)
+    assert(t.read().where(col("id") >= 1200L && col("id") <= 1399L).count() == 0)
+
+    // provable no-op commits NOTHING (version unchanged)
+    assert(t.commitDeleteWhere("id", 50000L, 60000L) == 3)
+    assert(t.currentVersion() == 3)
+  }
+
+  test("DELETE WHERE: NULL rows never match a range predicate and survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_dn").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend(Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(30L)))
+      .toDF("id", "n"))
+    t.commitDeleteWhere("n", 0L, 25L)
+    // 10 and 20 deleted; NULL and 30 survive
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+  }
+
+  test("UPDATE WHERE: COW rewrite touches only stats-hit files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_uw").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((0L until 4000L).map(i => (i, i * 10L, s"v$i"))
+      .toDF("id", "n", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")))
+    val before = t.read().inputFiles.toSet
+    t.commitUpdateWhere("id", 600L, 700L,
+      Map("n" -> "n + 1000000", "v" -> "concat('U', v)"))
+    val after = t.read().inputFiles.toSet
+    assert(before.intersect(after).size >= 6,
+      s"update must carry untouched files (${before.intersect(after).size})")
+    val upd = t.read().where(col("id") >= 600L && col("id") <= 700L)
+    assert(upd.count() == 101L)
+    assert(upd.where(!col("v").startsWith("U")).count() == 0)
+    assert(upd.agg(min(col("n"))).head().getLong(0) == 1006000L)
+    // rows outside the band are untouched
+    assert(t.read().where(col("id") === 599L).select("n").as[Long]
+      .head() == 5990L)
+    assert(t.read().count() == 4000L)
+
+    // UPDATE validates the rewritten rows against CHECK constraints
+    t.addConstraint("n_pos", "n >= 0")
+    intercept[IllegalArgumentException](
+      t.commitUpdateWhere("id", 0L, 10L, Map("n" -> "-1")))
+    // a failed update leaves the table untouched
+    assert(t.read().where(col("n") < 0L).count() == 0)
+  }
 
   test("bucket transform: point lookups map through the hash to ONE entry") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_tb").toString
