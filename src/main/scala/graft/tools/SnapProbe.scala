@@ -166,6 +166,34 @@ object SnapProbe {
       }
     }
 
+    // ---- round 13 (late): predicate DML — retention vs rewrite ----------
+    // DELETE WHERE on the clustered table: an ALIGNED band (covering
+    // whole files) must be METADATA-only (no data read, no data written);
+    // the same band on the UNCLUSTERED twin has no provably-inside files
+    // and pays the copy-on-write rewrite — the gap is the operator.
+    locally {
+      // table builds OUTSIDE the timers — only the DML commit is priced
+      def timedDml(tag: String, clustered: Boolean)(body:
+          graft.operators.SnapshotTable => Unit): Unit =
+        (1 to repeats).foreach { rep =>
+          val t = freshTable(clustered)
+          val before = t.read().inputFiles.length
+          val t0 = System.nanoTime()
+          body(t)
+          val s = (System.nanoTime() - t0) / 1e9
+          val after = t.read().inputFiles.length
+          println(f"PROBE snap[$tag] K=$k rep=$rep " +
+            f"files=$before->$after wall=$s%.2fs")
+        }
+      timedDml("dml_retention_clustered", clustered = true)(
+        _.commitDeleteWhere("id", 0L, n / 4 - 1))
+      timedDml("dml_retention_fragmented", clustered = false)(
+        _.commitDeleteWhere("id", 0L, n / 4 - 1))
+      timedDml("dml_update_band", clustered = true)(
+        _.commitUpdateWhere("id", bandLo, bandHi - 1,
+          Map("v" -> "concat('U', v)")))
+    }
+
     // ---- round 13 (late): Bloom-index point probes, fragmented layout ----
     // the shape neither min/max stats nor clustering can serve: random
     // layout (every file spans the whole key/value space), point lookups
