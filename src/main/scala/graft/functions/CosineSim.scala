@@ -179,6 +179,11 @@ object GraftFunctions {
     classOf[CharNgrams].getName, null, "char_ngrams",
     "_FUNC_(text, n) - generator: one row per character n-gram.", "")
 
+  private val bucketInfo = new ExpressionInfo(
+    classOf[GraftBucket].getName, null, "graft_bucket",
+    "_FUNC_(s, n) - snapshot-log bucket id (FNV-1a+SplitMix64 mod n) as string.",
+    "")
+
   // ONE builder per function, arity-checked, shared by BOTH registration
   // paths — register() and the spark.sql.extensions injector — so a wrong
   // arity fails analysis identically however the session was configured
@@ -254,6 +259,12 @@ object GraftFunctions {
       CharNgrams(args.head, args(1))
     }
 
+  private[functions] val bucketBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "graft_bucket takes exactly 2 arguments")
+      GraftBucket(args.head, args(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder)
@@ -279,6 +290,8 @@ object GraftFunctions {
       FunctionIdentifier("session_id"), sessionIdInfo, sessionIdBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("char_ngrams"), charNgramsInfo, charNgramsBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bucket"), bucketInfo, bucketBuilder)
   }
 }
 
@@ -338,6 +351,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, null, "char_ngrams"),
       GraftFunctions.charNgramsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[GraftBucket].getName, null, "graft_bucket"),
+      GraftFunctions.bucketBuilder))
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfSimilarity)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType}
 
 /** Iceberg-style partition TRANSFORMS for the snapshot log — hidden
   * partitioning: the table partitions on a value DERIVED from a source
@@ -18,17 +19,24 @@ import org.apache.spark.sql.functions._
   * Spec grammar (the `partitionBy` strings): a bare column name is the
   * identity transform; `bucket(N, col)` hashes to N buckets (graft's
   * own FNV-1a + SplitMix64 over the cast-to-string form — engine-owned
-  * so the probe side can recompute it anywhere); `truncate(W, col)`
-  * floors integrals to W-wide bands and prefixes strings to W chars;
-  * `days(col)` formats a timestamp/date to its UTC calendar day. */
+  * so the probe side can recompute it anywhere, and a native codegen
+  * expression on the write path: [[graft.functions.GraftBucket]]);
+  * `truncate(W, col)` floors integrals to W-wide bands and prefixes
+  * strings to W chars; `days(col)` formats a timestamp/date to its UTC
+  * calendar day — pinned to UTC regardless of
+  * `spark.sql.session.timeZone` (Iceberg's day-transform contract), so
+  * a reader session in another zone recomputes the SAME derived value
+  * the writer logged and partition-exact filters never drop rows. */
 private[graft] sealed trait PTransform {
   /** Canonical spec string — the `pvals` key, e.g. "bucket(16,id)". */
   def spec: String
   def srcCol: String
   /** Path-safe directory key (no '(' '=' '/' ','). */
   def dirKey: String
-  /** The derived STRING value as a Spark column over the source. */
-  def derivedExpr(isIntegral: Boolean): Column
+  /** The derived STRING value as a Spark column over the source column
+    * of declared type `dt` — MUST be deterministic across sessions
+    * (the logged value and every later recompute must agree). */
+  def derivedExpr(dt: DataType): Column
   /** Driver-side twin of [[derivedExpr]] for a probe value's string
     * form; None when this transform cannot map an equality probe
     * (pruning then never fires — conservative). */
@@ -39,7 +47,7 @@ private[graft] object PTransform {
   final case class IdentityT(srcCol: String) extends PTransform {
     def spec = srcCol
     def dirKey = srcCol
-    def derivedExpr(isIntegral: Boolean): Column = col(srcCol).cast("string")
+    def derivedExpr(dt: DataType): Column = col(srcCol).cast("string")
     def derive(value: String, isIntegral: Boolean): Option[String] =
       Some(value)
   }
@@ -47,12 +55,13 @@ private[graft] object PTransform {
   final case class Bucket(n: Int, srcCol: String) extends PTransform {
     def spec = s"bucket($n,$srcCol)"
     def dirKey = s"bucket${n}_$srcCol"
-    def derivedExpr(isIntegral: Boolean): Column = {
-      val nn = n
-      val f = udf((s: String) =>
-        if (s == null) null else bucketOf(s, nn).toString)
-      f(col(srcCol).cast("string"))
-    }
+    // native codegen expression (round 14; replaces the round-13
+    // ScalaUDF): the derive column sits on EVERY ingested row's path,
+    // so it runs inside whole-stage codegen via the registered
+    // graft_bucket function — same FileBloom.hash1/mix kernel as the
+    // driver-side bucketOf twin
+    def derivedExpr(dt: DataType): Column =
+      call_function("graft_bucket", col(srcCol).cast("string"), lit(n))
     def derive(value: String, isIntegral: Boolean): Option[String] =
       Some(bucketOf(value, n).toString)
   }
@@ -60,8 +69,8 @@ private[graft] object PTransform {
   final case class Truncate(w: Int, srcCol: String) extends PTransform {
     def spec = s"truncate($w,$srcCol)"
     def dirKey = s"trunc${w}_$srcCol"
-    def derivedExpr(isIntegral: Boolean): Column =
-      if (isIntegral)
+    def derivedExpr(dt: DataType): Column =
+      if (SnapshotTypes.integral(dt))
         (col(srcCol) - pmod(col(srcCol), lit(w))).cast("long").cast("string")
       else substring(col(srcCol), 1, w)
     def derive(value: String, isIntegral: Boolean): Option[String] =
@@ -74,8 +83,19 @@ private[graft] object PTransform {
   final case class Days(srcCol: String) extends PTransform {
     def spec = s"days($srcCol)"
     def dirKey = s"days_$srcCol"
-    def derivedExpr(isIntegral: Boolean): Column =
-      date_format(col(srcCol), "yyyy-MM-dd")
+    // UTC-pinned (ADVICE r13): a TIMESTAMP column is an instant —
+    // date_format alone renders it in spark.sql.session.timeZone, so a
+    // reader session in another zone would recompute a DIFFERENT day
+    // than the writer logged and readPartitions' exact filter would
+    // silently drop rows. convert_timezone('UTC', ts) yields the UTC
+    // wall clock (session-TZ-independent). A DATE column is already a
+    // calendar day: date_format round-trips it in any zone, and casting
+    // it through timestamp would wrongly shift it by the session offset.
+    def derivedExpr(dt: DataType): Column = dt match {
+      case DateType => date_format(col(srcCol), "yyyy-MM-dd")
+      case _ =>
+        date_format(convert_timezone(lit("UTC"), col(srcCol)), "yyyy-MM-dd")
+    }
     // equality probes on a raw timestamp don't map through days() here
     // (string-form timestamp parsing is locale/precision-fraught) —
     // days layouts prune via readPartitions on the day value instead
@@ -104,4 +124,11 @@ private[graft] object PTransform {
       s"unsupported partition spec '$other' — use a column name, " +
         "bucket(N, col), truncate(W, col), or days(col)")
   }
+}
+
+/** Shared type predicates for the snapshot log's transform machinery. */
+private[graft] object SnapshotTypes {
+  import org.apache.spark.sql.types._
+  def integral(dt: DataType): Boolean =
+    Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(dt)
 }

@@ -627,13 +627,24 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (v == 1) Entry(Nil, Nil, Nil, 2) else readEntry(v - 1)
 
   def commitAppend(df: DataFrame): Int = {
-    checkConstraints(df, constraints())
+    val cons0 = constraints()
+    checkConstraints(df, cons0)
+    commitAppendValidated(df, cons0)
+  }
+
+  /** [[commitAppend]] with the already-validated constraint set pinned
+    * by the caller — the testable seam for the rebase re-validation
+    * guard (a set older than the live one simulates an addConstraint
+    * racing in between validation and publish). */
+  private[operators] def commitAppendValidated(df: DataFrame,
+      cons0: Map[String, String]): Int = {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
     buildBloom(dir, newStats, bloomColumns())
     commitWithRetry() { v =>
       val p = prevEntry(v)
+      recheckOnRebase(df, cons0, p)
       // stats ride the rebase: the winner's per-file stats are re-read
       // from its entry and our new dir's appended — a lost race never
       // drops skipping metadata
@@ -672,6 +683,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   private def writePartitioned(df: DataFrame, specs: Seq[String])
       : Seq[(String, Map[String, String], Seq[FileStat])] = {
     require(specs.nonEmpty, "partitionBy must name at least one column")
+    graft.functions.GraftFunctions.register(spark) // graft_bucket (idempotent)
     val ts = specs.map(PTransform.parse)
     require(ts.map(_.spec).distinct == ts.map(_.spec),
       s"duplicate partition spec in $specs")
@@ -696,7 +708,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             s"partition column '${t.srcCol}' must be string/integral/date, " +
               s"got ${f.dataType.simpleString}")
       }
-      t.derivedExpr(integralType(f.dataType))
+      t.derivedExpr(f.dataType)
     }
     require(!df.columns.exists(_.startsWith(PartPrefix)),
       s"column names starting with '$PartPrefix' collide with the " +
@@ -753,10 +765,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * source) turns full scans into per-partition file-list reads, and
     * partition-scoped overwrites never rewrite foreign partitions. */
   def commitAppend(df: DataFrame, partitionBy: Seq[String]): Int = {
-    checkConstraints(df, constraints())
+    val cons0 = constraints()
+    checkConstraints(df, cons0)
     val parts = writePartitioned(df, partitionBy)
     commitWithRetry() { v =>
       val p = prevEntry(v)
+      recheckOnRebase(df, cons0, p)
       Some(Composed(p.data ++ parts.map(_._1), p.deletes,
         p.stats ++ parts.flatMap(_._3), appendSchema(v, df),
         math.min(p.sv, 2),
@@ -784,7 +798,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * by key across partitions; silently re-deleting replaced rows would
     * be wrong). */
   def commitReplacePartitions(df: DataFrame, partitionBy: Seq[String]): Int = {
-    checkConstraints(df, constraints())
+    val cons0 = constraints()
+    checkConstraints(df, cons0)
     // canonical spec strings — "bucket(16, id)" and "bucket(16,id)" are
     // the same partitioning
     val specs = partitionBy.map(PTransform.parse(_).spec)
@@ -794,6 +809,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       require(v > 1,
         "replacePartitions on an empty table — use commitAppend")
       val p = prevEntry(v)
+      recheckOnRebase(df, cons0, p)
       require(p.deletes.isEmpty,
         s"replacePartitions on $root with pending delete sidecars is " +
           "ambiguous (a sidecar applies by key across partitions) — " +
@@ -840,6 +856,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val v = if (version < 0) latest else version
     require(v >= 1 && v <= latest,
       s"version $v out of range [1, $latest] for $root")
+    graft.functions.GraftFunctions.register(spark) // graft_bucket (idempotent)
     val e = readEntry(v)
     val canon = values.map { case (k, x) => PTransform.parse(k).spec -> x }
     val keep = e.data.filter { d =>
@@ -850,9 +867,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val rd = sch.map(spark.read.schema(_)).getOrElse(spark.read)
     val flt = canon.map { case (c, x) =>
       val t = PTransform.parse(c)
-      val integral = sch.exists(_.fields.find(_.name == t.srcCol)
-        .exists(f => integralType(f.dataType)))
-      t.derivedExpr(integral) === lit(x)
+      val dt = sch.flatMap(_.fields.find(_.name == t.srcCol).map(_.dataType))
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      t.derivedExpr(dt) === lit(x)
     }.reduce(_ && _)
     val base =
       if (keep.isEmpty) rd.parquet(e.data: _*).where(lit(false))
@@ -921,7 +938,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"""appId "$appId" — quotes/braces/colons/commas/backslashes """ +
         "in an app id are needlessly hostile to log tooling")
     if (lastTxn(appId).exists(_ >= batchId)) return None // cheap pre-check
-    checkConstraints(df, constraints())
+    val cons0 = constraints()
+    checkConstraints(df, cons0)
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
@@ -930,6 +948,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
         val p = prevEntry(v)
+        recheckOnRebase(df, cons0, p)
         Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
           appendSchema(v, df), math.min(p.sv, 2)))
       }
@@ -974,6 +993,23 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           s"CHECK constraint '$name' ($sql) violated on $root by e.g. " +
             bad.head.toString)
     }
+
+  /** Re-validate an ingest batch on OCC REBASE (ADVICE r13): the batch
+    * was checked against the constraint set read BEFORE the commit
+    * loop; if the rebase target carries constraints that were not in
+    * that validated set (an addConstraint raced in — its own stale-base
+    * guard only covers the opposite interleaving), the batch must pass
+    * the NEW constraints too before publishing, or the append lands
+    * rows the just-added invariant forbids. First-attempt cost is zero
+    * (the sets match — no job runs); only a genuine race pays one
+    * batch-sized scan per fresh constraint. */
+  private def recheckOnRebase(df: DataFrame,
+      validated: Map[String, String], prev: Entry): Unit = {
+    val fresh = prev.constraints.filter { case (n, s) =>
+      !validated.get(n).contains(s)
+    }
+    if (fresh.nonEmpty) checkConstraints(df, fresh)
+  }
 
   /** Add a CHECK constraint as a metadata-only commit. The CURRENT
     * table is validated first (one scan — the unavoidable price of a
@@ -1205,8 +1241,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         org.apache.spark.sql.types.LongType,
         org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.ByteType).contains(f.dataType)))
+    // canonical probe spelling for metadata probes (ADVICE r13): the
+    // Bloom filter and the logged pvals hold the CAST-TO-STRING form
+    // ("5", never "05" or " 5"); a non-canonical integral spelling must
+    // still probe the canonical form, or pruning false-negatives an
+    // existing row into an empty result
+    val canonV = if (isIntegral) value.trim.toLong.toString else value
     val pred: Pred =
-      if (isIntegral) LongPred(column, value.toLong, value.toLong)
+      if (isIntegral) LongPred(column, canonV.toLong, canonV.toLong)
       else StrPred(column, value, value)
     val statPruned: Seq[String] = prunedPaths(e, pred)
       .getOrElse(e.data.flatMap(dataFilesOf))
@@ -1224,7 +1266,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           vs.forall { case (specStr, pv) =>
             val t = PTransform.parse(specStr)
             t.srcCol != column ||
-              t.derive(value, isIntegral).forall(_ == pv)
+              t.derive(canonV, isIntegral).forall(_ == pv)
           })
       }
     val byDir = pvalPruned.groupBy(f => f.substring(0, f.lastIndexOf('/')))
@@ -1235,14 +1277,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           val base = f.substring(f.lastIndexOf('/') + 1)
           bm.get(base).flatMap(_.get(column)) match {
             case None              => true // no filter for this column — scan
-            case Some((m, k, bits)) => FileBloom.contains(bits, m, k, value)
+            case Some((m, k, bits)) => FileBloom.contains(bits, m, k, canonV)
           }
         }
       }
     }
     val rd = sch.map(spark.read.schema(_)).getOrElse(spark.read)
     val flt =
-      if (isIntegral) col(column) === lit(value.toLong)
+      if (isIntegral) col(column) === lit(canonV.toLong)
       else col(column) === lit(value)
     val base =
       if (kept.isEmpty) rd.parquet(e.data: _*).where(lit(false))
@@ -1273,7 +1315,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       base: Option[Int] = None): Int = {
     // compact/optimize rewrite rows already admitted under the invariants;
     // only a user-supplied overwrite brings NEW rows to validate
-    if (op == "overwrite") checkConstraints(df, constraints())
+    val cons0 = constraints()
+    if (op == "overwrite") checkConstraints(df, cons0)
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
@@ -1286,6 +1329,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
               s"${v - 1} has been committed since — the rewrite is stale; " +
               "re-run against the new snapshot")
       }
+      if (op == "overwrite") recheckOnRebase(df, cons0, prevEntry(v))
       Some(Composed(Seq(dir), Nil, newStats, Some(df.schema), 2))
     }.get
   }
@@ -1350,6 +1394,20 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val v0 = currentVersion()
     require(v0 >= 1, s"$op on an empty table at $root")
     val e0 = readEntry(v0)
+    // SET on the KEY column under pending delete sidecars is refused
+    // (ADVICE r13): the carried sidecar masks rows BY KEY via the
+    // reader's anti-join, so rewriting a sidecar-deleted row's key
+    // would resurrect it, and an updated row whose new key collides
+    // with a deleted key would be wrongly masked — the same ambiguity
+    // commitReplacePartitions refuses; compact() folds the sidecar in
+    // first and the update becomes unambiguous
+    set.foreach { assign =>
+      require(!(assign.contains(keyCol) && e0.deletes.nonEmpty),
+        s"UPDATE SET on key column '$keyCol' of $root with pending " +
+          "delete sidecars is ambiguous (the sidecar masks rows by key; " +
+          "rewriting keys under it can resurrect deleted rows or mask " +
+          "updated ones) — compact() first")
+    }
 
     // a file is provably ALL-INSIDE the band only with trusted bounds
     // AND a trusted zero null count (NULL rows never match a range
@@ -2027,18 +2085,32 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           }
           val files = Files.walk(c).iterator().asScala
             .filter(Files.isRegularFile(_)).toSeq
-          val keptNames = files.filter(kept)
-            .map(_.getFileName.toString).toSet
+          val keptFiles = files.filter(kept)
+          val keptByParent: Map[Path, Set[String]] = keptFiles
+            .groupBy(_.getParent)
+            .map { case (p, fs) => p -> fs.map(_.getFileName.toString).toSet }
+          // a marker survives iff its own directory's SUBTREE still holds
+          // a kept file (ADVICE r13: the commit-dir-wide rule retained a
+          // fully-dropped partition leaf's orphan _bloom.json forever
+          // because a SIBLING leaf kept files; the subtree rule sweeps
+          // the dropped leaf clean while a partitioned commit's top-level
+          // _SUCCESS still rides with its live leaves)
+          val aliveDirs: Set[Path] = keptFiles.flatMap { f =>
+            Iterator.iterate(f.getParent)(_.getParent)
+              .takeWhile(p => p != null && p.startsWith(c)).toSeq
+          }.toSet
           for (f <- files) {
             val name = f.getFileName.toString
             val base = name.stripPrefix(".").stripSuffix(".crc")
-            // markers ride with kept siblings: _SUCCESS, and the bloom
-            // sidecar (file-keyed — harmless and useful for survivors)
+            val keptNames = keptByParent.getOrElse(f.getParent, Set.empty)
+            val subtreeAlive = aliveDirs.contains(f.getParent)
+            // markers: _SUCCESS, and the bloom sidecar (file-keyed —
+            // harmless and useful for survivors)
             val markers = Set("_SUCCESS", "_bloom.json")
             val isShadow = name.startsWith(".") && name.endsWith(".crc") &&
               (keptNames.contains(base) ||
-                (markers.contains(base) && keptNames.nonEmpty))
-            val isMarker = markers.contains(name) && keptNames.nonEmpty
+                (markers.contains(base) && subtreeAlive))
+            val isMarker = markers.contains(name) && subtreeAlive
             if (!kept(f) && !isShadow && !isMarker) {
               Files.delete(f); removedFiles += 1
             }

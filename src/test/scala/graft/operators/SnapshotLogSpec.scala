@@ -1388,4 +1388,137 @@ class SnapshotLogSpec extends SparkSpec {
     val clone = t.cloneTo(dst)
     assert(clone.bloomColumns() == Map("v" -> 10))
   }
+
+  // ---- round 14: ADVICE r13 closures ---------------------------------------
+
+  test("days transform derives the UTC day under ANY session time zone") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_tz").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // rows straddle a UTC midnight: hours 22..26 of 2023-12-31
+    val df = (0 until 5).map(h =>
+      (h.toLong, new java.sql.Timestamp(base - 7200000L + h * 3600000L)))
+      .toDF("id", "ts")
+    t.commitAppend(df, Seq("days(ts)"))
+    val days = t.partitionValues().values.map(_("days(ts)")).toSet
+    assert(days == Set("2023-12-31", "2024-01-01"), s"UTC days: $days")
+    def counts() = days.map(d =>
+      d -> t.readPartitions(Map("days(ts)" -> d)).count()).toMap
+    val utcCounts = counts()
+    assert(utcCounts == Map("2023-12-31" -> 2L, "2024-01-01" -> 3L))
+    // a reader session pinned to a DIFFERENT zone recomputes the SAME
+    // derived day (ADVICE r13: session-TZ date_format silently dropped
+    // rows from correctly-selected partitions)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      assert(counts() == utcCounts,
+        "partition reads must be session-TZ independent")
+      // and a WRITER in a foreign zone logs the same UTC day values
+      val root2 = java.nio.file.Files.createTempDirectory("graft_snap_tz2")
+        .toString
+      val t2 = SnapshotLog.open(spark, root2, "id")
+      t2.commitAppend(df, Seq("days(ts)"))
+      assert(t2.partitionValues().values.map(_("days(ts)")).toSet == days,
+        "logged day values must be UTC regardless of the writer's zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    // DATE columns are calendar days already — never shifted by the pin
+    val dt = SnapshotLog.open(spark,
+      java.nio.file.Files.createTempDirectory("graft_snap_tzd").toString, "id")
+    val dDf = Seq((1L, java.sql.Date.valueOf("2024-03-05")),
+      (2L, java.sql.Date.valueOf("2024-03-06"))).toDF("id", "d")
+    dt.commitAppend(dDf, Seq("days(d)"))
+    assert(dt.partitionValues().values.map(_("days(d)")).toSet ==
+      Set("2024-03-05", "2024-03-06"))
+    assert(dt.readPartitions(Map("days(d)" -> "2024-03-05")).count() == 1)
+  }
+
+  test("UPDATE SET on the key column refuses pending delete sidecars") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_uk").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 20L).map(i => (i, i * 10)).toDF("id", "n"))
+    t.commitDelete(Seq(5L).toDF("id"))
+    // rewriting id under the sidecar could resurrect id=5 (ADVICE r13)
+    intercept[IllegalArgumentException](
+      t.commitUpdateWhere("n", 40, 60, Map("id" -> "id + 100")))
+    assert(t.read().where(col("id") === 5L).count() == 0)
+    // non-key SET columns stay allowed under a sidecar
+    t.commitUpdateWhere("n", 40, 60, Map("n" -> "n + 1"))
+    assert(t.read().where(col("id") === 5L).count() == 0,
+      "the sidecar must still mask after a non-key update")
+    // after compact folds the sidecar, key updates are unambiguous
+    t.compact()
+    t.commitUpdateWhere("n", 41, 41, Map("id" -> "id + 100"))
+    assert(t.read().where(col("id") === 104L).count() == 1)
+    assert(t.read().where(col("id") === 5L).count() == 0)
+  }
+
+  test("append rebasing over a racing addConstraint re-validates the batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_rc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 5L).map(i => (i, i)).toDF("id", "n"))
+    t.addConstraint("n_pos", "n > 0")
+    // a batch validated BEFORE the constraint existed (the seam pins the
+    // stale validated set) must be re-checked on rebase, not published
+    intercept[IllegalArgumentException](
+      t.commitAppendValidated(Seq((9L, -1L)).toDF("id", "n"), Map.empty))
+    assert(t.read().where(col("n") === -1L).count() == 0,
+      "the racing append must not land rows the new invariant forbids")
+    // a conforming batch under the same stale set still lands
+    t.commitAppendValidated(Seq((10L, 10L)).toDF("id", "n"), Map.empty)
+    assert(t.read().where(col("id") === 10L).count() == 1)
+  }
+
+  test("readWhereEquals canonicalizes integral probe spellings") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cn").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 50L).map(i => (i, s"u$i")).toDF("id", "url"))
+    t.setBloomColumns(Seq("id"))
+    t.commitAppend((51L to 100L).map(i => (i, s"u$i")).toDF("id", "url"))
+    // non-canonical spellings of 77 (bloomed batch) and 5 (bucketed probe
+    // path) must match — the filter hashed "77", never "077" (ADVICE r13)
+    for (sp <- Seq("77", "077", " 77", "77 ")) {
+      assert(t.readWhereEquals("id", sp).count() == 1,
+        s"spelling '$sp' must probe the canonical form")
+    }
+    // bucket-transform pval pruning probes the canonical spelling too
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snap_cb").toString
+    val t2 = SnapshotLog.open(spark, root2, "id")
+    t2.commitAppend((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("bucket(4,id)"))
+    for (sp <- Seq("7", "07", " 7")) {
+      assert(t2.readWhereEquals("id", sp).count() == 1,
+        s"bucket pval pruning must canonicalize '$sp'")
+    }
+  }
+
+  test("vacuum sweeps orphan markers of fully-dropped partition leaves") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_vm").toString
+    val t2 = SnapshotLog.open(spark, root, "id")
+    t2.commitAppend(partDf(1 to 30, i => Seq("en", "fr")((i % 2).toInt)),
+      Seq("lang"))
+    t2.setBloomColumns(Seq("v")) // build _bloom.json per leaf
+    t2.commitAppend(partDf(31 to 60, i => Seq("en", "fr")((i % 2).toInt)),
+      Seq("lang"))
+    // replace ONLY the "fr" partition: both commits' fr leaves drop out
+    // of the listing while their sibling en leaves stay referenced
+    t2.commitReplacePartitions(partDf(61 to 70, _ => "fr"), Seq("lang"))
+    t2.vacuum(t2.currentVersion())
+    import scala.jdk.CollectionConverters._
+    val leaves = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("gp_lang="))
+      .toSeq
+    // every surviving leaf dir holds data; no leaf survives as a bare
+    // marker shell (ADVICE r13: keptNames was computed across the whole
+    // commit dir, so a dropped leaf kept its _bloom.json forever)
+    for (leaf <- leaves) {
+      val files = java.nio.file.Files.list(leaf).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(files.exists(_.endsWith(".parquet")),
+        s"orphan marker shell survived vacuum: $leaf -> $files")
+    }
+    assert(t2.read().count() == 15 + 15 + 10)
+  }
 }
