@@ -539,6 +539,181 @@ object RelationalQueries {
         sum(col("doc_id")).cast("long").as("sum_ids"))
     }),
 
+    // Column-mapping schema evolution (round 14 — Delta's RENAME/DROP
+    // COLUMN): rename and drop are METADATA-ONLY commits — the files
+    // keep their physical columns, the entry's name map points the new
+    // logical name at them — asserted in-flight by counting parquet
+    // files across both ops. Time travel reads v1 under its own names;
+    // appends after the rename land under the physical name and read
+    // back seamlessly; the renamed column still prunes via the logged
+    // (physically-keyed) stats; and the final aggregate reads through
+    // the DSv2 CONNECTOR, which remaps stats, projections, and row-group
+    // pruning onto the logical names. Oracle is the plain closed form.
+    "q_scan_snaprename" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ren").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 600))
+      t.optimize(8)
+      def parquets() = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      }
+      val before = parquets()
+      t.renameColumn("n_chars", "chars")
+      t.dropColumn("lang")
+      require(parquets() == before,
+        "rename/drop must be metadata-only — no data may move")
+      t.commitAppend(docs.where(col("doc_id") >= 600 && col("doc_id") < 800)
+        .select(col("doc_id"), col("n_chars").as("chars")))
+      require(t.read(2).columns.toSeq == Seq("doc_id", "n_chars", "lang"),
+        "time travel must read pre-rename versions under their own names")
+      val band = t.readRange(100L, 199L)
+      require(band.inputFiles.length < t.read().inputFiles.length,
+        "key pruning must survive the mapping")
+      val con = s.read.format("snaplog").load(tmp)
+      require(con.columns.toSeq == Seq("doc_id", "chars"),
+        s"connector must serve the mapped names, got ${con.columns.toSeq}")
+      def agg(df: org.apache.spark.sql.DataFrame, side: String,
+          c: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col(c)).cast("long").as("sum_chars"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"))
+      agg(band, "band", "chars")
+        .unionByName(agg(con, "now", "chars"))
+        .unionByName(agg(t.read(2), "v1", "n_chars"))
+        .orderBy(col("side"))
+    }),
+
+    // NAME-addressed catalog lifecycle (round 14): the full SQL-native
+    // story on a warehouse table — CREATE TABLE ... USING snaplog
+    // publishes an empty v1 carrying the schema (metadata-only), INSERT
+    // INTO appends land as native DSv2 commits, a non-band DELETE takes
+    // the row-level COW route, and an INSERT whose source is a
+    // time-traveled SELECT of the table itself re-keys v2 rows — every
+    // statement addressed purely by NAME (`graftsnap.cat2`), no path in
+    // the SQL text. The result reads all five versions back with
+    // VERSION AS OF by name; oracle is the closed form per version.
+    "q_scan_snapcat2" -> ((s, d) => {
+      // a DEDICATED catalog name with its warehouse set BEFORE first use:
+      // Spark caches catalog instances per session, so options set after
+      // instantiation are invisible — and re-runs in the same session
+      // must reuse the cached warehouse (read back from the conf) and
+      // DROP the previous run's table rather than re-set the option
+      if (s.conf.getOption("spark.sql.catalog.graftwh").isEmpty) {
+        s.conf.set("spark.sql.catalog.graftwh",
+          "graft.sources.SnaplogCatalog")
+        s.conf.set("spark.sql.catalog.graftwh.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat2").toString)
+      }
+      val wh = s.conf.get("spark.sql.catalog.graftwh.warehouse")
+      s.sql("DROP TABLE IF EXISTS graftwh.cat2")
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .createOrReplaceTempView("graft_cat2_docs")
+      s.sql("CREATE TABLE graftwh.cat2 (doc_id BIGINT, n_chars BIGINT) " +
+        "USING snaplog TBLPROPERTIES ('key'='doc_id')")
+      s.sql("INSERT INTO graftwh.cat2 SELECT doc_id, CAST(n_chars AS " +
+        "BIGINT) FROM graft_cat2_docs WHERE doc_id < 300")
+      s.sql("INSERT INTO graftwh.cat2 SELECT doc_id, CAST(n_chars AS " +
+        "BIGINT) FROM graft_cat2_docs WHERE doc_id >= 300 AND doc_id < 500")
+      s.sql("DELETE FROM graftwh.cat2 WHERE doc_id % 7 = 0")
+      val t = graft.operators.SnapshotLog.open(s, s"$wh/cat2", "doc_id")
+      require(t.opOf(t.currentVersion()) == "sql-delete",
+        "a non-band DELETE must take the row-level COW route")
+      s.sql("INSERT INTO graftwh.cat2 " +
+        "SELECT doc_id + 1000 AS doc_id, n_chars " +
+        "FROM graftwh.cat2 VERSION AS OF 2 WHERE doc_id < 50")
+      require(t.currentVersion() == 5, "lifecycle must land 5 versions")
+      (1 to 5).map(v => s.sql(
+          s"SELECT $v AS version, CAST(count(*) AS BIGINT) AS n, " +
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+            s"FROM graftwh.cat2 VERSION AS OF $v"))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"))
+    }),
+
+    // SQL-text row-level DML (round 14 — Delta's SQL DELETE/UPDATE on
+    // the snapshot log, via the native DSv2 row-level surface): the SAME
+    // table shape and mutations as q_scan_snapdml, driven purely from
+    // SQL text through the snap catalog. The banded DELETE takes the
+    // METADATA route (SupportsDelete + OptimizeMetadataOnlyDeleteFrom-
+    // Table → commitDeleteWhere: aligned files drop without a read,
+    // asserted via the op name); the UPDATE takes the group-based
+    // copy-on-write route (SupportsRowLevelOperations → ReplaceData):
+    // the command's condition prunes the operation scan to candidate
+    // files, runtime group filtering narrows to matched files by `_file`
+    // identity, and the commit swaps exactly the scanned files —
+    // untouched files carry as metadata, asserted in-flight. Same oracle
+    // as q_scan_snapdml: the two routes and the API must agree bit-for-
+    // bit.
+    "q_scan_snapdml_sql" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graftsnap",
+        "graft.sources.SnaplogCatalog")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dmlq").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 600))
+      t.optimize(8)
+      val before = t.read().inputFiles.toSet
+      s.sql(s"DELETE FROM graftsnap.`$tmp` WHERE doc_id < 150")
+      require(t.opOf(t.currentVersion()) == "delete-where",
+        "banded SQL DELETE must take the metadata route, got " +
+          t.opOf(t.currentVersion()))
+      s.sql(s"UPDATE graftsnap.`$tmp` SET n_chars = n_chars + 100000 " +
+        "WHERE doc_id BETWEEN 300 AND 399")
+      require(t.opOf(t.currentVersion()) == "sql-update",
+        "SQL UPDATE must take the row-level COW route")
+      val after = t.read().inputFiles.toSet
+      require(before.intersect(after).nonEmpty,
+        "SQL DML must carry untouched files as metadata")
+      require(t.read(2).count() > t.read().count(),
+        "time travel must still see the pre-DML snapshot")
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        s"CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM graftsnap.`$tmp`")
+    }),
+
+    // SQL-text MERGE INTO (round 14): the q_scan_merge upsert — update
+    // the [250,350) band, insert its +250-shifted twin, resurrect the
+    // sidecar-deleted band keys — expressed as one MERGE INTO statement
+    // through the snap catalog. Spark's RewriteMergeIntoTable plans the
+    // group-based COW join; the commit swaps exactly the matched files
+    // and consolidates the pending delete sidecar to (old keys) minus
+    // (replacement keys), so a MERGE INSERT of a deleted key resurrects
+    // it — the commitMerge contract, now reachable from SQL text, and
+    // hash-exact against the same coalesce oracle as q_scan_merge.
+    "q_scan_merge_sql" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graftsnap",
+        "graft.sources.SnaplogCatalog")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mrgq").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 300))
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500))
+      t.commitDelete(docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 500)
+        .select(col("doc_id")))
+      val band = docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+      band.withColumn("n_chars", col("n_chars") * 2).unionByName(
+          band.withColumn("doc_id", col("doc_id") + 250)
+            .withColumn("n_chars", col("n_chars") + 7))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(s"MERGE INTO graftsnap.`$tmp` t USING graft_merge_src s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      require(t.opOf(t.currentVersion()) == "sql-merge",
+        "MERGE INTO must take the row-level COW route")
+      t.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // Partition TRANSFORMS on the snapshot log (round 13 — Iceberg's
     // hidden partitioning): the table partitions on a value DERIVED from
     // a source column while queries keep predicating on the source.
@@ -1331,6 +1506,59 @@ object RelationalQueries {
                               ELSE n_chars END) AS BIGINT) AS sum_chars,
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
          FROM documents WHERE doc_id >= 150 AND doc_id < 600""",
+    "q_scan_snaprename" ->
+      """SELECT 'band' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id BETWEEN 100 AND 199
+         UNION ALL
+         SELECT 'now', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 800
+         UNION ALL
+         SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 600
+         ORDER BY side""",
+    "q_scan_snapcat2" ->
+      """SELECT 1 AS version, CAST(0 AS BIGINT) AS n,
+                CAST(NULL AS BIGINT) AS sum_chars
+         UNION ALL
+         SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 300
+         UNION ALL
+         SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500
+         UNION ALL
+         SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0
+         UNION ALL
+         SELECT 5, CAST(count(*) AS BIGINT), CAST(SUM(nc) AS BIGINT)
+         FROM (
+           SELECT n_chars AS nc FROM documents
+            WHERE doc_id < 500 AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT n_chars FROM documents WHERE doc_id < 50)
+         ORDER BY version""",
+    "q_scan_snapdml_sql" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN doc_id BETWEEN 300 AND 399
+                              THEN n_chars + 100000
+                              ELSE n_chars END) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id >= 150 AND doc_id < 600""",
+    "q_scan_merge_sql" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT lang, n_chars AS nc, doc_id AS id FROM documents
+            WHERE doc_id < 500 AND doc_id % 7 <> 0
+              AND (doc_id < 250 OR doc_id >= 350)
+           UNION ALL
+           SELECT lang, n_chars * 2, doc_id FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350
+           UNION ALL
+           SELECT lang, n_chars + 7, doc_id + 250 FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350)
+         GROUP BY lang ORDER BY lang""",
     "q_scan_snaptransform" ->
       """SELECT 'part' AS side, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

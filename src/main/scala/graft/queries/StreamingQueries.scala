@@ -376,6 +376,52 @@ object StreamingQueries {
     // and re-runs the whole stream on the same checkpoint (a restart);
     // if either committed, every count below doubles and the oracle —
     // the plain batch aggregate over events — mismatches.
+    // engine-native streaming SINK (round 14): the same exactly-once
+    // contract as q_stream_snapsink but through the connector —
+    // `writeStream.format("snaplog")` lands each micro-batch via the
+    // native DSv2 StreamingWrite (executors write parquet, the driver
+    // publishes the entry with the epoch's txn watermark in ONE atomic
+    // commit). The stream is re-run over the SAME checkpoint after
+    // completion: a correct sink adds nothing (replayed epochs clean up
+    // their staged dirs and skip), asserted via the row count. The
+    // result aggregates through the DSv2 READ path, so the row is a
+    // full connector write→read round trip against the plain events
+    // oracle.
+    "q_stream_snapsink2" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snapsink2").toString
+      val staged = s"$tmp/staged"
+      ev.repartition(4).write.parquet(staged)
+      val root = s"$tmp/table"
+      def run(): Unit = {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+          .writeStream.format("snaplog")
+          .option("key", "user_id")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start(root)
+        q.awaitTermination()
+      }
+      run()
+      val t = graft.operators.SnapshotLog.open(s, root, "user_id")
+      val n0 = t.read().count()
+      run() // replay over the same checkpoint: exactly-once, no dupes
+      require(t.read().count() == n0,
+        s"replay duplicated rows: $n0 -> ${t.read().count()}")
+      require((1 to t.currentVersion()).forall(v =>
+          t.opOf(v) == "txn-append"),
+        "every streaming commit must ride the txn action")
+      s.read.format("snaplog").load(root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_stream_snapsink" -> ((s, d) => {
       val staged = stagedEvents(s, d)
       val ev = Tables.events(s, d).drop("props")
@@ -679,6 +725,11 @@ object StreamingQueries {
             WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 7 <> 0)
          GROUP BY v, change ORDER BY v, change""",
     "q_stream_snapsink" ->
+      """SELECT event_type, COUNT(*) AS n,
+                ROUND(SUM(value), 2) AS sum_value,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_stream_snapsink2" ->
       """SELECT event_type, COUNT(*) AS n,
                 ROUND(SUM(value), 2) AS sum_value,
                 COUNT(DISTINCT user_id) AS n_users

@@ -155,6 +155,9 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
     val e = end.asInstanceOf[SnapCdfOffset].v
     val parts = Array.newBuilder[InputPartition]
     for (v <- (s + 1) to e) {
+      require(t.readEntry(v).cmap.isEmpty,
+        s"snapcdf on column-mapped tables is not supported (version $v " +
+          "of " + root + " carries renames/drops) — compact() first")
       val op = t.opOf(v)
       val entry = t.readEntry(v)
       if (op == "merge" && entry.cdc.isDefined) {
@@ -212,24 +215,35 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapCdfPartition]
     if (p.typed) return typedReader(p) // cdc sidecar: change rows verbatim
-    // resolve the version's delete sidecars from its entry — one small
-    // JSON read per task, executor-local (no SparkSession out here)
-    val entryPath = new org.apache.hadoop.fs.Path(s"$root/_log/${p.version}.json")
-    val fs = entryPath.getFileSystem(conf.value)
-    val txt = {
-      val in = fs.open(entryPath)
+    // resolve the version's delete sidecars from its entry — executor-
+    // local raw JSON reads (no SparkSession out here). Round 14: entries
+    // may be DELTAS; the sidecar list resolves by walking the base chain
+    // down to the nearest FULL entry (≤ checkpointInterval small reads)
+    // and replaying delRemove/delAdd oldest-first.
+    val fs = new org.apache.hadoop.fs.Path(s"$root/_log")
+      .getFileSystem(conf.value)
+    def parseTree(ver: Int): com.fasterxml.jackson.databind.JsonNode = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/_log/$ver.json"))
       try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-        bos.toString("UTF-8")
+        SnapshotLog.Json.readTree(bos.toString("UTF-8"))
       } finally in.close()
     }
-    val tree = SnapshotLog.Json.readTree(txt)
-    val delDirs = Option(tree.get("deletes")).map { n =>
+    def arr(t: com.fasterxml.jackson.databind.JsonNode,
+        field: String): Seq[String] = Option(t.get(field)).map { n =>
       val b = Seq.newBuilder[String]
       n.elements().forEachRemaining(e => b += e.asText())
       b.result()
     }.getOrElse(Nil)
+    var chain = List(parseTree(p.version)) // full entry first, then deltas
+    while (chain.head.has("base"))
+      chain ::= parseTree(chain.head.get("base").asInt())
+    val delDirs = chain.tail.foldLeft(arr(chain.head, "deletes")) {
+      (dels, t) =>
+        val rm = arr(t, "delRemove").toSet
+        dels.filterNot(rm) ++ arr(t, "delAdd")
+    }
     val deletedKeys: Array[Any] =
       if (delDirs.isEmpty) Array.empty
       else readSidecarKeys(delDirs, fs)

@@ -5,48 +5,72 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.SnapshotLog
 
-/** Path-based [[TableCatalog]] for snapshot-log tables — the rung that
-  * makes the log's versioned reads SQL-NATIVE. Register once:
+/** [[TableCatalog]] for snapshot-log tables — the rung that makes the
+  * log's versioned reads AND its lifecycle SQL-NATIVE. Register once:
   *
   * {{{
   * spark.conf.set("spark.sql.catalog.snap",
   *   "graft.sources.SnaplogCatalog")
+  * spark.conf.set("spark.sql.catalog.snap.warehouse", "/data/warehouse")
   * }}}
   *
-  * then SQL text addresses tables by path, Delta's `delta.`/path``
-  * convention:
-  *
-  * {{{
-  * SELECT * FROM snap.`/data/events` VERSION AS OF 3
-  * SELECT * FROM snap.`/data/events` TIMESTAMP AS OF '2026-08-15 12:00:00'
-  * INSERT INTO snap.`/data/events` SELECT ...
-  * }}}
+  * Tables address two ways:
+  *   - PATH-addressed (Delta's `delta.`/path`` convention): any
+  *     identifier whose spelling starts with `/` is the table's
+  *     directory — `SELECT * FROM snap.`/data/events``.
+  *   - NAME-addressed (round 14): every other identifier resolves under
+  *     the catalog's `warehouse` root — `snap.events` lives at
+  *     `<warehouse>/events`, `snap.raw.events` at
+  *     `<warehouse>/raw/events`. Names make the FULL SQL lifecycle
+  *     available: `CREATE TABLE snap.events (...) USING snaplog
+  *     TBLPROPERTIES ('key'='user_id')` publishes an empty version 1
+  *     carrying the schema (metadata-only), `CREATE TABLE ... AS
+  *     SELECT` / `saveAsTable` create-then-append, `INSERT INTO`,
+  *     `SELECT ... VERSION AS OF`, SQL DELETE/UPDATE/MERGE, `SHOW
+  *     TABLES`, and `DROP TABLE` (which really deletes the directory —
+  *     name-addressed only; a path-addressed drop is refused, matching
+  *     the "external table" convention).
   *
   * `VERSION AS OF` resolves through the same entry reads as
   * `option("version", N)`; `TIMESTAMP AS OF` picks the highest version
   * whose log-entry mtime is ≤ the timestamp — mtimes are informational
   * (the log's ordering authority is the version number), so this is the
   * single-writer-clock convenience Delta's commit-timestamp resolution
-  * also is, documented as such. `INSERT INTO` rides the table's write
-  * path ([[SnaplogTable]]'s `V1Write` → `commitAppend`). DDL
-  * (create/alter/drop/rename) is out of scope — tables are CREATED by
-  * their first commit (API or `df.write.format("snaplog")`), and the
-  * catalog fails those verbs loudly. */
+  * also is, documented as such. The key column comes from the `key`
+  * table property at CREATE (default: the first column) and from the
+  * log entry thereafter. ALTER/RENAME stay out of scope (evolution
+  * happens on append; tables move with their directories). */
 class SnaplogCatalog extends TableCatalog {
   private var catalogName: String = _
+  private var warehouse: Option[String] = None
 
   override def initialize(name: String,
-                          options: CaseInsensitiveStringMap): Unit =
+                          options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
 
   override def name(): String = catalogName
 
-  private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  private def pathOf(ident: Identifier): String = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    if (joined.startsWith("/")) joined
+    else warehouse match {
+      case Some(w) => s"$w/$joined"
+      case None => throw new IllegalArgumentException(
+        s"name-addressed snaplog table '$joined' needs the catalog's " +
+          s"warehouse root — set spark.sql.catalog.$catalogName.warehouse " +
+          "(path-addressed tables spell the full /path)")
+    }
+  }
+
+  private def nameAddressed(ident: Identifier): Boolean =
+    !(ident.namespace() :+ ident.name()).mkString("/").startsWith("/")
 
   private def tableAt(ident: Identifier, version: Option[Int]): Table = {
     val path = pathOf(ident)
@@ -63,7 +87,8 @@ class SnaplogCatalog extends TableCatalog {
         "read it through the SnapshotTable API"))
     val schema = t.schemaOf(v).getOrElse(throw new IllegalArgumentException(
       s"snaplog entry $v at $path carries no schema (legacy table)"))
-    new SnaplogTable(SparkSession.active, t, path, v, key, schema)
+    new SnaplogTable(SparkSession.active, t, path, v, key, schema,
+      t.readEntry(v).cmap)
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
@@ -92,28 +117,73 @@ class SnaplogCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    SnapshotLog.open(SparkSession.active, pathOf(ident), "__resolve")
+    try SnapshotLog.open(SparkSession.active, pathOf(ident), "__resolve")
       .currentVersion() >= 1
+    catch { case _: IllegalArgumentException => false }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    throw new UnsupportedOperationException(
-      "snaplog catalog is path-addressed; listing is not supported")
+  /** SHOW TABLES — name-addressed tables are the warehouse's child
+    * directories holding a `_log`; path-addressed tables are unlisted
+    * (they live anywhere on the filesystem). */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val w = warehouse.getOrElse(throw new UnsupportedOperationException(
+      s"snaplog catalog '$catalogName' has no warehouse configured; " +
+        "path-addressed tables are not listable"))
+    val base = java.nio.file.Paths.get((w +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(base)) return Array.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(base).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p.resolve("_log")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
 
+  /** CREATE TABLE (name-addressed): publish an empty version 1 carrying
+    * the schema — metadata-only; the `key` table property names the key
+    * column (default: the first column). CTAS/saveAsTable arrive here
+    * first and append through the table's native write path. */
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "snaplog tables are created by their first commit " +
-        "(SnapshotTable.commitAppend or df.write.format(\"snaplog\"))")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "CREATE TABLE ... PARTITIONED BY is not supported through the " +
+        "snaplog catalog — partition via SnapshotTable.commitAppend(df, " +
+        "specs) (hidden-partition transforms live in the log, not the " +
+        "catalog)")
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    require(provider.forall(_.equalsIgnoreCase("snaplog")),
+      s"snaplog catalog cannot create a '${provider.get}' table")
+    val schema = new StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())))
+    val key = Option(properties.get("key")).getOrElse(schema.fieldNames.head)
+    val path = pathOf(ident)
+    val t = SnapshotLog.open(SparkSession.active, path, key)
+    if (t.currentVersion() >= 1)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    t.createEmpty(schema)
+    new SnaplogTable(SparkSession.active, t, path, 1, key, schema)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "snaplog schema evolution happens on append " +
         "(SnapshotTable.commitAppend widens add-only)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "snaplog retention is explicit: SnapshotTable.vacuum")
+  /** DROP TABLE — real directory deletion, NAME-addressed tables only
+    * (the catalog owns the warehouse layout; a path-addressed table is
+    * external, its retention stays explicit via vacuum). */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!nameAddressed(ident))
+      throw new UnsupportedOperationException(
+        "path-addressed snaplog tables are external — retention is " +
+          "explicit (SnapshotTable.vacuum); DROP applies to " +
+          "name-addressed (warehouse) tables")
+    if (!tableExists(ident)) return false
+    val p = new org.apache.hadoop.fs.Path(pathOf(ident))
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .delete(p, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

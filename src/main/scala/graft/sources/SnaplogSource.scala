@@ -231,34 +231,54 @@ class SnaplogDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val (t, v, key) = resolve(properties)
+    val cmap = if (v >= 1) t.readEntry(v).cmap else Map.empty[String, String]
     new SnaplogTable(SparkSession.active, t, properties.get("path"), v, key,
-      schema)
+      schema, cmap)
   }
 }
 
 class SnaplogTable(spark: SparkSession, t: SnapshotTable,
                    path: String, version: Int, keyCol: String,
-                   tableSchema: StructType)
+                   tableSchema: StructType,
+                   cmap: Map[String, String] = Map.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"snaplog:$path@v$version"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    // BATCH_WRITE keeps DataFrameWriter on the V2 plan; V1_BATCH_WRITE
-    // routes the built V1Write through the InsertableRelation fallback
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** `df.write.format("snaplog")` — the WRITE side rides the V1 fallback
-    * (`V1Write` → `InsertableRelation`), which hands the planned
-    * DataFrame straight to the log's own commit paths: append =
-    * [[SnapshotTable.commitAppend]] (footer stats, OCC rebase, atomic
-    * publish — everything batch writers get), overwrite (TRUNCATE) =
-    * [[SnapshotTable.commitOverwrite]] (replace semantics). A fresh
-    * table needs `option("key", col)` for its first commit; later
-    * commits read the key from the log. Spark's append validation pins
-    * the df schema to the table schema, so ADD-column evolution stays on
-    * the `SnapshotTable` API by design. */
+  /** `_file` — the row's data file path, served by the readers from
+    * their own partition (no parquet column behind it). Queryable like
+    * any metadata column, and the GROUP identity of the row-level COW
+    * path: `requiredMetadataAttributes = [_file]` makes Spark's
+    * runtime group filtering collect exactly the matched FILES, and the
+    * write-side projections split rows from metadata so the replacement
+    * files land without the rewrite's bookkeeping columns. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+
+  /** `df.write.format("snaplog")` / `df.writeStream.format("snaplog")` —
+    * the ENGINE-NATIVE write path (round 14; replaces the round-13
+    * `V1Write` fallback): executors write parquet part files straight
+    * into a commit-unique data dir ([[SnaplogDataWriter]]) and the
+    * driver publishes the log entry from the reported file list through
+    * the log's own OCC loop ([[SnapshotTable.commitStaged]]) — footer
+    * stats, Bloom sidecars, CHECK constraints and the atomic version
+    * claim all included. TRUNCATE = overwrite (replace semantics);
+    * streaming commits are exactly-once via the `txn` action keyed by
+    * the query id. A fresh table needs `option("key", col)` for its
+    * first commit; later commits read the key from the log. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -269,25 +289,27 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
           : org.apache.spark.sql.connector.write.WriteBuilder = {
         replace = true; this
       }
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
-          override def toInsertableRelation
-              : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-              require(keyCol.nonEmpty,
-                "first commit to a fresh snaplog table needs " +
-                  "option(\"key\", <column>)")
-              require(data.columns.contains(keyCol),
-                s"snaplog write is missing its key column '$keyCol'")
-              val tw = SnapshotLog.open(data.sparkSession, path, keyCol)
-              if (replace) tw.commitOverwrite(data)
-              else tw.commitAppend(data)
-              ()
-            }
-        }
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        require(cmap.isEmpty,
+          s"connector writes to column-mapped $path are not supported — " +
+            "compact() first or append through the SnapshotTable API")
+        require(keyCol.nonEmpty,
+          "first commit to a fresh snaplog table needs " +
+            "option(\"key\", <column>)")
+        require(info.schema().fieldNames.contains(keyCol),
+          s"snaplog write is missing its key column '$keyCol'")
+        SnaplogWrite.messageType(info.schema()) // loud type-scope check
+        new SnaplogWriteImpl(spark, path, keyCol, info.schema(),
+          info.queryId(), replace)
+      }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  /** Shared scan-builder shape for the table read path and the
+    * row-level operation's read side; `onBuild` lets the operation
+    * capture the scan it will have to replace at commit, `rowLevel`
+    * switches runtime filtering to file-identity group semantics. */
+  private[sources] def scanBuilder(onBuild: SnaplogScan => Unit,
+      rowLevel: Boolean = false): ScanBuilder = {
     require(version >= 1, s"empty snaplog table at $path")
     new ScanBuilder
         with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -311,17 +333,123 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
             s"columns; unsupported: ${bad.map(f =>
               s"${f.name}:${f.dataType.simpleString}").mkString(",")} — " +
             "use the SnapshotTable API for these")
-        new SnaplogScan(spark, t, path, version, keyCol, tableSchema,
-          required, pushed)
+        val s = new SnaplogScan(spark, t, path, version, keyCol, tableSchema,
+          required, pushed, rowLevel, cmap)
+        onBuild(s)
+        s
       }
     }
   }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilder(_ => ())
+
+  // ---- SQL DELETE: metadata/COW hybrid ------------------------------------
+  //
+  // Both delete surfaces are implemented, which gives SQL text Delta's
+  // exact behavior split: `OptimizeMetadataOnlyDeleteFromTable` converts
+  // a DELETE whose condition translates to a single-column band into
+  // [[SnapshotTable.commitDeleteWhere]] — aligned files DROP as pure
+  // metadata, only boundary files rewrite — and every other condition
+  // falls back to the group-based copy-on-write rewrite below (exact,
+  // file-pruned by the pushed condition). A range predicate never
+  // matches NULLs and dmlWhere keeps NULL rows; Spark's rewrite applies
+  // the same three-valued logic, so both routes agree.
+
+  private[sources] def bandOf(filters: Array[Filter])
+      : Option[(String, Either[(Long, Long), (String, String)])] = {
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x         => Seq(x)
+    }
+    val fs = filters.toSeq.flatMap(conjuncts)
+      .filterNot(_.isInstanceOf[IsNotNull]) // implied by any range pred
+    if (fs.isEmpty) return None
+    val cols = fs.flatMap(_.references).distinct
+    if (cols.length != 1) return None
+    val c = cols.head
+    val integral = tableSchema.fields.find(_.name == c).exists(f =>
+      Seq[DataType](LongType, IntegerType).contains(f.dataType))
+    val stringy = tableSchema.fields.find(_.name == c)
+      .exists(_.dataType == StringType)
+    if (integral) {
+      var lo = Long.MinValue; var hi = Long.MaxValue
+      for (f <- fs) f match {
+        case EqualTo(_, v) => SnaplogSource.asLong(v) match {
+          case Some(x) => lo = math.max(lo, x); hi = math.min(hi, x)
+          case None    => return None
+        }
+        case GreaterThan(_, v) => SnaplogSource.asLong(v) match {
+          case Some(x) if x < Long.MaxValue => lo = math.max(lo, x + 1)
+          case Some(_) => lo = Long.MaxValue; hi = Long.MinValue // empty
+          case None    => return None
+        }
+        case GreaterThanOrEqual(_, v) => SnaplogSource.asLong(v) match {
+          case Some(x) => lo = math.max(lo, x)
+          case None    => return None
+        }
+        case LessThan(_, v) => SnaplogSource.asLong(v) match {
+          case Some(x) if x > Long.MinValue => hi = math.min(hi, x - 1)
+          case Some(_) => lo = Long.MaxValue; hi = Long.MinValue // empty
+          case None    => return None
+        }
+        case LessThanOrEqual(_, v) => SnaplogSource.asLong(v) match {
+          case Some(x) => hi = math.min(hi, x)
+          case None    => return None
+        }
+        case _ => return None
+      }
+      Some((c, Left((lo, hi))))
+    } else if (stringy) {
+      // inclusive bounds only (no string successor for exclusive ones)
+      var lo: String = null; var hi: String = null
+      def max(a: String, b: String) = if (a == null || a < b) b else a
+      def min(a: String, b: String) = if (a == null || a > b) b else a
+      for (f <- fs) f match {
+        case EqualTo(_, v: String) => lo = max(lo, v); hi = min(hi, v)
+        case GreaterThanOrEqual(_, v: String) => lo = max(lo, v)
+        case LessThanOrEqual(_, v: String)    => hi = min(hi, v)
+        case _ => return None
+      }
+      if (lo == null || hi == null) return None
+      Some((c, Right((lo, hi))))
+    } else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    cmap.isEmpty && bandOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val tw = SnapshotLog.open(spark, path, keyCol)
+    bandOf(filters) match {
+      case Some((c, Left((lo, hi)))) => tw.commitDeleteWhere(c, lo, hi); ()
+      case Some((c, Right((lo, hi)))) =>
+        tw.commitDeleteWhereString(c, lo, hi); ()
+      case None => throw new IllegalArgumentException(
+        s"snaplog metadata delete supports single-column bands; got " +
+          filters.mkString(", "))
+    }
+  }
+
+  // ---- SQL UPDATE / MERGE / general DELETE: group-based copy-on-write -----
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => {
+      require(cmap.isEmpty,
+        s"SQL ${info.command()} on column-mapped $path is not supported — " +
+          "compact() first to materialize renames/drops into the files")
+      new SnaplogRowLevelOperation(spark, this, t, path, version,
+        keyCol, tableSchema, info.command())
+    }
 }
 
 class SnaplogScan(spark: SparkSession, t: SnapshotTable,
                   path: String, version: Int, keyCol: String,
                   tableSchema: StructType, required: StructType,
-                  filters: Array[Filter])
+                  filters: Array[Filter], rowLevel: Boolean = false,
+                  cmap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -341,11 +469,19 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // only columns in THIS scan's output — Spark resolves the references
-    // against the relation's (possibly pruned) attributes; evidence-free
-    // columns are still safe to offer (mayKeep never excludes on them)
-    required.fieldNames.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column)
+    // a ROW-LEVEL scan offers only `_file`: runtime group filtering then
+    // arrives as a plain `_file IN (matched files)` — translatable to a
+    // source filter and EXACT (file identity is the group identity), so
+    // the COW rewrite reads and replaces precisely the matched files.
+    // Regular scans offer their output columns — a multi-column DPP
+    // struct may fail filter translation, which only costs pruning,
+    // never correctness (mayKeep never excludes without evidence).
+    if (rowLevel)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_file"))
+    else
+      required.fieldNames.filterNot(_ == "_file").map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
@@ -367,10 +503,23 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
     * `SnapshotTable.readWhere*`. sv≥2 entries need no listing (stats ARE
     * the file listing); legacy entries fall back to one listing per live
     * dir so unstatted files are scanned, never lost. */
+  // column mapping: logged stats are keyed by PHYSICAL names; pushed
+  // filters arrive logical — remap each stat row's column maps onto the
+  // table's logical fields once (identity tables pass through)
+  private def statToLogical(s: SnapshotLog.FileStat): SnapshotLog.FileStat =
+    if (cmap.isEmpty) s
+    else {
+      def remap[T](m: Map[String, T]): Map[String, T] =
+        tableSchema.fields.flatMap(f =>
+          m.get(cmap.getOrElse(f.name, f.name)).map(f.name -> _)).toMap
+      s.copy(cols = remap(s.cols), scols = remap(s.scols),
+        nulls = remap(s.nulls))
+    }
+
   private lazy val (keptStats, extraFiles): (Seq[SnapshotLog.FileStat], Seq[String]) = {
     val live = entry.data
     val liveStats = entry.stats.filter(s =>
-      live.exists(d => normBelongs(s.file, d)))
+      live.exists(d => normBelongs(s.file, d))).map(statToLogical)
     val kept = liveStats
       .filter(s => filters.forall(f => SnaplogSource.mayKeep(s, keyCol, f)))
     val extra =
@@ -426,7 +575,7 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
             case Some(bm) => fsOfDir.filter { f =>
               val base = f.substring(f.lastIndexOf('/') + 1)
               probes.forall { case (c, vals) =>
-                bm.get(base).flatMap(_.get(c)) match {
+                bm.get(base).flatMap(_.get(cmap.getOrElse(c, c))) match {
                   case None => true // no filter for this column — scan
                   case Some((m, k, bits)) =>
                     vals.exists(v =>
@@ -449,7 +598,7 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
             vs.forall { case (specStr, pv) =>
               val tr = graft.operators.PTransform.parse(specStr)
               probes.forall { case (c, vals) =>
-                c != tr.srcCol || {
+                cmap.getOrElse(c, c) != tr.srcCol || {
                   val integral = tableSchema.fields.find(_.name == c)
                     .exists(fd => Seq[DataType](IntegerType, LongType,
                       ShortType, ByteType).contains(fd.dataType))
@@ -458,7 +607,19 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
               }
             })
       }
-    pvalKept ++ extraFiles
+    // `_file` identity pruning: a pushed/runtime EqualTo/In on the
+    // metadata column names data files directly (the row-level runtime
+    // group filter) — keep exactly those; files named by no admitted
+    // value cannot hold matching rows by construction
+    val fileProbes: Seq[Set[String]] =
+      (filters ++ runtimeFilters).toSeq.collect {
+        case EqualTo("_file", v: String) => Set(norm(v))
+        case In("_file", vs) if vs.forall(_.isInstanceOf[String]) =>
+          vs.map(v => norm(v.asInstanceOf[String])).toSet
+      }
+    val all = pvalKept ++ extraFiles
+    if (fileProbes.isEmpty) all
+    else all.filter(f => fileProbes.forall(_.contains(norm(f))))
   }
 
   /** Post-pruning statistics straight from the LOG (exact file bytes and
@@ -498,8 +659,19 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
         s"got ${other.getClass.getSimpleName}")
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.sorted.map(f => SnaplogFilePartition(f): InputPartition).toArray
+  // last-planned file set, snapshotted for the row-level COW commit
+  // (SupportsRowLevelOperations): the files this scan fed into a
+  // DELETE/UPDATE/MERGE rewrite are exactly the files its replacement
+  // must swap out — runtime group filters have been applied by the time
+  // partitions are planned, so the snapshot is the post-DPP set
+  @volatile private var planned: Option[Seq[String]] = None
+  private[sources] def plannedFiles: Option[Seq[String]] = planned
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kf = keptFiles.sorted
+    planned = Some(kf)
+    kf.map(f => SnaplogFilePartition(f): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // readers decode required columns plus (when deletes apply) the key
@@ -520,7 +692,7 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
     SnaplogReaderFactory(readFields, required.size, keyIdx,
       deletedKeys, new SerializableHadoopConf(
         spark.sessionState.newHadoopConf()),
-      filters ++ runtimeFilters)
+      filters ++ runtimeFilters, cmap)
   }
 
   override def description(): String =
@@ -534,12 +706,13 @@ case class SnaplogFilePartition(file: String) extends InputPartition
 case class SnaplogReaderFactory(readFields: StructType, requiredCount: Int,
                                 keyIdx: Int, deletedKeys: Array[Any],
                                 conf: SerializableHadoopConf,
-                                filters: Array[Filter] = Array.empty)
+                                filters: Array[Filter] = Array.empty,
+                                cmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SnaplogFilePartition].file
     new SnaplogFileReader(file, readFields, requiredCount, keyIdx,
-      deletedKeys, conf.value, filters)
+      deletedKeys, conf.value, filters, cmap)
   }
 }
 
@@ -555,8 +728,21 @@ class SnaplogFileReader(file: String, readFields: StructType,
                         requiredCount: Int, keyIdx: Int,
                         deletedKeys: Array[Any],
                         conf: org.apache.hadoop.conf.Configuration,
-                        filters: Array[Filter] = Array.empty)
+                        filters: Array[Filter] = Array.empty,
+                        cmap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
+  // column mapping: files hold PHYSICAL names; slots/filters are logical
+  private def physName(n: String): String = cmap.getOrElse(n, n)
+  private val p2l: Map[String, String] = cmap.map(_.swap)
+  private def blockToLogical(
+      bs: SnapshotLog.FileStat): SnapshotLog.FileStat =
+    if (cmap.isEmpty) bs
+    else {
+      def remap[T](m: Map[String, T]): Map[String, T] =
+        m.map { case (k, v) => (p2l.getOrElse(k, k), v) }
+      bs.copy(cols = remap(bs.cols), scols = remap(bs.scols),
+        nulls = remap(bs.nulls))
+    }
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
   import org.apache.parquet.io.ColumnIOFactory
@@ -566,6 +752,15 @@ class SnaplogFileReader(file: String, readFields: StructType,
     val s = new java.util.HashSet[Any](math.max(16, deletedKeys.length * 2))
     deletedKeys.foreach(s.add)
     s
+  }
+
+  // the `_file` METADATA column is served from the partition itself —
+  // no parquet column behind it; filled into every emitted row
+  private val fileIdx: Int = readFields.fieldNames.indexOf("_file")
+  private val fileValue: UTF8String = UTF8String.fromString(file)
+  private def fillFile(r: InternalRow): InternalRow = {
+    if (fileIdx >= 0 && fileIdx < requiredCount) r.update(fileIdx, fileValue)
+    r
   }
 
   private val reader =
@@ -584,7 +779,7 @@ class SnaplogFileReader(file: String, readFields: StructType,
     var i = 0
     while (i < out.length) {
       out(i) = filters.isEmpty || {
-        val bs = SnaplogSource.blockStat(blocks.get(i))
+        val bs = blockToLogical(SnaplogSource.blockStat(blocks.get(i)))
         filters.forall(f => SnaplogSource.mayKeep(bs, "", f))
       }
       i += 1
@@ -596,13 +791,15 @@ class SnaplogFileReader(file: String, readFields: StructType,
   private var groupIdx = -1
 
   // project to the wanted columns PRESENT in this file (older files may
-  // lack evolved columns — they stay NULL in the assembled row)
+  // lack evolved columns — they stay NULL in the assembled row); the
+  // projection asks for PHYSICAL names, the materializer fills LOGICAL
+  // slots (positional correspondence)
   private val presentNames = readFields.fieldNames
-    .filter(fileSchema.containsField)
+    .filter(n => fileSchema.containsField(physName(n)))
   private val projection: Option[MessageType] =
     if (presentNames.isEmpty) None
     else Some(new MessageType(fileSchema.getName,
-      presentNames.map(n => fileSchema.getType(Seq(n): _*)): _*))
+      presentNames.map(n => fileSchema.getType(Seq(physName(n)): _*)): _*))
   projection.foreach(reader.setRequestedSchema)
 
   private val materializer =
@@ -646,7 +843,7 @@ class SnaplogFileReader(file: String, readFields: StructType,
     if (projection.isEmpty) {
       if (emptyRowsLeft <= 0) return false
       emptyRowsLeft -= 1
-      row = new GenericInternalRow(new Array[Any](requiredCount))
+      row = fillFile(new GenericInternalRow(new Array[Any](requiredCount)))
       true
     } else {
       while (true) {
@@ -655,11 +852,11 @@ class SnaplogFileReader(file: String, readFields: StructType,
           rowsLeftInGroup -= 1
           val assembled = recordReader.read()
           if (keyIdx < 0 || !isDeleted(assembled)) {
-            row =
+            row = fillFile(
               if (assembled.numFields == requiredCount) assembled
               else new GenericInternalRow(
                 Array.tabulate[Any](requiredCount)(i =>
-                  assembled.get(i, readFields.fields(i).dataType)))
+                  assembled.get(i, readFields.fields(i).dataType))))
             return true
           }
         }

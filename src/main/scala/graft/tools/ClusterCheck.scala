@@ -431,16 +431,113 @@ object ClusterCheck {
       System.err.println(s"[chaos] snaplog DSv2 readback: $e"); false
     }
 
+    // round-14 SQL-DML / native-write phase: the connector's OWN write
+    // path and the SQL row-level routes under yet another fresh executor
+    // kill. A native batch write (executors stream parquet, driver
+    // publishes from the reported file list — a killed attempt's orphan
+    // files must be swept, never double-counted), then SQL UPDATE
+    // (group-based COW: scan/rewrite jobs retry on the survivor, the
+    // replace publishes exactly once), a banded SQL DELETE (must take
+    // the METADATA route even mid-chaos), a SQL MERGE upsert, and an
+    // exactly-once STREAMING connector sink re-run over its own
+    // checkpoint after the kill.
+    val stop5 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed5 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer5 = new Thread(() => {
+      while (!stop5.get() && !killed5.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop5.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during SQL DML")
+            killed5.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer5.setDaemon(true)
+    killer5.start()
+    val sqlOk = try {
+      val qroot = java.nio.file.Files
+        .createTempDirectory("graft-chaos-sql").toString + "/t"
+      spark.conf.set("spark.sql.catalog.chaossnap",
+        "graft.sources.SnaplogCatalog")
+      // native DSv2 batch write under the kill
+      spark.range(20000)
+        .select(col("id"), concat(lit("s-"), col("id")).as("v"))
+        .repartition(8)
+        .write.format("snaplog").option("key", "id").mode("append")
+        .save(qroot)
+      val tq = graft.operators.SnapshotLog.open(spark, qroot, "id")
+      val wroteOnce = tq.currentVersion() == 1 && tq.read().count() == 20000L
+      // SQL UPDATE — group-based COW
+      spark.sql(s"UPDATE chaossnap.`$qroot` SET v = concat('U-', v) " +
+        "WHERE id >= 5000 AND id < 6000")
+      val updOk = tq.opOf(tq.currentVersion()) == "sql-update" &&
+        tq.read().where(col("v").startsWith("U-")).count() == 1000L
+      // banded SQL DELETE — metadata route even mid-chaos
+      spark.sql(s"DELETE FROM chaossnap.`$qroot` WHERE id < 1000")
+      val delOk = tq.opOf(tq.currentVersion()) == "delete-where" &&
+        tq.read().count() == 19000L
+      // SQL MERGE — COW upsert with inserts
+      spark.range(5500, 6500)
+        .select(col("id"), concat(lit("M-"), col("id")).as("v"))
+        .unionByName(spark.range(40000, 40005)
+          .select(col("id"), concat(lit("M-"), col("id")).as("v")))
+        .createOrReplaceTempView("graft_chaos_merge_src")
+      spark.sql(s"MERGE INTO chaossnap.`$qroot` t " +
+        "USING graft_chaos_merge_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val mrgOk = tq.opOf(tq.currentVersion()) == "sql-merge" &&
+        tq.read().count() == 19005L &&
+        tq.read().where(col("v").startsWith("M-")).count() == 1005L &&
+        tq.read().where(col("v").startsWith("U-")).count() == 500L
+      // exactly-once native streaming sink: drain 3 staged files one per
+      // micro-batch under the kill, then re-run over the SAME checkpoint
+      val sroot = java.nio.file.Files
+        .createTempDirectory("graft-chaos-ssink").toString
+      for (g <- 0 until 3)
+        spark.range(g * 1000L, g * 1000L + 1000L)
+          .select(col("id"), concat(lit(s"B$g-"), col("id")).as("v"))
+          .coalesce(1).write.parquet(s"$sroot/src/g$g")
+      val sschema = spark.read.parquet(s"$sroot/src/g0").schema
+      def srun(): Unit = {
+        val q = spark.readStream.schema(sschema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(s"$sroot/src")
+          .writeStream.format("snaplog").option("key", "id")
+          .option("checkpointLocation", s"$sroot/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$sroot/t")
+        q.awaitTermination()
+      }
+      srun()
+      val ts = graft.operators.SnapshotLog.open(spark, s"$sroot/t", "id")
+      val n1 = ts.read().count()
+      srun() // replay over the same checkpoint
+      val sinkOk = n1 == 3000L && ts.read().count() == 3000L &&
+        ts.read().groupBy(col("id")).count()
+          .where(col("count") > 1).count() == 0L &&
+        (1 to ts.currentVersion()).forall(i => ts.opOf(i) == "txn-append")
+      wroteOnce && updOk && delOk && mrgOk && sinkOk
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] SQL DML / native write: $e"); false
+    } finally { stop5.set(true); killer5.join(2000) }
+
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
       total == expect && monotone && pruned && mergeOk && txnOk &&
-      partOk && dsv2Ok
+      partOk && dsv2Ok && sqlOk
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
       s""""mergeOk":$mergeOk,"mergeKillLanded":${killed2.get()},""" +
       s""""txnOk":$txnOk,"txnKillLanded":${killed3.get()},""" +
       s""""partOk":$partOk,"partKillLanded":${killed4.get()},""" +
-      s""""dsv2Ok":$dsv2Ok,"ok":$ok}"""
+      s""""dsv2Ok":$dsv2Ok,""" +
+      s""""sqlDmlOk":$sqlOk,"sqlKillLanded":${killed5.get()},""" +
+      s""""ok":$ok}"""
     (json, ok)
   }
 
@@ -461,7 +558,11 @@ object ClusterCheck {
     val base = Map(
       "spark.executor.memory" -> "2048m",
       "spark.executor.extraClassPath" -> absCp,
-      "spark.executor.extraJavaOptions" -> addOpens)
+      "spark.executor.extraJavaOptions" -> addOpens,
+      // the gate SIGKILLs an executor per arm (~21 kills per run); the
+      // standalone master must not count the harness's own chaos toward
+      // its app-removal threshold (default 10 consecutive failures)
+      "spark.deploy.maxExecutorRetries" -> "1000")
     val spark = graft.core.Sessions.build(graft.core.Sessions.Conf(
       master = clusterMaster, appName = "graft-chaos", numTasks = 8,
       extra = base ++ Map(

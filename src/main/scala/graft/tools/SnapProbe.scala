@@ -339,6 +339,22 @@ object SnapProbe {
       println(f"PROBE snap[versions_grow_publish] V=$vGrow " +
         f"early10pct=${earlyMs / tenPct}%.3fms late10pct=${lateMs / tenPct}%.3fms " +
         f"realCommitAtHead=${realMs / 1000}%.2fs headBytes=$headBytes")
+      // round 14: per-entry bytes across the last checkpoint window —
+      // deltas must be CHANGE-sized (flat in live-dir count) with one
+      // full checkpoint per interval; and a COLD head resolution (fresh
+      // handle, no cache) = checkpoint + delta tail reads
+      val tail = (math.max(1, head - 11) to head).map { v =>
+        val raw = SnapshotLog.Json.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root, "_log", s"$v.json")))
+        val kind = if (raw.has("base")) "d" else "F"
+        s"$v:$kind${java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, "_log", s"$v.json"))}"
+      }.mkString(",")
+      println(s"PROBE snap[versions_grow_entry_bytes] $tail")
+      val tR0 = System.nanoTime()
+      val cold = SnapshotLog.open(spark, root, "id").readEntry(head)
+      println(f"PROBE snap[versions_grow_cold_resolve] V=$head " +
+        f"entries=${cold.data.size} wall=${ms(tR0) / 1000}%.3fs")
       val tCh0 = System.nanoTime()
       val chRows = t.changes(head - 1, head).count()
       println(f"PROBE snap[versions_grow_changes_tail] V=$head rows=$chRows " +

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+import org.apache.spark.sql.functions._
+
+class SnaplogCatalogSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  test("name-addressed catalog: CREATE/INSERT/time-travel/SHOW/DROP") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.whsnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.whsnap.warehouse", wh)
+
+    // CREATE TABLE: metadata-only empty v1 under the warehouse root
+    spark.sql("CREATE TABLE whsnap.events (user_id BIGINT, n BIGINT) " +
+      "USING snaplog TBLPROPERTIES ('key'='user_id')")
+    val t = SnapshotLog.open(spark, s"$wh/events", "user_id")
+    assert(t.currentVersion() == 1 && t.opOf(1) == "create")
+    assert(spark.sql("SELECT * FROM whsnap.events").count() == 0)
+
+    // INSERT INTO by name, twice; VERSION AS OF by name
+    spark.sql("INSERT INTO whsnap.events " +
+      "SELECT id AS user_id, id * 2 AS n FROM range(1, 51)")
+    spark.sql("INSERT INTO whsnap.events " +
+      "SELECT id AS user_id, id * 2 AS n FROM range(51, 101)")
+    assert(spark.sql("SELECT count(*) FROM whsnap.events").as[Long].head()
+      == 100)
+    assert(spark.sql(
+      "SELECT count(*) FROM whsnap.events VERSION AS OF 2").as[Long].head()
+      == 50)
+
+    // SQL DML works on name-addressed tables too
+    spark.sql("DELETE FROM whsnap.events WHERE user_id <= 10")
+    assert(spark.sql("SELECT count(*) FROM whsnap.events").as[Long].head()
+      == 90)
+
+    // CTAS / saveAsTable create-then-append
+    spark.sql("CREATE TABLE whsnap.big AS " +
+      "SELECT user_id, n FROM whsnap.events WHERE n > 100")
+    assert(spark.sql("SELECT count(*) FROM whsnap.big").as[Long].head() ==
+      spark.sql("SELECT count(*) FROM whsnap.events WHERE n > 100")
+        .as[Long].head())
+
+    // SHOW TABLES lists warehouse tables
+    val shown = spark.sql("SHOW TABLES IN whsnap").select("tableName")
+      .as[String].collect().toSet
+    assert(shown == Set("events", "big"), s"SHOW TABLES: $shown")
+
+    // double CREATE fails loudly; IF NOT EXISTS is quiet
+    intercept[Exception](spark.sql(
+      "CREATE TABLE whsnap.events (x BIGINT) USING snaplog"))
+    spark.sql("CREATE TABLE IF NOT EXISTS whsnap.events (x BIGINT) " +
+      "USING snaplog")
+
+    // DROP really deletes the directory (name-addressed only)
+    spark.sql("DROP TABLE whsnap.big")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/big")))
+    assert(spark.sql("SHOW TABLES IN whsnap").count() == 1)
+
+    // path-addressed tables refuse DROP (external semantics)
+    val ext = java.nio.file.Files.createTempDirectory("graft_ext").toString
+    SnapshotLog.open(spark, ext, "id")
+      .commitAppend(Seq((1L, 2L)).toDF("id", "n"))
+    assert(spark.sql(s"SELECT count(*) FROM whsnap.`$ext`").as[Long].head()
+      == 1)
+    intercept[Exception](spark.sql(s"DROP TABLE whsnap.`$ext`"))
+  }
+
+  test("created-empty tables read/append/evolve like any other") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    val t = SnapshotLog.open(spark, s"$wh/t", "id")
+    t.createEmpty(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    assert(t.read().isEmpty && t.read().columns.toSeq == Seq("id", "v"))
+    assert(t.readRange(1, 10).isEmpty)
+    // the key rides the entry; appends widen from the created schema
+    t.commitAppend(Seq((1L, "a", 9L)).toDF("id", "v", "extra"))
+    assert(t.read().columns.toSeq == Seq("id", "v", "extra"))
+    assert(t.read(1).columns.toSeq == Seq("id", "v"))
+    // a second create on a non-empty table refuses
+    intercept[IllegalArgumentException](t.createEmpty(t.read().schema))
+  }
+}
