@@ -1304,6 +1304,34 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }.get
   }
 
+  /** ADD COLUMN as a METADATA-ONLY commit: the logical schema gains a
+    * trailing nullable field; existing files simply lack it and read as
+    * NULL (the same widen semantics appends get). Refuses reusing a
+    * physical name another column maps to or a drop retired. */
+  def addColumn(name: String,
+      dt: org.apache.spark.sql.types.DataType): Int = {
+    val v0 = currentVersion()
+    require(v0 >= 1, s"add-column on an empty table at $root")
+    val e0 = readEntry(v0)
+    val sch = schemaOf(v0).getOrElse(throw new IllegalArgumentException(
+      s"legacy table at $root carries no schema — add-column needs one"))
+    require(!sch.fieldNames.contains(name), s"column '$name' already exists")
+    require(name.nonEmpty && !name.contains('.'),
+      s"invalid column name '$name'")
+    require(!(e0.cmap.values.toSet ++ e0.retired).contains(name),
+      s"new column '$name' reuses a physical name retired by a " +
+        "rename/drop — pick another name or compact() first")
+    val newSchema = org.apache.spark.sql.types.StructType(sch.fields :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    commitWithRetry(op = "add-column") { v =>
+      if (v != v0 + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"add-column computed against version $v0 of $root but " +
+            s"version ${v - 1} has been committed since; re-run")
+      Some(Composed(e0.data, e0.deletes, e0.stats, Some(newSchema), e0.sv))
+    }.get
+  }
+
   /** CREATE TABLE (round 14 — the SQL-native creation rung): publish an
     * empty version 1 carrying only the SCHEMA and key column, so a
     * name-addressed `CREATE TABLE ... USING snaplog` exists before its
@@ -1971,12 +1999,17 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   private[graft] def commitStaged(dir: String, files: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
       overwrite: Boolean = false,
-      txn: Option[(String, Long)] = None): Option[Int] = {
+      txn: Option[(String, Long)] = None,
+      cmap: Map[String, String] = Map.empty): Option[Int] = {
     require(!(overwrite && txn.isDefined),
       "staged commit is append-with-txn or overwrite, not both")
-    require(columnMap().isEmpty,
-      s"connector writes to column-mapped $root are not supported — " +
-        "compact() first or append through the SnapshotTable API")
+    // `cmap` is the column mapping the EXECUTORS wrote the files under
+    // (physical field names); it must still be the table's mapping —
+    // a rename/drop racing the write throws instead of publishing files
+    // whose physical names are out of step
+    require(columnMap() == cmap,
+      s"column mapping of $root changed while a connector write was " +
+        "staged — retry the write")
     cleanOrphans(dir, files)
     val dropStaged = () => {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -1987,11 +2020,18 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       dropStaged(); return None // replayed batch — exactly-once skip
     }
     val cons0 = constraints()
+    val stagedDf = () => {
+      val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(name = cmap.getOrElse(f.name, f.name))))
+      val raw = spark.read.schema(phys).parquet(dir)
+      if (cmap.isEmpty) raw
+      else raw.select(schema.fields.map(f =>
+        col(cmap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+    }
     if (cons0.nonEmpty && files.nonEmpty)
-      checkConstraints(spark.read.schema(schema).parquet(dir), cons0)
+      checkConstraints(stagedDf(), cons0)
     val newStats = statsFor(dir)
     buildBloom(dir, newStats, bloomColumns())
-    val stagedDf = () => spark.read.schema(schema).parquet(dir)
     val committed = commitWithRetry(
         txn.map { case (a, b) => Map(a -> b) }.getOrElse(Map.empty),
         if (overwrite) "overwrite" else txn.fold("append")(_ => "txn-append")) {
@@ -1999,10 +2039,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         if (txn.exists { case (a, b) =>
             readTxn(v - 1).get(a).exists(_ >= b) }) None
         else if (overwrite)
-          Some(Composed(Seq(dir), Nil, newStats, Some(schema), 2))
+          // truncate = replace: files carry LOGICAL names, mapping resets
+          Some(Composed(Seq(dir), Nil, newStats, Some(schema), 2,
+            colMap = Some((Map.empty, Set.empty))))
         else {
           val p = prevEntry(v)
-          guardCmapOnRebase(Map.empty, p)
+          guardCmapOnRebase(cmap, p)
           if (files.nonEmpty) recheckOnRebase(stagedDf(), cons0, p)
           Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
             if (v == 1) Some(schema) else schemaOf(v - 1).map(widen(_, schema)),
@@ -2034,12 +2076,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(base >= 1, s"$op on an empty table at $root")
     cleanOrphans(dir, files)
     val e0 = readEntry(base)
-    require(e0.cmap.isEmpty,
-      s"$op on column-mapped $root is not supported — compact() first " +
-        "to materialize renames/drops into the files")
+    // the replacement files were written under e0's PHYSICAL names (the
+    // row-level write physicalizes like any append), so they splice next
+    // to the carried files seamlessly
+    val stagedDf = () => {
+      val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(name = e0.cmap.getOrElse(f.name, f.name))))
+      val raw = spark.read.schema(phys).parquet(dir)
+      if (e0.cmap.isEmpty) raw
+      else raw.select(schema.fields.map(f =>
+        col(e0.cmap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+    }
     if (e0.constraints.nonEmpty && files.nonEmpty)
-      checkConstraints(spark.read.schema(schema).parquet(dir),
-        e0.constraints)
+      checkConstraints(stagedDf(), e0.constraints)
     val newStats = statsFor(dir)
     buildBloom(dir, newStats, e0.bloomCols)
     val replacedSet = replaced.map(normPath).toSet

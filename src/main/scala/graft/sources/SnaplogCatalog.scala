@@ -165,10 +165,47 @@ class SnaplogCatalog extends TableCatalog {
     new SnaplogTable(SparkSession.active, t, path, 1, key, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snaplog schema evolution happens on append " +
-        "(SnapshotTable.commitAppend widens add-only)")
+  /** ALTER TABLE ... ADD/RENAME/DROP COLUMN — all METADATA-ONLY commits
+    * (round 14, column mapping): rename/drop map the new logical names
+    * onto the untouched physical files; add appends a nullable field
+    * old files read as NULL. Anything else (type changes, property
+    * sets, repositioning) is refused loudly — a type change is a
+    * rewrite, not an alter. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val probe = SnapshotLog.open(SparkSession.active, path, "__resolve")
+    val latest = probe.currentVersion()
+    if (latest < 1)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    val key = probe.keyOf(latest).getOrElse(throw new IllegalArgumentException(
+      s"legacy snaplog entry at $path carries no key column"))
+    val t = SnapshotLog.open(SparkSession.active, path, key)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "snaplog columns are flat — nested renames are not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+        ()
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "snaplog columns are flat — nested drops are not supported")
+        t.dropColumn(d.fieldNames()(0))
+        ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "snaplog columns are flat — nested adds are not supported")
+        require(a.position() == null,
+          "ADD COLUMN position (FIRST/AFTER) is not supported — new " +
+            "columns append")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+        ()
+      case other => throw new UnsupportedOperationException(
+        s"snaplog ALTER TABLE supports ADD/RENAME/DROP COLUMN; got $other " +
+          "(a type change is a rewrite — commitOverwrite)")
+    }
+    loadTable(ident)
+  }
 
   /** DROP TABLE — real directory deletion, NAME-addressed tables only
     * (the catalog owns the warehouse layout; a path-addressed table is

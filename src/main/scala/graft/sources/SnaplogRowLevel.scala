@@ -45,7 +45,8 @@ import graft.operators.{SnapshotLog, SnapshotTable}
   * [[SnapshotTable.commitMerge]] contract. */
 class SnaplogRowLevelOperation(spark: SparkSession, table: SnaplogTable,
     t: SnapshotTable, path: String, version: Int, keyCol: String,
-    tableSchema: StructType, cmd: Command) extends RowLevelOperation {
+    tableSchema: StructType, cmd: Command,
+    cmap: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   private val scans =
     new java.util.concurrent.CopyOnWriteArrayList[SnaplogScan]()
@@ -86,9 +87,14 @@ class SnaplogRowLevelOperation(spark: SparkSession, table: SnaplogTable,
         private val dir = s"$path/data/c-${UUID.randomUUID().toString}"
 
         override def createBatchWriterFactory(p: PhysicalWriteInfo)
-            : DataWriterFactory =
-          SnaplogWriterFactory(dir, info.schema(), new SerializableHadoopConf(
+            : DataWriterFactory = {
+          // mapped tables: the replacement files carry the PHYSICAL
+          // names so they splice next to the carried files
+          val fileSchema = StructType(info.schema().fields.map(f =>
+            f.copy(name = cmap.getOrElse(f.name, f.name))))
+          SnaplogWriterFactory(dir, fileSchema, new SerializableHadoopConf(
             spark.sessionState.newHadoopConf()))
+        }
 
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val files = messages.flatMap {

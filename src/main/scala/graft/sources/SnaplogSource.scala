@@ -290,9 +290,6 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
         replace = true; this
       }
       override def build(): org.apache.spark.sql.connector.write.Write = {
-        require(cmap.isEmpty,
-          s"connector writes to column-mapped $path are not supported — " +
-            "compact() first or append through the SnapshotTable API")
         require(keyCol.nonEmpty,
           "first commit to a fresh snaplog table needs " +
             "option(\"key\", <column>)")
@@ -300,7 +297,7 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
           s"snaplog write is missing its key column '$keyCol'")
         SnaplogWrite.messageType(info.schema()) // loud type-scope check
         new SnaplogWriteImpl(spark, path, keyCol, info.schema(),
-          info.queryId(), replace)
+          info.queryId(), replace, cmap)
       }
     }
 
@@ -436,13 +433,8 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => {
-      require(cmap.isEmpty,
-        s"SQL ${info.command()} on column-mapped $path is not supported — " +
-          "compact() first to materialize renames/drops into the files")
-      new SnaplogRowLevelOperation(spark, this, t, path, version,
-        keyCol, tableSchema, info.command())
-    }
+    () => new SnaplogRowLevelOperation(spark, this, t, path, version,
+      keyCol, tableSchema, info.command(), cmap)
 }
 
 class SnaplogScan(spark: SparkSession, t: SnapshotTable,

@@ -188,16 +188,24 @@ case class SnaplogStreamingWriterFactory(dirPrefix: String,
 /** The table's write surface: batch append/overwrite + streaming
   * exactly-once append. One instance per planned write. */
 class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
-    schema: StructType, queryId: String, truncate: Boolean) extends Write {
+    schema: StructType, queryId: String, truncate: Boolean,
+    cmap: Map[String, String] = Map.empty) extends Write {
 
   private def conf = new SerializableHadoopConf(
     spark.sessionState.newHadoopConf())
+
+  // appends to a column-mapped table write PHYSICAL field names (rows
+  // stay positionally identical); truncate REPLACES the table, so its
+  // files carry the logical names and the commit resets the mapping
+  private val writeCmap = if (truncate) Map.empty[String, String] else cmap
+  private val fileSchema = StructType(schema.fields.map(f =>
+    f.copy(name = writeCmap.getOrElse(f.name, f.name))))
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val dir = s"$path/data/c-${UUID.randomUUID().toString}"
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
-        : DataWriterFactory = SnaplogWriterFactory(dir, schema, conf)
+        : DataWriterFactory = SnaplogWriterFactory(dir, fileSchema, conf)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.flatMap {
@@ -206,7 +214,8 @@ class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
           s"unexpected commit message $other")
       }.toSeq
       val t = SnapshotLog.open(spark, path, keyCol)
-      t.commitStaged(dir, files, schema, overwrite = truncate)
+      t.commitStaged(dir, files, schema, overwrite = truncate,
+        cmap = writeCmap)
       ()
     }
 
@@ -224,7 +233,7 @@ class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
 
     override def createStreamingWriterFactory(info: PhysicalWriteInfo)
         : StreamingDataWriterFactory =
-      SnaplogStreamingWriterFactory(prefix, schema, conf)
+      SnaplogStreamingWriterFactory(prefix, fileSchema, conf)
 
     override def commit(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit = {
@@ -236,7 +245,7 @@ class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
       if (files.isEmpty) return // empty batch: replay is harmless, skip
       val t = SnapshotLog.open(spark, path, keyCol)
       t.commitStaged(s"$prefix-e$epochId", files, schema,
-        txn = Some((s"snaplog-sink-$queryId", epochId)))
+        txn = Some((s"snaplog-sink-$queryId", epochId)), cmap = writeCmap)
       ()
     }
 

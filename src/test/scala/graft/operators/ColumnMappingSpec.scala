@@ -108,7 +108,39 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.readPartitions(Map("lang" -> "fr")).columns.contains("m"))
   }
 
-  test("connector reads column-mapped tables; writes/DML refuse loudly") {
+  test("connector writes + SQL DML work on mapped tables (physical names)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmw").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 50L).map(i => (i, i * 10, s"u$i"))
+      .toDF("id", "score", "name"))
+    t.renameColumn("score", "points")
+
+    // connector append: logical frame in, PHYSICAL file names out
+    (51L to 60L).map(i => (i, i * 10, s"u$i")).toDF("id", "points", "name")
+      .write.format("snaplog").mode("append").save(root)
+    assert(t.read().count() == 60)
+    assert(t.read().where(col("points") === 550L).count() == 1)
+    // the new files really carry the physical name
+    val newDir = t.read(t.currentVersion()).inputFiles
+      .filterNot(t.read(1).inputFiles.toSet).head
+    assert(spark.read.parquet(newDir).columns.contains("score"),
+      "staged files must carry the physical column name")
+
+    // SQL UPDATE and MERGE ride the row-level COW with physicalized
+    // replacement files
+    spark.conf.set("spark.sql.catalog.cmw", "graft.sources.SnaplogCatalog")
+    spark.sql(s"UPDATE cmw.`$root` SET points = points + 1000 " +
+      "WHERE id BETWEEN 5 AND 8")
+    assert(t.read().where(col("points") === 1060L).count() == 1)
+    assert(t.read().count() == 60)
+    spark.sql(s"DELETE FROM cmw.`$root` WHERE id % 10 = 0 AND id <= 30")
+    assert(t.read().count() == 57)
+    // mapping survived the DML (only touched files were replaced)
+    assert(t.columnMap() == Map("points" -> "score"))
+    assert(t.read(1).columns.toSeq == Seq("id", "score", "name"))
+  }
+
+  test("connector reads column-mapped tables; snapcdf refuses loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmc").toString
     val t = SnapshotLog.open(spark, root, "id")
     t.commitAppend((1L to 100L).map(i => (i, i * 10, s"u$i"))
@@ -134,14 +166,17 @@ class ColumnMappingSpec extends SparkSpec {
     assert(v1.columns.toSeq == Seq("id", "score", "name"))
     assert(v1.count() == 100)
 
-    // connector writes and SQL DML refuse on mapped tables
-    intercept[Exception] {
-      Seq((200L, 1L, "x")).toDF("id", "points", "name")
-        .write.format("snaplog").mode("append").save(root)
+    // snapcdf streams refuse mapped tables (compact() first)
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("snapcdf").load(root)
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
-    spark.conf.set("spark.sql.catalog.cmsnap", "graft.sources.SnaplogCatalog")
-    intercept[Exception](
-      spark.sql(s"UPDATE cmsnap.`$root` SET name = 'x' WHERE id = 1"))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(err).exists(_.contains("column-mapped")), err.toString)
     // ... and API appends still work
     t.commitAppend(Seq((200L, 1L, "x")).toDF("id", "points", "name"))
     assert(spark.read.format("snaplog").load(root).count() == 100)

@@ -68,6 +68,47 @@ class SnaplogCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"DROP TABLE whsnap.`$ext`"))
   }
 
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN: metadata-only SQL DDL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wha").toString
+    spark.conf.set("spark.sql.catalog.altsnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.altsnap.warehouse", wh)
+    spark.sql("CREATE TABLE altsnap.t (id BIGINT, score BIGINT, v STRING) " +
+      "USING snaplog TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO altsnap.t " +
+      "SELECT id, id * 10 AS score, concat('v', id) AS v FROM range(1, 51)")
+    import scala.jdk.CollectionConverters._
+    def parquets() = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val before = parquets()
+
+    spark.sql("ALTER TABLE altsnap.t RENAME COLUMN score TO points")
+    spark.sql("ALTER TABLE altsnap.t ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE altsnap.t DROP COLUMN v")
+    assert(parquets() == before, "SQL DDL must be metadata-only")
+
+    assert(spark.sql("SELECT * FROM altsnap.t").columns.toSeq ==
+      Seq("id", "points", "note"))
+    assert(spark.sql(
+      "SELECT count(*) FROM altsnap.t WHERE points = 200").as[Long].head()
+      == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM altsnap.t WHERE note IS NULL").as[Long].head()
+      == 50, "pre-add rows read the new column as NULL")
+    // time travel reads v2 (the insert) under its own names
+    assert(spark.sql("SELECT * FROM altsnap.t VERSION AS OF 2")
+      .columns.toSeq == Seq("id", "score", "v"))
+    // inserts after the DDL land under the evolved schema
+    spark.sql("INSERT INTO altsnap.t VALUES (100, 1, 'kept')")
+    assert(spark.sql(
+      "SELECT note FROM altsnap.t WHERE id = 100").as[String].head()
+      == "kept")
+    // refusals surface through SQL: key column, type changes
+    intercept[Exception](spark.sql(
+      "ALTER TABLE altsnap.t RENAME COLUMN id TO id2"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE altsnap.t ALTER COLUMN points TYPE DOUBLE"))
+  }
+
   test("created-empty tables read/append/evolve like any other") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val t = SnapshotLog.open(spark, s"$wh/t", "id")
