@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** The shared warehouse-backed snap catalog (`graftwh`) used by the
+    * SQL-lifecycle queries. DETERMINISTIC per application (tmpdir +
+    * appId) and registered under a lock: catalog queries run
+    * CONCURRENTLY in Verify's pool, and a check-then-set race on the
+    * warehouse option would let the cached catalog instance capture a
+    * different warehouse than a later conf read (the table would
+    * silently resolve somewhere else). Same-value double-sets are
+    * harmless; per-table DROP IF EXISTS handles same-session re-runs. */
+  private def warehouseCatalog(s: org.apache.spark.sql.SparkSession)
+      : String = synchronized {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    if (s.conf.getOption("spark.sql.catalog.graftwh").isEmpty) {
+      s.conf.set("spark.sql.catalog.graftwh",
+        "graft.sources.SnaplogCatalog")
+      s.conf.set("spark.sql.catalog.graftwh.warehouse", wh)
+    }
+    s.conf.get("spark.sql.catalog.graftwh.warehouse")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- scans / sources / sinks -------------------------------------
     "q_scan_parquet" -> ((s, d) =>
@@ -539,6 +559,54 @@ object RelationalQueries {
         sum(col("doc_id")).cast("long").as("sum_ids"))
     }),
 
+    // SQL CALL maintenance procedures (round 14 — the Iceberg/Delta
+    // procedure surface): OPTIMIZE/RESTORE/VACUUM/HISTORY driven purely
+    // from SQL text through the catalog's ProcedureCatalog hook. The
+    // story: CTAS a band table by name, CALL optimize (key-clustered
+    // rewrite — asserted to prune), SQL-DELETE a sub-band (metadata
+    // route), CALL restore back to the pre-delete version (metadata-only
+    // rollback), CALL vacuum to the head (post-restore refs protect the
+    // restored files — asserted by reading after the GC), with CALL
+    // history pinning the op ledger in-flight. Result: the deleted view
+    // and the restored view vs the plain closed form.
+    "q_scan_snapcall" -> ((s, d) => {
+      val wh = warehouseCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graftwh.callt")
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id") < 600).createOrReplaceTempView("graft_call_docs")
+      s.sql("CREATE TABLE graftwh.callt USING snaplog AS " +
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars " +
+        "FROM graft_call_docs")
+      s.sql("CALL graftwh.optimize(table => 'callt', num_files => 8)")
+      val t = graft.operators.SnapshotLog.open(s, s"$wh/callt", "doc_id")
+      val vOpt = t.currentVersion()
+      require(t.opOf(vOpt) == "optimize", "CALL optimize must commit")
+      val pr = t.readRange(100, 199)
+      require(pr.inputFiles.length < t.read().inputFiles.length,
+        "the CALLed OPTIMIZE must make key probes prune")
+      s.sql("DELETE FROM graftwh.callt WHERE doc_id >= 200 AND doc_id < 300")
+      // the deleted view materializes BEFORE restore+vacuum (its plan
+      // pins the pre-restore version; the vacuum below sweeps it)
+      val delRow = s.sql("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM graftwh.callt")
+        .collect().head
+      val ops = s.sql("CALL graftwh.history(table => 'callt')")
+        .select("operation").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      require(Set("optimize", "delete-where").subsetOf(ops), ops.toString)
+      s.sql(s"CALL graftwh.restore(table => 'callt', version => $vOpt)")
+      s.sql("CALL graftwh.vacuum(table => 'callt', " +
+        s"retain_from => ${t.currentVersion()})")
+      val finalRow = s.sql("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM graftwh.callt")
+        .collect().head
+      import s.implicits._
+      Seq(("deleted", delRow.getLong(0), delRow.getLong(1)),
+          ("restored", finalRow.getLong(0), finalRow.getLong(1)))
+        .toDF("side", "n", "sum_chars")
+        .orderBy(col("side"))
+    }),
+
     // Column-mapping schema evolution (round 14 — Delta's RENAME/DROP
     // COLUMN): rename and drop are METADATA-ONLY commits — the files
     // keep their physical columns, the entry's name map points the new
@@ -597,18 +665,7 @@ object RelationalQueries {
     // the SQL text. The result reads all five versions back with
     // VERSION AS OF by name; oracle is the closed form per version.
     "q_scan_snapcat2" -> ((s, d) => {
-      // a DEDICATED catalog name with its warehouse set BEFORE first use:
-      // Spark caches catalog instances per session, so options set after
-      // instantiation are invisible — and re-runs in the same session
-      // must reuse the cached warehouse (read back from the conf) and
-      // DROP the previous run's table rather than re-set the option
-      if (s.conf.getOption("spark.sql.catalog.graftwh").isEmpty) {
-        s.conf.set("spark.sql.catalog.graftwh",
-          "graft.sources.SnaplogCatalog")
-        s.conf.set("spark.sql.catalog.graftwh.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_cat2").toString)
-      }
-      val wh = s.conf.get("spark.sql.catalog.graftwh.warehouse")
+      val wh = warehouseCatalog(s)
       s.sql("DROP TABLE IF EXISTS graftwh.cat2")
       Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
         .createOrReplaceTempView("graft_cat2_docs")
@@ -1506,6 +1563,16 @@ object RelationalQueries {
                               ELSE n_chars END) AS BIGINT) AS sum_chars,
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
          FROM documents WHERE doc_id >= 150 AND doc_id < 600""",
+    "q_scan_snapcall" ->
+      """SELECT 'deleted' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE doc_id < 600 AND NOT (doc_id >= 200 AND doc_id < 300)
+         UNION ALL
+         SELECT 'restored', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT)
+         FROM documents WHERE doc_id < 600
+         ORDER BY side""",
     "q_scan_snaprename" ->
       """SELECT 'band' AS side, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars

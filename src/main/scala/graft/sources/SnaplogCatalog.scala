@@ -45,7 +45,8 @@ import graft.operators.SnapshotLog
   * table property at CREATE (default: the first column) and from the
   * log entry thereafter. ALTER/RENAME stay out of scope (evolution
   * happens on append; tables move with their directories). */
-class SnaplogCatalog extends TableCatalog {
+class SnaplogCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Option[String] = None
 
@@ -71,6 +72,32 @@ class SnaplogCatalog extends TableCatalog {
 
   private def nameAddressed(ident: Identifier): Boolean =
     !(ident.namespace() :+ ident.name()).mkString("/").startsWith("/")
+
+  /** A procedure's `table` argument: '/path' verbatim, anything else
+    * under the warehouse root (same addressing as identifiers). */
+  private[sources] def resolvePath(table: String): String =
+    if (table.startsWith("/")) table
+    else warehouse match {
+      case Some(w) => s"$w/$table"
+      case None => throw new IllegalArgumentException(
+        s"name-addressed snaplog table '$table' needs the catalog's " +
+          s"warehouse root — set spark.sql.catalog.$catalogName.warehouse")
+    }
+
+  // ---- SQL CALL: maintenance procedures (round 14) ------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system")),
+      s"snaplog procedures live at the catalog root (CALL " +
+        s"$catalogName.<name>) — got namespace " +
+        ident.namespace().mkString("."))
+    SnaplogProcedures.load(this, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) SnaplogProcedures.list() else Array.empty
 
   private def tableAt(ident: Identifier, version: Option[Int]): Table = {
     val path = pathOf(ident)

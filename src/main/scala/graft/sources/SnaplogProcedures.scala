@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.SnapshotLog
+
+/** SQL `CALL`-able MAINTENANCE procedures for snaplog tables — the
+  * Iceberg/Delta procedure surface (round 14): the table-maintenance
+  * verbs that have no ANSI DML spelling become SQL-native through the
+  * catalog's [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
+  * hook:
+  *
+  * {{{
+  * CALL snap.optimize(table => '/data/events', num_files => 16,
+  *                    zorder => 'user_id,ts')
+  * CALL snap.compact(table => 'events')      -- warehouse name works too
+  * CALL snap.vacuum(table => 'events', retain_from => 7)
+  * CALL snap.restore(table => 'events', version => 3)
+  * CALL snap.history(table => 'events')
+  * }}}
+  *
+  * Each procedure opens the table with the key column read from its
+  * latest entry, runs the corresponding [[graft.operators.SnapshotTable]]
+  * maintenance op (the same OCC/conflict semantics as the API — an
+  * interleaved commit under optimize/compact still throws), and returns
+  * its result as rows via a [[LocalScan]] (driver-metadata-sized:
+  * versions, file counts — never data). `history` is DESCRIBE HISTORY
+  * as a result set. */
+private[sources] object SnaplogProcedures {
+
+  val names: Seq[String] =
+    Seq("optimize", "compact", "vacuum", "restore", "history")
+
+  private def param(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+  private def paramD(n: String, dt: DataType, default: String) =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private def open(cat: SnaplogCatalog, table: String) = {
+    val path = cat.resolvePath(table)
+    val probe = SnapshotLog.open(SparkSession.active, path, "__resolve")
+    val latest = probe.currentVersion()
+    require(latest >= 1, s"empty snaplog table at $path")
+    val key = probe.keyOf(latest).getOrElse(throw new IllegalArgumentException(
+      s"legacy snaplog entry at $path carries no key column"))
+    SnapshotLog.open(SparkSession.active, path, key)
+  }
+
+  private def result(schema: StructType, out: Seq[InternalRow])
+      : java.util.Iterator[Scan] = {
+    val materialized = out.toArray
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = materialized
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  private def row(vals: Any*): InternalRow =
+    new GenericInternalRow(vals.toArray)
+
+  def load(cat: SnaplogCatalog, name: String): UnboundProcedure =
+    name.toLowerCase match {
+      case "optimize" => unbound("optimize",
+        Array(param("table", StringType), param("num_files", IntegerType),
+          paramD("zorder", StringType, "''")),
+        new StructType().add("version", IntegerType, false)) { (in, _) =>
+        val t = open(cat, in.getUTF8String(0).toString)
+        val z = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
+        val cols = z.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(row(t.optimize(in.getInt(1), cols: _*)))
+      }
+      case "compact" => unbound("compact",
+        Array(param("table", StringType)),
+        new StructType().add("version", IntegerType, false)) { (in, _) =>
+        Seq(row(open(cat, in.getUTF8String(0).toString).compact()))
+      }
+      case "vacuum" => unbound("vacuum",
+        Array(param("table", StringType), param("retain_from", IntegerType)),
+        new StructType().add("files_removed", IntegerType, false)
+          .add("entries_removed", IntegerType, false)) { (in, _) =>
+        val (f, e) = open(cat, in.getUTF8String(0).toString)
+          .vacuum(in.getInt(1))
+        Seq(row(f, e))
+      }
+      case "restore" => unbound("restore",
+        Array(param("table", StringType), param("version", IntegerType)),
+        new StructType().add("version", IntegerType, false)) { (in, _) =>
+        Seq(row(open(cat, in.getUTF8String(0).toString)
+          .restore(in.getInt(1))))
+      }
+      case "history" => unbound("history",
+        Array(param("table", StringType)),
+        new StructType().add("version", IntegerType, false)
+          .add("operation", StringType, false)
+          .add("data_entries", IntegerType, false)
+          .add("delete_entries", IntegerType, false)
+          .add("stat_files", IntegerType, false)) { (in, _) =>
+        // DESCRIBE HISTORY: one row per retained version, driver-sized
+        val t = open(cat, in.getUTF8String(0).toString)
+        t.history().collect().toSeq.map(r =>
+          row(r.getInt(0), UTF8String.fromString(r.getString(1)),
+            r.getInt(2), r.getInt(3), r.getInt(4)))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown snaplog procedure '$other' " +
+          s"(have: ${names.mkString(", ")})")
+    }
+
+  private def unbound(procName: String,
+      params: Array[ProcedureParameter], outSchema: StructType)(
+      body: (InternalRow, StructType) => Seq[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"snaplog $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"snaplog $procName"
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            result(outSchema, body(input, outSchema))
+        }
+    }
+
+  def list(): Array[Identifier] =
+    names.map(n => Identifier.of(Array.empty[String], n)).toArray
+}

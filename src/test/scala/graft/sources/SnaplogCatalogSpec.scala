@@ -109,6 +109,55 @@ class SnaplogCatalogSpec extends SparkSpec {
       "ALTER TABLE altsnap.t ALTER COLUMN points TYPE DOUBLE"))
   }
 
+  test("CALL procedures: optimize/compact/vacuum/restore/history via SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whp").toString
+    spark.conf.set("spark.sql.catalog.procsnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.procsnap.warehouse", wh)
+    spark.sql("CREATE TABLE procsnap.t (id BIGINT, n BIGINT) USING snaplog")
+    spark.sql("INSERT INTO procsnap.t SELECT id, id * 2 FROM range(1, 2001)")
+    spark.sql("INSERT INTO procsnap.t " +
+      "SELECT id, id * 2 FROM range(2001, 4001)")
+    spark.sql("DELETE FROM procsnap.t WHERE id <= 100")
+    val t = graft.operators.SnapshotLog.open(spark, s"$wh/t", "id")
+
+    // OPTIMIZE: clustered rewrite; probes prune afterwards
+    val ov = spark.sql(
+      "CALL procsnap.optimize(table => 't', num_files => 8)")
+      .as[Int].head()
+    assert(ov == t.currentVersion() && t.opOf(ov) == "optimize")
+    val pr = t.readRange(500, 600)
+    assert(pr.inputFiles.length < t.read().inputFiles.length)
+    assert(t.read().count() == 3900)
+
+    // history as a result set
+    val hist = spark.sql("CALL procsnap.history(table => 't')")
+      .select("version", "operation").as[(Int, String)].collect().toMap
+    assert(hist(ov) == "optimize" && hist(1) == "create")
+
+    // RESTORE by CALL: back to the pre-delete state
+    spark.sql("CALL procsnap.restore(table => 't', version => 3)")
+    assert(t.read().count() == 4000)
+
+    // VACUUM by CALL: drops pre-horizon entries, reports counts
+    val (vf, ve) = spark.sql(
+      s"CALL procsnap.vacuum(table => 't', retain_from => ${t.currentVersion()})")
+      .as[(Int, Int)].head()
+    assert(ve == t.currentVersion() - 1 && vf > 0, s"($vf, $ve)")
+    assert(t.read().count() == 4000)
+
+    // COMPACT by CALL (path-addressed spelling works too)
+    spark.sql("DELETE FROM procsnap.t WHERE id <= 50")
+    val cv = spark.sql(s"CALL procsnap.compact(table => '$wh/t')")
+      .as[Int].head()
+    assert(t.opOf(cv) == "compact" && t.read().count() == 3950)
+
+    // SHOW PROCEDURES lists the five verbs
+    val shown = spark.sql("SHOW PROCEDURES IN procsnap")
+      .collect().map(_.toString).mkString(",")
+    for (p <- Seq("optimize", "compact", "vacuum", "restore", "history"))
+      assert(shown.contains(p), s"missing $p in $shown")
+  }
+
   test("created-empty tables read/append/evolve like any other") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val t = SnapshotLog.open(spark, s"$wh/t", "id")
