@@ -144,6 +144,14 @@ object SnapshotLog {
     * dropped when their entry leaves the listing); `constraints` is
     * None to inherit the previous version's set verbatim, Some(set) to
     * replace it (add/drop constraint). */
+  /** One column change of an `ALTER TABLE` statement — applied as a
+    * batch by [[SnapshotTable.alterSchema]] in ONE atomic commit. */
+  sealed trait AlterOp
+  final case class RenameCol(oldName: String, newName: String) extends AlterOp
+  final case class DropCol(name: String) extends AlterOp
+  final case class AddCol(name: String,
+      dt: org.apache.spark.sql.types.DataType) extends AlterOp
+
   private[operators] case class Composed(data: Seq[String],
       deletes: Seq[String], stats: Seq[FileStat],
       schema: Option[org.apache.spark.sql.types.StructType], sv: Int,
@@ -883,11 +891,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   private val PartPrefix = "gp_"
   private val PartValRe = "[A-Za-z0-9._-]+"
 
-  /** Is `dt` one of the integral types the transforms floor numerically? */
-  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(dt)
-  }
+  /** Is `dt` one of the integral types the transforms floor numerically?
+    * (One shared predicate — [[SnapshotTypes.integral]] — so the write
+    * and probe sides can never diverge.) */
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    SnapshotTypes.integral(dt)
 
   /** Hive-layout write of `df` partitioned by `specs` — each a bare
     * column (identity) or an Iceberg-style TRANSFORM (`bucket(N, col)`,
@@ -900,7 +908,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * ambiguity can exist between path and logged value (loud error
     * otherwise; bucket ids, truncate bands, calendar days and the usual
     * lang/category values all pass). */
-  private def writePartitioned(df: DataFrame, specs: Seq[String])
+  private def writePartitioned(df: DataFrame, specs: Seq[String],
+      cmap0: Map[String, String])
       : Seq[(String, Map[String, String], Seq[FileStat])] = {
     require(specs.nonEmpty, "partitionBy must name at least one column")
     graft.functions.GraftFunctions.register(spark) // graft_bucket (idempotent)
@@ -933,12 +942,6 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(!df.columns.exists(_.startsWith(PartPrefix)),
       s"column names starting with '$PartPrefix' collide with the " +
         "partition shadow columns")
-    // column mapping: partition SOURCES are identity by refusal; other
-    // columns land under their physical names like any append
-    val cmap0 = {
-      val v0 = currentVersion()
-      if (v0 == 0) Map.empty[String, String] else readEntry(v0).cmap
-    }
     val viol = df.where(exprs.map(e =>
         e.isNull || !e.rlike(s"^$PartValRe$$"))
       .reduce(_ || _)).limit(1).collect()
@@ -993,9 +996,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   def commitAppend(df: DataFrame, partitionBy: Seq[String]): Int = {
     val cons0 = constraints()
     checkConstraints(df, cons0)
-    val parts = writePartitioned(df, partitionBy)
+    val v0 = currentVersion()
+    val e0 = if (v0 == 0) SnapshotLog.Entry(Nil, Nil, Nil, 2)
+      else readEntry(v0)
+    guardNewColumns(df, e0, if (v0 == 0) None else schemaOf(v0))
+    val parts = writePartitioned(df, partitionBy, e0.cmap)
     commitWithRetry() { v =>
       val p = prevEntry(v)
+      guardCmapOnRebase(e0.cmap, p)
       recheckOnRebase(df, cons0, p)
       Some(Composed(p.data ++ parts.map(_._1), p.deletes,
         p.stats ++ parts.flatMap(_._3), appendSchema(v, df),
@@ -1029,12 +1037,17 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // canonical spec strings — "bucket(16, id)" and "bucket(16,id)" are
     // the same partitioning
     val specs = partitionBy.map(PTransform.parse(_).spec)
-    val parts = writePartitioned(df, partitionBy)
+    val v0 = currentVersion()
+    require(v0 >= 1, "replacePartitions on an empty table — use commitAppend")
+    val e0rp = readEntry(v0)
+    guardNewColumns(df, e0rp, schemaOf(v0))
+    val parts = writePartitioned(df, partitionBy, e0rp.cmap)
     val replaced: Set[Map[String, String]] = parts.map(_._2).toSet
     commitWithRetry(op = "replace-partitions") { v =>
       require(v > 1,
         "replacePartitions on an empty table — use commitAppend")
       val p = prevEntry(v)
+      guardCmapOnRebase(e0rp.cmap, p)
       recheckOnRebase(df, cons0, p)
       require(p.deletes.isEmpty,
         s"replacePartitions on $root with pending delete sidecars is " +
@@ -1244,35 +1257,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * like merge (an interleaved commit throws). `compact()`/`optimize`
     * materialize the mapping back into the files (the rewrite writes
     * logical names and resets the map). */
-  def renameColumn(oldName: String, newName: String): Int = {
-    val v0 = currentVersion()
-    require(v0 >= 1, s"rename on an empty table at $root")
-    val e0 = readEntry(v0)
-    val sch = schemaOf(v0).getOrElse(throw new IllegalArgumentException(
-      s"legacy table at $root carries no schema — renames need one"))
-    require(sch.fieldNames.contains(oldName),
-      s"no column '$oldName' in (${sch.fieldNames.mkString(", ")})")
-    require(!sch.fieldNames.contains(newName),
-      s"column '$newName' already exists")
-    require(newName.nonEmpty && !newName.contains('.'),
-      s"invalid column name '$newName'")
-    renameBlockers(e0, oldName).foreach(b => throw
-      new IllegalArgumentException(s"cannot rename: $b"))
-    val phys = physCol(e0, oldName)
-    val cmap =
-      if (phys == newName) e0.cmap - oldName // renamed back to its file name
-      else e0.cmap - oldName + (newName -> phys)
-    val newSchema = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
-      if (f.name == oldName) f.copy(name = newName) else f))
-    commitWithRetry(op = "rename-column") { v =>
-      if (v != v0 + 1)
-        throw new java.util.ConcurrentModificationException(
-          s"rename-column computed against version $v0 of $root but " +
-            s"version ${v - 1} has been committed since; re-run")
-      Some(Composed(e0.data, e0.deletes, e0.stats, Some(newSchema), e0.sv,
-        colMap = Some((cmap, e0.retired))))
-    }.get
-  }
+  def renameColumn(oldName: String, newName: String): Int =
+    alterSchema(Seq(SnapshotLog.RenameCol(oldName, newName)))
 
   /** DROP COLUMN as a METADATA-ONLY commit: the logical schema loses the
     * field, readers never request its physical column again, and the
@@ -1281,54 +1267,87 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * the retirement by rewriting). Time travel still reads pre-drop
     * versions with the column. Same refusals and conflict pin as
     * [[renameColumn]]. */
-  def dropColumn(name: String): Int = {
-    val v0 = currentVersion()
-    require(v0 >= 1, s"drop on an empty table at $root")
-    val e0 = readEntry(v0)
-    val sch = schemaOf(v0).getOrElse(throw new IllegalArgumentException(
-      s"legacy table at $root carries no schema — drops need one"))
-    require(sch.fieldNames.contains(name),
-      s"no column '$name' in (${sch.fieldNames.mkString(", ")})")
-    require(sch.fields.length > 1, "cannot drop the last column")
-    renameBlockers(e0, name).foreach(b => throw
-      new IllegalArgumentException(s"cannot drop: $b"))
-    val newSchema = org.apache.spark.sql.types.StructType(
-      sch.fields.filterNot(_.name == name))
-    commitWithRetry(op = "drop-column") { v =>
-      if (v != v0 + 1)
-        throw new java.util.ConcurrentModificationException(
-          s"drop-column computed against version $v0 of $root but " +
-            s"version ${v - 1} has been committed since; re-run")
-      Some(Composed(e0.data, e0.deletes, e0.stats, Some(newSchema), e0.sv,
-        colMap = Some((e0.cmap - name, e0.retired + physCol(e0, name)))))
-    }.get
-  }
+  def dropColumn(name: String): Int =
+    alterSchema(Seq(SnapshotLog.DropCol(name)))
 
   /** ADD COLUMN as a METADATA-ONLY commit: the logical schema gains a
     * trailing nullable field; existing files simply lack it and read as
     * NULL (the same widen semantics appends get). Refuses reusing a
     * physical name another column maps to or a drop retired. */
   def addColumn(name: String,
-      dt: org.apache.spark.sql.types.DataType): Int = {
+      dt: org.apache.spark.sql.types.DataType): Int =
+    alterSchema(Seq(SnapshotLog.AddCol(name, dt)))
+
+  /** Apply a SEQUENCE of rename/drop/add column changes as ONE atomic
+    * metadata commit — the `ALTER TABLE` statement unit. Every change
+    * validates against the FOLDED schema/map (so `ADD COLUMNS (a, b)`
+    * or rename-then-add compose naturally) and a failure anywhere
+    * publishes NOTHING: a half-altered table cannot exist. Single-change
+    * calls keep their specific op label in the history ledger. */
+  def alterSchema(ops: Seq[SnapshotLog.AlterOp]): Int = {
+    require(ops.nonEmpty, "alterSchema needs at least one change")
     val v0 = currentVersion()
-    require(v0 >= 1, s"add-column on an empty table at $root")
+    require(v0 >= 1, s"alter on an empty table at $root")
     val e0 = readEntry(v0)
-    val sch = schemaOf(v0).getOrElse(throw new IllegalArgumentException(
-      s"legacy table at $root carries no schema — add-column needs one"))
-    require(!sch.fieldNames.contains(name), s"column '$name' already exists")
-    require(name.nonEmpty && !name.contains('.'),
-      s"invalid column name '$name'")
-    require(!(e0.cmap.values.toSet ++ e0.retired).contains(name),
-      s"new column '$name' reuses a physical name retired by a " +
-        "rename/drop — pick another name or compact() first")
-    val newSchema = org.apache.spark.sql.types.StructType(sch.fields :+
-      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
-    commitWithRetry(op = "add-column") { v =>
+    var sch = schemaOf(v0).getOrElse(throw new IllegalArgumentException(
+      s"legacy table at $root carries no schema — alters need one"))
+    var cmap = e0.cmap
+    var retired = e0.retired
+    def physOf(c: String) = cmap.getOrElse(c, c)
+    for (op <- ops) op match {
+      case SnapshotLog.RenameCol(oldName, newName) =>
+        require(sch.fieldNames.contains(oldName),
+          s"no column '$oldName' in (${sch.fieldNames.mkString(", ")})")
+        require(!sch.fieldNames.contains(newName),
+          s"column '$newName' already exists")
+        require(newName.nonEmpty && !newName.contains('.'),
+          s"invalid column name '$newName'")
+        renameBlockers(e0, oldName).foreach(b => throw
+          new IllegalArgumentException(s"cannot rename: $b"))
+        val phys = physOf(oldName)
+        cmap =
+          if (phys == newName) cmap - oldName // renamed back to file name
+          else cmap - oldName + (newName -> phys)
+        sch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+      case SnapshotLog.DropCol(name) =>
+        require(sch.fieldNames.contains(name),
+          s"no column '$name' in (${sch.fieldNames.mkString(", ")})")
+        require(sch.fields.length > 1, "cannot drop the last column")
+        renameBlockers(e0, name).foreach(b => throw
+          new IllegalArgumentException(s"cannot drop: $b"))
+        retired = retired + physOf(name)
+        cmap = cmap - name
+        sch = org.apache.spark.sql.types.StructType(
+          sch.fields.filterNot(_.name == name))
+      case SnapshotLog.AddCol(name, dt) =>
+        require(!sch.fieldNames.contains(name),
+          s"column '$name' already exists")
+        require(name.nonEmpty && !name.contains('.'),
+          s"invalid column name '$name'")
+        require(!(cmap.values.toSet ++ retired).contains(name),
+          s"new column '$name' reuses a physical name retired by a " +
+            "rename/drop — pick another name or compact() first")
+        sch = org.apache.spark.sql.types.StructType(sch.fields :+
+          org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    }
+    val opName =
+      if (ops.length > 1) "alter-table"
+      else ops.head match {
+        case _: SnapshotLog.RenameCol => "rename-column"
+        case _: SnapshotLog.DropCol   => "drop-column"
+        case _: SnapshotLog.AddCol    => "add-column"
+      }
+    val finalSchema = sch
+    val finalMap = cmap
+    val finalRetired = retired
+    commitWithRetry(op = opName) { v =>
       if (v != v0 + 1)
         throw new java.util.ConcurrentModificationException(
-          s"add-column computed against version $v0 of $root but " +
+          s"$opName computed against version $v0 of $root but " +
             s"version ${v - 1} has been committed since; re-run")
-      Some(Composed(e0.data, e0.deletes, e0.stats, Some(newSchema), e0.sv))
+      Some(Composed(e0.data, e0.deletes, e0.stats, Some(finalSchema), e0.sv,
+        colMap = Some((finalMap, finalRetired))))
     }.get
   }
 
@@ -1985,6 +2004,19 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
   }
 
+  /** Read a staged dir back under its LOGICAL names: files carry the
+    * physical field names of the mapping they were written under. */
+  private def stagedLogicalDf(dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cmap: Map[String, String]): DataFrame = {
+    val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val raw = spark.read.schema(phys).parquet(dir)
+    if (cmap.isEmpty) raw
+    else raw.select(schema.fields.map(f =>
+      col(cmap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+  }
+
   /** Commit a data dir whose part files were written by EXECUTORS (the
     * snaplog DSv2 `BatchWrite`/`StreamingWrite` — the engine-native
     * write path): orphan task-attempt files are swept, footer stats
@@ -2020,14 +2052,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       dropStaged(); return None // replayed batch — exactly-once skip
     }
     val cons0 = constraints()
-    val stagedDf = () => {
-      val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-        f.copy(name = cmap.getOrElse(f.name, f.name))))
-      val raw = spark.read.schema(phys).parquet(dir)
-      if (cmap.isEmpty) raw
-      else raw.select(schema.fields.map(f =>
-        col(cmap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
-    }
+    val stagedDf = () => stagedLogicalDf(dir, schema, cmap)
     if (cons0.nonEmpty && files.nonEmpty)
       checkConstraints(stagedDf(), cons0)
     val newStats = statsFor(dir)
@@ -2038,10 +2063,15 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       v =>
         if (txn.exists { case (a, b) =>
             readTxn(v - 1).get(a).exists(_ >= b) }) None
-        else if (overwrite)
+        else if (overwrite) {
+          // a constraint added since the pre-loop validation must gate
+          // the replacement rows too (the addConstraint stale-base guard
+          // only covers the opposite interleaving)
+          if (files.nonEmpty) recheckOnRebase(stagedDf(), cons0, prevEntry(v))
           // truncate = replace: files carry LOGICAL names, mapping resets
           Some(Composed(Seq(dir), Nil, newStats, Some(schema), 2,
             colMap = Some((Map.empty, Set.empty))))
+        }
         else {
           val p = prevEntry(v)
           guardCmapOnRebase(cmap, p)
@@ -2079,14 +2109,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // the replacement files were written under e0's PHYSICAL names (the
     // row-level write physicalizes like any append), so they splice next
     // to the carried files seamlessly
-    val stagedDf = () => {
-      val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-        f.copy(name = e0.cmap.getOrElse(f.name, f.name))))
-      val raw = spark.read.schema(phys).parquet(dir)
-      if (e0.cmap.isEmpty) raw
-      else raw.select(schema.fields.map(f =>
-        col(e0.cmap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
-    }
+    val stagedDf = () => stagedLogicalDf(dir, schema, e0.cmap)
     if (e0.constraints.nonEmpty && files.nonEmpty)
       checkConstraints(stagedDf(), e0.constraints)
     val newStats = statsFor(dir)
@@ -2128,6 +2151,25 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val keptStats = Seq.newBuilder[FileStat]
     keptStats ++= e0.stats.filter(s => keptFileSet.contains(s.file))
 
+    // non-MERGE rewrites must not reintroduce a sidecar-masked KEY: the
+    // carried sidecar would silently hide the rewritten row (an UPDATE
+    // `SET key = <deleted key>` would report success and vanish), and
+    // un-masking it would resurrect the ORIGINAL row still living in a
+    // carried file — the same ambiguity the API's key-SET-under-sidecar
+    // refusal covers; MERGE consolidates instead (resurrection is its
+    // documented contract)
+    if (e0.deletes.nonEmpty && !consolidateSidecar && files.nonEmpty) {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val clash = stagedDf().select(col(keyCol)).distinct()
+        .join(broadcast(spark.read.parquet(e0.deletes: _*)
+          .select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"$op on $root rewrites key ${clash.headOption.fold("")(_.toString)}" +
+          " which a pending delete sidecar masks — the row would either " +
+          "vanish behind the sidecar or resurrect the deleted original; " +
+          "compact() first")
+    }
     val newDeletes: Seq[String] =
       if (e0.deletes.isEmpty || !consolidateSidecar || files.isEmpty)
         e0.deletes

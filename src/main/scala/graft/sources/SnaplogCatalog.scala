@@ -160,6 +160,10 @@ class SnaplogCatalog extends TableCatalog
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(base).iterator().asScala
       .filter(p => java.nio.file.Files.isDirectory(p.resolve("_log")))
+      // a torn CREATE leaves an empty _log: not a table (and tableExists
+      // is false for it) — keep SHOW TABLES and DROP consistent
+      .filter(p => SnapshotLog.open(SparkSession.active,
+        p.toString, "__resolve").currentVersion() >= 1)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
   }
@@ -208,29 +212,29 @@ class SnaplogCatalog extends TableCatalog
     val key = probe.keyOf(latest).getOrElse(throw new IllegalArgumentException(
       s"legacy snaplog entry at $path carries no key column"))
     val t = SnapshotLog.open(SparkSession.active, path, key)
-    changes.foreach {
+    // one STATEMENT = one atomic commit: all changes fold into a single
+    // alterSchema publish, so a refusal anywhere leaves nothing behind
+    val ops = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "snaplog columns are flat — nested renames are not supported")
-        t.renameColumn(r.fieldNames()(0), r.newName())
-        ()
+        SnapshotLog.RenameCol(r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "snaplog columns are flat — nested drops are not supported")
-        t.dropColumn(d.fieldNames()(0))
-        ()
+        SnapshotLog.DropCol(d.fieldNames()(0))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "snaplog columns are flat — nested adds are not supported")
         require(a.position() == null,
           "ADD COLUMN position (FIRST/AFTER) is not supported — new " +
             "columns append")
-        t.addColumn(a.fieldNames()(0), a.dataType())
-        ()
+        SnapshotLog.AddCol(a.fieldNames()(0), a.dataType())
       case other => throw new UnsupportedOperationException(
         s"snaplog ALTER TABLE supports ADD/RENAME/DROP COLUMN; got $other " +
           "(a type change is a rewrite — commitOverwrite)")
     }
+    t.alterSchema(ops.toSeq)
     loadTable(ident)
   }
 
@@ -243,7 +247,11 @@ class SnaplogCatalog extends TableCatalog
         "path-addressed snaplog tables are external — retention is " +
           "explicit (SnapshotTable.vacuum); DROP applies to " +
           "name-addressed (warehouse) tables")
-    if (!tableExists(ident)) return false
+    // a torn CREATE (directory with an empty _log) is droppable too —
+    // otherwise the phantom could never be cleaned up via SQL
+    val torn = !tableExists(ident) && java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(pathOf(ident), "_log"))
+    if (!tableExists(ident) && !torn) return false
     val p = new org.apache.hadoop.fs.Path(pathOf(ident))
     p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
       .delete(p, true)

@@ -140,6 +140,49 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read(1).columns.toSeq == Seq("id", "score", "name"))
   }
 
+  test("partitioned writes honor retirement and mapping guards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 20L).map(i =>
+      (i, Seq("en", "fr")((i % 2).toInt), i * 2, s"v$i"))
+      .toDF("id", "lang", "score", "v"), Seq("lang"))
+    t.dropColumn("score")
+    // a partitioned re-append reusing the retired physical name must
+    // refuse exactly like the plain append (old bytes would resurface)
+    intercept[IllegalArgumentException] {
+      t.commitAppend(Seq((21L, "en", 9L, "x"))
+        .toDF("id", "lang", "score", "v"), Seq("lang"))
+    }
+    // renamed non-source columns physicalize through partitioned appends
+    t.renameColumn("v", "txt")
+    t.commitAppend(Seq((21L, "en", "x")).toDF("id", "lang", "txt"),
+      Seq("lang"))
+    assert(t.readPartitions(Map("lang" -> "en"))
+      .where(col("txt") === "x").count() == 1)
+    assert(t.read().count() == 21)
+  }
+
+  test("SQL UPDATE may not rewrite a key a pending sidecar masks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmk").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 30L).map(i => (i, i * 10)).toDF("id", "n"))
+    t.commitDelete(Seq(5L).toDF("id"))
+    spark.conf.set("spark.sql.catalog.cmk", "graft.sources.SnaplogCatalog")
+    // rewriting id 7 -> 5 would make the updated row vanish behind the
+    // sidecar (or resurrect the deleted original): refused loudly
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE cmk.`$root` SET id = 5 WHERE id = 7"))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("sidecar")), e.toString)
+    assert(t.read().where(col("id") === 7L).count() == 1,
+      "the refused UPDATE must leave the table untouched")
+    // non-colliding key rewrites still work under a sidecar
+    spark.sql(s"UPDATE cmk.`$root` SET id = 107 WHERE id = 7")
+    assert(t.read().where(col("id") === 107L).count() == 1)
+    assert(t.read().where(col("id") === 5L).count() == 0)
+  }
+
   test("connector reads column-mapped tables; snapcdf refuses loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmc").toString
     val t = SnapshotLog.open(spark, root, "id")

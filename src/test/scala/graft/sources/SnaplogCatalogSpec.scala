@@ -158,6 +158,44 @@ class SnaplogCatalogSpec extends SparkSpec {
       assert(shown.contains(p), s"missing $p in $shown")
   }
 
+  test("multi-change ALTER is atomic; torn CREATEs are droppable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wht").toString
+    spark.conf.set("spark.sql.catalog.tornsnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.tornsnap.warehouse", wh)
+    spark.sql("CREATE TABLE tornsnap.t (id BIGINT, n BIGINT) USING snaplog")
+    spark.sql("INSERT INTO tornsnap.t SELECT id, id FROM range(1, 4)")
+    val t = graft.operators.SnapshotLog.open(spark, s"$wh/t", "id")
+    val v0 = t.currentVersion()
+    // second change collides with an existing column → the WHOLE
+    // statement publishes nothing (one atomic commit per statement)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE tornsnap.t ADD COLUMNS (ok BIGINT, id BIGINT)"))
+    assert(t.currentVersion() == v0, "failed ALTER must commit nothing")
+    assert(!t.read().columns.contains("ok"))
+    // a multi-change statement lands as ONE commit
+    spark.sql("ALTER TABLE tornsnap.t ADD COLUMNS (a BIGINT, b STRING)")
+    assert(t.currentVersion() == v0 + 1 &&
+      t.opOf(v0 + 1) == "alter-table")
+    assert(t.read().columns.toSeq == Seq("id", "n", "a", "b"))
+
+    // torn CREATE: a warehouse dir with an empty _log is not listed and
+    // IS droppable (otherwise the phantom could never be cleaned up)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/phantom/_log"))
+    val shown = spark.sql("SHOW TABLES IN tornsnap").select("tableName")
+      .as[String].collect().toSet
+    assert(shown == Set("t"), s"torn create must not be listed: $shown")
+    // SQL DROP can't address a phantom (analysis resolves the table
+    // first), so cleanup goes through the catalog API
+    val cat = spark.sessionState.catalogManager.catalog("tornsnap")
+      .asInstanceOf[graft.sources.SnaplogCatalog]
+    assert(cat.dropTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "phantom")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/phantom")))
+  }
+
   test("created-empty tables read/append/evolve like any other") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val t = SnapshotLog.open(spark, s"$wh/t", "id")

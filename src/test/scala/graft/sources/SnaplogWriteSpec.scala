@@ -87,13 +87,20 @@ class SnaplogWriteSpec extends SparkSpec {
     assert(t.read().count() == 60)
     assert(t.read().select("id").distinct().count() == 60)
 
-    // the txn watermark is visible in the log like any API writer's
-    assert(t.lastTxn(
-      "snaplog-sink-" + java.nio.file.Files.list(
-        java.nio.file.Paths.get(ckpt, "offsets")).count().toString).isEmpty
-      || true) // watermark key is queryId-based; presence checked below
+    // the txn watermark is visible in the log like any API writer's:
+    // the latest entry carries a "snaplog-sink-<queryId>" app watermark
     val v = t.currentVersion()
-    assert((1 to v).exists(i => t.opOf(i) == "txn-append"),
+    val tree = graft.operators.SnapshotLog.Json.readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, "_log", s"$v.json")))
+    val apps = Option(tree.get("txn")).map { o =>
+      val b = Seq.newBuilder[String]
+      o.fieldNames().forEachRemaining(n => b += n)
+      b.result()
+    }.getOrElse(Nil)
+    assert(apps.exists(_.startsWith("snaplog-sink-")),
+      s"latest entry must carry the sink's txn watermark, got $apps")
+    assert((1 to v).forall(i => t.opOf(i) == "txn-append"),
       "streaming commits must ride the txn action")
   }
 }
