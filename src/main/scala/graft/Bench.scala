@@ -226,9 +226,46 @@ object Bench {
     }.distinct.sorted
     // closing bracket of the calibration anchor: all measurement is done
     val calibPost = calibrate()
-    val calibS = (calibPre + calibPost) / 2
+    // DRIFT TRIGGER (round 15, VERDICT r14 #3): a pre/post anchor spread
+    // over 15% means the box speed moved MID-run and per-query ratios
+    // from this pass are suspect — previously that converted measurement
+    // noise into grading noise every round. Reaction: automatically
+    // re-run the whole catalog once (one settled pass on a fresh
+    // session), grade the per-query MIN of the two passes, close with a
+    // THIRD anchor sample, and stamp the artifact: `drifted` stays true
+    // only if the re-run's own bracket (post, final) still breaches the
+    // trigger — the signal for graders and the regression protocol to
+    // skip per-query ratios from this artifact entirely.
+    // SPARK_GRAFT_NO_DRIFT_RERUN=1 skips the re-run (time-boxed runs);
+    // the flag is then stamped from the single bracket.
+    def spreadOf(a: Double, b: Double): Double =
+      if (a + b <= 0) 0.0 else math.abs(a - b) / ((a + b) / 2)
+    val DriftTrigger = 0.15
+    val spread1 = spreadOf(calibPre, calibPost)
+    val doDriftRerun = spread1 > DriftTrigger && rerunEligible &&
+      !sys.env.contains("SPARK_GRAFT_NO_DRIFT_RERUN")
+    val (driftMin, calibFinal) =
+      if (!doDriftRerun) (Map.empty[String, Double], None)
+      else {
+        spark.catalog.clearCache()
+        (1 to 3).foreach { _ => System.gc(); Thread.sleep(400) }
+        val ds = spark.newSession()
+        val m = selected.map { case (name, fn) =>
+          settle()
+          val (t, ok, _, _, _) = timed(fn, ds)
+          name -> (if (ok) t else Double.MaxValue)
+        }.toMap
+        (m, Some(calibrate()))
+      }
+    val spread2 = calibFinal.map(spreadOf(calibPost, _))
+    val drifted = spread2.getOrElse(spread1) > DriftTrigger
+    // the anchor is the mean of every sample taken; the frozen workload
+    // is unchanged, so cross-round total/calib_s stays comparable
+    val calibS = (Seq(calibPre, calibPost) ++ calibFinal).sum /
+      (2 + calibFinal.size)
     val results = firstPass.map { case (label, name, t, ok, _, _, _) =>
-      (label, math.min(t, rerun.get(name).map(_._1).getOrElse(Double.MaxValue)), ok)
+      (label, Seq(Some(t), rerun.get(name).map(_._1),
+        driftMin.get(name)).flatten.min, ok)
     }
     // 4 decimals (0.1 ms): full double repr tripled the JSON line length
     def fmt(v: Double, dp: Int = 4): String = BigDecimal(v)
@@ -247,7 +284,10 @@ object Bench {
       s"\"" + n + "\":[" + (if (t == Double.MaxValue) "null" else fmt(t)) + "," + fmt(ext, 3) + "]"
     }.mkString("{", ",", "}")
     val contended = contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_s":${fmt(calibS)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"queries":$qs,"first_pass":$firsts,"load":$loads,"rerun":$reruns,"contended":$contended,"errors":$errs,"sf":"$sfDir"}"""
+    val calibFinalJson = calibFinal.map(v => s""","calib_final":${fmt(v)}""").getOrElse("")
+    val driftJson = s""","drifted":$drifted,"calib_spread":${fmt(spread1, 3)}""" +
+      spread2.map(v => s""","calib_spread2":${fmt(v, 3)}""").getOrElse("")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_s":${fmt(calibS)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)}$calibFinalJson$driftJson,"queries":$qs,"first_pass":$firsts,"load":$loads,"rerun":$reruns,"contended":$contended,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full line where it survives any stdout truncation: /tmp
     // for this session's adjudications, and the repo cwd so the round
     // commit carries every per-query number into history
@@ -274,7 +314,7 @@ object Bench {
       .mkString("{", ",", "}")
     // contended as a COUNT here (the name list is unbounded under a fully
     // loaded box and would blow the tail window; names are in BENCH_FULL)
-    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_s":${fmt(calibS, 2)},"calib_pre":${fmt(calibPre, 2)},"calib_post":${fmt(calibPost, 2)},"sf":"$sfShort","n_queries":${results.size},"errors":$errs,"contended":${contendedNames.size},"queries_full":"BENCH_FULL.json","fam_cs":$famCs}"""
+    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_s":${fmt(calibS, 2)},"calib_pre":${fmt(calibPre, 2)},"calib_post":${fmt(calibPost, 2)}${calibFinal.map(v => s""","calib_final":${fmt(v, 2)}""").getOrElse("")},"drifted":$drifted,"sf":"$sfShort","n_queries":${results.size},"errors":$errs,"contended":${contendedNames.size},"queries_full":"BENCH_FULL.json","fam_cs":$famCs}"""
     spark.stop()
     println(summary)
     if (results.exists(!_._3)) sys.exit(1)

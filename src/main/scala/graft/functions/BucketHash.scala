@@ -30,9 +30,17 @@ case class GraftBucket(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == IntegerType &&
-        right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        right.foldable) {
+      // n is foldable — validate its VALUE at analysis time (ADVICE r14):
+      // n = 0 would otherwise surface as a raw ArithmeticException from
+      // whole-stage codegen, and n < 0 yields negative bucket-id strings
+      // that can never match logged pvals
+      val n = right.eval()
+      if (n == null || n.asInstanceOf[Int] >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bucket count must be a positive int, got $n")
+    } else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, foldable int), got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 

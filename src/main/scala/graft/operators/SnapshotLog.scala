@@ -871,7 +871,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     buildBloom(dir, newStats, bloomColumns())
     commitWithRetry() { v =>
       val p = prevEntry(v)
-      guardCmapOnRebase(e0.cmap, p)
+      guardCmapOnRebase(e0.cmap, e0.retired, p)
       recheckOnRebase(df, cons0, p)
       // stats ride the rebase: the winner's per-file stats are re-read
       // from its entry and our new dir's appended — a lost race never
@@ -1003,7 +1003,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val parts = writePartitioned(df, partitionBy, e0.cmap)
     commitWithRetry() { v =>
       val p = prevEntry(v)
-      guardCmapOnRebase(e0.cmap, p)
+      guardCmapOnRebase(e0.cmap, e0.retired, p)
       recheckOnRebase(df, cons0, p)
       Some(Composed(p.data ++ parts.map(_._1), p.deletes,
         p.stats ++ parts.flatMap(_._3), appendSchema(v, df),
@@ -1047,7 +1047,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       require(v > 1,
         "replacePartitions on an empty table — use commitAppend")
       val p = prevEntry(v)
-      guardCmapOnRebase(e0rp.cmap, p)
+      guardCmapOnRebase(e0rp.cmap, e0rp.retired, p)
       recheckOnRebase(df, cons0, p)
       require(p.deletes.isEmpty,
         s"replacePartitions on $root with pending delete sidecars is " +
@@ -1170,6 +1170,16 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (v == 0) Map.empty else readEntry(v).cmap
   }
 
+  /** PHYSICAL names retired by DROP COLUMN as of the latest version —
+    * names appends may not reuse (old files' bytes would resurface).
+    * Write paths capture this alongside [[columnMap]] so a drop racing
+    * a staged write is detected even when the drop leaves the mapping
+    * itself unchanged (identity-mapped column). */
+  def retiredColumns(): Set[String] = {
+    val v = currentVersion()
+    if (v == 0) Set.empty else readEntry(v).retired
+  }
+
   /** LOGICAL → PHYSICAL column name under entry `e`. */
   private def physCol(e: Entry, c: String): String = e.cmap.getOrElse(c, c)
 
@@ -1218,12 +1228,20 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
 
   /** The column mapping the batch was written under must still hold at
     * publish: a rename/drop racing in would leave the staged files'
-    * physical names out of step with the new mapping. */
-  private def guardCmapOnRebase(cmap0: Map[String, String], prev: Entry): Unit =
-    if (prev.cmap != cmap0)
+    * physical names out of step with the new mapping. The RETIRED set
+    * is compared too (ADVICE r14): dropping an identity-mapped column
+    * leaves `cmap` unchanged — only `retired` grows — and without this
+    * check an append validated before the drop would rebase cleanly,
+    * widen() would re-add the dropped column, and old files' physical
+    * bytes for it would silently resurface (the exact resurrection the
+    * retirement mechanism exists to prevent). */
+  private def guardCmapOnRebase(cmap0: Map[String, String],
+      retired0: Set[String], prev: Entry): Unit =
+    if (prev.cmap != cmap0 || prev.retired != retired0)
       throw new java.util.ConcurrentModificationException(
         s"column mapping of $root changed while a write was in flight — " +
-          "the staged files carry the old physical names; retry the write")
+          "the staged files carry the old physical names (or reference a " +
+          "column dropped since validation); retry the write")
 
   /** Columns a metadata rename/drop must refuse: the key column (MOR
     * sidecars and merge identity are keyed by it), partition-transform
@@ -1403,7 +1421,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
         val p = prevEntry(v)
-        guardCmapOnRebase(e0.cmap, p)
+        guardCmapOnRebase(e0.cmap, e0.retired, p)
         recheckOnRebase(df, cons0, p)
         Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
           appendSchema(v, df), math.min(p.sv, 2)))
@@ -1857,9 +1875,17 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val v0 = currentVersion()
     require(v0 >= 1, s"$op on an empty table at $root")
     val e0 = readEntry(v0)
-    require(e0.cmap.isEmpty,
-      s"$op on column-mapped $root is not supported — compact() first " +
-        "to materialize renames/drops into the files")
+    // column-mapped tables (round 15): the predicate column arrives under
+    // its LOGICAL name; stats/Bloom metadata and the files are keyed by
+    // the PHYSICAL name. Probe metadata with the physicalized predicate,
+    // do the row work (filter, SET, constraints) in logical space, and
+    // physicalize the rewritten batch before it lands — the same
+    // translation the SQL row-level route already carries.
+    val pPhys: Pred = p match {
+      case LongPred(c, lo, hi) => LongPred(physCol(e0, c), lo, hi)
+      case StrPred(c, lo, hi)  => StrPred(physCol(e0, c), lo, hi)
+      case NullPred(c, n)      => NullPred(physCol(e0, c), n)
+    }
     // SET on the KEY column under pending delete sidecars is refused
     // (ADVICE r13): the carried sidecar masks rows BY KEY via the
     // reader's anti-join, so rewriting a sidecar-deleted row's key
@@ -1878,7 +1904,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // a file is provably ALL-INSIDE the band only with trusted bounds
     // AND a trusted zero null count (NULL rows never match a range
     // predicate, so they must survive a DELETE untouched)
-    def fullyIn(s: FileStat): Boolean = p match {
+    def fullyIn(s: FileStat): Boolean = pPhys match {
       case LongPred(c, lo, hi) =>
         val b = if (c == keyCol && s.keyed) Some((s.lo, s.hi))
                 else s.cols.get(c)
@@ -1905,7 +1931,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           val statted = fs.map(s => normPath(s.file)).toSet
           dataFilesOf(d).filterNot(f => statted.contains(normPath(f)))
         }
-      val hit = fs.filter(mayMatch(_, p))
+      val hit = fs.filter(mayMatch(_, pPhys))
       if (hit.isEmpty && unstatted.isEmpty && fs.nonEmpty) {
         untouchedE += (d -> fs)
       } else {
@@ -1913,7 +1939,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         if (set.isEmpty) dropped ++= allIn
         else rewrite ++= allIn.map(_.file)
         rewrite ++= boundary.map(_.file) ++ unstatted
-        carried ++= fs.filterNot(mayMatch(_, p))
+        carried ++= fs.filterNot(mayMatch(_, pPhys))
       }
     }
     val rewriteScan = rewrite.result()
@@ -1925,8 +1951,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val newDir: Option[(String, Seq[FileStat])] =
       if (rewriteScan.isEmpty) None
       else {
-        val rd = sch.map(spark.read.schema(_)).getOrElse(spark.read)
-        val scanned = rd.parquet(rewriteScan: _*)
+        // read under the PHYSICAL schema (the in-file names), then work
+        // in logical space; identity mapping makes both renames no-ops
+        val rd = physSchema(v0, e0).map(spark.read.schema(_))
+          .getOrElse(spark.read)
+        val scanned = toLogical(rd.parquet(rewriteScan: _*), v0, e0)
         val matchC = filterExpr(p)
         val out = set match {
           case None =>
@@ -1952,7 +1981,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         }
         set.foreach(_ => checkConstraints(out, e0.constraints))
         val dir = newDataDir()
-        out.write.mode("errorifexists").parquet(dir)
+        physicalize(out, e0.cmap).write.mode("errorifexists").parquet(dir)
         val st = statsFor(dir)
         buildBloom(dir, st, e0.bloomCols)
         Some(dir -> st)
@@ -2032,16 +2061,23 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       schema: org.apache.spark.sql.types.StructType,
       overwrite: Boolean = false,
       txn: Option[(String, Long)] = None,
-      cmap: Map[String, String] = Map.empty): Option[Int] = {
+      cmap: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty): Option[Int] = {
     require(!(overwrite && txn.isDefined),
       "staged commit is append-with-txn or overwrite, not both")
-    // `cmap` is the column mapping the EXECUTORS wrote the files under
-    // (physical field names); it must still be the table's mapping —
-    // a rename/drop racing the write throws instead of publishing files
-    // whose physical names are out of step
-    require(columnMap() == cmap,
-      s"column mapping of $root changed while a connector write was " +
-        "staged — retry the write")
+    // `cmap`/`retired` are the column mapping + retired-name set the
+    // write was PLANNED under (executors wrote physical field names);
+    // an APPEND requires them to still be the table's — a rename/drop
+    // racing the write throws instead of publishing files whose
+    // physical names are out of step or resurrecting a dropped column.
+    // An OVERWRITE skips the check by design (ADVICE r14): truncate
+    // REPLACES the table — its files carry logical names and the
+    // commit below resets the mapping, so a mapping that changed since
+    // planning cannot corrupt anything (every old file leaves).
+    if (!overwrite)
+      require(columnMap() == cmap && retiredColumns() == retired,
+        s"column mapping of $root changed while a connector write was " +
+          "staged — retry the write")
     cleanOrphans(dir, files)
     val dropStaged = () => {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -2068,20 +2104,33 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           // the replacement rows too (the addConstraint stale-base guard
           // only covers the opposite interleaving)
           if (files.nonEmpty) recheckOnRebase(stagedDf(), cons0, prevEntry(v))
-          // truncate = replace: files carry LOGICAL names, mapping resets
-          Some(Composed(Seq(dir), Nil, newStats, Some(schema), 2,
+          // truncate = replace: files carry LOGICAL names, mapping resets;
+          // a zero-row replacement empties the table without committing
+          // the empty staged dir as a live entry
+          Some(Composed(if (files.nonEmpty) Seq(dir) else Nil, Nil,
+            newStats, Some(schema), 2,
             colMap = Some((Map.empty, Set.empty))))
         }
         else {
           val p = prevEntry(v)
-          guardCmapOnRebase(cmap, p)
+          guardCmapOnRebase(cmap, retired, p)
           if (files.nonEmpty) recheckOnRebase(stagedDf(), cons0, p)
-          Some(Composed(p.data :+ dir, p.deletes, p.stats ++ newStats,
+          // a zero-row batch (e.g. INSERT ... WHERE false) publishes a
+          // data-identical entry — the txn watermark still advances, but
+          // the empty dir mkdirs'd by cleanOrphans never becomes a live
+          // entry accumulating in listings/checkpoints (ADVICE r14;
+          // mirrors commitStagedReplace's files.nonEmpty guard)
+          Some(Composed(
+            if (files.nonEmpty) p.data :+ dir else p.data,
+            p.deletes,
+            p.stats ++ (if (files.nonEmpty) newStats else Nil),
             if (v == 1) Some(schema) else schemaOf(v - 1).map(widen(_, schema)),
             math.min(p.sv, 2)))
         }
     }
-    if (committed.isEmpty) dropStaged() // lost to our own replay
+    // drop the staged dir when it never became a live entry: lost to our
+    // own replay, or a zero-row batch
+    if (committed.isEmpty || files.isEmpty) dropStaged()
     committed
   }
 
@@ -2560,9 +2609,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val e0 = readEntry(v0)
     val (data, deletes, stats) = (e0.data, e0.deletes, e0.stats)
 
-    require(e0.cmap.isEmpty,
-      s"MERGE on column-mapped $root is not supported — compact() first " +
-        "to materialize renames/drops into the files")
+    // column-mapped tables (round 15): updates arrive under LOGICAL
+    // names; the files carry PHYSICAL ones. Read the rewrite scan under
+    // the physical schema, do the key anti-join/union in logical space,
+    // and physicalize the replacement batch (and the cdc sidecar) before
+    // they land, so the new files splice next to carried files
+    // seamlessly and the mapping survives the merge.
     val mergeSchema = schemaOf(v0)
     val tableCols = mergeSchema.map(_.fieldNames.toSeq)
       .getOrElse(spark.read.parquet(data.head).columns.toSeq)
@@ -2610,15 +2662,17 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val survivors =
       if (rewriteScan.isEmpty) None
       else {
-        // read with the LOGGED schema: post-evolution the scanned files
-        // are heterogeneous (older ones lack added columns → NULL)
-        val rd = mergeSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-        Some(rd.parquet(rewriteScan: _*)
+        // read with the LOGGED schema under PHYSICAL names: post-evolution
+        // the scanned files are heterogeneous (older ones lack added
+        // columns → NULL); identity mapping makes the renames no-ops
+        val rd = physSchema(v0, e0).map(spark.read.schema(_))
+          .getOrElse(spark.read)
+        Some(toLogical(rd.parquet(rewriteScan: _*), v0, e0)
           .join(broadcast(updKeys), Seq(keyCol), "left_anti"))
       }
     val newData = survivors.map(_.unionByName(upd)).getOrElse(upd)
     val dir = newDataDir()
-    newData.write.mode("errorifexists").parquet(dir)
+    physicalize(newData, e0.cmap).write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
     buildBloom(dir, newStats, e0.bloomCols)
 
@@ -2643,11 +2697,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val cdcDir: Option[String] =
       if (!cdc) None
       else {
-        val rd = mergeSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+        val rd = physSchema(v0, e0).map(spark.read.schema(_))
+          .getOrElse(spark.read)
         val preImages =
           if (rewriteScan.isEmpty) None
           else {
-            val matched = rd.parquet(rewriteScan: _*)
+            val matched = toLogical(rd.parquet(rewriteScan: _*), v0, e0)
               .join(broadcast(updKeys), Seq(keyCol), "left_semi")
             Some(
               if (deletes.isEmpty) matched
@@ -2661,7 +2716,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             .unionByName(upd.withColumn("_change_type", lit("insert"))))
           .getOrElse(upd.withColumn("_change_type", lit("insert")))
         val cd = s"$root/cdc/c-${java.util.UUID.randomUUID().toString}"
-        changeRows.write.mode("errorifexists").parquet(cd)
+        // the sidecar carries the same PHYSICAL names as the data files
+        // (readers translate both through one rule); _change_type is
+        // never mapped and passes through identity
+        physicalize(changeRows, e0.cmap)
+          .write.mode("errorifexists").parquet(cd)
         Some(cd)
       }
 
@@ -2723,19 +2782,53 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     val flippedNonEmpty = flipped.exists(!_.isEmpty)
 
-    // both sides diff under toV's schema (the Delta CDF convention for
-    // feeds spanning a schema change): fromV's files lacking an added
-    // column surface it as NULL, so exceptAll compares aligned rows
-    val rd = schemaOf(toV).map(spark.read.schema(_)).getOrElse(spark.read)
-    def view(own: Seq[String], dels: Seq[String]): DataFrame = {
+    // both sides diff under toV's LOGICAL schema (the Delta CDF
+    // convention for feeds spanning a schema change): fromV's files
+    // lacking an added column surface it as NULL, so exceptAll compares
+    // aligned rows. Column-mapped tables (round 15): each side's files
+    // are read under their PHYSICAL names and renamed to toV's logical
+    // names. Physical names are rename-invariant (renames never move
+    // data), so toV's mapping covers BOTH sides of a rename inside the
+    // window; the fallback covers a mapping-resetting rewrite (compact/
+    // overwrite) inside the window via logical continuity. The one
+    // unresolvable corner — a rename AND a mapping-materializing rewrite
+    // in the same window — reads the renamed column as a drop+add, the
+    // same answer Delta gives without column IDs.
+    val lSch = schemaOf(toV)
+    def readView(files: Seq[String], nameOf: String => String)
+        : org.apache.spark.sql.DataFrameReader => DataFrame = { rdr =>
+      lSch match {
+        case None => rdr.parquet(files: _*) // legacy: no schema, no cmap
+        case Some(l) =>
+          val phys = org.apache.spark.sql.types.StructType(
+            l.fields.map(f => f.copy(name = nameOf(f.name))))
+          rdr.schema(phys).parquet(files: _*)
+            .select(l.fields.map(f =>
+              col(nameOf(f.name)).as(f.name)).toIndexedSeq: _*)
+      }
+    }
+    // toV's logical name → in-file physical name, per side
+    val pB: String => String = c => physCol(eB, c)
+    val aPhysNames: Set[String] = (if (fromV == 0) None else schemaOf(fromV))
+      .map(_.fields.map(f => physCol(eA, f.name)).toSet).getOrElse(Set.empty)
+    val aLogicalNames: Set[String] = (if (fromV == 0) None
+      else schemaOf(fromV)).map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val pA: String => String = c =>
+      if (aPhysNames.contains(pB(c))) pB(c)            // physical continuity
+      else if (aLogicalNames.contains(c)) physCol(eA, c) // logical continuity
+      else pB(c)                                       // added after fromV
+    def view(own: Seq[String], dels: Seq[String],
+        nameOf: String => String): DataFrame = {
       val parts = Seq(
-        if (own.nonEmpty) Some(rd.parquet(own: _*)) else None,
+        if (own.nonEmpty) Some(readView(own, nameOf)(spark.read)) else None,
         if (shared.nonEmpty && flippedNonEmpty)
-          Some(rd.parquet(shared.toSeq: _*)
+          // shared files are live at BOTH versions → toV's mapping holds
+          Some(readView(shared.toSeq, pB)(spark.read)
             .join(broadcast(flipped.get), Seq(keyCol), "left_semi"))
         else None).flatten
       val base = parts match {
-        case Nil => rd.parquet((dA ++ dB).head).where(lit(false))
+        case Nil => readView(Seq((dA ++ dB).head), pB)(spark.read)
+          .where(lit(false))
         case xs  => xs.reduce(_ unionByName _)
       }
       if (dels.isEmpty) base
@@ -2743,8 +2836,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         broadcast(spark.read.parquet(dels: _*).select(col(keyCol)).distinct()),
         Seq(keyCol), "left_anti")
     }
-    val a = view(onlyA, delA)
-    val b = view(onlyB, delB)
+    val a = view(onlyA, delA, pA)
+    val b = view(onlyB, delB, pB)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
@@ -2794,10 +2887,50 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     ()
   }
 
-  def vacuum(retainFrom: Int): (Int, Int) = {
+  /** VACUUM by retention DURATION — the `RETAIN n HOURS` spelling every
+    * Delta runbook uses (round 15), next to the version-based
+    * [[vacuum]]: the horizon resolves to the OLDEST version whose entry
+    * landed inside the window (entry mtimes — informational clock, the
+    * same single-writer convenience `TIMESTAMP AS OF` documents), so
+    * every version committed within the last `hours` stays
+    * time-travelable, and the LATEST version is ALWAYS kept even when
+    * the entire history is older than the window (`RETAIN 0 HOURS`
+    * degenerates to keep-head-only, never to an empty table). Delegates
+    * to [[vacuum]] for the sweep itself — same chain materialization,
+    * same reference-counted file GC. */
+  def vacuumRetainHours(hours: Double): (Int, Int) = {
+    require(hours >= 0 && !hours.isNaN,
+      s"retention must be >= 0 hours, got $hours")
+    val latest = currentVersion()
+    require(latest >= 1, s"vacuum on an empty table at $root")
+    val cutoff = System.currentTimeMillis() - (hours * 3600000.0).toLong
+    val horizon = (1 to latest).find { v =>
+      Files.exists(entryPath(v)) &&
+        Files.getLastModifiedTime(entryPath(v)).toMillis >= cutoff
+    }.getOrElse(latest)
+    vacuum(horizon)
+  }
+
+  /** `graceMs` (round 15 — Delta's vacuum retention threshold, the
+    * multi-writer half): an UNREFERENCED file younger than the grace
+    * window is NOT swept. A concurrent writer stages its data dir
+    * BEFORE publishing the entry that references it; a vacuum listing
+    * the live refs in that window would otherwise delete the staged dir
+    * and the writer would publish an entry pointing at nothing. Default
+    * 0 keeps the quiesced-table contract (sweep everything unreferenced,
+    * torn leftovers included — what every maintenance test and the CALL
+    * procedure exercise); run vacuum CONCURRENTLY with writers only with
+    * a grace covering the longest in-flight write, exactly Delta's
+    * `RETAIN`-threshold rule for the same race. */
+  def vacuum(retainFrom: Int, graceMs: Long = 0L): (Int, Int) = {
     val latest = currentVersion()
     require(retainFrom >= 1 && retainFrom <= latest,
       s"retainFrom $retainFrom out of [1, $latest] for $root")
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
+    val graceFloor = System.currentTimeMillis() - graceMs
+    def inGrace(f: Path): Boolean = graceMs > 0 &&
+      (try Files.getLastModifiedTime(f).toMillis >= graceFloor
+       catch { case _: Exception => true }) // raced away mid-sweep: skip
     // the horizon entry becomes SELF-CONTAINED before its ancestors go:
     // a delta entry is rewritten in place as its resolved FULL form
     // (atomic same-content replace), so every retained delta chain
@@ -2857,7 +2990,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
               (keptNames.contains(base) ||
                 (markers.contains(base) && subtreeAlive))
             val isMarker = markers.contains(name) && subtreeAlive
-            if (!kept(f) && !isShadow && !isMarker) {
+            if (!kept(f) && !isShadow && !isMarker && !inGrace(f)) {
               Files.delete(f); removedFiles += 1
             }
           }
@@ -2865,7 +2998,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           val dirs = Files.walk(c).iterator().asScala
             .filter(Files.isDirectory(_)).toSeq
             .sortBy(-_.getNameCount)
-          for (d <- dirs if !Files.list(d).iterator().hasNext) Files.delete(d)
+          for (d <- dirs if !Files.list(d).iterator().hasNext && !inGrace(d))
+            Files.delete(d)
         }
       }
     }

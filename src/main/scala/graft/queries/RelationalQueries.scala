@@ -655,6 +655,67 @@ object RelationalQueries {
         .orderBy(col("side"))
     }),
 
+    // Column-mapping DML PARITY (round 15 — closes the one surface gap a
+    // legal rename used to open): API MERGE, predicate DELETE/UPDATE
+    // WHERE, the batch change feed AND the snapcdf stream all run ON the
+    // mapped table — metadata probes translate logical→physical, row
+    // work runs in logical space, replacement files and cdc sidecars
+    // land physicalized. Story: clustered append → RENAME → append under
+    // the new name → cdc-MERGE of a key band (file-pruned, mapping
+    // survives — asserted) → snapcdf drains the full feed including the
+    // merge's exact change rows → banded DELETE WHERE + UPDATE WHERE SET
+    // on the MAPPED column → changes() diffs the DML window. Result:
+    // per-side aggregates of drain, diff, and final table, vs the plain
+    // closed form.
+    "q_scan_snapmapdml" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mapdml")
+        .toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 600)
+        .repartitionByRange(8, col("doc_id")))                        // v1
+      t.renameColumn("n_chars", "chars")                              // v2
+      t.commitAppend(docs.where(col("doc_id") >= 600 && col("doc_id") < 800)
+        .select(col("doc_id"), col("n_chars").as("chars")))           // v3
+      t.commitMerge(docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+        .select(col("doc_id"), (col("n_chars") * 2).as("chars")),
+        cdc = true)                                                   // v4
+      require(t.columnMap() == Map("chars" -> "n_chars"),
+        "the mapping must survive the merge")
+      require(t.readEntry(4).data.size >= 3,
+        "the mapped merge must carry unstabbed files, not rewrite all")
+      val sink = s"$tmp/feed"
+      val q = s.readStream.format("snapcdf").load(tmp)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(sink)
+          ()
+        }.start()
+      q.awaitTermination()
+      val drained = s.read.parquet(sink)
+      val v4 = t.currentVersion()
+      t.commitDeleteWhere("doc_id", 500, 549)                         // v5
+      t.commitUpdateWhere("doc_id", 100, 149,
+        Map("chars" -> "chars + 100000"))                             // v6
+      val diff = t.changes(v4, t.currentVersion())
+      def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"),
+            col("sum_ids"))
+      agg(drained.where(col("_change_type") === "insert"), "drain_ins")
+        .unionByName(
+          agg(drained.where(col("_change_type") === "delete"), "drain_del"))
+        .unionByName(agg(diff.where(col("_change_type") === "insert"),
+          "cdf_ins"))
+        .unionByName(agg(diff.where(col("_change_type") === "delete"),
+          "cdf_del"))
+        .unionByName(agg(t.read(), "final"))
+        .orderBy(col("side"))
+    }),
+
     // NAME-addressed catalog lifecycle (round 14): the full SQL-native
     // story on a warehouse table — CREATE TABLE ... USING snaplog
     // publishes an empty v1 carrying the schema (metadata-only), INSERT
@@ -887,6 +948,53 @@ object RelationalQueries {
       t.read().agg(count(lit(1)).as("n"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
         sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
+    // SQL-text twin of q_scan_snapconstraint (round 15 — Spark 4's DSv2
+    // constraint API wired to the log's own addConstraint/dropConstraint):
+    // `ALTER TABLE ... ADD CONSTRAINT n CHECK (...)` validates the table
+    // then rides a metadata-only commit; the table REPORTS its CHECK set
+    // through `Table.constraints()` (so the analyzer enforces it on SQL
+    // writes, a plan-time gate in FRONT of the log's batch validation);
+    // a violating INSERT fails loudly and leaves NO version behind
+    // (asserted); `DROP CONSTRAINT` re-admits. Same aggregate/oracle
+    // shape as the API query.
+    "q_scan_snapconstraint_sql" -> ((s, d) => {
+      val wh = warehouseCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graftwh.cons")
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_cons_docs")
+      s.sql("CREATE TABLE graftwh.cons (doc_id BIGINT, n_chars BIGINT, " +
+        "lang STRING) USING snaplog TBLPROPERTIES ('key'='doc_id')")
+      s.sql("INSERT INTO graftwh.cons SELECT doc_id, CAST(n_chars AS " +
+        "BIGINT), lang FROM graft_cons_docs WHERE doc_id < 300")
+      s.sql("ALTER TABLE graftwh.cons ADD CONSTRAINT chars_pos " +
+        "CHECK (n_chars >= 0 AND lang IS NOT NULL)")
+      val t = graft.operators.SnapshotLog.open(s, s"$wh/cons", "doc_id")
+      require(t.constraints().contains("chars_pos") &&
+        t.opOf(t.currentVersion()) == "add-constraint",
+        "SQL ADD CONSTRAINT must land the log's metadata commit")
+      val vBefore = t.currentVersion()
+      val threw =
+        try {
+          s.sql("INSERT INTO graftwh.cons SELECT doc_id, CAST(n_chars " +
+            "AS BIGINT) - 100000, lang FROM graft_cons_docs " +
+            "WHERE doc_id >= 300 AND doc_id < 400")
+          false
+        } catch { case _: Exception => true }
+      require(threw && t.currentVersion() == vBefore,
+        "a violating SQL INSERT must fail loudly and commit nothing")
+      s.sql("INSERT INTO graftwh.cons SELECT doc_id, CAST(n_chars AS " +
+        "BIGINT), lang FROM graft_cons_docs " +
+        "WHERE doc_id >= 300 AND doc_id < 500")
+      s.sql("ALTER TABLE graftwh.cons DROP CONSTRAINT chars_pos")
+      require(t.constraints().isEmpty,
+        "SQL DROP CONSTRAINT must clear the set")
+      s.sql("INSERT INTO graftwh.cons SELECT doc_id, CAST(n_chars AS " +
+        "BIGINT) - 100000, lang FROM graft_cons_docs WHERE doc_id = 400")
+      s.sql("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM graftwh.cons")
     }),
 
     // Shallow CLONE of a snapshot-log table (round 13 — Delta's CREATE
@@ -1584,6 +1692,40 @@ object RelationalQueries {
          SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 600
          ORDER BY side""",
+    "q_scan_snapmapdml" ->
+      """SELECT 'cdf_del' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE (doc_id BETWEEN 500 AND 549) OR (doc_id BETWEEN 100 AND 149)
+         UNION ALL
+         SELECT 'cdf_ins', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars + 100000) AS BIGINT),
+                CAST(SUM(doc_id) AS BIGINT)
+         FROM documents WHERE doc_id BETWEEN 100 AND 149
+         UNION ALL
+         SELECT 'drain_del', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+         FROM documents WHERE doc_id >= 250 AND doc_id < 350
+         UNION ALL
+         SELECT 'drain_ins', CAST(COUNT(*) AS BIGINT), CAST(SUM(nc) AS BIGINT),
+                CAST(SUM(id) AS BIGINT)
+         FROM (
+           SELECT n_chars AS nc, doc_id AS id FROM documents
+            WHERE doc_id < 800
+           UNION ALL
+           SELECT n_chars * 2, doc_id FROM documents
+            WHERE doc_id >= 250 AND doc_id < 350)
+         UNION ALL
+         SELECT 'final', CAST(COUNT(*) AS BIGINT), CAST(SUM(nc) AS BIGINT),
+                CAST(SUM(id) AS BIGINT)
+         FROM (
+           SELECT CASE WHEN doc_id BETWEEN 100 AND 149 THEN n_chars + 100000
+                       WHEN doc_id >= 250 AND doc_id < 350 THEN n_chars * 2
+                       ELSE n_chars END AS nc, doc_id AS id
+           FROM documents
+           WHERE doc_id < 800 AND NOT (doc_id BETWEEN 500 AND 549))
+         ORDER BY side""",
     "q_scan_snapcat2" ->
       """SELECT 1 AS version, CAST(0 AS BIGINT) AS n,
                 CAST(NULL AS BIGINT) AS sum_chars
@@ -1653,6 +1795,16 @@ object RelationalQueries {
          WHERE text = (SELECT text FROM documents WHERE doc_id = 123)
          ORDER BY side""",
     "q_scan_snapconstraint" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT n_chars AS nc, doc_id AS id FROM documents
+            WHERE doc_id < 500
+           UNION ALL
+           SELECT n_chars - 100000, doc_id FROM documents
+            WHERE doc_id = 400)""",
+    "q_scan_snapconstraint_sql" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(nc) AS BIGINT) AS sum_chars,
                 CAST(SUM(id) AS BIGINT) AS sum_ids

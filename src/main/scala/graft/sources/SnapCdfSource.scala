@@ -153,33 +153,44 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapCdfOffset].v
     val e = end.asInstanceOf[SnapCdfOffset].v
+    // column-mapped tables (round 15): files carry PHYSICAL names; the
+    // stream emits LOGICAL ones. Physical names are rename-invariant and
+    // every mapping-RESETTING op (compact/overwrite/merge-materialize) is
+    // refused below, so the admitted window's files all read correctly
+    // under the END-of-window mapping — one translation per plan. The key
+    // column is never mapped (rename refuses it).
+    val cmEnd = if (e >= 1) t.readEntry(e).cmap else Map.empty[String, String]
+    val physNames: Seq[String] =
+      if (cmEnd.isEmpty) Nil // identity — readers skip the rename
+      else dataFields.fields.toSeq.map(f => cmEnd.getOrElse(f.name, f.name))
     val parts = Array.newBuilder[InputPartition]
     for (v <- (s + 1) to e) {
-      require(t.readEntry(v).cmap.isEmpty,
-        s"snapcdf on column-mapped tables is not supported (version $v " +
-          "of " + root + " carries renames/drops) — compact() first")
       val op = t.opOf(v)
       val entry = t.readEntry(v)
       if (op == "merge" && entry.cdc.isDefined) {
         // a CDF-enabled merge (commitMerge(cdc = true)) materialized its
-        // exact change rows — serve them verbatim, types included
+        // exact change rows — serve them verbatim, types included (the
+        // sidecar carries the same physical names as the data files)
         for (f <- t.dataFilesOf(entry.cdc.get))
-          parts += SnapCdfPartition(f, v, typed = true)
+          parts += SnapCdfPartition(f, v, typed = true, physNames)
       } else {
-        // metadata-only commits (constraint changes) admit cleanly and
-        // contribute no rows; a clone's v1 is a pure backfill (all
-        // inherited files surface as inserts). Ops that REMOVE rows
-        // (delete/merge/overwrite/restore/replace-partitions) fail loudly.
+        // metadata-only commits (constraint/bloom/schema-alter changes)
+        // admit cleanly and contribute no rows; a clone's v1 is a pure
+        // backfill (all inherited files surface as inserts). Ops that
+        // REMOVE rows (delete/merge/overwrite/restore/replace-partitions)
+        // fail loudly.
         require(op == "append" || op == "txn-append" ||
             op == "add-constraint" || op == "drop-constraint" ||
-            op == "set-bloom" || (op == "clone" && v == 1),
+            op == "set-bloom" || op == "rename-column" ||
+            op == "drop-column" || op == "add-column" ||
+            op == "alter-table" || (op == "clone" && v == 1),
           s"snapcdf streams append-family commits (and merges committed " +
             s"with cdc = true); version $v is '$op' — use " +
             "SnapshotCdf.backfill for exact diffs of other history")
         val prev = if (v == 1) Set.empty[String]
           else t.readEntry(v - 1).data.toSet
         for (d <- entry.data if !prev.contains(d); f <- t.dataFilesOf(d))
-          parts += SnapCdfPartition(f, v)
+          parts += SnapCdfPartition(f, v, typed = false, physNames)
       }
     }
     parts.result()
@@ -200,8 +211,12 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
   override def stop(): Unit = ()
 }
 
+/** `physNames` — the in-file (physical) name of each data field,
+  * positionally; empty = identity (unmapped table). */
 case class SnapCdfPartition(file: String, version: Int,
-                            typed: Boolean = false) extends InputPartition
+                            typed: Boolean = false,
+                            physNames: Seq[String] = Nil)
+    extends InputPartition
 
 /** Per-file reader: the snaplog parquet assembly plus the two appended
   * CDF metadata columns. The version's delete-sidecar keys load lazily
@@ -211,6 +226,16 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
                                 needKey: Boolean, root: String,
                                 conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
+
+  /** The fields to request FROM THE FILE: the stream's data fields with
+    * each name swapped for its physical (in-file) spelling when the
+    * table is column-mapped. Output stays positional, so the emitted
+    * schema is untouched. */
+  private def physFields(p: SnapCdfPartition): StructType =
+    if (p.physNames.isEmpty) dataFields
+    else StructType(dataFields.fields.zip(p.physNames).map {
+      case (f, n) => f.copy(name = n)
+    })
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapCdfPartition]
@@ -249,8 +274,8 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
       else readSidecarKeys(delDirs, fs)
     val readFields =
       if (needKey && deletedKeys.nonEmpty)
-        StructType(dataFields.fields :+ keyFieldOf())
-      else dataFields
+        StructType(physFields(p).fields :+ keyFieldOf())
+      else physFields(p)
     val keyIdx =
       if (deletedKeys.isEmpty) -1 else readFields.fieldNames.indexOf(keyCol)
     val inner = new SnaplogFileReader(p.file, readFields, dataFields.size,
@@ -279,7 +304,7 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
     * `_change_type` — decode it as a data column, append the version,
     * and apply NO delete filtering (change records are exact). */
   private def typedReader(p: SnapCdfPartition): PartitionReader[InternalRow] = {
-    val readFields = StructType(dataFields.fields :+
+    val readFields = StructType(physFields(p).fields :+
       StructField(SnapCdfSource.ChangeTypeCol, StringType, nullable = true))
     val inner = new SnaplogFileReader(p.file, readFields, readFields.size,
       -1, Array.empty, conf.value)

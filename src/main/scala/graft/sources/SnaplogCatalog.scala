@@ -58,6 +58,14 @@ class SnaplogCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** `ALTER TABLE ... ADD CONSTRAINT` is analyzer-gated on the CATALOG
+    * declaring constraint support (round 15). */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def pathOf(ident: Identifier): String = {
     val joined = (ident.namespace() :+ ident.name()).mkString("/")
     if (joined.startsWith("/")) joined
@@ -115,7 +123,7 @@ class SnaplogCatalog extends TableCatalog
     val schema = t.schemaOf(v).getOrElse(throw new IllegalArgumentException(
       s"snaplog entry $v at $path carries no schema (legacy table)"))
     new SnaplogTable(SparkSession.active, t, path, v, key, schema,
-      t.readEntry(v).cmap)
+      t.readEntry(v).cmap, t.readEntry(v).retired)
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
@@ -212,6 +220,33 @@ class SnaplogCatalog extends TableCatalog
     val key = probe.keyOf(latest).getOrElse(throw new IllegalArgumentException(
       s"legacy snaplog entry at $path carries no key column"))
     val t = SnapshotLog.open(SparkSession.active, path, key)
+    // SQL constraint DDL (round 15): `ALTER TABLE ... ADD CONSTRAINT n
+    // CHECK (...)` / `DROP CONSTRAINT n` map onto the log's own
+    // addConstraint/dropConstraint — same validation scan, same
+    // conflict pin (a commit racing the validation throws), same
+    // metadata-only publish. A statement is either constraint DDL or
+    // column DDL, never both (Spark's grammar), so the atomic-commit
+    // contract below is untouched.
+    changes.toSeq match {
+      case Seq(ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            t.addConstraint(c.name(),
+              Option(c.predicateSql()).getOrElse(
+                throw new IllegalArgumentException(
+                  s"CHECK constraint '${c.name()}' carries no SQL text")))
+          case other => throw new UnsupportedOperationException(
+            s"snaplog tables enforce CHECK constraints only; got " +
+              s"${other.toDDL} (PRIMARY KEY/UNIQUE/FOREIGN KEY are " +
+              "informational elsewhere and not stored here)")
+        }
+        return loadTable(ident)
+      case Seq(dc: TableChange.DropConstraint) =>
+        if (dc.ifExists() && !t.constraints().contains(dc.name())) ()
+        else t.dropConstraint(dc.name())
+        return loadTable(ident)
+      case _ => ()
+    }
     // one STATEMENT = one atomic commit: all changes fold into a single
     // alterSchema publish, so a refusal anywhere leaves nothing behind
     val ops = changes.map {

@@ -85,11 +85,24 @@ private[sources] object SnaplogProcedures {
         Seq(row(open(cat, in.getUTF8String(0).toString).compact()))
       }
       case "vacuum" => unbound("vacuum",
-        Array(param("table", StringType), param("retain_from", IntegerType)),
+        // two spellings (round 15): retain_from = oldest version to keep
+        // (the log-native form), retain_hours = retention DURATION (the
+        // Delta-runbook form — horizon resolved from entry mtimes, the
+        // newest version always kept). Exactly one must be given.
+        Array(param("table", StringType),
+          paramD("retain_from", IntegerType, "-1"),
+          paramD("retain_hours", DoubleType, "-1.0")),
         new StructType().add("files_removed", IntegerType, false)
           .add("entries_removed", IntegerType, false)) { (in, _) =>
-        val (f, e) = open(cat, in.getUTF8String(0).toString)
-          .vacuum(in.getInt(1))
+        val t = open(cat, in.getUTF8String(0).toString)
+        val retainFrom = if (in.isNullAt(1)) -1 else in.getInt(1)
+        val retainHours = if (in.isNullAt(2)) -1.0 else in.getDouble(2)
+        require((retainFrom >= 1) != (retainHours >= 0),
+          "CALL vacuum needs exactly one of retain_from => <version> or " +
+            "retain_hours => <duration>")
+        val (f, e) =
+          if (retainFrom >= 1) t.vacuum(retainFrom)
+          else t.vacuumRetainHours(retainHours)
         Seq(row(f, e))
       }
       case "restore" => unbound("restore",

@@ -231,16 +231,18 @@ class SnaplogDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val (t, v, key) = resolve(properties)
-    val cmap = if (v >= 1) t.readEntry(v).cmap else Map.empty[String, String]
+    val e = if (v >= 1) Some(t.readEntry(v)) else None
     new SnaplogTable(SparkSession.active, t, properties.get("path"), v, key,
-      schema, cmap)
+      schema, e.fold(Map.empty[String, String])(_.cmap),
+      e.fold(Set.empty[String])(_.retired))
   }
 }
 
 class SnaplogTable(spark: SparkSession, t: SnapshotTable,
                    path: String, version: Int, keyCol: String,
                    tableSchema: StructType,
-                   cmap: Map[String, String] = Map.empty)
+                   cmap: Map[String, String] = Map.empty,
+                   retired: Set[String] = Set.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -267,6 +269,25 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+
+  /** The version's CHECK constraints, surfaced through Spark 4's DSv2
+    * constraint API (round 15) — DESCRIBE shows them, `ALTER TABLE ADD
+    * CONSTRAINT` sees duplicates, and the analyzer enforces them on SQL
+    * writes (a second, plan-time gate in front of the log's own
+    * batch-validation at commit). Always VALID: the log never publishes
+    * a constraint without scanning the table it was added to. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (version < 1) Array.empty
+    else t.readEntry(version).constraints.toSeq.sortBy(_._1).map {
+      case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** `df.write.format("snaplog")` / `df.writeStream.format("snaplog")` —
     * the ENGINE-NATIVE write path (round 14; replaces the round-13
@@ -297,7 +318,7 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
           s"snaplog write is missing its key column '$keyCol'")
         SnaplogWrite.messageType(info.schema()) // loud type-scope check
         new SnaplogWriteImpl(spark, path, keyCol, info.schema(),
-          info.queryId(), replace, cmap)
+          info.queryId(), replace, cmap, retired)
       }
     }
 

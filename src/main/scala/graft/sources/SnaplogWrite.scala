@@ -189,7 +189,8 @@ case class SnaplogStreamingWriterFactory(dirPrefix: String,
   * exactly-once append. One instance per planned write. */
 class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
     schema: StructType, queryId: String, truncate: Boolean,
-    cmap: Map[String, String] = Map.empty) extends Write {
+    cmap: Map[String, String] = Map.empty,
+    retired: Set[String] = Set.empty) extends Write {
 
   private def conf = new SerializableHadoopConf(
     spark.sessionState.newHadoopConf())
@@ -215,7 +216,7 @@ class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
       }.toSeq
       val t = SnapshotLog.open(spark, path, keyCol)
       t.commitStaged(dir, files, schema, overwrite = truncate,
-        cmap = writeCmap)
+        cmap = writeCmap, retired = if (truncate) Set.empty else retired)
       ()
     }
 
@@ -245,7 +246,8 @@ class SnaplogWriteImpl(spark: SparkSession, path: String, keyCol: String,
       if (files.isEmpty) return // empty batch: replay is harmless, skip
       val t = SnapshotLog.open(spark, path, keyCol)
       t.commitStaged(s"$prefix-e$epochId", files, schema,
-        txn = Some((s"snaplog-sink-$queryId", epochId)), cmap = writeCmap)
+        txn = Some((s"snaplog-sink-$queryId", epochId)), cmap = writeCmap,
+        retired = retired)
       ()
     }
 

@@ -526,9 +526,87 @@ object ClusterCheck {
       System.err.println(s"[chaos] SQL DML / native write: $e"); false
     } finally { stop5.set(true); killer5.join(2000) }
 
+    // round-15 column-mapping phase: the FULL mapped-table DML/CDF
+    // surface under yet another fresh executor kill — rename (metadata),
+    // a cdc-MERGE through the mapping (replacement files + change
+    // sidecar land PHYSICAL names), a snapcdf drain of the whole feed
+    // including the sidecar (translated back to logical in-reader, rows
+    // exactly-once across task retries), then mapped SQL UPDATE and a
+    // banded predicate DELETE, with the final table compared row-exact
+    // against the closed form.
+    val stop6 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed6 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer6 = new Thread(() => {
+      while (!stop6.get() && !killed6.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop6.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during mapped DML")
+            killed6.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer6.setDaemon(true)
+    killer6.start()
+    val mapOk = try {
+      val mroot = java.nio.file.Files
+        .createTempDirectory("graft-chaos-map").toString + "/t"
+      spark.range(30000).select(col("id"), (col("id") * 3).as("n"))
+        .repartition(8)
+        .write.format("snaplog").option("key", "id").mode("append")
+        .save(mroot)                                                  // v1
+      val tm = graft.operators.SnapshotLog.open(spark, mroot, "id")
+      tm.renameColumn("n", "score")                                   // v2
+      tm.commitMerge(spark.range(10000, 11000)
+        .select(col("id"), (col("id") * 7).as("score")), cdc = true)  // v3
+      val mapHeld = tm.columnMap() == Map("score" -> "n")
+      // drain the feed (v1 inserts + v2 no-rows + v3 exact change rows)
+      // BEFORE the exact-diff DML versions land
+      val msink = java.nio.file.Files
+        .createTempDirectory("graft-chaos-mapcdf").toString
+      val mq = spark.readStream.format("snapcdf").load(mroot)
+        .writeStream.option("checkpointLocation", s"$msink/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(s"$msink/out")
+          ()
+        }.start()
+      mq.awaitTermination()
+      val drained = spark.read.parquet(s"$msink/out")
+      val insAgg = drained.where(col("_change_type") === "insert")
+        .agg(count(lit(1)), sum(col("score"))).collect().head
+      val delAgg = drained.where(col("_change_type") === "delete")
+        .agg(count(lit(1)), sum(col("score"))).collect().head
+      def s3(lo: Long, hi: Long, k: Long) = // k * sum(id in [lo, hi))
+        k * (hi * (hi - 1) - lo * (lo - 1)) / 2
+      val drainOk = insAgg.getLong(0) == 31000L &&
+        insAgg.getLong(1) == s3(0, 30000, 3) + s3(10000, 11000, 7) &&
+        delAgg.getLong(0) == 1000L &&
+        delAgg.getLong(1) == s3(10000, 11000, 3)
+      // mapped SQL UPDATE + banded predicate DELETE, then closed-form
+      // row-exact parity of the final table
+      spark.sql(s"UPDATE chaossnap.`$mroot` SET score = score + 1 " +
+        "WHERE id >= 20000 AND id < 20500")
+      tm.commitDeleteWhere("id", 0, 999)
+      val expected = spark.range(1000, 30000).select(col("id"),
+        when(col("id") >= 10000 && col("id") < 11000, col("id") * 7)
+          .when(col("id") >= 20000 && col("id") < 20500, col("id") * 3 + 1)
+          .otherwise(col("id") * 3).as("score"))
+      val fin = tm.read()
+      mapHeld && drainOk && tm.columnMap() == Map("score" -> "n") &&
+        fin.count() == 29000L && fin.exceptAll(expected).isEmpty &&
+        expected.exceptAll(fin).isEmpty
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] mapped DML/CDF: $e"); false
+    } finally { stop6.set(true); killer6.join(2000) }
+
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
       total == expect && monotone && pruned && mergeOk && txnOk &&
-      partOk && dsv2Ok && sqlOk
+      partOk && dsv2Ok && sqlOk && mapOk
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
@@ -537,6 +615,7 @@ object ClusterCheck {
       s""""partOk":$partOk,"partKillLanded":${killed4.get()},""" +
       s""""dsv2Ok":$dsv2Ok,""" +
       s""""sqlDmlOk":$sqlOk,"sqlKillLanded":${killed5.get()},""" +
+      s""""mapOk":$mapOk,"mapKillLanded":${killed6.get()},""" +
       s""""ok":$ok}"""
     (json, ok)
   }

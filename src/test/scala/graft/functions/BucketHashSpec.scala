@@ -28,6 +28,27 @@ class BucketHashSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("graft_bucket rejects non-positive bucket counts at analysis") {
+    GraftFunctions.register(spark)
+    // n = 0 must be an analysis-time refusal, not an ArithmeticException
+    // thrown from generated code; n < 0 likewise (negative bucket-id
+    // strings could never match logged pvals)
+    for (n <- Seq(0, -3)) {
+      val e = intercept[Exception] {
+        Seq("x").toDF("s")
+          .select(call_function("graft_bucket", col("s"), lit(n)))
+          .collect()
+      }
+      assert(!e.isInstanceOf[ArithmeticException] &&
+        e.getMessage.contains("positive"), s"n=$n: $e")
+    }
+    // n = 1 is degenerate but well-defined: everything lands in bucket 0
+    val one = Seq("a", "b").toDF("s")
+      .select(call_function("graft_bucket", col("s"), lit(1)))
+      .collect().map(_.getString(0)).toSet
+    assert(one == Set("0"))
+  }
+
   test("partition derive plan carries no ScalaUDF and stays codegen") {
     GraftFunctions.register(spark)
     val c = PTransform.parse("bucket(8,id)").derivedExpr(LongType)

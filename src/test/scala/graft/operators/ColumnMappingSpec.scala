@@ -49,11 +49,21 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.columnMap().isEmpty, "rename back to the file name = identity")
     t.renameColumn("score", "points") // leave mapped for the next phase
 
-    // refusals: COW ops need materialization first
-    intercept[IllegalArgumentException](
-      t.commitMerge(Seq((1L, 1L, "x")).toDF("id", "points", "name")))
-    intercept[IllegalArgumentException](
-      t.commitUpdateWhere("id", 1, 2, Map("name" -> "'y'")))
+    // COW ops run THROUGH the mapping (round 15 parity — previously
+    // refused): merge updates in logical space, lands physical files
+    t.commitMerge(Seq((1L, 1L, "x")).toDF("id", "points", "name"))
+    assert(t.read().where(col("id") === 1L)
+      .select("points", "name").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x")))
+    assert(t.columnMap() == Map("points" -> "score"),
+      "the mapping must survive a merge")
+    t.commitUpdateWhere("id", 2, 2, Map("name" -> "'y'"))
+    assert(t.read().where(col("id") === 2L).select("name")
+      .as[String].collect().toSeq == Seq("y"))
+    // predicate DML on the MAPPED column translates to physical stats
+    t.commitUpdateWhere("points", 30L, 30L, Map("points" -> "points + 1"))
+    assert(t.read().where(col("id") === 3L).select("points")
+      .as[Long].collect().toSeq == Seq(31L))
     // compact materializes: files now carry logical names, map resets
     t.compact()
     assert(t.columnMap().isEmpty)
@@ -183,7 +193,102 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read().where(col("id") === 5L).count() == 0)
   }
 
-  test("connector reads column-mapped tables; snapcdf refuses loudly") {
+  test("connector overwrite of a mapped table resets the mapping") {
+    // ADVICE r14: the staged-commit cmap guard must not apply to
+    // truncate/overwrite — the replacement files carry LOGICAL names and
+    // the commit resets the mapping, so a non-empty live mapping is fine
+    val root = java.nio.file.Files.createTempDirectory("graft_cmo").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 40L).map(i => (i, i * 10, s"u$i"))
+      .toDF("id", "score", "name"))
+    t.renameColumn("score", "points")
+    assert(t.columnMap().nonEmpty)
+
+    Seq((500L, 7L, "z")).toDF("id", "points", "name")
+      .write.format("snaplog").mode("overwrite").save(root)
+    assert(t.read().count() == 1)
+    assert(t.columnMap().isEmpty, "overwrite materializes the mapping")
+    assert(t.read().columns.toSeq == Seq("id", "points", "name"))
+    // the replacement files really carry the LOGICAL name
+    assert(spark.read.parquet(t.read().inputFiles.head)
+      .columns.contains("points"))
+    // time travel still reads v1 under its own names
+    assert(t.read(1).columns.toSeq == Seq("id", "score", "name"))
+    // and the table keeps working: append + read through the connector
+    Seq((501L, 8L, "y")).toDF("id", "points", "name")
+      .write.format("snaplog").mode("append").save(root)
+    assert(spark.read.format("snaplog").load(root).count() == 2)
+  }
+
+  test("staged commit refuses when a drop retired a name since planning") {
+    // ADVICE r14: dropping an identity-mapped column leaves cmap
+    // unchanged (only `retired` grows) — a staged write planned before
+    // the drop must refuse, or widen() re-adds the dropped column and
+    // old files' bytes silently resurface
+    val root = java.nio.file.Files.createTempDirectory("graft_cmr").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    val preDrop = (1L to 20L).map(i => (i, i * 2, s"v$i"))
+      .toDF("id", "score", "name")
+    t.commitAppend(preDrop)
+    val preDropSchema = t.schemaOf(1).get
+    t.dropColumn("score") // identity-mapped: cmap stays empty
+    assert(t.columnMap().isEmpty && t.retiredColumns() == Set("score"))
+
+    // stage files the way a connector write planned BEFORE the drop
+    // would have (pre-drop schema, empty cmap, empty retired set)
+    val dir = s"$root/data/c-${java.util.UUID.randomUUID()}"
+    preDrop.write.parquet(dir)
+    val files = spark.read.parquet(dir).inputFiles.toSeq
+    val e = intercept[Exception] {
+      t.commitStaged(dir, files, preDropSchema,
+        cmap = Map.empty, retired = Set.empty)
+    }
+    assert(e.getMessage.contains("changed while a connector write"),
+      e.toString)
+    // the dropped column must NOT have resurfaced
+    assert(t.read().columns.toSeq == Seq("id", "name"))
+    // a write planned AFTER the drop (current mapping + retired set)
+    // publishes normally
+    val dir2 = s"$root/data/c-${java.util.UUID.randomUUID()}"
+    Seq((21L, "x")).toDF("id", "name").write.parquet(dir2)
+    val files2 = spark.read.parquet(dir2).inputFiles.toSeq
+    assert(t.commitStaged(dir2, files2, t.schemaOf(2).get,
+      cmap = Map.empty, retired = Set("score")).nonEmpty)
+    assert(t.read().count() == 21)
+  }
+
+  test("zero-row connector batch never publishes an empty data dir") {
+    // ADVICE r14: INSERT ... WHERE false must not commit the empty dir
+    // mkdirs'd by the orphan sweep as a live entry
+    val root = java.nio.file.Files.createTempDirectory("graft_cm0").toString
+    val s1 = spark
+    import s1.implicits._
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.format("snaplog").option("key", "id").mode("append").save(root)
+    val t = SnapshotLog.open(spark, root, "id")
+    val dataBefore = t.readEntry(1).data
+
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .where(org.apache.spark.sql.functions.lit(false))
+      .write.format("snaplog").mode("append").save(root)
+    val v = t.currentVersion()
+    assert(t.readEntry(v).data == dataBefore,
+      "a zero-row batch must publish a data-identical entry")
+    assert(t.read().count() == 10)
+    // the staged dir was swept — data/ holds only the one live commit dir
+    val dataDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "data")).count()
+    assert(dataDirs == 1, s"empty staged dirs must be swept, got $dataDirs")
+
+    // zero-row OVERWRITE = truncate to empty, also without an empty dir
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .where(org.apache.spark.sql.functions.lit(false))
+      .write.format("snaplog").mode("overwrite").save(root)
+    assert(t.read().count() == 0)
+    assert(t.readEntry(t.currentVersion()).data.isEmpty)
+  }
+
+  test("connector reads column-mapped tables; snapcdf drains them") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmc").toString
     val t = SnapshotLog.open(spark, root, "id")
     t.commitAppend((1L to 100L).map(i => (i, i * 10, s"u$i"))
@@ -209,19 +314,30 @@ class ColumnMappingSpec extends SparkSpec {
     assert(v1.columns.toSeq == Seq("id", "score", "name"))
     assert(v1.count() == 100)
 
-    // snapcdf streams refuse mapped tables (compact() first)
-    val err = intercept[Exception] {
-      val q = spark.readStream.format("snapcdf").load(root)
-        .writeStream.format("noop")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    def msgs(x: Throwable): Seq[String] =
-      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(err).exists(_.contains("column-mapped")), err.toString)
-    // ... and API appends still work
+    // snapcdf streams DRAIN mapped tables (round 15 parity — previously
+    // refused): files read under physical names, rows emitted logical;
+    // the rename version admits as a no-row metadata commit
     t.commitAppend(Seq((200L, 1L, "x")).toDF("id", "points", "name"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_cmc_sink")
+      .toString
+    // start past the v3 MOR-delete commit (exact-diff ops stay refused);
+    // the admitted append's entry CARRIES the sidecar, applied in-reader
+    val q = spark.readStream.format("snapcdf")
+      .option("startVersion", 3).load(root)
+      .writeStream.option("checkpointLocation", s"$sink/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(s"$sink/out")
+        ()
+      }.start()
+    q.awaitTermination()
+    val drained = spark.read.parquet(s"$sink/out")
+    assert(drained.columns.toSet ==
+      Set("id", "points", "name", "_change_type", "cdf_version"))
+    assert(drained.count() == 1)
+    assert(drained.where(col("points") === 1L && col("id") === 200L)
+      .count() == 1,
+      "physical column bytes must surface under the LOGICAL name")
     assert(spark.read.format("snaplog").load(root).count() == 100)
   }
 }

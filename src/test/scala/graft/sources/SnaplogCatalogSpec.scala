@@ -158,6 +158,94 @@ class SnaplogCatalogSpec extends SparkSpec {
       assert(shown.contains(p), s"missing $p in $shown")
   }
 
+  test("SQL constraint DDL: ADD/DROP CONSTRAINT map to the log's own set") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whc").toString
+    spark.conf.set("spark.sql.catalog.conssnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.conssnap.warehouse", wh)
+    spark.sql("CREATE TABLE conssnap.t (id BIGINT, n BIGINT) USING snaplog")
+    spark.sql("INSERT INTO conssnap.t SELECT id, id * 2 FROM range(1, 101)")
+    val t = graft.operators.SnapshotLog.open(spark, s"$wh/t", "id")
+
+    spark.sql("ALTER TABLE conssnap.t ADD CONSTRAINT n_pos CHECK (n >= 0)")
+    assert(t.constraints().contains("n_pos"))
+    assert(t.opOf(t.currentVersion()) == "add-constraint")
+
+    // violating INSERT refused from SQL text, NO version behind
+    val v0 = t.currentVersion()
+    intercept[Exception](
+      spark.sql("INSERT INTO conssnap.t VALUES (9999, -5)"))
+    assert(t.currentVersion() == v0 && t.read().count() == 100,
+      "a violating SQL INSERT must commit nothing")
+
+    // duplicate ADD refused; a constraint existing rows violate refused
+    intercept[Exception](spark.sql(
+      "ALTER TABLE conssnap.t ADD CONSTRAINT n_pos CHECK (n > 1)"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE conssnap.t ADD CONSTRAINT n_huge CHECK (n > 100000)"))
+    assert(t.constraints().keySet == Set("n_pos"))
+
+    // the table REPORTS its constraints through the DSv2 API
+    val reported = spark.sessionState.catalogManager
+      .catalog("conssnap")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t"))
+      .constraints()
+    assert(reported.length == 1 && reported.head.name() == "n_pos")
+
+    // DROP CONSTRAINT re-admits; IF EXISTS of a missing name is a no-op;
+    // a plain drop of a missing name throws
+    spark.sql("ALTER TABLE conssnap.t DROP CONSTRAINT n_pos")
+    assert(t.constraints().isEmpty)
+    spark.sql("INSERT INTO conssnap.t VALUES (9999, -5)")
+    assert(t.read().where(col("n") < 0).count() == 1)
+    spark.sql("ALTER TABLE conssnap.t DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE conssnap.t DROP CONSTRAINT nope"))
+  }
+
+  test("CALL vacuum by retention duration: newest never deleted") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whv").toString
+    spark.conf.set("spark.sql.catalog.vacsnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.vacsnap.warehouse", wh)
+    spark.sql("CREATE TABLE vacsnap.t (id BIGINT, n BIGINT) USING snaplog")
+    spark.sql("INSERT INTO vacsnap.t SELECT id, id FROM range(1, 101)")
+    spark.sql("INSERT INTO vacsnap.t SELECT id, id FROM range(101, 201)")
+    val t = graft.operators.SnapshotLog.open(spark, s"$wh/t", "id")
+    assert(t.currentVersion() == 3)
+    // backdate v1/v2 ten days; v3 stays fresh
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    for (v <- 1 to 2)
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(wh, "t", "_log", s"$v.json"), old)
+
+    // a huge window retains everything
+    val (f0, e0) = spark.sql(
+      "CALL vacsnap.vacuum(table => 't', retain_hours => 1000.0)")
+      .as[(Int, Int)].head()
+    assert(f0 == 0 && e0 == 0, s"($f0, $e0)")
+
+    // RETAIN 24 HOURS drops the two backdated versions, keeps the head
+    val (_, e1) = spark.sql(
+      "CALL vacsnap.vacuum(table => 't', retain_hours => 24.0)")
+      .as[(Int, Int)].head()
+    assert(e1 == 2, s"entries removed: $e1")
+    assert(t.read().count() == 200, "the newest version must survive")
+    intercept[Exception](t.read(1)) // below the horizon
+
+    // RETAIN 0 HOURS degenerates to keep-head-only — never an empty table
+    spark.sql("INSERT INTO vacsnap.t SELECT id, id FROM range(201, 211)")
+    t.vacuumRetainHours(0.0)
+    assert(t.read().count() == 210, "head must always survive RETAIN 0")
+
+    // exactly one spelling required
+    intercept[Exception](spark.sql("CALL vacsnap.vacuum(table => 't')"))
+    intercept[Exception](spark.sql(
+      "CALL vacsnap.vacuum(table => 't', retain_from => 1, " +
+        "retain_hours => 1.0)"))
+  }
+
   test("multi-change ALTER is atomic; torn CREATEs are droppable") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wht").toString
     spark.conf.set("spark.sql.catalog.tornsnap", "graft.sources.SnaplogCatalog")
