@@ -2483,6 +2483,79 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     overwriteWith(clustered, "optimize", base = Some(v0))
   }
 
+  /** Partition-scoped OPTIMIZE (round 15 — Delta's `OPTIMIZE t WHERE
+    * part = v`): rewrite ONLY the data entries whose LOGGED partition
+    * values match `values` into `numFiles` key-clustered (or z-ordered)
+    * files; every other entry is untouched at the METADATA level — at
+    * 100 TB, maintenance is per-partition or it does not happen (the
+    * table-wide [[optimize]] rewrites everything). Selection is pure
+    * metadata (`pvals`, like [[readPartitions]]); a `values` set
+    * matching nothing is an exact no-op returning the current version.
+    * Pending MOR delete sidecars FOLD into the rewritten rows and the
+    * sidecar carries unchanged — the rewritten partition's masked rows
+    * are gone from its files, other partitions keep masking by key, and
+    * re-anti-joining the rewritten rows is harmless (their masked keys
+    * no longer exist there).
+    *
+    * Partition-alignment is PRESERVED when `values` pins the full
+    * assignment of every selected entry (the common case — one leaf
+    * partition): the rewritten dir re-enters `pvals` under the same
+    * assignment, so `commitReplacePartitions`/`readPartitions` keep
+    * working — unlike the table-wide optimize, which drops alignment. A
+    * partial pin (a subset of a multi-spec partitioning) merges leaves
+    * and the rewritten dir leaves `pvals` (documented, like merge).
+    * Conflict-pinned to the base version like optimize/compact. */
+  def optimizePartition(values: Map[String, String], numFiles: Int,
+      zorderCols: String*): Int = {
+    require(values.nonEmpty,
+      "optimizePartition needs at least one column=value")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val v0 = currentVersion()
+    require(v0 >= 1, s"optimizePartition on an empty table at $root")
+    val e0 = readEntry(v0)
+    val canon = values.map { case (k, x) => PTransform.parse(k).spec -> x }
+    val selected = e0.data.filter { d =>
+      e0.pvals.get(d).exists(vs =>
+        canon.forall { case (c, x) => vs.get(c).contains(x) })
+    }
+    if (selected.isEmpty) return v0 // no such partition — metadata no-op
+    val selSet = selected.toSet
+    val sch = schemaOf(v0)
+    val rd = physSchema(v0, e0).map(spark.read.schema(_)).getOrElse(spark.read)
+    val raw = toLogical(rd.parquet(selected: _*), v0, e0)
+    val folded =
+      if (e0.deletes.isEmpty) raw
+      else raw.join(broadcast(spark.read.parquet(e0.deletes: _*)
+        .select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    val clustered =
+      if (zorderCols.isEmpty)
+        folded.repartitionByRange(numFiles, col(keyCol))
+      else if (zorderCols.size == 1)
+        folded.repartitionByRange(numFiles, col(zorderCols.head))
+      else
+        LayoutOps.zvalueK(folded, zorderCols, zCol = "__graft_z")
+          .repartitionByRange(numFiles, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+    val dir = newDataDir()
+    physicalize(clustered, e0.cmap).write.mode("errorifexists").parquet(dir)
+    val newStats = statsFor(dir)
+    buildBloom(dir, newStats, e0.bloomCols)
+    val uniform = selected.forall(d => e0.pvals.get(d).contains(canon))
+    val keptStats = e0.stats.filterNot(s =>
+      selected.exists(d => belongsTo(s.file, d)))
+    commitWithRetry(op = "optimize-partition") { v =>
+      if (v != v0 + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"optimizePartition computed against version $v0 of $root but " +
+            s"version ${v - 1} has been committed since — the rewrite is " +
+            "stale; re-run against the new snapshot")
+      Some(Composed(e0.data.filterNot(selSet) :+ dir, e0.deletes,
+        keptStats ++ newStats, sch, e0.sv,
+        newPvals = if (uniform) Map(dir -> canon) else Map.empty))
+    }.get
+  }
+
   // ---- round 12: MERGE / change feed / VACUUM ---------------------------
 
   /** Scheme-stripped, slash-collapsed path — entries written by

@@ -655,6 +655,52 @@ object RelationalQueries {
         .orderBy(col("side"))
     }),
 
+    // Partition-scoped OPTIMIZE (round 15 — Delta's `OPTIMIZE t WHERE
+    // part = v`): fragment ONE partition across three appends, then
+    // rewrite ONLY it — foreign partitions carry METADATA-identical
+    // (same entry strings, asserted), the rewritten dir re-enters
+    // `pvals` under its assignment so partition reads stay exact, and
+    // the en entry count collapses 3 → 1. At 100 TB maintenance is
+    // per-partition or it does not happen. Driven via SQL CALL
+    // (`partition => 'lang=en'`). Oracle is the plain closed form.
+    "q_scan_snapoptpart" -> ((s, d) => {
+      val wh = warehouseCatalog(s)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_optpart").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val en = docs.where(col("lang") === "en")
+      t.commitAppend(docs, Seq("lang"))                               // v1
+      t.commitAppend(en.withColumn("doc_id", col("doc_id") + 10000),
+        Seq("lang"))                                                  // v2
+      t.commitAppend(en.withColumn("doc_id", col("doc_id") + 20000),
+        Seq("lang"))                                                  // v3
+      val e0 = t.readEntry(3)
+      val enBefore = e0.pvals.collect {
+        case (dir, vs) if vs("lang") == "en" => dir }.toSet
+      val foreign = e0.data.filterNot(enBefore)
+      require(enBefore.size == 3, s"expected 3 en entries, got $enBefore")
+      s.sql(s"CALL graftwh.optimize(table => '$tmp', num_files => 1, " +
+        "partition => 'lang=en')")
+      require(wh.nonEmpty) // catalog registered (CALL above used it)
+      val e1 = t.readEntry(t.currentVersion())
+      require(t.opOf(t.currentVersion()) == "optimize-partition")
+      require(foreign.forall(e1.data.contains),
+        "foreign partitions must carry metadata-identical")
+      require(!e1.data.exists(enBefore) &&
+        e1.pvals.values.count(_ == Map("lang" -> "en")) == 1,
+        "the en partition must collapse to ONE aligned entry")
+      val enRead = t.readPartitions(Map("lang" -> "en"))
+      require(enRead.inputFiles.length < t.read().inputFiles.length,
+        "the partition read must prune foreign files")
+      t.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // Column-mapping DML PARITY (round 15 — closes the one surface gap a
     // legal rename used to open): API MERGE, predicate DELETE/UPDATE
     // WHERE, the batch change feed AND the snapcdf stream all run ON the
@@ -1692,6 +1738,19 @@ object RelationalQueries {
          SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 600
          ORDER BY side""",
+    "q_scan_snapoptpart" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT lang, n_chars AS nc, doc_id AS id FROM documents
+           UNION ALL
+           SELECT lang, n_chars, doc_id + 10000 FROM documents
+            WHERE lang = 'en'
+           UNION ALL
+           SELECT lang, n_chars, doc_id + 20000 FROM documents
+            WHERE lang = 'en')
+         GROUP BY lang ORDER BY lang""",
     "q_scan_snapmapdml" ->
       """SELECT 'cdf_del' AS side, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

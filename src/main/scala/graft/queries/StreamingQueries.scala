@@ -422,6 +422,65 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming read of the snaplog TABLE itself (round 15 —
+    // `readStream.format("snaplog")`, Delta's "table as an append
+    // stream", its most common streaming read): offsets are versions,
+    // each admitted append emits its new files as PLAIN rows,
+    // maxVersionsPerTrigger rate-controls (asserted in-flight: one
+    // version's rows per micro-batch), and a change commit
+    // (DELETE WHERE) is SKIPPED whole under skipChangeCommits — the
+    // COW rewrite's replacement file never re-emits, so the drain is
+    // exactly the original appends. A second stream starts past the
+    // change commit via startVersion. Oracle is the closed form of
+    // both drains.
+    "q_stream_snapread" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snapread").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 200))              // v1
+      t.commitAppend(docs.where(col("doc_id") >= 200 &&
+        col("doc_id") < 350))                                      // v2
+      t.commitDeleteWhere("doc_id", 100, 149)                      // v3
+      t.commitAppend(docs.where(col("doc_id") >= 350))             // v4
+      import scala.jdk.CollectionConverters._
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def drain(sink: String, ckpt: String,
+          opts: Map[String, String]): Unit = {
+        val rd = opts.foldLeft(s.readStream.format("snaplog")) {
+          case (r, (k, v)) => r.option(k, v)
+        }
+        val q = rd.load(tmp)
+          .writeStream.option("checkpointLocation", s"$tmp/$ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = b.count()
+            if (n > 0) { batches.add(n); b.write.mode("append")
+              .parquet(s"$tmp/$sink") }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      drain("full", "c1", Map("skipChangeCommits" -> "true",
+        "maxVersionsPerTrigger" -> "1"))
+      // one version's rows per micro-batch; the change commit skipped
+      // whole (its COW rewrite never re-emits)
+      require(batches.asScala.size == 3,
+        s"expected 3 non-empty one-version batches, got $batches")
+      drain("tail", "c2", Map("startVersion" -> "3"))
+      def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(lit(side).as("side"), col("n"), col("sum_chars"),
+            col("sum_ids"))
+      agg(s.read.parquet(s"$tmp/full"), "full")
+        .unionByName(agg(s.read.parquet(s"$tmp/tail"), "tail"))
+        .orderBy(col("side"))
+    }),
+
     "q_stream_snapsink" -> ((s, d) => {
       val staged = stagedEvents(s, d)
       val ev = Tables.events(s, d).drop("props")
@@ -729,6 +788,16 @@ object StreamingQueries {
                 ROUND(SUM(value), 2) AS sum_value,
                 COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_stream_snapread" ->
+      """SELECT 'full' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         UNION ALL
+         SELECT 'tail', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+         FROM documents WHERE doc_id >= 350
+         ORDER BY side""",
     "q_stream_snapsink2" ->
       """SELECT event_type, COUNT(*) AS n,
                 ROUND(SUM(value), 2) AS sum_value,

@@ -109,14 +109,26 @@ class SnapCdfDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** `tableMode = true` (round 15 — `spark.readStream.format("snaplog")`,
+  * the Delta "table as an append stream" read): emit the table's PLAIN
+  * rows (no `_change_type`/`cdf_version` columns, `emitSchema` already
+  * column-pruned), and treat every row-CHANGING commit (delete, merge —
+  * cdc or not — overwrite, DML, restore, replace-partitions) as a
+  * change commit: fail loudly by default, or skip it entirely with
+  * `option("skipChangeCommits", "true")` — Delta's option of the same
+  * name. Append-family and metadata-only commits stream as in cdf mode.
+  * `tableMode = false` is the snapcdf change feed (emitSchema = data
+  * fields + the two CDF metadata columns). */
 class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
-                    cdfSchema: StructType, maxVersions: Option[Int],
-                    startVersion: Int)
+                    emitSchema: StructType, maxVersions: Option[Int],
+                    startVersion: Int, tableMode: Boolean = false,
+                    skipChangeCommits: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private val dataFields =
-    StructType(cdfSchema.fields.dropRight(2)) // minus _change_type, cdf_version
+    if (tableMode) emitSchema
+    else StructType(emitSchema.fields.dropRight(2)) // minus the CDF cols
 
   // Trigger.AvailableNow: drain exactly what was committed at start (in
   // maxVersionsPerTrigger-sized batches), then terminate
@@ -167,7 +179,21 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
     for (v <- (s + 1) to e) {
       val op = t.opOf(v)
       val entry = t.readEntry(v)
-      if (op == "merge" && entry.cdc.isDefined) {
+      val appendFamily = op == "append" || op == "txn-append" ||
+        op == "add-constraint" || op == "drop-constraint" ||
+        op == "set-bloom" || op == "rename-column" ||
+        op == "drop-column" || op == "add-column" ||
+        op == "alter-table" || (op == "clone" && v == 1)
+      if (tableMode && !appendFamily) {
+        // the TABLE stream has no change-row vocabulary: a row-changing
+        // commit either skips whole (Delta's skipChangeCommits) or
+        // fails loudly pointing at the two exact-diff surfaces
+        require(skipChangeCommits,
+          s"snaplog table stream reads append-family commits; version " +
+            s"$v is '$op' — set option(\"skipChangeCommits\", " +
+            "\"true\") to skip change commits, or stream the exact " +
+            "diff via format(\"snapcdf\") / SnapshotCdf.backfill")
+      } else if (!tableMode && op == "merge" && entry.cdc.isDefined) {
         // a CDF-enabled merge (commitMerge(cdc = true)) materialized its
         // exact change rows — serve them verbatim, types included (the
         // sidecar carries the same physical names as the data files)
@@ -204,7 +230,8 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
       throw new IllegalArgumentException("legacy snaplog entry has no key"))
     val needKey = !dataFields.fieldNames.contains(keyCol)
     SnapCdfReaderFactory(dataFields, keyCol, needKey,
-      root, new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      root, new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      meta = !tableMode)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -224,7 +251,8 @@ case class SnapCdfPartition(file: String, version: Int,
   * so the factory stays a thin serializable shell. */
 case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
                                 needKey: Boolean, root: String,
-                                conf: SerializableHadoopConf)
+                                conf: SerializableHadoopConf,
+                                meta: Boolean = true)
     extends PartitionReaderFactory {
 
   /** The fields to request FROM THE FILE: the stream's data fields with
@@ -281,19 +309,22 @@ case class SnapCdfReaderFactory(dataFields: StructType, keyCol: String,
     val inner = new SnaplogFileReader(p.file, readFields, dataFields.size,
       keyIdx, deletedKeys, conf.value)
     val insertU = UTF8String.fromString("insert")
+    val extra = if (meta) 2 else 0
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = {
         val r = inner.get()
-        val out = new Array[Any](dataFields.size + 2)
+        val out = new Array[Any](dataFields.size + extra)
         var i = 0
         while (i < dataFields.size) {
           out(i) = if (r.isNullAt(i)) null
             else r.get(i, dataFields.fields(i).dataType)
           i += 1
         }
-        out(dataFields.size) = insertU
-        out(dataFields.size + 1) = p.version
+        if (meta) {
+          out(dataFields.size) = insertU
+          out(dataFields.size + 1) = p.version
+        }
         new GenericInternalRow(out)
       }
       override def close(): Unit = inner.close()

@@ -71,13 +71,27 @@ private[sources] object SnaplogProcedures {
   def load(cat: SnaplogCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
       case "optimize" => unbound("optimize",
+        // `partition => 'col=value,col2=value2'` (round 15) scopes the
+        // rewrite to the matching partition entries — Delta's
+        // `OPTIMIZE t WHERE part = v`; empty = whole table
         Array(param("table", StringType), param("num_files", IntegerType),
-          paramD("zorder", StringType, "''")),
+          paramD("zorder", StringType, "''"),
+          paramD("partition", StringType, "''")),
         new StructType().add("version", IntegerType, false)) { (in, _) =>
         val t = open(cat, in.getUTF8String(0).toString)
         val z = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
         val cols = z.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        Seq(row(t.optimize(in.getInt(1), cols: _*)))
+        val part = Option(in.getUTF8String(3)).map(_.toString).getOrElse("")
+        if (part.isEmpty) Seq(row(t.optimize(in.getInt(1), cols: _*)))
+        else {
+          val values = part.split(",").map(_.trim).filter(_.nonEmpty).map {
+            kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"partition spec '$kv' is not col=value")
+              kv.substring(0, i).trim -> kv.substring(i + 1).trim
+          }.toMap
+          Seq(row(t.optimizePartition(values, in.getInt(1), cols: _*)))
+        }
       }
       case "compact" => unbound("compact",
         Array(param("table", StringType)),

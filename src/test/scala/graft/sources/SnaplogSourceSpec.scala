@@ -431,4 +431,81 @@ class SnaplogSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unsupported")),
       e.toString)
   }
+
+  test("snaplog table stream: appends as plain rows, rate control, skips") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_str").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 50L).map(i => (i, i * 2, s"v$i"))
+      .toDF("id", "n", "v"))                                   // v1
+    t.commitAppend((51L to 80L).map(i => (i, i * 2, s"v$i"))
+      .toDF("id", "n", "v"))                                   // v2
+    t.commitDeleteWhere("id", 5, 5)                            // v3 (change)
+    t.commitAppend((81L to 90L).map(i => (i, i * 2, s"v$i"))
+      .toDF("id", "n", "v"))                                   // v4
+
+    val work = java.nio.file.Files.createTempDirectory("graft_strw").toString
+    def drain(sink: String, ckpt: String,
+        opts: Map[String, String]): Seq[Long] = {
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val rd = opts.foldLeft(spark.readStream.format("snaplog")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = rd.load(root)
+        .writeStream.option("checkpointLocation", s"$work/$ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) { sizes.add(n); b.write.mode("append")
+            .parquet(s"$work/$sink") }
+          ()
+        }.start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      sizes.asScala.toSeq
+    }
+
+    // default: a change commit in the window fails LOUDLY
+    val err = intercept[Exception](drain("d0", "c0", Map.empty))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(err).exists(_.contains("skipChangeCommits")), err.toString)
+
+    // skipChangeCommits + one version per micro-batch: v1/v2/v4 emit
+    // whole (the COW rewrite's replacement file never re-emits), v3
+    // skips — Delta's table-stream semantics
+    val sizes = drain("d1", "c1",
+      Map("skipChangeCommits" -> "true", "maxVersionsPerTrigger" -> "1"))
+    assert(sizes.sorted == Seq(10L, 30L, 50L), sizes.toString)
+    val out = spark.read.parquet(s"$work/d1")
+    assert(out.columns.toSeq == Seq("id", "n", "v"))
+    assert(out.count() == 90 &&
+      out.select("id").distinct().count() == 90)
+
+    // startVersion: begin past the change commit
+    assert(drain("d2", "c2", Map("startVersion" -> "3")) == Seq(10L))
+
+    // incremental restart over the SAME checkpoint: only the new commit
+    t.commitAppend(Seq((91L, 182L, "v91")).toDF("id", "n", "v")) // v5
+    assert(drain("d1", "c1", Map("skipChangeCommits" -> "true",
+      "maxVersionsPerTrigger" -> "1")) == Seq(1L))
+    assert(spark.read.parquet(s"$work/d1").count() == 91)
+
+    // column pruning flows into the stream scan
+    val pruned = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = spark.readStream.format("snaplog")
+      .option("startVersion", "3").load(root).select("n")
+      .writeStream.option("checkpointLocation", s"$work/c3")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          assert(b.columns.toSeq == Seq("n"))
+          b.collect().foreach(r => pruned.add(r.getLong(0)))
+        }
+        ()
+      }.start()
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(pruned.asScala.toSet == ((81L to 91L).map(_ * 2).toSet))
+  }
 }
