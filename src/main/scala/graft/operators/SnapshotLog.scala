@@ -363,6 +363,36 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     Option(tree.get("key")).map(_.asText())
   }
 
+  /** The COMMIT timestamp logged in version `v`'s entry (round 15 —
+    * Delta's commitInfo.timestamp); None for legacy entries, whose
+    * callers fall back to the entry file's mtime. */
+  private[graft] def tsOf(v: Int): Option[Long] = {
+    val tree = Json.readTree(Files.readString(entryPath(v)))
+    Option(tree.get("tms")).map(_.asLong())
+  }
+
+  /** Version `v`'s effective commit time: logged timestamp, or the
+    * entry file's mtime for legacy entries. */
+  private[graft] def commitTimeOf(v: Int): Long =
+    tsOf(v).getOrElse(Files.getLastModifiedTime(entryPath(v)).toMillis)
+
+  /** Rewrite version `v`'s LOGGED commit timestamp in place (content
+    * otherwise identical, atomic replace) — the test/ops seam for
+    * time-based resolution (TIMESTAMP AS OF, RETAIN-hours vacuum);
+    * never called by the engine itself. */
+  private[graft] def backdateTs(v: Int, tsMillis: Long): Unit = {
+    val node = Json.readTree(Files.readString(entryPath(v)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("tms", tsMillis)
+    val tmp = logDir.resolve(
+      s".backdate-${java.util.UUID.randomUUID().toString}.tmp")
+    Files.writeString(tmp, Json.writeValueAsString(node))
+    Files.move(tmp, entryPath(v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** The operation that produced version `v` ("unknown" for legacy
     * entries). */
   private[graft] def opOf(v: Int): String = {
@@ -597,7 +627,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       op: String, sv: Int, cdc: Option[String],
       constraints: Map[String, String], bloomCols: Map[String, Int],
       key: String, cmap: Map[String, String],
-      retired: Set[String]): Unit = {
+      retired: Set[String], tms: Long): Unit = {
+    // the COMMIT timestamp rides the entry (round 15 — Delta's
+    // commitInfo.timestamp): TIMESTAMP AS OF, history() and RETAIN-hours
+    // vacuum resolve from the log itself, not from file mtimes a
+    // copy/restore of the directory would rewrite (mtimes remain the
+    // legacy-entry fallback). Single-writer-clock convenience, same as
+    // ever — the ordering authority stays the version number.
+    node.put("tms", tms)
     if (cmap.nonEmpty) {
       val cm = node.putObject("cmap")
       cmap.toSeq.sortBy(_._1).foreach { case (l, ph) => cm.put(l, ph); () }
@@ -635,7 +672,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       pvals: Map[String, Map[String, String]],
       constraints: Map[String, String], bloomCols: Map[String, Int],
       key: String, cmap: Map[String, String],
-      retired: Set[String]): com.fasterxml.jackson.databind.node.ObjectNode = {
+      retired: Set[String],
+      tms: Long): com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = Json.createObjectNode()
     node.put("version", v)
     val dArr = node.putArray("data"); data.foreach(dArr.add)
@@ -649,7 +687,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       }
     }
     writeCommonFields(node, txn, schema, op, sv, cdc, constraints,
-      bloomCols, key, cmap, retired)
+      bloomCols, key, cmap, retired, tms)
     node
   }
 
@@ -666,7 +704,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       op: String, sv: Int, cdc: Option[String],
       pvals: Map[String, Map[String, String]],
       constraints: Map[String, String], bloomCols: Map[String, Int],
-      cmap: Map[String, String], retired: Set[String])
+      cmap: Map[String, String], retired: Set[String], tms: Long)
       : Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
     val dataSet = data.toSet
     val baseDataSet = base.data.toSet
@@ -714,7 +752,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       }
     }
     writeCommonFields(node, txn, schema, op, sv, cdc, constraints,
-      bloomCols, keyCol, cmap, retired)
+      bloomCols, keyCol, cmap, retired, tms)
     Some(node)
   }
 
@@ -729,9 +767,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       constraints: Map[String, String] = Map.empty,
       bloomCols: Map[String, Int] = Map.empty,
       cmap: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty)
+      retired: Set[String] = Set.empty,
+      tms: Option[Long] = None)
       : Boolean = {
     Files.createDirectories(logDir)
+    val stamp = tms.getOrElse(System.currentTimeMillis())
     // delta-or-checkpoint: ordinary versions publish change-sized deltas
     // against v-1; every checkpointInterval-th version (and v=1, and any
     // listing the delta grammar can't reproduce exactly) publishes FULL
@@ -740,9 +780,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       else try Some(readEntry(v - 1)) catch { case _: Exception => None }
     val node = base.flatMap(b => buildDeltaNode(v, b, data, deletes, stats,
         txn, schema, op, sv, cdc, pvals, constraints, bloomCols, cmap,
-        retired))
+        retired, stamp))
       .getOrElse(buildFullNode(v, data, deletes, stats, txn, schema, op,
-        sv, cdc, pvals, constraints, bloomCols, keyCol, cmap, retired))
+        sv, cdc, pvals, constraints, bloomCols, keyCol, cmap, retired,
+        stamp))
     val tmp = logDir.resolve(
       s".commit-${java.util.UUID.randomUUID().toString}.tmp")
     Files.writeString(tmp, Json.writeValueAsString(node))
@@ -2927,8 +2968,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     (1 to latest).filter(v => Files.exists(entryPath(v))).map { v =>
       val op = opOf(v)
       val e = readEntry(v)
-      (v, op, e.data.size, e.deletes.size, e.stats.size,
-        Files.getLastModifiedTime(entryPath(v)).toMillis)
+      (v, op, e.data.size, e.deletes.size, e.stats.size, commitTimeOf(v))
     }.toDF("version", "operation", "data_entries", "delete_entries",
       "stat_files", "ts_millis")
   }
@@ -2950,7 +2990,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val e = resolveEntry(v)
     val node = buildFullNode(v, e.data, e.deletes, e.stats, readTxn(v),
       schemaOf(v), opOf(v), e.sv, e.cdc, e.pvals, e.constraints,
-      e.bloomCols, keyOf(v).getOrElse(keyCol), e.cmap, e.retired)
+      e.bloomCols, keyOf(v).getOrElse(keyCol), e.cmap, e.retired,
+      tsOf(v).getOrElse(System.currentTimeMillis()))
     val tmp = logDir.resolve(
       s".materialize-${java.util.UUID.randomUUID().toString}.tmp")
     Files.writeString(tmp, Json.writeValueAsString(node))
@@ -2963,8 +3004,9 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   /** VACUUM by retention DURATION — the `RETAIN n HOURS` spelling every
     * Delta runbook uses (round 15), next to the version-based
     * [[vacuum]]: the horizon resolves to the OLDEST version whose entry
-    * landed inside the window (entry mtimes — informational clock, the
-    * same single-writer convenience `TIMESTAMP AS OF` documents), so
+    * landed inside the window (LOGGED commit timestamps, round 15 —
+    * mtime fallback for legacy entries; informational clock, the same
+    * single-writer convenience `TIMESTAMP AS OF` documents), so
     * every version committed within the last `hours` stays
     * time-travelable, and the LATEST version is ALWAYS kept even when
     * the entire history is older than the window (`RETAIN 0 HOURS`
@@ -2978,8 +3020,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     require(latest >= 1, s"vacuum on an empty table at $root")
     val cutoff = System.currentTimeMillis() - (hours * 3600000.0).toLong
     val horizon = (1 to latest).find { v =>
-      Files.exists(entryPath(v)) &&
-        Files.getLastModifiedTime(entryPath(v)).toMillis >= cutoff
+      Files.exists(entryPath(v)) && commitTimeOf(v) >= cutoff
     }.getOrElse(latest)
     vacuum(horizon)
   }

@@ -183,7 +183,8 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
         op == "add-constraint" || op == "drop-constraint" ||
         op == "set-bloom" || op == "rename-column" ||
         op == "drop-column" || op == "add-column" ||
-        op == "alter-table" || (op == "clone" && v == 1)
+        op == "alter-table" || op == "create" ||
+        (op == "clone" && v == 1)
       if (tableMode && !appendFamily) {
         // the TABLE stream has no change-row vocabulary: a row-changing
         // commit either skips whole (Delta's skipChangeCommits) or
@@ -205,11 +206,7 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
         // backfill (all inherited files surface as inserts). Ops that
         // REMOVE rows (delete/merge/overwrite/restore/replace-partitions)
         // fail loudly.
-        require(op == "append" || op == "txn-append" ||
-            op == "add-constraint" || op == "drop-constraint" ||
-            op == "set-bloom" || op == "rename-column" ||
-            op == "drop-column" || op == "add-column" ||
-            op == "alter-table" || (op == "clone" && v == 1),
+        require(appendFamily,
           s"snapcdf streams append-family commits (and merges committed " +
             s"with cdc = true); version $v is '$op' — use " +
             "SnapshotCdf.backfill for exact diffs of other history")

@@ -38,10 +38,11 @@ import graft.operators.SnapshotLog
   *
   * `VERSION AS OF` resolves through the same entry reads as
   * `option("version", N)`; `TIMESTAMP AS OF` picks the highest version
-  * whose log-entry mtime is ≤ the timestamp — mtimes are informational
-  * (the log's ordering authority is the version number), so this is the
-  * single-writer-clock convenience Delta's commit-timestamp resolution
-  * also is, documented as such. The key column comes from the `key`
+  * whose LOGGED commit timestamp (round 15 — Delta's
+  * commitInfo.timestamp; entry-mtime fallback for legacy entries) is ≤
+  * the timestamp — the clock is informational (the log's ordering
+  * authority is the version number), the single-writer-clock
+  * convenience Delta's commit-timestamp resolution also is. The key column comes from the `key`
   * table property at CREATE (default: the first column) and from the
   * log entry thereafter. ALTER/RENAME stay out of scope (evolution
   * happens on append; tables move with their directories). */
@@ -141,10 +142,12 @@ class SnaplogCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
     val tsMillis = timestamp / 1000L
+    // LOGGED commit timestamps (round 15), mtime fallback for legacy
+    // entries — a copied/restored table directory keeps resolving
     val v = (1 to latest).filter { i =>
-      val p = java.nio.file.Paths.get(path, "_log", s"$i.json")
-      java.nio.file.Files.exists(p) &&
-        java.nio.file.Files.getLastModifiedTime(p).toMillis <= tsMillis
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_log", s"$i.json")) &&
+        t.commitTimeOf(i) <= tsMillis
     }.lastOption.getOrElse(throw new IllegalArgumentException(
       s"no snaplog version of $path committed at or before " +
         s"timestamp $tsMillis ms (earliest retained entry is newer)"))

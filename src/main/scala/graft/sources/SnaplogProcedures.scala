@@ -38,7 +38,7 @@ import graft.operators.SnapshotLog
 private[sources] object SnaplogProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "compact", "vacuum", "restore", "history")
+    Seq("optimize", "compact", "vacuum", "restore", "history", "detail")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -101,7 +101,7 @@ private[sources] object SnaplogProcedures {
       case "vacuum" => unbound("vacuum",
         // two spellings (round 15): retain_from = oldest version to keep
         // (the log-native form), retain_hours = retention DURATION (the
-        // Delta-runbook form — horizon resolved from entry mtimes, the
+        // Delta-runbook form — horizon resolved from logged commit times, the
         // newest version always kept). Exactly one must be given.
         Array(param("table", StringType),
           paramD("retain_from", IntegerType, "-1"),
@@ -124,6 +124,37 @@ private[sources] object SnaplogProcedures {
         new StructType().add("version", IntegerType, false)) { (in, _) =>
         Seq(row(open(cat, in.getUTF8String(0).toString)
           .restore(in.getInt(1))))
+      }
+      case "detail" => unbound("detail",
+        // DESCRIBE DETAIL (round 15): one driver-metadata-sized row from
+        // the latest entry alone — file/row/byte totals come from the
+        // logged per-file stats, never a data scan or directory listing
+        Array(param("table", StringType)),
+        new StructType().add("version", IntegerType, false)
+          .add("operation", StringType, false)
+          .add("key_column", StringType, false)
+          .add("data_entries", IntegerType, false)
+          .add("num_files", IntegerType, false)
+          .add("num_rows", LongType, true)
+          .add("size_bytes", LongType, true)
+          .add("delete_entries", IntegerType, false)
+          .add("partitioned_entries", IntegerType, false)
+          .add("constraints", IntegerType, false)
+          .add("bloom_columns", IntegerType, false)
+          .add("mapped_columns", IntegerType, false)
+          .add("commit_time_ms", LongType, false)) { (in, _) =>
+        val t = open(cat, in.getUTF8String(0).toString)
+        val v = t.currentVersion()
+        val e = t.readEntry(v)
+        val rows = if (e.stats.nonEmpty && e.stats.forall(_.rows >= 0))
+          java.lang.Long.valueOf(e.stats.map(_.rows).sum) else null
+        val bytes = if (e.stats.nonEmpty && e.stats.forall(_.bytes >= 0))
+          java.lang.Long.valueOf(e.stats.map(_.bytes).sum) else null
+        Seq(row(v, UTF8String.fromString(t.opOf(v)),
+          UTF8String.fromString(t.keyOf(v).getOrElse("")),
+          e.data.size, e.stats.size, rows, bytes, e.deletes.size,
+          e.pvals.size, e.constraints.size, e.bloomCols.size,
+          e.cmap.size, t.commitTimeOf(v)))
       }
       case "history" => unbound("history",
         Array(param("table", StringType)),

@@ -213,12 +213,9 @@ class SnaplogCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO vacsnap.t SELECT id, id FROM range(101, 201)")
     val t = graft.operators.SnapshotLog.open(spark, s"$wh/t", "id")
     assert(t.currentVersion() == 3)
-    // backdate v1/v2 ten days; v3 stays fresh
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    // backdate v1/v2's LOGGED commit times ten days; v3 stays fresh
     for (v <- 1 to 2)
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(wh, "t", "_log", s"$v.json"), old)
+      t.backdateTs(v, System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
 
     // a huge window retains everything
     val (f0, e0) = spark.sql(
@@ -244,6 +241,40 @@ class SnaplogCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "CALL vacsnap.vacuum(table => 't', retain_from => 1, " +
         "retain_hours => 1.0)"))
+  }
+
+  test("CALL detail + readStream.table: catalog-native ops and streaming") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whd").toString
+    spark.conf.set("spark.sql.catalog.dsnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.dsnap.warehouse", wh)
+    spark.sql("CREATE TABLE dsnap.t (id BIGINT, n BIGINT) USING snaplog")
+    spark.sql("INSERT INTO dsnap.t SELECT id, id * 2 FROM range(1, 101)")
+    spark.sql("INSERT INTO dsnap.t SELECT id, id * 2 FROM range(101, 151)")
+    val t = graft.operators.SnapshotLog.open(spark, s"$wh/t", "id")
+    t.addConstraint("pos", "n >= 0")
+
+    // DESCRIBE DETAIL: one metadata row, totals from the logged stats
+    val d = spark.sql("CALL dsnap.detail(table => 't')").collect().head
+    assert(d.getInt(0) == t.currentVersion())
+    assert(d.getString(1) == "add-constraint")
+    assert(d.getString(2) == "id")
+    assert(d.getLong(5) == 150L, s"num_rows ${d.getLong(5)}")
+    assert(d.getLong(6) > 0L)
+    assert(d.getInt(9) == 1) // constraints
+    assert(d.getLong(12) == t.commitTimeOf(t.currentVersion()))
+
+    // streaming read by catalog NAME — MICRO_BATCH_READ through the
+    // catalog-resolved table, same machinery as format("snaplog")
+    val sink = s"$wh/_sink"
+    val q = spark.readStream.table("dsnap.t")
+      .writeStream.option("checkpointLocation", s"$wh/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(sink)
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).count() == 150)
   }
 
   test("multi-change ALTER is atomic; torn CREATEs are droppable") {

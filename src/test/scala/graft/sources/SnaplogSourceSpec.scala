@@ -306,14 +306,11 @@ class SnaplogSourceSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val t = SnapshotLog.open(spark, root, "id")
     t.commitAppend((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v"))
-    // push the first entry's mtime into the past so TIMESTAMP AS OF can
-    // distinguish the versions deterministically
-    val e1 = java.nio.file.Paths.get(root, "_log", "1.json")
-    java.nio.file.Files.setLastModifiedTime(e1,
-      java.nio.file.attribute.FileTime.fromMillis(
-        java.nio.file.Files.getLastModifiedTime(e1).toMillis - 3600000L))
-    val cut = new java.sql.Timestamp(
-      java.nio.file.Files.getLastModifiedTime(e1).toMillis + 1000L)
+    // push the first entry's LOGGED commit time into the past so
+    // TIMESTAMP AS OF distinguishes the versions deterministically
+    val past = System.currentTimeMillis() - 3600000L
+    t.backdateTs(1, past)
+    val cut = new java.sql.Timestamp(past + 1000L)
     t.commitAppend((11L to 15L).map(i => (i, s"b$i")).toDF("id", "v"))
 
     def q(sql: String): Long = spark.sql(sql).collect().head.getLong(0)
