@@ -38,7 +38,8 @@ import graft.operators.SnapshotLog
 private[sources] object SnaplogProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "compact", "vacuum", "restore", "history", "detail")
+    Seq("optimize", "compact", "vacuum", "restore", "history", "detail",
+      "clone")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -155,6 +156,18 @@ private[sources] object SnaplogProcedures {
           e.data.size, e.stats.size, rows, bytes, e.deletes.size,
           e.pvals.size, e.constraints.size, e.bloomCols.size,
           e.cmap.size, t.commitTimeOf(v)))
+      }
+      case "clone" => unbound("clone",
+        // SHALLOW CLONE via CALL (round 15 — Spark's parser has no
+        // CREATE TABLE ... SHALLOW CLONE): one metadata publish copies
+        // the snapshot listing/stats/schema/sidecars to `dest` (same
+        // table addressing rules), zero data files move
+        Array(param("table", StringType), param("dest", StringType)),
+        new StructType().add("version", IntegerType, false)) { (in, _) =>
+        val t = open(cat, in.getUTF8String(0).toString)
+        val dest = cat.resolvePath(in.getUTF8String(1).toString)
+        t.cloneTo(dest)
+        Seq(row(1))
       }
       case "history" => unbound("history",
         Array(param("table", StringType)),

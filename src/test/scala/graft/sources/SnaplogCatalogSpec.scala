@@ -277,6 +277,38 @@ class SnaplogCatalogSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 150)
   }
 
+  test("CALL clone + SQL MERGE NOT MATCHED BY SOURCE complete the verbs") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whm").toString
+    spark.conf.set("spark.sql.catalog.msnap", "graft.sources.SnaplogCatalog")
+    spark.conf.set("spark.sql.catalog.msnap.warehouse", wh)
+    spark.sql("CREATE TABLE msnap.t (id BIGINT, n BIGINT) USING snaplog")
+    spark.sql("INSERT INTO msnap.t SELECT id, id FROM range(1, 11)")
+
+    // SHALLOW CLONE by CALL: metadata-only copy under the warehouse
+    spark.sql("CALL msnap.clone(table => 't', dest => 't2')")
+    assert(spark.sql("SELECT count(*) FROM msnap.t2").as[Long].head() == 10)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, "t2", "data")),
+      "clone must copy METADATA only")
+    // divergence is independent
+    spark.sql("INSERT INTO msnap.t2 SELECT id, id FROM range(11, 16)")
+    assert(spark.sql("SELECT count(*) FROM msnap.t").as[Long].head() == 10)
+
+    // full 3-branch SQL MERGE: MATCHED / NOT MATCHED / NOT MATCHED BY
+    // SOURCE (the Delta upsert-with-retire shape) through the row-level
+    // COW route
+    spark.sql("SELECT id, id * 100 AS n FROM range(8, 13)")
+      .createOrReplaceTempView("graft_mbs_src")
+    spark.sql("MERGE INTO msnap.t t USING graft_mbs_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET n = s.n " +
+      "WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.n) " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id <= 2 THEN DELETE")
+    val out = spark.sql("SELECT id, n FROM msnap.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == ((3L to 7L).map(i => (i, i)) ++
+      (8L to 12L).map(i => (i, i * 100))), out.toString)
+  }
+
   test("multi-change ALTER is atomic; torn CREATEs are droppable") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wht").toString
     spark.conf.set("spark.sql.catalog.tornsnap", "graft.sources.SnaplogCatalog")
