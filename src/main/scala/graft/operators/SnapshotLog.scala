@@ -3013,7 +3013,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * degenerates to keep-head-only, never to an empty table). Delegates
     * to [[vacuum]] for the sweep itself — same chain materialization,
     * same reference-counted file GC. */
-  def vacuumRetainHours(hours: Double): (Int, Int) = {
+  def vacuumRetainHours(hours: Double, dryRun: Boolean = false): (Int, Int) = {
     require(hours >= 0 && !hours.isNaN,
       s"retention must be >= 0 hours, got $hours")
     val latest = currentVersion()
@@ -3022,7 +3022,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val horizon = (1 to latest).find { v =>
       Files.exists(entryPath(v)) && commitTimeOf(v) >= cutoff
     }.getOrElse(latest)
-    vacuum(horizon)
+    vacuum(horizon, dryRun = dryRun)
   }
 
   /** `graceMs` (round 15 — Delta's vacuum retention threshold, the
@@ -3036,7 +3036,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * procedure exercise); run vacuum CONCURRENTLY with writers only with
     * a grace covering the longest in-flight write, exactly Delta's
     * `RETAIN`-threshold rule for the same race. */
-  def vacuum(retainFrom: Int, graceMs: Long = 0L): (Int, Int) = {
+  /** `dryRun = true` (round 15 — Delta's VACUUM ... DRY RUN): report the
+    * (files, entries) the sweep WOULD remove and touch NOTHING — no
+    * horizon materialization, no deletion, no dir pruning. The
+    * operational pre-flight every retention runbook starts with. */
+  def vacuum(retainFrom: Int, graceMs: Long = 0L,
+      dryRun: Boolean = false): (Int, Int) = {
     val latest = currentVersion()
     require(retainFrom >= 1 && retainFrom <= latest,
       s"retainFrom $retainFrom out of [1, $latest] for $root")
@@ -3050,7 +3055,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // (atomic same-content replace), so every retained delta chain
     // terminates at or above the horizon and no retained version ever
     // references a vacuumed ancestor
-    materializeFull(retainFrom)
+    if (!dryRun) materializeFull(retainFrom)
     val retained = (retainFrom to latest)
       .filter(v => Files.exists(entryPath(v)))
       .map(readEntry)
@@ -3105,15 +3110,18 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
                 (markers.contains(base) && subtreeAlive))
             val isMarker = markers.contains(name) && subtreeAlive
             if (!kept(f) && !isShadow && !isMarker && !inGrace(f)) {
-              Files.delete(f); removedFiles += 1
+              if (!dryRun) Files.delete(f)
+              removedFiles += 1
             }
           }
           // prune now-empty directories bottom-up
-          val dirs = Files.walk(c).iterator().asScala
-            .filter(Files.isDirectory(_)).toSeq
-            .sortBy(-_.getNameCount)
-          for (d <- dirs if !Files.list(d).iterator().hasNext && !inGrace(d))
-            Files.delete(d)
+          if (!dryRun) {
+            val dirs = Files.walk(c).iterator().asScala
+              .filter(Files.isDirectory(_)).toSeq
+              .sortBy(-_.getNameCount)
+            for (d <- dirs if !Files.list(d).iterator().hasNext && !inGrace(d))
+              Files.delete(d)
+          }
         }
       }
     }
@@ -3122,8 +3130,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     sweep(Paths.get(root, "cdc"))
 
     var removedEntries = 0
-    for (v <- 1 until retainFrom if Files.deleteIfExists(entryPath(v)))
-      removedEntries += 1
+    if (dryRun)
+      removedEntries = (1 until retainFrom).count(v =>
+        Files.exists(entryPath(v)))
+    else
+      for (v <- 1 until retainFrom if Files.deleteIfExists(entryPath(v)))
+        removedEntries += 1
     (removedFiles, removedEntries)
   }
 }

@@ -106,18 +106,20 @@ private[sources] object SnaplogProcedures {
         // newest version always kept). Exactly one must be given.
         Array(param("table", StringType),
           paramD("retain_from", IntegerType, "-1"),
-          paramD("retain_hours", DoubleType, "-1.0")),
+          paramD("retain_hours", DoubleType, "-1.0"),
+          paramD("dry_run", BooleanType, "false")),
         new StructType().add("files_removed", IntegerType, false)
           .add("entries_removed", IntegerType, false)) { (in, _) =>
         val t = open(cat, in.getUTF8String(0).toString)
         val retainFrom = if (in.isNullAt(1)) -1 else in.getInt(1)
         val retainHours = if (in.isNullAt(2)) -1.0 else in.getDouble(2)
+        val dry = !in.isNullAt(3) && in.getBoolean(3)
         require((retainFrom >= 1) != (retainHours >= 0),
           "CALL vacuum needs exactly one of retain_from => <version> or " +
             "retain_hours => <duration>")
         val (f, e) =
-          if (retainFrom >= 1) t.vacuum(retainFrom)
-          else t.vacuumRetainHours(retainHours)
+          if (retainFrom >= 1) t.vacuum(retainFrom, dryRun = dry)
+          else t.vacuumRetainHours(retainHours, dryRun = dry)
         Seq(row(f, e))
       }
       case "restore" => unbound("restore",

@@ -223,6 +223,14 @@ class SnaplogCatalogSpec extends SparkSpec {
       .as[(Int, Int)].head()
     assert(f0 == 0 && e0 == 0, s"($f0, $e0)")
 
+    // DRY RUN reports what the 24 h sweep WOULD remove and touches
+    // nothing — versions below the horizon stay time-travelable
+    val (df1, de1) = spark.sql("CALL vacsnap.vacuum(table => 't', " +
+      "retain_hours => 24.0, dry_run => true)").as[(Int, Int)].head()
+    assert(de1 == 2 && df1 >= 0, s"($df1, $de1)")
+    assert(t.read(1).count() == 0 && t.read(2).count() == 100,
+      "dry run must not vacuum anything")
+
     // RETAIN 24 HOURS drops the two backdated versions, keeps the head
     val (_, e1) = spark.sql(
       "CALL vacsnap.vacuum(table => 't', retain_hours => 24.0)")
