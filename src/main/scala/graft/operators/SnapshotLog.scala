@@ -2561,7 +2561,6 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     }
     if (selected.isEmpty) return v0 // no such partition — metadata no-op
     val selSet = selected.toSet
-    val sch = schemaOf(v0)
     val rd = physSchema(v0, e0).map(spark.read.schema(_)).getOrElse(spark.read)
     val raw = toLogical(rd.parquet(selected: _*), v0, e0)
     val folded =
@@ -2583,16 +2582,30 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val newStats = statsFor(dir)
     buildBloom(dir, newStats, e0.bloomCols)
     val uniform = selected.forall(d => e0.pvals.get(d).contains(canon))
-    val keptStats = e0.stats.filterNot(s =>
-      selected.exists(d => belongsTo(s.file, d)))
     commitWithRetry(op = "optimize-partition") { v =>
-      if (v != v0 + 1)
+      val p = prevEntry(v)
+      // REBASE, not pin (the replacePartitions concurrency model): the
+      // rewrite depends ONLY on the selected entries, so any interleaved
+      // commit that left them untouched — appends, other partitions'
+      // maintenance, new delete sidecars (their keys still mask the
+      // rewritten rows through the read-side anti-join) — composes
+      // cleanly, and one maintenance job per partition runs
+      // UNSERIALISED. Only a commit that touched OUR entries (same
+      // partition raced, or a table-wide rewrite re-shaped the listing)
+      // makes the rewrite stale and throws.
+      guardCmapOnRebase(e0.cmap, e0.retired, p)
+      val pSet = p.data.toSet
+      if (!selected.forall(d => pSet.contains(d) &&
+          p.pvals.get(d) == e0.pvals.get(d)))
         throw new java.util.ConcurrentModificationException(
           s"optimizePartition computed against version $v0 of $root but " +
-            s"version ${v - 1} has been committed since — the rewrite is " +
-            "stale; re-run against the new snapshot")
-      Some(Composed(e0.data.filterNot(selSet) :+ dir, e0.deletes,
-        keptStats ++ newStats, sch, e0.sv,
+            "a commit since has replaced the selected partition's " +
+            "entries — the rewrite is stale; re-run against the new " +
+            "snapshot")
+      Some(Composed(p.data.filterNot(selSet) :+ dir, p.deletes,
+        p.stats.filterNot(s => selected.exists(d => belongsTo(s.file, d)))
+          ++ newStats,
+        schemaOf(v - 1), math.min(p.sv, e0.sv),
         newPvals = if (uniform) Map(dir -> canon) else Map.empty))
     }.get
   }

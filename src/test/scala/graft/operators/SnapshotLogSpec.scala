@@ -1000,6 +1000,41 @@ class SnapshotLogSpec extends SparkSpec {
     assert(t.readPartitions(Map("lang" -> "de")).count() == 30)
   }
 
+  test("concurrent optimizePartition of DISJOINT partitions both land") {
+    // the replacePartitions concurrency model applied to maintenance
+    // (round 15): per-partition optimize jobs rebase instead of
+    // conflict-pinning, so disjoint maintenance never serialises
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_oc").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    for (_ <- 1 to 3)
+      t.commitAppend(partDf(1 to 60, i => Seq("en", "fr")((i % 2).toInt)),
+        Seq("lang"))
+    assert(t.partitionValues().size == 6) // 3 fragments per lang
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = Seq("en", "fr").map { lang =>
+      val th = new Thread(() =>
+        try {
+          SnapshotLog.open(spark, root, "id")
+            .optimizePartition(Map("lang" -> lang), 1)
+          ()
+        } catch { case e: Throwable => errs.add(e); () })
+      th.start(); th
+    }
+    ths.foreach(_.join(300000))
+    assert(errs.isEmpty, errs.toString)
+    assert(t.currentVersion() == 5, "both maintenance commits must land")
+    val pv = t.partitionValues()
+    assert(pv.size == 2 && pv.values.map(_("lang")).toSet == Set("en", "fr"),
+      s"each partition must collapse to ONE aligned entry: $pv")
+    assert(t.read().count() == 180)
+    assert(t.readPartitions(Map("lang" -> "en")).count() == 90)
+    // after a table-wide compact drops alignment, a partition optimize
+    // finds no matching entries and is an exact metadata no-op
+    t.compact()
+    val vNow = t.currentVersion()
+    assert(t.optimizePartition(Map("lang" -> "en"), 1) == vNow)
+  }
+
   test("replacePartitions: metadata swap of exactly the incoming partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap_rp").toString
     val t = SnapshotLog.open(spark, root, "id")
