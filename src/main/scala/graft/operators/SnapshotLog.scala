@@ -1194,9 +1194,15 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dest = new SnapshotTable(spark, destRoot, keyCol)
     require(dest.currentVersion() == 0,
       s"clone destination $destRoot already has commits")
+    // the column mapping and retired set travel WITH the listing (ADVICE
+    // r15): the clone references the source's physical-named files, so
+    // dropping the cmap would surface renamed columns as NULLs and losing
+    // `retired` would let an append resurrect dropped columns' bytes. The
+    // clone's v1 commit TIME is now (publishEntry's default) — it is a
+    // new commit on a new table, not a replay of the source's history.
     require(dest.publishEntry(1, e.data, e.deletes, e.stats, Map.empty,
         schemaOf(v0), "clone", e.sv, None, e.pvals, e.constraints,
-        e.bloomCols),
+        e.bloomCols, e.cmap, e.retired),
       s"clone destination $destRoot gained a commit mid-clone")
     dest
   }
@@ -3004,7 +3010,12 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val node = buildFullNode(v, e.data, e.deletes, e.stats, readTxn(v),
       schemaOf(v), opOf(v), e.sv, e.cdc, e.pvals, e.constraints,
       e.bloomCols, keyOf(v).getOrElse(keyCol), e.cmap, e.retired,
-      tsOf(v).getOrElse(System.currentTimeMillis()))
+      // a legacy (tms-less) entry keeps its mtime-derived commit time
+      // (ADVICE r15): stamping the wall clock here would shift the oldest
+      // retained version's TIMESTAMP AS OF / RETAIN-hours resolution to
+      // "whenever vacuum ran"; commitTimeOf reads the mtime BEFORE the
+      // atomic replace below rewrites it
+      commitTimeOf(v))
     val tmp = logDir.resolve(
       s".materialize-${java.util.UUID.randomUUID().toString}.tmp")
     Files.writeString(tmp, Json.writeValueAsString(node))

@@ -130,6 +130,88 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
     if (tableMode) emitSchema
     else StructType(emitSchema.fields.dropRight(2)) // minus the CDF cols
 
+  // --- column-mapping resolution (round 16) -------------------------------
+  // The stream's schema — and so its LOGICAL field names — is frozen at
+  // construction; the table's files carry PHYSICAL names. Physical names
+  // are RENAME-INVARIANT (a rename commits a new cmap, never touches
+  // files), so the logical→physical translation resolves ONCE against
+  // the mapping in force at the freeze version, and a rename landing
+  // mid-stream cannot skew it. (Round 15 resolved per plan window via
+  // `cmEnd.getOrElse(f.name, f.name)`: after a mid-stream rename the new
+  // cmap no longer carried the stream's stale logical name, the fallback
+  // probed the files for a column that only ever existed logically, and
+  // every subsequent batch silently emitted NULL.)
+  //
+  // The only ops that CHANGE a column's physical name are whole-table
+  // rewrites that materialize the mapping into the files — compact /
+  // optimize / overwrite / restore. Those are refused outright in cdf
+  // mode, and in table mode admitted only under skipChangeCommits, where
+  // files on each side of the reset carry DIFFERENT physical names: the
+  // resolution below walks the reset boundaries between the freeze
+  // version and the planned version, so every version's files read under
+  // the mapping in force when they were written (ADVICE r15 — the
+  // end-of-window shortcut read pre-reset appends in a mixed window
+  // under post-reset names).
+  private val freezeVersion = t.currentVersion()
+  private val frozenLogical: Seq[String] = dataFields.fieldNames.toSeq
+  private val cmapCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Map[String, String]]
+  private val opCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  private def cmapOf(v: Int): Map[String, String] =
+    if (v < 1) Map.empty
+    else cmapCache.getOrElseUpdate(v, t.readEntry(v).cmap)
+  private def opOfCached(v: Int): String =
+    opCache.getOrElseUpdate(v, t.opOf(v))
+  private val alterFamily =
+    Set("rename-column", "drop-column", "add-column", "alter-table")
+  /** Did version `v` rewrite files under a new mapping? Alter-family ops
+    * change the cmap but keep physical names invariant; any OTHER op
+    * whose cmap differs from its parent's rewrote the files (compact/
+    * optimize/overwrite reset it to identity, restore re-points at an
+    * older mapping). */
+  private def isMapReset(v: Int): Boolean =
+    v >= 2 && !alterFamily(opOfCached(v)) && cmapOf(v) != cmapOf(v - 1)
+  private def invert(m: Map[String, String], phys: String): String =
+    m.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
+
+  /** PHYSICAL (in-file) name of each stream field for files written at
+    * version `v` — Nil when identity (readers skip the rename). Resolved
+    * from the freeze-version mapping, then walked across any mapping-
+    * reset boundary between `v` and the freeze version: crossing a reset
+    * at `r` forward maps physical→logical through cmap(r−1) and back to
+    * physical through cmap(r) (logical names carry across a rewrite);
+    * crossing backward inverts. All lookups are memoized log-entry reads
+    * — no data is touched. */
+  private[sources] def physNamesAt(v: Int): Seq[String] = {
+    val cmF = cmapOf(freezeVersion)
+    var phys = frozenLogical.map(c => cmF.getOrElse(c, c))
+    if (v > freezeVersion) {
+      var r = freezeVersion + 1
+      while (r <= v) {
+        if (isMapReset(r)) {
+          val before = cmapOf(r - 1); val after = cmapOf(r)
+          phys = phys.map { p =>
+            val l = invert(before, p); after.getOrElse(l, l)
+          }
+        }
+        r += 1
+      }
+    } else if (v < freezeVersion) {
+      var r = freezeVersion
+      while (r > v) {
+        if (isMapReset(r)) {
+          val before = cmapOf(r - 1); val after = cmapOf(r)
+          phys = phys.map { p =>
+            val l = invert(after, p); before.getOrElse(l, l)
+          }
+        }
+        r -= 1
+      }
+    }
+    if (phys == frozenLogical) Nil else phys
+  }
+
   // Trigger.AvailableNow: drain exactly what was committed at start (in
   // maxVersionsPerTrigger-sized batches), then terminate
   @volatile private var availableNowTarget: Option[Int] = None
@@ -165,20 +247,16 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapCdfOffset].v
     val e = end.asInstanceOf[SnapCdfOffset].v
-    // column-mapped tables (round 15): files carry PHYSICAL names; the
-    // stream emits LOGICAL ones. Physical names are rename-invariant and
-    // every mapping-RESETTING op (compact/overwrite/merge-materialize) is
-    // refused below, so the admitted window's files all read correctly
-    // under the END-of-window mapping — one translation per plan. The key
-    // column is never mapped (rename refuses it).
-    val cmEnd = if (e >= 1) t.readEntry(e).cmap else Map.empty[String, String]
-    val physNames: Seq[String] =
-      if (cmEnd.isEmpty) Nil // identity — readers skip the rename
-      else dataFields.fields.toSeq.map(f => cmEnd.getOrElse(f.name, f.name))
+    // column-mapped tables: files carry PHYSICAL names; the stream emits
+    // LOGICAL ones. Each version's partitions resolve their own physical
+    // names via physNamesAt (per-version, reset-boundary-aware — see the
+    // field's scaladoc). The key column is never mapped (rename refuses
+    // it).
     val parts = Array.newBuilder[InputPartition]
     for (v <- (s + 1) to e) {
       val op = t.opOf(v)
       val entry = t.readEntry(v)
+      val physNames = physNamesAt(v)
       val appendFamily = op == "append" || op == "txn-append" ||
         op == "add-constraint" || op == "drop-constraint" ||
         op == "set-bloom" || op == "rename-column" ||

@@ -288,6 +288,39 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.readEntry(t.currentVersion()).data.isEmpty)
   }
 
+  test("clone of a mapped table keeps the mapping and the retired set") {
+    // ADVICE r15: cloneTo previously published v1 with an EMPTY
+    // cmap/retired — the clone referenced the source's physical-named
+    // files with no mapping (renamed columns read as NULL) and lost the
+    // drop-resurrection guard
+    val root = java.nio.file.Files.createTempDirectory("graft_cmcl").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_cmcld").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dst))
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 30L).map(i => (i, i * 10, s"u$i", i % 7))
+      .toDF("id", "score", "name", "junk"))
+    t.renameColumn("score", "points")
+    t.dropColumn("junk")
+    val c = t.cloneTo(dst)
+
+    assert(c.read().columns.toSeq == Seq("id", "points", "name"))
+    assert(c.read().where(col("points").isNull).count() == 0,
+      "the clone must read renamed columns through the source's mapping")
+    assert(c.read().where(col("points") === 150L).count() == 1)
+    assert(c.columnMap() == Map("points" -> "score"))
+    assert(c.retiredColumns() == Set("junk"))
+    // the resurrection guard traveled: re-adding the retired name refuses
+    intercept[IllegalArgumentException] {
+      c.commitAppend(Seq((31L, 1L, "x", 9L))
+        .toDF("id", "points", "name", "junk"))
+    }
+    // appends to the clone physicalize through the inherited mapping
+    c.commitAppend(Seq((31L, 310L, "x")).toDF("id", "points", "name"))
+    assert(c.read().where(col("id") === 31L).head()
+      .getAs[Long]("points") == 310L)
+    assert(t.read().count() == 30, "the source is untouched")
+  }
+
   test("connector reads column-mapped tables; snapcdf drains them") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmc").toString
     val t = SnapshotLog.open(spark, root, "id")

@@ -154,6 +154,38 @@ class SnapshotLogDeltaSpec extends SparkSpec {
     assert(t2.read().count() == 1800)
   }
 
+  test("horizon materialization keeps a legacy entry's mtime commit time") {
+    // ADVICE r15: materializeFull stamped a tms-less (legacy) delta with
+    // the wall clock, shifting the oldest retained version's TIMESTAMP AS
+    // OF / RETAIN-hours resolution to "whenever vacuum ran" — it must
+    // keep the mtime-derived commit time the entry resolved to before
+    val root = java.nio.file.Files.createTempDirectory("graft_smt").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    for (i <- 1 to 4)
+      t.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    assert(isDelta(root, 3), "v3 must be a delta for this scenario")
+    // strip the logged tms from v3 (simulate a legacy entry) and pin a
+    // known old mtime
+    val p3 = java.nio.file.Paths.get(root, "_log", "3.json")
+    val node = SnapshotLog.Json.readTree(java.nio.file.Files.readString(p3))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("tms")
+    java.nio.file.Files.writeString(p3,
+      SnapshotLog.Json.writeValueAsString(node))
+    val oldMtime = System.currentTimeMillis() - 48L * 3600 * 1000
+    java.nio.file.Files.setLastModifiedTime(p3,
+      java.nio.file.attribute.FileTime.fromMillis(oldMtime))
+
+    t.vacuum(3) // materializes v3 full before sweeping v1-v2
+    assert(!isDelta(root, 3))
+    val ts = t.history().where(col("version") === 3)
+      .head().getAs[Long]("ts_millis")
+    assert(math.abs(ts - oldMtime) < 5000,
+      s"materializeFull must keep the mtime commit time, got $ts " +
+        s"vs $oldMtime")
+    assert(t.read(3).count() == 3, "v3 still reads exactly")
+  }
+
   test("constraints/bloom/txn/pvals ride delta entries full (no chain reads)") {
     val root = java.nio.file.Files.createTempDirectory("graft_sd3").toString
     val t = SnapshotLog.open(spark, root, "id")
