@@ -151,6 +151,26 @@ object SnapshotLog {
   final case class DropCol(name: String) extends AlterOp
   final case class AddCol(name: String,
       dt: org.apache.spark.sql.types.DataType) extends AlterOp
+  final case class WidenCol(name: String,
+      dt: org.apache.spark.sql.types.DataType) extends AlterOp
+
+  /** The LOSSLESS type-widening lattice (Delta's type widening set, minus
+    * decimals): every value of `from` maps to exactly one value of `to`
+    * with no precision or range loss, so old files upcast on read and
+    * the change can be METADATA-ONLY. long→double is deliberately absent
+    * (longs above 2^53 lose precision). */
+  private[graft] def widensTo(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
 
   private[operators] case class Composed(data: Seq[String],
       deletes: Seq[String], stats: Seq[FileStat],
@@ -1343,6 +1363,21 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       dt: org.apache.spark.sql.types.DataType): Int =
     alterSchema(Seq(SnapshotLog.AddCol(name, dt)))
 
+  /** ALTER COLUMN ... TYPE as a METADATA-ONLY commit (round 16 — Delta's
+    * type widening): the logged schema re-types the field along the
+    * lossless lattice (byte/short/int → int/long/double, float →
+    * double); existing files keep their narrow physical type and UPCAST
+    * at read time (both the `spark.read.schema(logged)` path and the
+    * DSv2 reader's materializer convert per-slot), later appends land at
+    * the wide type. On a 100 TB table "widen a counter column" must not
+    * mean "rewrite the corpus". Narrowing and any other change refuse
+    * loudly (a rewrite); the KEY column refuses (MOR sidecar identity);
+    * partition-source/Bloom columns may widen integral→integral only
+    * (their metadata derives from the value's string form). */
+  def alterColumnType(name: String,
+      dt: org.apache.spark.sql.types.DataType): Int =
+    alterSchema(Seq(SnapshotLog.WidenCol(name, dt)))
+
   /** Apply a SEQUENCE of rename/drop/add column changes as ONE atomic
     * metadata commit — the `ALTER TABLE` statement unit. Every change
     * validates against the FOLDED schema/map (so `ADD COLUMNS (a, b)`
@@ -1395,6 +1430,37 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             "rename/drop — pick another name or compact() first")
         sch = org.apache.spark.sql.types.StructType(sch.fields :+
           org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+      case SnapshotLog.WidenCol(name, dt) =>
+        val f = sch.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$name' in (${sch.fieldNames.mkString(", ")})"))
+        require(SnapshotLog.widensTo(f.dataType, dt),
+          s"cannot change column '$name' from ${f.dataType.simpleString} " +
+            s"to ${dt.simpleString} — only LOSSLESS widenings " +
+            "(byte/short/int → int/long/double, float → double) are " +
+            "metadata-only; anything else is a rewrite (commitOverwrite)")
+        require(name != keyCol,
+          s"cannot widen the key column '$name': MOR delete sidecars and " +
+            "merge identity compare keys at their logged type — " +
+            "compact() first, then rewrite")
+        // partition-transform and Bloom metadata hash/derive from the
+        // value's STRING form: integral→integral keeps it byte-identical
+        // ("5" stays "5"), but →double would re-render every probe
+        // ("5.0") and silently miss — refuse the float side for those
+        val partSrcs = e0.pvals.values.flatMap(_.keys)
+          .map(PTransform.parse(_).srcCol).toSet
+        if (dt == org.apache.spark.sql.types.DoubleType) {
+          require(!partSrcs.contains(physOf(name)) && !partSrcs.contains(name),
+            s"cannot widen partition-source column '$name' to double — " +
+              "the logged partition values derive from the integral " +
+              "string form; widen to long, or re-ingest")
+          require(!e0.bloomCols.contains(name),
+            s"cannot widen Bloom-indexed column '$name' to double — the " +
+              "sidecars hash the integral string form; " +
+              "setBloomColumns(Nil) first")
+        }
+        sch = org.apache.spark.sql.types.StructType(sch.fields.map(x =>
+          if (x.name == name) x.copy(dataType = dt) else x))
     }
     val opName =
       if (ops.length > 1) "alter-table"
@@ -1402,6 +1468,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         case _: SnapshotLog.RenameCol => "rename-column"
         case _: SnapshotLog.DropCol   => "drop-column"
         case _: SnapshotLog.AddCol    => "add-column"
+        case _: SnapshotLog.WidenCol  => "widen-column"
       }
     val finalSchema = sch
     val finalMap = cmap

@@ -666,6 +666,65 @@ object RelationalQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
+    // ALTER COLUMN TYPE widening (round 16 — Delta's type widening): a
+    // counter column lands INT (+ a FLOAT ratio), the table is RENAMED
+    // onto a mapping, then both columns widen METADATA-ONLY — the INT
+    // one via SQL `ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT` through
+    // the DSv2 catalog (widen-under-mapping: the physical name stays
+    // narrow in the old files), the FLOAT one via the API — asserted
+    // zero-data-move in flight. A post-widen append carries values only
+    // BIGINT can hold; the final aggregate reads BOTH eras through the
+    // CONNECTOR, whose materializer upcasts INT32/FLOAT pages into the
+    // widened LONG/DOUBLE slots per file. At 100 TB "widen a counter"
+    // must never mean "rewrite the corpus". Oracle is the closed form.
+    "q_scan_snapwiden" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_widen")
+        .toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 300)
+        .select(col("doc_id"), col("n_chars").cast("int").as("n"),
+          col("n_chars").cast("float").as("r")))                     // v1
+      t.renameColumn("n", "cnt")                                     // v2
+      def parquets() = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      }
+      val before = parquets()
+      s.conf.set("spark.sql.catalog.graftwiden",
+        "graft.sources.SnaplogCatalog")
+      s.sql(s"ALTER TABLE graftwiden.`$tmp` ALTER COLUMN cnt TYPE BIGINT")
+      t.alterColumnType("r",
+        org.apache.spark.sql.types.DoubleType)                       // v4
+      require(parquets() == before,
+        "type widening must be metadata-only — no data may move")
+      require(t.opOf(3) == "widen-column" && t.opOf(4) == "widen-column")
+      require(t.columnMap() == Map("cnt" -> "n"),
+        "the mapping must survive the widen")
+      require(t.read(1).schema("n").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "time travel must read v1 at its own narrow type")
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500)
+        .select(col("doc_id"),
+          (col("n_chars") + 3000000000L).as("cnt"),
+          col("n_chars").cast("double").as("r")))                    // v5
+      val con = s.read.format("snaplog").load(tmp)
+      require(con.schema("cnt").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val res = con
+        .groupBy(when(col("doc_id") < 300, "narrow").otherwise("wide")
+          .as("era"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cnt")).cast("long").as("sum_cnt"),
+          sum(col("r")).cast("long").as("sum_r"))
+        .orderBy(col("era"))
+      val rows = res.collect()
+      require(rows.length == 2 && rows.forall(_.getAs[Long]("n") > 0),
+        s"both eras must be non-vacuous at this SF: ${rows.toSeq}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     // Partition-scoped OPTIMIZE (round 15 — Delta's `OPTIMIZE t WHERE
     // part = v`): fragment ONE partition across three appends, then
     // rewrite ONLY it — foreign partitions carry METADATA-identical
@@ -1761,6 +1820,19 @@ object RelationalQueries {
          SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 400
          ORDER BY side""",
+    "q_scan_snapwiden" ->
+      """SELECT era, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+                CAST(SUM(r) AS BIGINT) AS sum_r
+         FROM (
+           SELECT 'narrow' AS era, n_chars AS cnt,
+                  CAST(n_chars AS DOUBLE) AS r
+           FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT 'wide', n_chars + 3000000000,
+                  CAST(n_chars AS DOUBLE)
+           FROM documents WHERE doc_id >= 300 AND doc_id < 500)
+         GROUP BY era ORDER BY era""",
     "q_scan_snapoptpart" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(nc) AS BIGINT) AS sum_chars,

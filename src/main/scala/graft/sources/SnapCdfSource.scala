@@ -257,11 +257,31 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
       val op = t.opOf(v)
       val entry = t.readEntry(v)
       val physNames = physNamesAt(v)
+      // a TYPE widening MID-STREAM (after the schema froze) cannot be
+      // represented (the frozen narrow slots would truncate the wide
+      // values later appends carry) nor skipped (same reason): fail
+      // loudly even under skipChangeCommits — a restart re-freezes on
+      // the widened schema and old files upcast on read. A widen in the
+      // BACKFILL range (v ≤ freeze) is harmless: the frozen schema is
+      // already the wide one and pre-widen files upcast per slot.
+      // Batched alters are probed by comparing shared-field types.
+      if (v > freezeVersion && (op == "widen-column" || op == "alter-table")) {
+        for (ps <- t.schemaOf(v - 1); cs <- t.schemaOf(v)) {
+          val prevBy = ps.fields.map(f => f.name -> f.dataType).toMap
+          val widened = cs.fields
+            .filter(f => prevBy.get(f.name).exists(_ != f.dataType))
+          require(widened.isEmpty,
+            s"version $v widened column(s) ${widened.map(_.name).mkString(", ")} " +
+              "mid-stream — the stream's schema froze at the narrow " +
+              "type; restart the stream to pick up the widened schema " +
+              "(old files upcast on read)")
+        }
+      }
       val appendFamily = op == "append" || op == "txn-append" ||
         op == "add-constraint" || op == "drop-constraint" ||
         op == "set-bloom" || op == "rename-column" ||
         op == "drop-column" || op == "add-column" ||
-        op == "alter-table" || op == "create" ||
+        op == "alter-table" || op == "widen-column" || op == "create" ||
         (op == "clone" && v == 1)
       if (tableMode && !appendFamily) {
         // the TABLE stream has no change-row vocabulary: a row-changing

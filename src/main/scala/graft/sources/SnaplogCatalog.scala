@@ -207,12 +207,12 @@ class SnaplogCatalog extends TableCatalog
     new SnaplogTable(SparkSession.active, t, path, 1, key, schema)
   }
 
-  /** ALTER TABLE ... ADD/RENAME/DROP COLUMN — all METADATA-ONLY commits
-    * (round 14, column mapping): rename/drop map the new logical names
-    * onto the untouched physical files; add appends a nullable field
-    * old files read as NULL. Anything else (type changes, property
-    * sets, repositioning) is refused loudly — a type change is a
-    * rewrite, not an alter. */
+  /** ALTER TABLE ... ADD/RENAME/DROP COLUMN and ALTER COLUMN TYPE — all
+    * METADATA-ONLY commits: rename/drop map the new logical names onto
+    * the untouched physical files; add appends a nullable field old
+    * files read as NULL; a type change widens along the lossless
+    * lattice (round 16), old files upcasting at read. Anything else
+    * (narrowing, property sets, repositioning) is refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     val probe = SnapshotLog.open(SparkSession.active, path, "__resolve")
@@ -268,9 +268,17 @@ class SnaplogCatalog extends TableCatalog
           "ADD COLUMN position (FIRST/AFTER) is not supported — new " +
             "columns append")
         SnapshotLog.AddCol(a.fieldNames()(0), a.dataType())
+      case u: TableChange.UpdateColumnType =>
+        // ALTER TABLE ... ALTER COLUMN c TYPE t (round 16 — Delta's type
+        // widening): metadata-only along the lossless lattice, old files
+        // upcast at read; narrowing refuses inside alterSchema
+        require(u.fieldNames().length == 1,
+          "snaplog columns are flat — nested type changes are not " +
+            "supported")
+        SnapshotLog.WidenCol(u.fieldNames()(0), u.newDataType())
       case other => throw new UnsupportedOperationException(
-        s"snaplog ALTER TABLE supports ADD/RENAME/DROP COLUMN; got $other " +
-          "(a type change is a rewrite — commitOverwrite)")
+        s"snaplog ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"ALTER COLUMN TYPE (lossless widening); got $other")
     }
     t.alterSchema(ops.toSeq)
     loadTable(ident)

@@ -942,19 +942,42 @@ class SnaplogRowMaterializer(readFields: StructType, projected: IndexedSeq[Strin
   private val values = new Array[Any](readFields.size)
   private val idxByName = readFields.fieldNames.zipWithIndex.toMap
 
-  private class FieldConverter(slot: Int) extends PrimitiveConverter {
-    override def addLong(v: Long): Unit = values(slot) = v
-    override def addInt(v: Int): Unit = values(slot) = v
+  /** Per-slot decode with UPCAST to the slot's LOGGED type (round 16 —
+    * type widening): after `ALTER COLUMN ... TYPE`, old files still
+    * carry the narrow physical type (INT32 under a long slot, FLOAT
+    * under a double slot); the converter coerces along the lossless
+    * lattice so Spark's typed accessors (getLong/getDouble) never meet
+    * a narrower boxed value. Unwidened tables hit only the identity
+    * arms. */
+  private class FieldConverter(slot: Int,
+      dt: org.apache.spark.sql.types.DataType) extends PrimitiveConverter {
+    import org.apache.spark.sql.types._
+    override def addLong(v: Long): Unit = values(slot) = dt match {
+      case DoubleType => v.toDouble
+      case _ => v
+    }
+    override def addInt(v: Int): Unit = values(slot) = dt match {
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v
+    }
     override def addDouble(v: Double): Unit = values(slot) = v
-    override def addFloat(v: Float): Unit = values(slot) = v
+    override def addFloat(v: Float): Unit = values(slot) = dt match {
+      case DoubleType => v.toDouble
+      case _ => v
+    }
     override def addBoolean(v: Boolean): Unit = values(slot) = v
     override def addBinary(v: Binary): Unit =
       values(slot) = UTF8String.fromBytes(v.getBytes)
   }
 
   private val converters: Array[Converter] =
-    projected.map(name => new FieldConverter(idxByName(name)): Converter)
-      .toArray
+    projected.map { name =>
+      val i = idxByName(name)
+      new FieldConverter(i, readFields.fields(i).dataType): Converter
+    }.toArray
 
   private val root: GroupConverter = new GroupConverter {
     override def getConverter(fieldIndex: Int): Converter =
