@@ -2803,7 +2803,18 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * where the lazy `changes()` multiset diff cancels the no-op pair.
     * The snapcdf streaming source serves merge versions from this
     * sidecar; without it they fail loudly there. */
-  def commitMerge(updates: DataFrame, cdc: Boolean = false): Int = {
+  /** `autoMerge = true` (round 16 — Delta's `MERGE WITH SCHEMA
+    * EVOLUTION` / `spark.databricks.delta.schema.autoMerge`): a source
+    * batch carrying NEW columns widens the table schema exactly like an
+    * append does (add-only, nullable; same-name columns keep their
+    * exact type; retired/mapped physical names refuse reuse) — carried
+    * files and surviving rows simply lack the new columns and read as
+    * NULL. A source MISSING table columns still refuses: this merge is
+    * a whole-row upsert, and silently null-filling absent columns on
+    * matched rows would destroy data a narrower CDC batch never meant
+    * to touch. */
+  def commitMerge(updates: DataFrame, cdc: Boolean = false,
+      autoMerge: Boolean = false): Int = {
     val v0 = currentVersion()
     require(v0 >= 1, "merge on an empty table — use commitAppend")
     val e0 = readEntry(v0)
@@ -2815,13 +2826,26 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     // and physicalize the replacement batch (and the cdc sidecar) before
     // they land, so the new files splice next to carried files
     // seamlessly and the mapping survives the merge.
-    val mergeSchema = schemaOf(v0)
-    val tableCols = mergeSchema.map(_.fieldNames.toSeq)
+    val schema0 = schemaOf(v0)
+    val tableCols = schema0.map(_.fieldNames.toSeq)
       .getOrElse(spark.read.parquet(data.head).columns.toSeq)
-    require(updates.columns.toSet == tableCols.toSet,
+    val extra = updates.columns.filterNot(tableCols.contains).toSeq
+    if (autoMerge) {
+      require(tableCols.forall(updates.columns.contains),
+        s"merge with schema evolution widens ADD-ONLY: the source is " +
+          s"missing table column(s) " +
+          s"${tableCols.filterNot(updates.columns.contains).mkString(", ")}" +
+          " — a whole-row upsert cannot null-fill them on matched rows")
+      guardNewColumns(updates, e0, schema0)
+    } else require(extra.isEmpty && updates.columns.toSet == tableCols.toSet,
       s"merge schema mismatch: table has ${tableCols.mkString(",")}, " +
-        s"updates have ${updates.columns.mkString(",")}")
-    val upd = updates.select(tableCols.map(col): _*)
+        s"updates have ${updates.columns.mkString(",")}" +
+        (if (extra.nonEmpty) " — pass autoMerge = true to widen" else ""))
+    // the published schema: widened when evolving, verbatim otherwise
+    val mergeSchema = schema0.map(s =>
+      if (autoMerge) widen(s, updates.schema) else s)
+    val updCols = tableCols ++ extra
+    val upd = updates.select(updCols.map(col): _*)
     checkConstraints(upd, e0.constraints)
     val updKeys = upd.select(col(keyCol)).distinct()
 
@@ -2870,7 +2894,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         Some(toLogical(rd.parquet(rewriteScan: _*), v0, e0)
           .join(broadcast(updKeys), Seq(keyCol), "left_anti"))
       }
-    val newData = survivors.map(_.unionByName(upd)).getOrElse(upd)
+    // under evolution the survivors were read at the PRE-widen schema
+    // and lack the new columns — null-fill them into the union
+    val newData = survivors
+      .map(_.unionByName(upd, allowMissingColumns = extra.nonEmpty))
+      .getOrElse(upd)
     val dir = newDataDir()
     physicalize(newData, e0.cmap).write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
@@ -2913,7 +2941,8 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           }
         val changeRows = preImages
           .map(_.withColumn("_change_type", lit("delete"))
-            .unionByName(upd.withColumn("_change_type", lit("insert"))))
+            .unionByName(upd.withColumn("_change_type", lit("insert")),
+              allowMissingColumns = extra.nonEmpty))
           .getOrElse(upd.withColumn("_change_type", lit("insert")))
         val cd = s"$root/cdc/c-${java.util.UUID.randomUUID().toString}"
         // the sidecar carries the same PHYSICAL names as the data files

@@ -666,6 +666,69 @@ object RelationalQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
+    // MERGE schema evolution (round 16 — Delta's MERGE WITH SCHEMA
+    // EVOLUTION): upserting a CDC batch that GREW a column must not need
+    // a separate ALTER + reshape. Story: clustered append → API
+    // commitMerge(autoMerge = true, cdc = true) whose source carries a
+    // new `src` column (schema widens in the same commit, carried files
+    // null-fill, the cdc sidecar serves the wide change rows) → SQL
+    // `MERGE WITH SCHEMA EVOLUTION` adding a second column `w` through
+    // the catalog's AUTOMATIC_SCHEMA_EVOLUTION capability (the
+    // statement's add-column routes through alterTable, then the COW
+    // rewrite updates matched rows and inserts a fresh band). Oracle is
+    // the plain closed form.
+    "q_scan_snapmergevolve" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mev").toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.commitAppend(docs.where(col("doc_id") < 400)
+        .select(col("doc_id"), col("n_chars").as("chars"))
+        .repartitionByRange(8, col("doc_id")))                        // v1
+      t.commitMerge(docs.where(col("doc_id") >= 250 && col("doc_id") < 350)
+        .select(col("doc_id"), (col("n_chars") * 2).as("chars"),
+          col("lang").as("src")),
+        cdc = true, autoMerge = true)                                 // v2
+      require(t.schemaOf(2).get.fieldNames.toSeq ==
+        Seq("doc_id", "chars", "src"), "the merge must widen the schema")
+      require(t.readEntry(2).data.size >= 3,
+        "evolution must not force a full rewrite")
+      s.conf.set("spark.sql.catalog.graftmev", "graft.sources.SnaplogCatalog")
+      docs.where((col("doc_id") < 100) ||
+          (col("doc_id") >= 400 && col("doc_id") < 450))
+        .select(col("doc_id"), (col("n_chars") * 3).as("chars"),
+          col("lang").as("src"), (col("n_chars") % 7).as("w"))
+        .createOrReplaceTempView("graft_mev_src")
+      s.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graftmev.`$tmp` t " +
+        "USING graft_mev_src s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")                             // v3+v4
+      val cdcDiff = t.changes(1, 2)
+      val res = t.read()
+        .agg(count(lit(1)).as("n"),
+          sum(col("chars")).cast("long").as("sum_chars"),
+          count(col("src")).as("n_src"),
+          count(col("w")).as("n_w"),
+          sum(col("w")).cast("long").as("sum_w"))
+        .select(lit("final").as("side"), col("n"), col("sum_chars"),
+          col("n_src"), col("n_w"), col("sum_w"))
+        .unionByName(cdcDiff
+          .agg(count(lit(1)).as("n"),
+            sum(col("chars")).cast("long").as("sum_chars"),
+            count(col("src")).as("n_src"),
+            count(lit(null)).as("n_w"), sum(lit(null)).cast("long")
+              .as("sum_w"))
+          .select(lit("cdc").as("side"), col("n"), col("sum_chars"),
+            col("n_src"), col("n_w"), col("sum_w")))
+        .orderBy(col("side"))
+      val rows = res.collect()
+      require(rows.length == 2 &&
+        rows.forall(_.getAs[Long]("n") > 0) &&
+        rows.exists(_.getAs[Long]("n_w") > 0),
+        s"every story leg must be non-vacuous at this SF: ${rows.toSeq}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     // ALTER COLUMN TYPE widening (round 16 — Delta's type widening): a
     // counter column lands INT (+ a FLOAT ratio), the table is RENAMED
     // onto a mapping, then both columns widen METADATA-ONLY — the INT
@@ -1819,6 +1882,29 @@ object RelationalQueries {
          UNION ALL
          SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 400
+         ORDER BY side""",
+    "q_scan_snapmergevolve" ->
+      """SELECT 'cdc' AS side, CAST(2 * COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(3 * n_chars) AS BIGINT) AS sum_chars,
+                CAST(COUNT(*) AS BIGINT) AS n_src,
+                CAST(0 AS BIGINT) AS n_w, CAST(NULL AS BIGINT) AS sum_w
+         FROM documents WHERE doc_id >= 250 AND doc_id < 350
+         UNION ALL
+         SELECT 'final', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN doc_id < 100 OR doc_id >= 400
+                                THEN n_chars * 3
+                              WHEN doc_id >= 250 AND doc_id < 350
+                                THEN n_chars * 2
+                              ELSE n_chars END) AS BIGINT),
+                CAST(SUM(CASE WHEN doc_id < 100
+                                OR (doc_id >= 250 AND doc_id < 350)
+                                OR doc_id >= 400 THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                CAST(SUM(CASE WHEN doc_id < 100 OR doc_id >= 400
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(SUM(CASE WHEN doc_id < 100 OR doc_id >= 400
+                              THEN n_chars % 7 END) AS BIGINT)
+         FROM documents WHERE doc_id < 450
          ORDER BY side""",
     "q_scan_snapwiden" ->
       """SELECT era, CAST(COUNT(*) AS BIGINT) AS n,

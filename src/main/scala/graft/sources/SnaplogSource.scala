@@ -267,9 +267,14 @@ class SnaplogTable(spark: SparkSession, t: SnapshotTable,
       override def comment(): String = "data file path of the row"
     })
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION (round 16): `MERGE WITH SCHEMA
+    // EVOLUTION` routes its add-column/widen changes through the
+    // catalog's alterTable (one atomic metadata commit) before the
+    // rewrite plans — Delta's withSchemaEvolution, on the SQL surface
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The version's CHECK constraints, surfaced through Spark 4's DSv2
     * constraint API (round 15) — DESCRIBE shows them, `ALTER TABLE ADD
