@@ -41,6 +41,11 @@ private[graft] sealed trait PTransform {
     * form; None when this transform cannot map an equality probe
     * (pruning then never fires — conservative). */
   def derive(value: String, isIntegral: Boolean): Option[String]
+  /** The same transform over another source column — the logical ⇄
+    * physical translation hook (round 16: partition-source columns may
+    * rename; `pvals` stores specs under the rename-invariant PHYSICAL
+    * name and probes translate through the mapping). */
+  def withSrc(c: String): PTransform
 }
 
 private[graft] object PTransform {
@@ -50,6 +55,7 @@ private[graft] object PTransform {
     def derivedExpr(dt: DataType): Column = col(srcCol).cast("string")
     def derive(value: String, isIntegral: Boolean): Option[String] =
       Some(value)
+    def withSrc(c: String): PTransform = copy(srcCol = c)
   }
 
   final case class Bucket(n: Int, srcCol: String) extends PTransform {
@@ -64,6 +70,7 @@ private[graft] object PTransform {
       call_function("graft_bucket", col(srcCol).cast("string"), lit(n))
     def derive(value: String, isIntegral: Boolean): Option[String] =
       Some(bucketOf(value, n).toString)
+    def withSrc(c: String): PTransform = copy(srcCol = c)
   }
 
   final case class Truncate(w: Int, srcCol: String) extends PTransform {
@@ -78,6 +85,7 @@ private[graft] object PTransform {
         scala.util.Try(value.toLong).toOption
           .map(v => (v - java.lang.Math.floorMod(v, w.toLong)).toString)
       else Some(value.take(w))
+    def withSrc(c: String): PTransform = copy(srcCol = c)
   }
 
   final case class Days(srcCol: String) extends PTransform {
@@ -100,6 +108,7 @@ private[graft] object PTransform {
     // (string-form timestamp parsing is locale/precision-fraught) —
     // days layouts prune via readPartitions on the day value instead
     def derive(value: String, isIntegral: Boolean): Option[String] = None
+    def withSrc(c: String): PTransform = copy(srcCol = c)
   }
 
   /** graft's bucket hash: FNV-1a 64 + SplitMix64 over the value's

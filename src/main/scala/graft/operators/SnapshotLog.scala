@@ -977,6 +977,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val ts = specs.map(PTransform.parse)
     require(ts.map(_.spec).distinct == ts.map(_.spec),
       s"duplicate partition spec in $specs")
+    // pvals store specs under the PHYSICAL source name (round 16 —
+    // rename-invariant, so a partition-source column may rename): the
+    // caller's specs arrive logical, validation runs on the logical
+    // frame, the derive expressions and logged keys are physical
+    val tsPhys = ts.map(t => t.withSrc(cmap0.getOrElse(t.srcCol, t.srcCol)))
     val byName = df.schema.fields.map(f => f.name -> f).toMap
     import org.apache.spark.sql.types._
     val exprs: Seq[org.apache.spark.sql.Column] = ts.map { t =>
@@ -1011,8 +1016,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         s"($PartValRe); offending row: ${viol.headOption.fold("")(_.toString)}")
     val dir = newDataDir()
     val bloomCfg = bloomColumns()
-    val shadows = ts.map(t => PartPrefix + t.dirKey)
-    ts.zip(shadows).zip(exprs).foldLeft(physicalize(df, cmap0)) {
+    // shadow names and derive expressions bind on the PHYSICALIZED frame
+    val exprsPhys: Seq[org.apache.spark.sql.Column] =
+      tsPhys.zip(ts).map { case (tp, t) =>
+        tp.derivedExpr(byName(t.srcCol).dataType)
+      }
+    val shadows = tsPhys.map(t => PartPrefix + t.dirKey)
+    tsPhys.zip(shadows).zip(exprsPhys).foldLeft(physicalize(df, cmap0)) {
         case (d, ((_, s), e)) => d.withColumn(s, e)
       }.write.mode("errorifexists").partitionBy(shadows: _*).parquet(dir)
     // discover the leaf dirs (depth = spec count below dir); hive nests
@@ -1027,7 +1037,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         .flatMap(s => leaves(s.getPath, depth - 1).map(rel =>
           if (rel.isEmpty) s.getPath.getName else s.getPath.getName + "/" + rel))
     leaves(top, ts.size).map { rel =>
-      val vals = rel.split('/').zip(ts).map { case (seg, t) =>
+      val vals = rel.split('/').zip(tsPhys).map { case (seg, t) =>
         val i = seg.indexOf('=')
         require(i > PartPrefix.length, s"unexpected partition dir '$seg'")
         t.spec -> seg.substring(i + 1)
@@ -1095,12 +1105,16 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   def commitReplacePartitions(df: DataFrame, partitionBy: Seq[String]): Int = {
     val cons0 = constraints()
     checkConstraints(df, cons0)
-    // canonical spec strings — "bucket(16, id)" and "bucket(16,id)" are
-    // the same partitioning
-    val specs = partitionBy.map(PTransform.parse(_).spec)
     val v0 = currentVersion()
     require(v0 >= 1, "replacePartitions on an empty table — use commitAppend")
     val e0rp = readEntry(v0)
+    // canonical PHYSICAL spec strings — "bucket(16, id)" and
+    // "bucket(16,id)" are the same partitioning, and pvals key by the
+    // rename-invariant physical source name
+    val specs = partitionBy.map { s =>
+      val t = PTransform.parse(s)
+      t.withSrc(physCol(e0rp, t.srcCol)).spec
+    }
     guardNewColumns(df, e0rp, schemaOf(v0))
     val parts = writePartitioned(df, partitionBy, e0rp.cmap)
     val replaced: Set[Map[String, String]] = parts.map(_._2).toSet
@@ -1158,20 +1172,23 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"version $v out of range [1, $latest] for $root")
     graft.functions.GraftFunctions.register(spark) // graft_bucket (idempotent)
     val e = readEntry(v)
-    val canon = values.map { case (k, x) => PTransform.parse(k).spec -> x }
+    // probes arrive under LOGICAL source names; pvals are keyed by the
+    // rename-invariant PHYSICAL spec (round 16 — partition sources may
+    // rename), and the exact filter binds the physical frame
+    val sch = schemaOf(v)
+    val probes = values.toSeq.map { case (k, x) =>
+      val tl = PTransform.parse(k)
+      (tl, tl.withSrc(physCol(e, tl.srcCol)), x)
+    }
     val keep = e.data.filter { d =>
       e.pvals.get(d).forall(vs =>
-        canon.forall { case (c, x) => vs.get(c).forall(_ == x) })
+        probes.forall { case (_, tp, x) => vs.get(tp.spec).forall(_ == x) })
     }
-    val sch = schemaOf(v)
     val rd = physSchema(v, e).map(spark.read.schema(_)).getOrElse(spark.read)
-    // partition-transform SOURCES are identity-mapped by refusal, so the
-    // derived filter applies unchanged on the physical frame
-    val flt = canon.map { case (c, x) =>
-      val t = PTransform.parse(c)
-      val dt = sch.flatMap(_.fields.find(_.name == t.srcCol).map(_.dataType))
+    val flt = probes.map { case (tl, tp, x) =>
+      val dt = sch.flatMap(_.fields.find(_.name == tl.srcCol).map(_.dataType))
         .getOrElse(org.apache.spark.sql.types.StringType)
-      t.derivedExpr(dt) === lit(x)
+      tp.derivedExpr(dt) === lit(x)
     }.reduce(_ && _)
     val base =
       if (keep.isEmpty) rd.parquet(e.data: _*).where(lit(false))
@@ -1185,11 +1202,24 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   }
 
   /** Partition values of the latest (or given) version's data entries —
-    * one row per partitioned entry, driver-metadata-sized. */
+    * one row per partitioned entry, driver-metadata-sized. Specs are
+    * stored under PHYSICAL source names (rename-invariant); this
+    * user-facing view translates them back to the version's LOGICAL
+    * names (identity for unmapped tables). */
   def partitionValues(version: Int = -1): Map[String, Map[String, String]] = {
     val latest = currentVersion()
     require(latest >= 1, s"empty table at $root")
-    readEntry(if (version < 0) latest else version).pvals
+    val e = readEntry(if (version < 0) latest else version)
+    if (e.cmap.isEmpty) e.pvals
+    else {
+      val p2l = e.cmap.map(_.swap)
+      e.pvals.map { case (d, vs) =>
+        d -> vs.map { case (specStr, x) =>
+          val t = PTransform.parse(specStr)
+          t.withSrc(p2l.getOrElse(t.srcCol, t.srcCol)).spec -> x
+        }
+      }
+    }
   }
 
   // ---- round 13: shallow clone --------------------------------------------
@@ -1310,28 +1340,55 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           "the staged files carry the old physical names (or reference a " +
           "column dropped since validation); retry the write")
 
-  /** Columns a metadata rename/drop must refuse: the key column (MOR
-    * sidecars and merge identity are keyed by it), partition-transform
-    * sources (logged pvals reference them), Bloom-config columns (the
-    * sidecars hash their at-write name), and columns referenced by a
-    * CHECK constraint (the SQL text would silently go stale). */
-  private def renameBlockers(e: Entry, name: String): Option[String] = {
+  /** Columns a metadata alter must refuse. RENAME (round 16) lifted two
+    * of the round-14 blockers: partition-transform sources rename freely
+    * (`pvals` key by the rename-invariant PHYSICAL source name and every
+    * probe path translates through the mapping) and CHECK-referenced
+    * columns get their stored predicate SQL REWRITTEN in the same atomic
+    * commit. DROP keeps both refusals (a partition's exact recompute and
+    * a constraint's predicate cannot reference a column that no longer
+    * exists). The KEY column (MOR sidecars, merge identity) and
+    * Bloom-config columns (the sidecars hash their at-write name) block
+    * both ops. */
+  private def alterBlockers(e: Entry, name: String,
+      physName: String, drop: Boolean): Option[String] = {
     if (name == keyCol) return Some(s"'$name' is the key column")
-    val partSrcs = e.pvals.values.flatMap(_.keys)
-      .map(PTransform.parse(_).srcCol).toSet
-    if (partSrcs.contains(name))
-      return Some(s"'$name' is a partition-transform source column")
     if (e.bloomCols.contains(name))
       return Some(s"'$name' is Bloom-indexed (setBloomColumns(Nil) first)")
-    val consRefs = e.constraints.values.flatMap { sql =>
+    if (drop) {
+      val partSrcs = e.pvals.values.flatMap(_.keys)
+        .map(PTransform.parse(_).srcCol).toSet
+      if (partSrcs.contains(physName))
+        return Some(s"'$name' is a partition-transform source column")
+    }
+    None
+  }
+
+  /** Single-part column names referenced by the table's CHECK SQL. */
+  private def constraintRefs(cons: Map[String, String]): Set[String] =
+    cons.values.flatMap { sql =>
       try spark.sessionState.sqlParser.parseExpression(sql).collect {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           u.name
       } catch { case _: Exception => Nil }
     }.toSet
-    if (consRefs.contains(name))
-      return Some(s"'$name' is referenced by a CHECK constraint")
-    None
+
+  /** Rewrite one CHECK predicate's SQL for a column rename — parsed,
+    * attribute-substituted, re-rendered; unparseable text is left
+    * verbatim (it can't reference the column detectably either). */
+  private def renameInConstraint(sql: String, oldName: String,
+      newName: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    try {
+      val rewritten = spark.sessionState.sqlParser.parseExpression(sql)
+        .transform {
+          case u: UnresolvedAttribute
+              if u.nameParts.length == 1 &&
+                u.nameParts.head.equalsIgnoreCase(oldName) =>
+            UnresolvedAttribute(Seq(newName))
+        }
+      rewritten.sql
+    } catch { case _: Exception => sql }
   }
 
   /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column mapping):
@@ -1393,6 +1450,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"legacy table at $root carries no schema — alters need one"))
     var cmap = e0.cmap
     var retired = e0.retired
+    var cons = e0.constraints
     def physOf(c: String) = cmap.getOrElse(c, c)
     for (op <- ops) op match {
       case SnapshotLog.RenameCol(oldName, newName) =>
@@ -1402,8 +1460,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           s"column '$newName' already exists")
         require(newName.nonEmpty && !newName.contains('.'),
           s"invalid column name '$newName'")
-        renameBlockers(e0, oldName).foreach(b => throw
-          new IllegalArgumentException(s"cannot rename: $b"))
+        alterBlockers(e0, oldName, physOf(oldName), drop = false)
+          .foreach(b => throw
+            new IllegalArgumentException(s"cannot rename: $b"))
+        // CHECK predicates referencing the column rewrite atomically
+        // with the rename (round 16 — previously a refusal)
+        cons = cons.map { case (n, sql) =>
+          n -> renameInConstraint(sql, oldName, newName)
+        }
         val phys = physOf(oldName)
         cmap =
           if (phys == newName) cmap - oldName // renamed back to file name
@@ -1414,8 +1478,13 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         require(sch.fieldNames.contains(name),
           s"no column '$name' in (${sch.fieldNames.mkString(", ")})")
         require(sch.fields.length > 1, "cannot drop the last column")
-        renameBlockers(e0, name).foreach(b => throw
+        alterBlockers(e0, name, physOf(name), drop = true).foreach(b => throw
           new IllegalArgumentException(s"cannot drop: $b"))
+        // a batched rename-then-drop must still refuse on the FOLDED
+        // constraint text (the rename above already rewrote references)
+        if (constraintRefs(cons).contains(name))
+          throw new IllegalArgumentException(
+            s"cannot drop: '$name' is referenced by a CHECK constraint")
         retired = retired + physOf(name)
         cmap = cmap - name
         sch = org.apache.spark.sql.types.StructType(
@@ -1473,12 +1542,15 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val finalSchema = sch
     val finalMap = cmap
     val finalRetired = retired
+    val finalCons = cons
     commitWithRetry(op = opName) { v =>
       if (v != v0 + 1)
         throw new java.util.ConcurrentModificationException(
           s"$opName computed against version $v0 of $root but " +
             s"version ${v - 1} has been committed since; re-run")
       Some(Composed(e0.data, e0.deletes, e0.stats, Some(finalSchema), e0.sv,
+        constraints =
+          if (finalCons == e0.constraints) None else Some(finalCons),
         colMap = Some((finalMap, finalRetired))))
     }.get
   }
@@ -2627,7 +2699,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val v0 = currentVersion()
     require(v0 >= 1, s"optimizePartition on an empty table at $root")
     val e0 = readEntry(v0)
-    val canon = values.map { case (k, x) => PTransform.parse(k).spec -> x }
+    val canon = values.map { case (k, x) =>
+      val t = PTransform.parse(k)
+      t.withSrc(physCol(e0, t.srcCol)).spec -> x
+    }
     val selected = e0.data.filter { d =>
       e0.pvals.get(d).exists(vs =>
         canon.forall { case (c, x) => vs.get(c).contains(x) })

@@ -628,28 +628,33 @@ object RelationalQueries {
       val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("lang"))
-      t.commitAppend(docs.where(col("doc_id") < 400))
-      t.optimize(8)
+      t.commitAppend(docs.where(col("doc_id") < 400), Seq("lang"))    // v1
       def parquets() = {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
           .iterator().asScala.count(_.toString.endsWith(".parquet"))
       }
       val before = parquets()
-      t.renameColumn("n_chars", "chars")
-      t.dropColumn("lang")
+      t.renameColumn("n_chars", "chars")                              // v2
+      // round 16: even the PARTITION-SOURCE column renames — pvals key
+      // by the rename-invariant physical name, probes translate
+      t.renameColumn("lang", "language")                              // v3
       require(parquets() == before,
-        "rename/drop must be metadata-only — no data may move")
+        "renames must be metadata-only — no data may move")
       t.commitAppend(docs.where(col("doc_id") < 100)
         .select((col("doc_id") + 1000).as("doc_id"),
-          col("n_chars").as("chars")))
-      require(t.read(2).columns.toSeq == Seq("doc_id", "n_chars", "lang"),
+          col("n_chars").as("chars"), col("lang").as("language")),
+        Seq("language"))                                              // v4
+      require(t.read(1).columns.toSeq == Seq("doc_id", "n_chars", "lang"),
         "time travel must read pre-rename versions under their own names")
+      val en = t.readPartitions(Map("language" -> "en"))
+      require(en.inputFiles.length < t.read().inputFiles.length,
+        "partition selection must prune through the renamed source")
+      require(t.partitionValues().values.forall(_.keySet ==
+        Set("language")), "partition values must surface logical names")
       val band = t.readRange(100L, 199L)
-      require(band.inputFiles.length < t.read().inputFiles.length,
-        "key pruning must survive the mapping")
       val con = s.read.format("snaplog").load(tmp)
-      require(con.columns.toSeq == Seq("doc_id", "chars"),
+      require(con.columns.toSeq == Seq("doc_id", "chars", "language"),
         s"connector must serve the mapped names, got ${con.columns.toSeq}")
       def agg(df: org.apache.spark.sql.DataFrame, side: String,
           c: String) =
@@ -657,11 +662,12 @@ object RelationalQueries {
             sum(col(c)).cast("long").as("sum_chars"))
           .select(lit(side).as("side"), col("n"), col("sum_chars"))
       val res = agg(band, "band", "chars")
+        .unionByName(agg(en, "en", "chars"))
         .unionByName(agg(con, "now", "chars"))
-        .unionByName(agg(t.read(2), "v1", "n_chars"))
+        .unionByName(agg(t.read(1), "v1", "n_chars"))
         .orderBy(col("side"))
       val rows = res.collect()
-      require(rows.length == 3 && rows.forall(_.getAs[Long]("n") > 0),
+      require(rows.length == 4 && rows.forall(_.getAs[Long]("n") > 0),
         s"every story leg must be non-vacuous at this SF: ${rows.toSeq}")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
@@ -1873,6 +1879,14 @@ object RelationalQueries {
       """SELECT 'band' AS side, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id BETWEEN 100 AND 199
+         UNION ALL
+         SELECT 'en', CAST(COUNT(*) AS BIGINT), CAST(SUM(nc) AS BIGINT)
+         FROM (
+           SELECT n_chars AS nc FROM documents
+            WHERE doc_id < 400 AND lang = 'en'
+           UNION ALL
+           SELECT n_chars FROM documents
+            WHERE doc_id < 100 AND lang = 'en')
          UNION ALL
          SELECT 'now', CAST(COUNT(*) AS BIGINT), CAST(SUM(nc) AS BIGINT)
          FROM (

@@ -95,7 +95,8 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read().where(col("score").isNotNull).count() == 1)
   }
 
-  test("rename/drop refusals: key, partition source, bloom, constraint") {
+  test("rename parity: partition sources and CHECK-referenced columns " +
+      "rename; key/bloom and drops keep their blockers") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmr").toString
     val t = SnapshotLog.open(spark, root, "id")
     t.commitAppend((1L to 30L).map(i =>
@@ -103,19 +104,41 @@ class ColumnMappingSpec extends SparkSpec {
       .toDF("id", "lang", "n", "v"), Seq("lang"))
     t.addConstraint("n_pos", "n > 0")
     t.setBloomColumns(Seq("v"))
+    // still blocked: key column, Bloom-config column, unknown column
     intercept[IllegalArgumentException](t.renameColumn("id", "id2"))
-    intercept[IllegalArgumentException](t.renameColumn("lang", "language"))
+    intercept[IllegalArgumentException](t.renameColumn("v", "w"))
     intercept[IllegalArgumentException](t.dropColumn("v"))
-    intercept[IllegalArgumentException](t.renameColumn("n", "m"))
-    intercept[IllegalArgumentException](t.renameColumn("v", "lang"))
     intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
-    // dropping the constraint/bloom unblocks
-    t.dropConstraint("n_pos")
+    // LIFTED (round 16): a partition-SOURCE column renames — pvals key by
+    // the rename-invariant physical name, probes translate
+    t.renameColumn("lang", "language")
+    val fr = t.readPartitions(Map("language" -> "fr"))
+    assert(fr.count() == 15)
+    assert(fr.columns.contains("language"))
+    assert(fr.inputFiles.length < t.read().inputFiles.length,
+      "partition selection must still prune after the source rename")
+    // partitioned appends under the NEW logical name land in the same
+    // physical layout and co-read with the old era
+    t.commitAppend(Seq((31L, "fr", 62L, "x31"))
+      .toDF("id", "language", "n", "v"), Seq("language"))
+    assert(t.readPartitions(Map("language" -> "fr")).count() == 16)
+    // the user-facing partition values translate back to logical names
+    assert(t.partitionValues().values.forall(_.keySet == Set("language")))
+    // LIFTED (round 16): a CHECK-referenced column renames and the
+    // stored predicate SQL rewrites atomically — still ENFORCED
     t.renameColumn("n", "m")
+    assert(t.constraints().values.exists(_.contains("m")),
+      s"constraint must rewrite, got ${t.constraints()}")
+    intercept[Exception](t.commitAppend(
+      Seq((32L, "fr", -5L, "bad")).toDF("id", "language", "m", "v"),
+      Seq("language")))
     assert(t.read().where(col("m") === 20L).count() == 1)
-    // partition reads still exact under the mapping (sources identity)
-    assert(t.readPartitions(Map("lang" -> "fr")).count() == 15)
-    assert(t.readPartitions(Map("lang" -> "fr")).columns.contains("m"))
+    // dropping the rewritten-constraint column still refuses; dropping
+    // the constraint unblocks
+    intercept[IllegalArgumentException](t.dropColumn("m"))
+    t.dropConstraint("n_pos")
+    // dropping a partition source still refuses (exact recompute needs it)
+    intercept[IllegalArgumentException](t.dropColumn("language"))
   }
 
   test("connector writes + SQL DML work on mapped tables (physical names)") {
