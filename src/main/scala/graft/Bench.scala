@@ -120,6 +120,11 @@ object Bench {
       }
       math.min(once(), once())
     }
+    // whole-run loadavg endpoints (round 16 — VERDICT r15 #7): calib
+    // alone under-detects steady sub-threshold external load; the
+    // 1-minute loadavg at the bracket edges rides the artifact so
+    // adjudications stop re-deriving box state from shell archaeology
+    val loadavgPre = loadavg1()
     val calibPre = calibrate()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to the named queries —
     // the isolated fresh-JVM mode used to adjudicate per-query regressions
@@ -287,7 +292,11 @@ object Bench {
     val calibFinalJson = calibFinal.map(v => s""","calib_final":${fmt(v)}""").getOrElse("")
     val driftJson = s""","drifted":$drifted,"calib_spread":${fmt(spread1, 3)}""" +
       spread2.map(v => s""","calib_spread2":${fmt(v, 3)}""").getOrElse("")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_s":${fmt(calibS)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)}$calibFinalJson$driftJson,"queries":$qs,"first_pass":$firsts,"load":$loads,"rerun":$reruns,"contended":$contended,"errors":$errs,"sf":"$sfDir"}"""
+    val loadavgPost = loadavg1()
+    val loadavgJson =
+      s""","loadavg_pre":${fmt(loadavgPre, 2)}""" +
+        s""","loadavg_post":${fmt(loadavgPost, 2)}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_s":${fmt(calibS)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)}$calibFinalJson$driftJson$loadavgJson,"queries":$qs,"first_pass":$firsts,"load":$loads,"rerun":$reruns,"contended":$contended,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full line where it survives any stdout truncation: /tmp
     // for this session's adjudications, and the repo cwd so the round
     // commit carries every per-query number into history
@@ -314,7 +323,7 @@ object Bench {
       .mkString("{", ",", "}")
     // contended as a COUNT here (the name list is unbounded under a fully
     // loaded box and would blow the tail window; names are in BENCH_FULL)
-    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_s":${fmt(calibS, 2)},"calib_pre":${fmt(calibPre, 2)},"calib_post":${fmt(calibPost, 2)}${calibFinal.map(v => s""","calib_final":${fmt(v, 2)}""").getOrElse("")},"drifted":$drifted,"sf":"$sfShort","n_queries":${results.size},"errors":$errs,"contended":${contendedNames.size},"queries_full":"BENCH_FULL.json","fam_cs":$famCs}"""
+    val summary = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_s":${fmt(calibS, 2)},"calib_pre":${fmt(calibPre, 2)},"calib_post":${fmt(calibPost, 2)}${calibFinal.map(v => s""","calib_final":${fmt(v, 2)}""").getOrElse("")},"drifted":$drifted$loadavgJson,"sf":"$sfShort","n_queries":${results.size},"errors":$errs,"contended":${contendedNames.size},"queries_full":"BENCH_FULL.json","fam_cs":$famCs}"""
     spark.stop()
     println(summary)
     if (results.exists(!_._3)) sys.exit(1)

@@ -604,9 +604,157 @@ object ClusterCheck {
       System.err.println(s"[chaos] mapped DML/CDF: $e"); false
     } finally { stop6.set(true); killer6.join(2000) }
 
+    // round-16 table-stream phase: the snaplog TABLE-as-stream read
+    // (readStream.format("snaplog")) under yet another fresh executor
+    // kill — a rename lands MID-HISTORY so per-version mapping
+    // translation is on the line, a change commit is skipped whole
+    // under skipChangeCommits, versions drain one per micro-batch
+    // (admission control across task retries), and an incremental
+    // restart over the same checkpoint picks up exactly the new commit.
+    // Every emitted row must satisfy the closed form m = id * 2 — a
+    // mapping bug surfaces as NULLs, a replay bug as duplicates.
+    val stop7 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed7 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer7 = new Thread(() => {
+      while (!stop7.get() && !killed7.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop7.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during table stream")
+            killed7.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer7.setDaemon(true)
+    killer7.start()
+    val streamReadOk = try {
+      val sroot2 = java.nio.file.Files
+        .createTempDirectory("graft-chaos-tstream").toString + "/t"
+      spark.range(8000).select(col("id"), (col("id") * 2).as("n"))
+        .repartition(4)
+        .write.format("snaplog").option("key", "id").mode("append")
+        .save(sroot2)                                                 // v1
+      val tr = graft.operators.SnapshotLog.open(spark, sroot2, "id")
+      tr.renameColumn("n", "m")                                       // v2
+      tr.commitAppend(spark.range(8000, 12000)
+        .select(col("id"), (col("id") * 2).as("m")))                  // v3
+      tr.commitDeleteWhere("id", 0, 499)                              // v4
+      tr.commitAppend(spark.range(12000, 13000)
+        .select(col("id"), (col("id") * 2).as("m")))                  // v5
+      val sout = java.nio.file.Files
+        .createTempDirectory("graft-chaos-tsout").toString
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      def drain(): Unit = {
+        val q = spark.readStream.format("snaplog")
+          .option("skipChangeCommits", "true")
+          .option("maxVersionsPerTrigger", "1").load(sroot2)
+          .writeStream.option("checkpointLocation", s"$sout/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              batches.incrementAndGet()
+              b.write.mode("append").parquet(s"$sout/out")
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      drain()
+      val out1 = spark.read.parquet(s"$sout/out")
+      // v1+v3+v5 emit whole (the delete SKIPS — its COW rewrite's
+      // replacement never re-emits), one version per batch
+      val firstOk = out1.count() == 13000L && batches.get() == 3 &&
+        out1.columns.toSeq == Seq("id", "m") &&
+        out1.where(col("m").isNull ||
+          col("m") =!= col("id") * 2).count() == 0L &&
+        out1.select(col("id")).distinct().count() == 13000L
+      tr.commitAppend(spark.range(13000, 13500)
+        .select(col("id"), (col("id") * 2).as("m")))                  // v6
+      drain() // incremental restart over the SAME checkpoint
+      val out2 = spark.read.parquet(s"$sout/out")
+      firstOk && out2.count() == 13500L &&
+        out2.select(col("id")).distinct().count() == 13500L &&
+        out2.where(col("m") =!= col("id") * 2).count() == 0L
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] table stream read: $e"); false
+    } finally { stop7.set(true); killer7.join(2000) }
+
+    // round-16 partition-maintenance race phase: TWO optimizePartition
+    // jobs on DISJOINT partitions race under yet another fresh executor
+    // kill — both must land UNSERIALISED (the OCC rebase composes
+    // commits that left the selected entries untouched), each partition
+    // collapses to ONE aligned entry, the foreign partition's entries
+    // carry metadata-identical, and a pending MOR sidecar's keys stay
+    // masked through both rewrites.
+    val stop8 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killed8 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killer8 = new Thread(() => {
+      while (!stop8.get() && !killed8.get()) {
+        if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+          Thread.sleep(100)
+          val pids = executorPids(appId)
+          if (pids.nonEmpty && !stop8.get()) {
+            System.err.println(
+              s"[chaos] kill -9 executor pid ${pids.head} during optimize race")
+            killed8.set(Runtime.getRuntime
+              .exec(Array("kill", "-9", pids.head.toString)).waitFor() == 0)
+          }
+        } else Thread.sleep(20)
+      }
+    })
+    killer8.setDaemon(true)
+    killer8.start()
+    val partRaceOk = try {
+      val oroot = java.nio.file.Files
+        .createTempDirectory("graft-chaos-optrace").toString
+      val to = graft.operators.SnapshotLog.open(spark, oroot, "id")
+      def omk(part: String, lo: Long, n: Long) =
+        spark.range(lo, lo + n).select(col("id"), lit(part).as("p"),
+          concat(lit(s"$part-"), col("id")).as("v"))
+      // fragment partitions a and b across three commits each; c is the
+      // foreign control partition
+      for (i <- 0 until 3) {
+        to.commitAppend(omk("a", i * 1000L, 1000), Seq("p"))
+        to.commitAppend(omk("b", 10000L + i * 1000L, 1000), Seq("p"))
+      }
+      to.commitAppend(omk("c", 20000L, 1000), Seq("p"))
+      to.commitDelete(spark.range(500).select(col("id"))
+        .toDF("id")) // MOR sidecar masking ids 0-499 (partition a)
+      val cEntries = to.readEntry(to.currentVersion()).data
+        .filter(d => to.partitionValues().get(d)
+          .exists(_.get("p").contains("c"))).toSet
+      val errsO = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val races = Seq("a", "b").map { part =>
+        val th = new Thread(() =>
+          try { to.optimizePartition(Map("p" -> part), 1); () }
+          catch { case e: Throwable => errsO.add(e); () })
+        th.start(); th
+      }
+      races.foreach(_.join(300000))
+      errsO.forEach(e => System.err.println(s"[chaos] optimize race: $e"))
+      val eNow = to.readEntry(to.currentVersion())
+      val aEntries = eNow.pvals.collect {
+        case (d, vs) if vs.get("p").contains("a") => d }.toSet
+      val bEntries = eNow.pvals.collect {
+        case (d, vs) if vs.get("p").contains("b") => d }.toSet
+      errsO.isEmpty &&
+        aEntries.size == 1 && bEntries.size == 1 &&
+        cEntries.subsetOf(eNow.data.toSet) &&
+        to.readPartitions(Map("p" -> "a")).count() == 2500L &&
+        to.readPartitions(Map("p" -> "b")).count() == 3000L &&
+        to.read().count() == 6500L &&
+        to.read().where(col("id") < 500).count() == 0L
+    } catch { case e: Throwable =>
+      System.err.println(s"[chaos] optimize-partition race: $e"); false
+    } finally { stop8.set(true); killer8.join(2000) }
+
     val ok = errs.isEmpty && v == 1 + 2 * perWriter && dense &&
       total == expect && monotone && pruned && mergeOk && txnOk &&
-      partOk && dsv2Ok && sqlOk && mapOk
+      partOk && dsv2Ok && sqlOk && mapOk && streamReadOk && partRaceOk
     val json = s"""{"versions":$v,"rows":$total,"expected":$expect,""" +
       s""""dense":$dense,"monotone":$monotone,"statsPruned":$pruned,""" +
       s""""killLanded":${killed.get()},"writerErrors":${errs.size()},""" +
@@ -616,6 +764,10 @@ object ClusterCheck {
       s""""dsv2Ok":$dsv2Ok,""" +
       s""""sqlDmlOk":$sqlOk,"sqlKillLanded":${killed5.get()},""" +
       s""""mapOk":$mapOk,"mapKillLanded":${killed6.get()},""" +
+      s""""streamReadOk":$streamReadOk,""" +
+      s""""streamKillLanded":${killed7.get()},""" +
+      s""""partRaceOk":$partRaceOk,""" +
+      s""""partRaceKillLanded":${killed8.get()},""" +
       s""""ok":$ok}"""
     (json, ok)
   }
