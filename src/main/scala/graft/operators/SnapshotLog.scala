@@ -2033,12 +2033,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * provably matches nothing (exact no-op detection from metadata).
     * Conflict-checked like [[commitMerge]]; a rewritten partitioned
     * entry loses its partition alignment (like merge — documented). */
-  def commitDeleteWhere(column: String, lo: Long, hi: Long): Int =
-    dmlWhere(LongPred(column, lo, hi), None, "delete-where")
+  def commitDeleteWhere(column: String, lo: Long, hi: Long,
+      cdc: Boolean = false): Int =
+    dmlWhere(LongPred(column, lo, hi), None, "delete-where", cdc)
 
   /** [[commitDeleteWhere]] for STRING bands (logged string bounds). */
-  def commitDeleteWhereString(column: String, lo: String, hi: String): Int =
-    dmlWhere(StrPred(column, lo, hi), None, "delete-where")
+  def commitDeleteWhereString(column: String, lo: String, hi: String,
+      cdc: Boolean = false): Int =
+    dmlWhere(StrPred(column, lo, hi), None, "delete-where", cdc)
 
   /** UPDATE ... SET `set` WHERE `column BETWEEN lo AND hi` — COW with
     * the same file classification as [[commitDeleteWhere]]: only files
@@ -2047,17 +2049,30 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     * carries as metadata. `set` expressions are SQL text evaluated per
     * row (they may reference any column). */
   def commitUpdateWhere(column: String, lo: Long, hi: Long,
-      set: Map[String, String]): Int = {
+      set: Map[String, String], cdc: Boolean = false): Int = {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
-    dmlWhere(LongPred(column, lo, hi), Some(set), "update-where")
+    dmlWhere(LongPred(column, lo, hi), Some(set), "update-where", cdc)
   }
 
   /** Shared COW machinery for predicate DML. `set` None = DELETE (drop
     * matching rows; fully-inside files drop as metadata), Some = UPDATE
     * (rewrite matching rows; fully-inside files still need the rewrite —
-    * their ROWS change — but disjoint files never move). */
+    * their ROWS change — but disjoint files never move).
+    *
+    * `cdc = true` (round 16 — Delta's CDF on DML): the commit ALSO
+    * materializes its exact change rows to a log-referenced sidecar, so
+    * the snapcdf stream serves DML versions like cdc-merges instead of
+    * refusing. Pre-images of VISIBLE matched rows tag `delete` (UPDATE
+    * adds the post-images as `insert`); rows masked by pending MOR
+    * sidecars never surface. Cost is bounded by the CHANGE, never table
+    * size: rewritten files are being read anyway (their change rows are
+    * a free projection), and a DELETE's metadata-dropped files — whose
+    * rows are all pre-images — are re-read band-bounded (they sit fully
+    * inside the predicate band by construction). Delta pays the same
+    * shape: remove-action files are read back when its CDF reader
+    * serves a delete. */
   private def dmlWhere(p: Pred, set: Option[Map[String, String]],
-      op: String): Int = {
+      op: String, cdc: Boolean = false): Int = {
     val v0 = currentVersion()
     require(v0 >= 1, s"$op on an empty table at $root")
     val e0 = readEntry(v0)
@@ -2134,13 +2149,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       return v0 // provably nothing matches — exact metadata no-op
 
     val sch = schemaOf(v0)
+    // read under the PHYSICAL schema (the in-file names), then work
+    // in logical space; identity mapping makes both renames no-ops
+    val rd0 = physSchema(v0, e0).map(spark.read.schema(_))
+      .getOrElse(spark.read)
     val newDir: Option[(String, Seq[FileStat])] =
       if (rewriteScan.isEmpty) None
       else {
-        // read under the PHYSICAL schema (the in-file names), then work
-        // in logical space; identity mapping makes both renames no-ops
-        val rd = physSchema(v0, e0).map(spark.read.schema(_))
-          .getOrElse(spark.read)
+        val rd = rd0
         val scanned = toLogical(rd.parquet(rewriteScan: _*), v0, e0)
         val matchC = filterExpr(p)
         val out = set match {
@@ -2173,6 +2189,53 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         Some(dir -> st)
       }
 
+    // change-data sidecar (cdc = true): exact change rows, VISIBLE rows
+    // only (pending MOR sidecar keys anti-join out, like commitMerge's)
+    val cdcDir: Option[String] =
+      if (!cdc) None
+      else {
+        def visible(df: DataFrame): DataFrame =
+          if (e0.deletes.isEmpty) df
+          else df.join(broadcast(spark.read.parquet(e0.deletes: _*)
+            .select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+        val matchC = filterExpr(p)
+        val preRewrite =
+          if (rewriteScan.isEmpty) None
+          else Some(visible(
+            toLogical(rd0.parquet(rewriteScan: _*), v0, e0).where(matchC)))
+        // a DELETE's metadata-dropped files sit fully inside the band
+        // with zero NULLs by construction — every visible row is a
+        // pre-image; the re-read is bounded by the deleted data
+        val preDropped =
+          if (droppedStats.isEmpty) None
+          else Some(visible(toLogical(
+            rd0.parquet(droppedStats.map(_.file): _*), v0, e0)))
+        val pres = (preRewrite.toSeq ++ preDropped.toSeq)
+          .reduceOption(_ unionByName _)
+        val changeRows = set match {
+          case None =>
+            pres.map(_.withColumn("_change_type", lit("delete")))
+          case Some(assign) =>
+            // post-images fold the SET sequentially over the matched
+            // pre-images — the same order the rewrite applies, so both
+            // frames agree row-for-row
+            pres.map { m =>
+              val post = assign.foldLeft(m) { case (df, (c, sql)) =>
+                df.withColumn(c, expr(sql))
+              }
+              m.withColumn("_change_type", lit("delete"))
+                .unionByName(post.withColumn("_change_type", lit("insert")))
+            }
+        }
+        changeRows.map { cr =>
+          val cd = s"$root/cdc/c-${java.util.UUID.randomUUID().toString}"
+          // same physical names as the data files (readers translate
+          // both through one rule); _change_type passes through identity
+          physicalize(cr, e0.cmap).write.mode("errorifexists").parquet(cd)
+          cd
+        }
+      }
+
     val untouched = untouchedE.result()
     val carriedStats = carried.result()
     commitWithRetry(op = op) { v =>
@@ -2190,7 +2253,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
         e0.deletes,
         e0.stats.filter(s => keptFileSet.contains(s.file)) ++
           newDir.map(_._2).getOrElse(Nil),
-        sch, e0.sv))
+        sch, e0.sv, cdcDir))
     }.get
   }
 

@@ -305,6 +305,49 @@ object StreamingQueries {
         .orderBy(col("v"), col("change"))
     }),
 
+    // CDF on predicate DML (round 16 — Delta's change feed over
+    // DELETE/UPDATE): commitDeleteWhere / commitUpdateWhere with
+    // cdc = true materialize their exact change rows to a log-referenced
+    // sidecar — pre-images tag `delete`, UPDATE post-images `insert`,
+    // MOR-masked rows never surface — and the snapcdf stream serves the
+    // DML versions verbatim instead of refusing. Change cost is bounded
+    // by the CHANGE: rewritten boundary files re-project, a DELETE's
+    // metadata-dropped files re-read band-bounded. Oracle spells each
+    // version's closed form per change type.
+    "q_stream_snapcdfdml" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scdfd")
+        .toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 400)
+        .repartitionByRange(8, col("doc_id")))                         // v1
+      t.commitDeleteWhere("doc_id", 50, 99, cdc = true)                // v2
+      t.commitUpdateWhere("doc_id", 200, 249,
+        Map("n_chars" -> "n_chars + 100000"), cdc = true)              // v3
+      require(t.readEntry(2).cdc.isDefined && t.readEntry(3).cdc.isDefined,
+        "cdc DML must record its change sidecar")
+      val sink = s"$tmp/feed"
+      val q = s.readStream.format("snapcdf").load(tmp)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(sink)
+          ()
+        }.start()
+      q.awaitTermination()
+      val res = s.read.parquet(sink)
+        .groupBy(col("cdf_version").cast("int").as("v"),
+          col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("v"), col("change"))
+      val rows = res.collect()
+      require(rows.length == 4 && rows.forall(_.getAs[Long]("n") > 0),
+        s"every change leg must be non-vacuous at this SF: ${rows.toSeq}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     // Custom MicroBatchStream change feed (round 13 — the DSv2 streaming
     // twin of q_stream_snapcdf, for when RATE CONTROL matters): offsets
     // are VERSIONS, option("maxVersionsPerTrigger", 1) admits one commit
@@ -769,6 +812,23 @@ object StreamingQueries {
            UNION ALL
            SELECT 4, 'delete', n_chars FROM documents
             WHERE doc_id >= 250 AND doc_id < 350 AND doc_id % 7 <> 0)
+         GROUP BY v, change ORDER BY v, change""",
+    "q_stream_snapcdfdml" ->
+      """SELECT v, change, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT 1 AS v, 'insert' AS change, n_chars AS nc, doc_id AS id
+           FROM documents WHERE doc_id < 400
+           UNION ALL
+           SELECT 2, 'delete', n_chars, doc_id FROM documents
+            WHERE doc_id BETWEEN 50 AND 99
+           UNION ALL
+           SELECT 3, 'delete', n_chars, doc_id FROM documents
+            WHERE doc_id BETWEEN 200 AND 249
+           UNION ALL
+           SELECT 3, 'insert', n_chars + 100000, doc_id FROM documents
+            WHERE doc_id BETWEEN 200 AND 249)
          GROUP BY v, change ORDER BY v, change""",
     "q_stream_snapcdf2" ->
       """SELECT v, change, CAST(COUNT(*) AS BIGINT) AS n,

@@ -38,10 +38,11 @@ import graft.operators.{SnapshotLog, SnapshotTable}
   * that version never surface as inserts.
   *
   * Scope: APPEND-family commits (`append`, `txn-append` — the streaming
-  * ingest shapes), plus MERGE commits written with
-  * `commitMerge(cdc = true)` — those carry their exact change rows in a
-  * log-referenced sidecar (Delta's `_change_data`) and are served
-  * verbatim, `delete` pre-images included. Any other
+  * ingest shapes), plus MERGE and predicate-DML commits written with
+  * `cdc = true` (commitMerge / commitDeleteWhere / commitUpdateWhere) —
+  * those carry their exact change rows in a log-referenced sidecar
+  * (Delta's `_change_data`) and are served verbatim, `delete`
+  * pre-images included. Any other
   * delete/merge/overwrite commit in the admitted range fails LOUDLY —
   * its exact diff needs the batch `changes()` machinery — and the
   * [[graft.streaming.SnapshotCdf.backfill]] composition remains the
@@ -292,10 +293,13 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
             s"$v is '$op' — set option(\"skipChangeCommits\", " +
             "\"true\") to skip change commits, or stream the exact " +
             "diff via format(\"snapcdf\") / SnapshotCdf.backfill")
-      } else if (!tableMode && op == "merge" && entry.cdc.isDefined) {
-        // a CDF-enabled merge (commitMerge(cdc = true)) materialized its
-        // exact change rows — serve them verbatim, types included (the
-        // sidecar carries the same physical names as the data files)
+      } else if (!tableMode && entry.cdc.isDefined &&
+          (op == "merge" || op == "delete-where" || op == "update-where")) {
+        // a CDF-enabled merge or predicate DML (commitMerge/
+        // commitDeleteWhere/commitUpdateWhere with cdc = true)
+        // materialized its exact change rows — serve them verbatim,
+        // types included (the sidecar carries the same physical names
+        // as the data files)
         for (f <- t.dataFilesOf(entry.cdc.get))
           parts += SnapCdfPartition(f, v, typed = true, physNames)
       } else {
@@ -305,9 +309,10 @@ class SnapCdfStream(spark: SparkSession, t: SnapshotTable, root: String,
         // REMOVE rows (delete/merge/overwrite/restore/replace-partitions)
         // fail loudly.
         require(appendFamily,
-          s"snapcdf streams append-family commits (and merges committed " +
-            s"with cdc = true); version $v is '$op' — use " +
-            "SnapshotCdf.backfill for exact diffs of other history")
+          s"snapcdf streams append-family commits (and merge/DELETE " +
+            s"WHERE/UPDATE WHERE commits with cdc = true); version $v " +
+            s"is '$op' — use SnapshotCdf.backfill for exact diffs of " +
+            "other history")
         val prev = if (v == 1) Set.empty[String]
           else t.readEntry(v - 1).data.toSet
         for (d <- entry.data if !prev.contains(d); f <- t.dataFilesOf(d))

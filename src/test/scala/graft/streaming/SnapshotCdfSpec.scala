@@ -205,6 +205,68 @@ class SnapshotCdfSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("cdc = true")), e.toString)
   }
 
+  test("cdc predicate DML: exact change rows, masked rows stay invisible") {
+    // round 16 — Delta's CDF on DELETE/UPDATE: cdc = true materializes
+    // the exact change rows (dropped-whole files' rows included) and the
+    // snapcdf stream serves the DML versions instead of refusing
+    val root = java.nio.file.Files.createTempDirectory("graft_cdml").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 100L).map(i => (i, i * 10))
+      .toDF("id", "n").repartitionByRange(5, col("id")))          // v1
+    t.commitDelete(Seq(25L, 60L).toDF("id"))                      // v2 (MOR)
+    // banded cdc DELETE: [21,40] spans a fully-dropped file and boundary
+    // files; the MOR-masked id 25 must NOT surface as a change row
+    val v3 = t.commitDeleteWhere("id", 21, 40, cdc = true)        // v3
+    assert(t.readEntry(v3).cdc.isDefined)
+    val del3 = spark.read.parquet(t.readEntry(v3).cdc.get)
+    assert(del3.count() == 19, s"got ${del3.count()}") // 20 minus masked 25
+    assert(del3.where(col("id") === 25L).count() == 0,
+      "sidecar-masked rows must not surface as deletes")
+    // cdc UPDATE: pre+post pairs for visible matched rows only
+    val v4 = t.commitUpdateWhere("id", 55, 65,
+      Map("n" -> "n + 1000"), cdc = true)                         // v4
+    val ch4 = spark.read.parquet(t.readEntry(v4).cdc.get)
+    assert(ch4.count() == 20, s"got ${ch4.count()}") // 10 visible × 2
+    assert(ch4.where(col("id") === 60L).count() == 0)
+    assert(ch4.where(col("id") === 55L && col("n") === 1550L).count() == 1)
+    // the batch diff and the sidecar agree exactly
+    val diff4 = t.changes(3, 4)
+    assert(diff4.exceptAll(ch4.select(diff4.columns.map(col): _*)).isEmpty)
+    assert(ch4.select(diff4.columns.map(col): _*).exceptAll(diff4).isEmpty)
+
+    // the snapcdf stream drains the DML versions (started past the v2
+    // MOR sidecar commit — plain `delete` stays an exact-diff refusal)
+    val sink = java.nio.file.Files.createTempDirectory("graft_cdmls")
+      .toString
+    val q = spark.readStream.format("snapcdf")
+      .option("startVersion", 2).load(root)
+      .writeStream.option("checkpointLocation", s"$sink/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(s"$sink/out")
+        ()
+      }.start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$sink/out")
+    assert(out.where(col("cdf_version") === 3 &&
+      col("_change_type") === "delete").count() == 19)
+    assert(out.where(col("cdf_version") === 4).count() == 20)
+    assert(out.where(col("cdf_version") === 4 &&
+      col("_change_type") === "insert" && col("n") > 1000L).count() == 10)
+    // a NON-cdc DML version still refuses loudly
+    t.commitDeleteWhere("id", 1, 2)                               // v5
+    val q2 = spark.readStream.format("snapcdf")
+      .option("startVersion", 4).load(root)
+      .writeStream.option("checkpointLocation", s"$sink/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val err = intercept[Exception](q2.awaitTermination())
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(err).exists(_.contains("cdc = true")), err.toString)
+  }
+
   test("txn ingest: exactly-once across restart, catch-up, forced replay") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_snapsink_sp").toString
