@@ -672,6 +672,44 @@ object RelationalQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
+    // BATCH change-feed read (round 16 — Delta's batch `readChangeFeed`
+    // with startingVersion/endingVersion): `spark.read.format("snapcdf")
+    // .option("startVersion", v).option("endVersion", w)` serves the
+    // exact change rows of (v, w] as ONE distributed scan — the same
+    // per-version planning and cdc-sidecar admission as the stream, no
+    // checkpoint, no driver-side collect. Story: two appends → cdc
+    // DELETE WHERE → cdc UPDATE WHERE, read back windowed; a narrower
+    // window is require-checked in-flight. Oracle is the closed form.
+    "q_scan_cdfbatch" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdfb")
+        .toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 300)
+        .repartitionByRange(6, col("doc_id")))                        // v1
+      t.commitAppend(docs.where(col("doc_id") >= 300 && col("doc_id") < 500)) // v2
+      t.commitDeleteWhere("doc_id", 100, 149, cdc = true)             // v3
+      t.commitUpdateWhere("doc_id", 350, 399,
+        Map("n_chars" -> "n_chars + 100000"), cdc = true)             // v4
+      val narrow = s.read.format("snapcdf").option("startVersion", 3)
+        .option("endVersion", 4).load(tmp)
+      require(narrow.select(col("cdf_version")).distinct()
+        .collect().map(_.getInt(0)).toSet == Set(4),
+        "the windowed batch read must serve exactly (3, 4]")
+      val res = s.read.format("snapcdf").option("startVersion", 1)
+        .option("endVersion", 4).load(tmp)
+        .groupBy(col("cdf_version").cast("int").as("v"),
+          col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("v"), col("change"))
+      val rows = res.collect()
+      require(rows.length == 4 && rows.forall(_.getAs[Long]("n") > 0),
+        s"every change leg must be non-vacuous at this SF: ${rows.toSeq}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     // MERGE schema evolution (round 16 — Delta's MERGE WITH SCHEMA
     // EVOLUTION): upserting a CDC batch that GREW a column must not need
     // a separate ALTER + reshape. Story: clustered append → API
@@ -1897,6 +1935,23 @@ object RelationalQueries {
          SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 400
          ORDER BY side""",
+    "q_scan_cdfbatch" ->
+      """SELECT v, change, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT 2 AS v, 'insert' AS change, n_chars AS nc, doc_id AS id
+           FROM documents WHERE doc_id >= 300 AND doc_id < 500
+           UNION ALL
+           SELECT 3, 'delete', n_chars, doc_id FROM documents
+            WHERE doc_id BETWEEN 100 AND 149
+           UNION ALL
+           SELECT 4, 'delete', n_chars, doc_id FROM documents
+            WHERE doc_id BETWEEN 350 AND 399
+           UNION ALL
+           SELECT 4, 'insert', n_chars + 100000, doc_id FROM documents
+            WHERE doc_id BETWEEN 350 AND 399)
+         GROUP BY v, change ORDER BY v, change""",
     "q_scan_snapmergevolve" ->
       """SELECT 'cdc' AS side, CAST(2 * COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(3 * n_chars) AS BIGINT) AS sum_chars,

@@ -92,6 +92,29 @@ class SnapCdfMappingSpec extends SparkSpec {
     assert(out.where(col("id") === 43L).head().getAs[Long]("points") == 430L)
   }
 
+  test("batch CDF read serves mapped tables and refuses bad windows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfbm").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 20L).map(i => (i, i * 10)).toDF("id", "score"))
+    t.renameColumn("score", "points")                       // v2
+    t.commitAppend(Seq((21L, 210L)).toDF("id", "points"))   // v3 (phys score)
+    val feed = spark.read.format("snapcdf")
+      .option("startVersion", 0).option("endVersion", 3).load(root)
+    assert(feed.count() == 21)
+    assert(feed.columns.toSeq == Seq("id", "points", "_change_type",
+      "cdf_version"))
+    assert(feed.where(col("points").isNull).count() == 0,
+      "the batch read must translate physical names per version")
+    assert(feed.where(col("cdf_version") === 3).head()
+      .getAs[Long]("points") == 210L)
+    // windowed: (1, 3] skips the v1 backfill
+    assert(spark.read.format("snapcdf").option("startVersion", 1)
+      .option("endVersion", 3).load(root).count() == 1)
+    intercept[Exception](spark.read.format("snapcdf")
+      .option("startVersion", 2).option("endVersion", 99).load(root)
+      .count())
+  }
+
   test("physNamesAt walks reset boundaries in both directions") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdfpw").toString
     val t = SnapshotLog.open(spark, root, "id")
