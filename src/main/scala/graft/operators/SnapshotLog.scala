@@ -2704,6 +2704,125 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     overwriteWith(read(v0), "compact", base = Some(v0))
   }
 
+  /** Small-file BIN-PACKING compaction (round 16 — Delta's plain
+    * `OPTIMIZE`, which rewrites only fragments): rewrite ONLY the data
+    * files smaller than `smallBytes` into ~`targetBytes` key-clustered
+    * outputs; every right-sized file carries as pure METADATA. At
+    * 100 TB, streaming ingest's long tail of small files is THE
+    * maintenance problem, and "rewrite the table" ([[optimize]]) is not
+    * an answer — this touches bytes proportional to the FRAGMENTS.
+    * Selection is pure metadata (the logged per-file byte sizes):
+    * UNPARTITIONED entries compact at FILE granularity (their carried
+    * files re-enter file-level — nothing is lost, they carry no pvals);
+    * PARTITIONED leaves compact only when EVERY file of the leaf is
+    * small (each compacts into its own dir, re-entering `pvals` under
+    * the same assignment so partition alignment survives; a mixed leaf
+    * is [[optimizePartition]]'s job — documented). Files the log cannot
+    * size (legacy entries) never move. Pending MOR sidecar keys FOLD
+    * into the rewritten rows and the sidecar carries for the rest —
+    * the [[optimizePartition]] contract. Returns the CURRENT version
+    * unchanged when no group has ≥ 2 small files (nothing to gain).
+    * Concurrency: REBASES like [[optimizePartition]] — appends and
+    * foreign maintenance compose; only a commit that touched the
+    * selected files throws. */
+  def compactSmallFiles(smallBytes: Long,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(smallBytes >= 1 && targetBytes >= 1,
+      s"byte thresholds must be positive, got $smallBytes/$targetBytes")
+    val v0 = currentVersion()
+    require(v0 >= 1, s"compactSmallFiles on an empty table at $root")
+    val e0 = readEntry(v0)
+    val byEntry = e0.data.map(d => d -> e0.stats.filter(s =>
+      belongsTo(s.file, d)))
+    def small(s: FileStat) = s.bytes >= 0 && s.bytes < smallBytes
+    // group key: the owning leaf's partition assignment (None =
+    // unpartitioned pool); each group rewrites into its OWN dir. A
+    // group only packs with ≥ 2 files in it — collapsing many one-file
+    // leaves of the same partition is exactly the streaming-ingest case
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Option[Map[String, String]], Vector[(String, Seq[FileStat])]]
+    for ((d, fs) <- byEntry) {
+      e0.pvals.get(d) match {
+        case Some(assign) =>
+          if (fs.nonEmpty && fs.forall(small))
+            groups.updateWith(Some(assign))(prev =>
+              Some(prev.getOrElse(Vector.empty) :+ (d -> fs)))
+        case None =>
+          val sm = fs.filter(small)
+          if (sm.nonEmpty)
+            groups.updateWith(None)(prev =>
+              Some(prev.getOrElse(Vector.empty) :+ (d -> sm)))
+      }
+    }
+    val packs: Seq[(Option[Map[String, String]], Seq[FileStat])] =
+      groups.toSeq
+        .map { case (a, leaves) => a -> leaves.flatMap(_._2) }
+        .filter(_._2.size >= 2)
+    if (packs.isEmpty) return v0 // nothing worth packing
+    val packedKeys = packs.map(_._1).toSet
+    // wholly-selected PARTITIONED leaves leave the listing outright
+    val replaced: Set[String] = groups.toSeq.collect {
+      case (k @ Some(_), leaves) if packedKeys.contains(k) =>
+        leaves.map(_._1)
+    }.flatten.toSet
+    val selFiles = packs.flatMap(_._2).map(_.file).toSet
+    val rd = physSchema(v0, e0).map(spark.read.schema(_)).getOrElse(spark.read)
+    def folded(files: Seq[String]): DataFrame = {
+      val raw = toLogical(rd.parquet(files: _*), v0, e0)
+      if (e0.deletes.isEmpty) raw
+      else raw.join(broadcast(spark.read.parquet(e0.deletes: _*)
+        .select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    }
+    val rewritten: Seq[(String, Option[Map[String, String]], Seq[FileStat])] =
+      packs.map { case (assign, fs) =>
+        val n = math.max(1,
+          math.ceil(fs.map(_.bytes).sum.toDouble / targetBytes).toInt)
+        val dir = newDataDir()
+        physicalize(folded(fs.map(_.file))
+            .repartitionByRange(n, col(keyCol)), e0.cmap)
+          .write.mode("errorifexists").parquet(dir)
+        val st = statsFor(dir)
+        buildBloom(dir, st, e0.bloomCols)
+        (dir, assign, st)
+      }
+    commitWithRetry(op = "compact-files") { v =>
+      val p = prevEntry(v)
+      guardCmapOnRebase(e0.cmap, e0.retired, p)
+      // the rewrite depends ONLY on the selected files: any interleaved
+      // commit that kept them listed (appends, foreign partitions' work,
+      // new sidecars — their keys still mask through the read-side
+      // anti-join) composes; one that removed or re-homed them throws
+      val pFiles = p.stats.map(_.file).toSet
+      val pvalsHeld = replaced.forall(d =>
+        p.data.contains(d) && p.pvals.get(d) == e0.pvals.get(d))
+      if (!selFiles.subsetOf(pFiles) || !pvalsHeld)
+        throw new java.util.ConcurrentModificationException(
+          s"compactSmallFiles computed against version $v0 of $root but " +
+            "a commit since has replaced selected files — the pack is " +
+            "stale; re-run against the new snapshot")
+      // unpartitioned entries split: their UNSELECTED files re-enter
+      // file-level; wholly-replaced leaves leave outright
+      val touchedEntries = p.data.filter { d =>
+        !replaced.contains(d) &&
+          p.stats.exists(s => belongsTo(s.file, d) && selFiles(s.file))
+      }.toSet
+      val carriedFiles = touchedEntries.toSeq.flatMap { d =>
+        p.stats.collect { case s
+            if belongsTo(s.file, d) && !selFiles(s.file) => s.file }
+      }
+      val keptData = p.data.filterNot(d =>
+        replaced.contains(d) || touchedEntries.contains(d)) ++
+        carriedFiles ++ rewritten.map(_._1)
+      val keptStats = p.stats.filterNot(s => selFiles(s.file)) ++
+        rewritten.flatMap(_._3)
+      Some(Composed(keptData, p.deletes, keptStats,
+        schemaOf(v - 1), math.min(p.sv, e0.sv),
+        newPvals = rewritten.collect {
+          case (dir, Some(assign), _) => dir -> assign
+        }.toMap))
+    }.get
+  }
+
   /** OPTIMIZE / CLUSTER BY: rewrite the live view clustered into
     * `numFiles` part files (one overwrite commit, delete sidecars folded
     * like [[compact]], same conflict guard). With no `zorderCols` the

@@ -672,6 +672,53 @@ object RelationalQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
+    // Small-file BIN-PACKING compaction (round 16 — Delta's plain
+    // OPTIMIZE): streaming ingest leaves a long tail of fragment files;
+    // the pack rewrites ONLY files below the size cutoff into
+    // key-clustered outputs while every right-sized file carries as
+    // PURE METADATA (same entry string — asserted). At 100 TB the
+    // maintenance bill must be proportional to the fragments, not the
+    // table. Driven via SQL CALL compact_files. Oracle is the closed
+    // form of the union.
+    "q_scan_snapbinpack" -> ((s, d) => {
+      val wh = warehouseCatalog(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bpk")
+        .toString
+      val t = graft.operators.SnapshotLog.open(s, tmp, "doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      t.commitAppend(docs.where(col("doc_id") < 500)
+        .repartition(1))                                              // v1 big
+      for (i <- 1 to 4)
+        t.commitAppend(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + i * 1000L).as("doc_id"),
+            col("n_chars"))
+          .repartition(1))                                            // v2..v5
+      val e0 = t.readEntry(5)
+      require(e0.data.size == 5)
+      val bigBytes = e0.stats.map(_.bytes).max
+      val bigEntry = e0.data.head
+      s.sql(s"CALL graftwh.compact_files(table => '$tmp', " +
+        s"small_bytes => $bigBytes)")
+      require(wh.nonEmpty) // catalog registered (CALL above used it)
+      val e1 = t.readEntry(t.currentVersion())
+      require(t.opOf(t.currentVersion()) == "compact-files")
+      require(e1.data.contains(bigEntry),
+        "the right-sized entry must carry metadata-identical")
+      require(e1.data.size == 2,
+        s"fragments must collapse to one pack, got ${e1.data.size}")
+      val res = t.read()
+        .groupBy(when(col("doc_id") < 500, "base").otherwise("tail")
+          .as("era"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("era"))
+      val rows = res.collect()
+      require(rows.length == 2 && rows.forall(_.getAs[Long]("n") > 0),
+        s"both eras must be non-vacuous at this SF: ${rows.toSeq}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     // BATCH change-feed read (round 16 — Delta's batch `readChangeFeed`
     // with startingVersion/endingVersion): `spark.read.format("snapcdf")
     // .option("startVersion", v).option("endVersion", w)` serves the
@@ -1935,6 +1982,18 @@ object RelationalQueries {
          SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          FROM documents WHERE doc_id < 400
          ORDER BY side""",
+    "q_scan_snapbinpack" ->
+      """SELECT era, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                CAST(SUM(id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT 'base' AS era, n_chars AS nc, doc_id AS id
+           FROM documents WHERE doc_id < 500
+           UNION ALL
+           SELECT 'tail', n_chars, doc_id + g * 1000
+           FROM documents CROSS JOIN (SELECT UNNEST([1,2,3,4]) AS g)
+           WHERE doc_id < 50)
+         GROUP BY era ORDER BY era""",
     "q_scan_cdfbatch" ->
       """SELECT v, change, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(nc) AS BIGINT) AS sum_chars,

@@ -38,8 +38,8 @@ import graft.operators.SnapshotLog
 private[sources] object SnaplogProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "compact", "vacuum", "restore", "history", "detail",
-      "clone")
+    Seq("optimize", "compact", "compact_files", "vacuum", "restore",
+      "history", "detail", "clone")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -98,6 +98,17 @@ private[sources] object SnaplogProcedures {
         Array(param("table", StringType)),
         new StructType().add("version", IntegerType, false)) { (in, _) =>
         Seq(row(open(cat, in.getUTF8String(0).toString).compact()))
+      }
+      case "compact_files" => unbound("compact_files",
+        // small-file BIN-PACKING (round 16 — Delta's plain OPTIMIZE):
+        // rewrite only files below small_bytes into ~target_bytes
+        // outputs; right-sized files carry as metadata
+        Array(param("table", StringType), param("small_bytes", LongType),
+          paramD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+        new StructType().add("version", IntegerType, false)) { (in, _) =>
+        val t = open(cat, in.getUTF8String(0).toString)
+        val target = if (in.isNullAt(2)) 128L * 1024 * 1024 else in.getLong(2)
+        Seq(row(t.compactSmallFiles(in.getLong(1), target)))
       }
       case "vacuum" => unbound("vacuum",
         // two spellings (round 15): retain_from = oldest version to keep
