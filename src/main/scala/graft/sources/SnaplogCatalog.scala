@@ -143,15 +143,9 @@ class SnaplogCatalog extends TableCatalog
         ident)
     val tsMillis = timestamp / 1000L
     // LOGGED commit timestamps (round 15), mtime fallback for legacy
-    // entries — a copied/restored table directory keeps resolving
-    val v = (1 to latest).filter { i =>
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "_log", s"$i.json")) &&
-        t.commitTimeOf(i) <= tsMillis
-    }.lastOption.getOrElse(throw new IllegalArgumentException(
-      s"no snaplog version of $path committed at or before " +
-        s"timestamp $tsMillis ms (earliest retained entry is newer)"))
-    tableAt(ident, Some(v))
+    // entries — a copied/restored table directory keeps resolving;
+    // shared with RESTORE TO TIMESTAMP (round 16)
+    tableAt(ident, Some(t.versionAtTime(tsMillis)))
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -134,10 +134,21 @@ private[sources] object SnaplogProcedures {
         Seq(row(f, e))
       }
       case "restore" => unbound("restore",
-        Array(param("table", StringType), param("version", IntegerType)),
+        // two spellings (round 16): version => N, or timestamp_ms => T
+        // (Delta's RESTORE TO TIMESTAMP — resolved against the logged
+        // commit times). Exactly one must be given.
+        Array(param("table", StringType),
+          paramD("version", IntegerType, "-1"),
+          paramD("timestamp_ms", LongType, "-1")),
         new StructType().add("version", IntegerType, false)) { (in, _) =>
-        Seq(row(open(cat, in.getUTF8String(0).toString)
-          .restore(in.getInt(1))))
+        val t = open(cat, in.getUTF8String(0).toString)
+        val version = if (in.isNullAt(1)) -1 else in.getInt(1)
+        val tsMs = if (in.isNullAt(2)) -1L else in.getLong(2)
+        require((version >= 1) != (tsMs >= 0),
+          "CALL restore needs exactly one of version => <n> or " +
+            "timestamp_ms => <epoch millis>")
+        Seq(row(if (version >= 1) t.restore(version)
+          else t.restoreToTimestamp(tsMs)))
       }
       case "detail" => unbound("detail",
         // DESCRIBE DETAIL (round 15): one driver-metadata-sized row from

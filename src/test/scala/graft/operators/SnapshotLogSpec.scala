@@ -1620,4 +1620,32 @@ class SnapshotLogSpec extends SparkSpec {
     }
     assert(t2.read().count() == 15 + 15 + 10)
   }
+
+  test("RESTORE TO TIMESTAMP resolves against logged commit times") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rts").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")) // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.commitAppend((11L to 20L).map(i => (i, s"v$i")).toDF("id", "v")) // v2
+    t.commitDeleteWhere("id", 1, 3)                                    // v3
+    assert(t.versionAtTime(between) == 1)
+    // API spelling
+    val rv = t.restoreToTimestamp(between)
+    assert(t.opOf(rv) == "restore")
+    assert(t.read().count() == 10)
+    // CALL spelling: roll FORWARD again to v3's state by version, then
+    // back by timestamp through SQL
+    spark.conf.set("spark.sql.catalog.rtsw", "graft.sources.SnaplogCatalog")
+    spark.sql(s"CALL rtsw.restore(table => '$root', version => 3)")
+    assert(t.read().count() == 17)
+    spark.sql(s"CALL rtsw.restore(table => '$root', " +
+      s"timestamp_ms => $between)")
+    assert(t.read().count() == 10)
+    // exactly-one-spelling guard + too-early timestamp refuse loudly
+    intercept[Exception](spark.sql(
+      s"CALL rtsw.restore(table => '$root')"))
+    intercept[IllegalArgumentException](t.restoreToTimestamp(1000L))
+  }
 }
