@@ -929,7 +929,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     physicalize(df, e0.cmap).write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    buildBloom(dir, newStats, bloomColumns())
+    buildBloom(dir, newStats, bloomConfigPhys())
     commitWithRetry() { v =>
       val p = prevEntry(v)
       guardCmapOnRebase(e0.cmap, e0.retired, p)
@@ -1015,7 +1015,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       s"derived partition values must be non-null and path-safe " +
         s"($PartValRe); offending row: ${viol.headOption.fold("")(_.toString)}")
     val dir = newDataDir()
-    val bloomCfg = bloomColumns()
+    val bloomCfg = bloomConfigPhys() // physical frame below
     // shadow names and derive expressions bind on the PHYSICALIZED frame
     val exprsPhys: Seq[org.apache.spark.sql.Column] =
       tsPhys.zip(ts).map { case (tp, t) =>
@@ -1340,22 +1340,25 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           "the staged files carry the old physical names (or reference a " +
           "column dropped since validation); retry the write")
 
-  /** Columns a metadata alter must refuse. RENAME (round 16) lifted two
-    * of the round-14 blockers: partition-transform sources rename freely
-    * (`pvals` key by the rename-invariant PHYSICAL source name and every
-    * probe path translates through the mapping) and CHECK-referenced
-    * columns get their stored predicate SQL REWRITTEN in the same atomic
-    * commit. DROP keeps both refusals (a partition's exact recompute and
-    * a constraint's predicate cannot reference a column that no longer
-    * exists). The KEY column (MOR sidecars, merge identity) and
-    * Bloom-config columns (the sidecars hash their at-write name) block
-    * both ops. */
+  /** Columns a metadata alter must refuse. RENAME (round 16) lifted
+    * three of the round-14 blockers: partition-transform sources and
+    * Bloom-indexed columns rename freely (`pvals` and the bloom config
+    * key by the rename-invariant PHYSICAL name; every probe path
+    * translates through the mapping, and mapping-resetting rewrites
+    * re-key the bloom config to the materialized names) and
+    * CHECK-referenced columns get their stored predicate SQL REWRITTEN
+    * in the same atomic commit. DROP keeps its refusals (a partition's
+    * exact recompute, a sidecar probe, and a constraint's predicate —
+    * checked on the folded text in the DropCol case — cannot reference
+    * a column that no longer exists). The KEY column (MOR sidecars,
+    * merge identity) blocks both ops — the one structural blocker
+    * left. */
   private def alterBlockers(e: Entry, name: String,
       physName: String, drop: Boolean): Option[String] = {
     if (name == keyCol) return Some(s"'$name' is the key column")
-    if (e.bloomCols.contains(name))
-      return Some(s"'$name' is Bloom-indexed (setBloomColumns(Nil) first)")
     if (drop) {
+      if (e.bloomCols.contains(physName))
+        return Some(s"'$name' is Bloom-indexed (setBloomColumns(Nil) first)")
       val partSrcs = e.pvals.values.flatMap(_.keys)
         .map(PTransform.parse(_).srcCol).toSet
       if (partSrcs.contains(physName))
@@ -1523,7 +1526,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
             s"cannot widen partition-source column '$name' to double — " +
               "the logged partition values derive from the integral " +
               "string form; widen to long, or re-ingest")
-          require(!e0.bloomCols.contains(name),
+          require(!e0.bloomCols.contains(physOf(name)),
             s"cannot widen Bloom-indexed column '$name' to double — the " +
               "sidecars hash the integral string form; " +
               "setBloomColumns(Nil) first")
@@ -1602,7 +1605,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     physicalize(df, e0.cmap).write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    buildBloom(dir, newStats, bloomColumns())
+    buildBloom(dir, newStats, bloomConfigPhys())
     val committed = commitWithRetry(Map(appId -> batchId), "txn-append") { v =>
       if (readTxn(v - 1).get(appId).exists(_ >= batchId)) None
       else {
@@ -1725,11 +1728,34 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
   // ---- round 13: Bloom-filter file-skipping index -------------------------
 
   /** The Bloom-indexed columns (column → bits-per-value) as of the
-    * latest version. */
+    * latest version, under their LOGICAL names. The config is STORED
+    * under the rename-invariant PHYSICAL names (round 16 — Bloom
+    * columns may rename, like partition sources): sidecars hash the
+    * in-file spelling and every probe path already physicalizes before
+    * the lookup. */
   def bloomColumns(): Map[String, Int] = {
+    val v = currentVersion()
+    if (v == 0) Map.empty
+    else {
+      val e = readEntry(v)
+      if (e.cmap.isEmpty) e.bloomCols
+      else {
+        val p2l = e.cmap.map(_.swap)
+        e.bloomCols.map { case (c, b) => p2l.getOrElse(c, c) -> b }
+      }
+    }
+  }
+
+  /** The raw (PHYSICAL-keyed) Bloom config of the latest entry — what
+    * the physical-named write paths hand to [[buildBloom]]. */
+  private def bloomConfigPhys(): Map[String, Int] = {
     val v = currentVersion()
     if (v == 0) Map.empty else readEntry(v).bloomCols
   }
+
+  /** LOGICAL name of physical column `phys` under mapping `cmap`. */
+  private def logicalOf(cmap: Map[String, String], phys: String): String =
+    cmap.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
 
   /** Configure the table's Bloom-filter index — Delta's
     * `CREATE BLOOMFILTER INDEX` role, for point lookups on
@@ -1768,8 +1794,11 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
               f.dataType.simpleString)
         }
       }
+      // store PHYSICAL keys (identity on unmapped tables): sidecars and
+      // probes live in the in-file name space, which renames never move
       Some(Composed(p.data, p.deletes, p.stats, sch, p.sv,
-        bloomCols = Some(cols.map(_ -> bitsPerValue).toMap)))
+        bloomCols = Some(cols.map(c =>
+          p.cmap.getOrElse(c, c) -> bitsPerValue).toMap)))
     }.get
   }
 
@@ -1984,7 +2013,16 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val dir = newDataDir()
     df.write.mode("errorifexists").parquet(dir)
     val newStats = statsFor(dir)
-    buildBloom(dir, newStats, bloomColumns())
+    // these rewrites RESET the mapping (files carry logical names), so
+    // the physical-keyed bloom config translates through the pre-reset
+    // mapping — for this build AND the published entry (round 16:
+    // bloom columns may rename, so the key spaces can differ)
+    val bloomReset: Map[String, Int] = {
+      val vb = currentVersion()
+      val cm = if (vb == 0) Map.empty[String, String] else readEntry(vb).cmap
+      bloomConfigPhys().map { case (c, b) => logicalOf(cm, c) -> b }
+    }
+    buildBloom(dir, newStats, bloomReset)
     commitWithRetry(op = op) { v =>
       base.foreach { b =>
         if (v != b + 1)
@@ -1995,8 +2033,10 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       }
       if (op == "overwrite") recheckOnRebase(df, cons0, prevEntry(v))
       // a full rewrite materializes renames/drops into the files: the
-      // new files carry the logical names, the mapping resets
+      // new files carry the logical names, the mapping resets, and the
+      // bloom config re-keys to the (now-physical) logical names
       Some(Composed(Seq(dir), Nil, newStats, Some(df.schema), 2,
+        bloomCols = Some(bloomReset),
         colMap = Some((Map.empty, Set.empty))))
     }.get
   }
@@ -2341,7 +2381,15 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     if (cons0.nonEmpty && files.nonEmpty)
       checkConstraints(stagedDf(), cons0)
     val newStats = statsFor(dir)
-    buildBloom(dir, newStats, bloomColumns())
+    val stagedBloom =
+      if (!overwrite) bloomConfigPhys()
+      else {
+        // truncate-mode files carry LOGICAL names and the mapping
+        // resets below — translate the physical-keyed config
+        val cm = columnMap()
+        bloomConfigPhys().map { case (c, b) => logicalOf(cm, c) -> b }
+      }
+    buildBloom(dir, newStats, stagedBloom)
     val committed = commitWithRetry(
         txn.map { case (a, b) => Map(a -> b) }.getOrElse(Map.empty),
         if (overwrite) "overwrite" else txn.fold("append")(_ => "txn-append")) {
@@ -2358,6 +2406,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
           // the empty staged dir as a live entry
           Some(Composed(if (files.nonEmpty) Seq(dir) else Nil, Nil,
             newStats, Some(schema), 2,
+            bloomCols = Some(stagedBloom),
             colMap = Some((Map.empty, Set.empty))))
         }
         else {

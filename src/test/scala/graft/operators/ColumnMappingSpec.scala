@@ -104,9 +104,9 @@ class ColumnMappingSpec extends SparkSpec {
       .toDF("id", "lang", "n", "v"), Seq("lang"))
     t.addConstraint("n_pos", "n > 0")
     t.setBloomColumns(Seq("v"))
-    // still blocked: key column, Bloom-config column, unknown column
+    // still blocked: the key column, unknown columns, and DROPPING a
+    // Bloom-indexed column (its rename is lifted — see the bloom test)
     intercept[IllegalArgumentException](t.renameColumn("id", "id2"))
-    intercept[IllegalArgumentException](t.renameColumn("v", "w"))
     intercept[IllegalArgumentException](t.dropColumn("v"))
     intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
     // LIFTED (round 16): a partition-SOURCE column renames — pvals key by
@@ -309,6 +309,45 @@ class ColumnMappingSpec extends SparkSpec {
       .write.format("snaplog").mode("overwrite").save(root)
     assert(t.read().count() == 0)
     assert(t.readEntry(t.currentVersion()).data.isEmpty)
+  }
+
+  test("Bloom-indexed columns rename; sidecars keep skipping through " +
+      "the mapping and across a compact re-key") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmb").toString
+    val t = SnapshotLog.open(spark, root, "id")
+    t.commitAppend((1L to 40L).map(i => (i, s"u$i"))
+      .toDF("id", "v").repartition(4))
+    t.setBloomColumns(Seq("v"))
+    t.commitAppend((41L to 80L).map(i => (i, s"u$i"))
+      .toDF("id", "v").repartition(4)) // sidecar built, keyed physical "v"
+    // LIFTED (round 16): the Bloom column renames; probes translate
+    t.renameColumn("v", "text")
+    assert(t.bloomColumns() == Map("text" -> 10),
+      s"config must surface the LOGICAL name, got ${t.bloomColumns()}")
+    val probe = t.readWhereEquals("text", "u55")
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length < t.read().inputFiles.length,
+      "the sidecar must still skip files through the mapping")
+    // dropping the renamed Bloom column still refuses
+    intercept[IllegalArgumentException](t.dropColumn("text"))
+    // appends under the new logical name keep building sidecars (the
+    // physical-keyed config matches the physicalized files)
+    t.commitAppend((81L to 120L).map(i => (i, s"u$i"))
+      .toDF("id", "text").repartition(4))
+    val probe2 = t.readWhereEquals("text", "u100")
+    assert(probe2.count() == 1)
+    assert(probe2.inputFiles.length < t.read().inputFiles.length)
+    // compact RESETS the mapping: the config re-keys to the logical
+    // (now-physical) name and keeps working
+    t.compact()
+    assert(t.columnMap().isEmpty)
+    assert(t.bloomColumns() == Map("text" -> 10))
+    t.commitAppend((121L to 160L).map(i => (i, s"u$i"))
+      .toDF("id", "text").repartition(4))
+    val probe3 = t.readWhereEquals("text", "u140")
+    assert(probe3.count() == 1)
+    assert(probe3.inputFiles.length < t.read().inputFiles.length,
+      "post-compact sidecars must build under the re-keyed config")
   }
 
   test("clone of a mapped table keeps the mapping and the retired set") {
