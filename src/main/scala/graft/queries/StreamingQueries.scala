@@ -77,27 +77,28 @@ object StreamingQueries {
     * event-time watermark past every real row's join window so
     * watermark-gated emissions (stream-stream OUTER join nulls, final
     * window closes) drain before `processAllAvailable` returns — the
-    * streaming analogue of end-of-input. The four real part files are
-    * hard-linked from the shared staging (same bytes, same pinned mtimes);
-    * only the sentinels are new I/O. */
+    * streaming analogue of end-of-input.
+    *
+    * The real data is staged as TWO range-partitioned files (not the
+    * shared 4-file staging): the flush replay runs at one file per
+    * trigger so the two sentinel files land in separate batches, which
+    * previously charged the 4 real files four micro-batches of pure
+    * trigger/planning floor each (guide §1/§2 — per-batch cost here is
+    * state-store open+commit × partitions, not data). Two real batches
+    * keep the genuine multi-batch state merge while cutting the replay
+    * from 6 to 4 micro-batches; range partitioning by ts means no
+    * cross-batch late data, so the drained result is byte-identical
+    * (oracle-checked: the batch interval join). */
   private def stagedEventsFlushed(s: SparkSession, d: String): String =
     stagedDirs.computeIfAbsent(d + "#flush", { _ =>
-      val base = new java.io.File(stagedEvents(s, d))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_src").toString
-      base.listFiles().filter(_.getName.startsWith("part-"))
-        .foreach { f =>
-          val dst = java.nio.file.Paths.get(dir, f.getName)
-          // hard-link shares bytes; filesystems without link support
-          // (overlay/network mounts) fall back to a copy that preserves
-          // the pinned mtime the replay order depends on
-          try java.nio.file.Files.createLink(dst, f.toPath)
-          catch {
-            case _: UnsupportedOperationException | _: java.io.IOException =>
-              java.nio.file.Files.copy(f.toPath, dst)
-              dst.toFile.setLastModified(f.lastModified()); ()
-          }
-        }
+      Tables.events(s, d).drop("props").repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val realParts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      realParts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000L + i * 1000L); () }
       val ev = Tables.events(s, d).drop("props")
       val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
       // one sentinel PER JOIN SIDE: each side's watermark node sits behind
@@ -158,13 +159,23 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", if (flush) "1" else "2").parquet(staged)
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     // a stateful query creates (and commits) one state-store instance per
-    // shuffle partition PER MICRO-BATCH; a replay batch holds a few MB, so
-    // the session's scan-sized partition count is pure fixed cost here.
-    // 8 state partitions cut that 4× with identical results — the count is
-    // baked into the query's checkpoint, so a production stream sizes it to
-    // its cluster at first start the same way.
+    // shuffle partition PER MICRO-BATCH — a stream-stream join holds FOUR
+    // stores per partition, each commit a file write+rename, so the
+    // per-batch floor is ~linear in the partition count while a replay
+    // batch holds a few MB. Round 16 (BatchFloorProbe): at 8 partitions a
+    // 671-row ssjoin batch spent ~2.4 s summed in state commits vs ~0.3 s
+    // at 2 — wall 4.87 → 3.51 s, results identical. Size the count from
+    // the staged BYTES (state volume rides input volume here), clamped to
+    // the session's parallelism: the sf0.1 replay lands on 2, a 32×
+    // corpus grows past 8, and a production stream sizes to its cluster
+    // at first start the same way (the count bakes into the checkpoint).
+    val stagedBytes = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val confParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val stateParts = math.max(2L, math.min(confParts.toLong,
+      (stagedBytes + (4 << 20) - 1) / (4 << 20))).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     try {
       val q = build(stream).writeStream
         .format("memory").queryName(name).outputMode(mode).start()
