@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths}
 import com.fasterxml.jackson.databind.JsonNode
+import graft.core.GraftCheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -3175,7 +3176,14 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val updCols = tableCols ++ extra
     val upd = updates.select(updCols.map(col): _*)
     checkConstraints(upd, e0.constraints)
-    val updKeys = upd.select(col(keyCol)).distinct()
+    // the distinct key set drives FOUR consumers (file stabbing, the
+    // survivor anti-join broadcast, the delete-sidecar consolidation,
+    // the cdc pre-image mask) — materialize it ONCE instead of
+    // re-executing the whole updates lineage per consumer (round 16:
+    // a warm fixture-scale merge ran 14 jobs with ~2/3 of its wall in
+    // inter-action planning; the set is batch-keys-sized, so the
+    // checkpoint is bounded by the merge batch, never the table)
+    val updKeys = upd.select(col(keyCol)).distinct().graftCheckpoint()
 
     // exact per-file touch set: which stat intervals does at least one
     // update key stab? (None when the table has no stats at all —
@@ -3232,19 +3240,26 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     val newStats = statsFor(dir)
     buildBloom(dir, newStats, e0.bloomCols)
 
-    // consolidate sidecars: old deletes minus update keys (resurrection)
+    // consolidate sidecars: old deletes minus update keys (resurrection).
+    // One pass, not two: the emptiness probe rides the sidecar write as
+    // an observed metric instead of a separate isEmpty action, and an
+    // empty result drops the just-written dir (round 16 — the merge verb
+    // was paying an extra plan+execute of this subtree per commit)
     val newDeletes: Seq[String] =
       if (deletes.isEmpty) Nil
       else {
+        val obs = org.apache.spark.sql.Observation()
         val remaining = spark.read.parquet(deletes: _*)
           .select(col(keyCol)).distinct()
           .join(broadcast(updKeys), Seq(keyCol), "left_anti")
-        if (remaining.isEmpty) Nil
-        else {
-          val dd = newDeleteDir()
-          remaining.write.mode("errorifexists").parquet(dd)
-          Seq(dd)
-        }
+          .observe(obs, count(lit(1)).as("n"))
+        val dd = newDeleteDir()
+        remaining.write.mode("errorifexists").parquet(dd)
+        if (Option(obs.get("n")).forall(_.asInstanceOf[Long] == 0L)) {
+          val p = new org.apache.hadoop.fs.Path(dd)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          Nil
+        } else Seq(dd)
       }
 
     // change-data sidecar: pre-images of VISIBLE matched rows (delete) +
