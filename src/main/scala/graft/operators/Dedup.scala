@@ -35,6 +35,14 @@ object Dedup {
   /** (doc_id, shingle_hash) pairs: hashed w-token shingles of `text`.
     * transform over a token-index sequence keeps everything in codegen. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+    shinglesRaw(docs, w).distinct()
+
+  /** [[shingles]] WITHOUT the set-semantics distinct — the multiset
+    * stream straight out of the generate. Duplicate-insensitive
+    * consumers (MinHash: min over a multiset ≡ min over its set) read
+    * this and skip a full (doc_id, shingle) exchange; set-semantics
+    * consumers (Jaccard counts) go through [[shingles]]. */
+  private def shinglesRaw(docs: DataFrame, w: Int): DataFrame =
     // hashing w-shingles is the CPU-bound stage; spread single-file scans
     // (no-op when the scan already has the splits — corpus scale)
     graft.core.Tables.spread(docs, col("doc_id"))
@@ -45,11 +53,18 @@ object Dedup {
             i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
           .otherwise(array(xxhash64(col("text")))))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .distinct()
 
-  /** MinHash signatures per doc: k hashes over the shingle set. */
+  /** MinHash signatures per doc: k hashes over the shingle set.
+    *
+    * Reads the RAW multiset shingle stream, not the distinct'd set:
+    * min(h_i) is duplicate-invariant, so the signatures are identical
+    * while the plan drops the set-dedup exchange entirely — the partial
+    * (ObjectHashAggregate) merge collapses each map partition to one
+    * k-long buffer per doc before the only remaining shuffle (guide
+    * §2.3/§2.4: aggregate before you shuffle, remove shuffles outright;
+    * round 16 — previously 2 exchanges carried ~every shingle row). */
   def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 64): DataFrame =
-    shingles(docs, w)
+    shinglesRaw(docs, w)
       .groupBy(col("doc_id"))
       .agg(Sketches.minhash(col("shingle"), k).as("sig"))
 
@@ -62,7 +77,14 @@ object Dedup {
   def minhashLsh(docs: DataFrame, w: Int = 3, k: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val banded = bandedSigs(docs, w, k, bands)
+    // the banded-signature table feeds THREE plan sites (the bucket-size
+    // aggregate and both sides of the candidate self-join); without a
+    // materialization the shingle+signature stage — the expensive CPU
+    // pass — executes three times (round 16, plan audit: the scan→
+    // explode→minhash subtree appeared 3× in the physical plan). One
+    // checkpoint runs it once; in production this is exactly the banded
+    // table the scaladoc above says to persist.
+    val banded = bandedSigs(docs, w, k, bands).graftCheckpoint()
 
     // cap pathological buckets (boilerplate mega-clusters) — logged cost cap
     val bucketSizes = banded.groupBy(col("band"), col("bucket"))
