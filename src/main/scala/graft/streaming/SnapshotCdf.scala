@@ -52,12 +52,21 @@ object SnapshotCdf {
           .where(col("v").isNotNull).distinct()
           .collect().map(_.getInt(0)).sorted
         val t = graft.operators.SnapshotLog.open(spark, root, keyCol)
-        vs.foreach { v =>
-          // overwrite per version dir = idempotent on batch retry; the
-          // partition column gets a name no table column will shadow
-          t.changes(v - 1, v)
-            .write.mode("overwrite").parquet(s"$sinkDir/cdf_version=$v")
-        }
+        // per-version diffs are independent jobs writing disjoint
+        // idempotent-overwrite dirs — overlap them (guide §2.6) so a
+        // catch-up batch's later diffs back-fill the cores the earlier
+        // diff's tail leaves idle, instead of serializing N diff jobs.
+        // Bounded pool: 2–3 jobs in flight is the guide's sweet spot.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(3, vs.length)))
+        try vs.map { v =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              t.changes(v - 1, v)
+                .write.mode("overwrite").parquet(s"$sinkDir/cdf_version=$v")
+          })
+        }.foreach(_.get())
+        finally pool.shutdown()
       }
       .start()
     q.awaitTermination()
