@@ -36,6 +36,15 @@ object CacheDrop {
     * runs driver-side only (local mode — same machine either way). */
   def barrier(spark: SparkSession, executorSlots: Int = 0): () => Unit = () => {
     spark.catalog.clearCache()
+    // clearCache only covers CacheManager (cached DataFrames); blocks
+    // persisted OUTSIDE it — localCheckpoint RDDs from the engine's loop
+    // operators, direct RDD persists — otherwise survive until Dataset
+    // GC and leak one attempt's materialization into the next. Between
+    // attempts no dataset legitimately spans the barrier, so drop them
+    // all (round 16: the barrier's "drops every cached block" contract
+    // previously held only up to GC timing).
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     if (executorSlots > 0)
       spark.sparkContext.parallelize(0 until executorSlots, executorSlots)
         .foreach(_ => CacheDrop.dropOsCaches())

@@ -3178,12 +3178,16 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
     checkConstraints(upd, e0.constraints)
     // the distinct key set drives FOUR consumers (file stabbing, the
     // survivor anti-join broadcast, the delete-sidecar consolidation,
-    // the cdc pre-image mask) — materialize it ONCE instead of
-    // re-executing the whole updates lineage per consumer (round 16:
-    // a warm fixture-scale merge ran 14 jobs with ~2/3 of its wall in
-    // inter-action planning; the set is batch-keys-sized, so the
-    // checkpoint is bounded by the merge batch, never the table)
-    val updKeys = upd.select(col(keyCol)).distinct().graftCheckpoint()
+    // the cdc pre-image mask) — cache it ONCE instead of re-executing
+    // the whole updates lineage per consumer (round 16: a warm
+    // fixture-scale merge ran 14 jobs with ~2/3 of its wall in
+    // inter-action planning; the set is batch-keys-sized, so the cache
+    // is bounded by the merge batch, never the table). cache + explicit
+    // unpersist in the finally below — not localCheckpoint — so the
+    // blocks free deterministically when the verb returns instead of
+    // waiting on Dataset GC (a long-lived session commits in loops).
+    val updKeys = upd.select(col(keyCol)).distinct().cache()
+    try {
 
     // exact per-file touch set: which stat intervals does at least one
     // update key stab? (None when the table has no stats at all —
@@ -3312,6 +3316,7 @@ final class SnapshotTable(spark: SparkSession, root: String, keyCol: String) {
       Some(Composed(keptEntries :+ dir, newDeletes, keptStats ++ newStats,
         mergeSchema, e0.sv, cdcDir))
     }.get
+    } finally { updKeys.unpersist(); () }
   }
 
   /** Change data feed: the exact multiset row diff between two committed
